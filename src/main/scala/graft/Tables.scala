@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's read-only parquet tables (TESTDATA.md).
+  *
+  * All engine queries take `(SparkSession, sfDir)` and resolve tables
+  * through here, so the same code runs at sf0.001 (smoke), sf0.01
+  * (duckdb-oracle correctness) and sf0.1+ (bench). At cluster scale the
+  * same call sites would point at a partitioned table root instead of a
+  * single file — nothing else changes because all plans are declarative.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view for spark.sql(...) surfaces. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
