@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,19 +10,29 @@ import graft.Tables
 /** Generic relational query surface (SURVEY.md §2) over the driver's
   * TPC-H-ish tables, each paired with an ANSI-SQL oracle for DuckDB.
   *
-  * Determinism across engines: double-typed aggregates are computed in
-  * DECIMAL (exact, order-independent) and cast to DOUBLE only at the
-  * end, so Spark's partial-aggregate summation order cannot diverge
-  * from DuckDB's sequential sum. Every output column is aliased
-  * identically in the Spark plan and the oracle SQL, and every query
-  * ends in a deterministic ORDER BY.
+  * Cross-engine determinism rules used throughout:
+  *  - double aggregates are computed in DECIMAL (exact, summation-order
+  *    independent) and cast to DOUBLE only at the edge;
+  *  - timestamps are reduced to epoch seconds (`unix_timestamp` /
+  *    `floor(epoch(ts))`) before arithmetic — mirrors the reference's
+  *    second-truncation rule (reference routes/events.js:162-166);
+  *  - integer-ish outputs are cast to BIGINT on both sides (DuckDB
+  *    year()/sum(int) return wider types than Spark);
+  *  - every query ends in a deterministic ORDER BY with a unique key.
   */
 object Relational {
 
   /** Exact money arithmetic: double -> decimal(18,2). */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Second-truncated epoch, the reference's time resolution (F2). */
+  private def ep(c: Column): Column = unix_timestamp(c)
 
-  // --- A1-style grouped aggregation (TPC-H Q1 shape) -----------------
+  // ---------------------------------------------------------------
+  // Aggregations (SURVEY §2.5)
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q1 shape: grouped sums/counts (reference has only top-1
+    * aggregation; this is the extended surface A-row "absent" set). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "lineitem")
@@ -35,8 +46,368 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** A1: top-1 per key by timestamp via max_by (reference
+    * routes/events.js:82-83 `simplesort desc + data()[0]`). */
+  def qAggMaxBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", struct($"ts", $"event_id")).as("last_type"),
+        max_by($"event_id", struct($"ts", $"event_id")).as("last_event_id"),
+        max(ep($"ts")).as("last_ep"))
+      .orderBy($"user_id")
+  }
+
+  /** A2: first per key by event time (reference J4 arrival-order lookup,
+    * documented divergence to event-time — routes/events.js:119-127). */
+  def qAggMinBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min_by($"event_type", struct($"ts", $"event_id")).as("first_type"),
+        min_by($"event_id", struct($"ts", $"event_id")).as("first_event_id"),
+        min(ep($"ts")).as("first_ep"))
+      .orderBy($"user_id")
+  }
+
+  /** Distinct aggregation over groups. */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP hierarchy totals. */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  /** CUBE over two order dimensions. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** min/max/avg stats; avg realized as exact decimal sum / count so
+    * both engines produce the identical double. */
+  def qStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"c_acctbal").as("min_bal"),
+        max($"c_acctbal").as("max_bal"),
+        (sum(dec($"c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Conditional aggregation (manual pivot): per-user event-type counts. */
+  def qPivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    def n(t: String) = count(when($"event_type" === t, 1)).as(s"n_$t")
+    ev.groupBy($"user_id")
+      .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Joins (SURVEY §2.4)
+  // ---------------------------------------------------------------
+
+  /** Multi-table equi-join with broadcast dims (J7 agent-dim lookup
+    * generalized): revenue by region/nation. */
+  def qJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(c("c_custkey"), c("c_name"))
+      .orderBy(c("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order —
+    * anti against a filtered build side so the result is non-trivial. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(c("c_custkey"), c("c_name"))
+      .orderBy(c("c_custkey"))
+  }
+
+  /** Left-outer join + null-tolerant aggregates (J3 wrapup-optional
+    * semantics — reference routes/events.js:104-117 `|| {}`). */
+  def qJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+      .groupBy(o("o_orderkey"))
+      .agg(
+        count(li("l_orderkey")).as("n_items"),
+        coalesce(sum(dec(li("l_extendedprice"))).cast("double"), lit(0.0)).as("items_total"))
+      .orderBy(o("o_orderkey"))
+  }
+
+  /** J1 as-of join: for each purchase, the latest strictly-prior
+    * view/click of the same user (reference routes/events.js:74-87),
+    * realized as the SURVEY-chosen window form — single shuffle on the
+    * correlation key, no self-join. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .withColumn("entry_ep",
+        last(when($"event_type".isin("view", "click"), ep($"ts")), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"entry_ep".isNotNull)
+      .select($"event_id", $"user_id", ep($"ts").as("purchase_ep"), $"entry_ep",
+        (ep($"ts") - $"entry_ep").as("wait_secs"))
+      .orderBy($"event_id")
+  }
+
+  /** Decorrelated scalar subquery: customers whose max order exceeds a
+    * threshold. */
+  def qSubqueryAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val m = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(max($"o_totalprice").as("max_tp"))
+    c.join(m, c("c_custkey") === m("o_custkey"))
+      .filter($"max_tp" > 400000.0)
+      .select($"c_custkey", $"c_name", $"max_tp")
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Filters & projections (SURVEY §2.2, §2.3, §2.9)
+  // ---------------------------------------------------------------
+
+  /** F-pred1/2/3: prefix LIKE, IN-list, non-equi range predicate. */
+  def qFilterPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"event_type".startsWith("s") ||
+        ($"value" > 150.0 && $"event_type".isin("click", "error")))
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
+  /** P3/F5: JSON attribute-blob extraction (reference parses
+    * task_attributes/worker_attributes JSON strings —
+    * routes/events.js:492-497). */
+  def qProjJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k_val"),
+        upper($"event_type").as("etype"))
+      .orderBy($"event_id")
+  }
+
+  /** F7/F9: case-mapping (channel voice→Call analog) + display substring
+    * (views/index.pug slice(0,10)). */
+  def qProjCase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        when($"event_type" === "purchase", "Buy")
+          .when($"event_type" === "view", "View")
+          .when($"event_type" === "click", "Click")
+          .otherwise(lit("Other")).as("channel"),
+        substring($"props", 1, 10).as("props10"))
+      .orderBy($"event_id")
+  }
+
+  /** F6 + SURVEY §7.4.1: JS falsy-coalesce parity — empty-string/sentinel
+    * normalized to NULL via nullif before coalescing. */
+  def qCoalesceNull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        coalesce(nullif($"lang", lit("en")), nullif($"source", lit("src0")), lit("fallback"))
+          .as("resolved"))
+      .orderBy($"doc_id")
+  }
+
+  /** F8: array split / slice / join (roles.join(", ") analog). */
+  def qArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        array_join(slice(split($"text", " "), 1, 5), " ▸ ").as("head5"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** F1-F3: timestamp parse/trunc/duration + calendar parts. */
+  def qDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        ep(date_trunc("day", $"o_orderdate")).as("day_ep"),
+        datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_98"))
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Windows (SURVEY §2.6)
+  // ---------------------------------------------------------------
+
+  /** Running total per key (frame spec), exact decimal accumulation. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        sum(dec($"o_totalprice")).over(w).cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** lag-based inter-event gaps (W1 sessionization primitive). */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        (ep($"ts") - lag(ep($"ts"), 1).over(w)).as("gap_secs"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** rank / dense_rank / row_number analytics. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        row_number().over(w).cast("long").as("rn"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** W1 gap-based sessionization: 30-minute inactivity splits sessions
+    * (reference's AGENT STATUS span machine, batch form —
+    * routes/events.js:639-664). */
+  def qWindowSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("ep", ep($"ts"))
+      .withColumn("new_sess",
+        when(lag($"ep", 1).over(w).isNull || ($"ep" - lag($"ep", 1).over(w)) > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(wRun))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ep").as("sess_start"),
+        max($"ep").as("sess_end"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Sorts / limits / set ops (SURVEY §2.7, §2.8)
+  // ---------------------------------------------------------------
+
+  /** Deterministic top-k with tiebreak. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(15)
+  }
+
+  /** INTERSECT / EXCEPT / UNION composition over nation keys. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.load(spark, dir, "customer")
+      .select($"c_nationkey".as("nationkey")).distinct()
+    val sn = Tables.load(spark, dir, "supplier")
+      .select($"s_nationkey".as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("op", lit("both"))
+      .union(cn.except(sn).withColumn("op", lit("cust_only")))
+      .orderBy($"op", $"nationkey")
+  }
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q_agg_maxby" -> qAggMaxBy,
+    "q_agg_minby" -> qAggMinBy,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_stats" -> qStats,
+    "q_pivot_counts" -> qPivotCounts,
+    "q_join_inner" -> qJoinInner,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_outer" -> qJoinOuter,
+    "q_asof_join" -> qAsofJoin,
+    "q_subquery_agg" -> qSubqueryAgg,
+    "q_filter_pred" -> qFilterPred,
+    "q_proj_json" -> qProjJson,
+    "q_proj_case" -> qProjCase,
+    "q_coalesce_null" -> qCoalesceNull,
+    "q_array_ops" -> qArrayOps,
+    "q_dates" -> qDates,
+    "q_window_running" -> qWindowRunning,
+    "q_window_lag" -> qWindowLag,
+    "q_window_rank" -> qWindowRank,
+    "q_window_session" -> qWindowSession,
+    "q_topk" -> qTopK,
+    "q_setops" -> qSetOps
   )
 
   val oracles: Map[String, String] = Map(
@@ -48,6 +419,201 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_maxby" ->
+      """SELECT user_id, event_type AS last_type, event_id AS last_event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS last_ep
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_agg_minby" ->
+      """SELECT user_id, event_type AS first_type, event_id AS first_event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS first_ep
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_pivot_counts" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type='error' THEN 1 END) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        |  coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS items_total
+        |FROM orders LEFT OUTER JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ep,
+        |       entry_ep,
+        |       CAST(floor(epoch(ts)) AS BIGINT) - entry_ep AS wait_secs
+        |FROM (
+        |  SELECT *, last_value(CASE WHEN event_type IN ('view','click')
+        |                            THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS entry_ep
+        |  FROM events)
+        |WHERE event_type = 'purchase' AND entry_ep IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_subquery_agg" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_tp
+        |FROM customer
+        |WHERE (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) > 400000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type LIKE 's%'
+        |   OR (value > 150.0 AND event_type IN ('click','error'))
+        |ORDER BY event_id""".stripMargin,
+
+    "q_proj_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       upper(event_type) AS etype
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_proj_case" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'purchase' THEN 'Buy'
+        |                  WHEN 'view' THEN 'View'
+        |                  WHEN 'click' THEN 'Click'
+        |                  ELSE 'Other' END AS channel,
+        |  substr(props, 1, 10) AS props10
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_coalesce_null" ->
+      """SELECT doc_id,
+        |  coalesce(nullif(lang, 'en'), nullif(source, 'src0'), 'fallback') AS resolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT doc_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ▸ ') AS head5,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_ep,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_secs
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        |       min(ep) AS sess_start, max(ep) AS sess_end
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q_setops" ->
+      """SELECT nationkey, 'both' AS op FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin
   )
 }
