@@ -17,7 +17,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (graft.taskrouter.TaskRouterQueries.queries, graft.taskrouter.TaskRouterQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,339 @@
+package graft.taskrouter
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Model._
+
+/** Batch derivation of the Flex-Insights-style reporting model from the
+  * TaskRouter event log — the reference's analytical core
+  * (routes/events.js:503-667) re-expressed as declarative Spark
+  * dataflow so Catalyst/Tungsten handle planning:
+  *
+  *  - J1 queue-entry as-of lookup → one window over events partitioned
+  *    by task_sid with a RANGE frame on epoch-micros (strict `ts <
+  *    exit_ts`, reference :74-87), instead of the reference's O(n)
+  *    per-event scan (O(n²) total);
+  *  - J2/J3/J4 reservation lookups → a single groupBy(reservation_sid)
+  *    aggregation producing created/wrapup/accepted timestamps in one
+  *    shuffle (reference :89-127 scans per event);
+  *  - J5 in-progress update (EP2) → in-progress rows LEFT JOIN the
+  *    latest completed-derived delta per reservation (reference
+  *    :298-315, :572-586);
+  *  - J6/W1 agent-status machine → lead() over per-worker openers
+  *    (reference :639-664);
+  *  - S5 agent upsert → last-write-wins max_by per worker
+  *    (reference :225-256).
+  *
+  * Scale notes (100 TB): each correlation is exactly one shuffle on its
+  * natural key (task_sid / reservation_sid / worker_sid); no driver-side
+  * loops, no collects; the wide projection is a single codegen'd select.
+  * Event-time ordering replaces the reference's arrival-order dependence
+  * (documented divergence, SURVEY §7.4.3); surrogate ids are
+  * deterministic sha2 hashes instead of uuid() (F12).
+  */
+object Derivation {
+
+  // ---------------------------------------------------------------
+  // custom-data helpers (reference :353-356 merge + JS `||` falsiness)
+  // ---------------------------------------------------------------
+
+  /** JS object-spread semantics: worker_attributes key wins when
+    * present, else task_attributes.conversations (reference :353-356). */
+  private def cdRaw(key: String): Column =
+    when(map_contains_key(col("wattr"), lit(key)), col("wattr")(key))
+      .otherwise(col("task_attr.conversations")(key))
+
+  /** JS `||` treats '' as falsy; SQL coalesce only skips NULL — so
+    * normalize '' → NULL before coalescing (SURVEY §7.4.1). */
+  private def cdOr(key: String): Column = nullif(cdRaw(key), lit(""))
+
+  private def nz(c: Column): Column = nullif(c, lit(""))
+
+  /** Custom-data numeric fact: digits-guarded cast (ANSI mode would
+    * throw on junk; the reference stores raw JS values untyped). */
+  private def cdNum(key: String): Column =
+    when(cdRaw(key).rlike("^-?[0-9]+$"), cdRaw(key).cast(LongType))
+
+  /** reference Array.isArray(x) ? x.join(sep) : fallback — array-typed
+    * custom values survive as JSON text in the string map. */
+  private def joinIfArray(c: Column, sep: String, fallback: Column): Column =
+    when(c.startsWith("["), array_join(from_json(c, ArrayType(StringType)), sep))
+      .otherwise(fallback)
+
+  /** Deterministic surrogate id (F12) replacing reference uuid() (:217). */
+  private def detUuid(parts: Column*): Column =
+    sha2(concat_ws("|", parts: _*), 256)
+
+  /** Whole-second duration (F3): exact after second truncation. */
+  private def secDiff(end: Column, start: Column): Column =
+    unix_timestamp(end) - unix_timestamp(start)
+
+  // ---------------------------------------------------------------
+  // base projection (P1, reference :337-485)
+  // ---------------------------------------------------------------
+
+  /** Rename payload correlation keys so base output columns
+    * (reservation_sid/agent_uuid) don't collide. */
+  private def prepared(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumnRenamed("task_sid", "p_task_sid")
+      .withColumnRenamed("reservation_sid", "p_reservation_sid")
+      .withColumnRenamed("worker_sid", "p_worker_sid")
+
+  /** Adds every base segment column (reference :357-484) to a prepared
+    * frame; per-branch overrides replace individual values later. */
+  private def withBase(ev: DataFrame): DataFrame = {
+    val ta = col("task_attr")
+    var out = ev
+    val base: Seq[(String, Column)] =
+      Seq(
+        "conversation_id" -> coalesce(cdOr("conversation_id"), nz(col("p_task_sid")),
+          nz(col("p_worker_sid")), detUuid(col("event_id"), lit("cid"))),
+        "segment_external_id" -> coalesce(nz(col("p_task_sid")), nz(col("p_worker_sid")),
+          detUuid(col("event_id"), lit("seid"))),
+        "reservation_sid" -> coalesce(col("p_reservation_sid"), lit("")),
+        "agent_uuid" -> coalesce(col("p_worker_sid"), lit("")),
+        // facts (:369-408)
+        "activity_time" -> col("worker_time_in_previous_activity"),
+        "date" -> col("ts_sec"),
+        "time" -> col("ts_sec"),
+        "abandoned" -> coalesce(cdOr("abandoned"), lit("N")),
+        "activity" -> coalesce(cdOr("activity"), col("worker_activity_name")),
+        "channel" -> when(cdOr("channel").isNotNull, cdOr("channel"))
+          .when(col("task_channel_unique_name") === "voice", lit("Call"))
+          .when(col("task_channel_unique_name") === "chat", lit("Chat"))
+          .otherwise(col("task_channel_unique_name")),
+        "direction" -> when(cdOr("direction").isNotNull, cdOr("direction"))
+          .when(ta("direction") === "inbound", lit("Inbound"))
+          .when(ta("direction") === "internal", lit("Internal"))
+          .when(ta("direction") === "outbound", lit("Outbound"))
+          .otherwise(lit("Inbound")),
+        "external_contact" -> coalesce(cdOr("external_contact"),
+          when(ta("direction") === "outbound", ta("from")).otherwise(ta("to"))),
+        "handling_department_id" -> cdRaw("department_id"),
+        "handling_department_name" -> cdRaw("department_name"),
+        "handling_department_name_in_hierarchy" ->
+          joinIfArray(cdRaw("handling_department_name_in_hierarchy"), " ▸ ",
+            cdRaw("handling_department_name_in_hierarchy")),
+        "handling_team_id" -> coalesce(cdOr("team_id"), cdOr("team"), col("task_queue_sid")),
+        "handling_team_name" -> coalesce(cdOr("team_name"), cdOr("team"), col("task_queue_name")),
+        "handling_team_name_in_hierarchy" ->
+          joinIfArray(cdRaw("team_name_in_hierarchy"), " ▸ ",
+            cdRaw("team_name_in_hierarchy")),
+        "outcome" -> coalesce(cdOr("outcome"), nz(ta("reason")),
+          nz(col("task_completed_reason")), col("task_canceled_reason")),
+        "queue" -> coalesce(cdOr("queue"), col("task_queue_name")),
+        "workflow" -> coalesce(cdOr("workflow"), col("workflow_name"))
+      ) ++
+        factColumns.filterNot(_ == "activity_time").map(n => n -> cdNum(n)) ++
+        passthroughCustomColumns.map(n => n -> cdRaw(n))
+    out.withColumns(base.toMap)
+  }
+
+  /** Final per-branch projection in canonical column order. */
+  private def selectSegment(df: DataFrame, overrides: Map[String, Column],
+      extra: Seq[Column] = Nil): DataFrame =
+    df.select(segmentColumns.map(n => overrides.getOrElse(n, col(n)).as(n)) ++ extra: _*)
+
+  // ---------------------------------------------------------------
+  // correlations
+  // ---------------------------------------------------------------
+
+  private def isEntryEvent: Column =
+    col("eventtype").isin(EtTaskQueueEntered, EtTaskTransferInitiated)
+
+  /** J1: strictly-prior latest entry event per task (reference :74-87).
+    * RANGE frame over epoch-micros gives the strict `timestamp <
+    * exitTimestamp` bound (ties excluded), one shuffle per task_sid. */
+  private def withQueueEntry(taskEv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("p_task_sid")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    taskEv.withColumn("entry_ts_sec",
+      last(when(isEntryEvent, col("ts_sec")), ignoreNulls = true).over(w))
+  }
+
+  /** J2/J3/J4 in one aggregation per reservation_sid:
+    *  - created: latest by ts (reference :89-102 desc sort, first)
+    *  - wrapup:  latest by ts (reference :104-117)
+    *  - accepted: first by event-time (reference :119-127 is
+    *    arrival-order; event-time is our documented divergence). */
+  private def reservationLookup(ev: DataFrame): DataFrame =
+    ev.filter(col("p_reservation_sid").isNotNull)
+      .groupBy(col("p_reservation_sid").as("lk_res_sid"))
+      .agg(
+        max(when(col("eventtype") === EtReservationCreated, col("ts_sec"))).as("created_ts_sec"),
+        max(when(col("eventtype") === EtReservationWrapup, col("ts_sec"))).as("wrapup_ts_sec"),
+        min(when(col("eventtype") === EtReservationAccepted,
+          struct(col("ts_us"), col("ts_sec")))).getField("ts_sec").as("accepted_ts_sec"))
+
+  // ---------------------------------------------------------------
+  // public API
+  // ---------------------------------------------------------------
+
+  /** Full segments ("conversations") fact table from parsed events. */
+  def segments(parsed: DataFrame): DataFrame = {
+    val ev = prepared(parsed)
+    val taskEv = withBase(withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
+    val resLk = reservationLookup(ev)
+
+    // --- reservation.accepted (EP1, reference :514-538): requires both
+    // J1 entry and J2 created (exception-as-inner-join, :161,:171,:672).
+    val acc = taskEv.filter(col("eventtype") === EtReservationAccepted)
+      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
+      .filter(col("entry_ts_sec").isNotNull && col("created_ts_sec").isNotNull)
+      .withColumn("queue_time_c", secDiff(col("ts_sec"), col("entry_ts_sec")))
+      .withColumn("ring_time_c", secDiff(col("ts_sec"), col("created_ts_sec")))
+
+    val queueRows = selectSegment(acc, Map(
+      "uuid" -> detUuid(col("event_id"), lit(QueueSegment)),
+      "segment_kind" -> lit(QueueSegment),
+      "queue_time" -> col("queue_time_c"),
+      "date" -> col("entry_ts_sec"),
+      "time" -> col("entry_ts_sec")))
+
+    // in-progress rows keep the reservation key for the completed join
+    val inProgRows = selectSegment(acc, Map(
+      "uuid" -> detUuid(col("event_id"), lit(ConvoInProgSeg)),
+      "segment_kind" -> lit(ConvoInProgSeg),
+      "queue_time" -> col("queue_time_c"),
+      "ring_time" -> col("ring_time_c")),
+      extra = Seq(col("p_reservation_sid").as("join_res_sid")))
+
+    // --- reservation.completed (EP2, reference :572-586): latest
+    // completed delta per reservation, applied to the in-progress row.
+    val compUpd = ev.filter(col("eventtype") === EtReservationCompleted)
+      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
+      .filter(col("accepted_ts_sec").isNotNull) // J4 required (:182)
+      .withColumn("talk_time_c",
+        when(col("wrapup_ts_sec").isNotNull,
+          secDiff(col("wrapup_ts_sec"), col("accepted_ts_sec")))
+          .otherwise(secDiff(col("ts_sec"), col("accepted_ts_sec"))))
+      .withColumn("wrapup_time_c",
+        when(col("wrapup_ts_sec").isNull, lit(0L))
+          .otherwise(secDiff(col("ts_sec"), col("wrapup_ts_sec"))))
+      .withColumn("segment_link_c", col("task_attr.conversations")("segment_link"))
+      .groupBy(col("p_reservation_sid").as("upd_res_sid"))
+      .agg(max_by(
+        struct(col("talk_time_c"), col("wrapup_time_c"), col("segment_link_c")),
+        struct(col("ts_us"), col("event_id"))).as("upd"))
+      .select(col("upd_res_sid"), col("upd.talk_time_c").as("talk_time_c"),
+        col("upd.wrapup_time_c").as("wrapup_time_c"),
+        col("upd.segment_link_c").as("segment_link_c"), lit(true).as("has_upd"))
+
+    // JS spread {...in_progress, ...update}: only the four delta fields
+    // change, segment_link even when the new value is undefined (:578-583)
+    val convoRows = inProgRows
+      .join(compUpd, col("join_res_sid") === col("upd_res_sid"), "left")
+      .withColumn("segment_kind",
+        when(col("has_upd"), lit(ConvoSeg)).otherwise(col("segment_kind")))
+      .withColumn("talk_time",
+        when(col("has_upd"), col("talk_time_c")).otherwise(col("talk_time")))
+      .withColumn("wrapup_time",
+        when(col("has_upd"), col("wrapup_time_c")).otherwise(col("wrapup_time")))
+      .withColumn("segment_link",
+        when(col("has_upd"), col("segment_link_c")).otherwise(col("segment_link")))
+      .select(segmentColumns.map(col): _*)
+
+    // --- failed reservations (reference :541-571): J2 required.
+    val failed = taskEv.filter(col("eventtype").isin(
+        EtReservationRejected, EtReservationTimeout,
+        EtReservationCanceled, EtReservationRescinded))
+      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
+      .filter(col("created_ts_sec").isNotNull)
+      .withColumn("ring_time_c", secDiff(col("ts_sec"), col("created_ts_sec")))
+      .withColumn("kind_c",
+        when(col("eventtype") === EtReservationRejected, ConvoRejected)
+          .when(col("eventtype") === EtReservationRescinded, ConvoRevoked)
+          .otherwise(ConvoMissed))
+    val failedRows = selectSegment(failed, Map(
+      "uuid" -> detUuid(col("event_id"), col("kind_c")),
+      "segment_kind" -> col("kind_c"),
+      "ring_time" -> col("ring_time_c")))
+
+    // --- task abandoned in queue (reference :589-618): J1 required.
+    val aband = taskEv.filter(col("eventtype").isin(EtTaskCanceled, EtTaskTransferFailed))
+      .filter(col("entry_ts_sec").isNotNull)
+      .withColumn("queue_time_c", secDiff(col("ts_sec"), col("entry_ts_sec")))
+    val abandCommon: Map[String, Column] = Map(
+      "queue_time" -> col("queue_time_c"),
+      "abandon_time" -> col("queue_time_c"),
+      "abandoned_phase" -> lit("Queue"),
+      "abandoned" -> lit("Yes"))
+    val abandQueueRows = selectSegment(aband, abandCommon ++ Map(
+      "uuid" -> detUuid(col("event_id"), lit(QueueSegment)),
+      "segment_kind" -> lit(QueueSegment),
+      "date" -> col("entry_ts_sec"),
+      "time" -> col("entry_ts_sec")))
+    val abandConvoRows = selectSegment(aband, abandCommon ++ Map(
+      "uuid" -> detUuid(col("event_id"), lit(ConvoSeg)),
+      "segment_kind" -> lit(ConvoSeg)))
+
+    // --- agent status machine (W1, reference :619-664): every
+    // worker.created / worker.activity.update opens an in-progress span;
+    // the next activity.update closes it, stamping the upstream-supplied
+    // duration (activity_time := next event's
+    // worker_time_in_previous_activity — trusted, not recomputed :646).
+    val openers = withBase(ev.filter(col("p_worker_sid").isNotNull &&
+      col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated)))
+    val wW = Window.partitionBy(col("p_worker_sid"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val spans = openers
+      .withColumn("next_et", lead(col("eventtype"), 1).over(wW))
+      .withColumn("next_atime", lead(col("worker_time_in_previous_activity"), 1).over(wW))
+      .withColumn("closed", col("next_et") === EtWorkerActivityUpdated)
+    val spanRows = selectSegment(spans, Map(
+      "uuid" -> detUuid(col("event_id"), lit(AgentStatusInProgress)),
+      "segment_kind" -> when(col("closed"), AgentStatus).otherwise(AgentStatusInProgress),
+      "activity" -> col("worker_activity_name"),
+      "activity_time" -> when(col("closed"), col("next_atime"))
+        .when(col("eventtype") === EtWorkerActivityUpdated, lit(null).cast(LongType))
+        .otherwise(col("worker_time_in_previous_activity"))))
+
+    queueRows
+      .unionByName(convoRows)
+      .unionByName(failedRows)
+      .unionByName(abandQueueRows)
+      .unionByName(abandConvoRows)
+      .unionByName(spanRows)
+  }
+
+  /** Agent dimension (SCD-1 current state): last-write-wins per worker
+    * with date_joined = first touching event (reference :225-295). */
+  def agents(parsed: DataFrame): DataFrame = {
+    val ev = prepared(parsed).filter(col("p_worker_sid").isNotNull &&
+      col("eventtype").isin(EtWorkerCreated, EtWorkerDeleted,
+        EtWorkerActivityUpdated, EtWorkerAttributesUpdated))
+    val last = ev.groupBy(col("p_worker_sid").as("agent_uuid"))
+      .agg(
+        min(col("ts_sec")).as("date_joined"),
+        max_by(struct(col("eventtype"), col("ts_sec"), col("wattr")),
+          struct(col("ts_us"), col("event_id"))).as("lastev"))
+    val wa: String => Column = k => col("lastev.wattr")(k)
+    last.select(
+      col("agent_uuid"),
+      wa("agent_attribute_1").as("attribute_1"),
+      wa("agent_attribute_2").as("attribute_2"),
+      wa("agent_attribute_3").as("attribute_3"),
+      wa("email").as("email"),
+      wa("agent_id").as("agent_id"),
+      wa("location").as("location"),
+      wa("phone").as("phone"),
+      joinIfArray(wa("roles"), ", ", wa("role")).as("role"),
+      when(col("lastev.eventtype") === EtWorkerDeleted, AgentDeleted)
+        .otherwise(AgentActive).as("state"),
+      wa("team_id").as("team_id"),
+      wa("team_name").as("team_name"),
+      wa("team_name_in_hierarchy").as("team_name_in_hierarchy"),
+      wa("manager").as("manager"),
+      wa("department_id").as("department_id"),
+      wa("department_name").as("department_name"),
+      wa("department_name_in_hierarchy").as("department_name_in_hierarchy"),
+      col("date_joined"),
+      when(col("lastev.eventtype") === EtWorkerDeleted, col("lastev.ts_sec"))
+        .otherwise(lit(null).cast(TimestampType)).as("date_left"))
+      .select(agentColumns.map(col): _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.taskrouter
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deterministic TaskRouter CloudEvent synthesis from the driver's
+  * generic `events` table, so the full derivation pipeline can be
+  * verified against an independent analytic DuckDB oracle (the oracle
+  * recomputes expected segments from the same formulas without running
+  * any of our join/window machinery).
+  *
+  * Scenario mapping (v = floor(value), t0 = event ts):
+  *  - purchase → task happy path WTP<event_id>: entered(t0),
+  *    created(+c), accepted(+a); if v%5≠0 also completed(+cp) and,
+  *    when v%3≠0, wrapup(+wp);  c = v%7+1, a = c+v%13+5,
+  *    wp = a+v%50+10, cp = hasWrapup ? wp+v%20+3 : a+v%50+13.
+  *  - error → abandoned task WTA<event_id>: entered(t0),
+  *    task.canceled(+d), d = v%60+5.
+  *  - click → failed reservation WTF<event_id>: entered(t0),
+  *    created(+c), then per v%4 rejected/timeout/canceled/rescinded
+  *    at +c+r, r = v%11+2.
+  *  - signup → worker WA<user_id>: first signup per user =
+  *    worker.created, later ones worker.activity.update
+  *    (activity ACT<v%5>, worker_time_in_previous_activity = v);
+  *    users with user_id%5==0 get worker.deleted at last signup +60s.
+  */
+object Synth {
+
+  private val SEC = 1000000L // µs per second
+
+  /** payload struct in Model.payloadSchema field order. */
+  private def payload(fields: Map[String, Column]): Column = struct(
+    Model.payloadSchema.fields.toSeq.map(f =>
+      fields.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+
+  /** Full CloudEvent envelope row (id/type/data). */
+  private def envelope(df: DataFrame, idPrefix: String, et: String,
+      offSec: Column, fields: Map[String, Column]): DataFrame =
+    df.select(
+      concat(lit(idPrefix), col("event_id")).as("id"),
+      lit(Model.TaskRouterPrefix + "." + et).as("type"),
+      struct(
+        payload(fields ++ Map(
+          "eventtype" -> lit(et),
+          "timestamp" -> timestamp_micros(col("us") + offSec * SEC).cast(StringType)
+        )).as("payload"),
+        struct(lit("AC1").as("account_sid")).as("publisher_metadata"),
+        lit(null).cast(StringType).as("test_id")).as("data"))
+
+  private def loaded(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("v", floor(col("value")).cast(LongType))
+      .withColumn("us", unix_micros(col("ts")))
+
+  /** Envelope-shaped CloudEvents for all synthesized scenarios. */
+  def cloudEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = loaded(spark, dir)
+    val v = col("v")
+
+    // ---- task-side shared fields
+    def taskFields(prefix: String): Map[String, Column] = Map(
+      "task_sid" -> concat(lit(prefix), col("event_id")),
+      "reservation_sid" -> concat(lit("WR" + prefix.drop(2)), col("event_id")),
+      "worker_sid" -> concat(lit("WK"), col("user_id")),
+      "task_channel_unique_name" -> when(v % 2 === 0, "voice").otherwise("chat"),
+      "task_queue_name" -> concat(lit("Q"), v % 4),
+      "task_queue_sid" -> concat(lit("WQ"), v % 4),
+      "workflow_name" -> lit("Main"),
+      "task_attributes" -> concat(lit("""{"direction":""""),
+        when(v % 3 === 0, "inbound").when(v % 3 === 1, "outbound").otherwise("internal"),
+        lit("""","from":"+1555","to":"+1666"}""")))
+
+    // ---- purchase → happy path
+    val p = ev.filter(col("event_type") === "purchase")
+    val pf = taskFields("WTP")
+    val c = v % 7 + 1
+    val a = c + v % 13 + 5
+    val hasCp = v % 5 =!= 0
+    val hasW = hasCp && v % 3 =!= 0
+    val wp = a + v % 50 + 10
+    val cp = when(hasW, wp + v % 20 + 3).otherwise(a + v % 50 + 13)
+    val purchase = Seq(
+      envelope(p, "EPE", Model.EtTaskQueueEntered, lit(0L), pf),
+      envelope(p, "EPC", Model.EtReservationCreated, c, pf),
+      envelope(p, "EPA", Model.EtReservationAccepted, a, pf),
+      envelope(p.filter(hasW), "EPW", Model.EtReservationWrapup, wp, pf),
+      envelope(p.filter(hasCp), "EPD", Model.EtReservationCompleted, cp, pf))
+
+    // ---- error → abandoned in queue
+    val e = ev.filter(col("event_type") === "error")
+    val ef = taskFields("WTA")
+    val d = v % 60 + 5
+    val abandoned = Seq(
+      envelope(e, "EAE", Model.EtTaskQueueEntered, lit(0L), ef),
+      envelope(e, "EAC", Model.EtTaskCanceled, d, ef))
+
+    // ---- click → failed reservation
+    val f = ev.filter(col("event_type") === "click")
+    val ff = taskFields("WTF")
+    val r = c + v % 11 + 2
+    val failKind = v % 4
+    val failed = Seq(
+      envelope(f, "EFE", Model.EtTaskQueueEntered, lit(0L), ff),
+      envelope(f, "EFC", Model.EtReservationCreated, c, ff),
+      envelope(f.filter(failKind === 0), "EFR", Model.EtReservationRejected, r, ff),
+      envelope(f.filter(failKind === 1), "EFT", Model.EtReservationTimeout, r, ff),
+      envelope(f.filter(failKind === 2), "EFX", Model.EtReservationCanceled, r, ff),
+      envelope(f.filter(failKind === 3), "EFS", Model.EtReservationRescinded, r, ff))
+
+    // ---- signup → worker lifecycle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("last_us", max(col("us")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+    def workerFields: Map[String, Column] = Map(
+      "worker_sid" -> concat(lit("WA"), col("user_id")),
+      "worker_activity_name" -> concat(lit("ACT"), v % 5),
+      "worker_time_in_previous_activity" -> v,
+      "worker_attributes" -> concat(
+        lit("""{"email":"u"""), col("user_id"),
+        lit("""@x.co","roles":["agent"],"team_name":"T"""), col("user_id") % 3,
+        lit("\"}")))
+    val workers = Seq(
+      envelope(s.filter(col("rn") === 1), "EWC", Model.EtWorkerCreated, lit(0L), workerFields),
+      envelope(s.filter(col("rn") =!= 1), "EWU", Model.EtWorkerActivityUpdated, lit(0L), workerFields),
+      envelope(
+        s.filter(col("user_id") % 5 === 0 && col("us") === col("last_us"))
+          .withColumn("us", col("last_us")),
+        "EWD", Model.EtWorkerDeleted, lit(60L), workerFields))
+
+    (purchase ++ abandoned ++ failed ++ workers).reduce(_ unionByName _)
+  }
+
+  /** Parsed + derived tables for the synthesized scenario set. */
+  def segments(spark: SparkSession, dir: String): DataFrame =
+    Derivation.segments(Ingest.parse(cloudEvents(spark, dir)))
+
+  def agents(spark: SparkSession, dir: String): DataFrame =
+    Derivation.agents(Ingest.parse(cloudEvents(spark, dir)))
+}

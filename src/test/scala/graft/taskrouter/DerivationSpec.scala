@@ -1,0 +1,247 @@
+package graft.taskrouter
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSpec
+
+/** Golden end-to-end tests per FIXTURES.md §A.3, asserting the exact
+  * segment/agent rows the reference derives (routes/events.js). */
+class DerivationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- fixture builders -------------------------------------------
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
+
+  /** Build one CloudEvent JSON doc. Payload values: String → quoted,
+    * Long/Int → number, raw JSON via RawJson. */
+  case class RawJson(s: String)
+  private var seq = 0
+  private def ce(et: String, ts: String, fields: (String, Any)*): String = {
+    seq += 1
+    val id = f"EZ$seq%04d"
+    val payload = (Seq("eventtype" -> (et: Any), "timestamp" -> (ts: Any)) ++ fields)
+      .map {
+        case (k, v: String) => jstr(k) + ":" + jstr(v)
+        case (k, v: RawJson) => jstr(k) + ":" + jstr(v.s) // JSON-encoded blob string
+        case (k, v) => jstr(k) + ":" + v.toString
+      }.mkString("{", ",", "}")
+    s"""{"id":${jstr(id)},"type":${jstr("com.twilio.taskrouter." + et)},"data":{"payload":$payload,"publisher_metadata":{"account_sid":"AC1"}}}"""
+  }
+
+  private def derive(events: Seq[String]): (DataFrame, DataFrame) = {
+    seq = 0 // ids deterministic per scenario... reset before building? caller builds first
+    val parsed = Ingest.parseJson(spark, spark.createDataset(events))
+    (Derivation.segments(parsed).cache(), Derivation.agents(parsed))
+  }
+
+  private def seg(df: DataFrame, kind: String): Seq[Row] =
+    df.filter($"segment_kind" === kind).collect().toSeq
+
+  private val T = "WT001"
+  private val R = "WR001"
+  private val W = "WK001"
+  private def taskFields: Seq[(String, Any)] = Seq(
+    "task_sid" -> T, "reservation_sid" -> R, "worker_sid" -> W,
+    "task_channel_unique_name" -> "voice",
+    "task_queue_name" -> "Support", "task_queue_sid" -> "WQ001",
+    "workflow_name" -> "Main",
+    "task_attributes" -> RawJson("""{"direction":"inbound","from":"+1555","to":"+1666"}"""))
+
+  // 1. happy-path-voice ---------------------------------------------
+  private lazy val happyPath = Seq(
+    ce("task-queue.entered", "2026-08-12T10:00:00.400Z", taskFields: _*),
+    ce("reservation.created", "2026-08-12T10:00:05.900Z", taskFields: _*),
+    ce("reservation.accepted", "2026-08-12T10:00:30.123Z", taskFields: _*),
+    ce("reservation.wrapup", "2026-08-12T10:02:10.456Z", taskFields: _*),
+    ce("reservation.completed", "2026-08-12T10:02:40.789Z", taskFields: _*))
+
+  test("happy path: QUEUE + completed CONVERSATION with truncated durations") {
+    val (segs, _) = derive(happyPath)
+    assert(segs.count() == 2)
+
+    val Seq(q) = seg(segs, "QUEUE")
+    assert(q.getAs[Long]("queue_time") == 30) // ⌊t2⌋−⌊t0⌋
+    assert(q.getAs[java.sql.Timestamp]("date").toInstant.toString == "2026-08-12T10:00:00Z")
+    assert(q.getAs[String]("conversation_id") == T)
+    assert(q.getAs[String]("channel") == "Call")
+    assert(q.getAs[String]("direction") == "Inbound")
+    assert(q.getAs[String]("external_contact") == "+1666") // inbound → to
+    assert(q.getAs[String]("queue") == "Support")
+    assert(q.getAs[String]("workflow") == "Main")
+    assert(q.getAs[String]("abandoned") == "N")
+
+    val Seq(c) = seg(segs, "CONVERSATION")
+    assert(c.getAs[Long]("queue_time") == 30)
+    assert(c.getAs[Long]("ring_time") == 25)  // ⌊t2⌋−⌊t1⌋
+    assert(c.getAs[Long]("talk_time") == 100) // ⌊t3⌋−⌊t2⌋
+    assert(c.getAs[Long]("wrapup_time") == 30) // ⌊t4⌋−⌊t3⌋
+    // date/time stay at the accepted event (in-progress base)
+    assert(c.getAs[java.sql.Timestamp]("date").toInstant.toString == "2026-08-12T10:00:30Z")
+  }
+
+  // 2. no-wrapup ----------------------------------------------------
+  test("no wrapup: talk to completed, wrapup_time 0") {
+    val (segs, _) = derive(happyPath.patch(3, Nil, 1)) // drop wrapup
+    val Seq(c) = seg(segs, "CONVERSATION")
+    assert(c.getAs[Long]("talk_time") == 130) // ⌊t4⌋−⌊t2⌋
+    assert(c.getAs[Long]("wrapup_time") == 0)
+  }
+
+  // accepted only → still CONVERSATION IN PROGRESS
+  test("accepted without completed stays CONVERSATION IN PROGRESS") {
+    val (segs, _) = derive(happyPath.take(3))
+    assert(seg(segs, "CONVERSATION").isEmpty)
+    val Seq(p) = seg(segs, "CONVERSATION IN PROGRESS")
+    assert(p.getAs[Long]("queue_time") == 30)
+    assert(p.getAs[Long]("ring_time") == 25)
+    assert(p.getAs[Any]("talk_time") == null)
+  }
+
+  // 3. failed reservation kinds ------------------------------------
+  for ((et, kind) <- Seq(
+      "reservation.rejected" -> "REJECTED CONVERSATION",
+      "reservation.timeout" -> "MISSED CONVERSATION",
+      "reservation.canceled" -> "MISSED CONVERSATION",
+      "reservation.rescinded" -> "REVOKED CONVERSATION")) {
+    test(s"$et → $kind with ring_time only") {
+      val (segs, _) = derive(Seq(
+        ce("task-queue.entered", "2026-08-12T10:00:00.400Z", taskFields: _*),
+        ce("reservation.created", "2026-08-12T10:00:05.900Z", taskFields: _*),
+        ce(et, "2026-08-12T10:00:35.200Z", taskFields: _*)))
+      assert(segs.count() == 1)
+      val Seq(f) = seg(segs, kind)
+      assert(f.getAs[Long]("ring_time") == 30) // ⌊t⌋−⌊t1⌋
+      assert(f.getAs[Any]("queue_time") == null)
+    }
+  }
+
+  // 4. abandoned-in-queue -------------------------------------------
+  for (et <- Seq("task.canceled", "task.transfer-failed")) {
+    test(s"$et → abandoned QUEUE + CONVERSATION pair") {
+      val (segs, _) = derive(Seq(
+        ce("task-queue.entered", "2026-08-12T10:00:00.900Z", taskFields: _*),
+        ce(et, "2026-08-12T10:01:01.100Z", taskFields: _*)))
+      assert(segs.count() == 2)
+      val Seq(q) = seg(segs, "QUEUE")
+      val Seq(c) = seg(segs, "CONVERSATION")
+      for (r <- Seq(q, c)) {
+        assert(r.getAs[Long]("queue_time") == 61)
+        assert(r.getAs[Long]("abandon_time") == 61)
+        assert(r.getAs[String]("abandoned") == "Yes")
+        assert(r.getAs[String]("abandoned_phase") == "Queue")
+      }
+      assert(q.getAs[java.sql.Timestamp]("date").toInstant.toString == "2026-08-12T10:00:00Z")
+      assert(c.getAs[java.sql.Timestamp]("date").toInstant.toString == "2026-08-12T10:01:01Z")
+    }
+  }
+
+  // 5. transfer: second QUEUE measured from transfer-initiated ------
+  test("transfer-initiated acts as queue entry for the next accepted") {
+    val fieldsB = taskFields.map { case ("reservation_sid", _) => "reservation_sid" -> ("WR002": Any); case kv => kv }
+    val (segs, _) = derive(Seq(
+      ce("task-queue.entered", "2026-08-12T10:00:00.000Z", taskFields: _*),
+      ce("reservation.created", "2026-08-12T10:00:02.000Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T10:00:10.000Z", taskFields: _*),
+      ce("reservation.completed", "2026-08-12T10:01:00.000Z", taskFields: _*),
+      ce("task.transfer-initiated", "2026-08-12T10:02:00.000Z", taskFields: _*),
+      ce("reservation.created", "2026-08-12T10:02:05.000Z", fieldsB: _*),
+      ce("reservation.accepted", "2026-08-12T10:02:30.000Z", fieldsB: _*)))
+    val queues = seg(segs, "QUEUE").sortBy(_.getAs[java.sql.Timestamp]("date").getTime)
+    assert(queues.map(_.getAs[Long]("queue_time")) == Seq(10, 30)) // 2nd from transfer
+  }
+
+  // 6. agent lifecycle ----------------------------------------------
+  private def workerFields(act: String, prev: Long = 0): Seq[(String, Any)] = Seq(
+    "worker_sid" -> W, "worker_activity_name" -> act,
+    "worker_time_in_previous_activity" -> prev,
+    "worker_attributes" -> RawJson(
+      """{"email":"kai@x.co","roles":["agent","admin"],"team_name":"Blue","full_name":"Kai"}"""))
+
+  test("agent lifecycle: spans close with upstream durations; dim tracks state") {
+    val (segs, agents) = derive(Seq(
+      ce("worker.created", "2026-08-12T09:00:00.500Z", workerFields("Available"): _*),
+      ce("worker.activity.update", "2026-08-12T09:05:00.100Z", workerFields("Busy", 300): _*),
+      ce("worker.activity.update", "2026-08-12T09:06:00.200Z", workerFields("Break", 60): _*),
+      ce("worker.deleted", "2026-08-12T09:30:00.900Z", workerFields("Offline"): _*)))
+
+    val closed = seg(segs, "AGENT STATUS").sortBy(_.getAs[java.sql.Timestamp]("date").getTime)
+    assert(closed.map(r => (r.getAs[String]("activity"), r.getAs[Long]("activity_time"))) ==
+      Seq(("Available", 300L), ("Busy", 60L)))
+    val Seq(open) = seg(segs, "AGENT STATUS IN PROGRESS")
+    assert(open.getAs[String]("activity") == "Break")
+    assert(open.getAs[Any]("activity_time") == null)
+
+    val Seq(a) = agents.collect().toSeq
+    assert(a.getAs[String]("agent_uuid") == W)
+    assert(a.getAs[String]("state") == "Deleted")
+    assert(a.getAs[String]("role") == "agent, admin") // roles array joined
+    assert(a.getAs[String]("email") == "kai@x.co")
+    assert(a.getAs[java.sql.Timestamp]("date_joined").toInstant.toString == "2026-08-12T09:00:00Z")
+    assert(a.getAs[java.sql.Timestamp]("date_left").toInstant.toString == "2026-08-12T09:30:00Z")
+  }
+
+  // 7. orphan accepted → nothing ------------------------------------
+  test("orphan accepted (no entered) yields zero segments") {
+    val (segs, _) = derive(Seq(
+      ce("reservation.created", "2026-08-12T10:00:05.900Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T10:00:30.123Z", taskFields: _*)
+    ).patch(0, Nil, 1)) // drop created too → only accepted
+    assert(segs.count() == 0)
+  }
+
+  test("accepted with entry but no created yields zero segments (both-or-nothing)") {
+    val (segs, _) = derive(Seq(
+      ce("task-queue.entered", "2026-08-12T10:00:00.400Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T10:00:30.123Z", taskFields: _*)))
+    assert(segs.count() == 0)
+  }
+
+  // 8. duplicate delivery dedup -------------------------------------
+  test("duplicate event ids dedup to a single derivation") {
+    val events = happyPath
+    val (segs, _) = derive(events ++ Seq(events.head)) // re-deliver same ids? ids differ...
+    assert(segs.count() == 2)
+  }
+
+  test("exact duplicate payload with same id is dropped") {
+    val dup = happyPath(2)
+    val parsed = Ingest.parseJson(spark, spark.createDataset(happyPath :+ dup))
+    // rebuilding happyPath gave new ids; inject a literal duplicate id
+    assert(parsed.count() == happyPath.size) // one duplicate id removed
+  }
+
+  // 9. custom attributes override precedence ------------------------
+  test("custom conversations attributes override derived defaults") {
+    val customTask = taskFields.map {
+      case ("task_attributes", _) => "task_attributes" -> (RawJson(
+        """{"conversations":{"conversation_id":"CUSTOM-X","abandoned":"Yes","conversation_attribute_1":"a1","queue":""},"direction":"outbound","from":"+1555","to":"+1666"}"""): Any)
+      case kv => kv
+    }
+    val (segs, _) = derive(Seq(
+      ce("task-queue.entered", "2026-08-12T10:00:00.400Z", customTask: _*),
+      ce("reservation.created", "2026-08-12T10:00:05.900Z", customTask: _*),
+      ce("reservation.accepted", "2026-08-12T10:00:30.123Z", customTask: _*)))
+    val Seq(q) = seg(segs, "QUEUE")
+    assert(q.getAs[String]("conversation_id") == "CUSTOM-X")
+    assert(q.getAs[String]("abandoned") == "Yes")
+    assert(q.getAs[String]("conversation_attribute_1") == "a1")
+    // empty-string custom queue is JS-falsy → falls back to queue name
+    assert(q.getAs[String]("queue") == "Support")
+    assert(q.getAs[String]("direction") == "Outbound")
+    assert(q.getAs[String]("external_contact") == "+1555") // outbound → from
+  }
+
+  // determinism: permutation invariance (unlike the reference)
+  test("batch derivation is arrival-order invariant") {
+    val (a, _) = derive(happyPath)
+    val (b, _) = derive(happyPath.reverse)
+    val rowsA = a.orderBy("uuid").collect().toSeq
+    val rowsB = b.orderBy("uuid").collect().toSeq
+    assert(rowsA == rowsB)
+  }
+}
