@@ -18,7 +18,10 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (graft.taskrouter.TaskRouterQueries.queries, graft.taskrouter.TaskRouterQueries.oracles)
+      (graft.taskrouter.TaskRouterQueries.queries, graft.taskrouter.TaskRouterQueries.oracles),
+      (graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
+      (graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
+      (graft.sim.Similarity.queries, graft.sim.Similarity.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,255 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for the training-data pipeline:
+  *
+  *  - exact: content-hash groupBy (one shuffle on the digest; at 100 TB
+  *    this is the canonical "hash-partition by digest" dedup);
+  *  - n-gram Jaccard: word-shingle set similarity within candidate
+  *    buckets (bucketed so the pair space stays linear-ish, the same
+  *    blocking strategy that keeps 100 TB tractable);
+  *  - MinHash + LSH: per-doc signatures via lexicographic-min digests
+  *    of shingles (portable across engines — no engine-specific hash),
+  *    banded into LSH buckets whose equality yields candidate pairs
+  *    without any O(n²) comparison;
+  *  - SimHash: 16-bit majority-vote fingerprint over token digests +
+  *    Hamming-distance near-dup pairs via bit_count(xor).
+  *
+  * All arithmetic is integer/lexicographic so the DuckDB oracle matches
+  * exactly. No UDFs — everything stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles of the `text` column. Guarded for
+    * short docs (Spark sequence(1,0) would generate a DESCENDING seq). */
+  private def shingles(toks: Column): Column =
+    array_distinct(expr(
+      "CASE WHEN size(toks) < 3 THEN CAST(array() AS array<string>) " +
+        "ELSE transform(sequence(1, size(toks) - 2), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) END"))
+
+  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("sh", shingles($"toks"))
+  }
+
+  /** Exact dedup: canonical id per content digest. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    Tables.load(spark, dir, "documents")
+      .withColumn("fp", md5($"text".cast("binary")))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select($"doc_id", $"fp", $"canonical_id", $"group_size",
+        when($"doc_id" =!= $"canonical_id", "Y").otherwise("N").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact n-gram Jaccard similarity, blocked by (source, lang). */
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = withShingles(spark, dir)
+      .select($"doc_id", $"source", $"lang", $"sh")
+    val a = d.select($"source", $"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = d.select($"source", $"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("source", "lang"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("long"))
+      .filter($"inter" > 0)
+      .select($"doc_a", $"doc_b",
+        $"inter", $"uni", expr("(inter * 1000) div uni").as("jac_permille"))
+      .filter($"jac_permille" >= 20)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash signature: k portable hashes = lexicographic min of
+    * md5(shingle || '#' || seed). */
+  private val MinhashK = 8
+  private def minhashCols: Seq[Column] =
+    (0 until MinhashK).map(i =>
+      array_min(expr(s"transform(sh, s -> md5(cast(concat(s, '#$i') as binary)))")).as(s"mh$i"))
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withShingles(spark, dir)
+      .filter(size($"sh") > 0)
+      .select(Seq($"doc_id") ++ minhashCols: _*)
+      .orderBy($"doc_id")
+  }
+
+  /** LSH candidate pairs: 4 bands × 2 rows — pairs agreeing on any
+    * band digest. One shuffle on (band, digest); no O(n²) scan. */
+  def qDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = withShingles(spark, dir)
+      .filter(size($"sh") > 0)
+      .select(Seq($"doc_id") ++ minhashCols: _*)
+    val banded = sig.select($"doc_id", explode(array(
+      (0 until MinhashK / 2).map(bnd =>
+        struct(lit(bnd).as("band"),
+          md5(concat(col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).cast("binary"))
+            .as("sig"))): _*)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.sig".as("sig"))
+    val l = banded.select($"band", $"sig", $"doc_id".as("doc_a"))
+    val r = banded.select($"band", $"sig", $"doc_id".as("doc_b"))
+    l.join(r, Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 16-bit SimHash over distinct tokens (hex-digit bits of md5). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("h", md5($"tok".cast("binary")))
+    // bit k (0..15) = bit (k%4) of hex digit (k/4) of the token digest
+    val bitSums = (0 until 16).map { k =>
+      val p = k / 4 + 1
+      val b = k % 4
+      sum(expr(s"shiftright(instr('0123456789abcdef', substring(h, $p, 1)) - 1, $b) & 1"))
+        .as(s"c$k")
+    }
+    val aggCols = count(lit(1)).as("n") +: bitSums
+    val agg = tok.groupBy($"doc_id", $"source")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val simhash = (0 until 16).map(k =>
+      when(col(s"c$k") * 2 >= col("n"), lit(1L) * (1L << k)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select($"doc_id", $"source", simhash.as("simhash16"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup candidate pairs: Hamming ≤ 4 within source block. */
+  def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = qDedupSimhash(spark, dir)
+    val a = s.select($"source", $"doc_id".as("doc_a"), $"simhash16".as("ha"))
+    val b = s.select($"source", $"doc_id".as("doc_b"), $"simhash16".as("hb"))
+    a.join(b, Seq("source"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter($"hamming" <= 4)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_lsh_pairs" -> qDedupLsh,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs
+  )
+
+  /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
+  private val duckShingleCte =
+    """WITH tt AS (
+      |  SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, lang,
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+      |  FROM tt)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp) THEN 'Y' ELSE 'N' END AS is_dup
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      (s"""$duckShingleCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS BIGINT) AS uni,
+        |  (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
+        |    // CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS BIGINT) AS jac_permille
+        |FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |  AND (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
+        |    // CAST(len(list_distinct(list_cat(a.sh, b.sh))) AS BIGINT) >= 20
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_dedup_minhash" ->
+      (s"""$duckShingleCte
+        |SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"  list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh$i")
+            .mkString(",\n")}
+        |FROM d WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_lsh_pairs" ->
+      (s"""$duckShingleCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_dedup_simhash" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, source, md5(t) AS h
+        |  FROM (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, source, count(*) AS n,
+        |${(0 until 16).map { k =>
+            val p = k / 4 + 1; val b = k % 4
+            s"    sum(((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $b) & 1) AS c$k"
+          }.mkString(",\n")}
+        |  FROM tok GROUP BY doc_id, source)
+        |SELECT doc_id, source,
+        |  CAST(${(0 until 16).map(k =>
+            s"(CASE WHEN c$k * 2 >= n THEN ${1L << k} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |    AS simhash16
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_simhash_pairs" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, source, md5(t) AS h
+        |  FROM (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, source, count(*) AS n,
+        |${(0 until 16).map { k =>
+            val p = k / 4 + 1; val b = k % 4
+            s"    sum(((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $b) & 1) AS c$k"
+          }.mkString(",\n")}
+        |  FROM tok GROUP BY doc_id, source),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CAST(${(0 until 16).map(k =>
+            s"(CASE WHEN c$k * 2 >= n THEN ${1L << k} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |      AS simhash16
+        |  FROM agg)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+}

@@ -1,0 +1,191 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (Array[Float], 64-d):
+  *
+  *  - brute-force cosine top-k: the exactness baseline — broadcast the
+  *    (small) query set against the full corpus, one pass, no shuffle
+  *    of the big side;
+  *  - LSH-bucketed ANN: deterministic hyperplane signatures route both
+  *    queries and candidates into buckets; the pair space shrinks from
+  *    O(Q·N) to O(Q·N/buckets), which is the 100 TB path (bucket id is
+  *    also the natural partition key for a pre-bucketed corpus table);
+  *  - embedding near-dup pairs: label-blocked cosine join for dedup.
+  *
+  * Cross-engine determinism: elements are cast to double and folded
+  * sequentially (identical IEEE op order in Spark `aggregate` and
+  * DuckDB `list_sum ∘ list_transform`), ranks compare the *rounded*
+  * cosine (1e-6 fixed point) with vec_id tiebreak.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val Planes = 8
+
+  /** Sequential-fold dot product of two double arrays (codegen'd). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+
+  /** Normalized double vector + its id. */
+  private def normalized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+      .withColumn("nv", expr("transform(v, x -> x / nrm)"))
+      .select($"vec_id", $"label", $"nv")
+  }
+
+  private def cosE6(a: String, b: String): Column =
+    round(dot(a, b) * 1e6).cast("long")
+
+  /** Brute-force cosine top-k (k=5) for query set vec_id % 100 == 0. */
+  def qSimKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = normalized(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Deterministic hyperplane weights: w(k)(i) = ((i*31 + k*17) % 7) - 3
+    * for 1-based element index i — reproducible in plain SQL on both
+    * engines (no RNG, no state). */
+  private def bucketCol(v: String): Column = {
+    val bits = (0 until Planes).map { k =>
+      val terms = (1 to Dim).map { i =>
+        val wgt = ((i * 31 + k * 17) % 7) - 3
+        if (wgt == 0) "0.0" else s"$wgt.0 * element_at($v, $i)"
+      }.filter(_ != "0.0")
+      s"(CASE WHEN ${terms.mkString(" + ")} >= 0 THEN ${1 << k} ELSE 0 END)"
+    }
+    expr(bits.mkString(" + ")).cast("long")
+  }
+
+  /** LSH-bucketed ANN: top-3 within the query's bucket. */
+  def qSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = normalized(spark, dir).withColumn("bucket", bucketCol("nv"))
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
+    val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    q.join(c, Seq("bucket")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"bucket", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Embedding near-duplicate pairs (label-blocked, cos ≥ 0.25). */
+  def qSimNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = normalized(spark, dir)
+    val a = n.select($"label", $"vec_id".as("vec_a"), $"nv".as("va"))
+    val b = n.select($"label", $"vec_id".as("vec_b"), $"nv".as("vb"))
+    a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+      .withColumn("cos_e6", cosE6("va", "vb"))
+      .filter($"cos_e6" >= 250000)
+      .select($"label".cast("long").as("label"), $"vec_a", $"vec_b", $"cos_e6")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_knn_brute" -> qSimKnnBrute,
+    "q_sim_ann_lsh" -> qSimAnnLsh,
+    "q_sim_neardup" -> qSimNearDup
+  )
+
+  /** DuckDB prologue: normalized double vectors. */
+  private val duckNorm =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label,
+      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS nv
+      |  FROM e)""".stripMargin
+
+  private val duckDot =
+    "list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))"
+
+  private def duckBucket(v: String): String = {
+    val bits = (0 until Planes).map { k =>
+      val terms = (1 to Dim).flatMap { i =>
+        val wgt = ((i * 31 + k * 17) % 7) - 3
+        if (wgt == 0) None else Some(s"$wgt.0 * $v[$i]")
+      }
+      s"(CASE WHEN ${terms.mkString(" + ")} >= 0 THEN ${1 << k} ELSE 0 END)"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_knn_brute" ->
+      (duckNorm +
+        s""",
+          |p AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         q.nv AS qv, c.nv AS cv
+          |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM p),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+          |  FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "q_sim_ann_lsh" ->
+      (duckNorm +
+        s""",
+          |b AS (SELECT vec_id, nv, ${duckBucket("nv")} AS bucket FROM n),
+          |p AS (
+          |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+          |         q.nv AS qv, c.nv AS cv
+          |  FROM b q JOIN b c ON q.bucket = c.bucket
+          |   AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+          |s AS (
+          |  SELECT query_id, bucket, neighbor_id,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM p),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+          |  FROM s)
+          |SELECT query_id, bucket, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
+          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    "q_sim_neardup" ->
+      (duckNorm +
+        s""",
+          |p AS (
+          |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |         a.nv AS qv, b.nv AS cv
+          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+          |s AS (
+          |  SELECT CAST(label AS BIGINT) AS label, vec_a, vec_b,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM p)
+          |SELECT label, vec_a, vec_b, cos_e6
+          |FROM s WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin)
+  )
+}

@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * token counting (whitespace + regex), quality scoring, n-gram
+  * language ID, and document fingerprinting — all as codegen'd builtin
+  * expressions (no UDFs), integer/exact arithmetic so the DuckDB oracle
+  * matches bit-for-bit, and embarrassingly parallel per-document (no
+  * shuffle at any scale).
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of a literal marker's occurrences via the replace-length
+    * trick — exact, codegen-friendly, no regex engine divergence.
+    * Integer `div` matches DuckDB's `//` floor division on positives. */
+  def markerCount(marker: String): Column =
+    expr(s"(length(text) - length(replace(text, '$marker', ''))) div ${marker.length}")
+
+  // --- queries -----------------------------------------------------
+
+  /** Token statistics: whitespace tokens, regex alpha tokens, exact
+    * average token length (x100 fixed-point to stay in integers). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("sum_len", aggregate(transform($"toks", t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_calc"),
+        $"n_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_tokens"),
+        expr("(sum_len * 100) div n_tokens").as("avg_token_len_x100"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: stopword density + length penalty, integer
+    * fixed-point (a real pipeline thresholds on these to drop docs). */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_cnt",
+        size(filter($"toks", t => t.isin(Stopwords.map(lit): _*))).cast("long"))
+      .withColumn("stop_permille", expr("(stop_cnt * 1000) div n_tokens"))
+      .select($"doc_id", $"n_tokens", $"stop_cnt", $"stop_permille",
+        (lit(1000L) - $"stop_permille"
+          - when(length($"text") < 100, 200L).otherwise(0L)).as("quality_score"),
+        when(length($"text") < 100, "Y").otherwise("N").as("is_short"))
+      .orderBy($"doc_id")
+  }
+
+  /** n-gram-marker language ID: per-language marker-trigram counts,
+    * argmax with deterministic priority. Marker profiles are
+    * illustrative; the operator shape (score-and-argmax over character
+    * n-gram counts) is the real langid structure. */
+  def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(m: String): Column = markerCount(m)
+    Tables.load(spark, dir, "documents")
+      .withColumn("s_en", cnt("the ") + cnt(" a "))
+      .withColumn("s_es", cnt("os ") + cnt("as "))
+      .withColumn("s_de", cnt("sch") + cnt("ein"))
+      .select($"doc_id", $"s_en", $"s_es", $"s_de",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
+          .when($"s_es" >= $"s_de", "es")
+          .otherwise("de").as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting: whole-doc digest + head/tail block
+    * digests (the building block for shift-robust dedup keys). */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        md5($"text".cast("binary")).as("fp"),
+        md5(substring($"text", 1, 64).cast("binary")).as("head_fp"),
+        md5(when(length($"text") >= 64,
+          expr("substring(text, length(text) - 63, 64)"))
+          .otherwise($"text").cast("binary")).as("tail_fp"),
+        substring(md5($"text".cast("binary")), 1, 16).as("fp64"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_text_quality" -> qTextQuality,
+    "q_text_langid" -> qTextLangId,
+    "q_text_fingerprint" -> qTextFingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        |  CAST((list_sum(list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))) * 100)
+        |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS BIGINT) AS avg_token_len_x100
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stop_cnt,
+        |  (stop_cnt * 1000) // n_tokens AS stop_permille,
+        |  1000 - (stop_cnt * 1000) // n_tokens
+        |       - (CASE WHEN length(text) < 100 THEN 200 ELSE 0 END) AS quality_score,
+        |  CASE WHEN length(text) < 100 THEN 'Y' ELSE 'N' END AS is_short
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, 'the ', ''))) // 4
+        |      + (length(text) - length(replace(text, ' a ', ''))) // 3 AS s_en,
+        |    (length(text) - length(replace(text, 'os ', ''))) // 3
+        |      + (length(text) - length(replace(text, 'as ', ''))) // 3 AS s_es,
+        |    (length(text) - length(replace(text, 'sch', ''))) // 3
+        |      + (length(text) - length(replace(text, 'ein', ''))) // 3 AS s_de
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_es, s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS fp,
+        |  md5(substr(text, 1, 64)) AS head_fp,
+        |  md5(CASE WHEN length(text) >= 64
+        |           THEN substr(text, length(text) - 63, 64)
+        |           ELSE text END) AS tail_fp,
+        |  substr(md5(text), 1, 16) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

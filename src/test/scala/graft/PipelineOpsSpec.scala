@@ -1,0 +1,112 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Semantic property tests for the training-data pipeline operators
+  * (the DuckDB oracle compare is the exactness gate; these assert the
+  * operator-level invariants). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text quality: permille bounds and score ceiling") {
+    val rows = TextAnalysis.qTextQuality(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("stop_permille")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Long]("quality_score") <= 1000)
+      assert(r.getAs[Long]("stop_cnt") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("text stats: alpha tokens never exceed whitespace tokens + chars consistent") {
+    val rows = TextAnalysis.qTextStats(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alpha_tokens") <= r.getAs[Long]("n_tokens") * 2)
+      assert(r.getAs[Long]("avg_token_len_x100") > 0)
+    }
+  }
+
+  test("fingerprint: equal iff text equal") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val nText = docs.select("text").distinct().count()
+    val nFp = TextAnalysis.qTextFingerprint(spark, sf0001).select("fp").distinct().count()
+    assert(nFp == nText)
+  }
+
+  test("exact dedup partitions the corpus") {
+    val rows = Dedup.qDedupExact(spark, sf0001).collect()
+    val n = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length == n)
+    rows.foreach(r => assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
+    // canonical rows are never marked dup
+    assert(rows.filter(r => r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id"))
+      .forall(_.getAs[String]("is_dup") == "N"))
+  }
+
+  test("jaccard bounds and ordering") {
+    val rows = Dedup.qDedupJaccard(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Long]("jac_permille")
+      assert(j >= 20 && j <= 1000)
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("uni"))
+    }
+  }
+
+  test("simhash fits in 16 bits; pairs respect hamming threshold") {
+    val sh = Dedup.qDedupSimhash(spark, sf0001).collect()
+    sh.foreach { r =>
+      val v = r.getAs[Long]("simhash16")
+      assert(v >= 0 && v <= 0xFFFFL)
+    }
+    Dedup.qDedupSimhashPairs(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 4)
+    }
+  }
+
+  test("minhash signatures are hex digests; identical docs would collide") {
+    val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (0 until 8).foreach(i => assert(r.getAs[String](s"mh$i").matches("[0-9a-f]{32}")))
+    }
+  }
+
+  test("knn brute: ranks dense from 1, cosine within [-1,1], no self match") {
+    val rows = Similarity.qSimKnnBrute(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        val c = r.getAs[Long]("cos_e6")
+        assert(c >= -1000000L && c <= 1000000L)
+      }
+      // ranks ordered by descending cosine
+      val ordered = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_e6"))
+      assert(ordered.sameElements(ordered.sorted(Ordering[Long].reverse)))
+    }
+  }
+
+  test("ann lsh results never beat the brute-force best") {
+    val brute = Similarity.qSimKnnBrute(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cos_e6")).max }
+    val ann = Similarity.qSimAnnLsh(spark, sf0001).collect()
+    ann.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("cos_e6") <= brute(q))
+    }
+  }
+
+  test("near-dup pairs meet the threshold and are label-blocked") {
+    Similarity.qSimNearDup(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("cos_e6") >= 250000)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    }
+  }
+}
