@@ -1,0 +1,281 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.taskrouter.{Derivation, Ingest, Model}
+
+/** Structured Streaming layer: the same derivation semantics as the
+  * batch pipeline, expressed as per-key state machines
+  * (`flatMapGroupsWithState`) emitting a segment CHANGELOG:
+  *
+  *  - the in-place updates the reference performs (CONVERSATION IN
+  *    PROGRESS → CONVERSATION, reference routes/events.js:298-315; span
+  *    close :639-664) become re-emissions under the SAME deterministic
+  *    uuid with a later emit_seq — a sink applies last-write-wins
+  *    (`latestSegments`, or MERGE-by-uuid in foreachBatch);
+  *  - the per-event base projection is computed declaratively BEFORE
+  *    grouping (one codegen'd select) and carried through the typed
+  *    state machine as JSON, so streaming and batch share the exact
+  *    same column logic;
+  *  - event-time ordering inside each micro-batch (sort per group),
+  *    watermark + event-id dedup for replays (the reference duplicates
+  *    on replay and assumes in-order delivery — README.md:13).
+  *
+  * Scale notes: state is O(open reservations per task + one open span
+  * per worker); keys are the natural partition keys. Production runs
+  * would add GroupStateTimeout TTLs to bound state; tests use
+  * NoTimeout + availableNow semantics.
+  */
+object StreamingPipeline {
+
+  // --- typed carriers ---------------------------------------------
+
+  case class TaskEv(taskSid: String, resSid: String, eventtype: String,
+      tsUs: Long, tsSec: Long, eventId: String, segLink: Option[String],
+      baseJson: String)
+
+  case class WorkerEv(workerSid: String, eventtype: String, tsUs: Long,
+      tsSec: Long, eventId: String, activityName: Option[String],
+      wtipa: Option[Long], baseJson: String)
+
+  case class ResState(created: Option[Long], acceptedUs: Option[Long],
+      acceptedSec: Option[Long], wrapup: Option[Long],
+      accEventId: Option[String], accBaseJson: Option[String],
+      accQueue: Option[Long], accRing: Option[Long])
+
+  case class TaskState(lastEntry: Option[Long], res: Map[String, ResState])
+
+  case class WorkerState(openEventId: Option[String],
+      openBaseJson: Option[String], openActivity: Option[String],
+      openWtipa: Option[Long], openedByUpdate: Boolean)
+
+  /** One changelog row: overrides + the originating event's base. */
+  case class SegOut(uuidSeed: String, kind: String, emitSeq: Long,
+      queueTime: Option[Long], ringTime: Option[Long],
+      talkTime: Option[Long], wrapupTime: Option[Long],
+      abandonTime: Option[Long], abandoned: Option[String],
+      abandonedPhase: Option[String], dateSec: Option[Long],
+      activity: Option[String],
+      activityTime: Option[Long], activityTimeSet: Boolean,
+      segLink: Option[String], segLinkSet: Boolean,
+      baseJson: String)
+
+  private def emptyRes = ResState(None, None, None, None, None, None, None, None)
+
+  private def seg(uuidSeed: String, kind: String, emitSeq: Long, baseJson: String,
+      queueTime: Option[Long] = None, ringTime: Option[Long] = None,
+      talkTime: Option[Long] = None, wrapupTime: Option[Long] = None,
+      abandonTime: Option[Long] = None, abandoned: Option[String] = None,
+      abandonedPhase: Option[String] = None, dateSec: Option[Long] = None,
+      activity: Option[String] = None,
+      activityTime: Option[Long] = None, activityTimeSet: Boolean = false,
+      segLink: Option[String] = None, segLinkSet: Boolean = false): SegOut =
+    SegOut(uuidSeed, kind, emitSeq, queueTime, ringTime, talkTime, wrapupTime,
+      abandonTime, abandoned, abandonedPhase, dateSec, activity,
+      activityTime, activityTimeSet, segLink, segLinkSet, baseJson)
+
+  // --- state machines ---------------------------------------------
+
+  /** Conversation-side machine keyed by task_sid (EP1 + EP2 semantics,
+    * processed in event-time order within each micro-batch). */
+  private def taskFlat(key: String, it: Iterator[TaskEv],
+      state: GroupState[TaskState]): Iterator[SegOut] = {
+    var st = state.getOption.getOrElse(TaskState(None, Map.empty))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegOut]
+    it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+      def rs: ResState = st.res.getOrElse(e.resSid, emptyRes)
+      e.eventtype match {
+        case Model.EtTaskQueueEntered | Model.EtTaskTransferInitiated =>
+          st = st.copy(lastEntry = Some(e.tsSec))
+        case Model.EtReservationCreated =>
+          st = st.copy(res = st.res + (e.resSid -> rs.copy(created = Some(e.tsSec))))
+        case Model.EtReservationWrapup =>
+          st = st.copy(res = st.res + (e.resSid -> rs.copy(wrapup = Some(e.tsSec))))
+        case Model.EtReservationAccepted =>
+          val r0 = rs
+          val r1 = if (r0.acceptedSec.isEmpty)
+            r0.copy(acceptedUs = Some(e.tsUs), acceptedSec = Some(e.tsSec)) else r0
+          val r2 = (st.lastEntry, r1.created) match {
+            case (Some(entry), Some(created)) =>
+              val q = e.tsSec - entry
+              val ring = e.tsSec - created
+              out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
+                e.tsUs, e.baseJson, queueTime = Some(q), dateSec = Some(entry))
+              out += seg(s"${e.eventId}|${Model.ConvoInProgSeg}", Model.ConvoInProgSeg,
+                e.tsUs, e.baseJson, queueTime = Some(q), ringTime = Some(ring))
+              r1.copy(accEventId = Some(e.eventId), accBaseJson = Some(e.baseJson),
+                accQueue = Some(q), accRing = Some(ring))
+            case _ => r1 // exception-as-inner-join: nothing emitted (:161,:672)
+          }
+          st = st.copy(res = st.res + (e.resSid -> r2))
+        case Model.EtReservationCompleted =>
+          val r = rs
+          (r.acceptedSec, r.accEventId, r.accBaseJson) match {
+            case (Some(accSec), Some(accId), Some(accBase)) =>
+              val talk = r.wrapup.map(_ - accSec).getOrElse(e.tsSec - accSec)
+              val wrap = r.wrapup.map(e.tsSec - _).getOrElse(0L)
+              out += seg(s"$accId|${Model.ConvoInProgSeg}", Model.ConvoSeg,
+                e.tsUs, accBase,
+                queueTime = r.accQueue, ringTime = r.accRing,
+                talkTime = Some(talk), wrapupTime = Some(wrap),
+                segLink = e.segLink, segLinkSet = true)
+            case _ => // in-progress row missing → tolerated (:308-310)
+          }
+        case Model.EtReservationRejected | Model.EtReservationTimeout |
+             Model.EtReservationCanceled | Model.EtReservationRescinded =>
+          rs.created.foreach { created =>
+            val kind = e.eventtype match {
+              case Model.EtReservationRejected => Model.ConvoRejected
+              case Model.EtReservationRescinded => Model.ConvoRevoked
+              case _ => Model.ConvoMissed
+            }
+            out += seg(s"${e.eventId}|$kind", kind, e.tsUs, e.baseJson,
+              ringTime = Some(e.tsSec - created))
+          }
+        case Model.EtTaskCanceled | Model.EtTaskTransferFailed =>
+          st.lastEntry.foreach { entry =>
+            val q = e.tsSec - entry
+            out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
+              e.tsUs, e.baseJson, queueTime = Some(q), abandonTime = Some(q),
+              abandoned = Some("Yes"), abandonedPhase = Some("Queue"),
+              dateSec = Some(entry))
+            out += seg(s"${e.eventId}|${Model.ConvoSeg}", Model.ConvoSeg,
+              e.tsUs, e.baseJson, queueTime = Some(q), abandonTime = Some(q),
+              abandoned = Some("Yes"), abandonedPhase = Some("Queue"))
+          }
+        case _ => // cached-only event types
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Agent span machine keyed by worker_sid (W1, reference :619-664). */
+  private def workerFlat(key: String, it: Iterator[WorkerEv],
+      state: GroupState[WorkerState]): Iterator[SegOut] = {
+    var st = state.getOption.getOrElse(WorkerState(None, None, None, None, openedByUpdate = false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegOut]
+    it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+      e.eventtype match {
+        case Model.EtWorkerCreated =>
+          out += seg(s"${e.eventId}|${Model.AgentStatusInProgress}",
+            Model.AgentStatusInProgress, e.tsUs, e.baseJson,
+            activity = e.activityName,
+            activityTime = e.wtipa, activityTimeSet = true)
+          st = WorkerState(Some(e.eventId), Some(e.baseJson), e.activityName,
+            e.wtipa, openedByUpdate = false)
+        case Model.EtWorkerActivityUpdated =>
+          (st.openEventId, st.openBaseJson) match {
+            case (Some(openId), Some(openBase)) =>
+              // close the open span: only segment_kind + activity_time
+              // change (JS spread, reference :645-648, :661)
+              out += seg(s"$openId|${Model.AgentStatusInProgress}",
+                Model.AgentStatus, e.tsUs, openBase,
+                activity = st.openActivity,
+                activityTime = e.wtipa, activityTimeSet = true)
+            case _ => // no open span: update tolerated with a log (:308)
+          }
+          out += seg(s"${e.eventId}|${Model.AgentStatusInProgress}",
+            Model.AgentStatusInProgress, e.tsUs, e.baseJson,
+            activity = e.activityName,
+            activityTime = None, activityTimeSet = true)
+          st = WorkerState(Some(e.eventId), Some(e.baseJson), e.activityName,
+            e.wtipa, openedByUpdate = true)
+        case _ => // worker.deleted / attributes.update don't touch spans
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  // --- wiring ------------------------------------------------------
+
+  /** Streaming-safe CloudEvent parse (same as batch Ingest, with
+    * watermark; event-id dedup within the watermark horizon). */
+  def parseStream(spark: SparkSession, rawJson: DataFrame): DataFrame = {
+    import spark.implicits._
+    Ingest.parseJson(spark, rawJson.as[String])
+      .withWatermark("ts", "1 hour")
+  }
+
+  private def baseJsonCol =
+    to_json(struct(Model.segmentColumns.drop(2).map(col): _*)).as("baseJson")
+
+  /** The segment changelog for a (possibly streaming) parsed frame. */
+  def segmentsChangelog(spark: SparkSession, parsed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = Derivation.baseFrame(parsed)
+
+    val taskDs = base.filter(col("p_task_sid").isNotNull)
+      .select(col("p_task_sid").as("taskSid"),
+        coalesce(col("p_reservation_sid"), lit("")).as("resSid"),
+        col("eventtype"),
+        col("ts_us").as("tsUs"), unix_timestamp(col("ts_sec")).as("tsSec"),
+        col("event_id").as("eventId"),
+        col("task_attr.conversations")("segment_link").as("segLink"),
+        baseJsonCol)
+      .as[TaskEv]
+      .groupByKey(_.taskSid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(taskFlat)
+
+    val workerDs = base.filter(col("p_worker_sid").isNotNull &&
+        col("eventtype").isin(Model.EtWorkerCreated, Model.EtWorkerActivityUpdated))
+      .select(col("p_worker_sid").as("workerSid"), col("eventtype"),
+        col("ts_us").as("tsUs"), unix_timestamp(col("ts_sec")).as("tsSec"),
+        col("event_id").as("eventId"),
+        col("worker_activity_name").as("activityName"),
+        col("worker_time_in_previous_activity").as("wtipa"),
+        baseJsonCol)
+      .as[WorkerEv]
+      .groupByKey(_.workerSid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(workerFlat)
+
+    assemble(spark, taskDs.toDF().unionByName(workerDs.toDF()))
+  }
+
+  /** Changelog rows → full segment columns + emit_seq. */
+  private def assemble(spark: SparkSession, outRows: DataFrame): DataFrame = {
+    val withBase = outRows.withColumn("base", from_json(col("baseJson"), Model.baseSchema))
+    def b(n: String) = col("base")(n)
+    val cols: Seq[org.apache.spark.sql.Column] = Model.segmentColumns.map {
+      case "uuid" => sha2(col("uuidSeed"), 256).as("uuid")
+      case "segment_kind" => col("kind").as("segment_kind")
+      case "queue_time" => coalesce(col("queueTime"), b("queue_time")).as("queue_time")
+      case "ring_time" => coalesce(col("ringTime"), b("ring_time")).as("ring_time")
+      case "talk_time" => coalesce(col("talkTime"), b("talk_time")).as("talk_time")
+      case "wrapup_time" => coalesce(col("wrapupTime"), b("wrapup_time")).as("wrapup_time")
+      case "abandon_time" => coalesce(col("abandonTime"), b("abandon_time")).as("abandon_time")
+      case "abandoned" => coalesce(col("abandoned"), b("abandoned")).as("abandoned")
+      case "abandoned_phase" => coalesce(col("abandonedPhase"), b("abandoned_phase")).as("abandoned_phase")
+      case "date" => coalesce(timestamp_seconds(col("dateSec")), b("date")).as("date")
+      case "time" => coalesce(timestamp_seconds(col("dateSec")), b("time")).as("time")
+      case "activity" => coalesce(col("activity"), b("activity")).as("activity")
+      case "activity_time" =>
+        when(col("activityTimeSet"), col("activityTime"))
+          .otherwise(b("activity_time")).as("activity_time")
+      case "segment_link" =>
+        when(col("segLinkSet"), col("segLink"))
+          .otherwise(b("segment_link")).as("segment_link")
+      case n => b(n).as(n)
+    }
+    withBase.select(cols :+ col("emitSeq").as("emit_seq"): _*)
+  }
+
+  /** Last-write-wins view of the changelog (what a MERGE-by-uuid sink
+    * materializes). */
+  def latestSegments(changelog: DataFrame): DataFrame = {
+    val byUuid = changelog
+      .groupBy(col("uuid"))
+      .agg(max_by(struct(changelog.columns.filter(_ != "uuid").map(col): _*),
+        col("emit_seq")).as("r"))
+    byUuid.select(Seq(col("uuid")) ++
+      Model.segmentColumns.drop(1).map(n => col(s"r.$n").as(n)): _*)
+  }
+
+  /** Streaming agent dimension: last-write-wins aggregation — identical
+    * logic to batch Derivation.agents, legal in update/complete mode. */
+  def agentsStream(spark: SparkSession, parsed: DataFrame): DataFrame =
+    Derivation.agents(parsed)
+}

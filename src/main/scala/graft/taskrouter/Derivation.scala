@@ -75,6 +75,10 @@ object Derivation {
   // base projection (P1, reference :337-485)
   // ---------------------------------------------------------------
 
+  /** Shared with the streaming layer: per-event base projection frame. */
+  private[graft] def baseFrame(parsed: DataFrame): DataFrame =
+    withBase(prepared(parsed))
+
   /** Rename payload correlation keys so base output columns
     * (reservation_sid/agent_uuid) don't collide. */
   private def prepared(parsed: DataFrame): DataFrame =

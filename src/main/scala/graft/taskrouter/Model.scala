@@ -134,6 +134,15 @@ object Model {
         "outcome", "queue", "workflow") ++
       passthroughCustomColumns
 
+  /** Base segment row schema (segmentColumns minus uuid/segment_kind) —
+    * used by the streaming layer's JSON round-trip of the base
+    * projection through typed state machines. */
+  lazy val baseSchema: StructType = StructType(segmentColumns.drop(2).map {
+    case n if factColumns.contains(n) => StructField(n, LongType)
+    case n @ ("date" | "time") => StructField(n, TimestampType)
+    case n => StructField(n, StringType)
+  })
+
   /** Agent dimension columns (reference routes/events.js:263-295 +
     * date_joined/date_left/state :230-246). */
   val agentColumns: Seq[String] = Seq(

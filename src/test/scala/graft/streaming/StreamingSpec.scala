@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.taskrouter.{Derivation, Ingest}
+
+/** Batch/stream equivalence: the streaming changelog, reduced by
+  * last-write-wins, must equal the batch derivation on the same events
+  * (SURVEY §5.2.5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+  private var seq = 0
+  private def ce(et: String, ts: String, fields: (String, String)*): String = {
+    seq += 1
+    val payload = (Seq("eventtype" -> et, "timestamp" -> ts) ++ fields)
+      .map { case (k, v) => jstr(k) + ":" + (if (v.startsWith("{")) jstr(v) else jstr(v)) }
+      .mkString("{", ",", "}")
+    s"""{"id":${jstr(f"SZ$seq%04d")},"type":${jstr("com.twilio.taskrouter." + et)},"data":{"payload":$payload,"publisher_metadata":{"account_sid":"AC1"}}}"""
+  }
+
+  private val taskFields = Seq(
+    "task_sid" -> "WT9", "reservation_sid" -> "WR9", "worker_sid" -> "WK9",
+    "task_channel_unique_name" -> "voice", "task_queue_name" -> "Support",
+    "task_queue_sid" -> "WQ9", "workflow_name" -> "Main",
+    "task_attributes" -> """{"direction":"inbound","from":"+1","to":"+2"}""")
+  private def wk(act: String) = Seq(
+    "worker_sid" -> "WKA", "worker_activity_name" -> act,
+    "worker_attributes" -> """{"email":"a@b.c","roles":["agent"]}""")
+
+  private def scenario: Seq[String] = Seq(
+    ce("task-queue.entered", "2026-08-12T10:00:00.400Z", taskFields: _*),
+    ce("reservation.created", "2026-08-12T10:00:05.900Z", taskFields: _*),
+    ce("reservation.accepted", "2026-08-12T10:00:30.123Z", taskFields: _*),
+    ce("reservation.wrapup", "2026-08-12T10:02:10.456Z", taskFields: _*),
+    ce("reservation.completed", "2026-08-12T10:02:40.789Z", taskFields: _*),
+    ce("worker.created", "2026-08-12T09:00:00.500Z", wk("Available"): _*),
+    ce("worker.activity.update", "2026-08-12T09:05:00.100Z", wk("Busy"): _*),
+    ce("worker.activity.update", "2026-08-12T09:06:00.200Z", wk("Break"): _*))
+
+  private var qn = 0
+  /** Run the streaming pipeline over micro-batches; return the
+    * last-write-wins segment table. */
+  private def runStream(batches: Seq[Seq[String]]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    qn += 1
+    val name = s"seg_changelog_$qn"
+    val input = MemoryStream[String]
+    val changelog = StreamingPipeline.segmentsChangelog(spark,
+      StreamingPipeline.parseStream(spark, input.toDF()))
+    val q = changelog.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    StreamingPipeline.latestSegments(spark.table(name))
+  }
+
+  private def batchSegments(events: Seq[String]): DataFrame =
+    Derivation.segments(Ingest.parseJson(spark, spark.createDataset(events)))
+
+  private def assertEquivalent(streamed: DataFrame, batch: DataFrame): Unit = {
+    val s = streamed.orderBy("uuid").collect().toSeq
+    val b = batch.orderBy("uuid").collect().toSeq
+    assert(s.map(_.getAs[String]("uuid")) == b.map(_.getAs[String]("uuid")))
+    s.zip(b).foreach { case (sr, br) => assert(sr == br, s"row mismatch:\n S=$sr\n B=$br") }
+  }
+
+  test("single micro-batch equals batch derivation") {
+    val ev = scenario
+    assertEquivalent(runStream(Seq(ev)), batchSegments(ev))
+  }
+
+  test("split micro-batches preserve cross-batch state") {
+    val ev = scenario
+    assertEquivalent(runStream(Seq(ev.take(3), ev.slice(3, 6), ev.drop(6))), batchSegments(ev))
+  }
+
+  test("out-of-order within a micro-batch is sorted by event time") {
+    val ev = scenario
+    assertEquivalent(runStream(Seq(ev.reverse)), batchSegments(ev))
+  }
+
+  test("duplicate deliveries are deduped by event id") {
+    val ev = scenario
+    assertEquivalent(runStream(Seq(ev, ev)), batchSegments(ev))
+  }
+
+  test("changelog upserts: completed converts the in-progress row in place") {
+    val ev = scenario
+    val changelogName = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      qn += 1
+      val name = s"seg_changelog_$qn"
+      val input = MemoryStream[String]
+      val changelog = StreamingPipeline.segmentsChangelog(spark,
+        StreamingPipeline.parseStream(spark, input.toDF()))
+      val q = changelog.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { input.addData(ev); q.processAllAvailable() } finally q.stop()
+      name
+    }
+    val log = spark.table(changelogName)
+    // the CONVERSATION row reuses the CONVERSATION IN PROGRESS uuid
+    val conv = log.filter($"segment_kind" === "CONVERSATION").select("uuid").collect()
+    val inprog = log.filter($"segment_kind" === "CONVERSATION IN PROGRESS").select("uuid").collect()
+    assert(conv.nonEmpty && inprog.nonEmpty)
+    assert(conv.map(_.getString(0)).toSet == inprog.map(_.getString(0)).toSet)
+    // last-write-wins keeps only the CONVERSATION version
+    val latest = StreamingPipeline.latestSegments(log)
+    assert(latest.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
+  }
+}
