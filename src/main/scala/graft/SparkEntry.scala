@@ -21,7 +21,8 @@ object SparkEntry {
       (graft.taskrouter.TaskRouterQueries.queries, graft.taskrouter.TaskRouterQueries.oracles),
       (graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
       (graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
-      (graft.sim.Similarity.queries, graft.sim.Similarity.oracles)
+      (graft.sim.Similarity.queries, graft.sim.Similarity.oracles),
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

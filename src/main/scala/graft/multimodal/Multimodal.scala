@@ -1,0 +1,141 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY
+  * columns with typed metadata, processed by *batched* per-partition
+  * functions (the Scala equivalent of `mapInPandas`: one iterator per
+  * partition, explicit micro-batches inside, constant memory per
+  * batch).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` reads the raw bytes deterministically
+  * where a production build would call the codec. Everything around it
+  * — schemas, Dataset encoders, partition/batch shape, frame slicing,
+  * feature aggregation — is real and oracle-tested (byte histograms and
+  * frame digests are computable independently in SQL).
+  *
+  * Scale notes: media rows never leave their partition (mapPartitions,
+  * no shuffle); batch size bounds peak memory (`BatchSize` ≈ Arrow
+  * batch); downstream joins happen on the compact feature/frame rows,
+  * never on the binary payload.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+  val HistBuckets = 16
+
+  case class Media(media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, sample_rate: Int, duration_ms: Long, codec: String)
+
+  case class MediaFeatures(media_id: Long, n_bytes: Long, hist: Array[Long])
+
+  case class Frame(media_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Deterministic media corpus: documents' text bytes as payloads with
+    * synthesized typed metadata. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        Media(id, if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
+          text.getBytes("UTF-8"),
+          width = (n % 640).toInt, height = (n % 480).toInt,
+          sample_rate = 16000, duration_ms = n * 10, codec = "stub")
+      }
+  }
+
+  /** STUB decode: production would invoke the image/audio codec on the
+    * payload; this deterministic fake returns the raw bytes. The
+    * surrounding batch plumbing is the real contract. */
+  private def decodeStub(m: Media): Array[Byte] = m.content
+
+  /** Batched feature extraction (byte-bucket histogram as the stand-in
+    * for an embedding): one partition iterator, explicit micro-batches. */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // batch boundary = where a codec/model would be invoked once
+        batch.iterator.map { m =>
+          val bytes = decodeStub(m)
+          val hist = new Array[Long](HistBuckets)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xFF) % HistBuckets) += 1L
+            i += 1
+          }
+          MediaFeatures(m.media_id, bytes.length.toLong, hist)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video payloads: fixed-length frames on a
+    * stride, capped per media — pure slicing, no shuffle. */
+  def sampleFrames(media: Dataset[Media], frameLen: Int = 32,
+      stride: Int = 64, maxFrames: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val bytes = decodeStub(m)
+        Iterator.range(0, maxFrames).flatMap { idx =>
+          val off = idx * stride
+          if (off + frameLen <= bytes.length) {
+            val slice = java.util.Arrays.copyOfRange(bytes, off, off + frameLen)
+            val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+            Some(Frame(m.media_id, idx.toLong, md.map("%02x".format(_)).mkString))
+          } else None
+        }
+      }
+    }
+  }
+
+  // --- driver-checked queries --------------------------------------
+
+  def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(mediaFromDocuments(spark, dir))
+    val cols = Seq($"media_id", $"n_bytes") ++
+      (0 until HistBuckets).map(i => element_at($"hist", i + 1).as(s"h$i"))
+    feats.select(cols: _*).orderBy($"media_id")
+  }
+
+  def qMmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(spark, dir))
+      .toDF().orderBy($"media_id", $"frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_byte_hist" -> qMmByteHist,
+    "q_mm_frames" -> qMmFrames
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_byte_hist" ->
+      (s"""WITH ch AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(length(text) AS BIGINT) AS n_bytes,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> ord(substr(text, i, 1))) AS codes
+        |  FROM documents)
+        |SELECT media_id, n_bytes,
+        |${(0 until HistBuckets).map(i =>
+          s"  CAST(len(list_filter(codes, c -> c % $HistBuckets = $i)) AS BIGINT) AS h$i")
+          .mkString(",\n")}
+        |FROM ch ORDER BY media_id""".stripMargin),
+
+    "q_mm_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |       md5(substr(text, i * 64 + 1, 32)) AS frame_md5
+        |FROM documents, (SELECT unnest(range(4)) AS i) t
+        |WHERE i * 64 + 32 <= length(text)
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

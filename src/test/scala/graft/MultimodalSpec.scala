@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media corpus carries typed metadata and binary payloads") {
+    val m = Multimodal.mediaFromDocuments(spark, sf0001).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.kind))
+      assert(r.content.nonEmpty)
+      assert(r.content.length == r.duration_ms / 10) // n_chars-derived meta
+    }
+  }
+
+  test("feature histogram sums to byte count") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf0001)).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.hist.length == Multimodal.HistBuckets)
+      assert(f.hist.sum == f.n_bytes)
+    }
+  }
+
+  test("feature extraction is partitioning-invariant (batch shape holds)") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val a = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.hist.toSeq).toMap
+    val b = Multimodal.extractFeatures(media.repartition(7)).collect()
+      .map(f => f.media_id -> f.hist.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("frame sampling respects stride, length cap, and determinism") {
+    val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(spark, sf0001)).collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.values.foreach { fs =>
+      assert(fs.length <= 4)
+      assert(fs.map(_.frame_idx).sorted.sameElements(0L until fs.length))
+      fs.foreach(f => assert(f.frame_md5.matches("[0-9a-f]{32}")))
+    }
+  }
+}
