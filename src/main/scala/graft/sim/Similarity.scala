@@ -30,15 +30,19 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
 
-  /** Normalized double vector + its id. */
-  private def normalized(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(dot("v", "v")))
-      .withColumn("nv", expr("transform(v, x -> x / nrm)"))
-      .select($"vec_id", $"label", $"nv")
-  }
+  /** Normalized double vectors, materialized once per (session, dir) —
+    * the at-scale shape is a persisted normalized-embeddings table. */
+  private val normCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    normCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+      import spark.implicits._
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("nrm", sqrt(dot("v", "v")))
+        .withColumn("nv", expr("transform(v, x -> x / nrm)"))
+        .select($"vec_id", $"label", $"nv")
+        .localCheckpoint()
+    })
 
   private def cosE6(a: String, b: String): Column =
     round(dot(a, b) * 1e6).cast("long")

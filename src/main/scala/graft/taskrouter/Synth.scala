@@ -136,10 +136,27 @@ object Synth {
     (purchase ++ abandoned ++ failed ++ workers).reduce(_ unionByName _)
   }
 
-  /** Parsed + derived tables for the synthesized scenario set. */
+  // Materialize parse + derivation once per (session, dir): the five
+  // driver queries share one pipeline run (the production shape — the
+  // derived segment table is written once and queried many times).
+  // localCheckpoint also truncates the 13-way synth-union lineage so
+  // the per-branch plans in Derivation.segments scan cached blocks
+  // instead of re-reading + re-deriving the whole tree.
+  private val parsedCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val segmentsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def key(spark: SparkSession, dir: String): String =
+    System.identityHashCode(spark).toString + "|" + dir
+
+  def parsedEvents(spark: SparkSession, dir: String): DataFrame =
+    parsedCache.getOrElseUpdate(key(spark, dir),
+      Ingest.parse(cloudEvents(spark, dir)).localCheckpoint())
+
+  /** Derived segment table for the synthesized scenario set. */
   def segments(spark: SparkSession, dir: String): DataFrame =
-    Derivation.segments(Ingest.parse(cloudEvents(spark, dir)))
+    segmentsCache.getOrElseUpdate(key(spark, dir),
+      Derivation.segments(parsedEvents(spark, dir)).localCheckpoint())
 
   def agents(spark: SparkSession, dir: String): DataFrame =
-    Derivation.agents(Ingest.parse(cloudEvents(spark, dir)))
+    Derivation.agents(parsedEvents(spark, dir))
 }

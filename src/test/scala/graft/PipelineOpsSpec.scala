@@ -67,11 +67,11 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("minhash signatures are hex digests; identical docs would collide") {
+  test("minhash signatures are 16-bit hex slots; identical docs would collide") {
     val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      (0 until 8).foreach(i => assert(r.getAs[String](s"mh$i").matches("[0-9a-f]{32}")))
+      (0 until 8).foreach(i => assert(r.getAs[String](s"mh$i").matches("[0-9a-f]{4}")))
     }
   }
 
