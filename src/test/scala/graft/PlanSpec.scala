@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+
+/** Physical-plan shape tests: the properties that keep these operators
+  * viable at 100 TB (pushdown, pruning, broadcast choice, codegen,
+  * shuffle count) asserted against the optimized plans. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and projection push down to the parquet scan") {
+    val df = Tables.load(spark, sf0001, "lineitem")
+      .filter($"l_quantity" > 30.0)
+      .select($"l_orderkey", $"l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    // column pruning: scan schema must not include unselected columns
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(Relational.qJoinInner(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation pipeline: map-side combine + whole-stage codegen") {
+    val df = Relational.q1Agg(spark, sf0001)
+    // partial aggregation before the shuffle (map-side combine)
+    assert(plan(df).contains("partial_sum"), plan(df))
+    df.collect() // let AQE finalize, then inspect the executed plan
+    // "*(n)" prefixes mark WholeStageCodegen stages in the executed plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed)
+  }
+
+  test("as-of join is a single shuffle window, not a self-join") {
+    val p = plan(Relational.qAsofJoin(spark, sf0001))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // exactly one hash exchange (the window key); orderBy adds a range one
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("per-document text ops are narrow: no exchange before the sort") {
+    val df = graft.text.TextAnalysis.qTextFingerprint(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("knn brute force broadcasts the query side") {
+    val p = plan(graft.sim.Similarity.qSimKnnBrute(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("segment derivation contains no cartesian products") {
+    val parsed = graft.taskrouter.Synth.parsedEvents(spark, sf0001)
+    val p = plan(graft.taskrouter.Derivation.segments(parsed))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
