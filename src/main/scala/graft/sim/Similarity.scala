@@ -26,31 +26,27 @@ object Similarity {
   private val Dim = 64
   private val Planes = 8
 
-  /** Sequential-fold dot product of two double arrays (codegen'd). */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-
-  /** Normalized double vectors, materialized once per (session, dir) —
-    * the at-scale shape is a persisted normalized-embeddings table. */
-  private val normCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def normalized(spark: SparkSession, dir: String): DataFrame =
-    normCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+  /** Double-cast vectors, materialized once per (session, dir) — the
+    * at-scale shape is a persisted embeddings table. */
+  private val vecCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    vecCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
       import spark.implicits._
       Tables.load(spark, dir, "embeddings")
-        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-        .withColumn("nrm", sqrt(dot("v", "v")))
-        .withColumn("nv", expr("transform(v, x -> x / nrm)"))
+        .withColumn("nv", expr("transform(embedding, x -> cast(x as double))"))
         .select($"vec_id", $"label", $"nv")
         .localCheckpoint()
     })
 
+  /** Fixed-point cosine via the native codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — one fused loop per pair. */
   private def cosE6(a: String, b: String): Column =
-    round(dot(a, b) * 1e6).cast("long")
+    round(graft.functions.CosineSimilarity.cosine_sim(col(a), col(b)) * 1e6).cast("long")
 
   /** Brute-force cosine top-k (k=5) for query set vec_id % 100 == 0. */
   def qSimKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = normalized(spark, dir)
+    val n = vectors(spark, dir)
     val q = n.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
     val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"))
@@ -78,10 +74,12 @@ object Similarity {
     expr(bits.mkString(" + ")).cast("long")
   }
 
-  /** LSH-bucketed ANN: top-3 within the query's bucket. */
+  /** LSH-bucketed ANN: top-3 within the query's bucket. Hyperplane
+    * signs are scale-invariant, so bucketing raw vectors matches
+    * bucketing normalized ones. */
   def qSimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = normalized(spark, dir).withColumn("bucket", bucketCol("nv"))
+    val n = vectors(spark, dir).withColumn("bucket", bucketCol("nv"))
     val q = n.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
     val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"bucket")
@@ -99,7 +97,7 @@ object Similarity {
   /** Embedding near-duplicate pairs (label-blocked, cos ≥ 0.25). */
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = normalized(spark, dir)
+    val n = vectors(spark, dir)
     val a = n.select($"label", $"vec_id".as("vec_a"), $"nv".as("va"))
     val b = n.select($"label", $"vec_id".as("vec_b"), $"nv".as("vb"))
     a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
@@ -115,18 +113,17 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup
   )
 
-  /** DuckDB prologue: normalized double vectors. */
+  /** DuckDB prologue: double-cast vectors (same fold order as the
+    * CosineSimilarity expression's per-accumulator loops). */
   private val duckNorm =
-    """WITH e AS (
-      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, label,
-      |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS nv
-      |  FROM e)""".stripMargin
+    """WITH n AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      |  FROM embeddings)""".stripMargin
 
   private val duckDot =
-    "list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))"
+    ("list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))" +
+      " / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))" +
+      " * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))")
 
   private def duckBucket(v: String): String = {
     val bits = (0 until Planes).map { k =>

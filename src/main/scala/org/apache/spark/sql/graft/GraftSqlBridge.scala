@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's sql-private Column↔Expression conversions
+  * (Spark 4 moved Column to a node-based API; `classic.ExpressionUtils`
+  * is the sanctioned converter but is private[sql], so extensions
+  * conventionally bridge from within the namespace). */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
