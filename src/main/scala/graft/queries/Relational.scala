@@ -377,6 +377,28 @@ object Relational {
       .orderBy($"op", $"nationkey")
   }
 
+  /** spark.sql(...) surface: TPC-H Q3 shape over registered temp views
+    * (the engine's SQL entry point; Catalyst plans it like the
+    * DataFrame variants — join reorder, pushdown, broadcast). */
+  def qSqlTpch3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  unix_timestamp(date_trunc('DAY', o_orderdate)) AS o_ep,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp'1998-03-15 00:00:00'
+        |  AND l_shipdate > timestamp'1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_ep, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -407,7 +429,8 @@ object Relational {
     "q_window_rank" -> qWindowRank,
     "q_window_session" -> qWindowSession,
     "q_topk" -> qTopK,
-    "q_setops" -> qSetOps
+    "q_setops" -> qSetOps,
+    "q_sql_tpch3" -> qSqlTpch3
   )
 
   val oracles: Map[String, String] = Map(
@@ -603,6 +626,22 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q_sql_tpch3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS o_ep,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_ep, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin,
 
     "q_setops" ->
       """SELECT nationkey, 'both' AS op FROM (

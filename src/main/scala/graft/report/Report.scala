@@ -1,0 +1,88 @@
+package graft.report
+
+import java.time.ZoneId
+import java.time.format.{DateTimeFormatter, FormatStyle}
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Presentation layer (reference GET / — routes/index.js:5-31,
+  * views/index.pug:9-83): locale/timezone-aware short date/time
+  * formatting (the Intl.DateTimeFormat equivalents, F10/F11) and the
+  * two report projections with 10-char sid display slices (F9/P4).
+  *
+  * These are the only UDFs in the engine — java.time localized SHORT
+  * styles have no builtin expression equivalent; they live strictly at
+  * the presentation edge, never in a derivation or oracle path.
+  */
+object Report {
+
+  /** Intl.DateTimeFormat(locale, {dateStyle:"short", timeZone}). */
+  def localeShortDate(locale: String, tz: String): Column => Column = {
+    val fmtUdf = udf { ts: java.sql.Timestamp =>
+      if (ts == null) null
+      else DateTimeFormatter.ofLocalizedDate(FormatStyle.SHORT)
+        .withLocale(Locale.forLanguageTag(locale))
+        .withZone(ZoneId.of(tz))
+        .format(ts.toInstant)
+    }
+    c => fmtUdf(c)
+  }
+
+  /** Intl.DateTimeFormat(locale, {timeStyle:"short", hour12:false,
+    * timeZone}) — hour12:false forced via HH:mm pattern over the
+    * localized field order. */
+  def localeShortTime(locale: String, tz: String): Column => Column = {
+    val fmtUdf = udf { ts: java.sql.Timestamp =>
+      if (ts == null) null
+      else DateTimeFormatter.ofPattern("HH:mm")
+        .withLocale(Locale.forLanguageTag(locale))
+        .withZone(ZoneId.of(tz))
+        .format(ts.toInstant)
+    }
+    c => fmtUdf(c)
+  }
+
+  private def slice10(c: Column): Column = substring(c, 1, 10)
+
+  /** Conversations table (views/index.pug:46-82). */
+  def conversationsReport(segments: DataFrame,
+      locale: String = "en-US", tz: String = "UTC"): DataFrame = {
+    val d = localeShortDate(locale, tz)
+    val t = localeShortTime(locale, tz)
+    segments.select(
+      slice10(col("conversation_id")).as("conv_id"),
+      col("segment_kind").as("kind"),
+      slice10(col("segment_external_id")).as("seg_id"),
+      slice10(col("reservation_sid")).as("res_sid"),
+      d(col("date")).as("date"),
+      t(col("time")).as("time"),
+      col("activity"),
+      col("activity_time"),
+      col("abandoned").as("aband"),
+      col("abandoned_phase").as("aband_phase"),
+      col("abandon_time").as("aband_time"),
+      col("queue_time"), col("ring_time"), col("talk_time"), col("wrapup_time"))
+      // Loki renders insertion order; Spark has none → deterministic sort
+      .orderBy(col("date"), col("time"), col("conv_id"), col("kind"))
+  }
+
+  /** Agents table (views/index.pug:9-40). */
+  def agentsReport(agents: DataFrame,
+      locale: String = "en-US", tz: String = "UTC"): DataFrame = {
+    val d = localeShortDate(locale, tz)
+    agents.select(
+      slice10(col("agent_uuid")).as("agent_id_display"),
+      d(col("date_joined")).as("joined"),
+      col("date_left"),
+      col("email"),
+      col("agent_id").as("external_id"),
+      col("role").as("roles"),
+      col("team_name"),
+      col("department_name"),
+      col("manager"),
+      col("state").as("status"))
+      .orderBy(col("agent_id_display"))
+  }
+}

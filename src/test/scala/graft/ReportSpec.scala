@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.report.Report
+import graft.taskrouter.Synth
+
+class ReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("locale short date/time formatting matches Intl semantics") {
+    val df = Seq(java.sql.Timestamp.from(java.time.Instant.parse("2026-08-12T14:05:00Z")))
+      .toDF("ts")
+    val us = df.select(
+      Report.localeShortDate("en-US", "UTC")($"ts").as("d"),
+      Report.localeShortTime("en-US", "UTC")($"ts").as("t")).head
+    assert(us.getString(0) == "8/12/26")   // en-US short date
+    assert(us.getString(1) == "14:05")     // hour12:false
+    val de = df.select(
+      Report.localeShortDate("de-DE", "Europe/Berlin")($"ts").as("d"),
+      Report.localeShortTime("de-DE", "Europe/Berlin")($"ts").as("t")).head
+    assert(de.getString(0) == "12.08.26")  // de-DE short date
+    assert(de.getString(1) == "16:05")     // UTC+2 in August
+  }
+
+  test("conversations report has the pug column set with sliced sids") {
+    val rep = Report.conversationsReport(Synth.segments(spark, sf0001))
+    assert(rep.columns.toSeq == Seq("conv_id", "kind", "seg_id", "res_sid",
+      "date", "time", "activity", "activity_time", "aband", "aband_phase",
+      "aband_time", "queue_time", "ring_time", "talk_time", "wrapup_time"))
+    val rows = rep.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("conv_id").length <= 10)
+      assert(r.getAs[String]("res_sid").length <= 10)
+    }
+  }
+
+  test("agents report mirrors the pug agent table") {
+    val rep = Report.agentsReport(Synth.agents(spark, sf0001))
+    assert(rep.columns.contains("joined") && rep.columns.contains("status"))
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(Set("Active", "Deleted").contains(r.getAs[String]("status"))))
+  }
+}

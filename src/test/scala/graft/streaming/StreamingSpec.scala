@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
     assertEquivalent(runStream(Seq(ev, ev)), batchSegments(ev))
   }
 
+  test("file-source streaming (readStream.text + availableNow) equals batch") {
+    val ev = scenario
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "b1.jsonl").toPath,
+      ev.take(4).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "b2.jsonl").toPath,
+      ev.drop(4).mkString("\n").getBytes("UTF-8"))
+    qn += 1
+    val name = s"seg_changelog_$qn"
+    val raw = spark.readStream.text(dir.getPath)
+    val changelog = StreamingPipeline.segmentsChangelog(spark,
+      StreamingPipeline.parseStream(spark, raw))
+    val q = changelog.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    assertEquivalent(StreamingPipeline.latestSegments(spark.table(name)), batchSegments(ev))
+  }
+
   test("changelog upserts: completed converts the in-progress row in place") {
     val ev = scenario
     val changelogName = {
