@@ -60,6 +60,31 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Top-k via the typed bounded Aggregator (UDAF surface) — identical
+    * result to the window formulation but only k rows cross the shuffle
+    * per (query, partition) instead of the full candidate sort. */
+  def qSimKnnAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"))
+    val pairs = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .select($"query_id", $"neighbor_id", $"cos_e6")
+      .as[(Long, Long, Long)]
+    pairs.groupByKey(_._1)
+      .mapValues(t => ScoredNeighbor(t._2, t._3))
+      .agg(new TopKByCosine(5).toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case (s, i) =>
+          (qid, (i + 1).toLong, s.neighborId, s.cosE6)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Deterministic hyperplane weights: w(k)(i) = ((i*31 + k*17) % 7) - 3
     * for 1-based element index i — reproducible in plain SQL on both
     * engines (no RNG, no state). */
@@ -109,6 +134,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_knn_brute" -> qSimKnnBrute,
+    "q_sim_knn_agg" -> qSimKnnAgg,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_neardup" -> qSimNearDup
   )
@@ -138,6 +164,26 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_knn_brute" ->
+      (duckNorm +
+        s""",
+          |p AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         q.nv AS qv, c.nv AS cv
+          |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM p),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+          |  FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // identical semantics to the brute-force window formulation — the
+    // aggregator must reproduce it exactly
+    "q_sim_knn_agg" ->
       (duckNorm +
         s""",
           |p AS (
