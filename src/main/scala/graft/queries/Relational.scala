@@ -377,6 +377,39 @@ object Relational {
       .orderBy($"op", $"nationkey")
   }
 
+  /** Generator/UDTF surface: posexplode of token arrays (SURVEY §2.11 —
+    * explode is the built-in generator). First 3 tokens per doc. */
+  def qExplodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", posexplode(slice(split($"text", " "), 1, 3)))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("token"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Tumbling event-time windows in batch (the streaming §2.10 window
+    * analog): hourly event counts per type via window(). */
+  def qWindowTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** HLL approximate distinct — engine-specific sketches can't hash-match
+    * an oracle; registered without oracleSql (driver rows-only check). */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** spark.sql(...) surface: TPC-H Q3 shape over registered temp views
     * (the engine's SQL entry point; Catalyst plans it like the
     * DataFrame variants — join reorder, pushdown, broadcast). */
@@ -430,7 +463,10 @@ object Relational {
     "q_window_session" -> qWindowSession,
     "q_topk" -> qTopK,
     "q_setops" -> qSetOps,
-    "q_sql_tpch3" -> qSqlTpch3
+    "q_sql_tpch3" -> qSqlTpch3,
+    "q_explode_tokens" -> qExplodeTokens,
+    "q_window_tumbling" -> qWindowTumbling,
+    "q_approx_distinct" -> qApproxDistinct
   )
 
   val oracles: Map[String, String] = Map(
@@ -642,6 +678,21 @@ object Relational {
         |GROUP BY l_orderkey, o_ep, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, t.tok AS token
+        |FROM documents,
+        |     LATERAL (SELECT unnest(list_slice(string_split(text, ' '), 1, 3)) AS tok,
+        |              generate_subscripts(list_slice(string_split(text, ' '), 1, 3), 1) AS i) t
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_setops" ->
       """SELECT nationkey, 'both' AS op FROM (

@@ -110,6 +110,26 @@ class StreamingSpec extends SparkSpec {
     assertEquivalent(StreamingPipeline.latestSegments(spark.table(name)), batchSegments(ev))
   }
 
+  test("streaming agents aggregation (complete mode) equals batch dim") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = scenario
+    qn += 1
+    val name = s"agents_stream_$qn"
+    val input = MemoryStream[String]
+    val parsed = Ingest.parseJson(spark, input.toDF().as[String])
+    val agents = StreamingPipeline.agentsStream(spark, parsed)
+    val q = agents.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      input.addData(ev.take(6)); q.processAllAvailable()
+      input.addData(ev.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).orderBy("agent_uuid").collect().toSeq
+    val batch = Derivation.agents(Ingest.parseJson(spark, spark.createDataset(ev)))
+      .orderBy("agent_uuid").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("changelog upserts: completed converts the in-progress row in place") {
     val ev = scenario
     val changelogName = {
