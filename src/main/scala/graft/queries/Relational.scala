@@ -377,6 +377,37 @@ object Relational {
       .orderBy($"op", $"nationkey")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Range join, bucketed: clicks within the hour preceding each
+    * purchase of the same user. Equi-join on user_id carries the
+    * shuffle; the range predicate filters inside the key — the scalable
+    * form of a range join (no nested-loop over the corpus). */
+  def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), ep($"ts").as("p_ep"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", ep($"ts").as("c_ep"))
+    p.join(c, Seq("user_id"), "left_outer")
+      .withColumn("in_range",
+        $"c_ep".isNotNull && $"c_ep" < $"p_ep" && $"c_ep" >= $"p_ep" - 3600)
+      .groupBy($"user_id", $"purchase_id", $"p_ep")
+      .agg(count(when($"in_range", 1)).as("clicks_prev_hour"))
+      .orderBy($"purchase_id")
+  }
+
   /** Generator/UDTF surface: posexplode of token arrays (SURVEY §2.11 —
     * explode is the built-in generator). First 3 tokens per doc. */
   def qExplodeTokens(spark: SparkSession, dir: String): DataFrame = {
@@ -464,6 +495,8 @@ object Relational {
     "q_topk" -> qTopK,
     "q_setops" -> qSetOps,
     "q_sql_tpch3" -> qSqlTpch3,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_join_range" -> qJoinRange,
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
     "q_approx_distinct" -> qApproxDistinct
@@ -678,6 +711,28 @@ object Relational {
         |GROUP BY l_orderkey, o_ep, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p.user_id, p.purchase_id, p.p_ep,
+        |       count(CASE WHEN c.c_ep IS NOT NULL
+        |                   AND c.c_ep < p.p_ep AND c.c_ep >= p.p_ep - 3600
+        |                  THEN 1 END) AS clicks_prev_hour
+        |FROM (SELECT user_id, event_id AS purchase_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS p_ep
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT OUTER JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ep
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |GROUP BY p.user_id, p.purchase_id, p.p_ep
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, t.tok AS token
