@@ -185,6 +185,23 @@ class DerivationSpec extends SparkSpec {
     assert(a.getAs[java.sql.Timestamp]("date_left").toInstant.toString == "2026-08-12T09:30:00Z")
   }
 
+  test("worker.attributes.update refreshes attrs, keeps date_joined and Active state") {
+    val updated = Seq(
+      "worker_sid" -> (W: Any), "worker_activity_name" -> ("Available": Any),
+      "worker_attributes" -> RawJson(
+        """{"email":"new@x.co","roles":["lead"],"team_name":"Red"}"""))
+    val (_, agents) = derive(Seq(
+      ce("worker.created", "2026-08-12T09:00:00.500Z", workerFields("Available"): _*),
+      ce("worker.attributes.update", "2026-08-12T09:10:00.100Z", updated: _*)))
+    val Seq(a) = agents.collect().toSeq
+    assert(a.getAs[String]("email") == "new@x.co")
+    assert(a.getAs[String]("role") == "lead")
+    assert(a.getAs[String]("team_name") == "Red")
+    assert(a.getAs[String]("state") == "Active")
+    assert(a.getAs[Any]("date_left") == null)
+    assert(a.getAs[java.sql.Timestamp]("date_joined").toInstant.toString == "2026-08-12T09:00:00Z")
+  }
+
   // 7. orphan accepted → nothing ------------------------------------
   test("orphan accepted (no entered) yields zero segments") {
     val (segs, _) = derive(Seq(
