@@ -36,10 +36,10 @@ object Synth {
     Model.payloadSchema.fields.toSeq.map(f =>
       fields.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
 
-  /** Full CloudEvent envelope row (id/type/data). */
-  private def envelope(df: DataFrame, idPrefix: String, et: String,
-      offSec: Column, fields: Map[String, Column]): DataFrame =
-    df.select(
+  /** One CloudEvent envelope as a struct column (id/type/data). */
+  private def envStruct(idPrefix: String, et: String,
+      offSec: Column, fields: Map[String, Column]): Column =
+    struct(
       concat(lit(idPrefix), col("event_id")).as("id"),
       lit(Model.TaskRouterPrefix + "." + et).as("type"),
       struct(
@@ -49,6 +49,14 @@ object Synth {
         )).as("payload"),
         struct(lit("AC1").as("account_sid")).as("publisher_metadata"),
         lit(null).cast(StringType).as("test_id")).as("data"))
+
+  /** Explode a per-row bundle of (conditionally null) envelope structs
+    * into envelope rows — one codegen'd plan per scenario family
+    * instead of one unioned plan per event type. */
+  private def explodeEnvelopes(df: DataFrame, envs: Seq[Column]): DataFrame =
+    df.select(explode(array(envs: _*)).as("ce"))
+      .filter(col("ce").isNotNull)
+      .select(col("ce.id").as("id"), col("ce.type").as("type"), col("ce.data").as("data"))
 
   private def loaded(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -73,8 +81,7 @@ object Synth {
         when(v % 3 === 0, "inbound").when(v % 3 === 1, "outbound").otherwise("internal"),
         lit("""","from":"+1555","to":"+1666"}""")))
 
-    // ---- purchase → happy path
-    val p = ev.filter(col("event_type") === "purchase")
+    // ---- purchase → happy path (one exploded plan)
     val pf = taskFields("WTP")
     val c = v % 7 + 1
     val a = c + v % 13 + 5
@@ -82,35 +89,39 @@ object Synth {
     val hasW = hasCp && v % 3 =!= 0
     val wp = a + v % 50 + 10
     val cp = when(hasW, wp + v % 20 + 3).otherwise(a + v % 50 + 13)
-    val purchase = Seq(
-      envelope(p, "EPE", Model.EtTaskQueueEntered, lit(0L), pf),
-      envelope(p, "EPC", Model.EtReservationCreated, c, pf),
-      envelope(p, "EPA", Model.EtReservationAccepted, a, pf),
-      envelope(p.filter(hasW), "EPW", Model.EtReservationWrapup, wp, pf),
-      envelope(p.filter(hasCp), "EPD", Model.EtReservationCompleted, cp, pf))
+    val purchase = explodeEnvelopes(
+      ev.filter(col("event_type") === "purchase"),
+      Seq(
+        envStruct("EPE", Model.EtTaskQueueEntered, lit(0L), pf),
+        envStruct("EPC", Model.EtReservationCreated, c, pf),
+        envStruct("EPA", Model.EtReservationAccepted, a, pf),
+        when(hasW, envStruct("EPW", Model.EtReservationWrapup, wp, pf)),
+        when(hasCp, envStruct("EPD", Model.EtReservationCompleted, cp, pf))))
 
     // ---- error → abandoned in queue
-    val e = ev.filter(col("event_type") === "error")
     val ef = taskFields("WTA")
     val d = v % 60 + 5
-    val abandoned = Seq(
-      envelope(e, "EAE", Model.EtTaskQueueEntered, lit(0L), ef),
-      envelope(e, "EAC", Model.EtTaskCanceled, d, ef))
+    val abandoned = explodeEnvelopes(
+      ev.filter(col("event_type") === "error"),
+      Seq(
+        envStruct("EAE", Model.EtTaskQueueEntered, lit(0L), ef),
+        envStruct("EAC", Model.EtTaskCanceled, d, ef)))
 
-    // ---- click → failed reservation
-    val f = ev.filter(col("event_type") === "click")
+    // ---- click → failed reservation (outcome kind by v%4)
     val ff = taskFields("WTF")
     val r = c + v % 11 + 2
     val failKind = v % 4
-    val failed = Seq(
-      envelope(f, "EFE", Model.EtTaskQueueEntered, lit(0L), ff),
-      envelope(f, "EFC", Model.EtReservationCreated, c, ff),
-      envelope(f.filter(failKind === 0), "EFR", Model.EtReservationRejected, r, ff),
-      envelope(f.filter(failKind === 1), "EFT", Model.EtReservationTimeout, r, ff),
-      envelope(f.filter(failKind === 2), "EFX", Model.EtReservationCanceled, r, ff),
-      envelope(f.filter(failKind === 3), "EFS", Model.EtReservationRescinded, r, ff))
+    val failed = explodeEnvelopes(
+      ev.filter(col("event_type") === "click"),
+      Seq(
+        envStruct("EFE", Model.EtTaskQueueEntered, lit(0L), ff),
+        envStruct("EFC", Model.EtReservationCreated, c, ff),
+        when(failKind === 0, envStruct("EFR", Model.EtReservationRejected, r, ff)),
+        when(failKind === 1, envStruct("EFT", Model.EtReservationTimeout, r, ff)),
+        when(failKind === 2, envStruct("EFX", Model.EtReservationCanceled, r, ff)),
+        when(failKind === 3, envStruct("EFS", Model.EtReservationRescinded, r, ff))))
 
-    // ---- signup → worker lifecycle
+    // ---- signup → worker lifecycle (one windowed + exploded plan)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("us"))
     val s = ev.filter(col("event_type") === "signup")
@@ -125,15 +136,14 @@ object Synth {
         lit("""{"email":"u"""), col("user_id"),
         lit("""@x.co","roles":["agent"],"team_name":"T"""), col("user_id") % 3,
         lit("\"}")))
-    val workers = Seq(
-      envelope(s.filter(col("rn") === 1), "EWC", Model.EtWorkerCreated, lit(0L), workerFields),
-      envelope(s.filter(col("rn") =!= 1), "EWU", Model.EtWorkerActivityUpdated, lit(0L), workerFields),
-      envelope(
-        s.filter(col("user_id") % 5 === 0 && col("us") === col("last_us"))
-          .withColumn("us", col("last_us")),
-        "EWD", Model.EtWorkerDeleted, lit(60L), workerFields))
+    val workers = explodeEnvelopes(s,
+      Seq(
+        when(col("rn") === 1, envStruct("EWC", Model.EtWorkerCreated, lit(0L), workerFields))
+          .otherwise(envStruct("EWU", Model.EtWorkerActivityUpdated, lit(0L), workerFields)),
+        when(col("user_id") % 5 === 0 && col("us") === col("last_us"),
+          envStruct("EWD", Model.EtWorkerDeleted, lit(60L), workerFields))))
 
-    (purchase ++ abandoned ++ failed ++ workers).reduce(_ unionByName _)
+    Seq(purchase, abandoned, failed, workers).reduce(_ unionByName _)
   }
 
   // Materialize parse + derivation once per (session, dir): the five
