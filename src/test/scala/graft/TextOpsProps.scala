@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck: the SQL-expression implementations of the text/dedup
+  * primitives must agree with direct Scala reimplementations on random
+  * word-soup documents (catches expression-semantics bugs: split
+  * behavior, div vs /, hex indexing, shingle windows). */
+object TextOpsProps extends Properties("TextOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSpark.spark
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(8))
+  private val doc = Gen.chooseNum(3, 60).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val docs = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc))
+
+  private def scalaShingles(text: String): Set[String] = {
+    val t = text.split(" ", -1)
+    if (t.length < 3) Set.empty
+    else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+  }
+
+  property("token and stopword counts match plain Scala") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          size(filter($"toks", t => t.isin("the", "a"))).cast("long").as("stop_cnt"))
+      val got = df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("stop_cnt"))).toMap
+      ds.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ", -1)
+        got(i.toLong) == (toks.length.toLong, toks.count(w => w == "the" || w == "a").toLong)
+      }
+    }
+
+  property("pairwise shingle Jaccard matches Scala set arithmetic") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("sh", array_distinct(expr(
+          "CASE WHEN size(toks) < 3 THEN CAST(array() AS array<string>) " +
+            "ELSE transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) END")))
+      val a = df.select($"doc_id".as("ia"), $"sh".as("sa"))
+      val b = df.select($"doc_id".as("ib"), $"sh".as("sb"))
+      val pairs = a.crossJoin(b).filter($"ia" < $"ib")
+        .select($"ia", $"ib",
+          size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
+          size(array_union($"sa", $"sb")).cast("long").as("uni"))
+        .collect()
+      pairs.forall { r =>
+        val sa = scalaShingles(ds(r.getAs[Long]("ia").toInt))
+        val sb = scalaShingles(ds(r.getAs[Long]("ib").toInt))
+        r.getAs[Long]("inter") == sa.intersect(sb).size.toLong &&
+          r.getAs[Long]("uni") == sa.union(sb).size.toLong
+      }
+    }
+
+  property("marker counts match plain Scala substring counting") =
+    Prop.forAll(doc, Gen.oneOf("a", "th", "ab ", " a ")) { (text, marker) =>
+      import spark.implicits._
+      val got = Seq(text).toDF("text")
+        .select(graft.text.TextAnalysis.markerCount(marker).as("c"))
+        .head.getAs[Long]("c")
+      val expected = {
+        var count = 0; var idx = text.indexOf(marker)
+        while (idx >= 0) { count += 1; idx = text.indexOf(marker, idx + marker.length) }
+        count.toLong
+      }
+      // replace-length counting removes non-overlapping occurrences
+      // left-to-right, exactly like indexOf stepping by marker length
+      got == expected
+    }
+}
