@@ -81,8 +81,18 @@ object Synth {
         when(v % 3 === 0, "inbound").when(v % 3 === 1, "outbound").otherwise("internal"),
         lit("""","from":"+1555","to":"+1666"}""")))
 
-    // ---- purchase → happy path (one exploded plan)
-    val pf = taskFields("WTP")
+    // ---- purchase → happy path (one exploded plan). Every 6th
+    // scenario carries CUSTOM conversations attributes — including an
+    // empty-string `queue` that must fall through JS-falsy coalescing
+    // (SURVEY §7.4.1) — so custom-data precedence is oracle-checked.
+    val hasCustom = col("v") % 6 === 0
+    val customAttr = concat(
+      lit("{\"conversations\":{\"conversation_id\":\"CX"), col("event_id"),
+      lit("\",\"abandoned\":\"Yes\",\"queue\":\"\"},\"direction\":\""),
+      when(v % 3 === 0, "inbound").when(v % 3 === 1, "outbound").otherwise("internal"),
+      lit("\",\"from\":\"+1555\",\"to\":\"+1666\"}"))
+    val pf = taskFields("WTP") + ("task_attributes" ->
+      when(hasCustom, customAttr).otherwise(taskFields("WTP")("task_attributes")))
     val c = v % 7 + 1
     val a = c + v % 13 + 5
     val hasCp = v % 5 =!= 0

@@ -13,10 +13,12 @@ object TaskRouterQueries {
 
   private def ep(c: org.apache.spark.sql.Column) = unix_timestamp(c)
 
-  /** Happy-path conversations: QUEUE + CONVERSATION [IN PROGRESS]. */
+  /** Happy-path conversations: QUEUE + CONVERSATION [IN PROGRESS].
+    * Filter on segment_external_id (always the task sid) because
+    * conversation_id may be overridden by custom attributes. */
   def qTrConversations(spark: SparkSession, dir: String): DataFrame =
     Synth.segments(spark, dir)
-      .filter(col("conversation_id").startsWith("WTP"))
+      .filter(col("segment_external_id").startsWith("WTP"))
       .select(col("conversation_id"), col("segment_kind"),
         col("queue_time"), col("ring_time"), col("talk_time"), col("wrapup_time"),
         ep(col("date")).as("date_ep"),
@@ -27,7 +29,7 @@ object TaskRouterQueries {
   /** Abandoned-in-queue pairs. */
   def qTrAbandoned(spark: SparkSession, dir: String): DataFrame =
     Synth.segments(spark, dir)
-      .filter(col("conversation_id").startsWith("WTA"))
+      .filter(col("segment_external_id").startsWith("WTA"))
       .select(col("conversation_id"), col("segment_kind"),
         col("queue_time"), col("abandon_time"),
         col("abandoned"), col("abandoned_phase"), ep(col("date")).as("date_ep"))
@@ -36,7 +38,7 @@ object TaskRouterQueries {
   /** Failed reservations: REJECTED / MISSED / REVOKED. */
   def qTrFailed(spark: SparkSession, dir: String): DataFrame =
     Synth.segments(spark, dir)
-      .filter(col("conversation_id").startsWith("WTF"))
+      .filter(col("segment_external_id").startsWith("WTF"))
       .select(col("conversation_id"), col("segment_kind"),
         col("ring_time"), ep(col("date")).as("date_ep"), col("queue"))
       .orderBy(col("conversation_id"), col("segment_kind"))
@@ -80,23 +82,28 @@ object TaskRouterQueries {
     "q_tr_conversations" -> (base("purchase", "WTP") +
       """, d AS (
         |  SELECT *, v%7+1 AS c, v%7+1 + v%13+5 AS a,
-        |         (v%5 <> 0) AS has_cp, (v%5 <> 0 AND v%3 <> 0) AS has_w
+        |         (v%5 <> 0) AS has_cp, (v%5 <> 0 AND v%3 <> 0) AS has_w,
+        |         (v%6 = 0) AS has_custom
         |  FROM p),
         |e AS (
         |  SELECT *, a + v%50+10 AS wp,
         |         CASE WHEN has_w THEN a + v%50+10 + v%20+3 ELSE a + v%50+13 END AS cp,
+        |         CASE WHEN has_custom THEN replace(conversation_id, 'WTP', 'CX')
+        |              ELSE conversation_id END AS conv_id_out,
         |         CASE WHEN v%2=0 THEN 'Call' ELSE 'Chat' END AS channel,
         |         CASE WHEN v%3=0 THEN 'Inbound' WHEN v%3=1 THEN 'Outbound' ELSE 'Internal' END AS direction,
         |         CASE WHEN v%3=1 THEN '+1555' ELSE '+1666' END AS external_contact,
-        |         'Q' || (v%4) AS queue, 'Main' AS workflow, 'N' AS abandoned
+        |         -- custom queue is '' → JS-falsy → falls back to queue name
+        |         'Q' || (v%4) AS queue, 'Main' AS workflow,
+        |         CASE WHEN has_custom THEN 'Yes' ELSE 'N' END AS abandoned
         |  FROM d)
-        |SELECT conversation_id, 'QUEUE' AS segment_kind,
+        |SELECT conv_id_out AS conversation_id, 'QUEUE' AS segment_kind,
         |       a AS queue_time, CAST(NULL AS BIGINT) AS ring_time,
         |       CAST(NULL AS BIGINT) AS talk_time, CAST(NULL AS BIGINT) AS wrapup_time,
         |       t0 AS date_ep, channel, direction, external_contact, queue, workflow, abandoned
         |FROM e
         |UNION ALL
-        |SELECT conversation_id,
+        |SELECT conv_id_out,
         |       CASE WHEN has_cp THEN 'CONVERSATION' ELSE 'CONVERSATION IN PROGRESS' END,
         |       a, a - c,
         |       CASE WHEN has_cp THEN (CASE WHEN has_w THEN wp - a ELSE cp - a END) END,
