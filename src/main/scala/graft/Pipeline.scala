@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.EventLog
+import graft.streaming.StreamingPipeline
+import graft.taskrouter.{Derivation, Ingest}
+
+/** End-to-end façade — what a user of the reference app switches to:
+  *
+  * {{{
+  * // batch: CloudEvent JSON → event log → reporting tables
+  * Pipeline.ingestJson(spark, jsonLines, logPath)
+  * Pipeline.deriveTables(spark, logPath, outPath)
+  * val segments = Pipeline.segments(spark, outPath)
+  * val report   = graft.report.Report.conversationsReport(segments)
+  *
+  * // streaming: file-source CloudEvents → changelog → latest tables
+  * val q = Pipeline.startStreaming(spark, watchDir, checkpoint, outPath)
+  * }}}
+  */
+object Pipeline {
+
+  /** Parse raw CloudEvent JSON lines and append to the date-partitioned
+    * event log (dedup happens at read/derive time — the log is an
+    * immutable append store). */
+  def ingestJson(spark: SparkSession, json: Dataset[String], logPath: String): Unit =
+    EventLog.append(Ingest.parseJson(spark, json), logPath)
+
+  /** Derive and persist the reporting model from the event log. */
+  def deriveTables(spark: SparkSession, logPath: String, outPath: String): Unit = {
+    val parsed = EventLog.read(spark, logPath)
+      .dropDuplicates("event_id") // replays across appended batches
+    Derivation.segments(parsed).write.mode("overwrite")
+      .parquet(s"$outPath/segments")
+    Derivation.agents(parsed).write.mode("overwrite")
+      .parquet(s"$outPath/agents")
+  }
+
+  def segments(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/segments")
+
+  def agents(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/agents")
+
+  /** Continuous mode: watch a directory of CloudEvent JSON files, emit
+    * the segment changelog (append), maintaining `latest` on demand via
+    * [[latestSegments]]. Checkpointed — restart-safe, exactly-once into
+    * the changelog sink. */
+  def startStreaming(spark: SparkSession, watchDir: String,
+      checkpointDir: String, outPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.text(watchDir)
+    val changelog = StreamingPipeline.segmentsChangelog(spark,
+      StreamingPipeline.parseStream(spark, raw))
+    changelog.writeStream
+      .format("parquet")
+      .option("path", s"$outPath/segments_changelog")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Latest state of the streamed changelog (MERGE-by-uuid view). */
+  def latestSegments(spark: SparkSession, outPath: String): DataFrame =
+    StreamingPipeline.latestSegments(
+      spark.read.parquet(s"$outPath/segments_changelog"))
+}
