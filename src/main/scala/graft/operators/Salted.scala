@@ -10,10 +10,9 @@ import org.apache.spark.sql.functions._
   * tiny aggregation merges the partials.
   *
   * Only works for decomposable aggregates (sum/count/min/max — anything
-  * with a merge step). The salt is hash-derived from the full row's
-  * monotonically increasing position surrogate, so results are
-  * deterministic and the transform is a drop-in equal to the direct
-  * groupBy (proved in SaltedSpec).
+  * with a merge step). The salt is hash-derived from a caller-supplied
+  * row-identity column, so results are deterministic and the transform
+  * is a drop-in equal to the direct groupBy (proved in SaltedSpec).
   */
 object Salted {
 

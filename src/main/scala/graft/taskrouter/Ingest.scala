@@ -36,7 +36,10 @@ object Ingest {
       .select(
         col("id").as("event_id"),
         col("data.payload.eventtype").as("eventtype"),
-        col("data.payload.timestamp").cast(TimestampType).as("ts"),
+        // try_to_timestamp: a malformed timestamp must drop one event,
+        // not fail the job under ANSI mode (the reference silently
+        // produces NaN math for Invalid Date; we drop + keep going)
+        expr("try_to_timestamp(data.payload.timestamp)").as("ts"),
         col("data.payload.task_sid").as("task_sid"),
         col("data.payload.reservation_sid").as("reservation_sid"),
         col("data.payload.worker_sid").as("worker_sid"),
@@ -54,6 +57,7 @@ object Ingest {
         col("data.payload.worker_time_in_previous_activity")
           .as("worker_time_in_previous_activity"),
         col("data.publisher_metadata.account_sid").as("account_sid"))
+      .filter(col("ts").isNotNull)
       .withColumn("ts_sec", date_trunc("second", col("ts")))
       .withColumn("ts_us", unix_micros(col("ts")))
   }
