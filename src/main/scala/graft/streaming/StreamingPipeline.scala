@@ -192,12 +192,15 @@ object StreamingPipeline {
 
   // --- wiring ------------------------------------------------------
 
-  /** Streaming-safe CloudEvent parse (same as batch Ingest, with
-    * watermark; event-id dedup within the watermark horizon). */
+  /** Streaming-safe CloudEvent parse: same projection as batch Ingest,
+    * then event-time watermark + event-id dedup with WATERMARK-BOUNDED
+    * state (dropDuplicatesWithinWatermark) — replays inside the horizon
+    * are dropped, state for older events is reclaimed. */
   def parseStream(spark: SparkSession, rawJson: DataFrame): DataFrame = {
     import spark.implicits._
-    Ingest.parseJson(spark, rawJson.as[String])
+    Ingest.parseJson(spark, rawJson.as[String], dedup = false)
       .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
   }
 
   private def baseJsonCol =

@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
 object Ingest {
 
   /** Parse a dataset of CloudEvent JSON documents (one per row). */
-  def parseJson(spark: SparkSession, raw: Dataset[String]): DataFrame = {
+  def parseJson(spark: SparkSession, raw: Dataset[String],
+      dedup: Boolean = true): DataFrame = {
     import spark.implicits._
     parse(raw.toDF("value")
       .select(from_json($"value", Model.cloudEventSchema).as("ce"))
-      .select($"ce.id".as("id"), $"ce.type".as("type"), $"ce.data".as("data")))
+      .select($"ce.id".as("id"), $"ce.type".as("type"), $"ce.data".as("data")),
+      dedup)
   }
 
   /** Parse a DataFrame already shaped as the CloudEvent envelope
@@ -27,12 +29,14 @@ object Ingest {
     *   sids, scalar payload fields, task_attr (struct), wattr (map),
     *   custom_data precursors.
     */
-  def parse(envelopes: DataFrame): DataFrame = {
-    envelopes
+  def parse(envelopes: DataFrame, dedup: Boolean = true): DataFrame = {
+    val gated = envelopes
       .filter(col("type").startsWith(Model.TaskRouterPrefix))
-      // reference replays duplicate rows (non-unique event_id index);
-      // we dedup deterministically — documented divergence (SURVEY §2.10)
-      .dropDuplicates(Seq("id"))
+    // reference replays duplicate rows (non-unique event_id index);
+    // we dedup deterministically — documented divergence (SURVEY §2.10).
+    // Streaming callers pass dedup=false and apply
+    // dropDuplicatesWithinWatermark instead (bounded state).
+    (if (dedup) gated.dropDuplicates(Seq("id")) else gated)
       .select(
         col("id").as("event_id"),
         col("data.payload.eventtype").as("eventtype"),
