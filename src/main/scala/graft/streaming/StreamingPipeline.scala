@@ -43,7 +43,8 @@ object StreamingPipeline {
   case class ResState(created: Option[Long], acceptedUs: Option[Long],
       acceptedSec: Option[Long], wrapup: Option[Long],
       accEventId: Option[String], accBaseJson: Option[String],
-      accQueue: Option[Long], accRing: Option[Long])
+      accQueue: Option[Long], accRing: Option[Long],
+      converted: Boolean = false)
 
   case class TaskState(lastEntry: Option[Long], res: Map[String, ResState])
 
@@ -113,7 +114,9 @@ object StreamingPipeline {
         case Model.EtReservationCompleted =>
           val r = rs
           (r.acceptedSec, r.accEventId, r.accBaseJson) match {
-            case (Some(accSec), Some(accId), Some(accBase)) =>
+            // first completed only: a later completed finds no
+            // in-progress row to update (reference :308-310)
+            case (Some(accSec), Some(accId), Some(accBase)) if !r.converted =>
               val talk = r.wrapup.map(_ - accSec).getOrElse(e.tsSec - accSec)
               val wrap = r.wrapup.map(e.tsSec - _).getOrElse(0L)
               out += seg(s"$accId|${Model.ConvoInProgSeg}", Model.ConvoSeg,
@@ -121,7 +124,8 @@ object StreamingPipeline {
                 queueTime = r.accQueue, ringTime = r.accRing,
                 talkTime = Some(talk), wrapupTime = Some(wrap),
                 segLink = e.segLink, segLinkSet = true)
-            case _ => // in-progress row missing → tolerated (:308-310)
+              st = st.copy(res = st.res + (e.resSid -> r.copy(converted = true)))
+            case _ => // in-progress missing / already converted → tolerated
           }
         case Model.EtReservationRejected | Model.EtReservationTimeout |
              Model.EtReservationCanceled | Model.EtReservationRescinded =>

@@ -206,8 +206,10 @@ object Derivation {
       "ring_time" -> col("ring_time_c")),
       extra = Seq(col("p_reservation_sid").as("join_res_sid")))
 
-    // --- reservation.completed (EP2, reference :572-586): latest
-    // completed delta per reservation, applied to the in-progress row.
+    // --- reservation.completed (EP2, reference :572-586): FIRST
+    // completed per reservation converts the in-progress row — a second
+    // completed finds no in-progress (kind already changed) and is
+    // tolerated-dropped (:308-310), so first-wins, not last-wins.
     val compUpd = ev.filter(col("eventtype") === EtReservationCompleted)
       .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
       .filter(col("accepted_ts_sec").isNotNull) // J4 required (:182)
@@ -220,7 +222,7 @@ object Derivation {
           .otherwise(secDiff(col("ts_sec"), col("wrapup_ts_sec"))))
       .withColumn("segment_link_c", col("task_attr.conversations")("segment_link"))
       .groupBy(col("p_reservation_sid").as("upd_res_sid"))
-      .agg(max_by(
+      .agg(min_by(
         struct(col("talk_time_c"), col("wrapup_time_c"), col("segment_link_c")),
         struct(col("ts_us"), col("event_id"))).as("upd"))
       .select(col("upd_res_sid"), col("upd.talk_time_c").as("talk_time_c"),

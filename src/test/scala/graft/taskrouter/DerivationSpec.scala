@@ -102,6 +102,18 @@ class DerivationSpec extends SparkSpec {
     assert(p.getAs[Any]("talk_time") == null)
   }
 
+  test("duplicate completed: first wins (second finds no in-progress row)") {
+    val (segs, _) = derive(Seq(
+      ce("task-queue.entered", "2026-08-12T10:00:00.400Z", taskFields: _*),
+      ce("reservation.created", "2026-08-12T10:00:05.900Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T10:00:30.123Z", taskFields: _*),
+      ce("reservation.completed", "2026-08-12T10:02:40.789Z", taskFields: _*),
+      ce("reservation.completed", "2026-08-12T10:09:59.000Z", taskFields: _*)))
+    val Seq(c) = seg(segs, "CONVERSATION")
+    assert(c.getAs[Long]("talk_time") == 130) // from the FIRST completed
+    assert(c.getAs[Long]("wrapup_time") == 0)
+  }
+
   // 3. failed reservation kinds ------------------------------------
   for ((et, kind) <- Seq(
       "reservation.rejected" -> "REJECTED CONVERSATION",
