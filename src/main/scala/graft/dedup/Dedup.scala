@@ -125,6 +125,25 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Full MinHash-LSH dedup: LSH candidate pairs VERIFIED by exact
+    * shingle Jaccard (candidates are probabilistic; the verify step
+    * makes the dedup decision) — the standard candidate→verify pipeline
+    * at 100 TB: O(n) banding + exact checks only on the candidate set. */
+  def qDedupLshVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = qDedupLsh(spark, dir)
+    val sh = withShingles(spark, dir)
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+      .withColumn("jac_permille", expr("(inter * 1000) div uni"))
+      .filter($"jac_permille" >= 500)
+      .select($"doc_a", $"doc_b", $"jac_permille")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** 16-bit SimHash over distinct tokens (hex-digit bits of md5). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -167,6 +186,7 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_lsh_pairs" -> qDedupLsh,
+    "q_dedup_lsh_verify" -> qDedupLshVerify,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs
   )
@@ -227,6 +247,34 @@ object Dedup {
         |)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_dedup_lsh_verify" ->
+      (s"""$duckShingleCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |jac AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000)
+        |      // (CAST(len(x.sh) + len(y.sh) AS BIGINT)
+        |          - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)) AS jac_permille
+        |  FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jac_permille
+        |FROM jac WHERE jac_permille >= 500
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_dedup_simhash" ->

@@ -377,6 +377,25 @@ object Relational {
       .orderBy($"op", $"nationkey")
   }
 
+  /** Skew-resistant two-phase salted aggregation (operators.Salted) —
+    * must be indistinguishable from a direct GROUP BY, which is exactly
+    * what the plain-SQL oracle asserts. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Salted.aggregate(
+      Tables.load(spark, dir, "events"),
+      key = $"user_id", rowId = $"event_id", salts = 8,
+      aggs = Seq(
+        ("total", dec($"value"), "sum"),
+        ("n", $"event_id", "count"),
+        ("first_id", $"event_id", "min"),
+        ("last_id", $"event_id", "max")))
+      .select(col("__key").as("user_id"),
+        col("total").cast("double").as("total"),
+        col("n"), col("first_id"), col("last_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface. */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -496,6 +515,7 @@ object Relational {
     "q_setops" -> qSetOps,
     "q_sql_tpch3" -> qSqlTpch3,
     "q_grouping_sets" -> qGroupingSets,
+    "q_salted_agg" -> qSaltedAgg,
     "q_join_range" -> qJoinRange,
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
@@ -711,6 +731,14 @@ object Relational {
         |GROUP BY l_orderkey, o_ep, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(event_id) AS n,
+        |  min(event_id) AS first_id,
+        |  max(event_id) AS last_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
