@@ -482,6 +482,51 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q5 shape: six-table star join. The dims (region, nation,
+    * supplier, customer) are broadcast — at 100 TB only the two fact
+    * tables (orders ⋈ lineitem) shuffle, on the shared orderkey, and
+    * the region filter prunes before any fact row moves. */
+  def qSqlTpch5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.load(spark, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supplier = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val customer = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(customer), $"c_custkey" === $"o_custkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown
+    * showcase. All three predicates reach the parquet reader
+    * (PushedFilters) and only 4 of 11 lineitem columns are read. */
+  def qSqlTpch6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1999-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -514,6 +559,8 @@ object Relational {
     "q_topk" -> qTopK,
     "q_setops" -> qSetOps,
     "q_sql_tpch3" -> qSqlTpch3,
+    "q_sql_tpch5" -> qSqlTpch5,
+    "q_sql_tpch6" -> qSqlTpch6,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_join_range" -> qJoinRange,
@@ -731,6 +778,33 @@ object Relational {
         |GROUP BY l_orderkey, o_ep, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 20""".stripMargin,
+
+    "q_sql_tpch5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_sql_tpch6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

@@ -119,6 +119,55 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  private val Centroids = 8
+  private val NProbe = 2
+
+  /** IVF-style ANN: a coarse quantizer (the first `Centroids` vectors
+    * stand in for an offline-trained codebook) assigns every corpus
+    * vector to its nearest cell; a query probes its `NProbe` nearest
+    * cells and searches only those inverted lists. At 100 TB the cell
+    * id is the partition key of a pre-bucketed corpus table, the
+    * codebook is broadcast (a map-side pass assigns cells), and a probe
+    * touches NProbe/Centroids of the data instead of all of it. */
+  def qSimAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val cent = n.filter($"vec_id" < Centroids)
+      .select($"vec_id".as("centroid_id"), $"nv".as("centv"))
+
+    // coarse assignment: every vector -> nearest centroid (its cell)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"c_cos".desc, $"centroid_id")
+    val cells = n.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosE6("centv", "nv"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"nv", $"centroid_id".as("cell"))
+
+    // probe list: each query's NProbe nearest cells
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"c_cos".desc, $"centroid_id")
+    val probes = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosE6("centv", "qv"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter($"prank" <= NProbe)
+      .select($"query_id", $"qv", $"centroid_id".as("cell"))
+
+    // search only the probed inverted lists
+    val c = cells.select($"vec_id".as("neighbor_id"), $"nv".as("cv"), $"cell")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    probes.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"cell", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Embedding near-duplicate pairs (label-blocked, cos ≥ 0.25). */
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -136,6 +185,7 @@ object Similarity {
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_knn_agg" -> qSimKnnAgg,
     "q_sim_ann_lsh" -> qSimAnnLsh,
+    "q_sim_ann_ivf" -> qSimAnnIvf,
     "q_sim_neardup" -> qSimNearDup
   )
 
@@ -146,10 +196,12 @@ object Similarity {
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
       |  FROM embeddings)""".stripMargin
 
-  private val duckDot =
-    ("list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i]))" +
-      " / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))" +
-      " * sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))))")
+  private def duckCos(a: String, b: String): String =
+    (s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))")
+
+  private val duckDot = duckCos("qv", "cv")
 
   private def duckBucket(v: String): String = {
     val bits = (0 until Planes).map { k =>
@@ -219,6 +271,40 @@ object Similarity {
           |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
           |  FROM s)
           |SELECT query_id, bucket, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
+          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // IVF: coarse-quantize (nearest of the first 8 vectors), probe the
+    // query's 2 nearest cells, search only those inverted lists
+    "q_sim_ann_ivf" ->
+      (duckNorm +
+        s""",
+          |cent AS (SELECT vec_id AS centroid_id, nv AS centv FROM n WHERE vec_id < 8),
+          |asg AS (
+          |  SELECT v.vec_id, v.nv, c.centroid_id,
+          |         row_number() OVER (PARTITION BY v.vec_id
+          |           ORDER BY CAST(round(${duckCos("centv", "nv")} * 1e6) AS BIGINT) DESC,
+          |                    c.centroid_id) AS arank
+          |  FROM n v CROSS JOIN cent c),
+          |cells AS (SELECT vec_id, nv, centroid_id AS cell FROM asg WHERE arank = 1),
+          |pr AS (
+          |  SELECT q.vec_id AS query_id, q.nv AS qv, c.centroid_id AS cell,
+          |         row_number() OVER (PARTITION BY q.vec_id
+          |           ORDER BY CAST(round(${duckCos("centv", "qv")} * 1e6) AS BIGINT) DESC,
+          |                    c.centroid_id) AS prank
+          |  FROM (SELECT vec_id, nv FROM n WHERE vec_id % 100 = 0) q
+          |  CROSS JOIN cent c),
+          |probes AS (SELECT query_id, qv, cell FROM pr WHERE prank <= 2),
+          |s AS (
+          |  SELECT p.query_id, p.cell, l.vec_id AS neighbor_id,
+          |         CAST(round(${duckCos("qv", "cv")} * 1e6) AS BIGINT) AS cos_e6
+          |  FROM probes p
+          |  JOIN (SELECT vec_id, cell, nv AS cv FROM cells) l USING (cell)
+          |  WHERE p.query_id <> l.vec_id),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+          |  FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell, cos_e6
           |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "q_sim_neardup" ->

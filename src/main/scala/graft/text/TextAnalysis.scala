@@ -78,6 +78,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 and
+    * java.util.regex match identically (no backrefs, no lookaround):
+    * space-glued letter runs, digit runs, punctuation runs. */
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** BPE-ish token accounting: pretokenizer piece counts plus a
+    * length-capped piece count (every pretoken longer than 4 chars
+    * splits into ceil(len/4) merges — the byte-pair budget a real BPE
+    * vocabulary would land under). The pipeline thresholds on
+    * tokens-per-char to drop boilerplate-heavy docs. */
+  def qTextBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("pieces", expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+      .withColumn("n_pieces", size($"pieces").cast("long"))
+      .withColumn("n_bpe",
+        expr("aggregate(pieces, 0L, (acc, p) -> acc + (length(p) + 3) div 4)"))
+      .select($"doc_id", $"n_pieces",
+        size(array_distinct($"pieces")).cast("long").as("n_distinct_pieces"),
+        $"n_bpe",
+        expr("(n_bpe * 1000) div length(text)").as("bpe_per_kchar"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprinting: whole-doc digest + head/tail block
     * digests (the building block for shift-robust dedup keys). */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -97,6 +121,7 @@ object TextAnalysis {
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
+    "q_text_bpe" -> qTextBpe,
     "q_text_fingerprint" -> qTextFingerprint
   )
 
@@ -138,6 +163,21 @@ object TextAnalysis {
         |       WHEN s_es >= s_de THEN 'es'
         |       ELSE 'de' END AS predicted_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS pieces
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(pieces) AS BIGINT) AS n_pieces,
+        |    CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+        |    CAST(list_sum(list_transform(pieces, x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
+        |  FROM p)
+        |SELECT doc_id, n_pieces, n_distinct_pieces, n_bpe,
+        |       (n_bpe * 1000) // length(text) AS bpe_per_kchar
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

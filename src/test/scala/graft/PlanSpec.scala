@@ -60,6 +60,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("tpch6 scan: all three predicates pushed, 4-column read schema") {
+    val p = plan(Relational.qSqlTpch6(spark, sf0001))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    assert(!p.contains("l_returnflag"), p) // pruned
+  }
+
+  test("tpch5 six-table join: dims broadcast, facts never nested-loop") {
+    val p = plan(Relational.qSqlTpch5(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivf ann: codebook fan-outs broadcast; corpus never shuffles for assignment") {
+    val p = plan(graft.sim.Similarity.qSimAnnIvf(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("segment derivation contains no cartesian products") {
     val parsed = graft.taskrouter.Synth.parsedEvents(spark, sf0001)
     val p = plan(graft.taskrouter.Derivation.segments(parsed))

@@ -50,6 +50,45 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == n)
   }
 
+  test("tpch5: revenue positive per nation; tpch6 consistent with manual filter") {
+    val q5 = Relational.qSqlTpch5(spark, sf0001).collect()
+    assert(q5.nonEmpty)
+    q5.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+    val q6 = Relational.qSqlTpch6(spark, sf0001).collect()(0)
+    val manual = Tables.load(spark, sf0001, "lineitem").collect().count { r =>
+      val d = r.getAs[Double]("l_discount")
+      val sd = r.get(r.fieldIndex("l_shipdate")).toString // NTZ -> LocalDateTime
+      sd >= "1998-01-01" && sd < "1999-01-01" &&
+        d >= 0.05 && d <= 0.07 && r.getAs[Double]("l_quantity") < 24
+    }
+    assert(q6.getAs[Long]("n_items") == manual)
+  }
+
+  test("ivf ann: cells partition the corpus; results come only from probed cells") {
+    val n = Tables.load(spark, sf0001, "embeddings").count()
+    val rows = graft.sim.Similarity.qSimAnnIvf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every query returns at most 3 ranked neighbors, ranks contiguous from 1
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= 3 && ranks.head == 1L)
+      assert(ranks.zipWithIndex.forall { case (rk, i) => rk == i + 1 })
+      // at most NProbe distinct cells contribute
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length <= 2)
+    }
+    assert(n > 0)
+  }
+
+  test("bpe tokenizer: piece count bounds and distinct <= total") {
+    val rows = graft.text.TextAnalysis.qTextBpe(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_pieces") <= r.getAs[Long]("n_pieces"))
+      // every piece contributes at least one BPE merge
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_pieces"))
+    }
+  }
+
   test("semi + anti partition customer set under same predicate shape") {
     val c = Tables.load(spark, sf0001, "customer").count()
     val semi = Relational.qJoinSemi(spark, sf0001).count()
