@@ -41,7 +41,11 @@ object Dedup {
       Tables.load(spark, dir, "documents")
         .withColumn("toks", split($"text", " "))
         .withColumn("sh", shingles($"toks"))
-        .select($"doc_id", $"source", $"lang", $"sh")
+        // sorted 64-bit shingle hashes: the pair-join intersects these
+        // with the codegen'd two-pointer merge instead of hashing
+        // strings per pair (SortedIntersectCount)
+        .withColumn("shs", array_sort(expr("transform(sh, s -> xxhash64(s))")))
+        .select($"doc_id", $"source", $"lang", $"sh", $"shs")
         .localCheckpoint()
     })
 
@@ -62,12 +66,13 @@ object Dedup {
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = withShingles(spark, dir)
-      .select($"doc_id", $"source", $"lang", $"sh")
-    val a = d.select($"source", $"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = d.select($"source", $"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+      .select($"doc_id", $"source", $"lang", $"sh", $"shs")
+    val a = d.select($"source", $"lang", $"doc_id".as("doc_a"), $"shs".as("sh_a"))
+    val b = d.select($"source", $"lang", $"doc_id".as("doc_b"), $"shs".as("sh_b"))
     a.join(b, Seq("source", "lang"))
       .filter($"doc_a" < $"doc_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"sh_a", $"sh_b"))
       // |a ∪ b| = |a| + |b| − |a ∩ b| on distinct sets — skips the
       // second O(n·m) array traversal array_union would cost
       .withColumn("uni",
@@ -134,9 +139,10 @@ object Dedup {
     val cands = qDedupLsh(spark, dir)
     val sh = withShingles(spark, dir)
     cands
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .join(sh.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"sh_a", $"sh_b"))
       .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
       .withColumn("jac_permille", expr("(inter * 1000) div uni"))
       .filter($"jac_permille" >= 500)
