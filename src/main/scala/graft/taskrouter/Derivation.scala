@@ -180,7 +180,14 @@ object Derivation {
   /** Full segments ("conversations") fact table from parsed events. */
   def segments(parsed: DataFrame): DataFrame = {
     val ev = prepared(parsed)
+    // Materialize the shared task-event frame (as-of window + the
+    // ~70-column base projection) once: three branches (accepted,
+    // failed, abandoned) filter it on non-partition columns, so without
+    // this each branch would recompute the full window and projection.
+    // At scale this is the staged "task events + base" table written
+    // once per batch window (SCALE.md storage layout).
     val taskEv = withBase(withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
+      .localCheckpoint()
     val resLk = reservationLookup(ev)
 
     // --- reservation.accepted (EP1, reference :514-538): requires both
