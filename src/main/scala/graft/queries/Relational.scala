@@ -332,6 +332,21 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Analytic window functions (SURVEY §2.6 "absent" set): ntile
+    * buckets, percent_rank, cume_dist per priority class. Doubles are
+    * exact small-denominator divisions — identical IEEE ops on both
+    * engines, so they hash-match without fixed-point tricks. */
+  def qWindowNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   /** W1 gap-based sessionization: 30-minute inactivity splits sessions
     * (reference's AGENT STATUS span machine, batch form —
     * routes/events.js:639-664). */
@@ -555,6 +570,7 @@ object Relational {
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,
     "q_window_rank" -> qWindowRank,
+    "q_window_ntile" -> qWindowNtile,
     "q_window_session" -> qWindowSession,
     "q_topk" -> qTopK,
     "q_setops" -> qSetOps,
@@ -742,6 +758,15 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_window_session" ->
       """WITH g AS (

@@ -285,4 +285,21 @@ object StreamingPipeline {
     * logic to batch Derivation.agents, legal in update/complete mode. */
   def agentsStream(spark: SparkSession, parsed: DataFrame): DataFrame =
     Derivation.agents(parsed)
+
+  /** Watermarked tumbling event-time aggregation (SURVEY §2.10): event
+    * counts per (window, eventtype). The input must already carry its
+    * event-time watermark (parseStream sets it; Spark disallows
+    * redefining one). In append mode a window emits once the watermark
+    * passes its end and its state is dropped — bounded state at any
+    * scale; late rows beyond the watermark are discarded
+    * deterministically (the reference has no late-data story at all,
+    * README.md:13). Same plan works in batch (the q_window_tumbling
+    * oracle shape). */
+  def eventCountsByWindow(parsed: DataFrame,
+      windowLen: String = "5 minutes"): DataFrame =
+    parsed
+      .groupBy(window(col("ts"), windowLen), col("eventtype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("eventtype"), col("n"))
 }

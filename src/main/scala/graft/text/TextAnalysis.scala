@@ -102,6 +102,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  private val RollK = 8          // rolling window (chars)
+  private val RollP = 1000000007L // modulus keeps BIGINT math ANSI-safe
+
+  /** Rolling-hash fingerprint (Rabin-Karp windows + mod-sampling à la
+    * winnowing): polynomial hash of every 8-char window, then the
+    * shift-robust summary a dedup pipeline keys on — min/max window
+    * hash and the min over the deterministic mod-16 sample. Pure
+    * integer arithmetic (sum of ascii·31^d, d<8, fits BIGINT) so both
+    * engines compute bit-identical values. */
+  def qTextRollhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
+    val windowHash = (1 to RollK).map { d =>
+      s"ascii(substring(text, i + ${d - 1}, 1)) * ${powers(d - 1)}L"
+    }.mkString("(", " + ", s") % ${RollP}L")
+    Tables.load(spark, dir, "documents")
+      .withColumn("wh", expr(
+        s"CASE WHEN length(text) < $RollK THEN CAST(array() AS array<bigint>) " +
+          s"ELSE transform(sequence(1, length(text) - ${RollK - 1}), i -> $windowHash) END"))
+      .select($"doc_id",
+        size($"wh").cast("long").as("n_windows"),
+        array_min($"wh").as("fp_min"),
+        array_max($"wh").as("fp_max"),
+        array_min(expr("filter(wh, h -> h % 16 = 0)")).as("fp_sampled"))
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprinting: whole-doc digest + head/tail block
     * digests (the building block for shift-robust dedup keys). */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -122,6 +149,7 @@ object TextAnalysis {
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
     "q_text_bpe" -> qTextBpe,
+    "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
   )
 
@@ -178,6 +206,25 @@ object TextAnalysis {
         |SELECT doc_id, n_pieces, n_distinct_pieces, n_bpe,
         |       (n_bpe * 1000) // length(text) AS bpe_per_kchar
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_rollhash" -> {
+      val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
+      val windowHash = (1 to RollK).map { d =>
+        s"CAST(ascii(substring(text, i + ${d - 1}, 1)) AS BIGINT) * ${powers(d - 1)}"
+      }.mkString("(", " + ", s") % $RollP")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) < $RollK THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(text) - ${RollK - 2}),
+         |                i -> CAST($windowHash AS BIGINT)) END AS wh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(wh) AS BIGINT) AS n_windows,
+         |  list_min(wh) AS fp_min,
+         |  list_max(wh) AS fp_max,
+         |  list_min(list_filter(wh, h -> h % 16 = 0)) AS fp_sampled
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermarked tumbling window aggregation equals batch windowed counts") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    qn += 1
+    val name = s"win_counts_$qn"
+    val input = MemoryStream[String]
+    val counts = StreamingPipeline.eventCountsByWindow(
+      StreamingPipeline.parseStream(spark, input.toDF()))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try { input.addData(scenario); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table(name)
+      .orderBy("win_start", "eventtype").collect().toSeq
+    val batch = Ingest.parseJson(spark, spark.createDataset(scenario))
+      .groupBy(window($"ts", "5 minutes"), $"eventtype")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"window.end".as("win_end"),
+        $"eventtype", $"n")
+      .orderBy("win_start", "eventtype").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("changelog upserts: completed converts the in-progress row in place") {
     val ev = scenario
     val changelogName = {
