@@ -95,16 +95,26 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
+  val sortedIntersectCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
+  private def all = Seq(cosineSim, sortedIntersectCount)
+
   /** Register into an already-built session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** SparkSessionExtensions hook: `spark.sql("SELECT cosine_sim(a, b)")`
   * via `.withExtensions(new GraftExtensions)` or the
   * spark.sql.extensions conf. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
+    ext.injectFunction(GraftFunctions.sortedIntersectCount)
+  }
 }

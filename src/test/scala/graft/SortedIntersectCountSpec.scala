@@ -20,6 +20,14 @@ class SortedIntersectCountSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Long]("c") == r.getAs[Long]("expect"), r))
   }
 
+  test("registers as a SQL function alongside cosine_sim") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c")
+      .head.getLong(0)
+    assert(n == 2L)
+  }
+
   test("agrees with array_intersect on sorted hashed shingles of real docs") {
     val d = Tables.load(spark, sf0001, "documents")
       .withColumn("toks", split($"text", " "))
