@@ -96,6 +96,31 @@ object Multimodal {
     }
   }
 
+  case class Resized(media_id: Long, orig_bytes: Long, resized_md5: String)
+
+  /** Resize for image payloads: nearest-neighbor resample of the
+    * decoded bytes to a fixed target length (the production build would
+    * resize the decoded pixel grid; index arithmetic and batch shape
+    * are identical). No shuffle — rows stay in their partition. */
+  def resize(media: Dataset[Media], target: Int = 64): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val bytes = decodeStub(m)
+          val out = new Array[Byte](target)
+          var i = 0
+          while (i < target) {
+            out(i) = bytes((i.toLong * bytes.length / target).toInt)
+            i += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5").digest(out)
+          Resized(m.media_id, bytes.length.toLong, md.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
@@ -112,9 +137,15 @@ object Multimodal {
       .toDF().orderBy($"media_id", $"frame_idx")
   }
 
+  def qMmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resize(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_byte_hist" -> qMmByteHist,
-    "q_mm_frames" -> qMmFrames
+    "q_mm_frames" -> qMmFrames,
+    "q_mm_resize" -> qMmResize
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +161,16 @@ object Multimodal {
           s"  CAST(len(list_filter(codes, c -> c % $HistBuckets = $i)) AS BIGINT) AS h$i")
           .mkString(",\n")}
         |FROM ch ORDER BY media_id""".stripMargin),
+
+    // nearest-neighbor index: byte i of the resized payload is source
+    // char floor(i * len / 64) — text is ASCII so char == byte
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  md5(array_to_string(list_transform(range(0, 64),
+        |        i -> substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)), '')) AS resized_md5
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,

@@ -33,6 +33,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resize: image rows only, fixed target, partitioning-invariant") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val a = Multimodal.resize(media).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.media_id % 3 == 0) // only image-kind payloads
+      assert(r.resized_md5.matches("[0-9a-f]{32}"))
+    }
+    val b = Multimodal.resize(media.repartition(5)).collect()
+    assert(a.map(r => r.media_id -> r.resized_md5).toMap ==
+      b.map(r => r.media_id -> r.resized_md5).toMap)
+  }
+
   test("frame sampling respects stride, length cap, and determinism") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaFromDocuments(spark, sf0001)).collect()
     assert(frames.nonEmpty)
