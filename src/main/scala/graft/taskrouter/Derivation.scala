@@ -186,7 +186,15 @@ object Derivation {
     // this each branch would recompute the full window and projection.
     // At scale this is the staged "task events + base" table written
     // once per batch window (SCALE.md storage layout).
+    // uuid/segment_kind are always branch overrides, and no task branch
+    // reads the parsed attribute blobs after the base projection — so
+    // the staged frame keeps only base columns + correlation fields
+    // (roughly halves the materialized width).
+    val stagedCols = segmentColumns.filterNot(Set("uuid", "segment_kind")).map(col) ++
+      Seq(col("eventtype"), col("event_id"), col("ts_sec"), col("ts_us"),
+        col("p_reservation_sid"), col("entry_ts_sec"))
     val taskEv = withBase(withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
+      .select(stagedCols: _*)
       .localCheckpoint()
     val resLk = reservationLookup(ev)
 
