@@ -542,6 +542,24 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q17 shape: CORRELATED scalar subquery (small-quantity
+    * revenue below the per-part average), deliberately written as SQL
+    * so Catalyst's subquery decorrelation plans it — it rewrites to an
+    * aggregate-then-join on p_partkey, one shuffle, no per-row
+    * subquery execution (SURVEY §4.2). The per-part average is exact:
+    * quantities are integer-valued doubles, so the sum (and thus
+    * sum/count) is order-independent across engines. */
+  def qSqlTpch17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -577,6 +595,7 @@ object Relational {
     "q_sql_tpch3" -> qSqlTpch3,
     "q_sql_tpch5" -> qSqlTpch5,
     "q_sql_tpch6" -> qSqlTpch6,
+    "q_sql_tpch17" -> qSqlTpch17,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_join_range" -> qJoinRange,
@@ -830,6 +849,14 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_sql_tpch17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

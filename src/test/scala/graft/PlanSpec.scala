@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch17 correlated scalar subquery decorrelates to an aggregate join") {
+    val p = plan(Relational.qSqlTpch17(spark, sf0001))
+    // the per-part average becomes a grouped aggregate joined back in —
+    // no per-row subquery plan survives optimization
+    assert(!p.contains("Subquery"), p)
+    assert(p.contains("avg("), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("segment derivation contains no cartesian products") {
     val parsed = graft.taskrouter.Synth.parsedEvents(spark, sf0001)
     val p = plan(graft.taskrouter.Derivation.segments(parsed))
