@@ -79,4 +79,17 @@ object TextOpsProps extends Properties("TextOps") {
       // left-to-right, exactly like indexOf stepping by marker length
       got == expected
     }
+
+  private val sortedDistinctLongs: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
+
+  property("sorted_intersect_count equals set-intersection cardinality") =
+    Prop.forAll(sortedDistinctLongs, sortedDistinctLongs) { (a, b) =>
+      import spark.implicits._
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("a"), col("b")).as("c"))
+        .head.getLong(0)
+      got == (a.toSet & b.toSet).size.toLong
+    }
 }
