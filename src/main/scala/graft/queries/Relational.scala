@@ -560,6 +560,24 @@ object Relational {
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  /** TPC-H Q18 shape: large-volume orders — grouped HAVING subquery
+    * feeding an IN predicate (planned as a semi-join against the
+    * pre-aggregated key set), three-way join, top-k. */
+  def qSqlTpch18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  unix_timestamp(o_orderdate) AS o_ep, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -596,6 +614,7 @@ object Relational {
     "q_sql_tpch5" -> qSqlTpch5,
     "q_sql_tpch6" -> qSqlTpch6,
     "q_sql_tpch17" -> qSqlTpch17,
+    "q_sql_tpch18" -> qSqlTpch18,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_join_range" -> qJoinRange,
@@ -857,6 +876,18 @@ object Relational {
         |WHERE p_brand = 'Brand#4'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_sql_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_ep, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,
