@@ -29,8 +29,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+      // noop write forces every output column to be computed — count()
+      // would let Catalyst prune the projections and eliminate sorts,
+      // timing a row-count scan instead of the query
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

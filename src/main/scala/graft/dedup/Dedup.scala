@@ -34,9 +34,8 @@ object Dedup {
 
   /** Shingle frame, materialized once per (session, dir): consumed by
     * both sides of the Jaccard self-join and by the signature builder. */
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+    graft.SessionCache.checkpointed(spark, s"dedup.shingles|$dir") {
       import spark.implicits._
       Tables.load(spark, dir, "documents")
         .withColumn("toks", split($"text", " "))
@@ -46,8 +45,7 @@ object Dedup {
         // strings per pair (SortedIntersectCount)
         .withColumn("shs", array_sort(expr("transform(sh, s -> xxhash64(s))")))
         .select($"doc_id", $"source", $"lang", $"sh", $"shs")
-        .localCheckpoint()
-    })
+    }
 
   /** Exact dedup: canonical id per content digest. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -95,16 +93,14 @@ object Dedup {
 
   /** Signature table, materialized once per (session, dir) — at scale
     * this is a persisted signatures table, computed once per corpus. */
-  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+    graft.SessionCache.checkpointed(spark, s"dedup.signatures|$dir") {
       import spark.implicits._
       withShingles(spark, dir)
         .filter(size($"sh") > 0)
         .withColumn("shh", expr("transform(sh, s -> md5(cast(s as binary)))"))
         .select(Seq($"doc_id") ++ minhashCols: _*)
-        .localCheckpoint()
-    })
+    }
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -108,12 +108,19 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { m =>
           val bytes = decodeStub(m)
-          val out = new Array[Byte](target)
-          var i = 0
-          while (i < target) {
-            out(i) = bytes((i.toLong * bytes.length / target).toInt)
-            i += 1
-          }
+          // empty payload: every NN selection is empty — the digest of
+          // zero bytes, matching the oracle's substr('',…) concatenation
+          val out =
+            if (bytes.isEmpty) Array.emptyByteArray
+            else {
+              val o = new Array[Byte](target)
+              var i = 0
+              while (i < target) {
+                o(i) = bytes((i.toLong * bytes.length / target).toInt)
+                i += 1
+              }
+              o
+            }
           val md = java.security.MessageDigest.getInstance("MD5").digest(out)
           Resized(m.media_id, bytes.length.toLong, md.map("%02x".format(_)).mkString)
         }

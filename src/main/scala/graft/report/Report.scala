@@ -52,6 +52,7 @@ object Report {
     val d = localeShortDate(locale, tz)
     val t = localeShortTime(locale, tz)
     segments.select(
+      col("date").as("event_ts"), // raw timestamp: sort key (formatted strings order lexically, not chronologically)
       slice10(col("conversation_id")).as("conv_id"),
       col("segment_kind").as("kind"),
       slice10(col("segment_external_id")).as("seg_id"),
@@ -64,8 +65,10 @@ object Report {
       col("abandoned_phase").as("aband_phase"),
       col("abandon_time").as("aband_time"),
       col("queue_time"), col("ring_time"), col("talk_time"), col("wrapup_time"))
-      // Loki renders insertion order; Spark has none → deterministic sort
-      .orderBy(col("date"), col("time"), col("conv_id"), col("kind"))
+      // Loki renders insertion order; Spark has none → deterministic
+      // CHRONOLOGICAL sort on the raw timestamp, then drop the key
+      .orderBy(col("event_ts"), col("conv_id"), col("kind"))
+      .drop("event_ts")
   }
 
   /** Agents table (views/index.pug:9-40). */

@@ -30,21 +30,23 @@ object Similarity {
     * (session, dir) — the at-scale shape is a persisted embeddings
     * table bucketed by the signature (the 440-term hyperplane sum is
     * paid once at write time, not once per query side). */
-  private val vecCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    vecCache.getOrElseUpdate(System.identityHashCode(spark).toString + "|" + dir, {
+    graft.SessionCache.checkpointed(spark, s"sim.vectors|$dir") {
       import spark.implicits._
       Tables.load(spark, dir, "embeddings")
         .withColumn("nv", expr("transform(embedding, x -> cast(x as double))"))
         .withColumn("bucket", bucketCol("nv"))
         .select($"vec_id", $"label", $"nv", $"bucket")
-        .localCheckpoint()
-    })
+    }
 
   /** Fixed-point cosine via the native codegen'd Catalyst expression
-    * (graft.functions.CosineSimilarity) — one fused loop per pair. */
-  private def cosE6(a: String, b: String): Column =
-    round(graft.functions.CosineSimilarity.cosine_sim(col(a), col(b)) * 1e6).cast("long")
+    * (graft.functions.CosineSimilarity) — one fused loop per pair.
+    * A zero-norm (or empty) vector makes the cosine NaN; guard it to
+    * NULL rather than letting the ANSI long-cast fail the whole job. */
+  private def cosE6(a: String, b: String): Column = {
+    val c = graft.functions.CosineSimilarity.cosine_sim(col(a), col(b))
+    when(isnan(c), lit(null)).otherwise(round(c * 1e6).cast("long"))
+  }
 
   /** Brute-force cosine top-k (k=5) for query set vec_id % 100 == 0. */
   def qSimKnnBrute(spark: SparkSession, dir: String): DataFrame = {

@@ -65,6 +65,13 @@ object StreamingPipeline {
 
   private def emptyRes = ResState(None, None, None, None, None, None, None, None)
 
+  /** emit_seq ordering: event-time micros with a low-order phase bit so
+    * a conversion emitted at the SAME microsecond as the row it
+    * upserts (zero-duration call, second-granularity clocks) still wins
+    * the latestSegments max_by deterministically. */
+  private def insertSeq(tsUs: Long): Long = tsUs * 2
+  private def convertSeq(tsUs: Long): Long = tsUs * 2 + 1
+
   private def seg(uuidSeed: String, kind: String, emitSeq: Long, baseJson: String,
       queueTime: Option[Long] = None, ringTime: Option[Long] = None,
       talkTime: Option[Long] = None, wrapupTime: Option[Long] = None,
@@ -103,11 +110,17 @@ object StreamingPipeline {
               val q = e.tsSec - entry
               val ring = e.tsSec - created
               out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
-                e.tsUs, e.baseJson, queueTime = Some(q), dateSec = Some(entry))
+                insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), dateSec = Some(entry))
               out += seg(s"${e.eventId}|${Model.ConvoInProgSeg}", Model.ConvoInProgSeg,
-                e.tsUs, e.baseJson, queueTime = Some(q), ringTime = Some(ring))
-              r1.copy(accEventId = Some(e.eventId), accBaseJson = Some(e.baseJson),
-                accQueue = Some(q), accRing = Some(ring))
+                insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), ringTime = Some(ring))
+              // a duplicate accepted still inserts its pair (the
+              // reference has no guard) but the completed-update targets
+              // the FIRST stored in-progress row (:129-137 data()[0]) —
+              // keep the first emitted identity
+              if (r1.accEventId.isEmpty)
+                r1.copy(accEventId = Some(e.eventId), accBaseJson = Some(e.baseJson),
+                  accQueue = Some(q), accRing = Some(ring))
+              else r1
             case _ => r1 // exception-as-inner-join: nothing emitted (:161,:672)
           }
           st = st.copy(res = st.res + (e.resSid -> r2))
@@ -120,7 +133,7 @@ object StreamingPipeline {
               val talk = r.wrapup.map(_ - accSec).getOrElse(e.tsSec - accSec)
               val wrap = r.wrapup.map(e.tsSec - _).getOrElse(0L)
               out += seg(s"$accId|${Model.ConvoInProgSeg}", Model.ConvoSeg,
-                e.tsUs, accBase,
+                convertSeq(e.tsUs), accBase,
                 queueTime = r.accQueue, ringTime = r.accRing,
                 talkTime = Some(talk), wrapupTime = Some(wrap),
                 segLink = e.segLink, segLinkSet = true)
@@ -135,18 +148,18 @@ object StreamingPipeline {
               case Model.EtReservationRescinded => Model.ConvoRevoked
               case _ => Model.ConvoMissed
             }
-            out += seg(s"${e.eventId}|$kind", kind, e.tsUs, e.baseJson,
+            out += seg(s"${e.eventId}|$kind", kind, insertSeq(e.tsUs), e.baseJson,
               ringTime = Some(e.tsSec - created))
           }
         case Model.EtTaskCanceled | Model.EtTaskTransferFailed =>
           st.lastEntry.foreach { entry =>
             val q = e.tsSec - entry
             out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
-              e.tsUs, e.baseJson, queueTime = Some(q), abandonTime = Some(q),
+              insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), abandonTime = Some(q),
               abandoned = Some("Yes"), abandonedPhase = Some("Queue"),
               dateSec = Some(entry))
             out += seg(s"${e.eventId}|${Model.ConvoSeg}", Model.ConvoSeg,
-              e.tsUs, e.baseJson, queueTime = Some(q), abandonTime = Some(q),
+              insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), abandonTime = Some(q),
               abandoned = Some("Yes"), abandonedPhase = Some("Queue"))
           }
         case _ => // cached-only event types
@@ -165,7 +178,7 @@ object StreamingPipeline {
       e.eventtype match {
         case Model.EtWorkerCreated =>
           out += seg(s"${e.eventId}|${Model.AgentStatusInProgress}",
-            Model.AgentStatusInProgress, e.tsUs, e.baseJson,
+            Model.AgentStatusInProgress, insertSeq(e.tsUs), e.baseJson,
             activity = e.activityName,
             activityTime = e.wtipa, activityTimeSet = true)
           st = WorkerState(Some(e.eventId), Some(e.baseJson), e.activityName,
@@ -176,13 +189,13 @@ object StreamingPipeline {
               // close the open span: only segment_kind + activity_time
               // change (JS spread, reference :645-648, :661)
               out += seg(s"$openId|${Model.AgentStatusInProgress}",
-                Model.AgentStatus, e.tsUs, openBase,
+                Model.AgentStatus, convertSeq(e.tsUs), openBase,
                 activity = st.openActivity,
                 activityTime = e.wtipa, activityTimeSet = true)
             case _ => // no open span: update tolerated with a log (:308)
           }
           out += seg(s"${e.eventId}|${Model.AgentStatusInProgress}",
-            Model.AgentStatusInProgress, e.tsUs, e.baseJson,
+            Model.AgentStatusInProgress, insertSeq(e.tsUs), e.baseJson,
             activity = e.activityName,
             activityTime = None, activityTimeSet = true)
           st = WorkerState(Some(e.eventId), Some(e.baseJson), e.activityName,

@@ -159,19 +159,38 @@ object Derivation {
       last(when(isEntryEvent, col("ts_sec")), ignoreNulls = true).over(w))
   }
 
-  /** J2/J3/J4 in one aggregation per reservation_sid:
-    *  - created: latest by ts (reference :89-102 desc sort, first)
-    *  - wrapup:  latest by ts (reference :104-117)
-    *  - accepted: first by event-time (reference :119-127 is
-    *    arrival-order; event-time is our documented divergence). */
-  private def reservationLookup(ev: DataFrame): DataFrame =
-    ev.filter(col("p_reservation_sid").isNotNull)
-      .groupBy(col("p_reservation_sid").as("lk_res_sid"))
-      .agg(
-        max(when(col("eventtype") === EtReservationCreated, col("ts_sec"))).as("created_ts_sec"),
-        max(when(col("eventtype") === EtReservationWrapup, col("ts_sec"))).as("wrapup_ts_sec"),
+  /** J2/J3/J4 as STRICTLY-PRIOR per-reservation window lookups
+    * (reference :89-127 scans what has arrived before the consuming
+    * event; under in-order delivery arrived == prior-by-event-time):
+    *  - created: latest prior (reference :89-102 desc sort, first)
+    *  - wrapup:  latest prior (reference :104-117)
+    *  - accepted: first prior by event-time (reference :119-127 is
+    *    arrival-order; event-time is our documented divergence).
+    * An unbounded (whole-history) aggregate here would let a created/
+    * wrapup event that POSTDATES the consumer produce negative
+    * durations and diverge from the streaming machine. The frame is a
+    * ROWS frame over the canonical (ts_us, event_id) event order — the
+    * exact order the streaming machine processes events — so same-
+    * timestamp lookups resolve identically in batch and stream
+    * (reference :89-127 has no time predicate at all: it scans
+    * whatever has arrived). Non-reservation rows get a per-task
+    * partition key so no null-key skew partition forms. */
+  private def withReservationLookup(taskEv: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(coalesce(col("p_reservation_sid"), concat(lit("T|"), col("p_task_sid"))))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    taskEv
+      .withColumn("created_ts_sec",
+        last(when(col("eventtype") === EtReservationCreated, col("ts_sec")),
+          ignoreNulls = true).over(w))
+      .withColumn("wrapup_ts_sec",
+        last(when(col("eventtype") === EtReservationWrapup, col("ts_sec")),
+          ignoreNulls = true).over(w))
+      .withColumn("accepted_ts_sec",
         min(when(col("eventtype") === EtReservationAccepted,
-          struct(col("ts_us"), col("ts_sec")))).getField("ts_sec").as("accepted_ts_sec"))
+          struct(col("ts_us"), col("ts_sec")))).over(w).getField("ts_sec"))
+  }
 
   // ---------------------------------------------------------------
   // public API
@@ -192,16 +211,20 @@ object Derivation {
     // (roughly halves the materialized width).
     val stagedCols = segmentColumns.filterNot(Set("uuid", "segment_kind")).map(col) ++
       Seq(col("eventtype"), col("event_id"), col("ts_sec"), col("ts_us"),
-        col("p_reservation_sid"), col("entry_ts_sec"))
-    val taskEv = withBase(withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
+        col("p_reservation_sid"), col("entry_ts_sec"),
+        col("created_ts_sec"), col("wrapup_ts_sec"), col("accepted_ts_sec"),
+        // completed-update link comes from the completed event's
+        // task_attributes.conversations ONLY (:578-583), not the
+        // wattr-merged custom-data column
+        col("task_attr.conversations")("segment_link").as("segment_link_src"))
+    val taskEv = withBase(withReservationLookup(
+        withQueueEntry(ev.filter(col("p_task_sid").isNotNull))))
       .select(stagedCols: _*)
       .localCheckpoint()
-    val resLk = reservationLookup(ev)
 
     // --- reservation.accepted (EP1, reference :514-538): requires both
     // J1 entry and J2 created (exception-as-inner-join, :161,:171,:672).
     val acc = taskEv.filter(col("eventtype") === EtReservationAccepted)
-      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
       .filter(col("entry_ts_sec").isNotNull && col("created_ts_sec").isNotNull)
       .withColumn("queue_time_c", secDiff(col("ts_sec"), col("entry_ts_sec")))
       .withColumn("ring_time_c", secDiff(col("ts_sec"), col("created_ts_sec")))
@@ -213,20 +236,26 @@ object Derivation {
       "date" -> col("entry_ts_sec"),
       "time" -> col("entry_ts_sec")))
 
-    // in-progress rows keep the reservation key for the completed join
+    // in-progress rows keep the reservation key + emission order for
+    // the completed join: the reference's completed handler updates the
+    // FIRST stored in-progress row (getConversationInProgressSegment
+    // :129-137 takes data()[0], insertion order), so with duplicate
+    // accepted events only the earliest in-progress row converts.
     val inProgRows = selectSegment(acc, Map(
       "uuid" -> detUuid(col("event_id"), lit(ConvoInProgSeg)),
       "segment_kind" -> lit(ConvoInProgSeg),
       "queue_time" -> col("queue_time_c"),
       "ring_time" -> col("ring_time_c")),
-      extra = Seq(col("p_reservation_sid").as("join_res_sid")))
+      extra = Seq(col("p_reservation_sid").as("join_res_sid"),
+        row_number().over(Window.partitionBy(col("p_reservation_sid"))
+          .orderBy(col("ts_us"), col("event_id"))).as("ip_rank")))
 
     // --- reservation.completed (EP2, reference :572-586): FIRST
     // completed per reservation converts the in-progress row — a second
     // completed finds no in-progress (kind already changed) and is
     // tolerated-dropped (:308-310), so first-wins, not last-wins.
-    val compUpd = ev.filter(col("eventtype") === EtReservationCompleted)
-      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
+    // accepted/wrapup lookups are the strictly-prior window values.
+    val compUpd = taskEv.filter(col("eventtype") === EtReservationCompleted)
       .filter(col("accepted_ts_sec").isNotNull) // J4 required (:182)
       .withColumn("talk_time_c",
         when(col("wrapup_ts_sec").isNotNull,
@@ -235,7 +264,7 @@ object Derivation {
       .withColumn("wrapup_time_c",
         when(col("wrapup_ts_sec").isNull, lit(0L))
           .otherwise(secDiff(col("ts_sec"), col("wrapup_ts_sec"))))
-      .withColumn("segment_link_c", col("task_attr.conversations")("segment_link"))
+      .withColumn("segment_link_c", col("segment_link_src"))
       .groupBy(col("p_reservation_sid").as("upd_res_sid"))
       .agg(min_by(
         struct(col("talk_time_c"), col("wrapup_time_c"), col("segment_link_c")),
@@ -246,23 +275,24 @@ object Derivation {
 
     // JS spread {...in_progress, ...update}: only the four delta fields
     // change, segment_link even when the new value is undefined (:578-583)
+    val converts = col("has_upd") && col("ip_rank") === 1
     val convoRows = inProgRows
       .join(compUpd, col("join_res_sid") === col("upd_res_sid"), "left")
       .withColumn("segment_kind",
-        when(col("has_upd"), lit(ConvoSeg)).otherwise(col("segment_kind")))
+        when(converts, lit(ConvoSeg)).otherwise(col("segment_kind")))
       .withColumn("talk_time",
-        when(col("has_upd"), col("talk_time_c")).otherwise(col("talk_time")))
+        when(converts, col("talk_time_c")).otherwise(col("talk_time")))
       .withColumn("wrapup_time",
-        when(col("has_upd"), col("wrapup_time_c")).otherwise(col("wrapup_time")))
+        when(converts, col("wrapup_time_c")).otherwise(col("wrapup_time")))
       .withColumn("segment_link",
-        when(col("has_upd"), col("segment_link_c")).otherwise(col("segment_link")))
+        when(converts, col("segment_link_c")).otherwise(col("segment_link")))
       .select(segmentColumns.map(col): _*)
 
-    // --- failed reservations (reference :541-571): J2 required.
+    // --- failed reservations (reference :541-571): J2 required —
+    // created_ts_sec is the staged strictly-prior window lookup.
     val failed = taskEv.filter(col("eventtype").isin(
         EtReservationRejected, EtReservationTimeout,
         EtReservationCanceled, EtReservationRescinded))
-      .join(resLk, col("p_reservation_sid") === col("lk_res_sid"), "left")
       .filter(col("created_ts_sec").isNotNull)
       .withColumn("ring_time_c", secDiff(col("ts_sec"), col("created_ts_sec")))
       .withColumn("kind_c",

@@ -32,11 +32,7 @@ object Ingest {
   def parse(envelopes: DataFrame, dedup: Boolean = true): DataFrame = {
     val gated = envelopes
       .filter(col("type").startsWith(Model.TaskRouterPrefix))
-    // reference replays duplicate rows (non-unique event_id index);
-    // we dedup deterministically — documented divergence (SURVEY §2.10).
-    // Streaming callers pass dedup=false and apply
-    // dropDuplicatesWithinWatermark instead (bounded state).
-    (if (dedup) gated.dropDuplicates(Seq("id")) else gated)
+    val typed = gated
       .select(
         col("id").as("event_id"),
         col("data.payload.eventtype").as("eventtype"),
@@ -61,7 +57,17 @@ object Ingest {
         col("data.payload.worker_time_in_previous_activity")
           .as("worker_time_in_previous_activity"),
         col("data.publisher_metadata.account_sid").as("account_sid"))
-      .filter(col("ts").isNotNull)
+      // drop unusable rows BEFORE dedup: otherwise (a) a replayed event
+      // whose corrupt-timestamp copy happens to win the dedup loses a
+      // perfectly parseable copy (partition-order-dependent data loss),
+      // and (b) distinct id-less events collapse into one survivor.
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+    // reference replays duplicate rows (non-unique event_id index);
+    // we dedup deterministically — documented divergence (SURVEY §2.10).
+    // Streaming callers pass dedup=false and apply
+    // dropDuplicatesWithinWatermark instead (bounded state). Deduping
+    // the typed projection also shuffles narrow rows, not raw JSON.
+    (if (dedup) typed.dropDuplicates(Seq("event_id")) else typed)
       .withColumn("ts_sec", date_trunc("second", col("ts")))
       .withColumn("ts_us", unix_micros(col("ts")))
   }

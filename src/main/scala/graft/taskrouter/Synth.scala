@@ -36,11 +36,15 @@ object Synth {
     Model.payloadSchema.fields.toSeq.map(f =>
       fields.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
 
-  /** One CloudEvent envelope as a struct column (id/type/data). */
+  /** One CloudEvent envelope as a struct column (id/type/data).
+    * Envelope ids zero-pad the numeric source id so STRING ordering of
+    * ids (the engine's generic window tiebreak) equals NUMERIC ordering
+    * of source ids (the analytic oracles' tiebreak) under timestamp
+    * ties. */
   private def envStruct(idPrefix: String, et: String,
       offSec: Column, fields: Map[String, Column]): Column =
     struct(
-      concat(lit(idPrefix), col("event_id")).as("id"),
+      concat(lit(idPrefix), lpad(col("event_id").cast(StringType), 12, "0")).as("id"),
       lit(Model.TaskRouterPrefix + "." + et).as("type"),
       struct(
         payload(fields ++ Map(
@@ -133,7 +137,7 @@ object Synth {
 
     // ---- signup → worker lifecycle (one windowed + exploded plan)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("us"))
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val s = ev.filter(col("event_type") === "signup")
       .withColumn("rn", row_number().over(w))
       .withColumn("last_us", max(col("us")).over(
@@ -162,20 +166,14 @@ object Synth {
   // localCheckpoint also truncates the 13-way synth-union lineage so
   // the per-branch plans in Derivation.segments scan cached blocks
   // instead of re-reading + re-deriving the whole tree.
-  private val parsedCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val segmentsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def key(spark: SparkSession, dir: String): String =
-    System.identityHashCode(spark).toString + "|" + dir
-
   def parsedEvents(spark: SparkSession, dir: String): DataFrame =
-    parsedCache.getOrElseUpdate(key(spark, dir),
-      Ingest.parse(cloudEvents(spark, dir)).localCheckpoint())
+    graft.SessionCache.checkpointed(spark, s"synth.parsed|$dir")(
+      Ingest.parse(cloudEvents(spark, dir)))
 
   /** Derived segment table for the synthesized scenario set. */
   def segments(spark: SparkSession, dir: String): DataFrame =
-    segmentsCache.getOrElseUpdate(key(spark, dir),
-      Derivation.segments(parsedEvents(spark, dir)).localCheckpoint())
+    graft.SessionCache.checkpointed(spark, s"synth.segments|$dir")(
+      Derivation.segments(parsedEvents(spark, dir)))
 
   def agents(spark: SparkSession, dir: String): DataFrame =
     Derivation.agents(parsedEvents(spark, dir))

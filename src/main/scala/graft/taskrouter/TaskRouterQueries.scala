@@ -145,7 +145,7 @@ object TaskRouterQueries {
         |         lead(CAST(floor(value) AS BIGINT)) OVER w AS next_v,
         |         (lead(ts) OVER w IS NOT NULL) AS closed
         |  FROM events WHERE event_type = 'signup'
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT agent_uuid,
         |       CASE WHEN closed THEN 'AGENT STATUS' ELSE 'AGENT STATUS IN PROGRESS' END AS segment_kind,
         |       'ACT' || (v%5) AS activity,

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("duplicate accepted: only the first in-progress row converts (batch == stream)") {
+    val ev = Seq(
+      ce("task-queue.entered", "2026-08-12T11:00:00.000Z", taskFields: _*),
+      ce("reservation.created", "2026-08-12T11:00:05.000Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T11:00:10.000Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T11:00:12.000Z", taskFields: _*),
+      ce("reservation.completed", "2026-08-12T11:00:40.000Z", taskFields: _*))
+    val streamed = runStream(Seq(ev))
+    val batch = batchSegments(ev)
+    assertEquivalent(streamed, batch)
+    // reference: completed updates data()[0] — the first stored
+    // in-progress row; the duplicate's row stays in progress
+    assert(batch.filter($"segment_kind" === "CONVERSATION").count() == 1)
+    assert(batch.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 1)
+  }
+
+  test("zero-duration call: completed at the accepted timestamp still converts") {
+    val ev = Seq(
+      ce("task-queue.entered", "2026-08-12T11:10:00.000Z", taskFields: _*),
+      ce("reservation.created", "2026-08-12T11:10:05.000Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T11:10:10.500Z", taskFields: _*),
+      ce("reservation.completed", "2026-08-12T11:10:10.500Z", taskFields: _*))
+    val streamed = runStream(Seq(ev))
+    val batch = batchSegments(ev)
+    assertEquivalent(streamed, batch)
+    val conv = batch.filter($"segment_kind" === "CONVERSATION").collect()
+    assert(conv.length == 1 && conv(0).getAs[Long]("talk_time") == 0L)
+    assert(batch.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
+  }
+
   test("watermarked tumbling window aggregation equals batch windowed counts") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
