@@ -25,8 +25,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names; i <- 1 to repeats) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[profile] $name run#$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      // same noop write as Bench: count() would let Catalyst prune the
+      // projections and sorts being profiled
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name run#$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

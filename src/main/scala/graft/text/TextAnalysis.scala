@@ -114,10 +114,15 @@ object TextAnalysis {
   def qTextRollhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
+    // index the char codes ONCE per document: substring(text, i, 1)
+    // inside the window lambda is an O(i) UTF-8 seek, which makes the
+    // whole computation quadratic in document length (measured 25s at
+    // sf0.1); element_at on the pre-split code array is O(1)
     val windowHash = (1 to RollK).map { d =>
-      s"ascii(substring(text, i + ${d - 1}, 1)) * ${powers(d - 1)}L"
+      s"element_at(codes, i + ${d - 1}) * ${powers(d - 1)}L"
     }.mkString("(", " + ", s") % ${RollP}L")
     Tables.load(spark, dir, "documents")
+      .withColumn("codes", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
       .withColumn("wh", expr(
         s"CASE WHEN length(text) < $RollK THEN CAST(array() AS array<bigint>) " +
           s"ELSE transform(sequence(1, length(text) - ${RollK - 1}), i -> $windowHash) END"))
