@@ -147,32 +147,40 @@ object Dedup {
   }
 
   /** 16-bit SimHash over distinct tokens (hex-digit bits of md5). */
+  /** SimHash frame, materialized once per (session, dir): the
+    * token-explode aggregation is the expensive part and both the
+    * direct query and the pair self-join (twice) consume it. */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"dedup.simhash|$dir") {
+      import spark.implicits._
+      val tok = Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("tok"))
+        .withColumn("h", md5($"tok".cast("binary")))
+      // bit k (0..15) = bit (k%4) of hex digit (k/4) of the token digest
+      val bitSums = (0 until 16).map { k =>
+        val p = k / 4 + 1
+        val b = k % 4
+        sum(expr(s"shiftright(instr('0123456789abcdef', substring(h, $p, 1)) - 1, $b) & 1"))
+          .as(s"c$k")
+      }
+      val aggCols = count(lit(1)).as("n") +: bitSums
+      val agg = tok.groupBy($"doc_id", $"source")
+        .agg(aggCols.head, aggCols.tail: _*)
+      val simhash = (0 until 16).map(k =>
+        when(col(s"c$k") * 2 >= col("n"), lit(1L) * (1L << k)).otherwise(0L))
+        .reduce(_ + _)
+      agg.select($"doc_id", $"source", simhash.as("simhash16"))
+    }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("tok"))
-      .withColumn("h", md5($"tok".cast("binary")))
-    // bit k (0..15) = bit (k%4) of hex digit (k/4) of the token digest
-    val bitSums = (0 until 16).map { k =>
-      val p = k / 4 + 1
-      val b = k % 4
-      sum(expr(s"shiftright(instr('0123456789abcdef', substring(h, $p, 1)) - 1, $b) & 1"))
-        .as(s"c$k")
-    }
-    val aggCols = count(lit(1)).as("n") +: bitSums
-    val agg = tok.groupBy($"doc_id", $"source")
-      .agg(aggCols.head, aggCols.tail: _*)
-    val simhash = (0 until 16).map(k =>
-      when(col(s"c$k") * 2 >= col("n"), lit(1L) * (1L << k)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select($"doc_id", $"source", simhash.as("simhash16"))
-      .orderBy($"doc_id")
+    simhashes(spark, dir).orderBy($"doc_id")
   }
 
   /** SimHash near-dup candidate pairs: Hamming ≤ 4 within source block. */
   def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val s = qDedupSimhash(spark, dir)
+    val s = simhashes(spark, dir)
     val a = s.select($"source", $"doc_id".as("doc_a"), $"simhash16".as("ha"))
     val b = s.select($"source", $"doc_id".as("doc_b"), $"simhash16".as("hb"))
     a.join(b, Seq("source"))

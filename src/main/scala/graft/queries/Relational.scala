@@ -242,7 +242,9 @@ object Relational {
     import spark.implicits._
     Tables.load(spark, dir, "events")
       .select($"event_id",
-        get_json_object($"props", "$.k").cast("long").as("k_val"),
+        // try_cast: a non-numeric $.k must yield NULL, not an ANSI
+        // CAST_INVALID_INPUT job failure (= DuckDB TRY_CAST)
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k_val"),
         upper($"event_type").as("etype"))
       .orderBy($"event_id")
   }
@@ -742,7 +744,7 @@ object Relational {
 
     "q_proj_json" ->
       """SELECT event_id,
-        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |       upper(event_type) AS etype
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -52,7 +52,10 @@ object Report {
     val d = localeShortDate(locale, tz)
     val t = localeShortTime(locale, tz)
     segments.select(
-      col("date").as("event_ts"), // raw timestamp: sort key (formatted strings order lexically, not chronologically)
+      // raw timestamp + FULL id as sort keys: formatted strings order
+      // lexically, and the 10-char display slice is not identifying
+      col("date").as("event_ts"),
+      col("conversation_id").as("full_conv_id"),
       slice10(col("conversation_id")).as("conv_id"),
       col("segment_kind").as("kind"),
       slice10(col("segment_external_id")).as("seg_id"),
@@ -66,9 +69,9 @@ object Report {
       col("abandon_time").as("aband_time"),
       col("queue_time"), col("ring_time"), col("talk_time"), col("wrapup_time"))
       // Loki renders insertion order; Spark has none → deterministic
-      // CHRONOLOGICAL sort on the raw timestamp, then drop the key
-      .orderBy(col("event_ts"), col("conv_id"), col("kind"))
-      .drop("event_ts")
+      // CHRONOLOGICAL sort on the raw timestamp, then drop the keys
+      .orderBy(col("event_ts"), col("full_conv_id"), col("kind"))
+      .drop("event_ts", "full_conv_id")
   }
 
   /** Agents table (views/index.pug:9-40). */
@@ -76,6 +79,7 @@ object Report {
       locale: String = "en-US", tz: String = "UTC"): DataFrame = {
     val d = localeShortDate(locale, tz)
     agents.select(
+      col("agent_uuid").as("full_agent_uuid"),
       slice10(col("agent_uuid")).as("agent_id_display"),
       d(col("date_joined")).as("joined"),
       col("date_left"),
@@ -86,6 +90,7 @@ object Report {
       col("department_name"),
       col("manager"),
       col("state").as("status"))
-      .orderBy(col("agent_id_display"))
+      .orderBy(col("full_agent_uuid"))
+      .drop("full_agent_uuid")
   }
 }

@@ -76,6 +76,9 @@ object Similarity {
     val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"))
     val pairs = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
       .withColumn("cos_e6", cosE6("qv", "cv"))
+      // NULL cosine (zero-norm vector) would crash the primitive-Long
+      // encoder; the window variant sorts such rows past k anyway
+      .filter($"cos_e6".isNotNull)
       .select($"query_id", $"neighbor_id", $"cos_e6")
       .as[(Long, Long, Long)]
     pairs.groupByKey(_._1)

@@ -46,7 +46,18 @@ object StreamingPipeline {
       accQueue: Option[Long], accRing: Option[Long],
       converted: Boolean = false)
 
-  case class TaskState(lastEntry: Option[Long], res: Map[String, ResState])
+  /** Queue-entry state: the latest entry event and the latest entry
+    * STRICTLY OLDER than it. Batch J1 is a strictly-prior-by-time
+    * lookup (reference `timestamp < exitTimestamp`, :80) — a consumer
+    * tied to the microsecond with the latest entry must fall back to
+    * the previous-time entry (or none), exactly like the window frame. */
+  case class EntryAt(us: Long, sec: Long)
+  case class TaskState(lastEntry: Option[EntryAt], prevEntry: Option[EntryAt],
+      res: Map[String, ResState]) {
+    /** The latest entry strictly before `us` — batch J1's frame result. */
+    def entryBefore(us: Long): Option[EntryAt] =
+      lastEntry.filter(_.us < us).orElse(prevEntry.filter(_.us < us))
+  }
 
   case class WorkerState(openEventId: Option[String],
       openBaseJson: Option[String], openActivity: Option[String],
@@ -90,13 +101,17 @@ object StreamingPipeline {
     * processed in event-time order within each micro-batch). */
   private def taskFlat(key: String, it: Iterator[TaskEv],
       state: GroupState[TaskState]): Iterator[SegOut] = {
-    var st = state.getOption.getOrElse(TaskState(None, Map.empty))
+    var st = state.getOption.getOrElse(TaskState(None, None, Map.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[SegOut]
     it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
       def rs: ResState = st.res.getOrElse(e.resSid, emptyRes)
       e.eventtype match {
         case Model.EtTaskQueueEntered | Model.EtTaskTransferInitiated =>
-          st = st.copy(lastEntry = Some(e.tsSec))
+          val entry = EntryAt(e.tsUs, e.tsSec)
+          st =
+            if (st.lastEntry.exists(_.us == e.tsUs))
+              st.copy(lastEntry = Some(entry)) // same-time re-entry replaces, fallback kept
+            else st.copy(lastEntry = Some(entry), prevEntry = st.lastEntry)
         case Model.EtReservationCreated =>
           st = st.copy(res = st.res + (e.resSid -> rs.copy(created = Some(e.tsSec))))
         case Model.EtReservationWrapup =>
@@ -105,12 +120,12 @@ object StreamingPipeline {
           val r0 = rs
           val r1 = if (r0.acceptedSec.isEmpty)
             r0.copy(acceptedUs = Some(e.tsUs), acceptedSec = Some(e.tsSec)) else r0
-          val r2 = (st.lastEntry, r1.created) match {
+          val r2 = (st.entryBefore(e.tsUs), r1.created) match {
             case (Some(entry), Some(created)) =>
-              val q = e.tsSec - entry
+              val q = e.tsSec - entry.sec
               val ring = e.tsSec - created
               out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
-                insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), dateSec = Some(entry))
+                insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), dateSec = Some(entry.sec))
               out += seg(s"${e.eventId}|${Model.ConvoInProgSeg}", Model.ConvoInProgSeg,
                 insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), ringTime = Some(ring))
               // a duplicate accepted still inserts its pair (the
@@ -152,12 +167,12 @@ object StreamingPipeline {
               ringTime = Some(e.tsSec - created))
           }
         case Model.EtTaskCanceled | Model.EtTaskTransferFailed =>
-          st.lastEntry.foreach { entry =>
-            val q = e.tsSec - entry
+          st.entryBefore(e.tsUs).foreach { entry =>
+            val q = e.tsSec - entry.sec
             out += seg(s"${e.eventId}|${Model.QueueSegment}", Model.QueueSegment,
               insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), abandonTime = Some(q),
               abandoned = Some("Yes"), abandonedPhase = Some("Queue"),
-              dateSec = Some(entry))
+              dateSec = Some(entry.sec))
             out += seg(s"${e.eventId}|${Model.ConvoSeg}", Model.ConvoSeg,
               insertSeq(e.tsUs), e.baseJson, queueTime = Some(q), abandonTime = Some(q),
               abandoned = Some("Yes"), abandonedPhase = Some("Queue"))

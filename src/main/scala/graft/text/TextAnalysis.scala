@@ -98,7 +98,9 @@ object TextAnalysis {
       .select($"doc_id", $"n_pieces",
         size(array_distinct($"pieces")).cast("long").as("n_distinct_pieces"),
         $"n_bpe",
-        expr("(n_bpe * 1000) div length(text)").as("bpe_per_kchar"))
+        // nullif: an empty document must yield NULL, not an ANSI
+        // DIVIDE_BY_ZERO job failure
+        expr("(n_bpe * 1000) div nullif(length(text), 0)").as("bpe_per_kchar"))
       .orderBy($"doc_id")
   }
 
@@ -209,7 +211,7 @@ object TextAnalysis {
         |    CAST(list_sum(list_transform(pieces, x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |  FROM p)
         |SELECT doc_id, n_pieces, n_distinct_pieces, n_bpe,
-        |       (n_bpe * 1000) // length(text) AS bpe_per_kchar
+        |       (n_bpe * 1000) // nullif(length(text), 0) AS bpe_per_kchar
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_rollhash" -> {

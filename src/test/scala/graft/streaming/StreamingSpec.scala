@@ -160,6 +160,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
   }
 
+  test("entry tied to the consumer's timestamp is excluded; older entry wins (batch == stream)") {
+    // J1 is strictly-prior-by-time (reference `timestamp <`): an entered
+    // at the consumer's exact timestamp must not match, and the machine
+    // must fall back to the previous entry when one exists
+    val tied = Seq(
+      ce("reservation.created", "2026-08-12T12:00:01.000Z", taskFields: _*),
+      ce("task-queue.entered", "2026-08-12T12:00:05.000Z", taskFields: _*),
+      ce("reservation.accepted", "2026-08-12T12:00:05.000Z", taskFields: _*))
+    assertEquivalent(runStream(Seq(tied)), batchSegments(tied))
+    assert(batchSegments(tied).count() == 0)
+
+    val fallback = Seq(
+      ce("task-queue.entered", "2026-08-12T12:10:00.000Z", taskFields: _*),
+      ce("task-queue.entered", "2026-08-12T12:10:30.000Z", taskFields: _*),
+      ce("task.canceled", "2026-08-12T12:10:30.000Z", taskFields: _*))
+    val b = batchSegments(fallback)
+    assertEquivalent(runStream(Seq(fallback)), b)
+    // falls back to the 12:10:00 entry → 30s in queue
+    val q = b.filter($"segment_kind" === "QUEUE").collect()
+    assert(q.length == 1 && q(0).getAs[Long]("queue_time") == 30L)
+  }
+
   test("watermarked tumbling window aggregation equals batch windowed counts") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
