@@ -580,6 +580,25 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q14 shape: promo-revenue share — conditional aggregation
+    * over a fact-dim join with a tight date window. The part side
+    * broadcasts; the shipdate range prunes at the parquet scan. */
+  def qSqlTpch14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val one = lit(1).cast(DecimalType(18, 2))
+    val rev = dec($"l_extendedprice") * (one - dec($"l_discount"))
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-08-01").cast("timestamp"))
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .select($"p_partkey", $"p_type")), $"p_partkey" === $"l_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -617,6 +636,7 @@ object Relational {
     "q_sql_tpch6" -> qSqlTpch6,
     "q_sql_tpch17" -> qSqlTpch17,
     "q_sql_tpch18" -> qSqlTpch18,
+    "q_sql_tpch14" -> qSqlTpch14,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_join_range" -> qJoinRange,
@@ -890,6 +910,19 @@ object Relational {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
         |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_sql_tpch14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,
