@@ -72,6 +72,24 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Exact per-group median via distributed ranking: rank by value,
+    * keep the one or two middle rows, average them — one shuffle on the
+    * group key, no full sort of the table. Values are integer-valued
+    * doubles, so midpoint interpolation is exact and engine-agnostic. */
+  def qAggMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .filter(expr("rn = (cnt + 1) div 2 OR rn = cnt div 2 + 1")) // div: Column./ is double division
+      .groupBy($"l_returnflag")
+      .agg((sum($"l_quantity") / count(lit(1))).as("median_qty"),
+        max($"cnt").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Distinct aggregation over groups. */
   def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -608,6 +626,7 @@ object Relational {
     "q_agg_maxby" -> qAggMaxBy,
     "q_agg_minby" -> qAggMinBy,
     "q_agg_distinct" -> qAggDistinct,
+    "q_agg_median" -> qAggMedian,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_stats" -> qStats,
@@ -655,6 +674,12 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |       median(l_quantity) AS median_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_maxby" ->
       """SELECT user_id, event_type AS last_type, event_id AS last_event_id,
