@@ -63,8 +63,31 @@ object Pipeline {
       .start()
   }
 
-  /** Latest state of the streamed changelog (MERGE-by-uuid view). */
+  /** Latest state of the streamed changelog (MERGE-by-uuid view,
+    * recomputed over the full changelog — fine for bounded runs; long
+    * streams should use [[startStreamingMerged]]). */
   def latestSegments(spark: SparkSession, outPath: String): DataFrame =
     StreamingPipeline.latestSegments(
       spark.read.parquet(s"$outPath/segments_changelog"))
+
+  /** Continuous mode with an incrementally-maintained latest table (the
+    * reference's update-in-place behavior, routes/events.js:298-315):
+    * each micro-batch MERGEs its delta by uuid into
+    * `outPath/segments_latest`, so reads never re-aggregate history.
+    * `stateTtlMs` bounds per-key state machine memory (event-time
+    * eviction once the watermark passes newest-event + TTL). */
+  def startStreamingMerged(spark: SparkSession, watchDir: String,
+      checkpointDir: String, outPath: String,
+      stateTtlMs: Option[Long] = Some(24L * 3600 * 1000),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.text(watchDir)
+    val changelog = StreamingPipeline.segmentsChangelog(spark,
+      StreamingPipeline.parseStream(spark, raw), stateTtlMs)
+    graft.streaming.MergeSink.start(changelog,
+      s"$outPath/segments_latest", checkpointDir, trigger)
+  }
+
+  /** The incrementally-merged latest-segments table. */
+  def mergedSegments(spark: SparkSession, outPath: String): DataFrame =
+    graft.streaming.MergeSink.read(spark, s"$outPath/segments_latest")
 }

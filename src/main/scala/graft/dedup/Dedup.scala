@@ -177,17 +177,38 @@ object Dedup {
     simhashes(spark, dir).orderBy($"doc_id")
   }
 
-  /** SimHash near-dup candidate pairs: Hamming ≤ 4 within source block. */
+  /** SimHash near-dup pairs (Hamming ≤ 4 within source block) via
+    * pigeonhole chunk-banding: split the 16-bit fingerprint into 5
+    * chunks (4+3+3+3+3 bits) — Hamming ≤ 4 means at most 4 chunks can
+    * differ, so at least one chunk matches EXACTLY. Candidates sharing
+    * (source, chunk_idx, chunk_value) are therefore a guaranteed
+    * superset of the answer; bit_count verification then makes the
+    * output identical to the all-pairs form. One shuffle on the chunk
+    * key replaces the O(B²) per-source self-join — at 100 TB a hot
+    * source block no longer materializes quadratic pairs, only
+    * same-chunk collisions do. */
   def qDedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = simhashes(spark, dir)
-    val a = s.select($"source", $"doc_id".as("doc_a"), $"simhash16".as("ha"))
-    val b = s.select($"source", $"doc_id".as("doc_b"), $"simhash16".as("hb"))
-    a.join(b, Seq("source"))
+    // (offset, width) of the 5 pigeonhole chunks over bits 0..15
+    val chunks = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+    val banded = s.select($"source", $"doc_id", $"simhash16", explode(array(
+      chunks.zipWithIndex.map { case ((off, w), i) =>
+        struct(lit(i).as("ck"),
+          shiftright($"simhash16", off).bitwiseAND((1 << w) - 1).as("cv"))
+      }: _*)).as("c"))
+      .select($"source", $"doc_id", $"simhash16", $"c.ck".as("ck"), $"c.cv".as("cv"))
+    val a = banded.select($"source", $"ck", $"cv",
+      $"doc_id".as("doc_a"), $"simhash16".as("ha"))
+    val b = banded.select($"source", $"ck", $"cv",
+      $"doc_id".as("doc_b"), $"simhash16".as("hb"))
+    a.join(b, Seq("source", "ck", "cv"))
       .filter($"doc_a" < $"doc_b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter($"hamming" <= 4)
-      .select($"doc_a", $"doc_b", $"hamming")
+      // a qualifying pair can collide on several chunks — dedup after
+      // the verify so only surviving pairs pay the distinct shuffle
+      .select($"doc_a", $"doc_b", $"hamming").distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -443,18 +443,26 @@ object Relational {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
-  /** Range join, bucketed: clicks within the hour preceding each
-    * purchase of the same user. Equi-join on user_id carries the
-    * shuffle; the range predicate filters inside the key — the scalable
-    * form of a range join (no nested-loop over the corpus). */
+  /** Range join, hour-bucketed: clicks within the hour preceding each
+    * purchase of the same user. The join key is (user_id, hour_bucket)
+    * — each purchase probes its own hour bucket and the preceding one,
+    * which covers every click in [p_ep−3600, p_ep). A click lands in
+    * exactly one bucket so no match is counted twice. This bounds the
+    * per-key pair expansion to the window width: a power user with 10⁵
+    * clicks and 10⁴ purchases no longer materializes 10⁹ rows on one
+    * key (the previous user_id-only join did), only same-hour
+    * collisions. The left join keeps zero-click purchases. */
   def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), ep($"ts").as("p_ep"))
+      // probe rows: the purchase's hour bucket and the one before it
+      .withColumn("hb", explode(array(expr("p_ep div 3600"), expr("p_ep div 3600 - 1"))))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id", ep($"ts").as("c_ep"))
-    p.join(c, Seq("user_id"), "left_outer")
+      .withColumn("hb", expr("c_ep div 3600"))
+    p.join(c, Seq("user_id", "hb"), "left_outer")
       .withColumn("in_range",
         $"c_ep".isNotNull && $"c_ep" < $"p_ep" && $"c_ep" >= $"p_ep" - 3600)
       .groupBy($"user_id", $"purchase_id", $"p_ep")
@@ -562,22 +570,27 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
-  /** TPC-H Q17 shape: CORRELATED scalar subquery (small-quantity
-    * revenue below the per-part average), deliberately written as SQL
-    * so Catalyst's subquery decorrelation plans it — it rewrites to an
-    * aggregate-then-join on p_partkey, one shuffle, no per-row
-    * subquery execution (SURVEY §4.2). The per-part average is exact:
-    * quantities are integer-valued doubles, so the sum (and thus
-    * sum/count) is order-independent across engines. */
+  /** TPC-H Q17 shape: small-quantity revenue below the per-part
+    * average. Written decorrelated by hand: the brand's partkeys
+    * (a small broadcastable set) semi-filter the inner lineitem BEFORE
+    * the per-part average, so the aggregate touches only the ~1/25 of
+    * lineitem that can ever match — the correlated-subquery form
+    * decorrelated correctly but averaged ALL of lineitem first
+    * (BENCH_r01 charged 15.9s to that wasted aggregate). The per-part
+    * average is exact: quantities are integer-valued doubles, so
+    * sum/count is order-independent across engines. */
   def qSqlTpch17(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        |avgq AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+        |  FROM lineitem JOIN bp ON p_partkey = l_partkey
+        |  GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n_small
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_brand = 'Brand#4'
-        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+        |FROM lineitem JOIN avgq ON lineitem.l_partkey = avgq.l_partkey
+        |WHERE l_quantity < qty_lim""".stripMargin)
   }
 
   /** TPC-H Q18 shape: large-volume orders — grouped HAVING subquery

@@ -24,21 +24,34 @@ import graft.taskrouter.{Derivation, Ingest, Model}
   *    on replay and assumes in-order delivery — README.md:13).
   *
   * Scale notes: state is O(open reservations per task + one open span
-  * per worker); keys are the natural partition keys. Production runs
-  * would add GroupStateTimeout TTLs to bound state; tests use
+  * per worker); keys are the natural partition keys; one unified keyed
+  * machine = one shuffle + one state store over a once-scanned source.
+  * `stateTtlMs` arms event-time timeouts that evict idle keys (the
+  * reference keeps state forever, app.js:13-16); equivalence tests use
   * NoTimeout + availableNow semantics.
   */
 object StreamingPipeline {
 
   // --- typed carriers ---------------------------------------------
 
-  case class TaskEv(taskSid: String, resSid: String, eventtype: String,
-      tsUs: Long, tsSec: Long, eventId: String, segLink: Option[String],
-      baseJson: String)
-
-  case class WorkerEv(workerSid: String, eventtype: String, tsUs: Long,
-      tsSec: Long, eventId: String, activityName: Option[String],
+  /** Unified event carrier for BOTH machines — one keyed stream
+    * (`T|task_sid` / `W|worker_sid`) feeds one flatMapGroupsWithState:
+    * a single shuffle and state store instead of two parallel fMGWS
+    * arms over a twice-scanned source. (Parallel arms also break
+    * event-time timeouts: Spark's per-operator watermark propagation
+    * simulation feeds only the first union arm; the second reads
+    * watermark 0 forever, so its TTLs never fire.)
+    * `ts` carries the watermarked event-time attribute into the typed
+    * Dataset — event-time timeouts require the watermark column to
+    * survive to the stateful operator (the machine itself orders by
+    * the exact `tsUs`). */
+  case class Ev(key: String, resSid: String, eventtype: String,
+      ts: java.sql.Timestamp, tsUs: Long, tsSec: Long, eventId: String,
+      segLink: Option[String], activityName: Option[String],
       wtipa: Option[Long], baseJson: String)
+
+  private val TaskKey = "T|"
+  private val WorkerKey = "W|"
 
   case class ResState(created: Option[Long], acceptedUs: Option[Long],
       acceptedSec: Option[Long], wrapup: Option[Long],
@@ -62,6 +75,10 @@ object StreamingPipeline {
   case class WorkerState(openEventId: Option[String],
       openBaseJson: Option[String], openActivity: Option[String],
       openWtipa: Option[Long], openedByUpdate: Boolean)
+
+  /** Per-key machine state: a key is either a task or a worker, so
+    * exactly one side is populated. */
+  case class MachState(task: Option[TaskState], worker: Option[WorkerState])
 
   /** One changelog row: overrides + the originating event's base. */
   case class SegOut(uuidSeed: String, kind: String, emitSeq: Long,
@@ -97,13 +114,43 @@ object StreamingPipeline {
 
   // --- state machines ---------------------------------------------
 
-  /** Conversation-side machine keyed by task_sid (EP1 + EP2 semantics,
-    * processed in event-time order within each micro-batch). */
-  private def taskFlat(key: String, it: Iterator[TaskEv],
-      state: GroupState[TaskState]): Iterator[SegOut] = {
-    var st = state.getOption.getOrElse(TaskState(None, None, Map.empty))
+  /** Event-time TTL bookkeeping shared by both machines: on expiry the
+    * key's state is evicted (reference app.js:13-16 keeps it forever —
+    * the unbounded-state flaw SURVEY §2.10 promised to fix); afterwards
+    * a late completed/update event finds no state and is
+    * tolerated-dropped, exactly the reference's missing-in-progress
+    * path (routes/events.js:308-310). The deadline is event-time (the
+    * newest event seen for the key + TTL) clamped above the current
+    * watermark, as setTimeoutTimestamp requires. */
+  private def armTtl[S](state: GroupState[S], maxEventMs: Long,
+      ttlMs: Option[Long]): Unit =
+    ttlMs.foreach { t =>
+      state.setTimeoutTimestamp(
+        math.max(maxEventMs, state.getCurrentWatermarkMs()) + t)
+    }
+
+  /** The unified per-key machine: dispatches on the key prefix to the
+    * conversation-side transitions (EP1 + EP2 semantics) or the agent
+    * span transitions (W1), processing events in event-time order
+    * within each micro-batch. */
+  private def uniFlat(ttlMs: Option[Long])(key: String, it: Iterator[Ev],
+      state: GroupState[MachState]): Iterator[SegOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+    val maxMs = evs.iterator.map(_.tsUs / 1000).foldLeft(Long.MinValue)(math.max)
     val out = scala.collection.mutable.ArrayBuffer.empty[SegOut]
-    it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+    if (key.startsWith(TaskKey)) taskSide(evs, state, out)
+    else workerSide(evs, state, out)
+    armTtl(state, maxMs, ttlMs)
+    out.iterator
+  }
+
+  /** Conversation-side transitions keyed by task_sid (EP1 + EP2,
+    * reference :503-618). */
+  private def taskSide(evs: Seq[Ev], state: GroupState[MachState],
+      out: scala.collection.mutable.ArrayBuffer[SegOut]): Unit = {
+    var st = state.getOption.flatMap(_.task).getOrElse(TaskState(None, None, Map.empty))
+    evs.foreach { e =>
       def rs: ResState = st.res.getOrElse(e.resSid, emptyRes)
       e.eventtype match {
         case Model.EtTaskQueueEntered | Model.EtTaskTransferInitiated =>
@@ -180,16 +227,16 @@ object StreamingPipeline {
         case _ => // cached-only event types
       }
     }
-    state.update(st)
-    out.iterator
+    state.update(MachState(Some(st), None))
   }
 
-  /** Agent span machine keyed by worker_sid (W1, reference :619-664). */
-  private def workerFlat(key: String, it: Iterator[WorkerEv],
-      state: GroupState[WorkerState]): Iterator[SegOut] = {
-    var st = state.getOption.getOrElse(WorkerState(None, None, None, None, openedByUpdate = false))
-    val out = scala.collection.mutable.ArrayBuffer.empty[SegOut]
-    it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+  /** Agent span transitions keyed by worker_sid (W1, reference
+    * :619-664). */
+  private def workerSide(evs: Seq[Ev], state: GroupState[MachState],
+      out: scala.collection.mutable.ArrayBuffer[SegOut]): Unit = {
+    var st = state.getOption.flatMap(_.worker)
+      .getOrElse(WorkerState(None, None, None, None, openedByUpdate = false))
+    evs.foreach { e =>
       e.eventtype match {
         case Model.EtWorkerCreated =>
           out += seg(s"${e.eventId}|${Model.AgentStatusInProgress}",
@@ -218,8 +265,7 @@ object StreamingPipeline {
         case _ => // worker.deleted / attributes.update don't touch spans
       }
     }
-    state.update(st)
-    out.iterator
+    state.update(MachState(None, Some(st)))
   }
 
   // --- wiring ------------------------------------------------------
@@ -238,36 +284,49 @@ object StreamingPipeline {
   private def baseJsonCol =
     to_json(struct(Model.segmentColumns.drop(2).map(col): _*)).as("baseJson")
 
-  /** The segment changelog for a (possibly streaming) parsed frame. */
-  def segmentsChangelog(spark: SparkSession, parsed: DataFrame): DataFrame = {
+  /** The segment changelog for a (possibly streaming) parsed frame.
+    * `stateTtlMs` (e.g. `Some(24h in millis)`) bounds per-key state
+    * with an event-time timeout: the input must carry a watermark
+    * (parseStream sets one) and an idle key's state is evicted once the
+    * watermark passes its newest event + TTL. None (batch callers,
+    * equivalence tests) keeps NoTimeout. */
+  def segmentsChangelog(spark: SparkSession, parsed: DataFrame,
+      stateTtlMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val ttlMs = stateTtlMs
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val base = Derivation.baseFrame(parsed)
 
-    val taskDs = base.filter(col("p_task_sid").isNotNull)
-      .select(col("p_task_sid").as("taskSid"),
+    // Route each event to its machine key(s): task events by task_sid,
+    // worker open/close events by worker_sid. The explode keeps the
+    // (theoretical) event matching both routes going to both machines,
+    // exactly like the previous two-stream formulation — but as ONE
+    // keyed stream: a single shuffle, a single state store, the source
+    // scanned once.
+    val routed = base
+      .withColumn("mkey", explode(array(
+        when(col("p_task_sid").isNotNull,
+          concat(lit(TaskKey), col("p_task_sid"))),
+        when(col("p_worker_sid").isNotNull &&
+            col("eventtype").isin(Model.EtWorkerCreated, Model.EtWorkerActivityUpdated),
+          concat(lit(WorkerKey), col("p_worker_sid"))))))
+      .filter(col("mkey").isNotNull)
+      .select(col("mkey").as("key"),
         coalesce(col("p_reservation_sid"), lit("")).as("resSid"),
-        col("eventtype"),
+        col("eventtype"), col("ts"),
         col("ts_us").as("tsUs"), unix_timestamp(col("ts_sec")).as("tsSec"),
         col("event_id").as("eventId"),
         col("task_attr.conversations")("segment_link").as("segLink"),
-        baseJsonCol)
-      .as[TaskEv]
-      .groupByKey(_.taskSid)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(taskFlat)
-
-    val workerDs = base.filter(col("p_worker_sid").isNotNull &&
-        col("eventtype").isin(Model.EtWorkerCreated, Model.EtWorkerActivityUpdated))
-      .select(col("p_worker_sid").as("workerSid"), col("eventtype"),
-        col("ts_us").as("tsUs"), unix_timestamp(col("ts_sec")).as("tsSec"),
-        col("event_id").as("eventId"),
         col("worker_activity_name").as("activityName"),
         col("worker_time_in_previous_activity").as("wtipa"),
         baseJsonCol)
-      .as[WorkerEv]
-      .groupByKey(_.workerSid)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(workerFlat)
+      .as[Ev]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(uniFlat(ttlMs))
 
-    assemble(spark, taskDs.toDF().unionByName(workerDs.toDF()))
+    assemble(spark, routed.toDF())
   }
 
   /** Changelog rows → full segment columns + emit_seq. */

@@ -196,8 +196,13 @@ object Derivation {
   // public API
   // ---------------------------------------------------------------
 
-  /** Full segments ("conversations") fact table from parsed events. */
-  def segments(parsed: DataFrame): DataFrame = {
+  /** Full segments ("conversations") fact table from parsed events.
+    * `stage` materializes the shared task-event frame consumed by the
+    * five derivation branches; production callers (Synth) pass a
+    * parquet stage table, in-memory callers keep the localCheckpoint
+    * default. */
+  def segments(parsed: DataFrame,
+      stage: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val ev = prepared(parsed)
     // Materialize the shared task-event frame (as-of window + the
     // ~70-column base projection) once: three branches (accepted,
@@ -217,10 +222,9 @@ object Derivation {
         // task_attributes.conversations ONLY (:578-583), not the
         // wattr-merged custom-data column
         col("task_attr.conversations")("segment_link").as("segment_link_src"))
-    val taskEv = withBase(withReservationLookup(
+    val taskEv = stage(withBase(withReservationLookup(
         withQueueEntry(ev.filter(col("p_task_sid").isNotNull))))
-      .select(stagedCols: _*)
-      .localCheckpoint()
+      .select(stagedCols: _*))
 
     // --- reservation.accepted (EP1, reference :514-538): requires both
     // J1 entry and J2 created (exception-as-inner-join, :161,:171,:672).

@@ -163,17 +163,20 @@ object Synth {
   // Materialize parse + derivation once per (session, dir): the five
   // driver queries share one pipeline run (the production shape — the
   // derived segment table is written once and queried many times).
-  // localCheckpoint also truncates the 13-way synth-union lineage so
-  // the per-branch plans in Derivation.segments scan cached blocks
+  // Parquet staging also truncates the 13-way synth-union lineage so
+  // the per-branch plans in Derivation.segments scan the stage table
   // instead of re-reading + re-deriving the whole tree.
   def parsedEvents(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"synth.parsed|$dir")(
       Ingest.parse(cloudEvents(spark, dir)))
 
-  /** Derived segment table for the synthesized scenario set. */
+  /** Derived segment table for the synthesized scenario set. The
+    * intermediate task-event frame is parquet-staged too — it is the
+    * widest frame in the pipeline and must not live on the heap. */
   def segments(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"synth.segments|$dir")(
-      Derivation.segments(parsedEvents(spark, dir)))
+      Derivation.segments(parsedEvents(spark, dir),
+        graft.SessionCache.stage(spark, s"synth.taskev|$dir")))
 
   def agents(spark: SparkSession, dir: String): DataFrame =
     Derivation.agents(parsedEvents(spark, dir))

@@ -67,6 +67,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pigeonhole chunk-banding reproduces the all-pairs simhash output exactly") {
+    // Hamming ≤ 4 over 5 chunks ⇒ ≥1 chunk matches exactly, so the
+    // banded candidate set is a guaranteed superset and the verified
+    // output must equal the quadratic self-join it replaced.
+    val sh = Dedup.qDedupSimhash(spark, sf0001)
+      .select($"doc_id", $"source", $"simhash16")
+    val a = sh.select($"source", $"doc_id".as("doc_a"), $"simhash16".as("ha"))
+    val b = sh.select($"source", $"doc_id".as("doc_b"), $"simhash16".as("hb"))
+    val allPairs = a.join(b, Seq("source"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", org.apache.spark.sql.functions.expr("bit_count(ha ^ hb)").cast("long"))
+      .filter($"hamming" <= 4)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.qDedupSimhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == allPairs)
+  }
+
   test("minhash signatures are 16-bit hex slots; identical docs would collide") {
     val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
     assert(rows.nonEmpty)
@@ -104,9 +123,29 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("near-dup pairs meet the threshold and are label-blocked") {
-    Similarity.qSimNearDup(spark, sf0001).collect().foreach { r =>
+    val rows = Similarity.qSimNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       assert(r.getAs[Long]("cos_e6") >= 250000)
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
     }
+  }
+
+  test("near-dup LSH candidates+verify is a subset of the exhaustive all-pairs form") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.load(spark, sf0001, "embeddings")
+      .withColumn("nv", expr("transform(embedding, x -> cast(x as double))"))
+    val a = n.select($"label", $"vec_id".as("vec_a"), $"nv".as("va"))
+    val b = n.select($"label", $"vec_id".as("vec_b"), $"nv".as("vb"))
+    val cos = graft.functions.CosineSimilarity.cosine_sim($"va", $"vb")
+    val exhaustive = a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+      .withColumn("cos_e6",
+        when(isnan(cos), lit(null)).otherwise(round(cos * 1e6).cast("long")))
+      .filter($"cos_e6" >= 250000)
+      .select($"vec_a", $"vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.qSimNearDup(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh.subsetOf(exhaustive))
   }
 }

@@ -53,4 +53,36 @@ class PipelineSpec extends SparkSpec {
     assert(latest.orderBy("uuid").collect().toSeq ==
       batch.orderBy("uuid").collect().toSeq)
   }
+
+  test("incremental MERGE-by-uuid sink maintains the latest table across micro-batches") {
+    val watch = tmp("graft-merge-watch")
+    val ckpt = tmp("graft-merge-ckpt")
+    val out = tmp("graft-merge-out")
+    val events = Seq(
+      """{"id":"MG1","type":"com.twilio.taskrouter.task-queue.entered","data":{"payload":{"eventtype":"task-queue.entered","timestamp":"2026-08-12T10:00:00.400Z","task_sid":"WTmg","reservation_sid":"WRmg","worker_sid":"WKmg","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""",
+      """{"id":"MG2","type":"com.twilio.taskrouter.reservation.created","data":{"payload":{"eventtype":"reservation.created","timestamp":"2026-08-12T10:00:05.900Z","task_sid":"WTmg","reservation_sid":"WRmg","worker_sid":"WKmg","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""",
+      """{"id":"MG3","type":"com.twilio.taskrouter.reservation.accepted","data":{"payload":{"eventtype":"reservation.accepted","timestamp":"2026-08-12T10:00:30.123Z","task_sid":"WTmg","reservation_sid":"WRmg","worker_sid":"WKmg","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""",
+      """{"id":"MG4","type":"com.twilio.taskrouter.reservation.completed","data":{"payload":{"eventtype":"reservation.completed","timestamp":"2026-08-12T10:02:40.789Z","task_sid":"WTmg","reservation_sid":"WRmg","worker_sid":"WKmg","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""")
+    // batch 1 inserts the queue + in-progress rows; batch 2's completed
+    // must MERGE the conversion over the in-progress row by uuid
+    java.nio.file.Files.write(new java.io.File(watch, "a.jsonl").toPath,
+      events.take(3).mkString("\n").getBytes("UTF-8"))
+    val q1 = Pipeline.startStreamingMerged(spark, watch, ckpt, out)
+    q1.awaitTermination(120000)
+    val mid = Pipeline.mergedSegments(spark, out)
+    assert(mid.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 1)
+
+    java.nio.file.Files.write(new java.io.File(watch, "b.jsonl").toPath,
+      events.drop(3).mkString("\n").getBytes("UTF-8"))
+    val q2 = Pipeline.startStreamingMerged(spark, watch, ckpt, out)
+    q2.awaitTermination(120000)
+
+    val merged = Pipeline.mergedSegments(spark, out)
+    val batch = Derivation.segments(
+      Ingest.parseJson(spark, spark.createDataset(events)))
+    assert(merged.orderBy("uuid").collect().toSeq ==
+      batch.orderBy("uuid").collect().toSeq)
+    // the in-progress row was updated in place, not duplicated
+    assert(merged.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
+  }
 }

@@ -77,7 +77,25 @@ class StreamingSpec extends SparkSpec {
 
   test("split micro-batches preserve cross-batch state") {
     val ev = scenario
-    assertEquivalent(runStream(Seq(ev.take(3), ev.slice(3, 6), ev.drop(6))), batchSegments(ev))
+    // split in event-time order (workers 09:00-09:06 before tasks
+    // 10:00-10:02): the unified machine sees the true watermark, so a
+    // batch must not deliver events already past the 1h horizon — the
+    // worker span state crosses b1→b2, the reservation state b2→b3
+    assertEquivalent(
+      runStream(Seq(ev.slice(5, 7), ev.drop(7) ++ ev.take(3), ev.slice(3, 5))),
+      batchSegments(ev))
+  }
+
+  test("events beyond the 1h watermark horizon are dropped deterministically") {
+    // documented divergence from the reference (which trusts arrival
+    // blindly, README.md:13): once the watermark passed 11:00, a 10:30
+    // worker.created is late and emits nothing
+    val late = Seq(
+      ce("task-queue.entered", "2026-08-12T12:00:00.000Z", taskFields: _*))
+    val lateWorker = Seq(
+      ce("worker.created", "2026-08-12T10:30:00.000Z", wk("Available"): _*))
+    val streamed = runStream(Seq(late, lateWorker))
+    assert(streamed.filter($"segment_kind" === "AGENT STATUS IN PROGRESS").count() == 0)
   }
 
   test("out-of-order within a micro-batch is sorted by event time") {
