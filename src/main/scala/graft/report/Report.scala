@@ -74,6 +74,44 @@ object Report {
       .drop("event_ts", "full_conv_id")
   }
 
+  private def esc(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  private def htmlTable(df: DataFrame): String = {
+    val cols = df.columns
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    // presentation edge: the reference's GET / full-scans both tables
+    // per request (routes/index.js:9-10); a report window filter
+    // belongs upstream of this call at scale
+    val rows = df.collect().map { r =>
+      cols.indices.map(i =>
+        s"<td>${esc(Option(r.get(i)).map(_.toString).getOrElse(""))}</td>").mkString
+    }.map(cells => s"    <tr>$cells</tr>")
+    val body = if (rows.isEmpty) "    <tr><td><h3>no data yet...</h3></td></tr>"
+      else rows.mkString("\n")
+    s"""  <table style="width:100%" border="1">
+       |    <tr>$head</tr>
+       |$body
+       |  </table>""".stripMargin
+  }
+
+  /** The reference's index view (views/index.pug:9-83) as a static
+    * HTML document: agent table + conversations table. */
+  def renderHtml(agents: DataFrame, conversations: DataFrame,
+      title: String = "Express"): String =
+    s"""<!DOCTYPE html>
+       |<html><head><title>${esc(title)}</title></head><body>
+       |  <h1>${esc(title)}</h1>
+       |  <h2>agent data</h2>
+       |${htmlTable(agents)}
+       |  <h2>conversations data</h2>
+       |${htmlTable(conversations)}
+       |</body></html>
+       |""".stripMargin
+
   /** Agents table (views/index.pug:9-40). */
   def agentsReport(agents: DataFrame,
       locale: String = "en-US", tz: String = "UTC"): DataFrame = {

@@ -43,4 +43,17 @@ class ReportSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(Set("Active", "Deleted").contains(r.getAs[String]("status"))))
   }
+
+  test("renderHtml writes both pug tables with one row per record, escaped") {
+    val agents = Report.agentsReport(Synth.agents(spark, sf0001))
+    val convos = Report.conversationsReport(Synth.segments(spark, sf0001))
+    val html = Report.renderHtml(agents, convos)
+    assert(html.contains("<h2>agent data</h2>"))
+    assert(html.contains("<h2>conversations data</h2>"))
+    assert(html.contains("<th>queue_time</th>") && html.contains("<th>status</th>"))
+    val rows = html.split("<tr>").length - 1
+    // 2 header rows + a data row per agent/segment
+    assert(rows == 2 + agents.count() + convos.count())
+    assert(!html.contains("<script"))
+  }
 }
