@@ -212,6 +212,71 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** 64-bit SimHash — the at-scale fingerprint width (16-bit
+    * `q_dedup_simhash` is its oracle-sized sibling; SCALE.md trade-off
+    * closed in r2). Stored as two 32-bit halves (`sim_hi` bits 32-63,
+    * `sim_lo` bits 0-31) so neither engine plays BIGINT sign games
+    * with bit 63. Bit k = majority vote of bit (k%4) of md5 hex digit
+    * (k/4) over the document's distinct tokens. */
+  private def simhashesWide(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"dedup.simhash64|$dir") {
+      import spark.implicits._
+      val tok = Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("tok"))
+        .withColumn("h", md5($"tok".cast("binary")))
+      // hoist the 16 hex-digit decodes into one projection — 64 sums
+      // each redoing substring+instr made the aggregate 4× slower
+      val digits = tok.select(Seq($"doc_id", $"source") ++ (1 to 16).map(p =>
+        expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1").as(s"d$p")): _*)
+      val bitSums = (0 until 64).map { k =>
+        val p = k / 4 + 1
+        val b = k % 4
+        sum(expr(s"shiftright(d$p, $b) & 1")).as(s"c$k")
+      }
+      val aggCols = count(lit(1)).as("n") +: bitSums
+      val agg = digits.groupBy($"doc_id", $"source")
+        .agg(aggCols.head, aggCols.tail: _*)
+      def half(lowBit: Int): Column = (0 until 32).map(i =>
+        when(col(s"c${lowBit + i}") * 2 >= col("n"), lit(1L) * (1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      agg.select($"doc_id", $"source",
+        half(32).as("sim_hi"), half(0).as("sim_lo"))
+    }
+
+  def qDedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashesWide(spark, dir).orderBy($"doc_id")
+  }
+
+  /** 64-bit near-dup pairs (Hamming ≤ 7 within source) via pigeonhole
+    * banding over 8 byte-chunks: ≤ 7 differing bits over 8 chunks ⇒
+    * ≥ 1 chunk matches exactly. One shuffle on (source, chunk, value);
+    * `bit_count` verification over both halves reproduces the
+    * all-pairs output. */
+  def qDedupSimhashWidePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = simhashesWide(spark, dir)
+    val banded = s.select($"source", $"doc_id", $"sim_hi", $"sim_lo", explode(array(
+      (0 until 8).map { i =>
+        val src = if (i < 4) $"sim_lo" else $"sim_hi"
+        struct(lit(i).as("ck"),
+          shiftright(src, (i % 4) * 8).bitwiseAND(255).as("cv"))
+      }: _*)).as("c"))
+      .select($"source", $"doc_id", $"sim_hi", $"sim_lo",
+        $"c.ck".as("ck"), $"c.cv".as("cv"))
+    val a = banded.select($"source", $"ck", $"cv",
+      $"doc_id".as("doc_a"), $"sim_hi".as("hia"), $"sim_lo".as("loa"))
+    val b = banded.select($"source", $"ck", $"cv",
+      $"doc_id".as("doc_b"), $"sim_hi".as("hib"), $"sim_lo".as("lob"))
+    a.join(b, Seq("source", "ck", "cv"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter($"hamming" <= 7)
+      .select($"doc_a", $"doc_b", $"hamming").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -219,7 +284,9 @@ object Dedup {
     "q_dedup_lsh_pairs" -> qDedupLsh,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_simhash_pairs" -> qDedupSimhashPairs
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
+    "q_dedup_simhash_wide" -> qDedupSimhashWide,
+    "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs
   )
 
   /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
@@ -325,6 +392,56 @@ object Dedup {
             s"(CASE WHEN c$k * 2 >= n THEN ${1L << k} ELSE 0 END)").mkString(" + ")} AS BIGINT)
         |    AS simhash16
         |FROM agg ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_simhash_wide" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, source, md5(t) AS h
+        |  FROM (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, source, count(*) AS n,
+        |${(0 until 64).map { k =>
+            val p = k / 4 + 1; val b = k % 4
+            s"    sum(((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $b) & 1) AS c$k"
+          }.mkString(",\n")}
+        |  FROM tok GROUP BY doc_id, source)
+        |SELECT doc_id, source,
+        |  CAST(${(0 until 32).map(i =>
+            s"(CASE WHEN c${32 + i} * 2 >= n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |    AS sim_hi,
+        |  CAST(${(0 until 32).map(i =>
+            s"(CASE WHEN c$i * 2 >= n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |    AS sim_lo
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_simhash_wide_pairs" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, source, md5(t) AS h
+        |  FROM (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS t
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT doc_id, source, count(*) AS n,
+        |${(0 until 64).map { k =>
+            val p = k / 4 + 1; val b = k % 4
+            s"    sum(((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $b) & 1) AS c$k"
+          }.mkString(",\n")}
+        |  FROM tok GROUP BY doc_id, source),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CAST(${(0 until 32).map(i =>
+            s"(CASE WHEN c${32 + i} * 2 >= n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |      AS sim_hi,
+        |    CAST(${(0 until 32).map(i =>
+            s"(CASE WHEN c$i * 2 >= n THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |      AS sim_lo
+        |  FROM agg)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+        |          + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+        |    + bit_count(xor(a.sim_lo, b.sim_lo)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_dedup_simhash_pairs" ->
       (s"""WITH tok AS (

@@ -86,6 +86,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(banded == allPairs)
   }
 
+  test("64-bit simhash: halves fit 32 bits; banded pairs equal the all-pairs form") {
+    val sh = Dedup.qDedupSimhashWide(spark, sf0001)
+    val rows = sh.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sim_hi") >= 0 && r.getAs[Long]("sim_hi") <= 0xFFFFFFFFL)
+      assert(r.getAs[Long]("sim_lo") >= 0 && r.getAs[Long]("sim_lo") <= 0xFFFFFFFFL)
+    }
+    import org.apache.spark.sql.functions.expr
+    val a = sh.select($"source", $"doc_id".as("doc_a"),
+      $"sim_hi".as("hia"), $"sim_lo".as("loa"))
+    val b = sh.select($"source", $"doc_id".as("doc_b"),
+      $"sim_hi".as("hib"), $"sim_lo".as("lob"))
+    val allPairs = a.join(b, Seq("source"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter($"hamming" <= 7)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.qDedupSimhashWidePairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == allPairs)
+    assert(banded.nonEmpty) // exact-dup groups guarantee hamming-0 pairs
+  }
+
   test("minhash signatures are 16-bit hex slots; identical docs would collide") {
     val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
     assert(rows.nonEmpty)

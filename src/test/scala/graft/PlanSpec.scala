@@ -91,6 +91,35 @@ class PlanSpec extends SparkSpec {
       p.contains("SortMergeJoin"), p)
   }
 
+  test("banded simhash pairs: equi-join on the chunk key, no nested loop") {
+    val p = plan(graft.dedup.Dedup.qDedupSimhashPairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the join key includes the chunk columns, not just source —
+    // that's what bounds the pair space
+    assert(p.contains("ck") && p.contains("cv"), p)
+  }
+
+  test("near-dup LSH pipeline: candidate equi-joins only, no all-pairs join") {
+    val p = plan(graft.sim.Similarity.qSimNearDup(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band"), p)
+  }
+
+  test("hour-bucketed range join keys on (user_id, hb)") {
+    val p = plan(Relational.qJoinRange(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hb"), p)
+  }
+
+  test("tpch17: the per-part average aggregates only brand-filtered lineitem") {
+    val p = plan(Relational.qSqlTpch17(spark, sf0001))
+    // the avg's child join must carry the p_brand pushed filter — the
+    // aggregate runs AFTER the brand semi-filter, not over all lineitem
+    assert(p.contains("avg("), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#4)"), p)
+    assert(!p.contains("Subquery"), p)
+  }
+
   test("segment derivation contains no cartesian products") {
     val parsed = graft.taskrouter.Synth.parsedEvents(spark, sf0001)
     val p = plan(graft.taskrouter.Derivation.segments(parsed))
