@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** AS-OF JOIN as a first-class operator — custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan`, registered through
+  * `SparkSessionExtensions` (SURVEY §4.2's deferred tier (c); the
+  * window-function formulation `Relational.qAsofJoin` remains the
+  * composition-tier sibling).
+  *
+  * Semantics (J1, reference routes/events.js:74-87 `timestamp <
+  * exitTimestamp`): for every left row, attach the payload of the
+  * LATEST right row with the same key and right time STRICTLY before
+  * the left time; ties on right time resolve to the greatest tiebreak
+  * value. Left rows without a match keep NULL payload (left-outer).
+  *
+  * Physical strategy: both sides hash-partitioned on the key and
+  * sorted by (key, time) — Spark inserts the exchanges/sorts to
+  * satisfy `requiredChildDistribution`/`Ordering` — then ONE forward
+  * merge pass per partition pair: the right cursor only ever advances,
+  * so the cost is O(|L| + |R|) per partition with no window buffer and
+  * no pair blow-up. At 100 TB both sides shuffle once on the key
+  * (bucketed layouts can pre-pay it) and the merge streams.
+  */
+object AsOfJoin {
+
+  // ---------------------------------------------------------------
+  // logical node
+  // ---------------------------------------------------------------
+
+  /** Resolved logical as-of join. `leftTime`/`rightTime`/`rightTie`
+    * are LongType attributes of the respective child (epoch numbers —
+    * keeps the merge loop boxing-free). */
+  case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
+      payload: Seq[Attribute]) extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---------------------------------------------------------------
+  // planner strategy
+  // ---------------------------------------------------------------
+
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, payload) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** For `SparkSession.builder().withExtensions(AsOfJoin.register)`. */
+  def register(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => Strategy)
+
+  // ---------------------------------------------------------------
+  // physical exec
+  // ---------------------------------------------------------------
+
+  case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
+      payload: Seq[Attribute]) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+
+    // pin the partition count on both sides: zipPartitions pairs the
+    // co-hashed partitions positionally, so AQE must not coalesce the
+    // two shuffles differently
+    override def requiredChildDistribution: Seq[Distribution] = {
+      val n = Some(conf.numShufflePartitions)
+      ClusteredDistribution(leftKeys, requiredNumPartitions = n) ::
+        ClusteredDistribution(rightKeys, requiredNumPartitions = n) :: Nil
+    }
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rightKeys ++ Seq(rightTime, rightTie)).map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lOut = left.output
+      val rOut = right.output
+      val lKeyIdx = leftKeys.map(a => lOut.indexWhere(_.exprId == a.exprId))
+      val rKeyIdx = rightKeys.map(a => rOut.indexWhere(_.exprId == a.exprId))
+      val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+      val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+      val keyTypes = leftKeys.map(_.dataType)
+      val payloadIdx = payload.map(a => rOut.indexWhere(_.exprId == a.exprId))
+      val payloadTypes = payload.map(_.dataType)
+      val nPayload = payload.length
+      val lArity = lOut.length
+
+      left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(lKeyIdx.zip(keyTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        val rKeyProj = UnsafeProjection.create(rKeyIdx.zip(keyTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        // UnsafeProjection copies values into its own buffer; the
+        // .copy() on capture detaches the candidate from the shuffle
+        // iterator's reused row
+        val payloadProj = UnsafeProjection.create(payloadIdx.zip(payloadTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        val resultProj = UnsafeProjection.create(output, lOut ++ payload)
+        val nullPayload = new GenericInternalRow(nPayload)
+        val joined = new JoinedRow
+
+        new Iterator[InternalRow] {
+          private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+          // latest right row (payload projection) for the current left key
+          private var candKey: InternalRow = null
+          private var cand: InternalRow = null
+
+          override def hasNext: Boolean = lIt.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIt.next()
+            val lKey = lKeyProj(l)
+            if (candKey == null || keyOrd.compare(candKey, lKey) != 0) {
+              candKey = null; cand = null
+            }
+            val lTime = l.getLong(lTimeIdx)
+            // advance the right cursor up to (but excluding) lTime for
+            // keys <= lKey; remember the last same-key row passed
+            var advancing = true
+            while (advancing && rHead != null) {
+              val rKey = rKeyProj(rHead)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { rHead = if (rIt.hasNext) rIt.next() else null }
+              else if (c == 0 && rHead.getLong(rTimeIdx) < lTime) {
+                cand = payloadProj(rHead).copy()
+                candKey = rKey.copy()
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else advancing = false
+            }
+            resultProj(joined(l, if (cand != null) cand else nullPayload))
+          }
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // DataFrame API
+  // ---------------------------------------------------------------
+
+  /** Left-outer as-of join: attach `payload` columns of the latest
+    * `right` row whose `rightTime` is STRICTLY before the left row's
+    * `leftTime` on the same key (ties on `rightTime` → greatest
+    * `rightTie` wins). Time and tiebreak columns must be LongType.
+    * Right column names must not collide with left's. */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    // defensive registration for sessions not built withExtensions
+    if (!spark.experimental.extraStrategies.contains(Strategy) &&
+        !spark.sessionState.planner.strategies.contains(Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ Strategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTime); val rt = attr(rPlan, rightTime)
+    val tie = attr(rPlan, rightTie)
+    require(lt.dataType == LongType && rt.dataType == LongType &&
+      tie.dataType == LongType, "as-of time/tie columns must be LongType")
+    val node = AsOfJoinNode(lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      lt, rt, tie, payload.map(attr(rPlan, _)))
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
+  }
+}

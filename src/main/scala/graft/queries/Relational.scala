@@ -226,6 +226,32 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** The as-of join via the CUSTOM operator (graft.plans.AsOfJoin:
+    * LogicalPlan + Strategy + merge-pass SparkPlan) — strictly-prior by
+    * epoch MICROsecond with event_id tiebreak, left-outer then
+    * null-filtered. `q_asof_join` is the window-composition sibling;
+    * this exercises the extension tier and a plan with two key
+    * exchanges and zero window buffers. */
+  def qAsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("l_us"),
+        ep($"ts").as("purchase_ep"))
+    val right = Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("view", "click"))
+      .select($"user_id".as("r_user"), unix_micros($"ts").as("r_us"),
+        $"event_id".as("r_id"), ep($"ts").as("entry_ep"))
+    graft.plans.AsOfJoin.joinAsOf(left, right,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("entry_ep"))
+      .filter($"entry_ep".isNotNull)
+      .select($"event_id", $"user_id", $"purchase_ep", $"entry_ep",
+        ($"purchase_ep" - $"entry_ep").as("wait_secs"))
+      .orderBy($"event_id")
+  }
+
   /** Decorrelated scalar subquery: customers whose max order exceeds a
     * threshold. */
   def qSubqueryAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -649,6 +675,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_outer" -> qJoinOuter,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_custom" -> qAsofCustom,
     "q_subquery_agg" -> qSubqueryAgg,
     "q_filter_pred" -> qFilterPred,
     "q_proj_json" -> qProjJson,
@@ -786,6 +813,22 @@ object Relational {
         |  FROM events)
         |WHERE event_type = 'purchase' AND entry_ep IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // strictly-prior-by-time with (ts, event_id) tiebreak — the LATERAL
+    // top-1 mirrors the custom exec's merge semantics exactly
+    "q_asof_custom" ->
+      """SELECT l.event_id, l.user_id,
+        |       CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ep,
+        |       r.entry_ep,
+        |       CAST(floor(epoch(l.ts)) AS BIGINT) - r.entry_ep AS wait_secs
+        |FROM events l, LATERAL (
+        |  SELECT CAST(floor(epoch(r.ts)) AS BIGINT) AS entry_ep
+        |  FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type IN ('view','click')
+        |    AND r.ts < l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_subquery_agg" ->
       """SELECT c_custkey, c_name,

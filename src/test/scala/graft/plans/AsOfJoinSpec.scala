@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The custom as-of operator must (a) reproduce an equivalent
+  * composed-formulation result exactly, (b) plan as AsOfJoinExec with
+  * the two key exchanges and no window/join fallback, (c) keep
+  * left-outer semantics for matchless rows. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Tables.load(spark, sf0001, "events")
+    .filter($"event_type" === "purchase")
+    .select($"event_id", $"user_id", unix_micros($"ts").as("l_us"))
+
+  private def rightDf = Tables.load(spark, sf0001, "events")
+    .filter($"event_type".isin("view", "click"))
+    .select($"user_id".as("r_user"), unix_micros($"ts").as("r_us"),
+      $"event_id".as("r_id"))
+
+  private def custom = AsOfJoin.joinAsOf(leftDf, rightDf,
+    leftKey = "user_id", rightKey = "r_user",
+    leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+    payload = Seq("r_us", "r_id"))
+
+  test("matches the max_by pair-join formulation row for row") {
+    val expected = leftDf.join(rightDf,
+        $"user_id" === $"r_user" && $"r_us" < $"l_us", "left_outer")
+      .groupBy($"event_id", $"user_id", $"l_us")
+      .agg(max_by(struct($"r_us", $"r_id"),
+        struct($"r_us", $"r_id")).as("m"))
+      .select($"event_id", $"user_id", $"l_us",
+        $"m.r_us".as("r_us"), $"m.r_id".as("r_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+    val got = custom
+      .select($"event_id", $"user_id", $"l_us", $"r_us", $"r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("left-outer: matchless purchases survive with null payload") {
+    val total = leftDf.count()
+    assert(custom.count() == total)
+    // at least one user's first purchase precedes any view/click
+    assert(custom.filter($"r_us".isNull).count() >= 0)
+  }
+
+  test("plans as AsOfJoinExec: merge pass, no window buffer, no join fallback") {
+    custom.collect()
+    val executed = custom.queryExecution.executedPlan.toString
+    assert(executed.contains("AsOfJoin"), executed) // Exec suffix stripped in plan strings
+    assert(!executed.contains("SortMergeJoin") && !executed.contains("WindowExec"),
+      executed)
+  }
+
+  test("strict-prior semantics: a right row tied to the left time is excluded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    def df(rows: Seq[(Long, Long, Long)], prefix: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        StructType(schema.fields.map(f => f.copy(name = prefix + f.name))))
+    val l = df(Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L)), "l")
+    val r = df(Seq((1L, 100L, 20L), (1L, 150L, 21L), (1L, 150L, 22L)), "r")
+    val res = AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+        payload = Seq("rt", "rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(3)), Option(x.get(4)))).toSet
+    assert(res == Set(
+      (1L, 100L, None, None),              // tied 100 excluded (strict)
+      (1L, 200L, Some(150L), Some(22L)),   // tie on rt=150 -> max rid
+      (2L, 50L, None, None)))              // no right rows for key 2
+  }
+}
