@@ -277,6 +277,50 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Leakage-safe train/val/test split: the assignment unit is the
+    * EXACT-DUP GROUP (content fingerprint), so byte-identical copies
+    * can never straddle splits and leak eval data into training. The
+    * split is a pure function of a salted fingerprint hash — stable
+    * under re-runs, shards, and corpus growth (adding documents never
+    * reassigns existing ones), zero shuffles (embarrassingly
+    * parallel). ~13/16 train, 2/16 val, 1/16 test. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("fp", md5($"text".cast("binary")))
+      .withColumn("bucket", expr(
+        "instr('0123456789abcdef', substring(md5(cast(concat('split|', fp) as binary)), 1, 1)) - 1")
+        .cast("long"))
+      .select($"doc_id", $"fp", $"bucket",
+        when($"bucket" < 13, "train").when($"bucket" < 15, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination sweep: per corpus document, the
+    * fraction of its word 3-gram shingles that appear ANYWHERE in the
+    * held-out benchmark source's shingle set (`src0` stands in for an
+    * eval benchmark). One shuffle on the shingle hash — the standard
+    * n-gram-collision decontamination shape at 100 TB (the benchmark
+    * side is tiny and broadcastable; the corpus streams). */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = withShingles(spark, dir)
+    val bench = sh.filter($"source" === "src0")
+      .select(explode($"shs").as("h")).distinct()
+    val corpusDocs = sh.filter($"source" =!= "src0" && size($"shs") > 0)
+      .select($"doc_id", size($"shs").cast("long").as("n_sh"), $"shs")
+    val hits = corpusDocs
+      .select($"doc_id", explode($"shs").as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+    corpusDocs.select($"doc_id", $"n_sh")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_sh", coalesce($"hits", lit(0L)).as("hits"),
+        expr("(coalesce(hits, 0) * 1000) div n_sh").as("contam_permille"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
@@ -286,7 +330,9 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_simhash_wide" -> qDedupSimhashWide,
-    "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs
+    "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
+    "q_split_assign" -> qSplitAssign,
+    "q_contamination" -> qContamination
   )
 
   /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
@@ -392,6 +438,29 @@ object Dedup {
             s"(CASE WHEN c$k * 2 >= n THEN ${1L << k} ELSE 0 END)").mkString(" + ")} AS BIGINT)
         |    AS simhash16
         |FROM agg ORDER BY doc_id""".stripMargin),
+
+    "q_split_assign" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |b AS (SELECT doc_id, fp,
+        |        CAST(strpos('0123456789abcdef', substr(md5('split|' || fp), 1, 1)) - 1 AS BIGINT) AS bucket
+        |      FROM d)
+        |SELECT doc_id, fp, bucket,
+        |  CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      (s"""$duckShingleCte,
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE source = 'src0'),
+        |cd AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh
+        |       FROM d WHERE source <> 'src0' AND len(sh) > 0),
+        |cg AS (SELECT doc_id, unnest(sh) AS g FROM cd),
+        |hits AS (SELECT doc_id, count(*) AS hits
+        |         FROM cg JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT cd.doc_id, cd.n_sh,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000) // cd.n_sh AS BIGINT) AS contam_permille
+        |FROM cd LEFT JOIN hits h ON h.doc_id = cd.doc_id
+        |ORDER BY cd.doc_id""".stripMargin),
 
     "q_dedup_simhash_wide" ->
       (s"""WITH tok AS (

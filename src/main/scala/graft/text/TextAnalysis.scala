@@ -151,7 +151,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Corpus vocabulary top-k: term frequency + document frequency per
+    * token, top 100 by tf. One shuffle with map-side combine; the
+    * driver-side cap is a TakeOrdered, not a full sort — the corpus
+    * vocabulary-build shape at 100 TB (df feeds idf and tokenizer
+    * training). Ties are impossible at the cut: (tf DESC, token) is a
+    * total order. */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk" -> qVocabTopk,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
@@ -161,6 +179,12 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -112,6 +112,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(banded.nonEmpty) // exact-dup groups guarantee hamming-0 pairs
   }
 
+  test("leakage-safe split: identical texts always land in the same split") {
+    val rows = Dedup.qSplitAssign(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byFp = rows.groupBy(_.getAs[String]("fp"))
+    byFp.values.foreach { g =>
+      assert(g.map(_.getAs[String]("split")).toSet.size == 1)
+    }
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // deterministic hash split: the dominant class must be train
+    val counts = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(counts.getOrElse("train", 0) > counts.getOrElse("test", 0))
+  }
+
+  test("contamination: permille bounded, hits never exceed shingle count, src0 excluded") {
+    val rows = Dedup.qContamination(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("contam_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_sh"))
+    }
+    val benchIds = Tables.load(spark, sf0001, "documents")
+      .filter($"source" === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.intersect(benchIds).isEmpty)
+  }
+
+  test("vocab top-k is tf-descending with df <= tf") {
+    val rows = TextAnalysis.qVocabTopk(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val tfs = rows.map(_.getAs[Long]("tf"))
+    assert(tfs.sameElements(tfs.sorted(Ordering[Long].reverse)))
+    rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("tf")))
+  }
+
   test("minhash signatures are 16-bit hex slots; identical docs would collide") {
     val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
     assert(rows.nonEmpty)
