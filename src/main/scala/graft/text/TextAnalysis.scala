@@ -168,8 +168,38 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** Per-document top-3 salient terms by tf·idf, with a RATIONAL idf
+    * (`(N·1000) div df` fixed-point) instead of `ln(N/df)`: JVM
+    * `Math.log` and DuckDB `ln` differ in the last ulp (measured: 1 of
+    * 2000 inputs), so a float idf cannot pass a bit-exact cross-engine
+    * gate — the rational form is order-equivalent for ranking and
+    * exactly reproducible. Two shuffles (per-doc tf, corpus df) + a
+    * broadcast of the 1-row corpus count; ranking is a bounded
+    * per-doc window. */
+  def qTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
+      .withColumn("score", $"tf" * $"idf_x1000")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"idf_x1000", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_topk" -> qVocabTopk,
+    "q_tfidf_topk" -> qTfidfTopk,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
@@ -179,6 +209,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tt GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tt) GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         CAST((n.n_docs * 1000) // df.df AS BIGINT) AS idf_x1000,
+        |         CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, token) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       idf_x1000, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q_vocab_topk" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

@@ -148,6 +148,18 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("tf")))
   }
 
+  test("tfidf top-3: dense ranks, rare terms outscore common ones at equal tf") {
+    val rows = TextAnalysis.qTfidfTopk(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to g.length))
+      val scores = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score"))
+      assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("score") == r.getAs[Long]("tf") * r.getAs[Long]("idf_x1000")))
+  }
+
   test("minhash signatures are 16-bit hex slots; identical docs would collide") {
     val rows = Dedup.qDedupMinhash(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -56,6 +56,40 @@ class AsOfJoinSpec extends SparkSpec {
       executed)
   }
 
+  test("randomized: merge equals the max_by formulation on adversarial key/time mixes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(20260812L)
+    val schemaL = StructType(Seq(StructField("lk", LongType),
+      StructField("lt", LongType), StructField("lid", LongType)))
+    val schemaR = StructType(Seq(StructField("rk", LongType),
+      StructField("rt", LongType), StructField("rid", LongType)))
+    for (trial <- 1 to 5) {
+      // few keys + tiny time domain → dense ties, empty keys, runs
+      val lRows = (0 until 200).map(i => Row(rnd.nextInt(8).toLong,
+        rnd.nextInt(12).toLong, i.toLong)) // unique lid keeps groups 1:1 with rows
+      val rRows = Seq.fill(200)(Row(rnd.nextInt(10).toLong,
+        rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+      val l = spark.createDataFrame(spark.sparkContext.parallelize(lRows, 7), schemaL)
+      val r = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 3), schemaR)
+      val got = AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+          payload = Seq("rt", "rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          Option(x.get(3)), Option(x.get(4)))).toList.sorted(
+          Ordering.by((t: (Long, Long, Long, Option[Any], Option[Any])) =>
+            (t._1, t._2, t._3, t._4.map(_.toString).getOrElse(""), t._5.map(_.toString).getOrElse(""))))
+      val expected = l.join(r, $"lk" === $"rk" && $"rt" < $"lt", "left_outer")
+        .groupBy($"lk", $"lt", $"lid")
+        .agg(max_by(struct($"rt", $"rid"), struct($"rt", $"rid")).as("m"))
+        .select($"lk", $"lt", $"lid", $"m.rt", $"m.rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          Option(x.get(3)), Option(x.get(4)))).toList.sorted(
+          Ordering.by((t: (Long, Long, Long, Option[Any], Option[Any])) =>
+            (t._1, t._2, t._3, t._4.map(_.toString).getOrElse(""), t._5.map(_.toString).getOrElse(""))))
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
+
   test("strict-prior semantics: a right row tied to the left time is excluded") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
