@@ -90,4 +90,20 @@ object Pipeline {
   /** The incrementally-merged latest-segments table. */
   def mergedSegments(spark: SparkSession, outPath: String): DataFrame =
     graft.streaming.MergeSink.read(spark, s"$outPath/segments_latest")
+
+  /** Continuous agents dimension (the reference's SCD-1 upsert,
+    * routes/events.js:225-256): each micro-batch's per-agent partial
+    * aggregate MERGEs into `outPath/agents_latest` by agent_uuid. */
+  def startStreamingAgents(spark: SparkSession, watchDir: String,
+      checkpointDir: String, outPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream.text(watchDir)
+    graft.streaming.MergeSink.startAgents(
+      StreamingPipeline.parseStream(spark, raw),
+      s"$outPath/agents_latest", checkpointDir, trigger)
+  }
+
+  /** The incrementally-merged agents dimension. */
+  def mergedAgents(spark: SparkSession, outPath: String): DataFrame =
+    graft.streaming.MergeSink.readAgents(spark, s"$outPath/agents_latest")
 }

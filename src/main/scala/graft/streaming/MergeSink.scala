@@ -90,4 +90,66 @@ object MergeSink {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath)
       .select(graft.taskrouter.Model.segmentColumns.map(col): _*)
+
+  // ---------------------------------------------------------------
+  // agents dimension (SCD-1 upsert, reference routes/events.js:225-256)
+  // ---------------------------------------------------------------
+
+  /** Fold one micro-batch of PARSED events into the agents dimension
+    * table. The per-agent aggregate is mergeable: `date_joined` is a
+    * min and every other column is a function of the winning (latest
+    * by (ts_us, event_id)) event, whose key is persisted alongside the
+    * row — so re-running the same min/max_by over (existing ∪ delta)
+    * IS the MERGE, batch-boundary-independent by construction. */
+  def mergeAgents(spark: SparkSession, tablePath: String, parsedBatch: DataFrame): Unit = {
+    val delta0 = graft.taskrouter.Derivation.agentsKeyed(parsedBatch)
+    val delta = delta0
+      .withColumn(PartCol, substring(md5(col("agent_uuid").cast("binary")), 1, 2))
+      .localCheckpoint()
+    if (delta.isEmpty) return // no worker events in this batch
+
+    val touched = delta.select(PartCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existing =
+      if (new java.io.File(tablePath).exists())
+        spark.read.parquet(tablePath)
+          .filter(col(PartCol).isin(touched: _*))
+          .select(delta.columns.map(col): _*)
+      else delta.limit(0)
+
+    val restCols = delta.columns.filterNot(c =>
+      c == "agent_uuid" || c == "date_joined")
+    val merged = existing.unionByName(delta)
+      .groupBy(col("agent_uuid"))
+      .agg(min(col("date_joined")).as("date_joined"),
+        max_by(struct(restCols.map(col): _*),
+          struct(col("last_ts_us"), col("last_event_id"))).as("w"))
+      .select(Seq(col("agent_uuid"), col("date_joined")) ++
+        restCols.map(n => col(s"w.$n").as(n)): _*)
+      .select(delta.columns.map(col): _*)
+      .localCheckpoint()
+
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartCol)
+      .parquet(tablePath)
+  }
+
+  /** Stream PARSED events into an incrementally-merged agents table. */
+  def startAgents(parsed: DataFrame, tablePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeAgents(batch.sparkSession, tablePath, batch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Read the maintained agents dimension. */
+  def readAgents(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath)
+      .select(graft.taskrouter.Model.agentColumns.map(col): _*)
 }

@@ -357,14 +357,22 @@ object Derivation {
 
   /** Agent dimension (SCD-1 current state): last-write-wins per worker
     * with date_joined = first touching event (reference :225-295). */
-  def agents(parsed: DataFrame): DataFrame = {
+  def agents(parsed: DataFrame): DataFrame =
+    agentsKeyed(parsed).select(agentColumns.map(col): _*)
+
+  /** [[agents]] plus the winning event's (last_ts_us, last_event_id)
+    * order key — an incremental sink merges partial aggregates by
+    * re-running the same min/max_by over (existing ∪ delta), which
+    * needs the key persisted alongside the row. */
+  private[graft] def agentsKeyed(parsed: DataFrame): DataFrame = {
     val ev = prepared(parsed).filter(col("p_worker_sid").isNotNull &&
       col("eventtype").isin(EtWorkerCreated, EtWorkerDeleted,
         EtWorkerActivityUpdated, EtWorkerAttributesUpdated))
     val last = ev.groupBy(col("p_worker_sid").as("agent_uuid"))
       .agg(
         min(col("ts_sec")).as("date_joined"),
-        max_by(struct(col("eventtype"), col("ts_sec"), col("wattr")),
+        max_by(struct(col("eventtype"), col("ts_sec"), col("wattr"),
+            col("ts_us"), col("event_id")),
           struct(col("ts_us"), col("event_id"))).as("lastev"))
     val wa: String => Column = k => col("lastev.wattr")(k)
     last.select(
@@ -388,7 +396,10 @@ object Derivation {
       wa("department_name_in_hierarchy").as("department_name_in_hierarchy"),
       col("date_joined"),
       when(col("lastev.eventtype") === EtWorkerDeleted, col("lastev.ts_sec"))
-        .otherwise(lit(null).cast(TimestampType)).as("date_left"))
-      .select(agentColumns.map(col): _*)
+        .otherwise(lit(null).cast(TimestampType)).as("date_left"),
+      col("lastev.ts_us").as("last_ts_us"),
+      col("lastev.event_id").as("last_event_id"))
+      .select(agentColumns.map(col) ++
+        Seq(col("last_ts_us"), col("last_event_id")): _*)
   }
 }

@@ -85,4 +85,41 @@ class PipelineSpec extends SparkSpec {
     // the in-progress row was updated in place, not duplicated
     assert(merged.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
   }
+
+  test("incremental agents MERGE equals the batch dimension across micro-batches") {
+    val watch = tmp("graft-agents-watch")
+    val ckpt = tmp("graft-agents-ckpt")
+    val out = tmp("graft-agents-out")
+    def wk(id: String, et: String, ts: String, act: String, attrs: String) =
+      s"""{"id":"$id","type":"com.twilio.taskrouter.$et","data":{"payload":{"eventtype":"$et","timestamp":"$ts","worker_sid":"WKag","worker_activity_name":"$act","worker_attributes":$attrs},"publisher_metadata":{"account_sid":"AC1"}}}"""
+    val events = Seq(
+      wk("AG1", "worker.created", "2026-08-12T09:00:00.000Z", "Available",
+        "\"{\\\"email\\\":\\\"a@x.co\\\",\\\"team_name\\\":\\\"T1\\\"}\""),
+      wk("AG2", "worker.activity.update", "2026-08-12T09:10:00.000Z", "Busy",
+        "\"{\\\"email\\\":\\\"a@x.co\\\",\\\"team_name\\\":\\\"T2\\\"}\""),
+      wk("AG3", "worker.attributes.update", "2026-08-12T09:20:00.000Z", "Busy",
+        "\"{\\\"email\\\":\\\"b@x.co\\\",\\\"team_name\\\":\\\"T3\\\"}\""))
+    // batch 1: created; batch 2: updates MERGE over the existing row
+    java.nio.file.Files.write(new java.io.File(watch, "a.jsonl").toPath,
+      events.take(1).mkString("\n").getBytes("UTF-8"))
+    val q1 = Pipeline.startStreamingAgents(spark, watch, ckpt, out)
+    q1.awaitTermination(120000)
+    val mid = Pipeline.mergedAgents(spark, out).collect()
+    assert(mid.length == 1 && mid(0).getAs[String]("team_name") == "T1")
+
+    java.nio.file.Files.write(new java.io.File(watch, "b.jsonl").toPath,
+      events.drop(1).mkString("\n").getBytes("UTF-8"))
+    val q2 = Pipeline.startStreamingAgents(spark, watch, ckpt, out)
+    q2.awaitTermination(120000)
+
+    val merged = Pipeline.mergedAgents(spark, out)
+    val batch = Derivation.agents(
+      Ingest.parseJson(spark, spark.createDataset(events)))
+    assert(merged.orderBy("agent_uuid").collect().toSeq ==
+      batch.orderBy("agent_uuid").collect().toSeq)
+    // last-write-wins: attrs from the newest event, date_joined from the first
+    val row = merged.collect()(0)
+    assert(row.getAs[String]("team_name") == "T3")
+    assert(row.getAs[String]("email") == "b@x.co")
+  }
 }
