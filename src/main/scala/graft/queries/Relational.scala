@@ -457,6 +457,44 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Skew-resistant fact⋈dim join: the dim is replicated per salt and
+    * the fact's rows spread over (key, salt) — the oracle is the PLAIN
+    * join, proving the transform is a drop-in (operators.Salted.join). */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey".as("c_custkey"), dec($"o_totalprice").as("tp"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    graft.operators.Salted.join(orders, cust, "c_custkey",
+        rowId = $"tp", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"tp").cast("double").as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Exact per-group discrete percentiles via distributed ranking —
+    * the median's generalization. Ranks come from pure integer
+    * ceilings ((p·n rounded up) via `div`), so both engines select the
+    * same positions; the reported values are untouched column values
+    * (no float arithmetic to diverge). */
+  def qAggPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      .agg(
+        max(when(expr("rn = (cnt + 1) div 2"), $"l_quantity")).as("p50"),
+        max(when(expr("rn = (9 * cnt + 9) div 10"), $"l_quantity")).as("p90"),
+        max(when(expr("rn = (99 * cnt + 99) div 100"), $"l_quantity")).as("p99"),
+        max($"cnt").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface. */
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -698,6 +736,8 @@ object Relational {
     "q_sql_tpch14" -> qSqlTpch14,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
+    "q_salted_join" -> qSaltedJoin,
+    "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
@@ -1012,6 +1052,26 @@ object Relational {
         |  min(event_id) AS first_id,
         |  max(event_id) AS last_id
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the PLAIN join is the oracle: salting must be a drop-in
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q_agg_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = (cnt + 1) // 2 THEN l_quantity END) AS p50,
+        |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN l_quantity END) AS p90,
+        |  max(CASE WHEN rn = (99 * cnt + 99) // 100 THEN l_quantity END) AS p99,
+        |  CAST(max(cnt) AS BIGINT) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -34,6 +34,22 @@ class SaltedSpec extends SparkSpec {
   private def dec(c: org.apache.spark.sql.Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
 
+  test("salted join equals the plain join on a skewed fact") {
+    val fact = Tables.load(spark, sf0001, "events")
+      .withColumn("skew_key", when($"user_id" < 12, lit(1L)).otherwise($"user_id"))
+      .select($"skew_key", $"event_id", $"value")
+    val dim = Tables.load(spark, sf0001, "events")
+      .select($"user_id".as("skew_key")).distinct()
+      .withColumn("dim_tag", concat(lit("d"), $"skew_key"))
+    val plain = fact.join(dim, Seq("skew_key"))
+      .groupBy($"skew_key").agg(count(lit(1)).as("n"), max($"dim_tag").as("t"))
+      .orderBy($"skew_key").collect().toSeq
+    val salted = Salted.join(fact, dim, "skew_key", rowId = $"event_id", salts = 8)
+      .groupBy($"skew_key").agg(count(lit(1)).as("n"), max($"dim_tag").as("t"))
+      .orderBy($"skew_key").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("salt actually fans the hot key across partial groups") {
     val ev = Tables.load(spark, sf0001, "events")
       .withColumn("skew_key", lit(0L)) // everything one key
