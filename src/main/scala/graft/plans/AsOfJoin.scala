@@ -53,10 +53,22 @@ object AsOfJoin {
   // planner strategy
   // ---------------------------------------------------------------
 
+  /** Physical selection mirrors Spark's own join strategy: a right
+    * side whose estimated stats fit under the broadcast threshold
+    * plans as [[BroadcastAsOfJoinExec]] (no shuffle or sort on either
+    * side); otherwise the co-partitioned merge [[AsOfJoinExec]]. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, payload) :: Nil
+        val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        val exec =
+          if (thr > 0 && r.stats.sizeInBytes <= thr)
+            BroadcastAsOfJoinExec(planLater(l), planLater(r),
+              lk, rk, lt, rt, tie, payload)
+          else
+            AsOfJoinExec(planLater(l), planLater(r),
+              lk, rk, lt, rt, tie, payload)
+        exec :: Nil
       case _ => Nil
     }
   }
@@ -158,6 +170,100 @@ object AsOfJoin {
             }
             resultProj(joined(l, if (cand != null) cand else nullPayload))
           }
+        }
+      }
+    }
+  }
+
+  /** Broadcast variant: the whole right side is broadcast, indexed per
+    * key as a time-sorted array, and each left partition probes it
+    * with a binary search — no exchange or sort on EITHER side (the
+    * left keeps its partitioning, like Spark's BroadcastHashJoin). */
+  case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
+      payload: Seq[Attribute]) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+          org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lOut = left.output
+      val rOut = right.output
+      val lKeyIdx = leftKeys.map(a => lOut.indexWhere(_.exprId == a.exprId))
+      val rKeyIdx = rightKeys.map(a => rOut.indexWhere(_.exprId == a.exprId))
+      val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+      val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+      val rTieIdx = rOut.indexWhere(_.exprId == rightTie.exprId)
+      val keyTypes = leftKeys.map(_.dataType)
+      val payloadIdx = payload.map(a => rOut.indexWhere(_.exprId == a.exprId))
+      val payloadTypes = payload.map(_.dataType)
+      val nPayload = payload.length
+
+      val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+      left.execute().mapPartitions { lIt =>
+        // per-partition index build: key -> (sorted times, payloads)
+        val rKeyProj = UnsafeProjection.create(rKeyIdx.zip(keyTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        val payloadProj = UnsafeProjection.create(payloadIdx.zip(payloadTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        val index = new java.util.HashMap[InternalRow,
+          (Array[Long], Array[Long], Array[InternalRow])]()
+        val grouped = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r).copy()
+          var buf = grouped.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty
+            grouped.put(k, buf)
+          }
+          buf += ((r.getLong(rTimeIdx), r.getLong(rTieIdx), payloadProj(r).copy()))
+        }
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortBy(x => (x._1, x._2))
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+            sorted.map(_._3).toArray))
+        }
+
+        val lKeyProj = UnsafeProjection.create(lKeyIdx.zip(keyTypes).map {
+          case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+        })
+        val resultProj = UnsafeProjection.create(output, lOut ++ payload)
+        val nullPayload = new GenericInternalRow(nPayload)
+        val joined = new JoinedRow
+
+        lIt.map { l =>
+          val entry = index.get(lKeyProj(l))
+          val matched =
+            if (entry == null) nullPayload
+            else {
+              val (times, _, payloads) = entry
+              val lTime = l.getLong(lTimeIdx)
+              // rightmost position with time < lTime: sorted by
+              // (time, tie), so that position IS the max-(time,tie) row
+              var lo = 0; var hi = times.length // [lo, hi)
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) < lTime) lo = mid + 1 else hi = mid
+              }
+              if (lo == 0) nullPayload else payloads(lo - 1)
+            }
+          resultProj(joined(l, matched))
         }
       }
     }

@@ -48,12 +48,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom.filter($"r_us".isNull).count() >= 0)
   }
 
-  test("plans as AsOfJoinExec: merge pass, no window buffer, no join fallback") {
+  test("stats-based physical selection: small right broadcasts, large threshold-off merges") {
+    // default threshold: tiny right side → broadcast variant, no
+    // exchange/sort on either side
     custom.collect()
-    val executed = custom.queryExecution.executedPlan.toString
-    assert(executed.contains("AsOfJoin"), executed) // Exec suffix stripped in plan strings
-    assert(!executed.contains("SortMergeJoin") && !executed.contains("WindowExec"),
-      executed)
+    val bPlan = custom.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsOfJoin"), bPlan)
+    assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("WindowExec"), bPlan)
+
+    // threshold off → co-partitioned merge variant with its exchanges
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = AsOfJoin.joinAsOf(leftDf, rightDf,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("r_us", "r_id"))
+      merged.collect()
+      val mPlan = merged.queryExecution.executedPlan.toString
+      assert(mPlan.contains("AsOfJoin") && !mPlan.contains("BroadcastAsOfJoin"), mPlan)
+      assert(mPlan.contains("Exchange"), mPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("both physical variants return identical results") {
+    val viaBroadcast = custom
+      .select($"event_id", $"r_us", $"r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val viaMerge = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      AsOfJoin.joinAsOf(leftDf, rightDf,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("r_us", "r_id"))
+        .select($"event_id", $"r_us", $"r_id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert(viaBroadcast == viaMerge)
   }
 
   test("randomized: merge equals the max_by formulation on adversarial key/time mixes") {
@@ -64,7 +96,12 @@ class AsOfJoinSpec extends SparkSpec {
       StructField("lt", LongType), StructField("lid", LongType)))
     val schemaR = StructType(Seq(StructField("rk", LongType),
       StructField("rt", LongType), StructField("rid", LongType)))
-    for (trial <- 1 to 5) {
+    val oldThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try for (trial <- 1 to 6) {
+      // odd trials broadcast, even trials merge — both variants face
+      // the same adversarial inputs
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        if (trial % 2 == 0) "-1" else "10485760")
       // few keys + tiny time domain → dense ties, empty keys, runs
       val lRows = (0 until 200).map(i => Row(rnd.nextInt(8).toLong,
         rnd.nextInt(12).toLong, i.toLong)) // unique lid keeps groups 1:1 with rows
@@ -87,7 +124,7 @@ class AsOfJoinSpec extends SparkSpec {
           Ordering.by((t: (Long, Long, Long, Option[Any], Option[Any])) =>
             (t._1, t._2, t._3, t._4.map(_.toString).getOrElse(""), t._5.map(_.toString).getOrElse(""))))
       assert(got == expected, s"trial $trial diverged")
-    }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
   }
 
   test("strict-prior semantics: a right row tied to the left time is excluded") {
