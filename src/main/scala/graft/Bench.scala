@@ -9,11 +9,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
 
-    // Warm the JVM: codegen, parquet reader, shuffle paths — so the
-    // first measured query isn't charged for JIT/classloading.
-    Tables.load(spark, sfDir, "lineitem")
-      .groupBy("l_returnflag").count().collect()
-    Tables.load(spark, sfDir, "events").limit(100).collect()
+    // Warm the JVM: codegen, parquet reader/writer, shuffle, window,
+    // decimal-agg and noop-sink paths — so the first measured queries
+    // aren't charged for JIT/classloading/committer init. Generic
+    // warmup only: nothing here computes or caches query results.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").count().collect()
+      Tables.load(spark, sfDir, "events").limit(100).collect()
+      val warm = spark.range(10000).toDF("id")
+        .withColumn("g", col("id") % 7)
+        .withColumn("d", col("id").cast("decimal(18,2)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("id"))))
+        .groupBy(col("g")).agg(sum(col("d")).as("s"), max(col("rn")).as("m"))
+      warm.write.format("noop").mode("overwrite").save()
+      val warmDir = "target/graft-stage/bench-warmup"
+      warm.write.mode("overwrite").parquet(warmDir)
+      spark.read.parquet(warmDir).write.format("noop").mode("overwrite").save()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,7 +22,8 @@ object SparkEntry {
       (graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
       (graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
       (graft.sim.Similarity.queries, graft.sim.Similarity.oracles),
-      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles)
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles),
+      (graft.quality.Quality.queries, graft.quality.Quality.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,280 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond dedup/similarity: document
+  * quality gates (Gopher-style rule filters), repetition scoring,
+  * deterministic sampling / stratified subsetting, canonicalization
+  * dedup, and funnel analysis over the event stream.
+  *
+  * Scale notes (100 TB):
+  *  - quality gates + sampling are pure per-row expressions (zero
+  *    shuffle, fully codegen'd) — they run at scan speed and compose
+  *    with predicate pushdown when used as filters;
+  *  - repetition scoring shuffles (doc_id, token) once with map-side
+  *    combine — the canonical word-histogram shape;
+  *  - canonicalization dedup is one shuffle on the normalized digest,
+  *    identical to exact dedup (dedup/Dedup.scala);
+  *  - the funnel is one shuffle on user_id: chained window minima over
+  *    the SAME partitioning reuse a single exchange (no per-stage
+  *    re-shuffle), then a per-user aggregate.
+  */
+object Quality {
+
+  /** Whitespace-token array with empties dropped — the shared word
+    * tokenization (matches DuckDB regexp_split_to_array + list_filter). */
+  private def wordsCol: Column =
+    expr("filter(split(text, '\\\\s+'), w -> w <> '')")
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    * public paper): word count bounds, mean word length bounds, minimum
+    * stop-word hits. Pure array expressions per row; at 100 TB this is
+    * a scan-speed filter with no shuffle. */
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.load(spark, dir, "documents")
+      .withColumn("ws", wordsCol)
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("sum_wlen",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("mean_wlen_permille",
+        expr("(sum_wlen * 1000) div nullif(n_words, 0)"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
+      .withColumn("ok_word_count", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("ok_mean_wlen",
+        $"mean_wlen_permille" >= 3000 && $"mean_wlen_permille" <= 10000)
+      .withColumn("ok_stopwords", $"stop_hits" >= 2)
+      .select($"doc_id", $"n_words", $"sum_wlen", $"mean_wlen_permille",
+        $"stop_hits", $"ok_word_count", $"ok_mean_wlen", $"ok_stopwords",
+        ($"ok_word_count" && $"ok_mean_wlen" && $"ok_stopwords").as("quality_pass"))
+      .orderBy($"doc_id")
+  }
+
+  /** Repetition scoring (the Gopher/C4 "repetitious text" family):
+    * most-frequent-word share and duplicate-bigram share per document.
+    * One shuffle on (doc_id, token) with map-side combine — the
+    * word-histogram shape that scales linearly. */
+  def qQualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", wordsCol.as("ws"))
+    val uni = docs.select($"doc_id", explode($"ws").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max($"c").as("top_word_n"))
+    // bigrams: empty below 2 words (sequence(1,0) generates DESCENDING
+    // in Spark — must guard, not rely on an empty range). zip_with over
+    // two slices, NOT transform(sequence, i -> element_at(ws, i)):
+    // referencing ws inside the lambda body lets CollapseProject inline
+    // the filter(split(...)) there, re-running the regex split once per
+    // BIGRAM (measured 10s for 5000 docs); zip_with's lambda touches
+    // only its element variables, so ws is evaluated once per row.
+    val big = docs
+      .withColumn("bs", expr(
+        """CASE WHEN size(ws) < 2 THEN CAST(array() AS array<string>)
+          |ELSE zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |  (a, b) -> concat(a, ' ', b)) END""".stripMargin))
+      .select($"doc_id", explode($"bs").as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    uni.join(big, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_words", $"n_distinct_words", $"top_word_n",
+        expr("(top_word_n * 1000) div nullif(n_words, 0)").as("top_word_permille"),
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_bigrams" - $"n_distinct_bigrams", lit(0L)).as("n_dup_bigrams"),
+        expr("((n_bigrams - n_distinct_bigrams) * 1000) div nullif(n_bigrams, 0)")
+          .as("dup_bigram_permille"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic ~10% corpus sample: md5 of a salted key, first hex
+    * byte < 0x1a (26/256 ≈ 10.2%). A pure function of the row key —
+    * stable under re-runs, shards and corpus growth (adding documents
+    * never reselects existing ones), zero shuffle, and trivially
+    * repartition-safe at 100 TB (contrast with rand()-based sampling,
+    * which is neither deterministic nor replay-stable). */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(substring(md5(concat(lit("smp|"), $"doc_id".cast("string")).cast("binary")), 1, 2) < "1a")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified deterministic subset: top-20 per language by salted
+    * md5 order — the "N examples per stratum" eval-set builder. One
+    * shuffle on the stratum key; rank cutoff is a per-partition top-k
+    * (WindowGroupLimit pushes the k=20 limit below the sort at scale). */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rk = md5(concat(lit("strat|"), $"doc_id".cast("string")).cast("binary"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rk", rk)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"rk", $"doc_id")))
+      .filter($"rn" <= 20)
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** Canonicalization dedup (the C4 normalize-then-hash step):
+    * lowercase, strip non-alphanumerics, collapse whitespace, digest,
+    * group. One shuffle on the normalized fingerprint — identical cost
+    * shape to exact dedup; catches whitespace/punctuation-only
+    * near-copies that byte-exact dedup misses. */
+  def qDedupNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), "\\s+", " ")))
+      .groupBy(md5($"norm".cast("binary")).as("norm_fp"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc_id"))
+      .orderBy($"canonical_doc_id")
+  }
+
+  /** Ordered funnel over the event stream: first view, first click at
+    * or after it, first purchase at or after that, per user. The three
+    * chained window minima share ONE user_id exchange (no orderBy in
+    * the frame, so no per-stage sort either); the per-user rollup then
+    * reads exchange-local data. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("v_ep", min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("c_ep",
+        min(when($"event_type" === "click" && $"us" >= $"v_ep", $"us")).over(w))
+      .withColumn("p_ep",
+        min(when($"event_type" === "purchase" && $"us" >= $"c_ep", $"us")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"v_ep").as("view_ep"), max($"c_ep").as("click_ep"),
+        max($"p_ep").as("purchase_ep"))
+      .select($"user_id", $"view_ep", $"click_ep", $"purchase_ep",
+        when($"purchase_ep".isNotNull, 3)
+          .when($"click_ep".isNotNull, 2)
+          .when($"view_ep".isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gopher" -> qQualityGopher,
+    "q_quality_repetition" -> qQualityRepetition,
+    "q_sample_hash" -> qSampleHash,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_dedup_norm" -> qDedupNorm,
+    "q_funnel" -> qFunnel
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_gopher" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+         |    CAST(len(list_filter(ws, x -> x IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS BIGINT) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words, sum_wlen,
+         |  (sum_wlen * 1000) // nullif(n_words, 0) AS mean_wlen_permille,
+         |  stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+         |  (sum_wlen * 1000) // nullif(n_words, 0) BETWEEN 3000 AND 10000 AS ok_mean_wlen,
+         |  stop_hits >= 2 AS ok_stopwords,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND ((sum_wlen * 1000) // nullif(n_words, 0) BETWEEN 3000 AND 10000)
+         |    AND (stop_hits >= 2) AS quality_pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+        |  GROUP BY doc_id, tok),
+        |ustat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |         CAST(max(c) AS BIGINT) AS top_word_n
+        |  FROM uni GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bs
+        |  FROM w),
+        |bi AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(bs) AS tok FROM bg)
+        |  GROUP BY doc_id, tok),
+        |bstat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+        |  FROM bi GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_words, u.n_distinct_words, u.top_word_n,
+        |  (u.top_word_n * 1000) // nullif(u.n_words, 0) AS top_word_permille,
+        |  coalesce(b.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(b.n_bigrams - b.n_distinct_bigrams, 0) AS n_dup_bigrams,
+        |  ((b.n_bigrams - b.n_distinct_bigrams) * 1000) // nullif(b.n_bigrams, 0)
+        |    AS dup_bigram_permille
+        |FROM ustat u LEFT JOIN bstat b ON u.doc_id = b.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                               '\s+', ' ', 'g'))) AS norm_fp,
+        |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(epoch_us(ts)) AS v_ep FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_ep FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.v_ep
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ep FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) >= c.c_ep
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, v.v_ep AS view_ep, c.c_ep AS click_ep, p.p_ep AS purchase_ep,
+        |  CAST(CASE WHEN p.p_ep IS NOT NULL THEN 3
+        |            WHEN c.c_ep IS NOT NULL THEN 2
+        |            WHEN v.v_ep IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin
+  )
+}

@@ -76,17 +76,31 @@ object Relational {
     * keep the one or two middle rows, average them — one shuffle on the
     * group key, no full sort of the table. Values are integer-valued
     * doubles, so midpoint interpolation is exact and engine-agnostic. */
+  /** Exact per-group median by VALUE-COUNT ranking: aggregate to
+    * (group, value, cnt) first — map-side combinable, one narrow
+    * shuffle — then rank over the tiny distinct-value frame. The naive
+    * row_number-over-group form partitions 600k rows into 3 window
+    * partitions (one sorted task per group — the exact skew shape that
+    * dies at 100 TB); this computes the same ranks from cumulative
+    * counts over ≤50 rows per group. The middle-rank values v₁,v₂ are
+    * looked up in the cumulative range (cum−cnt, cum]; (v₁+v₂)/2
+    * reproduces sum/count over the two middle rows bit-for-bit (IEEE
+    * addition is commutative; same-row case degenerates to v). */
   def qAggMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
     Tables.load(spark, dir, "lineitem")
-      .select($"l_returnflag", $"l_quantity")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-      .filter(expr("rn = (cnt + 1) div 2 OR rn = cnt div 2 + 1")) // div: Column./ is double division
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("n div 2 + 1"))
       .groupBy($"l_returnflag")
-      .agg((sum($"l_quantity") / count(lit(1))).as("median_qty"),
-        max($"cnt").as("n"))
+      .agg(
+        ((max(when($"cum" - $"c" < $"r1" && $"r1" <= $"cum", $"l_quantity")) +
+          max(when($"cum" - $"c" < $"r2" && $"r2" <= $"cum", $"l_quantity"))) / 2)
+          .as("median_qty"),
+        max($"n").as("n"))
       .orderBy($"l_returnflag")
   }
 
@@ -481,17 +495,21 @@ object Relational {
     * (no float arithmetic to diverge). */
   def qAggPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    // Same value-count ranking as qAggMedian: the rank-r value is the
+    // distinct value whose cumulative-count range (cum−c, cum] covers r.
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    def at(rank: Column): Column =
+      max(when($"cum" - $"c" < rank && rank <= $"cum", $"l_quantity"))
     Tables.load(spark, dir, "lineitem")
-      .select($"l_returnflag", $"l_quantity")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
       .groupBy($"l_returnflag")
       .agg(
-        max(when(expr("rn = (cnt + 1) div 2"), $"l_quantity")).as("p50"),
-        max(when(expr("rn = (9 * cnt + 9) div 10"), $"l_quantity")).as("p90"),
-        max(when(expr("rn = (99 * cnt + 99) div 100"), $"l_quantity")).as("p99"),
-        max($"cnt").as("n"))
+        at(expr("(n + 1) div 2")).as("p50"),
+        at(expr("(9 * n + 9) div 10")).as("p90"),
+        at(expr("(99 * n + 99) div 100")).as("p99"),
+        max($"n").as("n"))
       .orderBy($"l_returnflag")
   }
 
@@ -675,6 +693,46 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q10 shape (adapted to the driver's trimmed columns):
+    * returned-item revenue by customer over a quarter — fact-to-dim
+    * star join (customer/nation broadcast after the date filter prunes
+    * orders at the scan), DECIMAL revenue, driver-side top-20
+    * (TakeOrderedAndProject, no full sort). c_custkey breaks revenue
+    * ties deterministically. */
+  def qSqlTpch10(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — left join so
+    * zero-order customers survive, two-level aggregation (per-customer
+    * count, then histogram). Both shuffles are on small keys; the
+    * second input is |customers| rows, not |orders|. */
+  def qSqlTpch13(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
   /** TPC-H Q14 shape: promo-revenue share — conditional aggregation
     * over a fact-dim join with a tight date window. The part side
     * broadcasts; the shipdate range prunes at the parquet scan. */
@@ -733,6 +791,8 @@ object Relational {
     "q_sql_tpch6" -> qSqlTpch6,
     "q_sql_tpch17" -> qSqlTpch17,
     "q_sql_tpch18" -> qSqlTpch18,
+    "q_sql_tpch10" -> qSqlTpch10,
+    "q_sql_tpch13" -> qSqlTpch13,
     "q_sql_tpch14" -> qSqlTpch14,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
@@ -1031,6 +1091,30 @@ object Relational {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
         |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_sql_tpch10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_sql_tpch13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_sql_tpch14" ->
       """SELECT

@@ -204,27 +204,41 @@ object Derivation {
   def segments(parsed: DataFrame,
       stage: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val ev = prepared(parsed)
-    // Materialize the shared task-event frame (as-of window + the
-    // ~70-column base projection) once: three branches (accepted,
-    // failed, abandoned) filter it on non-partition columns, so without
-    // this each branch would recompute the full window and projection.
+    // Materialize the shared event frame (as-of windows + the
+    // ~70-column base projection) once: three task branches (accepted,
+    // failed, abandoned) filter it on non-partition columns, and the
+    // worker-span branch needs the same base projection — so task and
+    // worker events are unioned (tagged by `side`) BEFORE the base
+    // projection and the whole frame is staged once. Besides saving
+    // recomputation, this keeps exactly ONE copy of the giant base
+    // expression tree in the plan: two copies doubled the
+    // data-independent Catalyst/janino cost of the pipeline.
     // At scale this is the staged "task events + base" table written
     // once per batch window (SCALE.md storage layout).
-    // uuid/segment_kind are always branch overrides, and no task branch
+    // uuid/segment_kind are always branch overrides, and no branch
     // reads the parsed attribute blobs after the base projection — so
     // the staged frame keeps only base columns + correlation fields
     // (roughly halves the materialized width).
     val stagedCols = segmentColumns.filterNot(Set("uuid", "segment_kind")).map(col) ++
-      Seq(col("eventtype"), col("event_id"), col("ts_sec"), col("ts_us"),
-        col("p_reservation_sid"), col("entry_ts_sec"),
+      Seq(col("side"), col("eventtype"), col("event_id"), col("ts_sec"), col("ts_us"),
+        col("p_reservation_sid"), col("p_worker_sid"),
+        col("worker_activity_name"), col("worker_time_in_previous_activity"),
+        col("entry_ts_sec"),
         col("created_ts_sec"), col("wrapup_ts_sec"), col("accepted_ts_sec"),
         // completed-update link comes from the completed event's
         // task_attributes.conversations ONLY (:578-583), not the
         // wattr-merged custom-data column
         col("task_attr.conversations")("segment_link").as("segment_link_src"))
-    val taskEv = stage(withBase(withReservationLookup(
-        withQueueEntry(ev.filter(col("p_task_sid").isNotNull))))
+    val taskWin = withReservationLookup(
+        withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
+      .withColumn("side", lit("T"))
+    val workerEv = ev.filter(col("p_worker_sid").isNotNull &&
+        col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated))
+      .withColumn("side", lit("W"))
+    val stagedAll = stage(withBase(
+        taskWin.unionByName(workerEv, allowMissingColumns = true))
       .select(stagedCols: _*))
+    val taskEv = stagedAll.filter(col("side") === "T")
 
     // --- reservation.accepted (EP1, reference :514-538): requires both
     // J1 entry and J2 created (exception-as-inner-join, :161,:171,:672).
@@ -331,8 +345,7 @@ object Derivation {
     // the next activity.update closes it, stamping the upstream-supplied
     // duration (activity_time := next event's
     // worker_time_in_previous_activity — trusted, not recomputed :646).
-    val openers = withBase(ev.filter(col("p_worker_sid").isNotNull &&
-      col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated)))
+    val openers = stagedAll.filter(col("side") === "W")
     val wW = Window.partitionBy(col("p_worker_sid"))
       .orderBy(col("ts_us"), col("event_id"))
     val spans = openers

@@ -31,36 +31,60 @@ object Synth {
 
   private val SEC = 1000000L // µs per second
 
-  /** payload struct in Model.payloadSchema field order. */
-  private def payload(fields: Map[String, Column]): Column = struct(
-    Model.payloadSchema.fields.toSeq.map(f =>
-      fields.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+  /** Envelope descriptor: a 3-field struct (idPrefix, et, offSec) —
+    * the ONLY thing that varies per envelope within a scenario row.
+    * Exploding these tiny structs and building the full 15-field
+    * payload once after the family union keeps the synthesized plan's
+    * expression tree ~13× smaller than building a full envelope struct
+    * per event type (the wide form spent more time in Catalyst
+    * analysis + janino compilation than in execution: ~19s of the
+    * ~24s sf0.1 staging was data-independent). */
+  private def envDesc(idPrefix: String, et: String, offSec: Column): Column =
+    struct(lit(idPrefix).as("pfx"), lit(et).as("et"), offSec.cast(LongType).as("off"))
 
-  /** One CloudEvent envelope as a struct column (id/type/data).
+  /** Payload-field columns a family contributes (absent → null). */
+  private val payloadFieldNames: Seq[String] =
+    Model.payloadSchema.fields.toSeq.map(_.name)
+      .filterNot(n => n == "eventtype" || n == "timestamp")
+
+  /** Explode a per-row bundle of (conditionally null) envelope
+    * descriptors; carry the family's payload field values alongside as
+    * plain columns so the envelope struct can be built once, after the
+    * 4-way family union. */
+  private def explodeEnvelopes(df: DataFrame, fields: Map[String, Column],
+      envs: Seq[Column]): DataFrame = {
+    val fieldCols = payloadFieldNames.map { n =>
+      fields.getOrElse(n,
+        lit(null).cast(Model.payloadSchema(n).dataType)).as("f_" + n)
+    }
+    df.select(Seq(col("event_id"), col("us"),
+        explode(array(envs: _*)).as("e")) ++ fieldCols: _*)
+      .filter(col("e").isNotNull)
+  }
+
+  /** One CloudEvent envelope projection over the unioned descriptor
+    * frame — the single payload-struct construction in the whole plan.
     * Envelope ids zero-pad the numeric source id so STRING ordering of
     * ids (the engine's generic window tiebreak) equals NUMERIC ordering
     * of source ids (the analytic oracles' tiebreak) under timestamp
     * ties. */
-  private def envStruct(idPrefix: String, et: String,
-      offSec: Column, fields: Map[String, Column]): Column =
-    struct(
-      concat(lit(idPrefix), lpad(col("event_id").cast(StringType), 12, "0")).as("id"),
-      lit(Model.TaskRouterPrefix + "." + et).as("type"),
+  private def buildEnvelopes(descriptors: DataFrame): DataFrame = {
+    val payload = struct(Model.payloadSchema.fields.toSeq.map { f =>
+      (f.name match {
+        case "eventtype" => col("e.et")
+        case "timestamp" =>
+          timestamp_micros(col("us") + col("e.off") * SEC).cast(StringType)
+        case n => col("f_" + n)
+      }).as(f.name)
+    }: _*)
+    descriptors.select(
+      concat(col("e.pfx"), lpad(col("event_id").cast(StringType), 12, "0")).as("id"),
+      concat(lit(Model.TaskRouterPrefix + "."), col("e.et")).as("type"),
       struct(
-        payload(fields ++ Map(
-          "eventtype" -> lit(et),
-          "timestamp" -> timestamp_micros(col("us") + offSec * SEC).cast(StringType)
-        )).as("payload"),
+        payload.as("payload"),
         struct(lit("AC1").as("account_sid")).as("publisher_metadata"),
         lit(null).cast(StringType).as("test_id")).as("data"))
-
-  /** Explode a per-row bundle of (conditionally null) envelope structs
-    * into envelope rows — one codegen'd plan per scenario family
-    * instead of one unioned plan per event type. */
-  private def explodeEnvelopes(df: DataFrame, envs: Seq[Column]): DataFrame =
-    df.select(explode(array(envs: _*)).as("ce"))
-      .filter(col("ce").isNotNull)
-      .select(col("ce.id").as("id"), col("ce.type").as("type"), col("ce.data").as("data"))
+  }
 
   private def loaded(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -104,36 +128,36 @@ object Synth {
     val wp = a + v % 50 + 10
     val cp = when(hasW, wp + v % 20 + 3).otherwise(a + v % 50 + 13)
     val purchase = explodeEnvelopes(
-      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "purchase"), pf,
       Seq(
-        envStruct("EPE", Model.EtTaskQueueEntered, lit(0L), pf),
-        envStruct("EPC", Model.EtReservationCreated, c, pf),
-        envStruct("EPA", Model.EtReservationAccepted, a, pf),
-        when(hasW, envStruct("EPW", Model.EtReservationWrapup, wp, pf)),
-        when(hasCp, envStruct("EPD", Model.EtReservationCompleted, cp, pf))))
+        envDesc("EPE", Model.EtTaskQueueEntered, lit(0L)),
+        envDesc("EPC", Model.EtReservationCreated, c),
+        envDesc("EPA", Model.EtReservationAccepted, a),
+        when(hasW, envDesc("EPW", Model.EtReservationWrapup, wp)),
+        when(hasCp, envDesc("EPD", Model.EtReservationCompleted, cp))))
 
     // ---- error → abandoned in queue
     val ef = taskFields("WTA")
     val d = v % 60 + 5
     val abandoned = explodeEnvelopes(
-      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "error"), ef,
       Seq(
-        envStruct("EAE", Model.EtTaskQueueEntered, lit(0L), ef),
-        envStruct("EAC", Model.EtTaskCanceled, d, ef)))
+        envDesc("EAE", Model.EtTaskQueueEntered, lit(0L)),
+        envDesc("EAC", Model.EtTaskCanceled, d)))
 
     // ---- click → failed reservation (outcome kind by v%4)
     val ff = taskFields("WTF")
     val r = c + v % 11 + 2
     val failKind = v % 4
     val failed = explodeEnvelopes(
-      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "click"), ff,
       Seq(
-        envStruct("EFE", Model.EtTaskQueueEntered, lit(0L), ff),
-        envStruct("EFC", Model.EtReservationCreated, c, ff),
-        when(failKind === 0, envStruct("EFR", Model.EtReservationRejected, r, ff)),
-        when(failKind === 1, envStruct("EFT", Model.EtReservationTimeout, r, ff)),
-        when(failKind === 2, envStruct("EFX", Model.EtReservationCanceled, r, ff)),
-        when(failKind === 3, envStruct("EFS", Model.EtReservationRescinded, r, ff))))
+        envDesc("EFE", Model.EtTaskQueueEntered, lit(0L)),
+        envDesc("EFC", Model.EtReservationCreated, c),
+        when(failKind === 0, envDesc("EFR", Model.EtReservationRejected, r)),
+        when(failKind === 1, envDesc("EFT", Model.EtReservationTimeout, r)),
+        when(failKind === 2, envDesc("EFX", Model.EtReservationCanceled, r)),
+        when(failKind === 3, envDesc("EFS", Model.EtReservationRescinded, r))))
 
     // ---- signup → worker lifecycle (one windowed + exploded plan)
     val w = org.apache.spark.sql.expressions.Window
@@ -150,14 +174,15 @@ object Synth {
         lit("""{"email":"u"""), col("user_id"),
         lit("""@x.co","roles":["agent"],"team_name":"T"""), col("user_id") % 3,
         lit("\"}")))
-    val workers = explodeEnvelopes(s,
+    val workers = explodeEnvelopes(s, workerFields,
       Seq(
-        when(col("rn") === 1, envStruct("EWC", Model.EtWorkerCreated, lit(0L), workerFields))
-          .otherwise(envStruct("EWU", Model.EtWorkerActivityUpdated, lit(0L), workerFields)),
+        when(col("rn") === 1, envDesc("EWC", Model.EtWorkerCreated, lit(0L)))
+          .otherwise(envDesc("EWU", Model.EtWorkerActivityUpdated, lit(0L))),
         when(col("user_id") % 5 === 0 && col("us") === col("last_us"),
-          envStruct("EWD", Model.EtWorkerDeleted, lit(60L), workerFields))))
+          envDesc("EWD", Model.EtWorkerDeleted, lit(60L)))))
 
-    Seq(purchase, abandoned, failed, workers).reduce(_ unionByName _)
+    buildEnvelopes(
+      Seq(purchase, abandoned, failed, workers).reduce(_ unionByName _))
   }
 
   // Materialize parse + derivation once per (session, dir): the five
