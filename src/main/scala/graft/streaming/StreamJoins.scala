@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream correlation operators.
+  *
+  * The reference correlates events by scanning its in-memory tables on
+  * every arrival (routes/events.js:74-127 — unbounded state, O(n) per
+  * event). Structured Streaming's interval join is the bounded-state
+  * form: with watermarks on BOTH inputs and a time-range join
+  * condition, Spark derives exactly how long each side's rows must be
+  * buffered and evicts them once the other side's watermark passes
+  * (left rows expire when the right watermark passes their ts +
+  * horizon; right rows symmetrically) — state is O(events per horizon
+  * window), not O(history).
+  */
+object StreamJoins {
+
+  /** Interval join of two watermarked streams on a shared key: a right
+    * row matches left rows of the same key with
+    * `rightTs ∈ [leftTs, leftTs + horizon]` — the streaming analog of
+    * the hour-bucketed batch range join (`Relational.qJoinRange`,
+    * which bounds the same correlation by bucketing instead of
+    * watermark eviction).
+    *
+    * Both inputs must already carry `withWatermark` on their timestamp
+    * column, or Spark rejects the append-mode query (unbounded state).
+    * Key columns may share a name — the join disambiguates by parent
+    * frame; project/rename downstream as needed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, horizon: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $horizon"))
+}

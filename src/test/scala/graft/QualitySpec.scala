@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.quality.Quality
+
+/** Quality-module semantics + the plan shapes that make each operator
+  * viable at 100 TB (zero-shuffle gates/samples, single-exchange
+  * funnel, map-side-combinable repetition counts). */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("gopher gate: flags follow the rule bounds") {
+    val rows = Quality.qQualityGopher(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      val okWc = r.getAs[Boolean]("ok_word_count")
+      assert(okWc == (n >= 50 && n <= 100000), s"doc ${r.get(0)}: n=$n okWc=$okWc")
+      val pass = r.getAs[Boolean]("quality_pass")
+      assert(pass == (okWc && r.getAs[Boolean]("ok_mean_wlen") &&
+        r.getAs[Boolean]("ok_stopwords")))
+      // mean word length sanity: permille of chars per word
+      val mean = r.getAs[Long]("mean_wlen_permille")
+      assert(mean > 0 && mean == r.getAs[Long]("sum_wlen") * 1000 / n)
+    }
+  }
+
+  test("gopher gate and hash sample are narrow plans (no exchange before the sort)") {
+    assert(!plan(Quality.qQualityGopher(spark, sf0001)).contains("Exchange hashpartitioning"))
+    assert(!plan(Quality.qSampleHash(spark, sf0001)).contains("Exchange hashpartitioning"))
+  }
+
+  test("repetition: bigram identities hold per document") {
+    Quality.qQualityRepetition(spark, sf0001).collect().foreach { r =>
+      val nW = r.getAs[Long]("n_words")
+      val nB = r.getAs[Long]("n_bigrams")
+      assert(nB == math.max(nW - 1, 0L), s"doc ${r.get(0)}: words=$nW bigrams=$nB")
+      val dup = r.getAs[Long]("n_dup_bigrams")
+      assert(dup >= 0 && dup <= nB)
+      assert(r.getAs[Long]("top_word_n") <= nW)
+      assert(r.getAs[Long]("n_distinct_words") <= nW)
+    }
+  }
+
+  test("hash sample is deterministic and roughly a tenth") {
+    val a = Quality.qSampleHash(spark, sf0001).collect().map(_.getLong(0))
+    val b = Quality.qSampleHash(spark, sf0001).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    val total = Tables.load(spark, sf0001, "documents").count()
+    // 26/256 expected ≈ 10.2%; allow wide slack on the small sf
+    assert(a.length > total / 30 && a.length < total / 3,
+      s"sampled ${a.length} of $total")
+  }
+
+  test("stratified sample: exactly k per stratum (or all when smaller), ranks contiguous") {
+    val rows = Quality.qSampleStratified(spark, sf0001).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val langSizes = Tables.load(spark, sf0001, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(20L, langSizes(lang)))
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("canonicalization dedup groups whitespace/punctuation variants") {
+    import org.apache.spark.sql.functions._
+    // build a tiny frame through the same normalize+digest shape
+    val df = Seq((1L, "Hello,  world!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = df
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), "\\s+", " ")))
+      .groupBy(md5($"norm".cast("binary")).as("norm_fp"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc_id"))
+      .collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_doc_id") == 1L)
+  }
+
+  test("funnel: stages are ordered and monotone") {
+    val rows = Quality.qFunnel(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = Option(r.getAs[java.lang.Long]("view_ep"))
+      val c = Option(r.getAs[java.lang.Long]("click_ep"))
+      val p = Option(r.getAs[java.lang.Long]("purchase_ep"))
+      val stage = r.getAs[Int]("stage")
+      // a later stage implies every earlier stage, in time order
+      if (p.isDefined) { assert(c.isDefined && p.get >= c.get) }
+      if (c.isDefined) { assert(v.isDefined && c.get >= v.get) }
+      assert(stage == (if (p.isDefined) 3 else if (c.isDefined) 2
+                       else if (v.isDefined) 1 else 0))
+    }
+  }
+
+  test("funnel plan: the three stage lookups share one user_id exchange") {
+    val p = plan(Quality.qFunnel(spark, sf0001))
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id hash exchange, got $exchanges\n$p")
+  }
+}

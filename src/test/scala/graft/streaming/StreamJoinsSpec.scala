@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stream-stream interval join: correctness of the time-range match
+  * and watermark acceptance (append mode requires Spark to prove the
+  * state is bounded — the query would be rejected otherwise). */
+class StreamJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("purchases join clicks of the same user within the horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val purchases = MemoryStream[(String, Timestamp)]
+
+    val l = clicks.toDF().toDF("user", "click_ts")
+      .withWatermark("click_ts", "0 seconds")
+    val r = purchases.toDF().toDF("p_user", "purchase_ts")
+      .withWatermark("purchase_ts", "0 seconds")
+
+    val lr = l.withColumnRenamed("user", "u")
+    val rr = r.withColumnRenamed("p_user", "u")
+    val joined = StreamJoins.intervalJoin(
+        lr, rr, "u", "click_ts", "purchase_ts", "1 HOUR")
+      .select(lr("u").as("user"), col("click_ts"), col("purchase_ts"))
+
+    val q = joined.writeStream.format("memory").queryName("s2s_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ("alice", ts("2026-08-12 10:00:00")),
+        ("bob", ts("2026-08-12 10:30:00")))
+      purchases.addData(
+        ("alice", ts("2026-08-12 10:45:00")), // within 1h of alice's click
+        ("alice", ts("2026-08-12 12:00:00")), // too late
+        ("bob", ts("2026-08-12 10:29:00")),   // before the click
+        ("carol", ts("2026-08-12 10:10:00"))) // no click at all
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("s2s_join")
+      .select($"user", $"purchase_ts").as[(String, Timestamp)].collect().toSet
+    assert(rows == Set(("alice", ts("2026-08-12 10:45:00"))), rows)
+  }
+}
