@@ -176,6 +176,85 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  private val SubSpaces = 4            // PQ subspaces (16 dims each)
+  private val SubDim = Dim / SubSpaces
+  private val CodeWords = 8            // codewords per subspace
+
+  /** Fixed-point squared L2 over two array columns — sequential fold,
+    * identical IEEE op order to DuckDB list_sum ∘ list_transform. */
+  private def l2E6(a: String, b: String): Column =
+    round(expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, v) -> acc + v)") * 1e6).cast("long")
+
+  private def subspaced(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.select(col("*"),
+        explode(array((0 until SubSpaces).map(lit): _*)).as("m"))
+      .withColumn(outCol, expr(s"slice($vecCol, m * $SubDim + 1, $SubDim)"))
+      .drop(vecCol)
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (Jégou et al. 2011, public paper): split vectors into 4×16-d
+    * subspaces; per subspace the first `CodeWords` corpus subvectors
+    * stand in for an offline-trained codebook (as IVF's centroids do);
+    * every corpus vector compresses to 4 code bytes; a query builds a
+    * per-subspace distance TABLE to the codewords and scores each
+    * candidate as the SUM of 4 table lookups — no full-dimension
+    * arithmetic per pair. Approx top-10 re-rank by exact cosine → top-3.
+    *
+    * At 100 TB: codes are the stored representation (64 d × 4 B floats
+    * → 4 B per vector, a 64× compression); the codebook + query tables
+    * broadcast; ADC is a map-side lookup-sum over the codes table, and
+    * only the ~10 candidates per query ever touch full vectors. The
+    * declarative join on (m, code) keeps the plan oracle-checkable;
+    * the same shape compiles to a broadcast-hash join + partial sum. */
+  def qSimAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val cb = subspaced(
+        n.filter($"vec_id" < CodeWords).select($"vec_id".as("j"), $"nv"),
+        "nv", "cw")
+      .select($"m", $"j", $"cw")
+
+    // encode: nearest codeword per (vector, subspace); (d, j) tiebreak
+    val codes = subspaced(n.select($"vec_id", $"nv"), "nv", "sv")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_e6", l2E6("sv", "cw"))
+      .groupBy($"vec_id", $"m")
+      .agg(min_by($"j", struct($"d_e6", $"j")).as("j"))
+
+    // query-side ADC tables: distance to every codeword per subspace
+    val dtab = subspaced(
+        n.filter($"vec_id" % 100 === 0).select($"vec_id".as("query_id"), $"nv"),
+        "nv", "qsv")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_e6", l2E6("qsv", "cw"))
+      .select($"query_id", $"m", $"j", $"d_e6")
+
+    // ADC score: sum of per-subspace table lookups (integer-exact)
+    val adist = codes.join(dtab, Seq("m", "j"))
+      .filter($"query_id" =!= $"vec_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d_e6").as("adist_e6"))
+
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist_e6".asc, $"vec_id")
+    val cand = adist
+      .withColumn("arank", row_number().over(wA)).filter($"arank" <= 10)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adist_e6")
+
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    cand
+      .join(n.select($"vec_id".as("query_id"), $"nv".as("qv")), Seq("query_id"))
+      .join(n.select($"vec_id".as("neighbor_id"), $"nv".as("cv")), Seq("neighbor_id"))
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(wR))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"adist_e6", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   private val NearDupBands = 4 // 2 hyperplanes per band over the 8-bit signature
 
   /** Embedding near-duplicate pairs via LSH candidates + exact verify
@@ -213,6 +292,7 @@ object Similarity {
     "q_sim_knn_agg" -> qSimKnnAgg,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ann_ivf" -> qSimAnnIvf,
+    "q_sim_ann_pq" -> qSimAnnPq,
     "q_sim_neardup" -> qSimNearDup
   )
 
@@ -332,6 +412,53 @@ object Similarity {
           |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
           |  FROM s)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell, cos_e6
+          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // full PQ/ADC pipeline re-derived in SQL: codebook slices, argmin
+    // encoding, query distance tables, lookup-sum scoring, exact rerank
+    "q_sim_ann_pq" ->
+      (duckNorm +
+        s""",
+          |ms AS (SELECT unnest(range(0, $SubSpaces)) AS m),
+          |cb AS (SELECT m, vec_id AS j,
+          |         nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS cw
+          |       FROM n, ms WHERE vec_id < $CodeWords),
+          |sub AS (SELECT vec_id, m,
+          |          nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+          |        FROM n, ms),
+          |enc AS (SELECT vec_id, sub.m AS m, j,
+          |          CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
+          |            i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
+          |        FROM sub JOIN cb ON sub.m = cb.m),
+          |codes AS (SELECT vec_id, m, j FROM (
+          |            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          |                      ORDER BY d_e6, j) AS rn FROM enc)
+          |          WHERE rn = 1),
+          |qsub AS (SELECT vec_id AS query_id, m,
+          |           nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS qsv
+          |         FROM n, ms WHERE vec_id % 100 = 0),
+          |dtab AS (SELECT query_id, qsub.m AS m, j,
+          |           CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
+          |             i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
+          |         FROM qsub JOIN cb ON qsub.m = cb.m),
+          |adist AS (SELECT query_id, vec_id, CAST(sum(d_e6) AS BIGINT) AS adist_e6
+          |          FROM codes JOIN dtab ON codes.m = dtab.m AND codes.j = dtab.j
+          |          WHERE query_id <> vec_id GROUP BY query_id, vec_id),
+          |cand AS (SELECT query_id, vec_id AS neighbor_id, adist_e6 FROM (
+          |           SELECT *, row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY adist_e6, vec_id) AS arank FROM adist)
+          |         WHERE arank <= 10),
+          |p AS (SELECT cand.query_id, cand.neighbor_id, cand.adist_e6,
+          |        q.nv AS qv, c.nv AS cv
+          |      FROM cand JOIN n q ON cand.query_id = q.vec_id
+          |      JOIN n c ON cand.neighbor_id = c.vec_id),
+          |s AS (SELECT query_id, neighbor_id, adist_e6,
+          |        CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |      FROM p),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |                ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+          |       adist_e6, cos_e6
           |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     // mirrors the Spark LSH-candidate + exact-verify pipeline: the band

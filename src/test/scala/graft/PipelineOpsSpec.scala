@@ -196,6 +196,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann pq: dense ranks, no self match, approx never beats brute best") {
+    val brute = Similarity.qSimKnnBrute(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cos_e6")).max }
+    val rows = Similarity.qSimAnnPq(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != q)
+        assert(r.getAs[Long]("adist_e6") >= 0L)
+        // exact rerank can't exceed the true best neighbor
+        assert(r.getAs[Long]("cos_e6") <= brute(q))
+      }
+    }
+  }
+
+  test("ann pq plan: ADC scoring is an equi-join, no query-corpus loop join") {
+    val p = Similarity.qSimAnnPq(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the candidate scorer joins codes to the broadcast distance tables
+    // on (m, j) — a hash join; a BroadcastNestedLoopJoin over the full
+    // query × corpus space would be the brute-force shape leaking back
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("near-dup pairs meet the threshold and are label-blocked") {
     val rows = Similarity.qSimNearDup(spark, sf0001).collect()
     assert(rows.nonEmpty)
