@@ -277,6 +277,50 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Connected components over the verified near-dup graph — the step
+    * that turns PAIRS into dedup decisions: near-duplicate relations
+    * are not transitive per-pair, so production dedup clusters the
+    * verified-pair graph and keeps one canonical document (the min id)
+    * per component. Min-label propagation: every node starts labeled
+    * with itself; each round pushes labels across edges and keeps the
+    * per-node minimum; converged when no label shrinks. The driver
+    * loop is the legitimate exception to the no-driver-control-flow
+    * rule — iterative graph connectivity needs O(diameter) rounds
+    * (near-dup clusters are near-cliques, so 2-3 in practice; the
+    * large-star/small-star variant bounds it at O(log n) for
+    * pathological chains). Each round is one join + one aggregate on
+    * the (small) node-label frame; at 100 TB the per-round label frame
+    * is checkpointed to storage, not the driver heap. */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = graft.SessionCache.checkpointed(spark, s"dedup.cc.edges|$dir") {
+      qDedupLshVerify(spark, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+    }
+    val und = edges.union(edges.select($"b".as("a"), $"a".as("b")))
+    var labels = und.select($"a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      val prop = und.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
+        .select($"b".as("doc_id"), $"label")
+      val next = labels.union(prop)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter($"label" < $"prev").count()
+      labels = next
+      iters += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
+    labels.select($"doc_id", $"label".as("component_id"))
+      .withColumn("component_size", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        when($"doc_id" === $"component_id", "Y").otherwise("N"))
+      .orderBy($"doc_id")
+  }
+
   /** Leakage-safe train/val/test split: the assignment unit is the
     * EXACT-DUP GROUP (content fingerprint), so byte-identical copies
     * can never straddle splits and leak eval data into training. The
@@ -331,6 +375,7 @@ object Dedup {
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_simhash_wide" -> qDedupSimhashWide,
     "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
+    "q_dedup_components" -> qDedupComponents,
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination
   )
@@ -420,6 +465,46 @@ object Dedup {
         |SELECT doc_a, doc_b, jac_permille
         |FROM jac WHERE jac_permille >= 500
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the verify chain again, then an undirected transitive closure:
+    // component id = min reachable doc (matches min-label propagation)
+    "q_dedup_components" ->
+      (s"""${duckShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |jac AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000)
+        |      // (CAST(len(x.sh) + len(y.sh) AS BIGINT)
+        |          - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)) AS jac_permille
+        |  FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b),
+        |edges AS (SELECT doc_a, doc_b FROM jac WHERE jac_permille >= 500),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |        UNION SELECT doc_b, doc_a FROM edges),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)
+        |SELECT doc_id, component_id,
+        |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
+        |  CASE WHEN doc_id = component_id THEN 'Y' ELSE 'N' END AS is_canonical
+        |FROM comp ORDER BY doc_id""".stripMargin),
 
     "q_dedup_simhash" ->
       (s"""WITH tok AS (

@@ -693,6 +693,29 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** SCD-2 dimension history (the warehouse pattern the agents sink's
+    * SCD-1 upsert deliberately discards): each user's event_type as a
+    * slowly-changing attribute — one row per STATE CHANGE with
+    * [valid_from, valid_to) validity, version number and current flag.
+    * Two chained windows over one user_id exchange (lag to detect
+    * changes, lead/row_number over the change rows); the 100 TB shape
+    * is identical — state-change detection is a per-key linear pass. */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val changes = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+    changes
+      .withColumn("valid_to_us", lead($"us", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select($"user_id", $"event_type".as("state"),
+        $"us".as("valid_from_us"), $"valid_to_us", $"version",
+        when($"valid_to_us".isNull, "Y").otherwise("N").as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
   /** TPC-H Q10 shape (adapted to the driver's trimmed columns):
     * returned-item revenue by customer over a quarter — fact-to-dim
     * star join (customer/nation broadcast after the date filter prunes
@@ -791,6 +814,7 @@ object Relational {
     "q_sql_tpch6" -> qSqlTpch6,
     "q_sql_tpch17" -> qSqlTpch17,
     "q_sql_tpch18" -> qSqlTpch18,
+    "q_scd2_history" -> qScd2History,
     "q_sql_tpch10" -> qSqlTpch10,
     "q_sql_tpch13" -> qSqlTpch13,
     "q_sql_tpch14" -> qSqlTpch14,
@@ -1091,6 +1115,22 @@ object Relational {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
         |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_type, us, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS version,
+        |  CASE WHEN lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |       THEN 'Y' ELSE 'N' END AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
 
     "q_sql_tpch10" ->
       """SELECT c_custkey, c_name,
