@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming windowed aggregations beyond the keyed state machines:
+  * native session windows with watermark-based closing.
+  *
+  * The batch sessionizer (`Relational.qWindowSession`) derives session
+  * ids with a lag-gap window; in streaming the same semantics come
+  * from `session_window` — Spark's state store merges gap-adjacent
+  * events per key and an append-mode session emits exactly once, when
+  * the watermark passes its end. State is O(open sessions), eviction
+  * is automatic — the reference holds every event forever and
+  * re-scans (app.js:13-16).
+  */
+object StreamAggs {
+
+  /** Per-key session aggregates over a watermarked event stream:
+    * events of the same key with gaps ≤ `gap` merge into one session
+    * row [session_start, session_end) with an event count. */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

@@ -126,4 +126,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("tpch10 star join: all dims broadcast, driver-side top-20, no full sort") {
+    val p = plan(Relational.qSqlTpch10(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("stratified sample: the k=20 cutoff pushes below the sort (WindowGroupLimit)") {
+    val p = plan(graft.quality.Quality.qSampleStratified(spark, sf0001))
+    // without the pushdown every stratum fully sorts before the filter;
+    // WindowGroupLimit keeps only k rows per partition through the sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
