@@ -1,0 +1,32 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The curation pipeline as a STREAM: quality-gate then content-dedup
+  * documents as they arrive — the online front half of the batch
+  * dedup/quality surface, for ingestion-time filtering before anything
+  * lands in the corpus.
+  *
+  * Dedup state is bounded by `dropDuplicatesWithinWatermark` on the
+  * content digest: an exact duplicate arriving within the watermark
+  * window is dropped; state for older digests is evicted with the
+  * watermark. Cross-window duplicates are the batch layer's job (the
+  * landed table re-runs digest dedup — `Dedup.qDedupExact` — exactly
+  * as a production lakehouse compacts). The gate itself is stateless
+  * scan-speed expressions, so the stream's only state is the digest
+  * window.
+  */
+object CurationStream {
+
+  /** Gate + watermarked digest-dedup over a streaming frame with
+    * `text` and an event-time column. Emits passing, first-seen
+    * documents with their gate metrics and content fingerprint. */
+  def curate(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    Quality.withQualityGate(docs)
+      .filter(col("quality_pass"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("ws")
+}

@@ -32,29 +32,37 @@ object Quality {
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
 
-  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
-    * public paper): word count bounds, mean word length bounds, minimum
-    * stop-word hits. Pure array expressions per row; at 100 TB this is
-    * a scan-speed filter with no shuffle. */
-  def qQualityGopher(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Adds the Gopher gate columns (rule metrics + flags +
+    * `quality_pass`) to any frame with a `text` column — shared by the
+    * batch query and the streaming curation pipeline. */
+  private[graft] def withQualityGate(df: DataFrame): DataFrame = {
     val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    Tables.load(spark, dir, "documents")
-      .withColumn("ws", wordsCol)
-      .withColumn("n_words", size($"ws").cast("long"))
+    df.withColumn("ws", wordsCol)
+      .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("sum_wlen",
         expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
       .withColumn("mean_wlen_permille",
         expr("(sum_wlen * 1000) div nullif(n_words, 0)"))
       .withColumn("stop_hits",
         expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
-      .withColumn("ok_word_count", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("ok_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("ok_mean_wlen",
-        $"mean_wlen_permille" >= 3000 && $"mean_wlen_permille" <= 10000)
-      .withColumn("ok_stopwords", $"stop_hits" >= 2)
+        col("mean_wlen_permille") >= 3000 && col("mean_wlen_permille") <= 10000)
+      .withColumn("ok_stopwords", col("stop_hits") >= 2)
+      .withColumn("quality_pass",
+        col("ok_word_count") && col("ok_mean_wlen") && col("ok_stopwords"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    * public paper): word count bounds, mean word length bounds, minimum
+    * stop-word hits. Pure array expressions per row; at 100 TB this is
+    * a scan-speed filter with no shuffle. */
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withQualityGate(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"n_words", $"sum_wlen", $"mean_wlen_permille",
         $"stop_hits", $"ok_word_count", $"ok_mean_wlen", $"ok_stopwords",
-        ($"ok_word_count" && $"ok_mean_wlen" && $"ok_stopwords").as("quality_pass"))
+        $"quality_pass")
       .orderBy($"doc_id")
   }
 
@@ -170,7 +178,38 @@ object Quality {
       .orderBy($"user_id")
   }
 
+  /** Per-column dataset profiling — the health check every ingestion
+    * runs before training: null count, distinct count, min/max (as
+    * text) per column. One pass over the table producing one
+    * aggregation row per column via a literal column-name explosion —
+    * no per-column jobs, no collect loops; at 100 TB this is a single
+    * map-side-combined aggregate. */
+  def qProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.load(spark, dir, "documents")
+    val profiled = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = profiled.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    row.select($"n_rows", explode(array(profiled.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_text"),
+        col(s"${c}__max").as("max_text"))): _*)).as("p"))
+      .select($"p.col_name".as("col_name"), $"n_rows", $"p.n_nulls".as("n_nulls"),
+        $"p.n_distinct".as("n_distinct"), $"p.min_text".as("min_text"),
+        $"p.max_text".as("max_text"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> qProfileColumns,
     "q_quality_gopher" -> qQualityGopher,
     "q_quality_repetition" -> qQualityRepetition,
     "q_sample_hash" -> qSampleHash,
@@ -180,6 +219,32 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile_columns" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS doc_id__nulls,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id__distinct,
+        |    min(CAST(doc_id AS VARCHAR)) AS doc_id__min, max(CAST(doc_id AS VARCHAR)) AS doc_id__max,
+        |    CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS text__nulls,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS text__distinct,
+        |    min(text) AS text__min, max(text) AS text__max,
+        |    CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS lang__nulls,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS lang__distinct,
+        |    min(lang) AS lang__min, max(lang) AS lang__max,
+        |    CAST(count(CASE WHEN source IS NULL THEN 1 END) AS BIGINT) AS source__nulls,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS source__distinct,
+        |    min(source) AS source__min, max(source) AS source__max,
+        |    CAST(count(CASE WHEN n_chars IS NULL THEN 1 END) AS BIGINT) AS n_chars__nulls,
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) AS n_chars__distinct,
+        |    min(CAST(n_chars AS VARCHAR)) AS n_chars__min, max(CAST(n_chars AS VARCHAR)) AS n_chars__max
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, n_rows, doc_id__nulls AS n_nulls,
+        |       doc_id__distinct AS n_distinct, doc_id__min AS min_text, doc_id__max AS max_text FROM a
+        |UNION ALL SELECT 'lang', n_rows, lang__nulls, lang__distinct, lang__min, lang__max FROM a
+        |UNION ALL SELECT 'n_chars', n_rows, n_chars__nulls, n_chars__distinct, n_chars__min, n_chars__max FROM a
+        |UNION ALL SELECT 'source', n_rows, source__nulls, source__distinct, source__min, source__max FROM a
+        |UNION ALL SELECT 'text', n_rows, text__nulls, text__distinct, text__min, text__max FROM a
+        |ORDER BY col_name""".stripMargin,
     "q_quality_gopher" ->
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.quality.CurationStream
+
+/** Streaming curation: low-quality docs filtered, in-window exact
+  * duplicates dropped, first copy and unique docs pass through. */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // 62 words, mean word length ~4.6, two stopwords — passes the gate
+  private val goodText = "the a " + Array.fill(20)("alpha beta gamma").mkString(" ")
+  private val otherGood = "the a " + Array.fill(20)("delta echo fox").mkString(" ")
+
+  test("gate drops short docs; watermark dedup drops in-window copies") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CurationStream.curate(
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
+      .select($"doc_id")
+
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, goodText, ts("2026-08-12 10:00:00")),   // passes
+        (2L, "too short", ts("2026-08-12 10:00:01")), // gated out
+        (3L, goodText, ts("2026-08-12 10:00:02")),   // duplicate of 1
+        (4L, otherGood, ts("2026-08-12 10:00:03")))  // passes
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("curated").as[Long].collect().toSet
+    // exactly one of the duplicate pair survives, plus the unique good doc
+    assert(ids.size == 2, ids)
+    assert(ids.contains(4L), ids)
+    assert(ids.contains(1L) ^ ids.contains(3L), ids)
+  }
+}
