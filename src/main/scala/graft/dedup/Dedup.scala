@@ -300,16 +300,24 @@ object Dedup {
     var labels = und.select($"a".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
       .localCheckpoint()
-    var changed = 1L
+    // convergence via the label-sum invariant: min-label propagation
+    // only ever DECREASES labels, so the (exact, DECIMAL) sum strictly
+    // decreases until fixpoint — one aggregate action per round instead
+    // of a join + count against the previous frame
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+    var cur = labelSum(labels)
     var iters = 0
-    while (changed > 0 && iters < 20) {
+    var converged = cur == null // empty graph
+    while (!converged && iters < 20) {
       val prop = und.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
         .select($"b".as("doc_id"), $"label")
       val next = labels.union(prop)
         .groupBy($"doc_id").agg(min($"label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter($"label" < $"prev").count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(cur) == 0
+      cur = nextSum
       labels = next
       iters += 1
     }
