@@ -776,6 +776,225 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  // TPC-H breadth r5b: Q4/Q7/Q8/Q19/Q21/Q22 shapes, adapted to the
+  // driver's trimmed columns (no partsupp / commitdate / receiptdate /
+  // phone). Each is ONE SQL string shared verbatim by spark.sql and
+  // the DuckDB oracle — the engines cannot drift on query text.
+  // ---------------------------------------------------------------
+
+  /** Q4 shape: EXISTS correlated semi-join with an inequality on the
+    * correlating row (l_shipdate > its order's date + 30 days) feeding
+    * a priority histogram. Catalyst plans the EXISTS as a left-semi
+    * hash join on orderkey — no per-row subquery at any scale. */
+  private val tpch4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7 shape: bidirectional nation-pair shipping volume by year —
+    * the two nation dims broadcast onto the supplier/customer sides,
+    * only the fact join (lineitem⋈orders) shuffles, on orderkey. */
+  private val tpch7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+      |      OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00') v
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 shape: market share — one supplier nation's slice of regional
+    * PROMO volume per order year. Conditional DECIMAL aggregation; the
+    * share division happens ONCE on two exact doubles (deterministic
+    * IEEE rounding on both engines). */
+  private val tpch8Sql =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(sum(volume) AS DOUBLE) AS total_volume,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n1.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00') v
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** Q19 shape: disjunctive multi-column predicates (brand × size ×
+    * quantity branches) over the fact-dim join — the OR-pushdown /
+    * CNF-conversion exercise; part broadcasts, each branch prunes. */
+  private val tpch19Sql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+
+  /** Q21 shape: suppliers who were the SOLE late shipper of a
+    * multi-supplier order — EXISTS (another supplier participated) +
+    * NOT EXISTS (another supplier was also late) over a shared
+    * pre-aggregated per-(order, supplier) lateness frame: one
+    * orderkey-keyed aggregate feeding a semi- AND an anti-join.
+    * (Adapted: lateness = shipped >60d after order date, since the
+    * driver's lineitem has no commit/receipt dates.) */
+  private val tpch21Sql =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |                  THEN 1 ELSE 0 END) AS is_late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey, l_suppkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.is_late = 1
+      |  AND EXISTS (SELECT 1 FROM late l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.is_late = 1)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** Q22 shape: above-average-balance customers gone quiet — scalar
+    * aggregate subquery (threshold computed once, broadcast) + NOT
+    * EXISTS anti-join against recent orders. The average is an exact
+    * DECIMAL sum divided once in double (deterministic both engines).
+    * (Adapted: "no orders at all" is empty in the driver data, so the
+    * anti-join is against orders after 1999-07-01.) */
+  private val tpch22Sql =
+    """SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                          / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-07-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  private def sqlQuery(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** Bloom-pruned semi-join (operators.BloomPrune): the build side's
+    * keys become a scalar-subquery Bloom sketch; probe rows are
+    * dropped map-side by might_contain BEFORE the join shuffle; the
+    * exact semi-join then removes sketch false positives. The oracle
+    * is the PLAIN semi-join — pruning must be a drop-in. */
+  def qBloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hot = Tables.load(spark, dir, "orders")
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    graft.operators.BloomPrune.semiJoin(
+        Tables.load(spark, dir, "lineitem"), "l_orderkey", hot, "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Analytic-function breadth: percent_rank / cume_dist / first_value /
+    * nth_value over one (event_type)-partitioned ordering — all four
+    * share a single exchange + sort. The ordering includes event_id so
+    * ties are impossible and the rank fractions are engine-independent
+    * (one IEEE division each). */
+  def qWindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first($"event_id").over(wf).as("first_id"),
+        nth_value($"event_id", 3).over(wf).as("third_id"))
+      .orderBy($"event_id")
+  }
+
+  /** Wide-to-long melt (the inverse of q_pivot_counts) via the native
+    * unpivot operator — a generator, not a shuffle: each input row
+    * fans out to 4 metric rows map-side. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  /** Time-series resampling: per-user daily grid (sequence + explode
+    * between first and last active day), left join observed daily sums,
+    * forward-fill gaps with the last observed value (last(ignoreNulls)
+    * over a running frame). One user_id×day aggregation + one user_id
+    * window — the standard gap-fill shape for training-data
+    * featurization; grid rows are generated map-side, never shuffled
+    * unfilled. */
+  def qTsFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events").withColumn("day", to_date($"ts"))
+    val daily = ev.groupBy($"user_id", $"day")
+      .agg(sum(dec($"value")).as("dv"), count(lit(1)).as("n_events"))
+    val grid = ev.groupBy($"user_id").agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .select($"user_id",
+        unix_timestamp($"day".cast("timestamp")).as("day_ep"),
+        $"dv".cast("double").as("day_value"),
+        last($"dv", ignoreNulls = true).over(wFill).cast("double").as("filled_value"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"dv".isNull.as("gap"))
+      .orderBy($"user_id", $"day_ep")
+  }
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
 
@@ -818,6 +1037,16 @@ object Relational {
     "q_sql_tpch10" -> qSqlTpch10,
     "q_sql_tpch13" -> qSqlTpch13,
     "q_sql_tpch14" -> qSqlTpch14,
+    "q_window_distribution" -> qWindowDistribution,
+    "q_unpivot" -> qUnpivot,
+    "q_ts_fill" -> qTsFill,
+    "q_bloom_semi" -> qBloomSemi,
+    "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
+    "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
+    "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
+    "q_sql_tpch19" -> sqlQuery(tpch19Sql) _,
+    "q_sql_tpch21" -> sqlQuery(tpch21Sql) _,
+    "q_sql_tpch22" -> sqlQuery(tpch22Sql) _,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_salted_join" -> qSaltedJoin,
@@ -1168,6 +1397,58 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    // the PLAIN semi-join: Bloom pruning must be indistinguishable
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id,
+        |  nth_value(event_id, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_ts_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, value FROM events),
+        |daily AS (SELECT user_id, day, sum(CAST(value AS DECIMAL(18,2))) AS dv,
+        |          CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span)
+        |SELECT g.user_id,
+        |  CAST(floor(epoch(g.day)) AS BIGINT) AS day_ep,
+        |  CAST(d.dv AS DOUBLE) AS day_value,
+        |  CAST(last_value(d.dv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  d.dv IS NULL AS gap
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day_ep""".stripMargin,
+
+    // Shared-text oracles: the SQL IS the Spark query (engines cannot drift)
+    "q_sql_tpch4" -> tpch4Sql,
+    "q_sql_tpch7" -> tpch7Sql,
+    "q_sql_tpch8" -> tpch8Sql,
+    "q_sql_tpch19" -> tpch19Sql,
+    "q_sql_tpch21" -> tpch21Sql,
+    "q_sql_tpch22" -> tpch22Sql,
 
     "q_salted_agg" ->
       """SELECT user_id,

@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -287,13 +288,59 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** ANN recall guard: recall@3 of the LSH- and IVF-bucketed paths
+    * against the brute-force ground truth, per query — the metric that
+    * turns "the ANN query still runs" into "the ANN query still FINDS
+    * the right neighbors". Both sides reuse the production pipelines
+    * (one semi-join each against the exact top-3), so any change to
+    * bucketing/probing that silently craters recall fails this query's
+    * oracle hash. Integer permille (hits*1000 div 3) keeps it exact. */
+  def qSimAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qSimKnnBrute(spark, dir).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    def hits(ann: DataFrame, out: String): DataFrame =
+      truth.join(ann.select($"query_id", $"neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as(out))
+    truth.select($"query_id").distinct()
+      .join(hits(qSimAnnIvf(spark, dir), "ivf_hits"), Seq("query_id"), "left_outer")
+      .join(hits(qSimAnnLsh(spark, dir), "lsh_hits"), Seq("query_id"), "left_outer")
+      .select($"query_id",
+        coalesce($"ivf_hits", lit(0L)).as("ivf_hits"),
+        expr("coalesce(ivf_hits, 0L) * 1000 div 3").as("ivf_recall_permille"),
+        coalesce($"lsh_hits", lit(0L)).as("lsh_hits"),
+        expr("coalesce(lsh_hits, 0L) * 1000 div 3").as("lsh_recall_permille"))
+      .orderBy($"query_id")
+  }
+
+  /** Per-label centroid embeddings (mean pooling — the class-prototype
+    * / cluster-seed builder): posexplode to (label, pos, component),
+    * sum in DECIMAL (summation-order independent across engines and
+    * partitionings), divide once per output cell. One shuffle on
+    * (label, pos) with map-side combine; at 100 TB this is the same
+    * linear histogram shape as word counting. */
+  def qEmbCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg(sum($"col".cast("double").cast(DecimalType(20, 7))).as("s"),
+        count(lit(1)).as("n_vectors"))
+      .select($"label", $"pos".cast("int").as("pos"),
+        ($"s".cast("double") / $"n_vectors").as("mean_component"), $"n_vectors")
+      .orderBy($"label", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_knn_agg" -> qSimKnnAgg,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ann_ivf" -> qSimAnnIvf,
     "q_sim_ann_pq" -> qSimAnnPq,
-    "q_sim_neardup" -> qSimNearDup
+    "q_sim_ann_recall" -> qSimAnnRecall,
+    "q_sim_neardup" -> qSimNearDup,
+    "q_emb_centroid" -> qEmbCentroid
   )
 
   /** DuckDB prologue: double-cast vectors (same fold order as the
@@ -321,7 +368,7 @@ object Similarity {
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_sim_knn_brute" ->
       (duckNorm +
         s""",
@@ -490,4 +537,40 @@ object Similarity {
           |SELECT label, vec_a, vec_b, cos_e6
           |FROM s WHERE cos_e6 >= 250000 ORDER BY vec_a, vec_b""".stripMargin)
   )
+
+  /** Recall oracle: the brute/IVF/LSH oracles re-run verbatim as CTEs
+    * (nested WITH), then one semi-join + rollup per ANN path. */
+  private val recallOracle =
+    s"""WITH b AS (${baseOracles("q_sim_knn_brute")}),
+       |i AS (${baseOracles("q_sim_ann_ivf")}),
+       |l AS (${baseOracles("q_sim_ann_lsh")}),
+       |t AS (SELECT query_id, neighbor_id FROM b WHERE rank <= 3),
+       |ih AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+       |       FROM t JOIN i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+       |       GROUP BY t.query_id),
+       |lh AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+       |       FROM t JOIN l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+       |       GROUP BY t.query_id)
+       |SELECT q.query_id,
+       |  coalesce(ih.hits, 0) AS ivf_hits,
+       |  coalesce(ih.hits, 0) * 1000 // 3 AS ivf_recall_permille,
+       |  coalesce(lh.hits, 0) AS lsh_hits,
+       |  coalesce(lh.hits, 0) * 1000 // 3 AS lsh_recall_permille
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN ih ON q.query_id = ih.query_id
+       |LEFT JOIN lh ON q.query_id = lh.query_id
+       |ORDER BY q.query_id""".stripMargin
+
+  private val centroidOracle =
+    """WITH x AS (
+      |  SELECT label, i + 1 AS idx, embedding[i + 1] AS val
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t)
+      |SELECT label, CAST(idx - 1 AS INT) AS pos,
+      |  CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS mean_component,
+      |  CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM x GROUP BY label, idx ORDER BY label, pos""".stripMargin
+
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_sim_ann_recall" -> recallOracle,
+    "q_emb_centroid" -> centroidOracle)
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+import graft.sim.Similarity
+
+/** Round-5b breadth operators: Bloom pruning equivalence, ANN recall
+  * invariants, time-series gap-fill, unpivot, analytic functions,
+  * embedding centroids. The DuckDB oracle hash-checks exact values;
+  * these specs pin the *semantic* invariants that survive refactors. */
+class BreadthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BloomPrune.semiJoin is a drop-in for the plain left-semi join") {
+    val hot = Tables.load(spark, sf0001, "orders")
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val pruned = graft.operators.BloomPrune
+      .semiJoin(li, "l_orderkey", hot, "o_orderkey")
+      .select($"l_orderkey", $"l_linenumber").collect().toSet
+    val plain = li.join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .select($"l_orderkey", $"l_linenumber").collect().toSet
+    assert(pruned == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bloom pre-filter plan: might_contain probe + scalar-subquery sketch") {
+    val hot = Tables.load(spark, sf0001, "orders")
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val df = graft.operators.BloomPrune.semiJoin(
+      Tables.load(spark, sf0001, "lineitem"), "l_orderkey", hot, "o_orderkey")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"), p)
+  }
+
+  test("ANN recall: bounded, keyed by the brute query set, LSH ⊆ bucket") {
+    val r = Similarity.qSimAnnRecall(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (ih, ir) = (row.getAs[Long]("ivf_hits"), row.getAs[Long]("ivf_recall_permille"))
+      val (lh, lr) = (row.getAs[Long]("lsh_hits"), row.getAs[Long]("lsh_recall_permille"))
+      assert(ih >= 0 && ih <= 3 && ir == ih * 1000 / 3)
+      assert(lh >= 0 && lh <= 3 && lr == lh * 1000 / 3)
+    }
+    val truthQueries = Similarity.qSimKnnBrute(spark, sf0001)
+      .select($"query_id").distinct().as[Long].collect().toSet
+    assert(r.map(_.getAs[Long]("query_id")).toSet == truthQueries)
+  }
+
+  test("ts gap-fill: contiguous daily grid, forward-filled values") {
+    val rows = Relational.qTsFill(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val eps = rs.map(_.getAs[Long]("day_ep")).sorted
+      // contiguous: every consecutive day present between min and max
+      assert(eps.zip(eps.tail).forall { case (a, b) => b - a == 86400L })
+      // forward fill: null only before the first observation; a gap row
+      // carries the previous day's value
+      var lastSeen: Option[Double] = None
+      rs.sortBy(_.getAs[Long]("day_ep")).foreach { r =>
+        val dv = Option(r.getAs[java.lang.Double]("day_value")).map(_.toDouble)
+        val fv = Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble)
+        val gap = r.getAs[Boolean]("gap")
+        assert(gap == dv.isEmpty)
+        if (dv.isDefined) lastSeen = dv
+        assert(fv == lastSeen)
+      }
+    }
+  }
+
+  test("unpivot melts each lineitem row into exactly 4 metric rows") {
+    val n = Tables.load(spark, sf0001, "lineitem").count()
+    val m = Relational.qUnpivot(spark, sf0001)
+    assert(m.count() == 4 * n)
+    assert(m.select($"metric").distinct().as[String].collect().sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+  }
+
+  test("distribution funcs: pct_rank/cume bounded, first_id is partition minimum") {
+    val rows = Relational.qWindowDistribution(spark, sf0001).collect()
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pct_rank"); val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // first_value over the running frame = row with the smallest (value, id)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val minId = rs.minBy(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+        .getAs[Long]("event_id")
+      assert(rs.forall(_.getAs[Long]("first_id") == minId))
+    }
+  }
+
+  test("embedding centroids: 64 positions per label, counts = label sizes") {
+    val c = Similarity.qEmbCentroid(spark, sf0001).collect()
+    val sizes = Tables.load(spark, sf0001, "embeddings")
+      .groupBy($"label").count().as[(Int, Long)].collect().toMap
+    val byLabel = c.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.keySet == sizes.keySet)
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until 64))
+      assert(rs.forall(_.getAs[Long]("n_vectors") == sizes(l)))
+    }
+    // cross-check one cell against a direct Scala recomputation
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .filter($"label" === 0).select($"embedding").as[Array[Float]].collect()
+    val mean0 = vecs.map(v => BigDecimal(v(0).toDouble).setScale(7, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / vecs.length
+    val got = c.find(r => r.getAs[Int]("label") == 0 && r.getAs[Int]("pos") == 0).get
+      .getAs[Double]("mean_component")
+    assert(math.abs(got - mean0) < 1e-9, s"$got vs $mean0")
+  }
+
+  test("tpch breadth: semi/anti shapes plan as joins, not per-row subqueries") {
+    Tables.registerAll(spark, sf0001)
+    val q4 = Relational.queries("q_sql_tpch4")(spark, sf0001)
+    assert(q4.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val q21 = Relational.queries("q_sql_tpch21")(spark, sf0001)
+    val p21 = q21.queryExecution.optimizedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    val q22 = Relational.queries("q_sql_tpch22")(spark, sf0001)
+    assert(q22.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+  }
+}
