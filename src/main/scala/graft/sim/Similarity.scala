@@ -138,6 +138,23 @@ object Similarity {
     * id is the partition key of a pre-bucketed corpus table, the
     * codebook is broadcast (a map-side pass assigns cells), and a probe
     * touches NProbe/Centroids of the data instead of all of it. */
+  /** IVF coarse assignment: every vector → its nearest centroid (the
+    * first `Centroids` vectors stand in for the trained codebook).
+    * Broadcast codebook, map-side assignment — no shuffle of the
+    * corpus; shared by the IVF probe and the semantic-dedup cell
+    * blocking. */
+  private def cellAssign(n: DataFrame): DataFrame = {
+    val cent = n.filter(col("vec_id") < Centroids)
+      .select(col("vec_id").as("centroid_id"), col("nv").as("centv"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("centroid_id"))
+    n.crossJoin(broadcast(cent))
+      .withColumn("c_cos", cosE6("centv", "nv"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("nv"), col("centroid_id").as("cell"))
+  }
+
   def qSimAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = vectors(spark, dir)
@@ -145,13 +162,7 @@ object Similarity {
       .select($"vec_id".as("centroid_id"), $"nv".as("centv"))
 
     // coarse assignment: every vector -> nearest centroid (its cell)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"c_cos".desc, $"centroid_id")
-    val cells = n.crossJoin(broadcast(cent))
-      .withColumn("c_cos", cosE6("centv", "nv"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter($"arank" === 1)
-      .select($"vec_id", $"nv", $"centroid_id".as("cell"))
+    val cells = cellAssign(n)
 
     // probe list: each query's NProbe nearest cells
     val wProbe = org.apache.spark.sql.expressions.Window
@@ -288,6 +299,44 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  private val SemDupThreshold = 250000L // cos_e6 ≥ 0.25, the neardup bar
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023 — public
+    * paper): drop embeddings dominated by a LOWER-ID vector that lands
+    * in the same IVF cell, shares ≥1 LSH band, and has cosine ≥ 0.25.
+    * "Lowest id wins" makes the keep-list deterministic without
+    * transitive closure (every dropped vector names its dominators).
+    * Candidates come from cell+band blocking — the same
+    * candidates→verify shape as q_sim_neardup, so the pair space stays
+    * linear-ish at 100 TB (no within-cell all-pairs join). */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val cells = cellAssign(n).select($"vec_id", $"cell")
+    val banded = n.select($"vec_id", explode(array(
+        (0 until NearDupBands).map(k =>
+          struct(lit(k).as("band"),
+            shiftright($"bucket", 2 * k).bitwiseAND(3).as("bv"))): _*)).as("b"))
+      .select($"vec_id", $"b.band".as("band"), $"b.bv".as("bv"))
+      .join(cells, Seq("vec_id"))
+    val hi = banded.select($"cell", $"band", $"bv", $"vec_id")
+    val lo = banded.select($"cell", $"band", $"bv", $"vec_id".as("dom_id"))
+    val cand = hi.join(lo, Seq("cell", "band", "bv"))
+      .filter($"dom_id" < $"vec_id")
+      .select($"vec_id", $"dom_id").distinct()
+    val dominators = cand
+      .join(n.select($"vec_id", $"nv".as("va")), Seq("vec_id"))
+      .join(n.select($"vec_id".as("dom_id"), $"nv".as("vb")), Seq("dom_id"))
+      .withColumn("cos_e6", cosE6("va", "vb"))
+      .filter($"cos_e6" >= SemDupThreshold)
+      .groupBy($"vec_id").agg(count(lit(1)).as("nd"))
+    cells.join(dominators, Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cell",
+        coalesce($"nd", lit(0L)).as("n_dominators"),
+        when($"nd".isNull, "Y").otherwise("N").as("kept"))
+      .orderBy($"vec_id")
+  }
+
   /** ANN recall guard: recall@3 of the LSH- and IVF-bucketed paths
     * against the brute-force ground truth, per query — the metric that
     * turns "the ANN query still runs" into "the ANN query still FINDS
@@ -340,6 +389,7 @@ object Similarity {
     "q_sim_ann_pq" -> qSimAnnPq,
     "q_sim_ann_recall" -> qSimAnnRecall,
     "q_sim_neardup" -> qSimNearDup,
+    "q_sem_dedup" -> qSemDedup,
     "q_emb_centroid" -> qEmbCentroid
   )
 
@@ -570,7 +620,47 @@ object Similarity {
       |  CAST(count(*) AS BIGINT) AS n_vectors
       |FROM x GROUP BY label, idx ORDER BY label, pos""".stripMargin
 
+  /** SemDeDup oracle: IVF cells + band blocking + cosine verify,
+    * re-derived from scratch (same helpers as the ivf/neardup oracles). */
+  private val semDedupOracle =
+    (duckNorm +
+      s""",
+        |cent AS (SELECT vec_id AS centroid_id, nv AS centv FROM n WHERE vec_id < $Centroids),
+        |asg AS (
+        |  SELECT v.vec_id, c.centroid_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY CAST(round(${duckCos("centv", "nv")} * 1e6) AS BIGINT) DESC,
+        |                    c.centroid_id) AS arank
+        |  FROM n v CROSS JOIN cent c),
+        |cells AS (SELECT vec_id, centroid_id AS cell FROM asg WHERE arank = 1),
+        |bk AS (SELECT vec_id, ${duckBucket("nv")} AS bucket FROM n),
+        |banded AS (
+        |${(0 until NearDupBands).map(k =>
+            s"  SELECT vec_id, $k AS band, (bucket >> ${2 * k}) & 3 AS bv FROM bk")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |bc AS (SELECT b.vec_id, cells.cell, b.band, b.bv
+        |       FROM banded b JOIN cells ON b.vec_id = cells.vec_id),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id, y.vec_id AS dom_id
+        |  FROM bc x JOIN bc y
+        |    ON x.cell = y.cell AND x.band = y.band AND x.bv = y.bv
+        |   AND y.vec_id < x.vec_id),
+        |dom AS (
+        |  SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_dominators
+        |  FROM cand c
+        |  JOIN n a ON a.vec_id = c.vec_id
+        |  JOIN n b ON b.vec_id = c.dom_id
+        |  WHERE CAST(round(${duckCos("a.nv", "b.nv")} * 1e6) AS BIGINT) >= $SemDupThreshold
+        |  GROUP BY c.vec_id)
+        |SELECT cells.vec_id, cell,
+        |  coalesce(dom.n_dominators, 0) AS n_dominators,
+        |  CASE WHEN dom.vec_id IS NULL THEN 'Y' ELSE 'N' END AS kept
+        |FROM cells LEFT JOIN dom ON cells.vec_id = dom.vec_id
+        |ORDER BY cells.vec_id""".stripMargin)
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_sim_ann_recall" -> recallOracle,
+    "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle)
 }

@@ -35,4 +35,14 @@ object StreamJoins {
       left(key) === right(key) &&
         right(rightTs) >= left(leftTs) &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $horizon"))
+
+  /** Stream-static enrichment: every micro-batch broadcast-joins the
+    * (small) static dimension — the streaming analog of the agents dim
+    * lookup (J7). NO streaming state is involved: the dim is re-read
+    * per batch (so a replaced dim table is picked up), the join is a
+    * stateless map-side hash probe, and left-outer keeps stream rows
+    * whose key has no dim entry yet — the reference instead scans its
+    * in-heap agents collection per event (routes/events.js:149-157). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
 }

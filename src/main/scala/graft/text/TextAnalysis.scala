@@ -197,7 +197,57 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  private val ChunkTokens = 50   // tokens per chunk
+  private val ChunkStride = 40   // stride (10-token overlap)
+
+  /** Document chunking with overlap — the context-window splitter every
+    * training pipeline runs before tokenization: fixed 50-token chunks
+    * on a 40-token stride (10-token overlap so no boundary context is
+    * lost). Chunk starts are generated per row (sequence + posexplode,
+    * a map-side generator — no shuffle); a document shorter than one
+    * stride still yields exactly one chunk. */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", $"n_tokens", $"toks",
+        posexplode(expr(s"sequence(1, greatest(size(toks), 1), $ChunkStride)")))
+      .withColumn("chunk_toks", expr(s"slice(toks, col, $ChunkTokens)"))
+      .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+        $"col".cast("long").as("start_token"),
+        size($"chunk_toks").cast("long").as("n_chunk_tokens"),
+        array_join($"chunk_toks", " ").as("chunk_text"),
+        $"n_tokens")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val PackBudget = 256L // tokens per pack (context window)
+
+  /** Sequence packing (concat-then-chop): documents are concatenated
+    * per source in doc_id order and cut into 256-token context
+    * windows; each document's pack id and offset fall out of ONE
+    * running sum per source (a single exchange on the source key —
+    * no stateful loop, no driver pass). `spans_packs` marks documents
+    * straddling a window boundary (the ones a loss mask would split). */
+  def qTextPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens",
+        expr(s"(cum - n_tokens) div $PackBudget").as("pack_id"),
+        expr(s"(cum - n_tokens) % $PackBudget").as("pack_offset"),
+        expr(s"CASE WHEN (cum - n_tokens) div $PackBudget <> (cum - 1) div $PackBudget" +
+          " THEN 'Y' ELSE 'N' END").as("spans_packs"))
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> qTextChunk,
+    "q_text_pack" -> qTextPack,
     "q_vocab_topk" -> qVocabTopk,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_text_stats" -> qTextStats,
@@ -209,6 +259,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |             unnest(range(0, (greatest(len(toks), 1) - 1) // $ChunkStride + 1)) AS chunk_id
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * $ChunkStride + 1 AS BIGINT) AS start_token,
+         |  CAST(len(toks[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkTokens]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkTokens], ' ') AS chunk_text,
+         |  n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_text_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  (cum - n_tokens) // $PackBudget AS pack_id,
+         |  (cum - n_tokens) % $PackBudget AS pack_offset,
+         |  CASE WHEN (cum - n_tokens) // $PackBudget <> (cum - 1) // $PackBudget
+         |       THEN 'Y' ELSE 'N' END AS spans_packs
+         |FROM c ORDER BY source, doc_id""".stripMargin,
+
     "q_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

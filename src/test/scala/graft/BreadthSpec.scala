@@ -113,6 +113,53 @@ class BreadthSpec extends SparkSpec {
     assert(math.abs(got - mean0) < 1e-9, s"$got vs $mean0")
   }
 
+  test("chunking covers every token; overlap = chunk - stride; short docs chunk once") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.text.TextAnalysis.qTextChunk(spark, sf0001).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (d, cs) =>
+      val n = docs(d)
+      // chunk count = ceil(max(n,1)/stride) with the last start <= n
+      val starts = cs.map(_.getAs[Long]("start_token")).sorted
+      assert(starts.head == 1 && starts.zip(starts.tail).forall { case (a, b) => b - a == 40 })
+      assert(starts.last <= math.max(n, 1) && starts.last + 40 > math.max(n, 1))
+      // token coverage: every non-last chunk re-reads (size - stride)
+      // tokens of its successor's span, so Σ sizes = n + Σ overlaps
+      val total = cs.map(_.getAs[Long]("n_chunk_tokens")).sum
+      val expectedOverlap = cs.sortBy(_.getAs[Long]("chunk_id")).dropRight(1)
+        .map(c => math.max(0L, c.getAs[Long]("n_chunk_tokens") - 40L)).sum
+      assert(total == n + expectedOverlap, s"doc $d: $total vs $n + $expectedOverlap")
+    }
+  }
+
+  test("packing: offsets chain within a source; pack boundaries flagged") {
+    val rows = graft.text.TextAnalysis.qTextPack(spark, sf0001).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / 256)
+        assert(r.getAs[Long]("pack_offset") == cum % 256)
+        val spans = (cum / 256) != ((cum + r.getAs[Long]("n_tokens") - 1) / 256)
+        assert(r.getAs[String]("spans_packs") == (if (spans) "Y" else "N"))
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("semantic dedup: kept <-> zero dominators; dominators are lower ids, same cell") {
+    val r = graft.sim.Similarity.qSemDedup(spark, sf0001).collect()
+    assert(r.length == Tables.load(spark, sf0001, "embeddings").count())
+    r.foreach { row =>
+      val kept = row.getAs[String]("kept") == "Y"
+      assert(kept == (row.getAs[Long]("n_dominators") == 0L))
+    }
+    assert(r.exists(_.getAs[String]("kept") == "N"), "threshold should drop someone")
+    assert(r.exists(_.getAs[String]("kept") == "Y"))
+  }
+
   test("tpch breadth: semi/anti shapes plan as joins, not per-row subqueries") {
     Tables.registerAll(spark, sf0001)
     val q4 = Relational.queries("q_sql_tpch4")(spark, sf0001)

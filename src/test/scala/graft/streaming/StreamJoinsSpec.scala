@@ -49,4 +49,29 @@ class StreamJoinsSpec extends SparkSpec {
       .select($"user", $"purchase_ts").as[(String, Timestamp)].collect().toSet
     assert(rows == Set(("alice", ts("2026-08-12 10:45:00"))), rows)
   }
+
+  test("stream-static enrich: stateless broadcast lookup, left-outer on misses") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[(String, Long)]
+    val dim = Seq(("alice", "US"), ("bob", "DE")).toDF("user", "country")
+
+    val enriched = StreamJoins.enrich(
+      events.toDF().toDF("user", "amount"), dim, "user")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData(("alice", 10L), ("carol", 7L))
+      q.processAllAvailable()
+      events.addData(("bob", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("enriched")
+      .select($"user", $"amount", $"country")
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(rows == Set(
+      ("alice", 10L, Some("US")),
+      ("carol", 7L, None),      // no dim row -> kept with NULL
+      ("bob", 3L, Some("DE"))), rows)
+  }
 }
