@@ -31,7 +31,11 @@ object Bench {
       spark.read.parquet(warmDir).write.format("noop").mode("overwrite").save()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = subset of query names (dev loop); driver passes none
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,

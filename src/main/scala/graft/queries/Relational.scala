@@ -937,6 +937,35 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Z-order layout demonstration (operators.ZOrder): events sorted by
+    * the Morton interleave of (user bucket, hour-of-stream) and cut
+    * into 1000-row blocks; the output is each block's min/max on BOTH
+    * dimensions — the footer stats a z-ordered parquet file would
+    * carry. Tight per-block ranges on both columns (vs one column for
+    * a plain sort) are exactly what makes min-max skipping prune on
+    * either predicate. Exact integer bit math, oracle-identical.
+    *
+    * The global row_number exists only to make the block boundaries
+    * oracle-checkable; the production write is repartitionByRange(z) +
+    * sortWithinPartitions(z) — per-file footer stats then emerge with
+    * no global numbering at all. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = graft.operators.ZOrder.zValue("x", "y")
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        ($"user_id" % 1024).as("x"),
+        expr("(unix_timestamp(ts) div 3600) % 1024").as("y"))
+      .withColumn("z", z)
+      .withColumn("block_id", expr("(row_number() OVER (ORDER BY z, event_id) - 1) div 1000"))
+      .groupBy($"block_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"),
+        min($"z").as("min_z"), max($"z").as("max_z"))
+      .orderBy($"block_id")
+  }
+
   /** Analytic-function breadth: percent_rank / cume_dist / first_value /
     * nth_value over one (event_type)-partitioned ordering — all four
     * share a single exchange + sort. The ordering includes event_id so
@@ -1041,6 +1070,7 @@ object Relational {
     "q_unpivot" -> qUnpivot,
     "q_ts_fill" -> qTsFill,
     "q_bloom_semi" -> qBloomSemi,
+    "q_zorder" -> qZorder,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
@@ -1397,6 +1427,24 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    user_id % 1024 AS x,
+         |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS y
+         |  FROM events),
+         |z AS (
+         |  SELECT event_id, x, y, ${graft.operators.ZOrder.zValueSql("x", "y")} AS z
+         |  FROM b),
+         |r AS (
+         |  SELECT *, (row_number() OVER (ORDER BY z, event_id) - 1) // 1000 AS block_id
+         |  FROM z)
+         |SELECT block_id, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y,
+         |  min(z) AS min_z, max(z) AS max_z
+         |FROM r GROUP BY block_id ORDER BY block_id""".stripMargin,
 
     // the PLAIN semi-join: Bloom pruning must be indistinguishable
     "q_bloom_semi" ->

@@ -160,6 +160,26 @@ class BreadthSpec extends SparkSpec {
     assert(r.exists(_.getAs[String]("kept") == "Y"))
   }
 
+  test("z-order blocks: tight min/max ranges on BOTH dimensions") {
+    // sf0.01: 10k events -> 10 blocks. A plain one-column sort leaves the
+    // other column's per-block span ≈ its global span; the Morton curve
+    // keeps both spans a fraction of global.
+    val rows = Relational.qZorder(spark, graft.TestSpark.sf001).collect()
+    assert(rows.length >= 5)
+    def span(r: org.apache.spark.sql.Row, lo: String, hi: String): Long =
+      r.getAs[Long](hi) - r.getAs[Long](lo)
+    val gx = rows.map(_.getAs[Long]("max_x")).max - rows.map(_.getAs[Long]("min_x")).min
+    val gy = rows.map(_.getAs[Long]("max_y")).max - rows.map(_.getAs[Long]("min_y")).min
+    val avg = rows.map(r => span(r, "min_x", "max_x") + span(r, "min_y", "max_y")).sum
+      .toDouble / rows.length
+    assert(avg < 0.75 * (gx + gy), s"avg block span $avg vs global ${gx + gy}")
+    // blocks tile the z range without overlap
+    val sorted = rows.sortBy(_.getAs[Long]("block_id"))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("max_z") <= b.getAs[Long]("min_z"))
+    }
+  }
+
   test("tpch breadth: semi/anti shapes plan as joins, not per-row subqueries") {
     Tables.registerAll(spark, sf0001)
     val q4 = Relational.queries("q_sql_tpch4")(spark, sf0001)
