@@ -128,6 +128,35 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Long, energy: Long)
+
+  /** Windowed energy for audio payloads: per 32-byte window, the sum
+    * of squared (byte − 128) amplitudes — the PCM feature-extraction
+    * shape (a production build would decode real samples first; the
+    * window arithmetic, full-window policy and batch plumbing are
+    * identical). Integer math end-to-end so the oracle is exact. */
+  def audioEnergy(media: Dataset[Media], windowLen: Int = 32): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val bytes = decodeStub(m)
+          Iterator.range(0, bytes.length / windowLen).map { w =>
+            var e = 0L
+            var i = w * windowLen
+            val end = i + windowLen
+            while (i < end) {
+              val a = (bytes(i) & 0xFF) - 128
+              e += a.toLong * a
+              i += 1
+            }
+            AudioWindow(m.media_id, w.toLong, e)
+          }
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
@@ -149,10 +178,17 @@ object Multimodal {
     resize(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
   }
 
+  def qMmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioEnergy(mediaFromDocuments(spark, dir))
+      .toDF().orderBy($"media_id", $"window_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_byte_hist" -> qMmByteHist,
     "q_mm_frames" -> qMmFrames,
-    "q_mm_resize" -> qMmResize
+    "q_mm_resize" -> qMmResize,
+    "q_mm_audio_energy" -> qMmAudioEnergy
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +220,16 @@ object Multimodal {
         |       md5(substr(text, i * 64 + 1, 32)) AS frame_md5
         |FROM documents, (SELECT unnest(range(4)) AS i) t
         |WHERE i * 64 + 32 <= length(text)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // audio kind = doc_id % 3 == 1; text is ASCII so char code == byte
+    "q_mm_audio_energy" ->
+      """SELECT doc_id AS media_id, CAST(w AS BIGINT) AS window_idx,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128)
+        |       * (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128))) AS BIGINT) AS energy
+        |FROM documents, (SELECT unnest(range(0, 400)) AS w) t
+        |WHERE doc_id % 3 = 1 AND (w + 1) * 32 <= length(text)
+        |ORDER BY media_id, window_idx""".stripMargin
   )
 }

@@ -56,4 +56,23 @@ class MultimodalSpec extends SparkSpec {
       fs.foreach(f => assert(f.frame_md5.matches("[0-9a-f]{32}")))
     }
   }
+
+  test("audio energy: audio rows only, full windows, matches direct recomputation") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val got = Multimodal.audioEnergy(media).collect()
+    assert(got.nonEmpty)
+    got.foreach(w => assert(w.media_id % 3 == 1 && w.energy >= 0))
+    // direct recomputation over the raw payloads
+    val payloads = media.filter(_.kind == "audio").collect()
+      .map(m => m.media_id -> m.content).toMap
+    got.groupBy(_.media_id).foreach { case (id, ws) =>
+      val bytes = payloads(id)
+      assert(ws.length == bytes.length / 32)
+      ws.foreach { w =>
+        val e = (w.window_idx.toInt * 32 until w.window_idx.toInt * 32 + 32)
+          .map { i => val a = (bytes(i) & 0xFF) - 128; a.toLong * a }.sum
+        assert(w.energy == e)
+      }
+    }
+  }
 }
