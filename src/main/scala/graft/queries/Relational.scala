@@ -937,6 +937,50 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Equi-width histogram via width_bucket — the profiling companion
+    * to q_profile_columns: 20 buckets over [0, 500) on the event value,
+    * per event type. One shuffle with map-side combine; bucket edges
+    * are closed-open so engines agree exactly. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("bucket", expr("width_bucket(value, 0.0, 500.0, 20)"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** Winsorization (outlier clipping for feature hygiene): per-group
+    * exact p05/p95 via the same value-count ranking as
+    * q_agg_percentiles, then every value clamped into [p05, p95] with
+    * flags. The rank thresholds are pure integer ceilings, the clamp is
+    * a comparison — no float percentile estimation, so the oracle is
+    * exact. Two passes over one event_type partitioning: the tiny
+    * percentile frame broadcasts back onto the rows. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+    def at(rank: Column): Column =
+      max(when($"cum" - $"c" < rank && rank <= $"cum", $"value"))
+    val pcts = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(at(expr("(5 * n + 99) div 100")).as("p05"),
+        at(expr("(95 * n + 99) div 100")).as("p95"))
+    Tables.load(spark, dir, "events")
+      .join(broadcast(pcts), Seq("event_type"))
+      .select($"event_id", $"event_type", $"value", $"p05", $"p95",
+        when($"value" < $"p05", $"p05")
+          .when($"value" > $"p95", $"p95")
+          .otherwise($"value").as("clipped"),
+        when($"value" < $"p05", "LO").when($"value" > $"p95", "HI")
+          .otherwise("IN").as("clip_flag"))
+      .orderBy($"event_id")
+  }
+
   /** Z-order layout demonstration (operators.ZOrder): events sorted by
     * the Morton interleave of (user bucket, hour-of-stream) and cut
     * into 1000-row blocks; the output is each block's min/max on BOTH
@@ -1071,6 +1115,8 @@ object Relational {
     "q_ts_fill" -> qTsFill,
     "q_bloom_semi" -> qBloomSemi,
     "q_zorder" -> qZorder,
+    "q_histogram" -> qHistogram,
+    "q_winsorize" -> qWinsorize,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
@@ -1427,6 +1473,43 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    // DuckDB has no width_bucket; the CASE is its exact definition
+    // (interval = (500-0)/20 = 25, closed-open, overflow bucket 21)
+    "q_histogram" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 0.0 THEN 0
+        |       WHEN value >= 500.0 THEN 21
+        |       ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH vc AS (
+        |  SELECT event_type, value, count(*) AS c FROM events GROUP BY event_type, value),
+        |cc AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vc),
+        |p AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN cum - c < (5 * n + 99) // 100 AND (5 * n + 99) // 100 <= cum
+        |             THEN value END) AS p05,
+        |    max(CASE WHEN cum - c < (95 * n + 99) // 100 AND (95 * n + 99) // 100 <= cum
+        |             THEN value END) AS p95
+        |  FROM cc GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, p.p05, p.p95,
+        |  CASE WHEN e.value < p.p05 THEN p.p05
+        |       WHEN e.value > p.p95 THEN p.p95
+        |       ELSE e.value END AS clipped,
+        |  CASE WHEN e.value < p.p05 THEN 'LO'
+        |       WHEN e.value > p.p95 THEN 'HI'
+        |       ELSE 'IN' END AS clip_flag
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_zorder" ->
       s"""WITH b AS (
