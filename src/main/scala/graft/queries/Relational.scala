@@ -937,6 +937,27 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** CEP-style pattern detection (the MATCH_RECOGNIZE primitive):
+    * `view` IMMEDIATELY followed by `click` in the same user's stream
+    * within 24 hours — adjacency via lead() over one user_id
+    * exchange, the time constraint as a plain filter. This is the
+    * batch form of the sequence patterns a CEP engine compiles to
+    * NFA state machines; at 100 TB it stays one shuffle + one
+    * ordered pass per key. */
+  def qCepPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .filter($"event_type" === "view" && $"next_type" === "click" &&
+        $"next_us" - $"us" <= 86400000000L)
+      .select($"user_id", $"event_id", $"us".as("view_us"),
+        $"next_us".as("click_us"), ($"next_us" - $"us").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
   /** Equi-width histogram via width_bucket — the profiling companion
     * to q_profile_columns: 20 buckets over [0, 500) on the event value,
     * per event type. One shuffle with map-side combine; bucket edges
@@ -1117,6 +1138,7 @@ object Relational {
     "q_zorder" -> qZorder,
     "q_histogram" -> qHistogram,
     "q_winsorize" -> qWinsorize,
+    "q_cep_pattern" -> qCepPattern,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
@@ -1473,6 +1495,21 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    "q_cep_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT *,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id, event_id, us AS view_us, next_us AS click_us,
+        |       next_us - us AS gap_us
+        |FROM s
+        |WHERE event_type = 'view' AND next_type = 'click'
+        |  AND next_us - us <= 86400000000
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB has no width_bucket; the CASE is its exact definition
     // (interval = (500-0)/20 = 25, closed-open, overflow bucket 21)

@@ -63,4 +63,56 @@ object TransformWithStateOps {
       .transformWithState(new RunningTotalProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class Click(userId: Long, ts: java.sql.Timestamp)
+  case class ClosedSession(userId: Long, startMs: Long, endMs: Long, n: Long)
+
+  /** Session machine with EVENT-TIME TIMERS: each input extends the
+    * open session and re-arms one timer at (last event + gap); the
+    * session row is emitted from `handleExpiredTimer` when the
+    * watermark passes that mark — the explicit-NFA form of
+    * `session_window` (StreamAggs), and the new-API analog of the
+    * fMGWS `EventTimeTimeout` TTLs in StreamingPipeline. State is one
+    * ValueState + one timer per open key, evicted on close. */
+  class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Click, ClosedSession] {
+    @transient private var st: ValueState[ClosedSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ClosedSession](
+        "open", Encoders.product[ClosedSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Click],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var s = if (st.exists()) st.get()
+              else ClosedSession(key, Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { c =>
+        val t = c.ts.getTime
+        s = ClosedSession(key, math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1)
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.endMs + gapMs)
+      st.update(s)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(s)
+      } else Iterator.empty
+  }
+
+  /** Sessions closed by event-time timers over a watermarked click
+    * stream (append mode: a session emits exactly once, on close). */
+  def timerSessions(clicks: Dataset[Click], gapMs: Long): Dataset[ClosedSession] = {
+    import clicks.sparkSession.implicits._
+    clicks.withWatermark("ts", "0 seconds")
+      .as[Click]
+      .groupByKey(_.userId)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

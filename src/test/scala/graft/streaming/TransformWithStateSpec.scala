@@ -44,4 +44,45 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import TransformWithStateOps.{Click, ClosedSession}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val input = MemoryStream[Click]
+      val q = TransformWithStateOps
+        .timerSessions(input.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        // alice: two clicks 30s apart -> one session [10:00:00, 10:00:30]
+        input.addData(
+          Click(1L, ts("2026-08-12 10:00:00")),
+          Click(1L, ts("2026-08-12 10:00:30")))
+        q.processAllAvailable()
+        // a later key pushes the watermark past alice's end + gap
+        input.addData(Click(2L, ts("2026-08-12 11:00:00")))
+        q.processAllAvailable()
+        input.addData(Click(3L, ts("2026-08-12 12:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val rows = spark.table("tws_sessions").as[ClosedSession].collect().toSet
+      val aliceStart = ts("2026-08-12 10:00:00").getTime
+      val aliceEnd = ts("2026-08-12 10:00:30").getTime
+      assert(rows.contains(ClosedSession(1L, aliceStart, aliceEnd, 2L)), rows)
+      // key 2's session closes once key 3 moves the watermark past it
+      val bobTs = ts("2026-08-12 11:00:00").getTime
+      assert(rows.contains(ClosedSession(2L, bobTs, bobTs, 1L)), rows)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
