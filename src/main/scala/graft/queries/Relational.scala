@@ -978,7 +978,13 @@ object Relational {
     * flags. The rank thresholds are pure integer ceilings, the clamp is
     * a comparison — no float percentile estimation, so the oracle is
     * exact. Two passes over one event_type partitioning: the tiny
-    * percentile frame broadcasts back onto the rows. */
+    * percentile frame broadcasts back onto the rows.
+    *
+    * Scale note: the ranking frame is the DISTINCT (group, value)
+    * set — compact whenever values are quantized (money, counts,
+    * fixed-point features). For truly continuous features at 100 TB,
+    * quantize first (e.g. cents) or swap the threshold subquery for
+    * approx_percentile; the clamp/flag pass is unchanged either way. */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wCum = Window.partitionBy($"event_type").orderBy($"value")

@@ -80,6 +80,53 @@ object TextOpsProps extends Properties("TextOps") {
       got == expected
     }
 
+  property("chunking reconstructs the document from stride-aligned pieces") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", $"toks",
+          posexplode(expr("sequence(1, greatest(size(toks), 1), 40)")))
+        .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+          expr("slice(toks, col, 50)").as("chunk_toks"))
+        .collect()
+      ds.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ", -1).toSeq
+        val chunks = df.filter(_.getAs[Long]("doc_id") == i.toLong)
+          .sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[scala.collection.Seq[String]]("chunk_toks").toSeq)
+          .toSeq
+        // every chunk equals the direct slice, and stride-prefixes
+        // (last chunk whole) reassemble the document exactly
+        val expected = (0 until math.max(1, (toks.length + 39) / 40))
+          .map(k => toks.slice(k * 40, k * 40 + 50))
+        chunks == expected &&
+          chunks.zipWithIndex.flatMap { case (c, k) =>
+            if (k == chunks.length - 1) c else c.take(40)
+          } == toks
+      }
+    }
+
+  property("packing offsets are the running sum mod/div the budget") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      val rows = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("n", size(split($"text", " ")).cast("long"))
+        .withColumn("cum", sum($"n").over(w))
+        .select($"doc_id", $"n",
+          expr("(cum - n) div 64").as("pack_id"),
+          expr("(cum - n) % 64").as("pack_offset"))
+        .collect().sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      rows.forall { r =>
+        val ok = r.getAs[Long]("pack_id") == cum / 64 &&
+          r.getAs[Long]("pack_offset") == cum % 64
+        cum += r.getAs[Long]("n")
+        ok
+      }
+    }
+
   private val sortedDistinctLongs: Gen[Seq[Long]] =
     Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
 
