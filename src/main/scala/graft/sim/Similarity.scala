@@ -337,6 +337,55 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  private val KmIters = 2
+
+  /** Quantized Lloyd k-means, 2 iterations — the trainer the IVF/PQ
+    * codebooks come from (those use first-K stand-ins; this is the
+    * real assign→recompute loop). Everything is INTEGER fixed-point:
+    * components are shifted non-negative and scaled to 1e-6 units
+    * (vq = round((x+10)·1e6)), centroid means use floor division
+    * (exact, shift-invariant), distances are bigint sums of squared
+    * differences — no float accumulation anywhere, so both engines
+    * agree bit-for-bit after any number of iterations.
+    *
+    * Per iteration: one broadcast join on pos (centroid frame is
+    * K·dim rows), one (vec, j) aggregate with map-side combine, one
+    * argmin — all linear in corpus·K·dim, no all-pairs anything. The
+    * loop composes PLANS (no driver-side data movement); at 100 TB
+    * each iteration is the canonical broadcast-assign shape with the
+    * assignment frame checkpointed between rounds. */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = vectors(spark, dir)
+      .select($"vec_id", posexplode($"nv"))
+      .select($"vec_id", $"pos",
+        round(($"col" + 10.0) * 1e6).cast("long").as("vq"))
+    val cents0 = pts.filter($"vec_id" < Centroids)
+      .select($"vec_id".as("j"), $"pos", $"vq".as("cq"))
+
+    def assign(cents: DataFrame): DataFrame =
+      pts.join(broadcast(cents), Seq("pos"))
+        .groupBy($"vec_id", $"j")
+        .agg(sum(($"vq" - $"cq") * ($"vq" - $"cq")).as("d"))
+        .groupBy($"vec_id")
+        .agg(min_by($"j", struct($"d", $"j")).as("cluster"))
+
+    def recompute(asg: DataFrame): DataFrame =
+      pts.join(asg, Seq("vec_id"))
+        .groupBy($"cluster", $"pos")
+        .agg(expr("sum(vq) div count(*)").as("cq"))
+        .select($"cluster".as("j"), $"pos", $"cq")
+
+    val last = (1 until KmIters).foldLeft(assign(cents0)) { (asg, _) =>
+      assign(recompute(asg))
+    }
+    last
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+      .select($"vec_id", $"cluster", $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
   /** ANN recall guard: recall@3 of the LSH- and IVF-bucketed paths
     * against the brute-force ground truth, per query — the metric that
     * turns "the ANN query still runs" into "the ANN query still FINDS
@@ -390,7 +439,8 @@ object Similarity {
     "q_sim_ann_recall" -> qSimAnnRecall,
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
-    "q_emb_centroid" -> qEmbCentroid
+    "q_emb_centroid" -> qEmbCentroid,
+    "q_kmeans" -> qKmeans
   )
 
   /** DuckDB prologue: double-cast vectors (same fold order as the
@@ -659,8 +709,39 @@ object Similarity {
         |FROM cells LEFT JOIN dom ON cells.vec_id = dom.vec_id
         |ORDER BY cells.vec_id""".stripMargin)
 
+  /** k-means oracle: the same 2 quantized Lloyd iterations as nested
+    * CTEs — pure bigint arithmetic, so no engine can diverge. */
+  private val kmeansOracle =
+    s"""WITH pts AS (
+       |  SELECT vec_id, i AS pos,
+       |    CAST(round((CAST(embedding[i + 1] AS DOUBLE) + 10) * 1e6) AS BIGINT) AS vq
+       |  FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) t),
+       |c0 AS (SELECT vec_id AS j, pos, vq AS cq FROM pts WHERE vec_id < $Centroids),
+       |d1 AS (
+       |  SELECT p.vec_id, c.j, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+       |  FROM pts p JOIN c0 c ON p.pos = c.pos GROUP BY p.vec_id, c.j),
+       |a1 AS (
+       |  SELECT vec_id, j AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a.cluster AS j, p.pos, sum(p.vq) // count(*) AS cq
+       |  FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+       |  GROUP BY a.cluster, p.pos),
+       |d2 AS (
+       |  SELECT p.vec_id, c.j, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+       |  FROM pts p JOIN c1 c ON p.pos = c.pos GROUP BY p.vec_id, c.j),
+       |a2 AS (
+       |  SELECT vec_id, j AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM d2) WHERE rn = 1)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+       |FROM a2 ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_sim_ann_recall" -> recallOracle,
     "q_sem_dedup" -> semDedupOracle,
-    "q_emb_centroid" -> centroidOracle)
+    "q_emb_centroid" -> centroidOracle,
+    "q_kmeans" -> kmeansOracle)
 }

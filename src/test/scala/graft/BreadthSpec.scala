@@ -180,6 +180,31 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("k-means: assignments equal a direct Scala replay of the quantized loop") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map { case (id, e) => id -> e.map(x => math.round((x.toDouble + 10.0) * 1e6)) }
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      vecs.map { case (id, v) =>
+        id -> cents.toSeq.map { case (j, c) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.min._2
+      }.toMap
+    def recompute(asg: Map[Long, Long]): Map[Long, Array[Long]] =
+      vecs.groupBy { case (id, _) => asg(id) }.map { case (j, vs) =>
+        j -> (0 until 64).map { p =>
+          vs.map(_._2(p)).sum / vs.length  // floor div, all values >= 0
+        }.toArray
+      }
+    val cents0 = vecs.filter(_._1 < 8).map { case (id, v) => id -> v }.toMap
+    val expected = assign(recompute(assign(cents0)))
+    val got = graft.sim.Similarity.qKmeans(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size > 1, "should form multiple clusters")
+  }
+
   test("tpch breadth: semi/anti shapes plan as joins, not per-row subqueries") {
     Tables.registerAll(spark, sf0001)
     val q4 = Relational.queries("q_sql_tpch4")(spark, sf0001)
