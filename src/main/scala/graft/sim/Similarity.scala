@@ -356,17 +356,21 @@ object Similarity {
     * assignment frame checkpointed between rounds. */
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pts = vectors(spark, dir)
-      .select($"vec_id", posexplode($"nv"))
-      .select($"vec_id", $"pos",
-        round(($"col" + 10.0) * 1e6).cast("long").as("vq"))
-    val cents0 = pts.filter($"vec_id" < Centroids)
-      .select($"vec_id".as("j"), $"pos", $"vq".as("cq"))
+    // whole-vector quantization: one array per row, distances computed
+    // in a single fused integer loop per (vector, centroid) pair — no
+    // per-position row explosion crosses any join
+    val qpts = vectors(spark, dir)
+      .select($"vec_id",
+        expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
+    val pts = qpts.select($"vec_id", posexplode($"qv"))
+      .select($"vec_id", $"pos", $"col".as("vq"))
+    val cents0 = qpts.filter($"vec_id" < Centroids)
+      .select($"vec_id".as("j"), $"qv".as("cvec"))
 
     def assign(cents: DataFrame): DataFrame =
-      pts.join(broadcast(cents), Seq("pos"))
-        .groupBy($"vec_id", $"j")
-        .agg(sum(($"vq" - $"cq") * ($"vq" - $"cq")).as("d"))
+      qpts.crossJoin(broadcast(cents))
+        .withColumn("d", expr(
+          "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
         .groupBy($"vec_id")
         .agg(min_by($"j", struct($"d", $"j")).as("cluster"))
 
@@ -374,7 +378,9 @@ object Similarity {
       pts.join(asg, Seq("vec_id"))
         .groupBy($"cluster", $"pos")
         .agg(expr("sum(vq) div count(*)").as("cq"))
-        .select($"cluster".as("j"), $"pos", $"cq")
+        .groupBy($"cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), x -> x.cq)").as("cvec"))
+        .select($"cluster".as("j"), $"cvec")
 
     val last = (1 until KmIters).foldLeft(assign(cents0)) { (asg, _) =>
       assign(recompute(asg))
