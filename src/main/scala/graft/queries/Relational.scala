@@ -937,6 +937,34 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Referential-integrity audit — the cross-table health check run
+    * before every training snapshot: per FK edge, child row count and
+    * orphan count (children whose parent key is absent), via left-anti
+    * joins. Each edge is one shuffle on its key (or a broadcast when
+    * the parent's key set is small); the four edges union into one
+    * 4-row report. */
+  def qRiAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans")
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    edge("lineitem->orders", li, "l_orderkey",
+        Tables.load(spark, dir, "orders"), "o_orderkey")
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.load(spark, dir, "supplier"), "s_suppkey"))
+      .unionByName(edge("orders->customer", Tables.load(spark, dir, "orders"),
+        "o_custkey", Tables.load(spark, dir, "customer"), "c_custkey"))
+      .orderBy($"fk_edge")
+  }
+
   /** CEP-style pattern detection (the MATCH_RECOGNIZE primitive):
     * `view` IMMEDIATELY followed by `click` in the same user's stream
     * within 24 hours — adjacency via lead() over one user_id
@@ -1145,6 +1173,7 @@ object Relational {
     "q_histogram" -> qHistogram,
     "q_winsorize" -> qWinsorize,
     "q_cep_pattern" -> qCepPattern,
+    "q_ri_audit" -> qRiAudit,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
@@ -1501,6 +1530,28 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    "q_ri_audit" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk_edge""".stripMargin,
 
     "q_cep_pattern" ->
       """WITH e AS (

@@ -197,6 +197,29 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Token-rarity scoring — the integer stand-in for LM-perplexity
+    * filtering: per document, the mean corpus document-frequency of its
+    * tokens (permille of n_docs) and the rarest token's df. Documents
+    * full of corpus-rare tokens (low mean, low min) are the ones a
+    * perplexity filter would flag. Same two shuffles as tf-idf (doc
+    * tokens, corpus df) + a 1-row broadcast; all integer `div`. */
+  def qTextRarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val df = tok.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tok.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min($"df").as("min_df"),
+        expr("(sum(df) * 1000) div (count(1) * max(n_docs))").as("mean_df_permille"))
+      .orderBy($"doc_id")
+  }
+
   private val ChunkTokens = 50   // tokens per chunk
   private val ChunkStride = 40   // stride (10-token overlap)
 
@@ -248,6 +271,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunk" -> qTextChunk,
     "q_text_pack" -> qTextPack,
+    "q_text_rarity" -> qTextRarity,
     "q_vocab_topk" -> qVocabTopk,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_text_stats" -> qTextStats,
@@ -259,6 +283,19 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, token FROM tt) GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  min(df.df) AS min_df,
+        |  CAST((sum(df.df) * 1000) // (count(*) * max(n.n_docs)) AS BIGINT) AS mean_df_permille
+        |FROM tt JOIN df USING (token) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_text_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
