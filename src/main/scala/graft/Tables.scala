@@ -29,7 +29,17 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view for spark.sql(...) surfaces. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register every table as a temp view for spark.sql(...) surfaces.
+    * Skipped when this session's views already point at `dir` (each
+    * registration re-reads ten parquet footers on the driver, which
+    * the SQL-surface queries would otherwise pay repeatedly); a dir
+    * CHANGE re-registers, so alternating dirs stays correct. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val app = spark.sparkContext.applicationId
+    if (registeredDir.put(app, dir) != dir)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
