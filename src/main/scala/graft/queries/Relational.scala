@@ -937,6 +937,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Time-based sliding window via a RANGE frame (the one frame type
+    * the rest of the window surface doesn't exercise): per user, the
+    * trailing-1-hour event count and value sum at every event —
+    * `rangeBetween(-3600, 0)` over epoch seconds, so the frame is
+    * defined by the ORDER-BY VALUE distance, not row positions. One
+    * user_id exchange; the frame scan is linear per key (two moving
+    * cursors), the same at any scale. */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ep")
+      .rangeBetween(-3600, 0)
+    Tables.load(spark, dir, "events")
+      .withColumn("ep", ep($"ts"))
+      .select($"event_id", $"user_id", $"ep",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(dec($"value")).over(w).cast("double").as("sum_trailing_1h"))
+      .orderBy($"event_id")
+  }
+
   /** Referential-integrity audit — the cross-table health check run
     * before every training snapshot: per FK edge, child row count and
     * orphan count (children whose parent key is absent), via left-anti
@@ -1174,6 +1193,7 @@ object Relational {
     "q_winsorize" -> qWinsorize,
     "q_cep_pattern" -> qCepPattern,
     "q_ri_audit" -> qRiAudit,
+    "q_window_sliding" -> qWindowSliding,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
@@ -1530,6 +1550,19 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         value
+        |  FROM events)
+        |SELECT event_id, user_id, ep,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_ri_audit" ->
       """SELECT 'lineitem->orders' AS fk_edge,
