@@ -134,6 +134,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("whole-surface audit: cross joins only where a broadcast fan-out is intended") {
+    // Deliberate crossJoins: 1-row corpus counts (tfidf/rarity/ri_audit),
+    // tiny broadcast codebooks/centroids (ivf/pq/kmeans + recall's reuse),
+    // and the broadcast query side of brute kNN (non-equi join condition).
+    val intended = Set(
+      "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
+      "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall", "q_kmeans",
+      "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
+      if (p.contains("Join Cross") && !intended.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected cross joins in: $offenders")
+  }
+
   test("stratified sample: the k=20 cutoff pushes below the sort (WindowGroupLimit)") {
     val p = plan(graft.quality.Quality.qSampleStratified(spark, sf0001))
     // without the pushdown every stratum fully sorts before the filter;
