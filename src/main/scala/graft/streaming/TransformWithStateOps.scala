@@ -64,6 +64,44 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class Scored(userId: Long, itemId: Long, score: Long)
+  case class TopItem(userId: Long, rank: Int, itemId: Long, score: Long)
+
+  /** Bounded per-key top-k on LIST state — the third state primitive
+    * (ValueState above, timers below): the list holds AT MOST k
+    * (score, item) entries, so state is O(k) per key no matter how
+    * many events arrive, and each batch emits the key's full current
+    * top-k as an update-mode changelog. Ties break toward the smaller
+    * item id (deterministic under replay). */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[Long, Scored, TopItem] {
+    @transient private var st: ListState[Scored] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Scored](
+        "topk", Encoders.product[Scored], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Scored],
+        timerValues: TimerValues): Iterator[TopItem] = {
+      val merged = (st.get().toSeq ++ rows)
+        .sortBy(s => (-s.score, s.itemId))
+        .distinctBy(_.itemId)
+        .take(k)
+      st.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (s, i) =>
+        TopItem(key, i + 1, s.itemId, s.score)
+      }
+    }
+  }
+
+  /** Per-user running top-k items by score (k-bounded state). */
+  def topKByUser(events: Dataset[Scored], k: Int): Dataset[TopItem] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class Click(userId: Long, ts: java.sql.Timestamp)
   case class ClosedSession(userId: Long, startMs: Long, endMs: Long, n: Long)
 

@@ -45,6 +45,90 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("ListState top-k: k-bounded state, cross-batch merge, deterministic ties") {
+    import TransformWithStateOps.{Scored, TopItem}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Scored]
+      val q = TransformWithStateOps.topKByUser(input.toDS(), k = 2)
+        .writeStream.format("memory").queryName("tws_topk")
+        .outputMode("update").start()
+      try {
+        input.addData(Scored(1L, 101L, 5L), Scored(1L, 102L, 9L), Scored(1L, 103L, 1L))
+        q.processAllAvailable()
+        // a new high item evicts the lowest of the kept two; a rescore
+        // of a kept item dedups by itemId
+        input.addData(Scored(1L, 104L, 7L), Scored(1L, 102L, 9L))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val rows = spark.table("tws_topk").as[TopItem].collect()
+      // final top-2: (102, 9) then (104, 7); 101/103 evicted
+      assert(rows.exists(t => t.rank == 1 && t.itemId == 102L && t.score == 9L))
+      assert(rows.exists(t => t.rank == 2 && t.itemId == 104L && t.score == 7L))
+      // batch 1's top-2 was (102, 9), (101, 5)
+      assert(rows.exists(t => t.rank == 2 && t.itemId == 101L && t.score == 5L))
+      assert(!rows.exists(t => t.itemId == 103L), "beyond-k item never emitted")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("state survives a checkpointed stop/restart (totals continue, not reset)") {
+    import TransformWithStateOps.{EventIn, RunningTotal}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def tmp(p: String) = {
+        val d = java.nio.file.Files.createTempDirectory(p).toFile
+        new java.io.File(d, "x").getParentFile
+      }
+      val watch = tmp("tws-restart-watch")
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-restart-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("tws-restart-out").toString
+      def start() = {
+        val src = spark.readStream
+          .schema("userId LONG, value DOUBLE")
+          .json(watch.toString).as[EventIn]
+        TransformWithStateOps.runningTotals(src)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[RunningTotal], _: Long) =>
+            ds.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      java.nio.file.Files.write(new java.io.File(watch, "a.jsonl").toPath,
+        """{"userId":1,"value":10.0}
+          |{"userId":1,"value":5.0}""".stripMargin.getBytes("UTF-8"))
+      start().awaitTermination(120000)
+      assert(spark.read.parquet(out).as[RunningTotal].collect()
+        .contains(RunningTotal(1L, 2L, 15.0)))
+
+      // restart from the same checkpoint: only the new file is read,
+      // and the totals CONTINUE from restored state
+      java.nio.file.Files.write(new java.io.File(watch, "b.jsonl").toPath,
+        """{"userId":1,"value":2.0}""".getBytes("UTF-8"))
+      start().awaitTermination(120000)
+      val after = spark.read.parquet(out).as[RunningTotal].collect()
+      assert(after.contains(RunningTotal(1L, 3L, 17.0)), after.toSeq)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     import TransformWithStateOps.{Click, ClosedSession}
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
