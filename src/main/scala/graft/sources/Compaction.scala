@@ -39,6 +39,10 @@ object Compaction {
 
     val tmp = new Path(dir + ".compact-tmp")
     val old = new Path(dir + ".compact-old")
+    // a previously crashed run may have left either behind; the live
+    // dir is still intact in that case, so both are safe to drop
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     // atomic swap: live dir -> old, tmp -> live, drop old
