@@ -33,13 +33,18 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Register every table as a temp view for spark.sql(...) surfaces.
-    * Skipped when this session's views already point at `dir` (each
+    * Skipped when this SESSION's views already point at `dir` (each
     * registration re-reads ten parquet footers on the driver, which
     * the SQL-surface queries would otherwise pay repeatedly); a dir
-    * CHANGE re-registers, so alternating dirs stays correct. */
+    * CHANGE re-registers. Keyed by session identity — temp views are
+    * session-scoped, so a `newSession()` must register its own. The
+    * memo is only written AFTER registration succeeds: a failed
+    * registration stays retryable instead of wedging the session. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val app = spark.sparkContext.applicationId
-    if (registeredDir.put(app, dir) != dir)
+    val key = "s" + System.identityHashCode(spark)
+    if (registeredDir.get(key) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(key, dir)
+    }
   }
 }

@@ -309,18 +309,26 @@ object Dedup {
     var cur = labelSum(labels)
     var iters = 0
     var converged = cur == null // empty graph
-    while (!converged && iters < 20) {
+    val maxIters = 64
+    while (!converged && iters < maxIters) {
       val prop = und.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
         .select($"b".as("doc_id"), $"label")
+      val prev = labels
       val next = labels.union(prop)
         .groupBy($"doc_id").agg(min($"label").as("label"))
         .localCheckpoint()
+      prev.unpersist() // drop the previous round's checkpoint blocks
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(cur) == 0
       cur = nextSum
       labels = next
       iters += 1
     }
+    // an unconverged result would silently mislabel components (the
+    // oracle computes the exact closure) — fail loudly instead
+    if (!converged && cur != null)
+      sys.error(s"component propagation did not converge in $maxIters rounds " +
+        "(graph diameter exceeds the cap; raise maxIters or switch to large-star/small-star)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
     labels.select($"doc_id", $"label".as("component_id"))
       .withColumn("component_size", count(lit(1)).over(w))

@@ -222,14 +222,18 @@ object Multimodal {
         |WHERE i * 64 + 32 <= length(text)
         |ORDER BY media_id, frame_idx""".stripMargin,
 
-    // audio kind = doc_id % 3 == 1; text is ASCII so char code == byte
+    // audio kind = doc_id % 3 == 1; text is ASCII so char code == byte;
+    // the window range derives from each document's own length (a
+    // fixed cap would silently truncate longer documents)
     "q_mm_audio_energy" ->
-      """SELECT doc_id AS media_id, CAST(w AS BIGINT) AS window_idx,
+      """WITH a AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS w
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS window_idx,
         |  CAST(list_sum(list_transform(range(1, 33),
         |    i -> (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128)
         |       * (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128))) AS BIGINT) AS energy
-        |FROM documents, (SELECT unnest(range(0, 400)) AS w) t
-        |WHERE doc_id % 3 = 1 AND (w + 1) * 32 <= length(text)
+        |FROM a
         |ORDER BY media_id, window_idx""".stripMargin
   )
 }

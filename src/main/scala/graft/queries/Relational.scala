@@ -27,6 +27,25 @@ object Relational {
   /** Second-truncated epoch, the reference's time resolution (F2). */
   private def ep(c: Column): Column = unix_timestamp(c)
 
+  /** Shared value-count ranking frame for exact per-group percentiles
+    * (qAggMedian / qAggPercentiles / qWinsorize): aggregate to
+    * (group, value, c) — map-side combinable — then cumulative count
+    * `cum` and group total `n` over the DISTINCT-value frame. The
+    * rank-r value is the one whose (cum−c, cum] range covers r;
+    * `rankValue` extracts it with pure integer rank ceilings. */
+  private def valueCounts(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val g = df.groupBy(group.as("__g"), value.as("__v"))
+      .agg(count(lit(1)).as("c"))
+    g.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("__g"))))
+  }
+
+  /** Aggregate expression: the value at integer rank `rank` within a
+    * valueCounts frame (use inside groupBy("__g").agg(...)). */
+  private def rankValue(rank: Column): Column =
+    max(when(col("cum") - col("c") < rank && rank <= col("cum"), col("__v")))
+
   // ---------------------------------------------------------------
   // Aggregations (SURVEY §2.5)
   // ---------------------------------------------------------------
@@ -88,19 +107,13 @@ object Relational {
     * addition is commutative; same-row case degenerates to v). */
   def qAggMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-    Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
-      .withColumn("r1", expr("(n + 1) div 2"))
-      .withColumn("r2", expr("n div 2 + 1"))
-      .groupBy($"l_returnflag")
+    valueCounts(Tables.load(spark, dir, "lineitem"), $"l_returnflag", $"l_quantity")
+      .groupBy($"__g")
       .agg(
-        ((max(when($"cum" - $"c" < $"r1" && $"r1" <= $"cum", $"l_quantity")) +
-          max(when($"cum" - $"c" < $"r2" && $"r2" <= $"cum", $"l_quantity"))) / 2)
+        ((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
           .as("median_qty"),
         max($"n").as("n"))
+      .select($"__g".as("l_returnflag"), $"median_qty", $"n")
       .orderBy($"l_returnflag")
   }
 
@@ -495,21 +508,14 @@ object Relational {
     * (no float arithmetic to diverge). */
   def qAggPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Same value-count ranking as qAggMedian: the rank-r value is the
-    // distinct value whose cumulative-count range (cum−c, cum] covers r.
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-    def at(rank: Column): Column =
-      max(when($"cum" - $"c" < rank && rank <= $"cum", $"l_quantity"))
-    Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
-      .groupBy($"l_returnflag")
+    valueCounts(Tables.load(spark, dir, "lineitem"), $"l_returnflag", $"l_quantity")
+      .groupBy($"__g")
       .agg(
-        at(expr("(n + 1) div 2")).as("p50"),
-        at(expr("(9 * n + 9) div 10")).as("p90"),
-        at(expr("(99 * n + 99) div 100")).as("p99"),
+        rankValue(expr("(n + 1) div 2")).as("p50"),
+        rankValue(expr("(9 * n + 9) div 10")).as("p90"),
+        rankValue(expr("(99 * n + 99) div 100")).as("p99"),
         max($"n").as("n"))
+      .select($"__g".as("l_returnflag"), $"p50", $"p90", $"p99", $"n")
       .orderBy($"l_returnflag")
   }
 
@@ -1034,16 +1040,11 @@ object Relational {
     * approx_percentile; the clamp/flag pass is unchanged either way. */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wCum = Window.partitionBy($"event_type").orderBy($"value")
-    def at(rank: Column): Column =
-      max(when($"cum" - $"c" < rank && rank <= $"cum", $"value"))
-    val pcts = Tables.load(spark, dir, "events")
-      .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
-      .groupBy($"event_type")
-      .agg(at(expr("(5 * n + 99) div 100")).as("p05"),
-        at(expr("(95 * n + 99) div 100")).as("p95"))
+    val pcts = valueCounts(Tables.load(spark, dir, "events"), $"event_type", $"value")
+      .groupBy($"__g")
+      .agg(rankValue(expr("(5 * n + 99) div 100")).as("p05"),
+        rankValue(expr("(95 * n + 99) div 100")).as("p95"))
+      .select($"__g".as("event_type"), $"p05", $"p95")
     Tables.load(spark, dir, "events")
       .join(broadcast(pcts), Seq("event_type"))
       .select($"event_id", $"event_type", $"value", $"p05", $"p95",

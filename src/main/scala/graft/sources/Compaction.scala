@@ -39,8 +39,16 @@ object Compaction {
 
     val tmp = new Path(dir + ".compact-tmp")
     val old = new Path(dir + ".compact-old")
-    // a previously crashed run may have left either behind; the live
-    // dir is still intact in that case, so both are safe to drop
+    // Crash recovery. The swap sequence is: write tmp -> rename live
+    // to old -> rename tmp to live -> delete old. If a prior run died
+    // BETWEEN the renames, the original data exists only under `old`
+    // (and a compacted copy under tmp): restore it first — deleting
+    // `old` unconditionally would destroy the only copy. In every
+    // other crash window the live dir is intact and both leftovers
+    // are stale.
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p)) sys.error(s"crash recovery failed: $old -> $p")
+    }
     fs.delete(tmp, true)
     fs.delete(old, true)
     spark.read.parquet(dir).repartition(nOut)

@@ -83,9 +83,15 @@ object TransformWithStateOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Scored],
         timerValues: TimerValues): Iterator[TopItem] = {
-      val merged = (st.get().toSeq ++ rows)
+      // the LATEST score per item is authoritative: a rescored item
+      // overrides its state entry (up OR down — a stale high score
+      // must not hold a slot). Items outside the kept k are forgotten,
+      // the price of O(k) state.
+      val incoming = rows.toSeq.groupBy(_.itemId).map(_._2.last).toSeq
+      val incomingIds = incoming.map(_.itemId).toSet
+      val kept = st.get().toSeq.filterNot(s => incomingIds.contains(s.itemId))
+      val merged = (kept ++ incoming)
         .sortBy(s => (-s.score, s.itemId))
-        .distinctBy(_.itemId)
         .take(k)
       st.put(merged.toArray)
       merged.iterator.zipWithIndex.map { case (s, i) =>
@@ -122,16 +128,32 @@ object TransformWithStateOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Click],
         timerValues: TimerValues): Iterator[ClosedSession] = {
-      var s = if (st.exists()) st.get()
-              else ClosedSession(key, Long.MaxValue, Long.MinValue, 0L)
-      rows.foreach { c =>
-        val t = c.ts.getTime
-        s = ClosedSession(key, math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1)
+      // fold in event-time order, SPLITTING when the gap is exceeded —
+      // two bursts inside one micro-batch are two sessions, exactly as
+      // session_window merges them. A gap-closed session is emitted
+      // immediately (its close mark precedes the newer in-batch event,
+      // so the watermark is already at or past it); only the open tail
+      // waits for its timer.
+      val closed = Seq.newBuilder[ClosedSession]
+      var s = if (st.exists()) Some(st.get()) else None
+      rows.toSeq.map(_.ts.getTime).sorted.foreach { t =>
+        s match {
+          case Some(cur) if t - cur.endMs <= gapMs =>
+            s = Some(cur.copy(startMs = math.min(cur.startMs, t),
+              endMs = math.max(cur.endMs, t), n = cur.n + 1))
+          case Some(cur) =>
+            closed += cur
+            s = Some(ClosedSession(key, t, t, 1L))
+          case None =>
+            s = Some(ClosedSession(key, t, t, 1L))
+        }
       }
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.endMs + gapMs)
-      st.update(s)
-      Iterator.empty
+      s.foreach { cur =>
+        getHandle.registerTimer(cur.endMs + gapMs)
+        st.update(cur)
+      }
+      closed.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,

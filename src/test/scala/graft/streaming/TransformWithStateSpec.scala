@@ -129,6 +129,76 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("top-k: a downward rescore releases the slot (latest score wins)") {
+    import TransformWithStateOps.{Scored, TopItem}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Scored]
+      val q = TransformWithStateOps.topKByUser(input.toDS(), k = 2)
+        .writeStream.format("memory").queryName("tws_topk_down")
+        .outputMode("update").start()
+      try {
+        input.addData(Scored(1L, 201L, 9L), Scored(1L, 202L, 5L))
+        q.processAllAvailable()
+        // 201 rescored DOWN below 202: must drop to rank 2 with the new score
+        input.addData(Scored(1L, 201L, 3L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_topk_down").as[TopItem].collect()
+      assert(rows.exists(t => t.rank == 1 && t.itemId == 202L && t.score == 5L), rows.toSeq)
+      assert(rows.exists(t => t.rank == 2 && t.itemId == 201L && t.score == 3L), rows.toSeq)
+      assert(!rows.exists(t => t.itemId == 201L && t.score == 9L && t.rank == 1 &&
+        rows.count(x => x.rank == 1) == 1), "stale high score must not hold rank 1 at the end")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("timer sessions: a gap INSIDE one micro-batch splits into two sessions") {
+    import TransformWithStateOps.{Click, ClosedSession}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val input = MemoryStream[Click]
+      val q = TransformWithStateOps
+        .timerSessions(input.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("tws_split")
+        .outputMode("append").start()
+      try {
+        // two bursts 10 minutes apart arrive in the SAME batch
+        input.addData(
+          Click(1L, ts("2026-08-12 10:00:00")),
+          Click(1L, ts("2026-08-12 10:00:20")),
+          Click(1L, ts("2026-08-12 10:10:00")))
+        q.processAllAvailable()
+        input.addData(Click(2L, ts("2026-08-12 12:00:00"))) // advance watermark
+        q.processAllAvailable()
+        input.addData(Click(3L, ts("2026-08-12 13:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_split").as[ClosedSession].collect().toSet
+      val b1 = ts("2026-08-12 10:00:00").getTime
+      val b1e = ts("2026-08-12 10:00:20").getTime
+      val b2 = ts("2026-08-12 10:10:00").getTime
+      assert(rows.contains(ClosedSession(1L, b1, b1e, 2L)), rows)
+      assert(rows.contains(ClosedSession(1L, b2, b2, 1L)), rows)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     import TransformWithStateOps.{Click, ClosedSession}
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
