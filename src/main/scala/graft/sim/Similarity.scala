@@ -354,42 +354,101 @@ object Similarity {
     * loop composes PLANS (no driver-side data movement); at 100 TB
     * each iteration is the canonical broadcast-assign shape with the
     * assignment frame checkpointed between rounds. */
+  /** The quantized Lloyd fit: returns (final assignment, final trained
+    * centroid arrays) after `KmIters` assign/recompute rounds — shared
+    * by the q_kmeans report and the trained-codebook IVF index. Both
+    * frames are staged once per (session, dir): a trained index is
+    * persisted, not refit per query. */
+  /** Quantized whole-vector points: (vec_id, qv bigint-array). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).select(col("vec_id"),
+      expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
+
+  /** Fused integer L2 assignment of every `qpts` row to its nearest
+    * centroid array — no per-position row explosion crosses any join. */
+  private def kmAssign(qpts: DataFrame, cents: DataFrame): DataFrame =
+    qpts.crossJoin(broadcast(cents))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("j"), struct(col("d"), col("j"))).as("cluster"))
+
+  /** Per-cluster component means (floor-div, exact) as centroid arrays. */
+  private def kmRecompute(qpts: DataFrame, asg: DataFrame): DataFrame =
+    qpts.select(col("vec_id"), posexplode(col("qv")))
+      .select(col("vec_id"), col("pos"), col("col").as("vq"))
+      .join(asg, Seq("vec_id"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(expr("sum(vq) div count(*)").as("cq"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), x -> x.cq)").as("cvec"))
+      .select(col("cluster").as("j"), col("cvec"))
+
+  private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val qpts = quantized(spark, dir)
+    val asg = graft.SessionCache.checkpointed(spark, s"sim.kmasg|$dir") {
+      val cents0 = qpts.filter($"vec_id" < Centroids)
+        .select($"vec_id".as("j"), $"qv".as("cvec"))
+      (1 until KmIters).foldLeft(kmAssign(qpts, cents0)) { (a, _) =>
+        kmAssign(qpts, kmRecompute(qpts, a))
+      }
+    }
+    // the trained centroids derive from the STAGED assignment — the
+    // fit is never re-run once persisted
+    val cents = graft.SessionCache.checkpointed(spark, s"sim.kmcents|$dir") {
+      kmRecompute(qpts, asg)
+    }
+    (asg, cents)
+  }
+
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // whole-vector quantization: one array per row, distances computed
-    // in a single fused integer loop per (vector, centroid) pair — no
-    // per-position row explosion crosses any join
-    val qpts = vectors(spark, dir)
-      .select($"vec_id",
-        expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
-    val pts = qpts.select($"vec_id", posexplode($"qv"))
-      .select($"vec_id", $"pos", $"col".as("vq"))
-    val cents0 = qpts.filter($"vec_id" < Centroids)
-      .select($"vec_id".as("j"), $"qv".as("cvec"))
-
-    def assign(cents: DataFrame): DataFrame =
-      qpts.crossJoin(broadcast(cents))
-        .withColumn("d", expr(
-          "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-        .groupBy($"vec_id")
-        .agg(min_by($"j", struct($"d", $"j")).as("cluster"))
-
-    def recompute(asg: DataFrame): DataFrame =
-      pts.join(asg, Seq("vec_id"))
-        .groupBy($"cluster", $"pos")
-        .agg(expr("sum(vq) div count(*)").as("cq"))
-        .groupBy($"cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cq))), x -> x.cq)").as("cvec"))
-        .select($"cluster".as("j"), $"cvec")
-
-    val last = (1 until KmIters).foldLeft(assign(cents0)) { (asg, _) =>
-      assign(recompute(asg))
-    }
-    last
+    kmeansFit(spark, dir)._1
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
       .select($"vec_id", $"cluster", $"cluster_size")
       .orderBy($"vec_id")
+  }
+
+  /** IVF over the TRAINED codebook — the trainer-feeds-index
+    * composition a production ANN system runs: cells come from the
+    * k-means fit's final centroids (quantized-L2 assignment, exactly
+    * the fit's own metric), queries probe their 2 nearest trained
+    * centroids, and only those inverted lists pay the exact cosine.
+    * Same plan shapes as q_sim_ann_ivf (broadcast codebook, map-side
+    * assignment, bucketed probes); the codebook is just better. */
+  def qSimAnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cents) = kmeansFit(spark, dir)
+    val qpts = vectors(spark, dir)
+      .select($"vec_id", $"nv",
+        expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
+    def l2ToCents(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("d", expr(
+          "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    val cells = l2ToCents(qpts)
+      .groupBy($"vec_id")
+      .agg(min_by($"j", struct($"d", $"j")).as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"d", $"j")
+    val probes = l2ToCents(qpts.filter($"vec_id" % 100 === 0))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter($"prank" <= NProbe)
+      .select($"vec_id".as("query_id"), $"nv".as("qv2"), $"j".as("cell"))
+    val members = qpts.select($"vec_id".as("neighbor_id"), $"nv".as("cv2"))
+      .join(cells.select($"vec_id".as("neighbor_id"), $"cell"), Seq("neighbor_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    probes.join(members, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv2", "cv2"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"cell", $"cos_e6")
+      .orderBy($"query_id", $"rank")
   }
 
   /** ANN recall guard: recall@3 of the LSH- and IVF-bucketed paths
@@ -446,7 +505,8 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
     "q_emb_centroid" -> qEmbCentroid,
-    "q_kmeans" -> qKmeans
+    "q_kmeans" -> qKmeans,
+    "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
   )
 
   /** DuckDB prologue: double-cast vectors (same fold order as the
@@ -715,10 +775,10 @@ object Similarity {
         |FROM cells LEFT JOIN dom ON cells.vec_id = dom.vec_id
         |ORDER BY cells.vec_id""".stripMargin)
 
-  /** k-means oracle: the same 2 quantized Lloyd iterations as nested
-    * CTEs — pure bigint arithmetic, so no engine can diverge. */
-  private val kmeansOracle =
-    s"""WITH pts AS (
+  /** The 2 quantized Lloyd iterations as CTEs — pure bigint
+    * arithmetic, shared by the k-means and trained-IVF oracles. */
+  private val kmChain =
+    s"""pts AS (
        |  SELECT vec_id, i AS pos,
        |    CAST(round((CAST(embedding[i + 1] AS DOUBLE) + 10) * 1e6) AS BIGINT) AS vq
        |  FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) t),
@@ -740,14 +800,52 @@ object Similarity {
        |a2 AS (
        |  SELECT vec_id, j AS cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-       |    FROM d2) WHERE rn = 1)
+       |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val kmeansOracle =
+    s"""WITH $kmChain
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
        |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
        |FROM a2 ORDER BY vec_id""".stripMargin
+
+  /** Trained-IVF oracle: the Lloyd chain + final centroids (c2) +
+    * quantized-L2 cell assignment + 2-probe search + exact cosine. */
+  private val ivfTrainedOracle =
+    (duckNorm +
+      s""",
+        |$kmChain,
+        |c2 AS (
+        |  SELECT a.cluster AS j, p.pos, sum(p.vq) // count(*) AS cq
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cluster, p.pos),
+        |d3 AS (
+        |  SELECT p.vec_id, c.j, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+        |  FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY p.vec_id, c.j),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        |  FROM d3),
+        |cells AS (SELECT vec_id, j AS cell FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, j AS cell FROM rk
+        |           WHERE vec_id % 100 = 0 AND rn <= $NProbe),
+        |s AS (
+        |  SELECT pr.query_id, m.vec_id AS neighbor_id, pr.cell,
+        |         CAST(round(${duckCos("q.nv", "c.nv")} * 1e6) AS BIGINT) AS cos_e6
+        |  FROM probes pr
+        |  JOIN cells m ON pr.cell = m.cell
+        |  JOIN n q ON q.vec_id = pr.query_id
+        |  JOIN n c ON c.vec_id = m.vec_id
+        |  WHERE pr.query_id <> m.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell, cos_e6
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_sim_ann_recall" -> recallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,
-    "q_kmeans" -> kmeansOracle)
+    "q_kmeans" -> kmeansOracle,
+    "q_sim_ann_ivf_trained" -> ivfTrainedOracle)
 }

@@ -141,6 +141,7 @@ class PlanSpec extends SparkSpec {
     val intended = Set(
       "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall", "q_kmeans",
+      "q_sim_ann_ivf_trained",
       "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
