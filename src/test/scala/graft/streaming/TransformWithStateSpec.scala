@@ -199,6 +199,68 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("timer sessions == native session_window on a seeded random stream") {
+    import TransformWithStateOps.{Click, ClosedSession}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rnd = new scala.util.Random(42)
+      val base = java.sql.Timestamp.valueOf("2026-08-12 09:00:00").getTime
+      // 4 users × ~10 events with gaps straddling the 60s session gap
+      val clicks = (for {
+        u <- 1L to 4L
+        _ <- 1 to 10
+      } yield Click(u, new java.sql.Timestamp(
+        base + rnd.nextInt(40) * 20000L))).sortBy(_.ts.getTime)
+      val sentinel = Click(99L, java.sql.Timestamp.valueOf("2026-08-12 12:00:00"))
+
+      // path 1: explicit NFA with event-time timers
+      val in1 = MemoryStream[Click]
+      val q1 = TransformWithStateOps.timerSessions(in1.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("eq_tws")
+        .outputMode("append").start()
+      try {
+        in1.addData(clicks: _*); q1.processAllAvailable()
+        in1.addData(sentinel); q1.processAllAvailable()
+        in1.addData(Click(98L, java.sql.Timestamp.valueOf("2026-08-12 13:00:00")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // path 2: native session_window
+      val in2 = MemoryStream[Click]
+      val q2 = StreamAggs.sessionCounts(
+          in2.toDS().toDF("user", "ts"), "user", "ts",
+          gap = "1 minute", watermark = "0 seconds")
+        .writeStream.format("memory").queryName("eq_sw")
+        .outputMode("append").start()
+      try {
+        in2.addData(clicks: _*); q2.processAllAvailable()
+        in2.addData(sentinel); q2.processAllAvailable()
+        in2.addData(Click(98L, java.sql.Timestamp.valueOf("2026-08-12 13:00:00")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val tws = spark.table("eq_tws").as[ClosedSession].collect()
+        .filter(s => s.userId <= 4L)
+        .map(s => (s.userId, s.startMs, s.endMs + 60000L, s.n)).toSet
+      val sw = spark.table("eq_sw").collect()
+        .map(r => (r.getAs[Long]("user"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[java.sql.Timestamp]("session_end").getTime,
+          r.getAs[Long]("n_events")))
+        .filter(_._1 <= 4L).toSet
+      assert(tws.nonEmpty && tws == sw,
+        s"timer NFA != session_window\nonly-tws: ${tws -- sw}\nonly-sw: ${sw -- tws}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     import TransformWithStateOps.{Click, ClosedSession}
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
