@@ -178,6 +178,33 @@ object Quality {
       .orderBy($"user_id")
   }
 
+  /** Source-weighted data mixing — the "mixture weights" step of every
+    * pretraining recipe: each source keeps a deterministic fraction of
+    * its documents (here 900‰ for up-weighted sources, 500‰ mid, 200‰
+    * down-weighted) via the same salted-hash rule as qSampleHash, so
+    * the mix is replay/shard/growth-stable. The per-doc keep decision
+    * is a pure scan-speed expression; this query reports the per-source
+    * audit (docs in, docs kept) — one map-side-combined rollup. */
+  def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = expr(
+      """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+        |     WHEN source IN ('src3', 'src4') THEN 500
+        |     ELSE 200 END""".stripMargin)
+    val hx = "substring(md5(cast(concat('mix|', cast(doc_id as string)) as binary)), 1, 2)"
+    val hv = expr(
+      s"(instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1)")
+    Tables.load(spark, dir, "documents")
+      .withColumn("rate_permille", rate.cast("long"))
+      .withColumn("hv", hv)
+      .withColumn("kept", expr("(hv * 1000) div 256") < col("rate_permille"))
+      .groupBy($"source", $"rate_permille")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"kept", 1)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   /** Per-column dataset profiling — the health check every ingestion
     * runs before training: null count, distinct count, min/max (as
     * text) per column. One pass over the table producing one
@@ -215,7 +242,8 @@ object Quality {
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_dedup_norm" -> qDedupNorm,
-    "q_funnel" -> qFunnel
+    "q_funnel" -> qFunnel,
+    "q_mix_weighted" -> qMixWeighted
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +349,22 @@ object Quality {
         |                               '\s+', ' ', 'g'))) AS norm_fp,
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+
+    "q_mix_weighted" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+        |         WHEN source IN ('src3', 'src4') THEN 500
+        |         ELSE 200 END AS rate_permille,
+        |    (instr('0123456789abcdef',
+        |       substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef',
+        |       substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+        |  FROM documents)
+        |SELECT source, CAST(rate_permille AS BIGINT) AS rate_permille,
+        |  count(*) AS n_docs,
+        |  CAST(count(CASE WHEN (hv * 1000) // 256 < rate_permille THEN 1 END) AS BIGINT) AS n_kept
+        |FROM d GROUP BY source, rate_permille ORDER BY source""".stripMargin,
 
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

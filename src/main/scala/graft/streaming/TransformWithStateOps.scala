@@ -108,6 +108,43 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class Categorized(userId: Long, category: String)
+  case class CategoryCount(userId: Long, category: String, n: Long)
+
+  /** Per-key category histogram on MAP state — the third state
+    * primitive (ValueState, ListState above): one map entry per
+    * distinct category, point-updated per event (the store reads and
+    * writes only the touched entries, not the whole map — the reason
+    * MapState exists instead of a ValueState[Map]). Each batch emits
+    * the updated (key, category) counts as an update-mode changelog. */
+  class CategoryCountProcessor
+      extends StatefulProcessor[Long, Categorized, CategoryCount] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long](
+        "cats", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Categorized],
+        timerValues: TimerValues): Iterator[CategoryCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val cur = if (st.containsKey(r.category)) st.getValue(r.category) else 0L
+        st.updateValue(r.category, cur + 1L)
+        touched += r.category
+      }
+      touched.iterator.map(c => CategoryCount(key, c, st.getValue(c)))
+    }
+  }
+
+  /** Per-user per-category running counts (one map entry per category). */
+  def categoryCounts(events: Dataset[Categorized]): Dataset[CategoryCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new CategoryCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class Click(userId: Long, ts: java.sql.Timestamp)
   case class ClosedSession(userId: Long, startMs: Long, endMs: Long, n: Long)
 

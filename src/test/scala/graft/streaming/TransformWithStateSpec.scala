@@ -199,6 +199,42 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("MapState category counts: point updates accumulate per (key, category)") {
+    import TransformWithStateOps.{Categorized, CategoryCount}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Categorized]
+      val q = TransformWithStateOps.categoryCounts(input.toDS())
+        .writeStream.format("memory").queryName("tws_cats")
+        .outputMode("update").start()
+      try {
+        input.addData(Categorized(1L, "view"), Categorized(1L, "view"),
+          Categorized(1L, "click"), Categorized(2L, "view"))
+        q.processAllAvailable()
+        input.addData(Categorized(1L, "view"), Categorized(2L, "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_cats").as[CategoryCount].collect()
+      // latest emission per (key, category) carries the running count
+      val latest = rows.groupBy(r => (r.userId, r.category))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(latest((1L, "view")) == 3L, latest)
+      assert(latest((1L, "click")) == 1L)
+      assert(latest((2L, "view")) == 1L)
+      assert(latest((2L, "purchase")) == 1L)
+      // batch 1 emitted the intermediate view count too
+      assert(rows.contains(CategoryCount(1L, "view", 2L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer sessions == native session_window on a seeded random stream") {
     import TransformWithStateOps.{Click, ClosedSession}
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
