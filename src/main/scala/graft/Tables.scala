@@ -36,12 +36,19 @@ object Tables {
     * Skipped when this SESSION's views already point at `dir` (each
     * registration re-reads ten parquet footers on the driver, which
     * the SQL-surface queries would otherwise pay repeatedly); a dir
-    * CHANGE re-registers. Keyed by session identity — temp views are
-    * session-scoped, so a `newSession()` must register its own. The
-    * memo is only written AFTER registration succeeds: a failed
-    * registration stays retryable instead of wedging the session. */
+    * CHANGE re-registers. Keyed by (applicationId, session identity) —
+    * temp views are session-scoped so a `newSession()` registers its
+    * own, and the appId guard keeps an identity-hash collision with a
+    * dead context from suppressing registration. The memo is only
+    * written AFTER registration succeeds: a failed registration stays
+    * retryable instead of wedging the session.
+    *
+    * Contract: the driver corpora under `dir` are IMMUTABLE. If a dir
+    * were rewritten in place, the memoized views' file listings would
+    * go stale — re-register via a fresh session (or drop the memo)
+    * after any such mutation. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = "s" + System.identityHashCode(spark)
+    val key = spark.sparkContext.applicationId + "|s" + System.identityHashCode(spark)
     if (registeredDir.get(key) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       registeredDir.put(key, dir)

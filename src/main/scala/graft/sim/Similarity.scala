@@ -359,17 +359,23 @@ object Similarity {
     * by the q_kmeans report and the trained-codebook IVF index. Both
     * frames are staged once per (session, dir): a trained index is
     * persisted, not refit per query. */
-  /** Quantized whole-vector points: (vec_id, qv bigint-array). */
+  /** Quantized whole-vector points (vec_id, nv, qv): the ONE place the
+    * fixed-point encoding lives — the fit, the cell assignment and the
+    * trained search must share it bit-for-bit. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).select(col("vec_id"),
+    vectors(spark, dir).select(col("vec_id"), col("nv"),
       expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
 
-  /** Fused integer L2 assignment of every `qpts` row to its nearest
-    * centroid array — no per-position row explosion crosses any join. */
-  private def kmAssign(qpts: DataFrame, cents: DataFrame): DataFrame =
+  /** Fused integer L2 distance of every `qpts` row to every centroid
+    * array — no per-position row explosion crosses any join. */
+  private def kmDistances(qpts: DataFrame, cents: DataFrame): DataFrame =
     qpts.crossJoin(broadcast(cents))
       .withColumn("d", expr(
         "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+
+  /** Nearest-centroid assignment over the distance frame. */
+  private def kmAssign(qpts: DataFrame, cents: DataFrame): DataFrame =
+    kmDistances(qpts, cents)
       .groupBy(col("vec_id"))
       .agg(min_by(col("j"), struct(col("d"), col("j"))).as("cluster"))
 
@@ -386,7 +392,7 @@ object Similarity {
 
   private def kmeansFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val qpts = quantized(spark, dir)
+    val qpts = quantized(spark, dir).drop("nv") // the fit never reads raw vectors
     val asg = graft.SessionCache.checkpointed(spark, s"sim.kmasg|$dir") {
       val cents0 = qpts.filter($"vec_id" < Centroids)
         .select($"vec_id".as("j"), $"qv".as("cvec"))
@@ -421,19 +427,11 @@ object Similarity {
   def qSimAnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (_, cents) = kmeansFit(spark, dir)
-    val qpts = vectors(spark, dir)
-      .select($"vec_id", $"nv",
-        expr("transform(nv, x -> cast(round((x + 10.0d) * 1e6) as bigint))").as("qv"))
-    def l2ToCents(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cents))
-        .withColumn("d", expr(
-          "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-    val cells = l2ToCents(qpts)
-      .groupBy($"vec_id")
-      .agg(min_by($"j", struct($"d", $"j")).as("cell"))
+    val qpts = quantized(spark, dir)
+    val cells = kmAssign(qpts, cents).withColumnRenamed("cluster", "cell")
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"d", $"j")
-    val probes = l2ToCents(qpts.filter($"vec_id" % 100 === 0))
+    val probes = kmDistances(qpts.filter($"vec_id" % 100 === 0), cents)
       .withColumn("prank", row_number().over(wProbe))
       .filter($"prank" <= NProbe)
       .select($"vec_id".as("query_id"), $"nv".as("qv2"), $"j".as("cell"))

@@ -83,11 +83,14 @@ object TransformWithStateOps {
 
     override def handleInputRows(key: Long, rows: Iterator[Scored],
         timerValues: TimerValues): Iterator[TopItem] = {
-      // the LATEST score per item is authoritative: a rescored item
+      // the CURRENT batch is authoritative per item: a rescored item
       // overrides its state entry (up OR down — a stale high score
-      // must not hold a slot). Items outside the kept k are forgotten,
-      // the price of O(k) state.
-      val incoming = rows.toSeq.groupBy(_.itemId).map(_._2.last).toSeq
+      // must not hold a slot). Within one batch, shuffle-read order is
+      // not replay-stable, so same-item collisions resolve by MAX
+      // score (deterministic) rather than arrival order. Items outside
+      // the kept k are forgotten — the price of O(k) state.
+      val incoming = rows.toSeq.groupBy(_.itemId)
+        .map(_._2.maxBy(_.score)).toSeq
       val incomingIds = incoming.map(_.itemId).toSet
       val kept = st.get().toSeq.filterNot(s => incomingIds.contains(s.itemId))
       val merged = (kept ++ incoming)

@@ -140,13 +140,20 @@ class PlanSpec extends SparkSpec {
     // and the broadcast query side of brute kNN (non-equi join condition).
     val intended = Set(
       "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
-      "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall", "q_kmeans",
-      "q_sim_ann_ivf_trained",
+      "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall",
       "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
-      if (p.contains("Join Cross") && !intended.contains(name)) Some(name) else None
-    }
+    // these run jobs at DataFrame-construction time (driver-loop
+    // propagation / staged k-means fit) — a plan-only sweep shouldn't
+    // execute them; their plan shapes are pinned by their own specs
+    // and they use only the intended broadcast fan-outs
+    val executesOnConstruct = Set(
+      "q_dedup_components", "q_kmeans", "q_sim_ann_ivf_trained")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => executesOnConstruct.contains(name) }
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
+        if (p.contains("Join Cross") && !intended.contains(name)) Some(name) else None
+      }
     assert(offenders.isEmpty, s"unexpected cross joins in: $offenders")
   }
 

@@ -150,8 +150,6 @@ class TransformWithStateSpec extends SparkSpec {
       val rows = spark.table("tws_topk_down").as[TopItem].collect()
       assert(rows.exists(t => t.rank == 1 && t.itemId == 202L && t.score == 5L), rows.toSeq)
       assert(rows.exists(t => t.rank == 2 && t.itemId == 201L && t.score == 3L), rows.toSeq)
-      assert(!rows.exists(t => t.itemId == 201L && t.score == 9L && t.rank == 1 &&
-        rows.count(x => x.rank == 1) == 1), "stale high score must not hold rank 1 at the end")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
