@@ -197,6 +197,57 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("top-k: seeded random batches match a direct Scala replay of the merge rule") {
+    import TransformWithStateOps.{Scored, TopItem}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val rnd = new scala.util.Random(7)
+      val batches = Seq.fill(4)(Seq.fill(12)(
+        Scored(rnd.nextInt(3).toLong, 100L + rnd.nextInt(6), rnd.nextInt(50).toLong)))
+      val input = MemoryStream[Scored]
+      val q = TransformWithStateOps.topKByUser(input.toDS(), k = 3)
+        .writeStream.format("memory").queryName("tws_topk_rand")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+
+      // replay: per batch, same-item collisions resolve by max score;
+      // batch overrides state per item; keep top-3 by (-score, itemId)
+      var state = Map.empty[Long, Seq[Scored]] // userId -> kept
+      batches.foreach { b =>
+        b.groupBy(_.userId).foreach { case (u, rows) =>
+          val incoming = rows.groupBy(_.itemId).map(_._2.maxBy(_.score)).toSeq
+          val kept = state.getOrElse(u, Seq.empty)
+            .filterNot(s => incoming.exists(_.itemId == s.itemId))
+          state += u -> (kept ++ incoming)
+            .sortBy(s => (-s.score, s.itemId)).take(3)
+        }
+      }
+      val expected = state.flatMap { case (u, kept) =>
+        kept.zipWithIndex.map { case (s, i) => TopItem(u, i + 1, s.itemId, s.score) }
+      }.toSet
+      // final emission per user = rows of the LAST batch that touched it
+      val rows = spark.table("tws_topk_rand").as[TopItem].collect()
+      val lastPerUser = rows.groupBy(_.userId).toSeq.flatMap { case (u, rs) =>
+        // update-mode memory sink appends; reconstruct the last full
+        // emission as the highest-index contiguous rank run
+        val n = state(u).length
+        rs.takeRight(n).toSeq
+      }.toSet
+      assert(lastPerUser == expected,
+        s"only-got: ${lastPerUser -- expected}\nonly-exp: ${expected -- lastPerUser}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState category counts: point updates accumulate per (key, category)") {
     import TransformWithStateOps.{Categorized, CategoryCount}
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
