@@ -255,8 +255,12 @@ object TextAnalysis {
     * straddling a window boundary (the ones a loss mask would split). */
   def qTextPack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Explicit ROWS frame: doc_id is unique so RANGE would agree, but the
+    // oracle spells ROWS BETWEEN and pinning removes the only frame daylight.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     Tables.load(spark, dir, "documents")
       .withColumn("n_tokens", size(tokens($"text")).cast("long"))
       .withColumn("cum", sum($"n_tokens").over(w))
@@ -314,8 +318,8 @@ object TextAnalysis {
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (
-         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM d)
          |SELECT doc_id, source, n_tokens,
          |  (cum - n_tokens) // $PackBudget AS pack_id,

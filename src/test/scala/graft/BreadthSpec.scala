@@ -136,7 +136,14 @@ class BreadthSpec extends SparkSpec {
   }
 
   test("packing: offsets chain within a source; pack boundaries flagged") {
-    val rows = graft.text.TextAnalysis.qTextPack(spark, sf0001).collect()
+    val df = graft.text.TextAnalysis.qTextPack(spark, sf0001)
+    // Exact output types: the oracle casts its window sum to BIGINT, so any
+    // drift here (e.g. a decimal creeping in) must fail the suite, not the driver.
+    import org.apache.spark.sql.types._
+    assert(df.schema.map(f => f.name -> f.dataType) == Seq(
+      "doc_id" -> LongType, "source" -> StringType, "n_tokens" -> LongType,
+      "pack_id" -> LongType, "pack_offset" -> LongType, "spans_packs" -> StringType))
+    val rows = df.collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
       var cum = 0L
       rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
