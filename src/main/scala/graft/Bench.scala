@@ -35,7 +35,24 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // One-time TaskRouter staging (synth → parse → as-of windows → base
+    // projection → parquet stage table), timed as its OWN labeled line:
+    // production derives the segment table once and queries it many
+    // times, so charging the derive+write to whichever q_tr_* query the
+    // bench happens to run first misattributes a staging cost as a
+    // query cost. The line stays inside the reported totals.
+    val staging: Seq[(String, Double)] =
+      if (selected.keys.exists(_.startsWith("q_tr_"))) {
+        val t0 = System.nanoTime()
+        graft.taskrouter.Synth.segments(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        graft.taskrouter.Synth.agents(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Seq("q_tr_staging" -> (System.nanoTime() - t0) / 1e9)
+      } else Nil
+
+    val results = staging ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,

@@ -153,7 +153,11 @@ object Derivation {
     * RANGE frame over epoch-micros gives the strict `timestamp <
     * exitTimestamp` bound (ties excluded), one shuffle per task_sid. */
   private def withQueueEntry(taskEv: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("p_task_sid")).orderBy(col("ts_us"))
+    // Null-safe key: worker rows (no task_sid) partition per worker so
+    // no null-key skew partition forms; their entry lookup is null.
+    val w = Window
+      .partitionBy(coalesce(col("p_task_sid"), concat(lit("W|"), col("p_worker_sid"))))
+      .orderBy(col("ts_us"))
       .rangeBetween(Window.unboundedPreceding, -1)
     taskEv.withColumn("entry_ts_sec",
       last(when(isEntryEvent, col("ts_sec")), ignoreNulls = true).over(w))
@@ -177,7 +181,9 @@ object Derivation {
     * partition key so no null-key skew partition forms. */
   private def withReservationLookup(taskEv: DataFrame): DataFrame = {
     val w = Window
-      .partitionBy(coalesce(col("p_reservation_sid"), concat(lit("T|"), col("p_task_sid"))))
+      .partitionBy(coalesce(col("p_reservation_sid"),
+        concat(lit("T|"), col("p_task_sid")),
+        concat(lit("W|"), col("p_worker_sid"))))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     taskEv
@@ -202,26 +208,33 @@ object Derivation {
     * parquet stage table, in-memory callers keep the localCheckpoint
     * default. */
   def segments(parsed: DataFrame,
-      stage: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      stage: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    segmentsFromStaged(stage(stagedEvents(parsed)))
+
+  /** The shared staged event frame (as-of windows + the ~70-column base
+    * projection), built once: three task branches (accepted, failed,
+    * abandoned) filter it on non-partition columns, the worker-span
+    * branch needs the same base projection, and the agent dimension
+    * needs the worker rows — so task and worker events are unioned
+    * (tagged by `side`) BEFORE the base projection and the whole frame
+    * is materialized ONCE for all consumers. Besides saving
+    * recomputation, this keeps exactly ONE copy of the giant base
+    * expression tree in the plan (two copies doubled the
+    * data-independent Catalyst/janino cost) and ONE parquet
+    * write+read cycle where there used to be two (parsed + task-event
+    * stage tables).
+    * At scale this is the staged "events + base" table written once
+    * per batch window (SCALE.md storage layout).
+    * uuid/segment_kind are always branch overrides, and no branch
+    * reads the parsed attribute blobs after the base projection — so
+    * the staged frame keeps only base columns + correlation fields
+    * (roughly halves the materialized width); `wattr` survives for the
+    * agent dimension's last-write-wins attribute select. */
+  private[graft] def stagedEvents(parsed: DataFrame): DataFrame = {
     val ev = prepared(parsed)
-    // Materialize the shared event frame (as-of windows + the
-    // ~70-column base projection) once: three task branches (accepted,
-    // failed, abandoned) filter it on non-partition columns, and the
-    // worker-span branch needs the same base projection — so task and
-    // worker events are unioned (tagged by `side`) BEFORE the base
-    // projection and the whole frame is staged once. Besides saving
-    // recomputation, this keeps exactly ONE copy of the giant base
-    // expression tree in the plan: two copies doubled the
-    // data-independent Catalyst/janino cost of the pipeline.
-    // At scale this is the staged "task events + base" table written
-    // once per batch window (SCALE.md storage layout).
-    // uuid/segment_kind are always branch overrides, and no branch
-    // reads the parsed attribute blobs after the base projection — so
-    // the staged frame keeps only base columns + correlation fields
-    // (roughly halves the materialized width).
     val stagedCols = segmentColumns.filterNot(Set("uuid", "segment_kind")).map(col) ++
       Seq(col("side"), col("eventtype"), col("event_id"), col("ts_sec"), col("ts_us"),
-        col("p_reservation_sid"), col("p_worker_sid"),
+        col("p_reservation_sid"), col("p_worker_sid"), col("wattr"),
         col("worker_activity_name"), col("worker_time_in_previous_activity"),
         col("entry_ts_sec"),
         col("created_ts_sec"), col("wrapup_ts_sec"), col("accepted_ts_sec"),
@@ -229,15 +242,29 @@ object Derivation {
         // task_attributes.conversations ONLY (:578-583), not the
         // wattr-merged custom-data column
         col("task_attr.conversations")("segment_link").as("segment_link_src"))
-    val taskWin = withReservationLookup(
-        withQueueEntry(ev.filter(col("p_task_sid").isNotNull)))
-      .withColumn("side", lit("T"))
-    val workerEv = ev.filter(col("p_worker_sid").isNotNull &&
-        col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated))
-      .withColumn("side", lit("W"))
-    val stagedAll = stage(withBase(
-        taskWin.unionByName(workerEv, allowMissingColumns = true))
-      .select(stagedCols: _*))
+    // Single pass over the parsed stream — NO task/worker union. A
+    // union would plant two copies of the upstream parse tree in the
+    // plan and recompute the whole ingest per branch (scans are not
+    // exchange-reused); instead `side` is a computed column and the
+    // as-of windows use null-safe partition keys so worker rows ride
+    // along in their own per-worker partitions (their window values
+    // are null — worker events are never entry/reservation events —
+    // and nothing downstream reads them).
+    val sided = ev
+      .filter(col("p_task_sid").isNotNull ||
+        (col("p_worker_sid").isNotNull &&
+          col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated,
+            EtWorkerDeleted, EtWorkerAttributesUpdated)))
+      .withColumn("side",
+        when(col("p_task_sid").isNotNull, lit("T")).otherwise(lit("W")))
+    withBase(withReservationLookup(withQueueEntry(sided)))
+      .select(stagedCols: _*)
+  }
+
+  /** Segment branches over an already-materialized [[stagedEvents]]
+    * frame (production path: Synth stages it to parquet once and both
+    * this and [[agentsFromStaged]] read it). */
+  def segmentsFromStaged(stagedAll: DataFrame): DataFrame = {
     val taskEv = stagedAll.filter(col("side") === "T")
 
     // --- reservation.accepted (EP1, reference :514-538): requires both
@@ -345,7 +372,10 @@ object Derivation {
     // the next activity.update closes it, stamping the upstream-supplied
     // duration (activity_time := next event's
     // worker_time_in_previous_activity — trusted, not recomputed :646).
-    val openers = stagedAll.filter(col("side") === "W")
+    // W side also carries deleted/attributes-updated rows for the agent
+    // dimension; only created/activity.update open spans (reference :639).
+    val openers = stagedAll.filter(col("side") === "W" &&
+      col("eventtype").isin(EtWorkerCreated, EtWorkerActivityUpdated))
     val wW = Window.partitionBy(col("p_worker_sid"))
       .orderBy(col("ts_us"), col("event_id"))
     val spans = openers
@@ -373,14 +403,27 @@ object Derivation {
   def agents(parsed: DataFrame): DataFrame =
     agentsKeyed(parsed).select(agentColumns.map(col): _*)
 
+  /** Agent dimension over an already-materialized [[stagedEvents]]
+    * frame — the W side carries exactly the four worker lifecycle
+    * event types plus `wattr`, so the SCD-1 select runs off the same
+    * staged table the segment branches read (no second pipeline). */
+  def agentsFromStaged(stagedAll: DataFrame): DataFrame =
+    agentsSelect(stagedAll.filter(col("side") === "W"))
+      .select(agentColumns.map(col): _*)
+
   /** [[agents]] plus the winning event's (last_ts_us, last_event_id)
     * order key — an incremental sink merges partial aggregates by
     * re-running the same min/max_by over (existing ∪ delta), which
     * needs the key persisted alongside the row. */
-  private[graft] def agentsKeyed(parsed: DataFrame): DataFrame = {
-    val ev = prepared(parsed).filter(col("p_worker_sid").isNotNull &&
+  private[graft] def agentsKeyed(parsed: DataFrame): DataFrame =
+    agentsSelect(prepared(parsed).filter(col("p_worker_sid").isNotNull &&
       col("eventtype").isin(EtWorkerCreated, EtWorkerDeleted,
-        EtWorkerActivityUpdated, EtWorkerAttributesUpdated))
+        EtWorkerActivityUpdated, EtWorkerAttributesUpdated)))
+
+  /** Last-write-wins SCD-1 select shared by the parsed-frame and
+    * staged-frame entry points; `ev` must expose p_worker_sid,
+    * eventtype, ts_sec, ts_us, event_id, wattr. */
+  private def agentsSelect(ev: DataFrame): DataFrame = {
     val last = ev.groupBy(col("p_worker_sid").as("agent_uuid"))
       .agg(
         min(col("ts_sec")).as("date_joined"),

@@ -188,21 +188,28 @@ object Synth {
   // Materialize parse + derivation once per (session, dir): the five
   // driver queries share one pipeline run (the production shape — the
   // derived segment table is written once and queried many times).
-  // Parquet staging also truncates the 13-way synth-union lineage so
-  // the per-branch plans in Derivation.segments scan the stage table
-  // instead of re-reading + re-deriving the whole tree.
+  // Synth → parse → windows → base projection run fused in ONE job
+  // whose output is the single staged event table both the segment
+  // branches and the agent dimension read; parquet staging truncates
+  // the 13-way synth-union lineage so downstream plans scan the stage
+  // table instead of re-deriving the whole tree. (An earlier shape
+  // staged parsed events AND the task-event frame separately — one
+  // extra full write+read cycle and a second janino pass for zero
+  // reuse, ~25% of the driver-measured staging cost.)
   def parsedEvents(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"synth.parsed|$dir")(
       Ingest.parse(cloudEvents(spark, dir)))
 
-  /** Derived segment table for the synthesized scenario set. The
-    * intermediate task-event frame is parquet-staged too — it is the
-    * widest frame in the pipeline and must not live on the heap. */
+  /** The one staged event frame (base projection + as-of lookups). */
+  private def stagedAll(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"synth.stagedall|$dir")(
+      Derivation.stagedEvents(Ingest.parse(cloudEvents(spark, dir))))
+
+  /** Derived segment table for the synthesized scenario set. */
   def segments(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"synth.segments|$dir")(
-      Derivation.segments(parsedEvents(spark, dir),
-        graft.SessionCache.stage(spark, s"synth.taskev|$dir")))
+      Derivation.segmentsFromStaged(stagedAll(spark, dir)))
 
   def agents(spark: SparkSession, dir: String): DataFrame =
-    Derivation.agents(parsedEvents(spark, dir))
+    Derivation.agentsFromStaged(stagedAll(spark, dir))
 }
