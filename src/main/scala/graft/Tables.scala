@@ -29,29 +29,33 @@ object Tables {
     }
   }
 
+  // Weak keys on the session OBJECT: a GC'd session can never collide
+  // with a live one (an identityHashCode string key could, within one
+  // live app), and entries die with their session.
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register every table as a temp view for spark.sql(...) surfaces.
     * Skipped when this SESSION's views already point at `dir` (each
     * registration re-reads ten parquet footers on the driver, which
     * the SQL-surface queries would otherwise pay repeatedly); a dir
-    * CHANGE re-registers. Keyed by (applicationId, session identity) —
+    * CHANGE re-registers. Weak-keyed by the session object itself —
     * temp views are session-scoped so a `newSession()` registers its
-    * own, and the appId guard keeps an identity-hash collision with a
-    * dead context from suppressing registration. The memo is only
-    * written AFTER registration succeeds: a failed registration stays
+    * own, and a collected session's entry vanishes with it (no hash
+    * collision can suppress registration). The memo is only written
+    * AFTER registration succeeds: a failed registration stays
     * retryable instead of wedging the session.
     *
     * Contract: the driver corpora under `dir` are IMMUTABLE. If a dir
     * were rewritten in place, the memoized views' file listings would
     * go stale — re-register via a fresh session (or drop the memo)
     * after any such mutation. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = spark.sparkContext.applicationId + "|s" + System.identityHashCode(spark)
-    if (registeredDir.get(key) != dir) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registeredDir.put(key, dir)
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+        ()
+      }
     }
-  }
 }

@@ -51,8 +51,11 @@ object BloomPrune {
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long = 100000L, numBits: Long = 1L << 21): DataFrame = {
     val sketch = dim.agg(bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
+    // Alias the dim key: with factKey == dimKey the unqualified
+    // references in the join condition would be ambiguous (error or a
+    // trivially-true self-comparison depending on resolution).
     fact.filter(mightContain(sketch, col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__bp_key")).distinct(),
+        col(factKey) === col("__bp_key"), "left_semi")
   }
 }

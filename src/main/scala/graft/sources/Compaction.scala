@@ -32,17 +32,15 @@ object Compaction {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-    val before = files.length
-    val totalBytes = files.map(_.getLen).sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-
     val tmp = new Path(dir + ".compact-tmp")
     val old = new Path(dir + ".compact-old")
-    // Crash recovery. The swap sequence is: write tmp -> rename live
-    // to old -> rename tmp to live -> delete old. If a prior run died
-    // BETWEEN the renames, the original data exists only under `old`
-    // (and a compacted copy under tmp): restore it first — deleting
+    // Crash recovery FIRST — before anything lists `p`. The swap
+    // sequence is: write tmp -> rename live to old -> rename tmp to
+    // live -> delete old. If a prior run died BETWEEN the renames, the
+    // live dir does not exist and the original data exists only under
+    // `old` (plus a compacted copy under tmp): restore it before
+    // listing (listStatus on the missing live dir would throw and make
+    // the directory unreadable until manual repair) — and deleting
     // `old` unconditionally would destroy the only copy. In every
     // other crash window the live dir is intact and both leftovers
     // are stale.
@@ -51,6 +49,11 @@ object Compaction {
     }
     fs.delete(tmp, true)
     fs.delete(old, true)
+
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = files.length
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     // atomic swap: live dir -> old, tmp -> live, drop old

@@ -157,7 +157,18 @@ object TransformWithStateOps {
     * watermark passes that mark — the explicit-NFA form of
     * `session_window` (StreamAggs), and the new-API analog of the
     * fMGWS `EventTimeTimeout` TTLs in StreamingPipeline. State is one
-    * ValueState + one timer per open key, evicted on close. */
+    * ValueState + one timer per open key, evicted on close.
+    *
+    * INVARIANT: only correct under a ZERO-delay watermark (as
+    * [[timerSessions]] wires it). Two rules depend on it: the merge
+    * condition `t - cur.endMs <= gapMs` would also merge an event
+    * arbitrarily far in the PAST into the open session, and the
+    * immediate in-batch close emit assumes the watermark has already
+    * passed the close mark. With 0 delay such older events are dropped
+    * upstream, so neither case arises; reusing this processor behind a
+    * lenient watermark would silently diverge from `session_window`
+    * (extend the merge guard with `t >= cur.startMs - gapMs` and defer
+    * emits to timers before allowing lateness). */
   class SessionCloseProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Click, ClosedSession] {
     @transient private var st: ValueState[ClosedSession] = _

@@ -26,6 +26,28 @@ class CompactionSpec extends SparkSpec {
     assert(parent == Set("t"), parent)
   }
 
+  test("recovers from a crash between the swap renames (live dir missing)") {
+    val dir = Files.createTempDirectory("graft-compact3").toString + "/t"
+    spark.range(1000).toDF("id").repartition(4).write.parquet(dir)
+    // Simulate a run that died after `live -> old` but before
+    // `tmp -> live`: data only under .compact-old, stale compacted
+    // copy under .compact-tmp, live dir gone.
+    val live = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact-old")
+    val tmp = new java.io.File(dir + ".compact-tmp")
+    assert(live.renameTo(old))
+    tmp.mkdirs()
+    Files.writeString(tmp.toPath.resolve("part-stale.parquet"), "junk")
+    assert(!live.exists())
+
+    // compact() must restore old -> live, discard tmp, then compact.
+    val (before, after) = Compaction.compact(spark, dir)
+    assert(before == 4 && after == 1, s"$before -> $after")
+    assert(spark.read.parquet(dir).count() == 1000)
+    val parent = live.getParentFile.listFiles().map(_.getName).toSet
+    assert(parent == Set("t"), parent)
+  }
+
   test("target size splits output into multiple files") {
     val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
     spark.range(50000).toDF("id").repartition(10).write.parquet(dir)
