@@ -157,6 +157,36 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected cross joins in: $offenders")
   }
 
+  test("tpch5: dims broadcast; the fact side shuffles only on orderkey + final agg") {
+    val p = plan(Relational.qSqlTpch5(spark, sf0001))
+    // supplier(+nation+region) and customer ride broadcasts; lineitem
+    // never SMJs a dimension
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // fact-side hash exchanges: lineitem+orders on orderkey (2 for the
+    // SMJ, or fewer if AQE broadcasts the filtered orders) + 1 for the
+    // n_name aggregate — anything above 3 means a dim fell off its
+    // broadcast and started shuffling the fact
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges\n$p")
+    // lineitem scan pruned to the 4 needed columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"), p)
+  }
+
+  test("tpch6: all three predicates push to the scan; 4-column read schema") {
+    val p = plan(Relational.qSqlTpch6(spark, sf0001))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // scan-filter-agg only: no exchange beyond the single-partition agg,
+    // and the read schema carries exactly the 4 referenced columns
+    assert(!p.contains("hashpartitioning"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_orderkey") && !read.contains("l_tax"), read)
+  }
+
   test("stratified sample: the k=20 cutoff pushes below the sort (WindowGroupLimit)") {
     val p = plan(graft.quality.Quality.qSampleStratified(spark, sf0001))
     // without the pushdown every stratum fully sorts before the filter;
