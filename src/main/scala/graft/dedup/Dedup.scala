@@ -297,27 +297,54 @@ object Dedup {
       qDedupLshVerify(spark, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
     }
     val und = edges.union(edges.select($"b".as("a"), $"a".as("b")))
-    var labels = und.select($"a".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id")
-      .localCheckpoint()
-    // convergence via the label-sum invariant: min-label propagation
-    // only ever DECREASES labels, so the (exact, DECIMAL) sum strictly
-    // decreases until fixpoint — one aggregate action per round instead
-    // of a join + count against the previous frame
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+    // Per-round label frames go to parquet STAGE TABLES (two alternating
+    // dirs: round r writes dir r%2 and reads r-1's — never its own
+    // input), matching the at-scale story: label state lives in
+    // storage, not on the driver/executor heap.
+    val (labels, _) = connectedComponents(und, (r, df) =>
+      graft.SessionCache.stage(spark, s"dedup.cc.labels|$dir|r${r % 2}")(df))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
+    labels.select($"doc_id", $"label".as("component_id"))
+      .withColumn("component_size", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        when($"doc_id" === $"component_id", "Y").otherwise("N"))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation with a pointer-doubling shortcut
+    * (Hash-to-Min flavor — Rastogi et al. 2012, "Finding Connected
+    * Components in Map-Reduce"): each round every node takes the min
+    * of its own label, its neighbors' labels, AND its label's label
+    * (the shortcut — label chains halve every round, so a path graph
+    * converges in O(log n) rounds instead of O(n); near-clique dup
+    * clusters still converge in 2-3). Convergence via the label-sum
+    * invariant: labels only ever decrease, so the exact DECIMAL sum
+    * strictly decreases until fixpoint — one aggregate action per
+    * round instead of a join + count against the previous frame.
+    * `und` must hold both directions of each edge as (a, b).
+    * `stageRound(r, df)` materializes round r's label frame and
+    * returns a re-readable scan. Returns (labels, rounds). */
+  private[graft] def connectedComponents(und: DataFrame,
+      stageRound: (Int, DataFrame) => DataFrame): (DataFrame, Int) = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    var labels = stageRound(0,
+      und.select($"a".as("doc_id")).distinct().withColumn("label", $"doc_id"))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
     var cur = labelSum(labels)
     var iters = 0
     var converged = cur == null // empty graph
-    val maxIters = 64
+    val maxIters = 48 // shortcutting: 48 rounds cover diameter 2^48
     while (!converged && iters < maxIters) {
       val prop = und.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
         .select($"b".as("doc_id"), $"label")
-      val prev = labels
-      val next = labels.union(prop)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      prev.unpersist() // drop the previous round's checkpoint blocks
+      val shortcut = labels.select($"doc_id", $"label".as("mid"))
+        .join(labels.select($"doc_id".as("mid"), $"label"), Seq("mid"))
+        .select($"doc_id", $"label")
+      val next = stageRound(iters + 1,
+        labels.unionByName(prop).unionByName(shortcut)
+          .groupBy($"doc_id").agg(min($"label").as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(cur) == 0
       cur = nextSum
@@ -328,13 +355,8 @@ object Dedup {
     // oracle computes the exact closure) — fail loudly instead
     if (!converged && cur != null)
       sys.error(s"component propagation did not converge in $maxIters rounds " +
-        "(graph diameter exceeds the cap; raise maxIters or switch to large-star/small-star)")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
-    labels.select($"doc_id", $"label".as("component_id"))
-      .withColumn("component_size", count(lit(1)).over(w))
-      .withColumn("is_canonical",
-        when($"doc_id" === $"component_id", "Y").otherwise("N"))
-      .orderBy($"doc_id")
+        "(diameter over 2^$maxIters is impossible — investigate label growth)")
+    (labels, iters)
   }
 
   /** Leakage-safe train/val/test split: the assignment unit is the

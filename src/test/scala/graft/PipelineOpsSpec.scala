@@ -248,4 +248,27 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(lsh.subsetOf(exhaustive))
   }
+
+  test("connected components: 64-node path graph converges in O(log n) rounds") {
+    // A path is the worst case for plain min-label propagation (O(n)
+    // rounds); the pointer-doubling shortcut must bring it to ~log2 n.
+    val n = 64L
+    val fwd = spark.range(1, n).select($"id".as("a"), ($"id" + 1).as("b"))
+    val und = fwd.union(fwd.select($"b".as("a"), $"a".as("b")))
+    val (labels, rounds) = Dedup.connectedComponents(und, (_, df) => df.localCheckpoint())
+    val got = labels.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label")))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), got.filter(_._2 != 1L).take(5).toSeq.toString)
+    assert(rounds <= 10, s"path-64 took $rounds rounds — shortcut not effective")
+  }
+
+  test("connected components: two separate cliques keep separate min labels") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val und = e.union(e.select($"b".as("a"), $"a".as("b")))
+    val (labels, _) = Dedup.connectedComponents(und, (_, df) => df.localCheckpoint())
+    val m = labels.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
+  }
 }
