@@ -78,4 +78,22 @@ object SessionCache {
     purgeStale(spark)
     cache.getOrElseUpdate(fullKey(spark, key), stage(spark, key)(build))
   }
+
+  /** Build-once BUCKETED index table: like [[checkpointed]] but the
+    * materialization is a catalog table bucketed (and sorted) by
+    * `bucketKey`, so downstream joins/groupBys on that key read
+    * pre-partitioned buckets with no Exchange. This is the stored-ANN-
+    * index shape: assignments (IVF cells, PQ codes) are written once
+    * at index-build time and every search scans them. */
+  def bucketedTable(spark: SparkSession, key: String, bucketKey: String,
+      buckets: Int)(build: => DataFrame): DataFrame = {
+    purgeStale(spark)
+    cache.getOrElseUpdate(fullKey(spark, key), {
+      val name = "graft_idx_" + md5hex(key)
+      val dir = root.resolve(spark.sparkContext.applicationId)
+        .resolve(name).toString
+      graft.sources.Bucketed.write(build, name, dir, bucketKey, buckets)
+      spark.table(name)
+    })
+  }
 }

