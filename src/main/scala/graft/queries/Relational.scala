@@ -1056,6 +1056,36 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Winsorization over CONTINUOUS features: same clamp/flag pass as
+    * q_winsorize, but thresholds come from `percentile_approx` (the
+    * GK/t-digest style sketch — one pass, fixed memory per group,
+    * mergeable across partitions). This is the stated 100 TB answer
+    * for features that don't quantize: the exact value-count ranking
+    * frame IS the distinct (group, value) set, unbounded for
+    * continuous data, while the sketch stays KB-sized regardless of
+    * cardinality. Accuracy 10000 bounds the rank error at n/10000 per
+    * group (BreadthSpec asserts the bound against the exact ranking).
+    * Approximate thresholds are sketch-implementation-defined, so this
+    * entry is rows-only at the driver (like q_approx_distinct) — the
+    * exact sibling carries the hash check. */
+  def qWinsorizeApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pcts = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value",
+        array(lit(0.05), lit(0.95)), lit(10000)).as("p"))
+      .select($"event_type", $"p"(0).as("p05"), $"p"(1).as("p95"))
+    Tables.load(spark, dir, "events")
+      .join(broadcast(pcts), Seq("event_type"))
+      .select($"event_id", $"event_type", $"value", $"p05", $"p95",
+        when($"value" < $"p05", $"p05")
+          .when($"value" > $"p95", $"p95")
+          .otherwise($"value").as("clipped"),
+        when($"value" < $"p05", "LO").when($"value" > $"p95", "HI")
+          .otherwise("IN").as("clip_flag"))
+      .orderBy($"event_id")
+  }
+
   /** Z-order layout demonstration (operators.ZOrder): events sorted by
     * the Morton interleave of (user bucket, hour-of-stream) and cut
     * into 1000-row blocks; the output is each block's min/max on BOTH
@@ -1192,6 +1222,7 @@ object Relational {
     "q_zorder" -> qZorder,
     "q_histogram" -> qHistogram,
     "q_winsorize" -> qWinsorize,
+    "q_winsorize_approx" -> qWinsorizeApprox,
     "q_cep_pattern" -> qCepPattern,
     "q_ri_audit" -> qRiAudit,
     "q_window_sliding" -> qWindowSliding,

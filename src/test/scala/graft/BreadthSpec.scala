@@ -156,6 +156,28 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("approx winsorize: thresholds honor the sketch's rank-error bound") {
+    val approx = graft.queries.Relational.qWinsorizeApprox(spark, sf0001).collect()
+    val byType = approx.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val n = rs.length.toDouble
+      val eps = n / 10000 + 1 // accuracy-10000 rank error + discretization
+      val p05 = rs.head.getAs[Double]("p05"); val p95 = rs.head.getAs[Double]("p95")
+      val below05 = rs.count(_.getAs[Double]("value") < p05)
+      val above95 = rs.count(_.getAs[Double]("value") > p95)
+      assert(math.abs(below05 - 0.05 * n) <= eps, s"p05 rank off: $below05 of $n")
+      assert(math.abs(above95 - 0.05 * n) <= eps, s"p95 rank off: $above95 of $n")
+      // clamp correctness: clipped is the identity inside, threshold outside
+      rs.foreach { r =>
+        val v = r.getAs[Double]("value"); val c = r.getAs[Double]("clipped")
+        val f = r.getAs[String]("clip_flag")
+        if (v < p05) assert(c == p05 && f == "LO")
+        else if (v > p95) assert(c == p95 && f == "HI")
+        else assert(c == v && f == "IN")
+      }
+    }
+  }
+
   test("semantic dedup: kept <-> zero dominators; dominators are lower ids, same cell") {
     val r = graft.sim.Similarity.qSemDedup(spark, sf0001).collect()
     assert(r.length == Tables.load(spark, sf0001, "embeddings").count())
