@@ -52,7 +52,34 @@ object Bench {
         Seq("q_tr_staging" -> (System.nanoTime() - t0) / 1e9)
       } else Nil
 
-    val results = staging ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Streaming TaskRouter end-to-end at bench scale: the same synth
+    // corpus as JSON lines through startStreamingMerged (file source →
+    // parse → per-task state machine → MERGE-by-uuid sink), timed from
+    // stream start to merged-table count. Corpus file prep is synth
+    // work, not streaming work, and stays untimed.
+    val streaming: Seq[(String, Double)] =
+      if (selected.keys.exists(_.startsWith("q_tr_"))) {
+        import org.apache.spark.sql.functions.{col, struct, to_json}
+        val base = "target/graft-stage/bench-stream"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(base))
+        val inDir = s"$base/in"
+        graft.taskrouter.Synth.cloudEvents(spark, sfDir)
+          .select(to_json(struct(col("id"), col("type"), col("data"))).as("value"))
+          .write.text(inDir)
+        val t0 = System.nanoTime()
+        Pipeline.startStreamingMerged(spark, inDir, s"$base/ckpt", s"$base/out")
+          .awaitTermination()
+        val n = Pipeline.mergedSegments(spark, s"$base/out").count()
+        if (n == 0) System.err.println("[bench] q_tr_stream_merge produced 0 rows")
+        Seq("q_tr_stream_merge" -> (System.nanoTime() - t0) / 1e9)
+      } else Nil
+
+    val results = staging ++ streaming ++
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,
