@@ -272,7 +272,50 @@ object TextAnalysis {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Corpus-trained bigram LM scoring — the statistical-quality signal
+    * a perplexity filter thresholds on (CCNet trains a KenLM on clean
+    * text and drops high-perplexity docs; Gopher uses the same shape).
+    * Training = two count aggregations over the corpus's bigrams; the
+    * score = each document's mean (and minimum) conditional bigram
+    * probability p(w2|w1) = c(w1,w2)/c(w1·) in integer micro-units, so
+    * the DuckDB oracle reproduces it bit-for-bit (counts are positive:
+    * Spark `div` == DuckDB `//`). Low avg / min flags improbable word
+    * sequences — the discriminative part of a perplexity filter
+    * without float log-sums.
+    *
+    * Scale: bigram extraction is a map-side generator (zip_with over
+    * two slices — no per-element regex re-run); counting is two
+    * map-side-combined shuffles on (w1,w2) / (w1); scoring joins the
+    * count tables back on the same keys and aggregates per doc. At
+    * 100 TB the count tables are the "LM" — stored once, reused by
+    * every scoring pass, exactly like the ANN index tables. */
+  def qTextBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = docs
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val biCnt = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val uniCnt = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val scored = pairs
+      .join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt, Seq("w1"))
+      .withColumn("p_e6", expr("(c12 * 1000000) div c1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_e6) div count(*)").as("avg_p_e6"),
+        min($"p_e6").as("min_p_e6"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigram_lm" -> qTextBigramLm,
     "q_text_chunk" -> qTextChunk,
     "q_text_pack" -> qTextPack,
     "q_text_rarity" -> qTextRarity,
@@ -287,6 +330,23 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM p GROUP BY w1),
+        |s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(CAST(sum((c12 * 1000000) // c1) AS BIGINT) // count(*) AS BIGINT) AS avg_p_e6,
+        |    CAST(min((c12 * 1000000) // c1) AS BIGINT) AS min_p_e6
+        |  FROM p JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, s.n_bigrams, s.avg_p_e6, s.min_p_e6
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_text_rarity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

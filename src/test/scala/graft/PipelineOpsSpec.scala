@@ -249,6 +249,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exhaustive))
   }
 
+  test("bigram LM: probabilities in (0, 1e6]; min <= avg; bigram count = tokens - 1") {
+    val lm = TextAnalysis.qTextBigramLm(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val nTokens = TextAnalysis.qTextStats(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(lm.nonEmpty && lm.keySet == nTokens.keySet)
+    lm.foreach { case (d, r) =>
+      if (nTokens(d) >= 2) {
+        val avg = r.getAs[Long]("avg_p_e6"); val mn = r.getAs[Long]("min_p_e6")
+        assert(r.getAs[Long]("n_bigrams") == nTokens(d) - 1)
+        assert(mn >= 1 && mn <= avg && avg <= 1000000L, s"doc $d: $mn / $avg")
+      } else assert(r.isNullAt(r.fieldIndex("n_bigrams")))
+    }
+    // the conditional probability is informative: not every bigram is
+    // equally likely (some doc must contain a sub-maximal bigram)
+    assert(lm.values.exists(r => !r.isNullAt(r.fieldIndex("min_p_e6")) &&
+      r.getAs[Long]("min_p_e6") < 1000000L))
+  }
+
   test("connected components: 64-node path graph converges in O(log n) rounds") {
     // A path is the worst case for plain min-label propagation (O(n)
     // rounds); the pointer-doubling shortcut must bring it to ~log2 n.
