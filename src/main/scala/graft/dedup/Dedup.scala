@@ -146,6 +146,41 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** MinHash Jaccard ESTIMATE vs exact, per LSH candidate pair — the
+    * estimator-quality audit for the signature family. The estimate
+    * (matching slots × 1000 div k) is what a signatures-only pass can
+    * compute at 100 TB — 16 bytes per doc, shingle arrays never
+    * touched; this query puts the estimate next to the exact value and
+    * their signed error so signature-count tuning (k=8 here) is
+    * data-driven rather than folklore. Integer permille throughout. */
+  def qDedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = qDedupLsh(spark, dir)
+    val sig = signatures(spark, dir)
+    val sh = withShingles(spark, dir)
+    val sa = sig.select(Seq($"doc_id".as("doc_a")) ++
+      (0 until MinhashK).map(i => col(s"mh$i").as(s"ma$i")): _*)
+    val sb = sig.select(Seq($"doc_id".as("doc_b")) ++
+      (0 until MinhashK).map(i => col(s"mh$i").as(s"mb$i")): _*)
+    val matchSlots = (0 until MinhashK)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("match_slots", matchSlots)
+      .join(sh.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"sh_a", $"sh_b"))
+      .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+      .select($"doc_a", $"doc_b", $"match_slots",
+        expr(s"(match_slots * 1000) div $MinhashK").as("est_permille"),
+        expr("(inter * 1000) div uni").as("jac_permille"),
+        (expr(s"(match_slots * 1000) div $MinhashK") -
+          expr("(inter * 1000) div uni")).as("err_permille"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** 16-bit SimHash over distinct tokens (hex-digit bits of md5). */
   /** SimHash frame, materialized once per (session, dir): the
     * token-explode aggregation is the expensive part and both the
@@ -409,6 +444,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_lsh_pairs" -> qDedupLsh,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
+    "q_dedup_minhash_est" -> qDedupMinhashEst,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_simhash_wide" -> qDedupSimhashWide,
@@ -475,6 +511,45 @@ object Dedup {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q_dedup_minhash_est" ->
+      (s"""$duckShingleCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(${(0 until MinhashK).map(i =>
+            s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)
+        |      AS match_slots
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b),
+        |ex AS (
+        |  SELECT e.doc_a, e.doc_b, e.match_slots,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |    CAST(len(x.sh) + len(y.sh) AS BIGINT)
+        |      - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS uni
+        |  FROM est e
+        |  JOIN d x ON x.doc_id = e.doc_a
+        |  JOIN d y ON y.doc_id = e.doc_b)
+        |SELECT doc_a, doc_b, match_slots,
+        |  CAST((match_slots * 1000) // $MinhashK AS BIGINT) AS est_permille,
+        |  CAST((inter * 1000) // uni AS BIGINT) AS jac_permille,
+        |  CAST((match_slots * 1000) // $MinhashK - (inter * 1000) // uni AS BIGINT)
+        |    AS err_permille
+        |FROM ex ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_dedup_lsh_verify" ->
       (s"""$duckShingleCte,

@@ -249,6 +249,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exhaustive))
   }
 
+  test("minhash estimate: slot-quantized, err = est - exact, estimator informative") {
+    val rows = Dedup.qDedupMinhashEst(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ms = r.getAs[Long]("match_slots")
+      val est = r.getAs[Long]("est_permille")
+      assert(ms >= 1 && ms <= 8) // LSH candidates share >= 1 band = 2 slots
+      assert(est == ms * 1000 / 8)
+      assert(r.getAs[Long]("err_permille") == est - r.getAs[Long]("jac_permille"))
+    }
+    // k=8 is coarse but must correlate: high-estimate pairs (all slots
+    // match) should have higher mean exact jaccard than low-estimate ones
+    val (hi, lo) = rows.partition(_.getAs[Long]("match_slots") >= 7)
+    if (hi.nonEmpty && lo.nonEmpty) {
+      def meanJac(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("jac_permille")).sum.toDouble / rs.length
+      assert(meanJac(hi) > meanJac(lo), s"${meanJac(hi)} <= ${meanJac(lo)}")
+    }
+  }
+
   test("bigram LM: probabilities in (0, 1e6]; min <= avg; bigram count = tokens - 1") {
     val lm = TextAnalysis.qTextBigramLm(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
