@@ -168,6 +168,64 @@ object TextAnalysis {
       .limit(100)
   }
 
+  private val CmsDepth = 4  // independent hash rows
+  private val CmsWidth = 64 // buckets per row
+
+  /** 16-bit integer from 4 hex chars of a token's md5, row `d` using
+    * its own digest slice — the hex-digit instr trick both engines
+    * evaluate identically (no conv()/strtol divergence). `h` is the
+    * engine's md5-hex expression (Spark needs an explicit binary cast,
+    * DuckDB hashes VARCHAR directly). */
+  private def cmsBucketExpr(d: Int, h: String): String = {
+    val hx = (0 until 4).map { i =>
+      s"(instr('0123456789abcdef', substring($h, ${4 * d + i + 1}, 1)) - 1)"
+    }
+    s"(((${hx(0)} * 16 + ${hx(1)}) * 16 + ${hx(2)}) * 16 + ${hx(3)}) % $CmsWidth"
+  }
+  private def cmsBucketSpark(d: Int): String =
+    cmsBucketExpr(d, "md5(cast(token as binary))")
+  private def cmsBucketDuck(d: Int): String =
+    cmsBucketExpr(d, "md5(token)")
+
+  /** Count-Min sketch frequency estimates vs exact, for the top-20
+    * tokens (Cormode & Muthukrishnan 2005): the sketch is a D×W = 4×64
+    * integer grid — fixed memory regardless of vocabulary — built in
+    * one map-side-combined shuffle over token occurrences; a token's
+    * estimate is the MIN of its D bucket counters, always ≥ the truth
+    * (collisions only ever inflate). The audit output (est, exact,
+    * overcount) next to the HLL and MinHash-estimate entries completes
+    * the sketch family: cardinality, similarity, frequency. At 100 TB
+    * the 256-cell grid replaces an unbounded vocabulary aggregation
+    * wherever an upper-bounded frequency suffices (heavy-hitter gates,
+    * stopword discovery). Deterministic md5 bucket hashing keeps it
+    * DuckDB-oracle-exact. */
+  def qVocabCmsEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    // one pass builds all D rows: explode each occurrence into its D
+    // (row, bucket) cells, then count per cell (256 result rows)
+    val cms = tok
+      .select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), expr(cmsBucketSpark(d)).as("bucket"))): _*)).as("c"))
+      .groupBy($"c.d".as("d"), $"c.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_tf"))
+      .orderBy($"exact_tf".desc, $"token").limit(20)
+    top
+      .select($"token", $"exact_tf",
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"), expr(cmsBucketSpark(d)).as("bucket"))): _*)).as("c"))
+      .select($"token", $"exact_tf", $"c.d".as("d"), $"c.bucket".as("bucket"))
+      .join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy($"token", $"exact_tf")
+      .agg(min($"cnt").as("cms_est"))
+      .select($"token", $"exact_tf", $"cms_est",
+        ($"cms_est" - $"exact_tf").as("overcount"))
+      .orderBy($"exact_tf".desc, $"token")
+  }
+
   /** Per-document top-3 salient terms by tf·idf, with a RATIONAL idf
     * (`(N·1000) div df` fixed-point) instead of `ln(N/df)`: JVM
     * `Math.log` and DuckDB `ln` differ in the last ulp (measured: 1 of
@@ -320,6 +378,7 @@ object TextAnalysis {
     "q_text_pack" -> qTextPack,
     "q_text_rarity" -> qTextRarity,
     "q_vocab_topk" -> qVocabTopk,
+    "q_vocab_cms_est" -> qVocabCmsEst,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -330,6 +389,30 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_cms_est" ->
+      (s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT token FROM tok WHERE len(token) > 0),
+        |cells AS (
+        |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |${(0 until CmsDepth).map(d =>
+            s"    SELECT $d AS d, ${cmsBucketDuck(d)} AS bucket FROM tt")
+            .mkString("\n    UNION ALL\n")}
+        |  ) GROUP BY d, bucket),
+        |top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS exact_tf
+        |  FROM tt GROUP BY token ORDER BY exact_tf DESC, token LIMIT 20),
+        |est AS (
+        |  SELECT t.token, t.exact_tf, min(c.cnt) AS cms_est FROM (
+        |${(0 until CmsDepth).map(d =>
+            s"    SELECT token, exact_tf, $d AS d, ${cmsBucketDuck(d)} AS bucket FROM top")
+            .mkString("\n    UNION ALL\n")}
+        |  ) t JOIN cells c ON c.d = t.d AND c.bucket = t.bucket
+        |  GROUP BY t.token, t.exact_tf)
+        |SELECT token, exact_tf, CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - exact_tf AS BIGINT) AS overcount
+        |FROM est ORDER BY exact_tf DESC, token""".stripMargin),
+
     "q_text_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |ix AS (SELECT doc_id, toks,

@@ -269,6 +269,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates never undercount; top-20 by exact tf") {
+    val rows = TextAnalysis.qVocabCmsEst(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_tf"),
+        s"${r.getAs[String]("token")} undercounted") // CMS one-sided error
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_tf"))
+    }
+    val tfs = rows.map(_.getAs[Long]("exact_tf"))
+    assert(tfs.sameElements(tfs.sorted(Ordering[Long].reverse)))
+  }
+
   test("bigram LM: probabilities in (0, 1e6]; min <= avg; bigram count = tokens - 1") {
     val lm = TextAnalysis.qTextBigramLm(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
