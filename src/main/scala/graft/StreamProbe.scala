@@ -31,6 +31,13 @@ object StreamProbe {
         println(s"[batch] rows=${e.progress.numInputRows} " +
           s"durationMs=${e.progress.durationMs}")
     })
+    // the cost streaming pays that batch staging never does: parsing
+    // the full CloudEvent JSON envelopes (batch synth builds structs)
+    t("json envelope parse (batch-mode, for comparison)") {
+      graft.taskrouter.Ingest.parseJson(spark,
+        spark.read.text(s"$base/in").as[String](org.apache.spark.sql.Encoders.STRING))
+        .write.format("noop").mode("overwrite").save()
+    }
     t("stream merge e2e") {
       Pipeline.startStreamingMerged(spark, s"$base/in", s"$base/ckpt", s"$base/out")
         .awaitTermination()
