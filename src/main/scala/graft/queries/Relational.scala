@@ -921,6 +921,28 @@ object Relational {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Q15 shape: top-revenue supplier(s) over a quarter — the classic
+    * view + scalar-subquery-max composition. The revenue aggregate is
+    * computed ONCE per branch in exact DECIMAL, so the equality against
+    * its own max is engine-independent (a float sum could tie-break
+    * differently per summation order); Catalyst plans the max as a
+    * broadcast scalar subquery over the tiny per-supplier frame, one
+    * lineitem shuffle total. */
+  private val tpch15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   private def sqlQuery(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(sql)
@@ -1227,6 +1249,7 @@ object Relational {
     "q_ri_audit" -> qRiAudit,
     "q_window_sliding" -> qWindowSliding,
     "q_sql_tpch4" -> sqlQuery(tpch4Sql) _,
+    "q_sql_tpch15" -> sqlQuery(tpch15Sql) _,
     "q_sql_tpch7" -> sqlQuery(tpch7Sql) _,
     "q_sql_tpch8" -> sqlQuery(tpch8Sql) _,
     "q_sql_tpch19" -> sqlQuery(tpch19Sql) _,
@@ -1739,6 +1762,7 @@ object Relational {
     "q_sql_tpch19" -> tpch19Sql,
     "q_sql_tpch21" -> tpch21Sql,
     "q_sql_tpch22" -> tpch22Sql,
+    "q_sql_tpch15" -> tpch15Sql,
 
     "q_salted_agg" ->
       """SELECT user_id,
