@@ -347,9 +347,15 @@ object TextAnalysis {
     * count tables back on the same keys and aggregates per doc. At
     * 100 TB the count tables are the "LM" — stored once, reused by
     * every scoring pass, exactly like the ANN index tables. */
-  def qTextBigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def qTextBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qTextBigramLm]] over any (doc_id, text) frame —
+    * separated so the randomized property suite can drive it against a
+    * direct Scala recomputation on generated corpora. */
+  private[graft] def bigramLm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
     val pairs = docs
       .withColumn("toks", tokens($"text"))
       .select($"doc_id", explode(expr(

@@ -127,6 +127,29 @@ object TextOpsProps extends Properties("TextOps") {
       }
     }
 
+  property("bigram LM scores match direct Scala recomputation") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.bigramLm(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.isNullAt(r.fieldIndex("n_bigrams"))) None
+           else Some((r.getAs[Long]("n_bigrams"),
+             r.getAs[Long]("avg_p_e6"), r.getAs[Long]("min_p_e6"))))).toMap
+      // direct recomputation with plain Scala maps
+      val allPairs = ds.flatMap { t =>
+        val w = t.split(" ", -1); w.init.zip(w.tail)
+      }
+      val c12 = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = allPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      ds.zipWithIndex.forall { case (t, i) =>
+        val w = t.split(" ", -1)
+        val ps = w.init.zip(w.tail).map(p => c12(p) * 1000000L / c1(p._1))
+        if (ps.isEmpty) got(i.toLong).isEmpty
+        else got(i.toLong).contains((ps.length.toLong, ps.sum / ps.length, ps.min))
+      }
+    }
+
   private val sortedDistinctLongs: Gen[Seq[Long]] =
     Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
 
