@@ -127,6 +127,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("staging is single-pass: the synth+parse tree appears once, 4 family scans") {
+    // The staged-event frame computes `side` as a column over ONE pass
+    // of the parsed stream. A task/worker union here would plant TWO
+    // copies of the whole synth+parse tree (scans are not exchange-
+    // reused) and double the events.parquet scans to 8 — the exact
+    // regression this pin guards against. Synth's four scenario
+    // families each scan events.parquet once, pushdown-filtered.
+    val staged = graft.taskrouter.Derivation.stagedEvents(
+      graft.taskrouter.Ingest.parse(
+        graft.taskrouter.Synth.cloudEvents(spark, sf0001)))
+    // count relations in the optimized logical plan (the formatted
+    // physical explain repeats each scan in its details section)
+    val p = staged.queryExecution.optimizedPlan.toString
+    val scans = "Relation \\[".r.findAllIn(p).length
+    assert(scans == 4, s"expected 4 family scans, got $scans\n$p")
+  }
+
   test("tpch10 star join: all dims broadcast, driver-side top-20, no full sort") {
     val p = plan(Relational.qSqlTpch10(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
