@@ -38,6 +38,10 @@ object StreamProbe {
         spark.read.text(s"$base/in").as[String](org.apache.spark.sql.Encoders.STRING))
         .write.format("noop").mode("overwrite").save()
     }
+    t("changelog only (append sink, no merge)") {
+      Pipeline.startStreaming(spark, s"$base/in", s"$base/ckpt0", s"$base/out0")
+        .awaitTermination()
+    }
     t("stream merge e2e") {
       Pipeline.startStreamingMerged(spark, s"$base/in", s"$base/ckpt", s"$base/out")
         .awaitTermination()

@@ -36,9 +36,12 @@ object MergeSink {
 
   /** Fold one changelog delta into the latest-segments table. */
   def mergeBatch(spark: SparkSession, tablePath: String, batch: DataFrame): Unit = {
-    if (batch.isEmpty) return
     val dataCols = batch.columns // segment columns + emit_seq
-    // per-uuid winner within the delta
+    // per-uuid winner within the delta. Checkpoint FIRST, emptiness
+    // check after: inside foreachBatch every action on `batch`
+    // re-executes the upstream micro-batch plan (the whole parse +
+    // state-machine pipeline), so a separate batch.isEmpty probe
+    // doubled the per-batch cost; on the checkpointed delta it's free.
     val delta = batch
       .groupBy(col("uuid"))
       .agg(max_by(struct(dataCols.filter(_ != "uuid").map(col): _*),
@@ -46,6 +49,7 @@ object MergeSink {
       .select(Seq(col("uuid")) ++ dataCols.filter(_ != "uuid").map(n => col(s"r.$n").as(n)): _*)
       .withColumn(PartCol, substring(col("uuid"), 1, 2))
       .localCheckpoint() // small; also frees the self-overwrite path check below
+    if (delta.isEmpty) return
 
     val touched = delta.select(PartCol).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -62,6 +66,12 @@ object MergeSink {
       .agg(max_by(struct(delta.columns.filter(_ != "uuid").map(col): _*),
         col("emit_seq")).as("r"))
       .select(Seq(col("uuid")) ++ delta.columns.filter(_ != "uuid").map(n => col(s"r.$n").as(n)): _*)
+      // cluster by the partition column BEFORE the partitioned write:
+      // without this every shuffle task holds ~every uuid prefix and
+      // the dynamic overwrite fans out to tasks × partitions tiny
+      // files (measured 8192/batch at sf0.1); clustered, each
+      // partition directory gets exactly one file
+      .repartition(col(PartCol))
       // truncate lineage so the write below isn't "overwriting a path
       // being read from" (merged is bounded by the touched partitions)
       .localCheckpoint()
@@ -127,6 +137,7 @@ object MergeSink {
       .select(Seq(col("agent_uuid"), col("date_joined")) ++
         restCols.map(n => col(s"w.$n").as(n)): _*)
       .select(delta.columns.map(col): _*)
+      .repartition(col(PartCol)) // one file per partition dir, not tasks × dirs
       .localCheckpoint()
 
     merged.write
