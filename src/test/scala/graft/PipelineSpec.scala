@@ -84,6 +84,15 @@ class PipelineSpec extends SparkSpec {
       batch.orderBy("uuid").collect().toSeq)
     // the in-progress row was updated in place, not duplicated
     assert(merged.filter($"segment_kind" === "CONVERSATION IN PROGRESS").count() == 0)
+    // clustered merge write: one file per touched partition dir, not
+    // tasks × partitions (the 8192-file fan-out fixed in r6)
+    val partDirs = new java.io.File(out, "segments_latest").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("uuid_p="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: $files files")
+    }
   }
 
   test("incremental agents MERGE equals the batch dimension across micro-batches") {

@@ -25,6 +25,12 @@ class SourcesSpec extends SparkSpec {
     // append is additive
     EventLog.append(parsed, dir)
     assert(EventLog.read(spark, dir).count() == 2 * parsed.count())
+    // clustered append: ONE file per date per append (un-clustered,
+    // every shuffle task writes a file per date it holds)
+    new java.io.File(dir).listFiles().filter(_.isDirectory).foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"${d.getName}: $files files after 2 appends")
+    }
   }
 
   test("signature validation keeps valid rows, drops forgeries") {
