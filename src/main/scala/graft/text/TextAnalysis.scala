@@ -364,7 +364,10 @@ object TextAnalysis {
           |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
     val biCnt = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val uniCnt = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // context totals roll up from the (far smaller) distinct-bigram
+    // frame — same result as re-aggregating the raw pairs stream, one
+    // full-corpus shuffle less
+    val uniCnt = biCnt.groupBy($"w1").agg(sum($"c12").as("c1"))
     val scored = pairs
       .join(biCnt, Seq("w1", "w2"))
       .join(uniCnt, Seq("w1"))
