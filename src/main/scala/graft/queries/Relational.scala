@@ -1108,6 +1108,37 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * the feature-hygiene sibling of winsorization that a mean/stddev
+    * z-score can't replace (outliers inflate the stddev they're
+    * measured against; medians don't move). Two chained exact-median
+    * passes over the same value-count ranking machinery as
+    * q_agg_median (no whole-group windows), each per-group median
+    * frame broadcast back onto the rows; flag = |x − med| > 3·MAD.
+    * All medians pick data values (or the mean of the two middles —
+    * one IEEE add + halve, engine-exact), so the oracle matches
+    * bit-for-bit. */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val med = valueCounts(ev, $"event_type", $"value")
+      .groupBy($"__g")
+      .agg(((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
+        .as("med"))
+      .select($"__g".as("event_type"), $"med")
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = valueCounts(withMed, $"event_type", $"dev")
+      .groupBy($"__g")
+      .agg(((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
+        .as("mad"))
+      .select($"__g".as("event_type"), $"mad")
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .select($"event_id", $"event_type", $"value", $"med", $"mad",
+        when($"dev" > $"mad" * 3, "Y").otherwise("N").as("is_outlier"))
+      .orderBy($"event_id")
+  }
+
   /** Z-order layout demonstration (operators.ZOrder): events sorted by
     * the Morton interleave of (user bucket, hour-of-stream) and cut
     * into 1000-row blocks; the output is each block's min/max on BOTH
@@ -1244,6 +1275,7 @@ object Relational {
     "q_zorder" -> qZorder,
     "q_histogram" -> qHistogram,
     "q_winsorize" -> qWinsorize,
+    "q_outlier_mad" -> qOutlierMad,
     "q_winsorize_approx" -> qWinsorizeApprox,
     "q_cep_pattern" -> qCepPattern,
     "q_ri_audit" -> qRiAudit,
@@ -1275,6 +1307,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+        |  CASE WHEN d.dev > mad.mad * 3 THEN 'Y' ELSE 'N' END AS is_outlier
+        |FROM d JOIN mad USING (event_type) ORDER BY d.event_id""".stripMargin,
 
     "q_agg_median" ->
       """SELECT l_returnflag,

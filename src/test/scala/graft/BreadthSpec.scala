@@ -156,6 +156,24 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: flag matches the formula; medians robust per group") {
+    val rows = graft.queries.Relational.qOutlierMad(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val med = rs.head.getAs[Double]("med"); val mad = rs.head.getAs[Double]("mad")
+      assert(mad >= 0)
+      // group constants are really constant and the median splits the group
+      assert(rs.forall(r => r.getAs[Double]("med") == med))
+      val vals = rs.map(_.getAs[Double]("value"))
+      assert(vals.count(_ <= med) >= rs.length / 2)
+      assert(vals.count(_ >= med) >= rs.length / 2)
+      rs.foreach { r =>
+        val expect = math.abs(r.getAs[Double]("value") - med) > mad * 3
+        assert(r.getAs[String]("is_outlier") == (if (expect) "Y" else "N"))
+      }
+    }
+  }
+
   test("approx winsorize: thresholds honor the sketch's rank-error bound") {
     val approx = graft.queries.Relational.qWinsorizeApprox(spark, sf0001).collect()
     val byType = approx.groupBy(_.getAs[String]("event_type"))
