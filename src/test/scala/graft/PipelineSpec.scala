@@ -95,6 +95,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("merge is idempotent: replaying the same delta converges to the same table") {
+    // the exactly-once story under foreachBatch retries: deterministic
+    // uuids + last-write-wins make a replayed batch a no-op
+    val out = tmp("graft-merge-idem")
+    val events = Seq(
+      """{"id":"ID1","type":"com.twilio.taskrouter.task-queue.entered","data":{"payload":{"eventtype":"task-queue.entered","timestamp":"2026-08-12T11:00:00.000Z","task_sid":"WTid","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""",
+      """{"id":"ID2","type":"com.twilio.taskrouter.reservation.created","data":{"payload":{"eventtype":"reservation.created","timestamp":"2026-08-12T11:00:05.000Z","task_sid":"WTid","reservation_sid":"WRid","worker_sid":"WKid","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""",
+      """{"id":"ID3","type":"com.twilio.taskrouter.reservation.accepted","data":{"payload":{"eventtype":"reservation.accepted","timestamp":"2026-08-12T11:00:20.000Z","task_sid":"WTid","reservation_sid":"WRid","worker_sid":"WKid","task_queue_name":"Q"},"publisher_metadata":{"account_sid":"AC1"}}}""")
+    val changelog = graft.streaming.StreamingPipeline.segmentsChangelog(spark,
+      Ingest.parseJson(spark, spark.createDataset(events)))
+    graft.streaming.MergeSink.mergeBatch(spark, s"$out/t", changelog)
+    val once = graft.streaming.MergeSink.read(spark, s"$out/t")
+      .orderBy("uuid").collect().toSeq
+    assert(once.nonEmpty)
+    graft.streaming.MergeSink.mergeBatch(spark, s"$out/t", changelog)
+    val twice = graft.streaming.MergeSink.read(spark, s"$out/t")
+      .orderBy("uuid").collect().toSeq
+    assert(twice == once)
+  }
+
   test("incremental agents MERGE equals the batch dimension across micro-batches") {
     val watch = tmp("graft-agents-watch")
     val ckpt = tmp("graft-agents-ckpt")
