@@ -943,6 +943,160 @@ object Relational {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q1 shape (full form): the classic wide pricing-summary scan — six
+    * exact-DECIMAL aggregates plus three averages over one fact pass.
+    * Averages are computed as exact-DECIMAL sum ÷ count in ONE double
+    * division (a native double `avg` would be summation-order-dependent
+    * across engines/partitionings). One scan, one shuffle on the 6-value
+    * group key, map-side partial aggregation — the optimal shape at any
+    * scale. `q1_agg` keeps the reduced 4-column flagship form. */
+  private val tpch1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q2 shape: minimum-cost supplier per part — the correlated scalar-min
+    * subquery over a supply relation, region-gated on BOTH the outer and
+    * inner branch. (Adapted: the driver schema has no partsupp, so the
+    * supply relation is derived as min observed unit price per distinct
+    * (l_partkey, l_suppkey) — same correlated-min shape.) Catalyst
+    * decorrelates the inner min into a per-partkey aggregate joined back
+    * on partkey: two shuffles of the slim supply frame, dims broadcast.
+    * The ORDER BY is a total order (s_name, p_partkey unique per row) so
+    * the row order is engine-independent without a LIMIT. */
+  private val tpch2Sql =
+    """WITH supply AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      |FROM part
+      |JOIN supply ON p_partkey = ps_partkey
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (SELECT min(ps_supplycost)
+      |                       FROM supply
+      |                       JOIN supplier ON s_suppkey = ps_suppkey
+      |                       JOIN nation ON s_nationkey = n_nationkey
+      |                       JOIN region ON n_regionkey = r_regionkey
+      |                       WHERE ps_partkey = p_partkey AND r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  /** Q9 shape: product-line profit by supplier nation and order year —
+    * the 5-way snowflake join with a LIKE-filtered part gate and a
+    * subtractive profit expression. (Adapted: no partsupp supplycost in
+    * the driver schema, so cost = 0.8 × p_retailprice × quantity — the
+    * profit expression keeps the exact-DECIMAL multiply-subtract shape.)
+    * part broadcasts after the LIKE prune; lineitem shuffles once on
+    * orderkey for the orders join; nation/supplier broadcast. */
+  private val tpch9Sql =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      - CAST(0.8 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+      |        * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%widget%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 shape: important-stock share — a grouped value aggregate
+    * filtered against a scalar fraction-of-global-total subquery.
+    * (Adapted: value = quantity × p_retailprice over the lineitem-derived
+    * supply of one nation's suppliers.) The global total is ONE broadcast
+    * scalar; the comparison stays in exact DECIMAL on both engines, so
+    * threshold membership can't drift. Two shuffles of the slim
+    * per-partkey frame, everything else broadcast. */
+  private val tpch11Sql =
+    """WITH value AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_9'
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, CAST(val AS DOUBLE) AS total_value
+      |FROM value
+      |WHERE val > (SELECT sum(val) * CAST(0.001 AS DECIMAL(18,3)) FROM value)
+      |ORDER BY total_value DESC, ps_partkey""".stripMargin
+
+  /** Q12 shape: late-shipment priority split — a fact-fact join with a
+    * row-level date inequality feeding two conditional counts. (Adapted:
+    * no l_shipmode/receiptdate in the driver schema, so the group key is
+    * l_linestatus and "late" = shipped >45 days after the order date.)
+    * One shuffle on orderkey, map-side partial CASE-sum aggregation. */
+  private val tpch12Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Q16 shape: supplier count per part attribute triple, excluding a
+    * NOT-IN supplier denylist. (Adapted: supply = distinct lineitem
+    * (partkey, suppkey) pairs; the "complaints" denylist = suppliers with
+    * negative balance.) Catalyst plans the NOT IN as a broadcast
+    * null-aware anti join (s_suppkey is non-null, so no null-check scan);
+    * the count(DISTINCT) shuffles the slim supply frame once on the
+    * attribute triple + suppkey expand. */
+  private val tpch16Sql =
+    """WITH supply AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM supply JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 shape: suppliers with material shipped volume of a name-gated
+    * part family in one year — nested IN subqueries, the inner one a
+    * grouped HAVING threshold. (Adapted: "excess availability" becomes
+    * total shipped quantity > 100 since there is no availqty; thresholds
+    * compare in exact DECIMAL.) Catalyst turns both INs into left-semi
+    * joins: part prunes by LIKE then broadcasts into the lineitem
+    * aggregate; the surviving suppkey set broadcasts into supplier. */
+  private val tpch20Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      |      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(100 AS DECIMAL(18,2)))
+      |ORDER BY s_suppkey""".stripMargin
+
   private def sqlQuery(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(sql)
@@ -1287,6 +1441,13 @@ object Relational {
     "q_sql_tpch19" -> sqlQuery(tpch19Sql) _,
     "q_sql_tpch21" -> sqlQuery(tpch21Sql) _,
     "q_sql_tpch22" -> sqlQuery(tpch22Sql) _,
+    "q_sql_tpch1" -> sqlQuery(tpch1Sql) _,
+    "q_sql_tpch2" -> sqlQuery(tpch2Sql) _,
+    "q_sql_tpch9" -> sqlQuery(tpch9Sql) _,
+    "q_sql_tpch11" -> sqlQuery(tpch11Sql) _,
+    "q_sql_tpch12" -> sqlQuery(tpch12Sql) _,
+    "q_sql_tpch16" -> sqlQuery(tpch16Sql) _,
+    "q_sql_tpch20" -> sqlQuery(tpch20Sql) _,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_salted_join" -> qSaltedJoin,
@@ -1807,6 +1968,13 @@ object Relational {
     "q_sql_tpch21" -> tpch21Sql,
     "q_sql_tpch22" -> tpch22Sql,
     "q_sql_tpch15" -> tpch15Sql,
+    "q_sql_tpch1" -> tpch1Sql,
+    "q_sql_tpch2" -> tpch2Sql,
+    "q_sql_tpch9" -> tpch9Sql,
+    "q_sql_tpch11" -> tpch11Sql,
+    "q_sql_tpch12" -> tpch12Sql,
+    "q_sql_tpch16" -> tpch16Sql,
+    "q_sql_tpch20" -> tpch20Sql,
 
     "q_salted_agg" ->
       """SELECT user_id,
