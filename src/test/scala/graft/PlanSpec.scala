@@ -229,4 +229,34 @@ class PlanSpec extends SparkSpec {
     // WindowGroupLimit keeps only k rows per partition through the sort
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("tpch2 correlated min decorrelates: aggregate join, no per-row subquery") {
+    val p = plan(Relational.queries("q_sql_tpch2")(spark, sf0001))
+    // the region-gated min-cost subquery must become a grouped min
+    // joined back on partkey — a row-at-a-time subquery or a cross
+    // product would be quadratic in the supply relation
+    assert(p.contains("min("), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch9 snowflake profit join: dims broadcast, fact never nested-loops") {
+    val p = plan(Relational.queries("q_sql_tpch9")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch16 NOT-IN denylist plans as an anti join, never a nested loop") {
+    val p = plan(Relational.queries("q_sql_tpch16")(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch20 nested INs plan as semi joins over the aggregated supplier set") {
+    val p = plan(Relational.queries("q_sql_tpch20")(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
