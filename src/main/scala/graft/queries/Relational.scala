@@ -580,6 +580,37 @@ object Relational {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Cohort retention: users bucketed by the epoch DAY of their FIRST
+    * event, tracked across day offsets; each cell is the count of
+    * cohort users active that day plus its retention rate vs the
+    * cohort size (the offset-0 cell, since every user is active on
+    * their own first day). Day granularity because the corpus spans
+    * weeks — weekly cells would all read 100%. All time math is
+    * integer epoch-day arithmetic (`unix_timestamp div 86400`) so
+    * both engines agree bit-for-bit; the rate is integer permille.
+    *
+    * Scale shape: the first-event aggregate and the activity distinct
+    * both hash-partition on user_id, so the self-join between them is
+    * co-partitioned (no extra Exchange); the final cell aggregate
+    * shuffles the tiny (cohort, offset) frame. The classic product
+    * analytics query, linear at any corpus size. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("unix_timestamp(ts) div 86400").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    val cells = ev.join(first, Seq("user_id"))
+      .select($"user_id", $"cohort_day", ($"d" - $"cohort_day").as("day_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset").agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter($"day_offset" === 0L)
+      .select($"cohort_day", $"n_users".as("cohort_size"))
+    cells.join(sizes, Seq("cohort_day"))
+      .select($"cohort_day", $"day_offset", $"n_users", $"cohort_size",
+        expr("(n_users * 1000) div cohort_size").as("retained_permille"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   /** HLL approximate distinct — engine-specific sketches can't hash-match
     * an oracle; registered without oracleSql (driver rows-only check). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
@@ -1455,7 +1486,8 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
-    "q_approx_distinct" -> qApproxDistinct
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_cohort_retention" -> qCohortRetention
   )
 
   val oracles: Map[String, String] = Map(
@@ -1975,6 +2007,23 @@ object Relational {
     "q_sql_tpch12" -> tpch12Sql,
     "q_sql_tpch16" -> tpch16Sql,
     "q_sql_tpch20" -> tpch20Sql,
+
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events),
+        |first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT cohort_day, d - cohort_day AS day_offset,
+        |         count(*) AS n_users
+        |  FROM (SELECT DISTINCT ev.user_id, cohort_day, ev.d
+        |        FROM ev JOIN first ON ev.user_id = first.user_id)
+        |  GROUP BY cohort_day, d - cohort_day),
+        |sizes AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+        |SELECT cells.cohort_day, day_offset, n_users, cohort_size,
+        |  CAST((n_users * 1000) // cohort_size AS BIGINT) AS retained_permille
+        |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
+        |ORDER BY cells.cohort_day, day_offset""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

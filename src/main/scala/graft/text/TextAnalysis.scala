@@ -381,8 +381,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Span-level duplication coverage (the suffix-array "duplicated
+    * span" signal, approximated at 8-word granularity): per document,
+    * the fraction of its distinct word 8-grams that occur in at least
+    * one OTHER document's 8-gram set — the score pipelines threshold
+    * on to drop boilerplate-heavy docs that exact/minhash dedup keeps.
+    *
+    * Scale shape: the 8-gram generator is a map-side transform (no
+    * shuffle to build spans); then one shuffle keyed on the gram to
+    * count document frequency and one join back — both hash-partition
+    * the (gram, doc) stream, the same linear shape as tf-idf. The
+    * gram space can be pre-hashed to int64 to keep shuffle bytes flat
+    * at 100 TB. */
+  def qTextSpanDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("g8", expr(
+        "CASE WHEN size(toks) < 8 THEN CAST(array() AS array<string>) " +
+          "ELSE array_distinct(transform(sequence(1, size(toks) - 7), " +
+          "i -> concat_ws(' ', slice(toks, i, 8)))) END"))
+      .filter(size($"g8") > 0)
+      .select($"doc_id", size($"g8").cast("long").as("n_spans"),
+        explode($"g8").as("g"))
+    // distinct per doc by construction, so count(*) = document frequency
+    val docFreq = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy($"doc_id", $"n_spans")
+      .agg(sum(when($"nd" >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select($"doc_id", $"n_spans", $"dup_spans",
+        expr("(dup_spans * 1000) div n_spans").as("dup_permille"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_lm" -> qTextBigramLm,
+    "q_text_span_dup" -> qTextSpanDup,
     "q_text_chunk" -> qTextChunk,
     "q_text_pack" -> qTextPack,
     "q_text_rarity" -> qTextRarity,
@@ -398,6 +432,25 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_span_dup" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 6),
+        |                i -> array_to_string(t[i:i+7], ' '))) END AS g8
+        |  FROM tt),
+        |dd AS (SELECT doc_id, CAST(len(g8) AS BIGINT) AS n_spans, unnest(g8) AS g
+        |       FROM d WHERE len(g8) > 0),
+        |cnt AS (SELECT g, count(*) AS nd FROM dd GROUP BY g)
+        |SELECT dd.doc_id, dd.n_spans,
+        |  CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |  CAST((sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) * 1000) // dd.n_spans AS BIGINT)
+        |    AS dup_permille
+        |FROM dd JOIN cnt ON dd.g = cnt.g
+        |GROUP BY dd.doc_id, dd.n_spans
+        |ORDER BY dd.doc_id""".stripMargin,
+
     "q_vocab_cms_est" ->
       (s"""WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

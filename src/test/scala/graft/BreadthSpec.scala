@@ -262,4 +262,44 @@ class BreadthSpec extends SparkSpec {
     val q22 = Relational.queries("q_sql_tpch22")(spark, sf0001)
     assert(q22.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
   }
+
+  test("cohort retention: offset-0 cells are exactly the cohort at 1000 permille") {
+    val rows = Relational.qCohortRetention(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+    assert(day0.nonEmpty)
+    day0.foreach { r =>
+      assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"), r)
+      assert(r.getAs[Long]("retained_permille") == 1000L, r)
+    }
+    // retention is a fraction of the cohort: never exceeds 1000
+    rows.foreach(r => assert(r.getAs[Long]("retained_permille") <= 1000L, r))
+  }
+
+  test("incremental dedup: verdicts partition the batch; corpus hits share a stored fp") {
+    val rows = graft.dedup.Dedup.qDedupIncremental(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("new", "dup_corpus", "dup_batch")), verdicts)
+    // a dup_batch loser always has a batch winner with the same fp and
+    // a smaller id that itself is NOT dup_batch
+    val byFp = rows.groupBy(_.getAs[String]("fp"))
+    rows.filter(_.getAs[String]("verdict") == "dup_batch").foreach { r =>
+      val winner = byFp(r.getAs[String]("fp")).minBy(_.getAs[Long]("doc_id"))
+      assert(winner.getAs[Long]("doc_id") < r.getAs[Long]("doc_id"))
+      assert(winner.getAs[String]("verdict") != "dup_batch")
+    }
+  }
+
+  test("span duplication: permille = dup/total; spans never exceed the gram count") {
+    val rows = graft.text.TextAnalysis.qTextSpanDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_spans"); val d = r.getAs[Long]("dup_spans")
+      assert(d >= 0L && d <= n, r)
+      assert(r.getAs[Long]("dup_permille") == d * 1000 / n, r)
+    }
+    // the synthetic corpus repeats templates: some doc must share a span
+    assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
+  }
 }
