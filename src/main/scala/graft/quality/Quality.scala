@@ -185,6 +185,32 @@ object Quality {
     * the mix is replay/shard/growth-stable. The per-doc keep decision
     * is a pure scan-speed expression; this query reports the per-source
     * audit (docs in, docs kept) — one map-side-combined rollup. */
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent PRIOR non-purchase event (strict event-time order, micro
+    * epoch + event_id tiebreak); purchases with no prior touch fall in
+    * the 'direct' bucket. Revenue sums in exact DECIMAL, cast to
+    * double once.
+    *
+    * Scale shape: ONE shuffle on user_id for the running last_value
+    * window (frames are per-user, so no whole-table window), then the
+    * tiny per-touch-type aggregate. Linear in events at any scale. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy($"touch_type")
+  }
+
   def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rate = expr(
@@ -243,7 +269,8 @@ object Quality {
     "q_sample_stratified" -> qSampleStratified,
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
-    "q_mix_weighted" -> qMixWeighted
+    "q_mix_weighted" -> qMixWeighted,
+    "q_attribution" -> qAttribution
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +411,20 @@ object Quality {
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
-        |ORDER BY u.user_id""".stripMargin
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'direct') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY COALESCE(touch, 'direct')
+        |ORDER BY touch_type""".stripMargin
   )
 }

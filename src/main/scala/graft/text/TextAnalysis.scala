@@ -390,9 +390,12 @@ object TextAnalysis {
     * Scale shape: the 8-gram generator is a map-side transform (no
     * shuffle to build spans); then one shuffle keyed on the gram to
     * count document frequency and one join back — both hash-partition
-    * the (gram, doc) stream, the same linear shape as tf-idf. The
-    * gram space can be pre-hashed to int64 to keep shuffle bytes flat
-    * at 100 TB. */
+    * the (gram, doc) stream, the same linear shape as tf-idf. Grams
+    * are hashed to int64 AFTER the explode, at the top level of the
+    * projection — a codegen'd xxhash64 in the same stage as the
+    * explode (hashing inside the transform lambda would fall out of
+    * codegen and cost more CPU than it saves) — so the shuffle moves
+    * 8-byte keys, not ~60-byte span strings. */
   def qTextSpanDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grams = Tables.load(spark, dir, "documents")
@@ -403,7 +406,8 @@ object TextAnalysis {
           "i -> concat_ws(' ', slice(toks, i, 8)))) END"))
       .filter(size($"g8") > 0)
       .select($"doc_id", size($"g8").cast("long").as("n_spans"),
-        explode($"g8").as("g"))
+        explode($"g8").as("gs"))
+      .select($"doc_id", $"n_spans", xxhash64($"gs").as("g"))
     // distinct per doc by construction, so count(*) = document frequency
     val docFreq = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
     grams.join(docFreq, Seq("g"))

@@ -291,6 +291,19 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("attribution: every purchase lands in exactly one touch bucket") {
+    val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val buckets = rows.map(_.getAs[String]("touch_type"))
+    assert(buckets.distinct.length == buckets.length)
+    assert(buckets.toSet.subsetOf(Set("click", "error", "signup", "view", "direct")),
+      buckets.toSet)
+    val attributed = rows.map(_.getAs[Long]("n_purchases")).sum
+    val purchases = Tables.load(spark, sf0001, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(attributed == purchases, s"$attributed != $purchases")
+  }
+
   test("span duplication: permille = dup/total; spans never exceed the gram count") {
     val rows = graft.text.TextAnalysis.qTextSpanDup(spark, sf0001).collect()
     assert(rows.nonEmpty)
