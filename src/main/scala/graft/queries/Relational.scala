@@ -611,6 +611,32 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Event transition matrix (first-order Markov): consecutive
+    * event-type pairs per user in strict event-time order (micro epoch
+    * + event_id tiebreak), counted into a (prev, next) matrix with an
+    * integer-permille row share — the path-analysis complement to the
+    * funnel/CEP/attribution family.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window, then
+    * a map-side-combined aggregate onto the tiny |types|² matrix; the
+    * row-total join is matrix-sized. Linear in events. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n",
+        expr("(n * 1000) div tot").as("share_permille"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   /** HLL approximate distinct — engine-specific sketches can't hash-match
     * an oracle; registered without oracleSql (driver rows-only check). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
@@ -1487,7 +1513,8 @@ object Relational {
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
     "q_approx_distinct" -> qApproxDistinct,
-    "q_cohort_retention" -> qCohortRetention
+    "q_cohort_retention" -> qCohortRetention,
+    "q_event_transitions" -> qEventTransitions
   )
 
   val oracles: Map[String, String] = Map(
@@ -2024,6 +2051,20 @@ object Relational {
         |  CAST((n_users * 1000) // cohort_size AS BIGINT) AS retained_permille
         |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
         |ORDER BY cells.cohort_day, day_offset""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+        |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM p GROUP BY prev_type)
+        |SELECT p.prev_type, p.next_type, n,
+        |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
+        |FROM p JOIN t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

@@ -291,6 +291,19 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("transition matrix: pairs = events - users; row shares sum to ~1000") {
+    val rows = Relational.qEventTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sf0001, "events")
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectedPairs)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (prev, cells) =>
+      val s = cells.map(_.getAs[Long]("share_permille")).sum
+      // floor division loses at most (cells - 1) permille per row
+      assert(s <= 1000L && s > 1000L - cells.length, s"$prev row sums to $s")
+    }
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)
