@@ -611,6 +611,62 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Time-series motif search via SAX (symbolic aggregate
+    * approximation — the EDBT'19 streaming-similarity recipe): each
+    * user's first 16 event values become a 4-segment PAA sketch,
+    * min-max normalized per user and discretized to a 4-symbol SAX
+    * word; users sharing a word are CANDIDATE motif pairs, verified
+    * by exact L1 distance on the normalized sketches. The same
+    * candidates→verify shape as LSH dedup — the word bucket bounds
+    * the pair space, no all-pairs distance join ever runs.
+    *
+    * All arithmetic is integer (cents, floor-div means, permille
+    * normalization) so both engines agree bit-for-bit.
+    *
+    * Scale shape: one user_id shuffle for the ordered prefix, one
+    * (user, seg) map-side-combined aggregate, one shuffle on the SAX
+    * word for the bucket self-join. Linear + per-bucket quadratic,
+    * the standard motif-discovery cost envelope. */
+  def qTsSaxMotif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val paa = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter($"rn" <= 16)
+      .withColumn("cents", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy($"user_id", expr("(rn - 1) div 4").as("seg"))
+      .agg(expr("sum(cents) div 4").as("paa"))
+    val wUser = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val sax = paa
+      .withColumn("umin", min($"paa").over(wUser))
+      .withColumn("umax", max($"paa").over(wUser))
+      .withColumn("norm", expr(
+        "CASE WHEN umax = umin THEN 0L ELSE ((paa - umin) * 1000) div (umax - umin) END"))
+      .withColumn("sym", least(expr("norm div 250"), lit(3L)))
+      .groupBy($"user_id")
+      .agg(
+        sum(expr(
+          "sym * (CASE seg WHEN 0 THEN 1000L WHEN 1 THEN 100L WHEN 2 THEN 10L ELSE 1L END)"))
+          .as("sax_word"),
+        sum(when($"seg" === 0, $"norm").otherwise(0L)).as("n0"),
+        sum(when($"seg" === 1, $"norm").otherwise(0L)).as("n1"),
+        sum(when($"seg" === 2, $"norm").otherwise(0L)).as("n2"),
+        sum(when($"seg" === 3, $"norm").otherwise(0L)).as("n3"))
+    val a = sax.select($"user_id".as("user_a"), $"sax_word",
+      $"n0".as("a0"), $"n1".as("a1"), $"n2".as("a2"), $"n3".as("a3"))
+    val b = sax.select($"user_id".as("user_b"), $"sax_word",
+      $"n0".as("b0"), $"n1".as("b1"), $"n2".as("b2"), $"n3".as("b3"))
+    a.join(b, Seq("sax_word"))
+      .filter($"user_a" < $"user_b")
+      .withColumn("l1_dist", expr(
+        "abs(a0 - b0) + abs(a1 - b1) + abs(a2 - b2) + abs(a3 - b3)"))
+      .filter($"l1_dist" <= 300L)
+      .select($"user_a", $"user_b", $"sax_word", $"l1_dist")
+      .orderBy($"user_a", $"user_b")
+  }
+
   /** Event transition matrix (first-order Markov): consecutive
     * event-type pairs per user in strict event-time order (micro epoch
     * + event_id tiebreak), counted into a (prev, next) matrix with an
@@ -1514,7 +1570,8 @@ object Relational {
     "q_window_tumbling" -> qWindowTumbling,
     "q_approx_distinct" -> qApproxDistinct,
     "q_cohort_retention" -> qCohortRetention,
-    "q_event_transitions" -> qEventTransitions
+    "q_event_transitions" -> qEventTransitions,
+    "q_ts_sax_motif" -> qTsSaxMotif
   )
 
   val oracles: Map[String, String] = Map(
@@ -2065,6 +2122,39 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_ts_sax_motif" ->
+      """WITH ordered AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |paa AS (
+        |  SELECT user_id, (rn - 1) // 4 AS seg, CAST(sum(cents) // 4 AS BIGINT) AS paa
+        |  FROM ordered WHERE rn <= 16 GROUP BY user_id, (rn - 1) // 4),
+        |norm AS (
+        |  SELECT user_id, seg,
+        |    CASE WHEN max(paa) OVER (PARTITION BY user_id) = min(paa) OVER (PARTITION BY user_id)
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE ((paa - min(paa) OVER (PARTITION BY user_id)) * 1000)
+        |              // (max(paa) OVER (PARTITION BY user_id) - min(paa) OVER (PARTITION BY user_id))
+        |    END AS norm
+        |  FROM paa),
+        |sax AS (
+        |  SELECT user_id,
+        |    CAST(sum(least(norm // 250, 3)
+        |             * (CASE seg WHEN 0 THEN 1000 WHEN 1 THEN 100 WHEN 2 THEN 10 ELSE 1 END))
+        |         AS BIGINT) AS sax_word,
+        |    CAST(sum(CASE WHEN seg = 0 THEN norm ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN seg = 1 THEN norm ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN seg = 2 THEN norm ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN seg = 3 THEN norm ELSE 0 END) AS BIGINT) AS n3
+        |  FROM norm GROUP BY user_id)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, a.sax_word,
+        |  abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) AS l1_dist
+        |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
+        |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
+        |ORDER BY user_a, user_b""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

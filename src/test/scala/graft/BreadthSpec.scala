@@ -291,6 +291,23 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("sax motifs: ordered pairs within the distance bound, words 4-symbol base-10") {
+    val rows = Relational.qTsSaxMotif(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("user_a") < r.getAs[Long]("user_b"), r)
+      val d = r.getAs[Long]("l1_dist")
+      assert(d >= 0L && d <= 300L, r)
+      val word = r.getAs[Long]("sax_word")
+      // each base-10 digit is a symbol in 0..3
+      assert(word >= 0L && word <= 3333L, r)
+      assert(word.toString.forall(c => c >= '0' && c <= '3'), r)
+    }
+    // no duplicate pairs
+    val pairs = rows.map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("transition matrix: pairs = events - users; row shares sum to ~1000") {
     val rows = Relational.qEventTransitions(spark, sf0001).collect()
     assert(rows.nonEmpty)
