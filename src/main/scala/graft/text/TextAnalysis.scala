@@ -418,8 +418,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Fuzzy vocabulary pairs: near-identical token pairs (edit distance
+    * ≤ 2) found by blocked candidate generation — the typo-clustering /
+    * vocab-normalization step. Blocking: same LAST character + length
+    * difference ≤ 1 (suffix block — this corpus's near-pairs vary
+    * their heads, e.g. part/sort, agg/big, row/slow; documented recall
+    * tradeoff, same policy as the blocked Jaccard: pairs differing in
+    * their last char or by 2+ length belong to the unblocked MinHash
+    * path). Verification is the codegen'd builtin levenshtein —
+    * identical DP on both engines.
+    *
+    * Scale shape: one shuffle on the distinct-token frame, one
+    * equi-join on the block key; per-block quadratic bounded by block
+    * size (at web vocab scale the block key widens to (first char,
+    * length) buckets, same plan). */
+  def qTextFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") >= 3).distinct()
+      .withColumn("ck", substring($"token", -1, 1))
+    val a = vocab.select($"ck", $"token".as("tok_a"))
+    val b = vocab.select($"ck", $"token".as("tok_b"))
+    a.join(b, Seq("ck"))
+      .filter($"tok_a" < $"tok_b" &&
+        abs(length($"tok_a") - length($"tok_b")) <= 1)
+      .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+      .filter($"dist" <= 2)
+      .select($"tok_a", $"tok_b", $"dist".cast("long").as("dist"))
+      .orderBy($"tok_a", $"tok_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_lm" -> qTextBigramLm,
+    "q_text_fuzzy" -> qTextFuzzy,
     "q_text_span_dup" -> qTextSpanDup,
     "q_text_chunk" -> qTextChunk,
     "q_text_pack" -> qTextPack,
@@ -436,6 +468,17 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_fuzzy" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token, substr(token, len(token), 1) AS ck FROM vocab WHERE len(token) >= 3)
+        |SELECT a.token AS tok_a, b.token AS tok_b,
+        |  CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.ck = b.ck AND a.token < b.token
+        |WHERE abs(len(a.token) - len(b.token)) <= 1
+        |  AND levenshtein(a.token, b.token) <= 2
+        |ORDER BY tok_a, tok_b""".stripMargin,
+
     "q_text_span_dup" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |d AS (

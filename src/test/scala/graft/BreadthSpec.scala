@@ -291,6 +291,19 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy vocab pairs: suffix-blocked, verified edit distance within bounds") {
+    val rows = graft.text.TextAnalysis.qTextFuzzy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[String]("tok_a"); val b = r.getAs[String]("tok_b")
+      assert(a < b, r)
+      assert(a.last == b.last, r) // block key
+      assert(math.abs(a.length - b.length) <= 1, r)
+      val d = r.getAs[Long]("dist")
+      assert(d >= 1L && d <= 2L, r)
+    }
+  }
+
   test("sax motifs: ordered pairs within the distance bound, words 4-symbol base-10") {
     val rows = Relational.qTsSaxMotif(spark, sf0001).collect()
     assert(rows.nonEmpty)
