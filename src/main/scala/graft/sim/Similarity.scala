@@ -507,8 +507,32 @@ object Similarity {
       .orderBy($"label", $"pos")
   }
 
+  /** Hard-negative mining: for each query vector, the top-3 most
+    * similar vectors with a DIFFERENT label — the contrastive-training
+    * negative selection step (easy negatives are useless; the hardest
+    * ones carry the gradient). Same broadcast-query plan as brute kNN
+    * with the label-mismatch gate in the join condition; the at-scale
+    * path swaps the corpus side for the IVF/PQ index tables exactly
+    * like the ANN searches. */
+  def qSimHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"), $"nv".as("qv"))
+    val c = n.select($"vec_id".as("neg_id"), $"label".as("clabel"), $"nv".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neg_id")
+    broadcast(q).join(c, $"qlabel" =!= $"clabel")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neg_id", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_knn_brute" -> qSimKnnBrute,
+    "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_sim_knn_agg" -> qSimKnnAgg,
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ann_ivf" -> qSimAnnIvf,
@@ -547,6 +571,24 @@ object Similarity {
   }
 
   private val baseOracles: Map[String, String] = Map(
+    "q_sim_hard_negatives" ->
+      (duckNorm +
+        s""",
+          |p AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+          |         q.nv AS qv, c.nv AS cv
+          |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.label <> c.label),
+          |s AS (
+          |  SELECT query_id, neg_id,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM p),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cos_e6 DESC, neg_id) AS rank
+          |  FROM s)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neg_id, cos_e6
+          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     "q_sim_knn_brute" ->
       (duckNorm +
         s""",

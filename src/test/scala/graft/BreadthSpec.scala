@@ -291,6 +291,22 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: 3 per query, all cross-label, descending similarity") {
+    val rows = Similarity.qSimHardNegatives(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("label")).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, negs) =>
+      assert(negs.length == 3, s"query $qid has ${negs.length} negatives")
+      assert(negs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+      negs.foreach(n =>
+        assert(labels(n.getAs[Long]("neg_id")) != labels(qid), s"$qid same-label"))
+      val sims = negs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_e6"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, sims.toSeq)
+    }
+  }
+
   test("fuzzy vocab pairs: suffix-blocked, verified edit distance within bounds") {
     val rows = graft.text.TextAnalysis.qTextFuzzy(spark, sf0001).collect()
     assert(rows.nonEmpty)
