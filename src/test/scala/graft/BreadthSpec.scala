@@ -296,7 +296,7 @@ class BreadthSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val labels = Tables.load(spark, sf0001, "embeddings")
       .select($"vec_id", $"label").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("label")).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.get(r.fieldIndex("label"))).toMap
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, negs) =>
       assert(negs.length == 3, s"query $qid has ${negs.length} negatives")
       assert(negs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
