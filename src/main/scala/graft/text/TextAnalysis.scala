@@ -449,8 +449,64 @@ object TextAnalysis {
       .orderBy($"tok_a", $"tok_b")
   }
 
+  /** BPE merge training, two rounds: symbol sequences start as
+    * sentinel-spaced characters (" s p a r k "); each round counts
+    * adjacent symbol pairs weighted by corpus token frequency, learns
+    * the most frequent pair (lexicographic tiebreak), and applies the
+    * merge as a literal left-to-right non-overlapping replace — the
+    * identical semantics in both engines (true BPE also re-merges
+    * immediately-adjacent repeats within a round; this corpus has
+    * none). Output: the top-5 merge candidates per round — round 0's
+    * rank 1 is the learned merge that round 1's counts reflect.
+    *
+    * Scale shape: the pair counts are one map-side-combined shuffle
+    * of the (distinct-token, tf) frame — NOT the raw corpus (tf
+    * weighting collapses repeats first, the standard trick); the
+    * learned pair is a 1-row broadcast into the next round's
+    * projection. Each round is one aggregate + one narrow map. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("tf"))
+      .withColumn("syms", concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(token)), i -> substring(token, i, 1))"), " "),
+        lit(" ")))
+      .select($"tf", $"syms")
+
+    def pairCounts(df: DataFrame): DataFrame = df
+      .withColumn("arr", split(trim($"syms"), " "))
+      .filter(size($"arr") >= 2)
+      .select($"tf", explode(expr(
+        "transform(sequence(1, size(arr) - 1), " +
+          "i -> struct(element_at(arr, i) AS a, element_at(arr, i+1) AS b))")).as("p"))
+      .groupBy($"p.a".as("sym_a"), $"p.b".as("sym_b"))
+      .agg(sum($"tf").as("pair_count"))
+
+    val c0 = pairCounts(vocab)
+    val best0 = c0.orderBy($"pair_count".desc, $"sym_a", $"sym_b").limit(1)
+      .select($"sym_a".as("ba"), $"sym_b".as("bb"))
+    val merged = vocab.crossJoin(broadcast(best0))
+      .withColumn("syms", expr(
+        "replace(syms, concat(' ', ba, ' ', bb, ' '), concat(' ', ba, bb, ' '))"))
+      .select($"tf", $"syms")
+    val c1 = pairCounts(merged)
+
+    def top5(df: DataFrame, round: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"pair_count".desc, $"sym_a", $"sym_b")
+      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select(lit(round.toLong).as("round"), $"rank".cast("long").as("rank"),
+          $"sym_a", $"sym_b", $"pair_count")
+    }
+    top5(c0, 0).unionByName(top5(c1, 1)).orderBy($"round", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_lm" -> qTextBigramLm,
+    "q_bpe_train" -> qBpeTrain,
     "q_text_fuzzy" -> qTextFuzzy,
     "q_text_span_dup" -> qTextSpanDup,
     "q_text_chunk" -> qTextChunk,
@@ -468,6 +524,48 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" ->
+      """WITH tok AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY token),
+        |s0 AS (
+        |  SELECT tf, ' ' || array_to_string(
+        |      list_transform(range(1, len(token) + 1), i -> substr(token, i, 1)), ' ')
+        |    || ' ' AS syms
+        |  FROM tok),
+        |p0 AS (
+        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s0) q
+        |  WHERE len(l) >= 2),
+        |c0 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
+        |              CAST(sum(tf) AS BIGINT) AS pair_count
+        |       FROM p0 GROUP BY 1, 2),
+        |best AS (SELECT sym_a AS ba, sym_b AS bb FROM c0
+        |         ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |s1 AS (
+        |  SELECT tf, replace(syms,
+        |    ' ' || (SELECT ba FROM best) || ' ' || (SELECT bb FROM best) || ' ',
+        |    ' ' || (SELECT ba FROM best) || (SELECT bb FROM best) || ' ') AS syms
+        |  FROM s0),
+        |p1 AS (
+        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s1) q
+        |  WHERE len(l) >= 2),
+        |c1 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
+        |              CAST(sum(tf) AS BIGINT) AS pair_count
+        |       FROM p1 GROUP BY 1, 2),
+        |t0 AS (SELECT CAST(0 AS BIGINT) AS round,
+        |              CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS BIGINT) AS rank,
+        |              sym_a, sym_b, pair_count FROM c0),
+        |t1 AS (SELECT CAST(1 AS BIGINT) AS round,
+        |              CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS BIGINT) AS rank,
+        |              sym_a, sym_b, pair_count FROM c1)
+        |SELECT round, rank, sym_a, sym_b, pair_count FROM t0 WHERE rank <= 5
+        |UNION ALL
+        |SELECT round, rank, sym_a, sym_b, pair_count FROM t1 WHERE rank <= 5
+        |ORDER BY round, rank""".stripMargin,
+
     "q_text_fuzzy" ->
       """WITH vocab AS (
         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),

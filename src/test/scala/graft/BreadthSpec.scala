@@ -291,6 +291,26 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("bpe training: learned pair vanishes next round; merged symbol participates") {
+    val rows = graft.text.TextAnalysis.qBpeTrain(spark, sf0001).collect()
+    val r0 = rows.filter(_.getAs[Long]("round") == 0L).sortBy(_.getAs[Long]("rank"))
+    val r1 = rows.filter(_.getAs[Long]("round") == 1L).sortBy(_.getAs[Long]("rank"))
+    assert(r0.length == 5 && r1.length == 5)
+    Seq(r0, r1).foreach { rs =>
+      val counts = rs.map(_.getAs[Long]("pair_count"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, counts.toSeq)
+    }
+    val learned = (r0.head.getAs[String]("sym_a"), r0.head.getAs[String]("sym_b"))
+    // the learned pair can no longer be adjacent as two symbols
+    assert(!r1.exists(r =>
+      (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")) == learned))
+    // merging only removes or splits occurrences: every round-1 pair's
+    // occurrences embed into some round-0 pair's, so the max count
+    // cannot grow (the merged-symbol pairs surfacing in the top-5 is
+    // corpus-dependent — at sf0.01 'm er' lands rank 5)
+    assert(r1.head.getAs[Long]("pair_count") <= r0.head.getAs[Long]("pair_count"))
+  }
+
   test("hard negatives: 3 per query, all cross-label, descending similarity") {
     val rows = Similarity.qSimHardNegatives(spark, sf0001).collect()
     assert(rows.nonEmpty)
