@@ -154,11 +154,12 @@ class PlanSpec extends SparkSpec {
   test("whole-surface audit: cross joins only where a broadcast fan-out is intended") {
     // Deliberate crossJoins: 1-row corpus counts (tfidf/rarity/ri_audit),
     // tiny broadcast codebooks/centroids (ivf/pq/kmeans + recall's reuse),
-    // and the broadcast query side of brute kNN (non-equi join condition).
+    // the broadcast query side of brute kNN (non-equi join condition),
+    // and BPE training's 1-row learned-pair broadcast into round 1.
     val intended = Set(
       "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall",
-      "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg")
+      "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
