@@ -464,9 +464,16 @@ object TextAnalysis {
     * weighting collapses repeats first, the standard trick); the
     * learned pair is a 1-row broadcast into the next round's
     * projection. Each round is one aggregate + one narrow map. */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qBpeTrain]] over any frame with a `text` column —
+    * separated so the randomized property suite can drive it against
+    * a direct Scala replay on generated corpora. */
+  private[graft] def bpeTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = Tables.load(spark, dir, "documents")
+    val vocab = docs
       .select(explode(tokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"token").agg(count(lit(1)).as("tf"))

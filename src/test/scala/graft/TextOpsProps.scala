@@ -150,6 +150,53 @@ object TextOpsProps extends Properties("TextOps") {
       }
     }
 
+  // narrow alphabet forces pair collisions and repeated-char runs
+  // ("aaa") that stress the replace's left-to-right non-overlap rule
+  private val bpeWord = Gen.chooseNum(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+  private val bpeDoc = Gen.chooseNum(5, 30)
+    .flatMap(n => Gen.listOfN(n, bpeWord)).map(_.mkString(" "))
+  private val bpeDocs = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, bpeDoc))
+
+  property("bpe training rounds equal a direct Scala replay") =
+    Prop.forAll(bpeDocs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.bpeTrain(df).collect()
+        .map(r => (r.getAs[Long]("round"), r.getAs[Long]("rank"),
+          r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
+          r.getAs[Long]("pair_count"))).toSeq
+
+      // --- direct replay: same semantics, plain Scala ---
+      val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def symsOf(tok: String): String = " " + tok.toCharArray.mkString(" ") + " "
+      def pairCounts(seqs: Map[String, Long]): Map[(String, String), Long] =
+        seqs.toSeq.flatMap { case (syms, w) =>
+          val arr = syms.trim.split(" ", -1)
+          if (arr.length < 2) Nil
+          else arr.init.zip(arr.tail).map(p => p -> w)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      def top5(c: Map[(String, String), Long], round: Long) =
+        c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(5).zipWithIndex
+          .map { case (((a, b), n), i) => (round, (i + 1).toLong, a, b, n) }
+      val s0 = tf.map { case (tok, w) => symsOf(tok) -> w }
+        .groupBy(_._1).view.mapValues(_.values.sum).toMap
+      val c0 = pairCounts(s0)
+      val expected =
+        if (c0.isEmpty) top5(c0, 0L)
+        else {
+          val (ba, bb) = c0.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+          // java String.replace = left-to-right non-overlapping, the
+          // same rule Spark's and DuckDB's replace() apply
+          val s1 = s0.toSeq.map { case (syms, w) =>
+            syms.replace(s" $ba $bb ", s" $ba$bb ") -> w
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          top5(c0, 0L) ++ top5(pairCounts(s1), 1L)
+        }
+      got == expected
+    }
+
   private val sortedDistinctLongs: Gen[Seq[Long]] =
     Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
 
