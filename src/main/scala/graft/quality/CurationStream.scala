@@ -29,4 +29,18 @@ object CurationStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("ws")
+
+  /** Streaming incremental corpus dedup: drop arriving documents whose
+    * content fingerprint already exists in the STORED corpus digest
+    * table — the online half of `Dedup.qDedupIncremental`. The
+    * stream-static LEFT ANTI join is stateless on the stream side
+    * (Spark re-reads the static digest table per micro-batch, so a
+    * corpus compaction between batches is picked up automatically);
+    * within-stream duplicates are [[curate]]'s watermark state. At
+    * 100 TB the digest table is bucketed on fp (`sources.Bucketed`)
+    * and the anti join prunes to matching buckets. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
 }

@@ -291,6 +291,17 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct: HLL estimate within 15% of the exact count") {
+    val rows = Relational.qApproxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts")
+      val exact = r.getAs[Long]("exact_parts")
+      assert(math.abs(approx - exact) <= exact * 0.15,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("bpe training: learned pair vanishes next round; merged symbol participates") {
     val rows = graft.text.TextAnalysis.qBpeTrain(spark, sf0001).collect()
     val r0 = rows.filter(_.getAs[Long]("round") == 0L).sortBy(_.getAs[Long]("rank"))

@@ -41,4 +41,29 @@ class CurationStreamSpec extends SparkSpec {
     assert(ids.contains(4L), ids)
     assert(ids.contains(1L) ^ ids.contains(3L), ids)
   }
+
+  test("stream-static anti join drops docs already in the stored corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // stored corpus digest table holds goodText's fingerprint
+    val corpusFps = Seq(goodText).toDF("text")
+      .select(md5($"text".cast("binary")).as("fp"))
+
+    val input = MemoryStream[(Long, String)]
+    val out = CurationStream.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), corpusFps).select($"doc_id")
+
+    val q = out.writeStream.format("memory").queryName("corpus_deduped")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, goodText), (2L, otherGood)) // 1 is already stored
+      q.processAllAvailable()
+      input.addData((3L, goodText), (4L, "brand new text")) // re-arrival still drops
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("corpus_deduped").as[Long].collect().toSet
+    assert(ids == Set(2L, 4L), ids)
+  }
 }
