@@ -157,6 +157,43 @@ object Multimodal {
     }
   }
 
+  case class DHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference hash (dHash) for image payloads: the
+    * decoded bytes stand in for an 8×9 grayscale grid (row-major, 9
+    * columns); bit (r,c) is set when px[r][c] < px[r][c+1]. Near-
+    * identical images differ in a few bits, so the downstream near-dup
+    * pass is the same Hamming chunk-banding as wide SimHash. Emitted
+    * as two 32-bit halves (bit 63 would overflow a signed BIGINT sum
+    * in the oracle — the wide-SimHash convention). Pixels past the
+    * payload read as 0. No shuffle; batch plumbing as everywhere. */
+  def dhashImages(media: Dataset[Media]): Dataset[DHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val bytes = decodeStub(m)
+          def px(i: Int): Int = if (i < bytes.length) bytes(i) & 0xFF else 0
+          var hi = 0L; var lo = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val i = r * 9 + c
+              if (px(i) < px(i + 1)) {
+                val bit = r * 8 + c
+                if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+              }
+              c += 1
+            }
+            r += 1
+          }
+          DHash(m.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
@@ -184,14 +221,36 @@ object Multimodal {
       .toDF().orderBy($"media_id", $"window_idx")
   }
 
+  def qMmDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dhashImages(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_byte_hist" -> qMmByteHist,
     "q_mm_frames" -> qMmFrames,
     "q_mm_resize" -> qMmResize,
-    "q_mm_audio_energy" -> qMmAudioEnergy
+    "q_mm_audio_energy" -> qMmAudioEnergy,
+    "q_mm_dhash" -> qMmDhash
   )
 
+  private def duckPx(i: Int): String =
+    s"(CASE WHEN length(text) > $i THEN ord(substr(text, ${i + 1}, 1)) ELSE 0 END)"
+
   val oracles: Map[String, String] = Map(
+    "q_mm_dhash" ->
+      (s"""SELECT doc_id AS media_id,
+        |  CAST(${(32 until 64).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << (bit - 32)} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_hi,
+        |  CAST(${(0 until 32).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << bit} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_lo
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin),
+
     "q_mm_byte_hist" ->
       (s"""WITH ch AS (
         |  SELECT doc_id AS media_id,

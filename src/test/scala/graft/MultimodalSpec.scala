@@ -57,6 +57,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash: image rows only, halves in 32-bit range, matches direct recomputation") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val got = Multimodal.dhashImages(media).collect()
+    assert(got.nonEmpty)
+    got.foreach { d =>
+      assert(d.media_id % 3 == 0)
+      assert(d.dhash_hi >= 0L && d.dhash_hi < (1L << 32), d)
+      assert(d.dhash_lo >= 0L && d.dhash_lo < (1L << 32), d)
+    }
+    val payloads = media.filter(_.kind == "image").collect()
+      .map(m => m.media_id -> m.content).toMap
+    assert(got.length == payloads.size)
+    got.foreach { d =>
+      val bytes = payloads(d.media_id)
+      def px(i: Int): Int = if (i < bytes.length) bytes(i) & 0xFF else 0
+      var hi = 0L; var lo = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val i = r * 9 + c
+        if (px(i) < px(i + 1)) {
+          val bit = r * 8 + c
+          if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+        }
+      }
+      assert(d.dhash_hi == hi && d.dhash_lo == lo, d)
+    }
+  }
+
   test("audio energy: audio rows only, full windows, matches direct recomputation") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001)
     val got = Multimodal.audioEnergy(media).collect()
