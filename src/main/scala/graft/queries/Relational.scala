@@ -627,11 +627,18 @@ object Relational {
     * (user, seg) map-side-combined aggregate, one shuffle on the SAX
     * word for the bucket self-join. Linear + per-bucket quadratic,
     * the standard motif-discovery cost envelope. */
-  def qTsSaxMotif(spark: SparkSession, dir: String): DataFrame = {
+  def qTsSaxMotif(spark: SparkSession, dir: String): DataFrame =
+    saxMotif(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qTsSaxMotif]] over any frame with (user_id, ts,
+    * event_id, value) — separated so the randomized property suite
+    * can drive it against a direct Scala replay. */
+  private[graft] def saxMotif(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"us", $"event_id")
-    val paa = Tables.load(spark, dir, "events")
+    val paa = events
       .withColumn("us", unix_micros($"ts"))
       .withColumn("rn", row_number().over(wOrd))
       .filter($"rn" <= 16)
