@@ -1,0 +1,185 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SessionCache, Tables}
+
+/** Graph analytics over the part co-occurrence graph (two parts are
+  * adjacent iff some order contains both — the classic co-purchase
+  * graph; reference analog: the event-stream entity graph the report
+  * page walks row-by-row, `routes/events.js` lookups generalized to
+  * whole-graph analytics).
+  *
+  * Everything is integer arithmetic so the DuckDB oracle hash-matches
+  * bit-exactly, and every step is a plain equi-join/aggregate — the
+  * shapes that scale:
+  *
+  *  - the edge list is built once per (session, dir) and staged to
+  *    parquet (at 100 TB it IS a stored table, partitioned by src);
+  *  - PageRank is the standard edge-partitioned iteration — each round
+  *    is one join (ranks to edges, co-partitioned on the join key) and
+  *    one map-side-combined aggregate; rounds are fixed (3) and ranks
+  *    are fixed-point BIGINT so replay/oracle are exact;
+  *  - triangle counting uses DEGREE ORIENTATION (orient each edge from
+  *    the (degree, id)-smaller endpoint to the larger): out-degrees are
+  *    bounded by O(sqrt m), so the wedge join stays near-linear instead
+  *    of blowing up on hub nodes — the standard skew-proof formulation.
+  */
+object GraphOps {
+
+  private final val Scale = 1000000000L // fixed-point 1e9 = rank 1.0
+  private final val Damp = 85L          // damping 0.85 as a percentage
+  private final val Iterations = 3
+
+  /** Canonical (src < dst) distinct co-occurrence edges. Staged once:
+    * the self-join shuffles lineitem on orderkey (same key both sides —
+    * one Exchange), the distinct shuffles on the edge pair. */
+  private def canonicalEdges(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.edges|$dir") {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+    }
+
+  /** Both directions of every undirected edge. */
+  private def symmetricEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ce = canonicalEdges(spark, dir)
+    ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Fixed-point PageRank, 3 rounds, damping 0.85.
+    *
+    * r_{k+1}(v) = 0.15·Scale + 0.85 · Σ_{u→v} (r_k(u) div outdeg(u)),
+    * all BIGINT (div = integral division; identical in DuckDB with //
+    * since every operand is positive). Every node of this graph has a
+    * neighbor, and that neighbor has outdeg ≥ 1, so each round's
+    * aggregate covers every node — no dangling-mass term is needed.
+    * Each round = one equi-join + one aggregate; at scale the edge
+    * table is hash-partitioned on src once and every round reuses that
+    * partitioning (ranks arrive shuffled on node, the small side). */
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = symmetricEdges(spark, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("node"), lit(Scale).as("pr"))
+    for (_ <- 1 to Iterations) {
+      val contrib = ranks.join(deg, ranks("node") === deg("src"))
+        .select(ranks("node").as("cnode"), expr("pr div outdeg").as("c"))
+      ranks = edges.join(contrib, edges("src") === col("cnode"))
+        .groupBy(edges("dst").as("node"))
+        .agg((lit(Scale * 15 / 100) +
+          (lit(Damp) * sum(col("c"))).cast("long") / lit(100L)).cast("long")
+          .as("pr"))
+        .select(col("node"), col("pr"))
+    }
+    ranks
+      .join(deg, ranks("node") === deg("src"))
+      .select(col("node").as("part"), col("outdeg").as("degree"), col("pr"))
+      .orderBy(col("part"))
+  }
+
+  /** Per-node triangle counts via degree orientation.
+    *
+    * Orient {a,b} from the (degree, id)-smaller to the larger endpoint;
+    * every triangle then appears EXACTLY once as a wedge u→v, u→w with
+    * ord(v) < ord(w) closed by the oriented edge v→w. The wedge join
+    * fans out by out-degree only (bounded ~sqrt m under this
+    * orientation — hub nodes get IN-edges, not out-edges), and the
+    * closing check is a plain two-column equi-join. Each triangle then
+    * credits all three corners. */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val ce = canonicalEdges(spark, dir)
+    val deg = symmetricEdges(spark, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+
+    // oriented edge (u -> v) with ord(u) < ord(v), carrying deg(v) for
+    // the wedge-ordering condition
+    val oriented = ce
+      .join(deg.select(col("node").as("sn"), col("d").as("sd")), col("src") === col("sn"))
+      .join(deg.select(col("node").as("dn"), col("d").as("dd")), col("dst") === col("dn"))
+      .select(
+        when(col("sd") < col("dd") || (col("sd") === col("dd") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(col("sd") < col("dd") || (col("sd") === col("dd") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("v"))
+      .join(deg.select(col("node").as("vn"), col("d").as("vd")), col("v") === col("vn"))
+      .select(col("u"), col("v"), col("vd"))
+
+    val e1 = oriented.select(col("u"), col("v").as("b"), col("vd").as("bd"))
+    val e2 = oriented.select(col("u"), col("v").as("c"), col("vd").as("cd"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c")))
+      .select(col("u").as("a"), col("b"), col("c"))
+    val closing = oriented.select(col("u").as("b"), col("v").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+
+    tri.select(col("a").as("part"))
+      .union(tri.select(col("b").as("part")))
+      .union(tri.select(col("c").as("part")))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("part"))
+  }
+
+  // -----------------------------------------------------------------
+  // registration
+  // -----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_triangles" -> qGraphTriangles)
+
+  private val edgesCte =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ce AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |       FROM li a JOIN li b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+         |r1 AS (SELECT e.dst AS node,
+         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS node,
+         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS node,
+         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       GROUP BY e.dst)
+         |SELECT r3.node AS part, deg.outdeg AS degree, r3.pr
+         |FROM r3 JOIN deg ON deg.src = r3.node
+         |ORDER BY part""".stripMargin,
+    "q_graph_triangles" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |o AS (SELECT
+         |        CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.src < ce.dst)
+         |             THEN ce.src ELSE ce.dst END AS u,
+         |        CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.src < ce.dst)
+         |             THEN ce.dst ELSE ce.src END AS v
+         |      FROM ce
+         |      JOIN deg da ON da.node = ce.src
+         |      JOIN deg db ON db.node = ce.dst),
+         |od AS (SELECT o.u, o.v, dv.d AS vd FROM o JOIN deg dv ON dv.node = o.v),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |        FROM od e1 JOIN od e2 ON e1.u = e2.u
+         |        WHERE ((e1.vd < e2.vd) OR (e1.vd = e2.vd AND e1.v < e2.v))
+         |          AND EXISTS (SELECT 1 FROM o WHERE o.u = e1.v AND o.v = e2.v))
+         |SELECT part, COUNT(*) AS n_triangles
+         |FROM (SELECT a AS part FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |GROUP BY part
+         |ORDER BY part""".stripMargin)
+}
