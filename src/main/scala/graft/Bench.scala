@@ -5,9 +5,45 @@ package graft
   * on SPARK_GRAFT_SF_DIR and prints one JSON line with per-query and
   * total wall seconds. */
 object Bench {
+
+  /** The most expensive queries of the r6 driver bench, in cost order
+    * — the ones whose scaling behavior decides the 100 TB story. */
+  private val ScalingQueries = Seq(
+    "q_text_span_dup", "q_text_rollhash", "q_vocab_cms_est", "q_unpivot",
+    "q_quality_repetition", "q_text_bpe", "q_sql_tpch5", "q_sql_tpch9",
+    "q_sim_ann_ivf_trained", "q_dedup_simhash_pairs")
+
+  /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
+    * sf0.01 and sf0.1 and print measured per-query ratios — turns the
+    * "all linear" claim in BASELINE.md into a measured artifact. Data
+    * grows 10×; a linear operator shows ratio ≤ ~10 (fixed JVM/plan
+    * overheads pull it below), a quadratic one ~100. */
+  private def runScaling(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val small = "/root/testdata/sf0.01"
+    val big = "/root/testdata/sf0.1"
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed pass at small sf to absorb JIT/codegen/classloading
+    ScalingQueries.foreach(q => time(q, small))
+    val rows = ScalingQueries.map { q =>
+      val s = time(q, small)
+      val b = time(q, big)
+      f""""$q":{"small":$s%.3f,"big":$b%.3f,"ratio":${b / s}%.2f}"""
+    }
+    println(s"""{"metric":"scaling","sf_small":"$small","sf_big":"$big","data_ratio":10,"queries":${rows.mkString("{", ",", "}")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
+    if (args.headOption.contains("--scaling")) {
+      try runScaling(spark) finally spark.stop()
+      return
+    }
 
     // Warm the JVM: codegen, parquet reader/writer, shuffle, window,
     // decimal-agg and noop-sink paths — so the first measured queries
@@ -95,6 +131,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact trailing summary: the per-query line above can exceed the
+    // driver's tail-capture window (BENCH_r05/r06 both parsed null), so
+    // totals are re-emitted LAST on their own short line.
+    val stagingSec = staging.map(_._2).sum
+    val streamingSec = streaming.map(_._2).sum
+    println(f"""{"metric":"bench_summary","total":$total%.3f,"staging":$stagingSec%.3f,"streaming":$streamingSec%.3f,"n_queries":${selected.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,9 @@ object SparkEntry {
       (graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
       (graft.sim.Similarity.queries, graft.sim.Similarity.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles),
-      (graft.quality.Quality.queries, graft.quality.Quality.oracles)
+      (graft.quality.Quality.queries, graft.quality.Quality.oracles),
+      (graft.graph.GraphOps.queries, graft.graph.GraphOps.oracles),
+      (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

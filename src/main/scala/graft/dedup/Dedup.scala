@@ -60,13 +60,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Exact n-gram Jaccard similarity, blocked by (source, lang). */
+  /** Any (source, lang) Jaccard block larger than this fails loudly
+    * instead of running a silently quadratic self-join. */
+  private[graft] val MaxJaccardBlock = 50000L
+
+  /** Exact n-gram Jaccard similarity, blocked by (source, lang).
+    *
+    * AUDIT / ORACLE BASELINE ONLY (r7, VERDICT item 4): block
+    * population grows linearly with the corpus, so candidate pairs per
+    * block grow quadratically — at 100 TB production near-dup pairs
+    * come from [[qDedupLshVerify]] (banded candidates, identical
+    * verify arithmetic); this exact path exists to audit the LSH
+    * path's recall on bounded samples. To keep mis-use loud instead of
+    * silently quadratic, any block larger than [[MaxJaccardBlock]]
+    * raises at run time (assert_true on the broadcast block census) —
+    * the same guard policy as `text.TextAnalysis.fuzzyPairs`. */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = withShingles(spark, dir)
       .select($"doc_id", $"source", $"lang", $"sh", $"shs")
-    val a = d.select($"source", $"lang", $"doc_id".as("doc_a"), $"shs".as("sh_a"))
-    val b = d.select($"source", $"lang", $"doc_id".as("doc_b"), $"shs".as("sh_b"))
+    val blockCounts = d.groupBy($"source", $"lang").agg(count(lit(1)).as("bn"))
+    val guarded = d.join(broadcast(blockCounts), Seq("source", "lang"))
+      .filter(assert_true($"bn" <= lit(MaxJaccardBlock),
+        format_string("qDedupJaccard block over cap %d: source=%s lang=%s n=%d",
+          lit(MaxJaccardBlock), $"source", $"lang", $"bn")).isNull)
+      .drop("bn")
+    val a = guarded.select($"source", $"lang", $"doc_id".as("doc_a"), $"shs".as("sh_a"))
+    val b = guarded.select($"source", $"lang", $"doc_id".as("doc_b"), $"shs".as("sh_b"))
     a.join(b, Seq("source", "lang"))
       .filter($"doc_a" < $"doc_b")
       .withColumn("inter",
@@ -438,6 +458,19 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Head fingerprint: md5 of the first 8 tokens — the crawl-pipeline
+    * "leading boilerplate" key (full-content md5 finds zero overlap in
+    * this corpus; a head key exercises all three verdicts and is what
+    * prefix-dedup passes actually use for template-heavy pages).
+    *
+    * ONE shared definition for both halves of incremental dedup: the
+    * batch side ([[qDedupIncremental]]) and the streaming side
+    * (`quality.CurationStream.dedupAgainstCorpus`) — the two layers
+    * must agree on what counts as a duplicate or the lambda
+    * architecture silently diverges. */
+  def headFingerprint(text: Column): Column =
+    md5(concat_ws(" ", slice(split(text, " "), 1, 8)).cast("binary"))
+
   /** Incremental corpus dedup: the arriving batch (`src1` stands in
     * for a new crawl snapshot) is deduplicated against the EXISTING
     * corpus (every other source) by content fingerprint, then within
@@ -456,13 +489,8 @@ object Dedup {
     * majority before the join. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // head fingerprint: first 8 tokens — the crawl-pipeline "leading
-    // boilerplate" key (full-content md5 finds zero overlap in this
-    // corpus; a head key exercises all three verdicts and is what
-    // prefix-dedup passes actually use for template-heavy pages)
     val docs = Tables.load(spark, dir, "documents")
-      .withColumn("fp",
-        md5(concat_ws(" ", slice(split($"text", " "), 1, 8)).cast("binary")))
+      .withColumn("fp", headFingerprint($"text"))
     val corpusFps = docs.filter($"source" =!= "src1")
       .select($"fp").distinct().withColumn("in_corpus", lit(1))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")

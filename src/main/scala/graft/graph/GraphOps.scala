@@ -62,8 +62,14 @@ object GraphOps {
     * Each round = one equi-join + one aggregate; at scale the edge
     * table is hash-partitioned on src once and every round reuses that
     * partitioning (ranks arrive shuffled on node, the small side). */
-  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = symmetricEdges(spark, dir)
+  def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOnEdges(symmetricEdges(spark, dir))
+
+  /** Core iteration over an explicit symmetric (src, dst) edge frame —
+    * factored out so specs can replay it on fixtures. All arithmetic is
+    * BIGINT end to end: `div` (integral division) matches DuckDB's `//`
+    * exactly, with no double round-trip even past 2^53. */
+  private[graft] def pagerankOnEdges(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var ranks = deg.select(col("src").as("node"), lit(Scale).as("pr"))
     for (_ <- 1 to Iterations) {
@@ -71,8 +77,7 @@ object GraphOps {
         .select(ranks("node").as("cnode"), expr("pr div outdeg").as("c"))
       ranks = edges.join(contrib, edges("src") === col("cnode"))
         .groupBy(edges("dst").as("node"))
-        .agg((lit(Scale * 15 / 100) +
-          (lit(Damp) * sum(col("c"))).cast("long") / lit(100L)).cast("long")
+        .agg(expr(s"cast(${Scale * 15 / 100}L + ($Damp * sum(c)) div 100 as bigint)")
           .as("pr"))
         .select(col("node"), col("pr"))
     }
@@ -91,9 +96,13 @@ object GraphOps {
     * orientation — hub nodes get IN-edges, not out-edges), and the
     * closing check is a plain two-column equi-join. Each triangle then
     * credits all three corners. */
-  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val ce = canonicalEdges(spark, dir)
-    val deg = symmetricEdges(spark, dir)
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOnEdges(canonicalEdges(spark, dir))
+
+  /** Core wedge-close counting over an explicit canonical (src < dst)
+    * edge frame — factored out so specs can run it on fixtures. */
+  private[graft] def trianglesOnEdges(ce: DataFrame): DataFrame = {
+    val deg = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
 
     // oriented edge (u -> v) with ord(u) < ord(v), carrying deg(v) for

@@ -31,16 +31,20 @@ object CurationStream {
       .drop("ws")
 
   /** Streaming incremental corpus dedup: drop arriving documents whose
-    * content fingerprint already exists in the STORED corpus digest
-    * table — the online half of `Dedup.qDedupIncremental`. The
-    * stream-static LEFT ANTI join is stateless on the stream side
-    * (Spark re-reads the static digest table per micro-batch, so a
-    * corpus compaction between batches is picked up automatically);
-    * within-stream duplicates are [[curate]]'s watermark state. At
-    * 100 TB the digest table is bucketed on fp (`sources.Bucketed`)
-    * and the anti join prunes to matching buckets. */
+    * head fingerprint already exists in the STORED corpus digest
+    * table — the online half of `Dedup.qDedupIncremental`, using the
+    * SAME `Dedup.headFingerprint` definition so batch and stream agree
+    * on what counts as a duplicate. The stream-static LEFT ANTI join
+    * is stateless on the stream side (Spark re-reads the static digest
+    * table per micro-batch, so a corpus compaction between batches is
+    * picked up automatically); within-stream duplicates are
+    * [[curate]]'s watermark state. At 100 TB the digest table is
+    * bucketed on fp (`sources.Bucketed`) and the anti join prunes to
+    * matching buckets. The internal fp key is dropped — output schema
+    * is the input schema. */
   def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame): DataFrame =
     docs
-      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("fp", graft.dedup.Dedup.headFingerprint(col("text")))
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      .drop("fp")
 }

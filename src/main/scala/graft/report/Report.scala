@@ -80,18 +80,29 @@ object Report {
       case '"' => "&quot;"; case c => c.toString
     }
 
-  private def htmlTable(df: DataFrame): String = {
+  /** Default row cap for rendered tables — the reference's GET /
+    * full-scans both tables per request (routes/index.js:9-10), which
+    * is only survivable because LokiJS is in-memory and tiny; here the
+    * driver-side collect is bounded BY CONSTRUCTION so no caller can
+    * accidentally pull an unbounded frame onto the driver. */
+  val DefaultMaxRows: Int = 10000
+
+  private def htmlTable(df: DataFrame, maxRows: Int): String = {
     val cols = df.columns
     val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
-    // presentation edge: the reference's GET / full-scans both tables
-    // per request (routes/index.js:9-10); a report window filter
-    // belongs upstream of this call at scale
-    val rows = df.collect().map { r =>
+    // limit(n+1) so truncation is detectable without a second count job
+    val collected = df.limit(maxRows + 1).collect()
+    val truncated = collected.length > maxRows
+    val rows = collected.take(maxRows).map { r =>
       cols.indices.map(i =>
         s"<td>${esc(Option(r.get(i)).map(_.toString).getOrElse(""))}</td>").mkString
     }.map(cells => s"    <tr>$cells</tr>")
+    val note =
+      if (truncated)
+        s"\n    <tr><td colspan=\"${cols.length}\"><em>truncated at $maxRows rows</em></td></tr>"
+      else ""
     val body = if (rows.isEmpty) "    <tr><td><h3>no data yet...</h3></td></tr>"
-      else rows.mkString("\n")
+      else rows.mkString("\n") + note
     s"""  <table style="width:100%" border="1">
        |    <tr>$head</tr>
        |$body
@@ -99,16 +110,18 @@ object Report {
   }
 
   /** The reference's index view (views/index.pug:9-83) as a static
-    * HTML document: agent table + conversations table. */
+    * HTML document: agent table + conversations table. `maxRows` caps
+    * the per-table driver collect; over-cap tables render a visible
+    * truncation note row. */
   def renderHtml(agents: DataFrame, conversations: DataFrame,
-      title: String = "Express"): String =
+      title: String = "Express", maxRows: Int = DefaultMaxRows): String =
     s"""<!DOCTYPE html>
        |<html><head><title>${esc(title)}</title></head><body>
        |  <h1>${esc(title)}</h1>
        |  <h2>agent data</h2>
-       |${htmlTable(agents)}
+       |${htmlTable(agents, maxRows)}
        |  <h2>conversations data</h2>
-       |${htmlTable(conversations)}
+       |${htmlTable(conversations, maxRows)}
        |</body></html>
        |""".stripMargin
 

@@ -46,13 +46,17 @@ class CurationStreamSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
 
-    // stored corpus digest table holds goodText's fingerprint
+    // stored corpus digest table holds goodText's fingerprint — built
+    // with the SAME shared definition the stream side applies
     val corpusFps = Seq(goodText).toDF("text")
-      .select(md5($"text".cast("binary")).as("fp"))
+      .select(graft.dedup.Dedup.headFingerprint($"text").as("fp"))
 
     val input = MemoryStream[(Long, String)]
-    val out = CurationStream.dedupAgainstCorpus(
-      input.toDF().toDF("doc_id", "text"), corpusFps).select($"doc_id")
+    val deduped = CurationStream.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), corpusFps)
+    // internal fp key must not leak into the output schema
+    assert(deduped.columns.toSeq == Seq("doc_id", "text"))
+    val out = deduped.select($"doc_id")
 
     val q = out.writeStream.format("memory").queryName("corpus_deduped")
       .outputMode("append").start()

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** Invariant specs for the graph module (VERDICT r6 item 1): PageRank's
+  * fixed-point rounds replayed in plain Scala Long arithmetic, and
+  * triangle counts checked against brute adjacency-set intersection —
+  * on a hand-built fixture AND on the real sf0.001 co-occurrence graph.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  /** Direct Scala replay of the engine's PageRank: same fixed-point
+    * BIGINT arithmetic (integral division), 3 rounds, damping 85/100.
+    * Input: symmetric edge list. */
+  private def replayPagerank(sym: Seq[(Long, Long)], rounds: Int = 3): Map[Long, Long] = {
+    val outdeg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var ranks: Map[Long, Long] = outdeg.map { case (n, _) => n -> Scale }
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.map { case (n, pr) => n -> pr / outdeg(n) }
+      val incoming = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => contrib(e._1)).sum
+      }
+      ranks = incoming.map { case (v, s) => v -> (Scale * 15 / 100 + (85L * s) / 100) }
+    }
+    ranks
+  }
+
+  /** Brute per-node triangle counts from a canonical (src < dst) edge
+    * list: adjacency-set intersection over every edge. */
+  private def bruteTriangles(ce: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (ce ++ ce.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    ce.foreach { case (u, v) =>
+      (adj(u) intersect adj(v)).foreach { w =>
+        // each triangle {u,v,w} found once per edge → 3 times total; only
+        // credit when w is the max so every triangle credits corners once
+        if (w > v) { counts(u) += 1; counts(v) += 1; counts(w) += 1 }
+      }
+    }
+    counts.toMap
+  }
+
+  // Fixture: K4 on {1,2,3,4} (4 triangles, each node in 3), a pendant
+  // 5-6 path off node 4, and a hub 7 joined to 1,2 (one more triangle).
+  private val fixtureCe: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L),
+    (1L, 7L), (2L, 7L))
+  private def fixtureSym = fixtureCe ++ fixtureCe.map(e => (e._2, e._1))
+
+  test("fixture triangles: engine == brute enumeration (K4 + pendant + hub)") {
+    val ceDf = fixtureCe.toDF("src", "dst")
+    val got = GraphOps.trianglesOnEdges(ceDf).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles")).toMap
+    val want = bruteTriangles(fixtureCe)
+    assert(got == want)
+    // hand-checked: K4 gives each of 1..4 three triangles; {1,2,7} adds one
+    assert(got(1L) == 4 && got(2L) == 4 && got(3L) == 3 && got(4L) == 3)
+    assert(got(7L) == 1)
+    assert(!got.contains(5L) && !got.contains(6L))
+    // each triangle credits exactly 3 corners
+    assert(got.values.sum % 3 == 0)
+  }
+
+  test("fixture pagerank: engine == direct Scala fixed-point replay") {
+    val symDf = fixtureSym.toDF("src", "dst")
+    val got = GraphOps.pagerankOnEdges(symDf).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+    val want = replayPagerank(fixtureSym)
+    assert(got == want)
+    // every node keeps at least the teleport mass, hub nodes rank higher
+    assert(got.values.forall(_ >= Scale * 15 / 100))
+    assert(got(4L) > got(6L)) // degree-5 core node beats the degree-1 leaf
+  }
+
+  test("sf0.001 pagerank: exact replay, full coverage, teleport floor") {
+    val rows = GraphOps.qGraphPagerank(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // replay the engine arithmetic over the collected edge list
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = li.groupBy(_._1)
+    val ceSet = byOrder.values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val want = replayPagerank(sym)
+    val got = rows.map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+    assert(got == want)
+    // degree column is the true symmetric degree
+    val wantDeg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(rows.map(r => r.getAs[Long]("part") -> r.getAs[Long]("degree")).toMap == wantDeg)
+  }
+
+  test("sf0.001 triangles: engine == brute adjacency intersection") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val want = bruteTriangles(ceSet.toSeq)
+    val got = GraphOps.qGraphTriangles(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

@@ -56,4 +56,16 @@ class ReportSpec extends SparkSpec {
     assert(rows == 2 + agents.count() + convos.count())
     assert(!html.contains("<script"))
   }
+
+  test("renderHtml maxRows bounds the driver collect with a visible note") {
+    val big = spark.range(100).select(
+      $"id".cast("string").as("a"), lit("x").as("b"))
+    val html = Report.renderHtml(big, big, maxRows = 7)
+    assert(html.contains("truncated at 7 rows"))
+    // 2 header rows + 7 data rows per table + 1 note row per table
+    assert(html.split("<tr>").length - 1 == 2 + 2 * (7 + 1))
+    // under the cap: no note
+    val small = Report.renderHtml(big.limit(3), big.limit(3), maxRows = 7)
+    assert(!small.contains("truncated"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** r7 scale guards (VERDICT items 3/4): the widened fuzzy blocking is
+  * a drop-in for the plain suffix-blocked quadratic, and over-cap
+  * blocks fail loudly instead of running quadratic. */
+class ScaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vocab = Tables.load(spark, sf0001, "documents")
+    .select(explode(split($"text", " ")).as("token"))
+    .filter(length($"token") >= 3).distinct()
+
+  test("fuzzyPairs (last char, length bucket) == plain suffix-blocked join") {
+    // reference: the r6 unbounded formulation — same predicate, whole
+    // suffix class as the block
+    val v = vocab.withColumn("ck", substring($"token", -1, 1))
+    val a = v.select($"ck", $"token".as("tok_a"))
+    val b = v.select($"ck", $"token".as("tok_b"))
+    val want = a.join(b, Seq("ck"))
+      .filter($"tok_a" < $"tok_b" &&
+        abs(length($"tok_a") - length($"tok_b")) <= 1)
+      .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+      .filter($"dist" <= 2)
+      .select($"tok_a", $"tok_b", $"dist".cast("long").as("dist"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val got = TextAnalysis.fuzzyPairs(vocab, TextAnalysis.MaxFuzzyBlock)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // exactly-once: the bucketed join must not duplicate same-length pairs
+    val list = TextAnalysis.fuzzyPairs(vocab, TextAnalysis.MaxFuzzyBlock)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(list.length == list.distinct.length)
+  }
+
+  test("fuzzyPairs raises loudly when a block exceeds the cap") {
+    val e = intercept[Exception] {
+      TextAnalysis.fuzzyPairs(vocab, maxBlock = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("block over cap")), e.toString)
+  }
+
+  test("qDedupJaccard still runs under its block census guard") {
+    val rows = graft.dedup.Dedup.qDedupJaccard(spark, sf0001).collect()
+    // guard must be invisible at this corpus size; pairs are symmetric-free
+    rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+}
