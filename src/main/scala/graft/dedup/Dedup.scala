@@ -458,6 +458,31 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source shingle overlap audit — the corpus-composition
+    * question every multi-source training mix asks ("how much of srcA
+    * is already in srcB?"): distinct (source, shingle) pairs, then
+    * per-source-pair shared-shingle counts and Jaccard permille.
+    *
+    * Scale shape: ONE shuffle on the shingle for the distinct + the
+    * equi-self-join; per-shingle fan-out is bounded by #sources² (a
+    * handful), never by corpus size — contrast with doc-level pair
+    * enumeration. The per-source totals are a tiny broadcast. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withShingles(spark, dir)
+      .select($"source", explode($"sh").as("s")).distinct()
+    val per = e.groupBy($"source").agg(count(lit(1)).as("n"))
+    val a = e.select($"source".as("src_a"), $"s")
+    val b = e.select($"source".as("src_b"), $"s")
+    a.join(b, Seq("s")).filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(per.select($"source".as("src_a"), $"n".as("n_a"))), Seq("src_a"))
+      .join(broadcast(per.select($"source".as("src_b"), $"n".as("n_b"))), Seq("src_b"))
+      .select($"src_a", $"src_b", $"shared", $"n_a", $"n_b",
+        expr("(shared * 1000) div (n_a + n_b - shared)").as("jac_permille"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Head fingerprint: md5 of the first 8 tokens — the crawl-pipeline
     * "leading boilerplate" key (full-content md5 finds zero overlap in
     * this corpus; a head key exercises all three verdicts and is what
@@ -519,7 +544,8 @@ object Dedup {
     "q_dedup_components" -> qDedupComponents,
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination,
-    "q_dedup_incremental" -> qDedupIncremental
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_source_overlap" -> qSourceOverlap
   )
 
   /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
@@ -816,6 +842,22 @@ object Dedup {
         |       WHEN b.doc_id <> b.batch_first THEN 'dup_batch'
         |       ELSE 'new' END AS verdict
         |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      (s"""$duckShingleCte,
+        |e AS (SELECT DISTINCT source, s
+        |      FROM (SELECT source, unnest(sh) AS s FROM d)),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             CAST(count(*) AS BIGINT) AS shared
+        |      FROM e a JOIN e b ON a.s = b.s AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, pa.n AS n_a, pb.n AS n_b,
+        |       (shared * 1000) // (pa.n + pb.n - shared) AS jac_permille
+        |FROM p
+        |JOIN per pa ON pa.source = p.src_a
+        |JOIN per pb ON pb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin)
   )
 }

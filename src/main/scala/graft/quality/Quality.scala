@@ -107,6 +107,62 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** Integer quality score shared by the budget/binning operators:
+    * stop-word hits dominate (×100000), mean word length breaks ties —
+    * deterministic, NULL-free (empty docs score their stop_hits). */
+  private def scoreCol: Column =
+    col("stop_hits") * 100000L + coalesce(col("mean_wlen_permille"), lit(0L))
+
+  /** Greedy token-budget selection — the "fill 100B tokens with the
+    * best documents" curation step: order the corpus by quality score
+    * (descending, doc_id tiebreak) and select the prefix whose
+    * cumulative token count fits the budget.
+    *
+    * The global running sum is a DISTRIBUTED prefix sum, not a
+    * single-partition window: docs split into score BANDS (stop_hits —
+    * the score's dominant term, so band order equals score order);
+    * per-band token totals are a tiny aggregate whose running offsets
+    * broadcast back, and each doc's cumulative count is its band
+    * offset plus a window WITHIN the band. No stage ever sees the
+    * whole corpus in one partition — the textbook scalable cumsum. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 15000L
+    val scored = withQualityGate(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"n_words", scoreCol.as("score"), $"stop_hits".as("band"))
+    val bandTotals = scored.groupBy($"band").agg(sum($"n_words").as("band_tokens"))
+    val wBand = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals // one row per distinct stop_hits value — tiny
+      .withColumn("offset", coalesce(sum($"band_tokens").over(wBand), lit(0L)))
+      .select($"band", $"offset")
+    val wDoc = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
+    scored.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_tokens", $"offset" + sum($"n_words").over(wDoc))
+      .select($"doc_id", $"score", $"n_words", $"cum_tokens",
+        ($"cum_tokens" <= budget).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language quality quintiles with token mass per bin — the
+    * mixing-prep summary ("how many tokens live in each quality band
+    * of each language"). One shuffle on lang for the ntile window
+    * (languages partition the corpus, so no global sort), one
+    * map-side-combined aggregate. */
+  def qQualityBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withQualityGate(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"lang", $"n_words", scoreCol.as("score"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id")
+    scored.withColumn("bin", ntile(5).over(w))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("sum_tokens"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .select($"lang", $"bin".cast("long").as("bin"), $"n_docs",
+        $"sum_tokens", $"min_score", $"max_score")
+      .orderBy($"lang", $"bin")
+  }
+
   /** Deterministic ~10% corpus sample: md5 of a salted key, first hex
     * byte < 0x1a (26/256 ≈ 10.2%). A pure function of the row key —
     * stable under re-runs, shards and corpus growth (adding documents
@@ -270,8 +326,31 @@ object Quality {
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
     "q_mix_weighted" -> qMixWeighted,
-    "q_attribution" -> qAttribution
+    "q_attribution" -> qAttribution,
+    "q_token_budget" -> qTokenBudget,
+    "q_quality_bins" -> qQualityBins
   )
+
+  /** DuckDB CTE producing doc_id/lang/n_words/score — the shared gate
+    * metrics + integer quality score, mirroring [[withQualityGate]] +
+    * [[scoreCol]]. */
+  private def duckScoreCte: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+       |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+       |  FROM w),
+       |s AS (
+       |  SELECT doc_id, lang, n_words,
+       |    stop_hits * 100000 + COALESCE((sum_wlen * 1000) // nullif(n_words, 0), 0) AS score
+       |  FROM m)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_profile_columns" ->
@@ -425,6 +504,31 @@ object Quality {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY COALESCE(touch, 'direct')
-        |ORDER BY touch_type""".stripMargin
+        |ORDER BY touch_type""".stripMargin,
+
+    "q_token_budget" ->
+      (duckScoreCte +
+        """,
+          |c AS (
+          |  SELECT doc_id, score, n_words,
+          |    CAST(sum(n_words) OVER (ORDER BY score DESC, doc_id
+          |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM s)
+          |SELECT doc_id, score, n_words, cum_tokens,
+          |       cum_tokens <= 15000 AS selected
+          |FROM c ORDER BY doc_id""".stripMargin),
+
+    "q_quality_bins" ->
+      (duckScoreCte +
+        """,
+          |b AS (
+          |  SELECT lang, n_words, score,
+          |         ntile(5) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS bin
+          |  FROM s)
+          |SELECT lang, CAST(bin AS BIGINT) AS bin,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+          |       min(score) AS min_score, max(score) AS max_score
+          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
   )
 }

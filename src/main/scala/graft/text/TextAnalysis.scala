@@ -478,7 +478,11 @@ object TextAnalysis {
       .filter($"tok_a" < $"tok_b" &&
         abs($"len_a" - $"len_b") <= 1 &&
         $"bucket" === greatest($"len_a", $"len_b"))
-      .withColumn("dist", levenshtein($"tok_a", $"tok_b"))
+      // banded bounded Levenshtein (custom codegen'd Expression):
+      // exact distance when ≤ 2, early-exits the DP otherwise — the
+      // verify step is the hot loop at web candidate volumes
+      .withColumn("dist",
+        graft.functions.BoundedLevenshtein.bounded_levenshtein($"tok_a", $"tok_b", 2))
       .filter($"dist" <= 2)
       .select($"tok_a", $"tok_b", $"dist".cast("long").as("dist"))
       .orderBy($"tok_a", $"tok_b")

@@ -52,4 +52,33 @@ class ScaleGuardSpec extends SparkSpec {
     // guard must be invisible at this corpus size; pairs are symmetric-free
     rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
+
+  test("bounded_levenshtein == min(levenshtein, k+1) and stays codegen'd") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde"
+    def rs(n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = Seq(("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+      ("flaw", "lawn"), ("same", "same"), ("ab", "ba"), ("abcd", "dcba")) ++
+      (1 to 500).map(_ => (rs(rnd.nextInt(12)), rs(rnd.nextInt(12))))
+    val df = pairs.toDF("a", "b")
+    for (k <- 0 to 3) {
+      val got = df.select(
+        graft.functions.BoundedLevenshtein.bounded_levenshtein($"a", $"b", k).as("d"),
+        least(levenshtein($"a", $"b"), lit(k + 1)).as("want"),
+        $"a", $"b").collect()
+      got.foreach(r =>
+        assert(r.getInt(0) == r.getInt(1), s"k=$k ${r.getString(2)}/${r.getString(3)}"))
+    }
+    // plan pin over a non-local source (a local Seq constant-folds to
+    // LocalTableScan before any codegen happens)
+    val plan = spark.range(100).select(
+      concat(lit("tok"), ($"id" % 7).cast("string")).as("a"),
+      concat(lit("tok"), ($"id" % 5).cast("string")).as("b"))
+      .select(graft.functions.BoundedLevenshtein.bounded_levenshtein($"a", $"b", 2))
+      .queryExecution.executedPlan.toString
+    // the "*(1)" prefix is the WholeStageCodegen marker: the projection
+    // with the custom expression fused into the generated stage
+    assert(plan.contains("*(1) Project [boundedlevenshtein"), plan)
+  }
 }
