@@ -87,26 +87,31 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
-  /** Per-node triangle counts via degree orientation.
+  /** Per-node triangle counts via degree orientation + adjacency
+    * intersection.
     *
     * Orient {a,b} from the (degree, id)-smaller to the larger endpoint;
-    * every triangle then appears EXACTLY once as a wedge u→v, u→w with
-    * ord(v) < ord(w) closed by the oriented edge v→w. The wedge join
-    * fans out by out-degree only (bounded ~sqrt m under this
-    * orientation — hub nodes get IN-edges, not out-edges), and the
-    * closing check is a plain two-column equi-join. Each triangle then
-    * credits all three corners. */
+    * a triangle u→v, u→w, v→w (ord u < v < w) then surfaces EXACTLY
+    * once at its base edge (u, v) as w ∈ N⁺(u) ∩ N⁺(v) — membership of
+    * w in N⁺(v) IS the closing edge, so no wedge materialization and
+    * no closing semi-join. The r7 rewrite replaced the wedge-join
+    * formulation (≈Σ outdeg² rows shuffled — 20M at sf0.1, 11.6 s)
+    * with per-edge `array_intersect` over collected out-neighbor
+    * arrays: rows produced = actual triangles (closed wedges only).
+    * Out-degree under this orientation is bounded ~sqrt m (hub nodes
+    * take IN-edges), so the arrays stay small and the per-edge
+    * intersection cost is bounded — the standard skew-proof edge-
+    * iterator formulation. Each triangle row credits its 3 corners. */
   def qGraphTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOnEdges(canonicalEdges(spark, dir))
 
-  /** Core wedge-close counting over an explicit canonical (src < dst)
+  /** Core triangle counting over an explicit canonical (src < dst)
     * edge frame — factored out so specs can run it on fixtures. */
   private[graft] def trianglesOnEdges(ce: DataFrame): DataFrame = {
     val deg = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
 
-    // oriented edge (u -> v) with ord(u) < ord(v), carrying deg(v) for
-    // the wedge-ordering condition
+    // oriented edge (u -> v) with ord(u) < ord(v) under (degree, id)
     val oriented = ce
       .join(deg.select(col("node").as("sn"), col("d").as("sd")), col("src") === col("sn"))
       .join(deg.select(col("node").as("dn"), col("d").as("dd")), col("dst") === col("dn"))
@@ -115,17 +120,14 @@ object GraphOps {
           col("src")).otherwise(col("dst")).as("u"),
         when(col("sd") < col("dd") || (col("sd") === col("dd") && col("src") < col("dst")),
           col("dst")).otherwise(col("src")).as("v"))
-      .join(deg.select(col("node").as("vn"), col("d").as("vd")), col("v") === col("vn"))
-      .select(col("u"), col("v"), col("vd"))
 
-    val e1 = oriented.select(col("u"), col("v").as("b"), col("vd").as("bd"))
-    val e2 = oriented.select(col("u"), col("v").as("c"), col("vd").as("cd"))
-    val wedges = e1.join(e2, Seq("u"))
-      .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c")))
-      .select(col("u").as("a"), col("b"), col("c"))
-    val closing = oriented.select(col("u").as("b"), col("v").as("c"))
-    val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
+    // out-neighbor arrays, bounded ~sqrt m by the orientation
+    val adj = oriented.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u").as("a"), col("v").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
 
     tri.select(col("a").as("part"))
       .union(tri.select(col("b").as("part")))

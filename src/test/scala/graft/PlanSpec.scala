@@ -166,7 +166,12 @@ class PlanSpec extends SparkSpec {
     // and they use only the intended broadcast fan-outs
     val executesOnConstruct = Set(
       "q_dedup_components", "q_kmeans", "q_sim_ann_ivf_trained",
-      "q_sim_ann_pq") // pq now writes its stored code table on construct
+      "q_sim_ann_pq", // pq now writes its stored code table on construct
+      // r7: graph queries stage the edge table on construct; the
+      // incremental IVF query builds its partitioned index (rebuild +
+      // merge writes) on construct — its one intended cross fan-out
+      // (broadcast probes x centroids) is pinned by its own PlanSpec test
+      "q_graph_pagerank", "q_graph_triangles", "q_sim_ivf_incremental")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
@@ -222,6 +227,48 @@ class PlanSpec extends SparkSpec {
     val pq = plan(graft.sim.Similarity.qSimAnnPq(spark, sf0001))
     assert(pq.contains("graft_idx_"), pq)
     assert(!pq.contains("min_by"), pq)
+  }
+
+  test("graph queries run on the staged edge table, never re-deriving it") {
+    // the co-occurrence self-join runs ONCE at edge staging; pagerank
+    // rounds and the triangle wedge join must scan the staged parquet,
+    // not re-run the lineitem self-join — and contain no nested loops
+    val pr = plan(graft.graph.GraphOps.qGraphPagerank(spark, sf0001))
+    assert(!pr.contains("lineitem"), pr)
+    assert(!"CartesianProduct|BroadcastNestedLoopJoin".r.findFirstIn(pr).isDefined, pr)
+    val tri = plan(graft.graph.GraphOps.qGraphTriangles(spark, sf0001))
+    assert(!tri.contains("lineitem"), tri)
+    assert(!"CartesianProduct|BroadcastNestedLoopJoin".r.findFirstIn(tri).isDefined, tri)
+  }
+
+  test("incremental IVF search scans the stored partitioned index") {
+    // the search plan reads the cell-partitioned inverted lists from
+    // disk; the only codebook fan-out is the broadcast probe side
+    // (queries x centroids) — corpus assignment is absent
+    val df = graft.sim.IvfIndex.qSimIvfIncremental(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("ivf_"), p) // the stored index dir in the scan
+    // the only cross fan-out is the intended broadcast probes ×
+    // centroids BNLJ (the pre-AQE plan prints that subtree twice until
+    // exchange reuse lands); the index join is an equi BroadcastHashJoin
+    // and NOTHING plans as a shuffle cartesian
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastHashJoin"), exec)
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r
+      .findAllIn(exec).nonEmpty, exec)
+  }
+
+  test("source overlap: equi-join on the shingle, bounded by sources^2") {
+    val p = plan(graft.dedup.Dedup.qSourceOverlap(spark, sf0001))
+    assert(!"CartesianProduct|BroadcastNestedLoopJoin".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("token budget: the corpus-wide running sum is band-partitioned") {
+    // the per-doc cumulative window must carry the band partition key —
+    // an unpartitioned global window would collapse to one task
+    val p = plan(graft.quality.Quality.qTokenBudget(spark, sf0001))
+    assert("windowspecdefinition\\(band#".r.findFirstIn(p).isDefined, p)
   }
 
   test("stratified sample: the k=20 cutoff pushes below the sort (WindowGroupLimit)") {
