@@ -66,22 +66,64 @@ object IvfIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
-  /** Incremental merge of one (micro-)batch: assign against the SAME
-    * stored centroids and append one file per touched cell. Nothing
-    * existing is rewritten — a batch touches only its cells' dirs. */
-  def merge(batch: DataFrame, cents: DataFrame, path: String): Unit =
+  /** Incremental merge of one (micro-)batch keyed by a batch id,
+    * IDEMPOTENT under replay — the exactly-once story for an
+    * append-shaped sink (the MERGE sink gets it from upsert keys; a
+    * plain append must get it from the write protocol):
+    *
+    *  1. assign against the SAME stored centroids and write the batch
+    *     to `_staging/batch=<id>` with mode=overwrite (a retry rewrites
+    *     its own staging, never the index; `_`-prefixed dirs are
+    *     invisible to parquet discovery);
+    *  2. publish each staged cell file into the flat `cell=N` dirs
+    *     under a DETERMINISTIC name (`batch-<id>-part-<i>.parquet`) via
+    *     delete+rename — a replayed batch overwrites exactly its own
+    *     files, so any crash/retry interleaving converges to the
+    *     exactly-once layout. Single-writer maintenance job by design
+    *     (as any table-maintenance path is).
+    *
+    * The published layout is identical to [[rebuild]]'s, so readers,
+    * [[search]] and [[compactCell]] never see batch structure. */
+  def mergeBatch(batch: DataFrame, cents: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val staging = s"$path/_staging/batch=$batchId"
     assignCells(batch, cents)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(hconf)
+    if (fs.exists(stagingPath)) {
+      fs.listStatus(stagingPath)
+        .filter(_.getPath.getName.startsWith("cell="))
+        .foreach { cellDir =>
+          val dest = new org.apache.hadoop.fs.Path(path, cellDir.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(cellDir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).zipWithIndex
+            .foreach { case (f, i) =>
+              val target = new org.apache.hadoop.fs.Path(
+                dest, s"batch-$batchId-part-$i.parquet")
+              fs.delete(target, false) // republish: overwrite own prior file
+              if (!fs.rename(f.getPath, target))
+                sys.error(s"IVF merge publish failed: ${f.getPath} -> $target")
+            }
+        }
+      fs.delete(stagingPath, true)
+    }
+  }
 
   /** Attach the maintenance sink to a stream of new vectors
-    * (vec_id, nv): every micro-batch merges into the index. */
+    * (vec_id, nv): every micro-batch merges into the index,
+    * idempotently per batch id. */
   def streamingMerge(stream: DataFrame, cents: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        merge(batch, cents, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, cents, path, batchId)
       }
       .start()
 
@@ -140,9 +182,9 @@ object IvfIndex {
 
   /** Build the cell-partitioned index once per (session, dir):
     * bootstrap HALF the corpus via [[rebuild]], then grow the other
-    * half via [[merge]] — the exact per-batch call the foreachBatch
-    * sink makes — so the driver-checked search below verifies the
-    * incremental path, not just the one-shot build. */
+    * half via [[mergeBatch]] — the exact per-batch call the
+    * foreachBatch sink makes — so the driver-checked search below
+    * verifies the incremental path, not just the one-shot build. */
   private def indexPath(spark: SparkSession, dir: String): String = {
     val key = spark.sparkContext.applicationId + "|ivfincr|" + dir
     built.getOrElseUpdate(key, {
@@ -150,7 +192,7 @@ object IvfIndex {
       val cents = centroidsOf(n)
       val p = Paths.indexDir(spark, "ivfincr|" + dir)
       rebuild(n.filter(col("vec_id") % 2 === 0), cents, p)
-      merge(n.filter(col("vec_id") % 2 === 1), cents, p)
+      mergeBatch(n.filter(col("vec_id") % 2 === 1), cents, p, batchId = 0L)
       p
     })
   }

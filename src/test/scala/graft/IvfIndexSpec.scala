@@ -89,7 +89,7 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.rebuild(vecsDf(1L to 20L), cents, path)
     // several merges accrete one file per touched cell each
     (0 until 4).foreach(i =>
-      IvfIndex.merge(vecsDf((21L + i * 5) to (25L + i * 5)), cents, path))
+      IvfIndex.mergeBatch(vecsDf((21L + i * 5) to (25L + i * 5)), cents, path, i.toLong))
     val before = searchRows(path)
 
     val touchedCell = spark.read.parquet(path)
@@ -100,6 +100,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(nBefore > 1, s"expected accreted small files, got $nBefore")
     assert(nAfter == 1, s"expected one compacted file, got $nAfter")
     assert(searchRows(path) == before)
+  }
+
+  test("mergeBatch replay is idempotent: same batch id overwrites itself") {
+    val path = base("idem")
+    rm(path)
+    val cents = centsDf
+    IvfIndex.rebuild(vecsDf(1L to 20L), cents, path)
+    IvfIndex.mergeBatch(vecsDf(21L to 30L), cents, path, batchId = 7L)
+    def indexRows: Seq[(Long, Long)] = spark.read.parquet(path)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSeq.sorted
+    val once = indexRows
+    // a foreachBatch retry replays the SAME micro-batch with the same id
+    IvfIndex.mergeBatch(vecsDf(21L to 30L), cents, path, batchId = 7L)
+    assert(indexRows == once, "replayed batch must not double-append")
+    // and a later replay after further batches still converges
+    IvfIndex.mergeBatch(vecsDf(31L to 35L), cents, path, batchId = 8L)
+    val withNext = indexRows
+    IvfIndex.mergeBatch(vecsDf(21L to 30L), cents, path, batchId = 7L)
+    assert(indexRows == withNext)
+    assert(once.map(_._1).distinct.size == 30 && withNext.map(_._1).distinct.size == 35)
   }
 
   test("assignCells == direct Scala L2 argmin with smallest-cell ties") {
