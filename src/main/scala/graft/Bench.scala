@@ -117,7 +117,17 @@ object Bench {
         Seq("q_tr_stream_merge" -> (System.nanoTime() - t0) / 1e9)
       } else Nil
 
-    val results = staging ++ streaming ++
+    // Same attribution policy for the graph module: the co-occurrence
+    // edge table is derived once per corpus and read by both graph
+    // queries — its one-time staging gets its own labeled line.
+    val graphStaging: Seq[(String, Double)] =
+      if (selected.keys.exists(_.startsWith("q_graph_"))) {
+        val t0 = System.nanoTime()
+        graft.graph.GraphOps.stageEdges(spark, sfDir)
+        Seq("q_graph_staging" -> (System.nanoTime() - t0) / 1e9)
+      } else Nil
+
+    val results = staging ++ streaming ++ graphStaging ++
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
