@@ -53,8 +53,8 @@ object HttpIngress {
                 expected.getBytes(UTF_8), sig.getBytes(UTF_8)))
               respond(ex, 403, "forbidden")
             else {
-              append(spark, body, logPath)
-              respond(ex, 200, "ok")
+              val n = append(spark, body, logPath)
+              respond(ex, 200, s"""{"ingested":$n}""")
             }
           }
         } catch {
@@ -67,14 +67,20 @@ object HttpIngress {
   }
 
   /** Parse one request body (JSON array of CloudEvents; a bare object
-    * is accepted as a 1-element array) and append to the log. */
-  private def append(spark: SparkSession, body: String, logPath: String): Unit = {
+    * is accepted as a 1-element array) and append to the log. Returns
+    * the number of events that survived parse+gate and were written. */
+  private def append(spark: SparkSession, body: String, logPath: String): Long = {
     import spark.implicits._
     val arrayBody = if (body.trim.startsWith("[")) body else s"[$body]"
     val envelopes = Seq(arrayBody).toDF("value")
       .select(explode(from_json($"value", ArrayType(Model.cloudEventSchema))).as("ce"))
       .select($"ce.id".as("id"), $"ce.type".as("type"), $"ce.data".as("data"))
-    EventLog.append(Ingest.parse(envelopes), logPath)
+    val parsed = Ingest.parse(envelopes).cache()
+    try {
+      val n = parsed.count()
+      if (n > 0) EventLog.append(parsed, logPath)
+      n
+    } finally { parsed.unpersist(); () }
   }
 
   private def respond(ex: HttpExchange, code: Int, msg: String): Unit = {

@@ -100,6 +100,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("part") -> r.getAs[Long]("degree")).toMap == wantDeg)
   }
 
+  test("randomized Erdős–Rényi graphs: triangles == brute, pagerank == replay") {
+    val rnd = new scala.util.Random(7) // deterministic trials
+    for (trial <- 1 to 10) {
+      val n = 4 + rnd.nextInt(20)
+      val pEdge = 0.15 + rnd.nextDouble() * 0.5
+      val ce = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < pEdge
+      } yield (i.toLong, j.toLong)).toSeq
+      if (ce.nonEmpty) {
+        val got = GraphOps.trianglesOnEdges(ce.toDF("src", "dst")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == bruteTriangles(ce), s"trial $trial n=$n edges=$ce")
+        val sym = ce ++ ce.map(e => (e._2, e._1))
+        val gotPr = GraphOps.pagerankOnEdges(sym.toDF("src", "dst")).collect()
+          .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+        assert(gotPr == replayPagerank(sym), s"trial $trial n=$n")
+      }
+    }
+  }
+
   test("sf0.001 triangles: engine == brute adjacency intersection") {
     val li = Tables.load(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()

@@ -24,7 +24,7 @@ class HttpIngressSpec extends SparkSpec {
   }
 
   test("authenticated POST lands parsed events; bad signature is 403") {
-    val logPath = "target/graft-stage/http-ingress-spec/log"
+    val logPath = "target/graft-test/http-ingress-spec/log"
     rm(logPath)
     val token = "test-auth-token"
     val url = "https://example.test/events" // signed webhook URL
@@ -62,6 +62,51 @@ class HttpIngressSpec extends SparkSpec {
         want.select($"event_id").as[String].collect().sorted.toSeq)
       // date-partitioned layout: pruning-ready event_date dirs
       assert(landed.columns.contains("event_date"))
+    } finally srv.stop()
+  }
+
+  test("socket to report: POSTed corpus derives the same segments as batch") {
+    val logPath = "target/graft-test/http-ingress-spec/e2e-log"
+    rm(logPath)
+    val token = "e2e-token"
+    val url = "https://example.test/events"
+    val srv = HttpIngress.start(spark, token, url, logPath)
+    try {
+      // the full sf0.001 scenario corpus through the live socket, in
+      // webhook-sized batches (one giant body would trip the JSON
+      // parser's string-length limit — and real webhooks batch anyway)
+      val docs = Synth.cloudEvents(spark, sf0001)
+        .select(to_json(struct($"id", $"type", $"data"))).as[String].collect()
+      val client = java.net.http.HttpClient.newHttpClient()
+      docs.grouped(2000).foreach { chunk =>
+        val body = chunk.mkString("[", ",", "]")
+        val sig = Signature.hmacSha1Base64(token)(url, body)
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/"))
+            .header("X-Twilio-Signature", sig)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+        assert(!resp.body().contains("\"ingested\":0"), resp.body())
+      }
+
+      // derive the reporting model from the INGRESSED log and compare
+      // with the batch derivation over the same corpus
+      val fromSocket = graft.taskrouter.Derivation
+        .segments(EventLog.read(spark, logPath))
+      val fromBatch = Synth.segments(spark, sf0001)
+      assert(fromSocket.count() == fromBatch.count())
+      val keyOf = (df: org.apache.spark.sql.DataFrame) => df
+        .select($"conversation_id", $"segment_kind").as[(String, String)]
+        .collect().sorted.toSeq
+      assert(keyOf(fromSocket) == keyOf(fromBatch))
+
+      // and the reference's GET / renders from it
+      val html = graft.report.Report.renderHtml(
+        graft.report.Report.agentsReport(
+          graft.taskrouter.Derivation.agents(EventLog.read(spark, logPath))),
+        graft.report.Report.conversationsReport(fromSocket), maxRows = 50)
+      assert(html.contains("conversations data") && html.contains("<td>"))
     } finally srv.stop()
   }
 }

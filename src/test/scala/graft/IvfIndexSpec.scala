@@ -31,7 +31,7 @@ class IvfIndexSpec extends SparkSpec {
     vecsDf(Seq(1L, 2L, 3L, 4L))
       .select(($"vec_id" - 1).as("cell"), $"nv".as("centv"))
 
-  private def base(sub: String) = s"target/graft-stage/ivf-index-spec/$sub"
+  private def base(sub: String) = s"target/graft-test/ivf-index-spec/$sub"
 
   private def rm(path: String): Unit = {
     def go(f: java.io.File): Unit = {
