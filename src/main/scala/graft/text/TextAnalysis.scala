@@ -509,10 +509,12 @@ object TextAnalysis {
   /** Core of [[qBpeTrain]] over any frame with a `text` column —
     * separated so the randomized property suite can drive it against
     * a direct Scala replay on generated corpora. */
-  private[graft] def bpeTrain(docs: DataFrame): DataFrame = {
+  /** Distinct-token frame with corpus tf and sentinel-spaced symbol
+    * spelling — the shared input of BPE training AND encoding. */
+  private def bpeVocab(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    docs
       .select(explode(tokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"token").agg(count(lit(1)).as("tf"))
@@ -520,9 +522,13 @@ object TextAnalysis {
         array_join(expr(
           "transform(sequence(1, length(token)), i -> substring(token, i, 1))"), " "),
         lit(" ")))
-      .select($"tf", $"syms")
+  }
 
-    def pairCounts(df: DataFrame): DataFrame = df
+  /** tf-weighted adjacent-symbol-pair counts over a (tf, syms) frame. */
+  private def bpePairCounts(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
       .withColumn("arr", split(trim($"syms"), " "))
       .filter(size($"arr") >= 2)
       .select($"tf", explode(expr(
@@ -530,15 +536,32 @@ object TextAnalysis {
           "i -> struct(element_at(arr, i) AS a, element_at(arr, i+1) AS b))")).as("p"))
       .groupBy($"p.a".as("sym_a"), $"p.b".as("sym_b"))
       .agg(sum($"tf").as("pair_count"))
+  }
 
-    val c0 = pairCounts(vocab)
-    val best0 = c0.orderBy($"pair_count".desc, $"sym_a", $"sym_b").limit(1)
+  /** The most frequent pair (lexicographic tiebreak) as a 1-row
+    * (ba, bb) frame — the merge a BPE round learns. */
+  private def bpeBestPair(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.orderBy($"pair_count".desc, $"sym_a", $"sym_b").limit(1)
       .select($"sym_a".as("ba"), $"sym_b".as("bb"))
-    val merged = vocab.crossJoin(broadcast(best0))
+  }
+
+  /** Apply a learned (ba, bb) merge to a syms frame — literal
+    * left-to-right non-overlapping replace, same in both engines. */
+  private def bpeApply(df: DataFrame, best: DataFrame): DataFrame =
+    df.crossJoin(broadcast(best))
       .withColumn("syms", expr(
         "replace(syms, concat(' ', ba, ' ', bb, ' '), concat(' ', ba, bb, ' '))"))
-      .select($"tf", $"syms")
-    val c1 = pairCounts(merged)
+      .drop("ba", "bb")
+
+  private[graft] def bpeTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = bpeVocab(docs).select($"tf", $"syms")
+    val c0 = bpePairCounts(vocab)
+    val merged = bpeApply(vocab, bpeBestPair(c0)).select($"tf", $"syms")
+    val c1 = bpePairCounts(merged)
 
     def top5(df: DataFrame, round: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -550,9 +573,47 @@ object TextAnalysis {
     top5(c0, 0).unionByName(top5(c1, 1)).orderBy($"round", $"rank")
   }
 
+  /** Tokenizer APPLICATION — the other half of [[qBpeTrain]]: encode
+    * the corpus with the two learned merges and account the per-doc
+    * compression (the token-budget input a trained tokenizer changes).
+    *
+    * Scale shape: merges are learned on the DISTINCT-token frame
+    * (repeats collapse before any shuffle) and applied there too — the
+    * per-doc pass is ONE equi-join of the exploded corpus tokens onto
+    * the |vocab|-row encoded lengths plus one map-side-combined
+    * groupBy; the corpus text never carries symbol arrays through a
+    * shuffle. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qBpeEncode]] over any frame with doc_id + text —
+    * separated so the randomized property suite can replay it. */
+  private[graft] def bpeEncode(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = bpeVocab(docs) // token, tf, syms
+    val applied1 = bpeApply(vocab, bpeBestPair(bpePairCounts(vocab)))
+    val applied2 = bpeApply(applied1,
+      bpeBestPair(bpePairCounts(applied1.select($"tf", $"syms"))))
+    val tokenStats = applied2.select($"token",
+      size(split(trim($"syms"), " ")).cast("long").as("n_sym_bpe"),
+      length($"token").cast("long").as("n_chars"))
+    docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .join(tokenStats, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_symbols_char"),
+        sum($"n_sym_bpe").as("n_symbols_bpe"))
+      .select($"doc_id", $"n_words", $"n_symbols_char", $"n_symbols_bpe",
+        expr("(n_symbols_bpe * 1000) div n_symbols_char").as("compression_permille"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_lm" -> qTextBigramLm,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
     "q_text_fuzzy" -> qTextFuzzy,
     "q_text_span_dup" -> qTextSpanDup,
     "q_text_chunk" -> qTextChunk,
@@ -570,6 +631,63 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_encode" ->
+      """WITH tok AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY token),
+        |s0 AS (
+        |  SELECT token, tf, ' ' || array_to_string(
+        |      list_transform(range(1, len(token) + 1), i -> substr(token, i, 1)), ' ')
+        |    || ' ' AS syms
+        |  FROM tok),
+        |p0 AS (
+        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s0) q
+        |  WHERE len(l) >= 2),
+        |c0 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
+        |              CAST(sum(tf) AS BIGINT) AS pair_count
+        |       FROM p0 GROUP BY 1, 2),
+        |b0 AS (SELECT sym_a AS ba, sym_b AS bb FROM c0
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |s1 AS (
+        |  SELECT token, tf, replace(syms,
+        |    ' ' || (SELECT ba FROM b0) || ' ' || (SELECT bb FROM b0) || ' ',
+        |    ' ' || (SELECT ba FROM b0) || (SELECT bb FROM b0) || ' ') AS syms
+        |  FROM s0),
+        |p1 AS (
+        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s1) q
+        |  WHERE len(l) >= 2),
+        |c1 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
+        |              CAST(sum(tf) AS BIGINT) AS pair_count
+        |       FROM p1 GROUP BY 1, 2),
+        |b1 AS (SELECT sym_a AS ba, sym_b AS bb FROM c1
+        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+        |s2 AS (
+        |  SELECT token, replace(syms,
+        |    ' ' || (SELECT ba FROM b1) || ' ' || (SELECT bb FROM b1) || ' ',
+        |    ' ' || (SELECT ba FROM b1) || (SELECT bb FROM b1) || ' ') AS syms
+        |  FROM s1),
+        |ts AS (
+        |  SELECT token,
+        |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_sym_bpe,
+        |    CAST(length(token) AS BIGINT) AS n_chars
+        |  FROM s2),
+        |dt AS (
+        |  SELECT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0)
+        |SELECT dt.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(ts.n_chars) AS BIGINT) AS n_symbols_char,
+        |  CAST(sum(ts.n_sym_bpe) AS BIGINT) AS n_symbols_bpe,
+        |  (CAST(sum(ts.n_sym_bpe) AS BIGINT) * 1000)
+        |    // CAST(sum(ts.n_chars) AS BIGINT) AS compression_permille
+        |FROM dt JOIN ts ON dt.token = ts.token
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin,
+
     "q_bpe_train" ->
       """WITH tok AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf

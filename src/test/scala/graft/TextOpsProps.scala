@@ -197,6 +197,48 @@ object TextOpsProps extends Properties("TextOps") {
       got == expected
     }
 
+  property("bpe encoding equals a direct Scala replay of the 2 merges") =
+    Prop.forAll(bpeDocs) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.bpeEncode(df).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_symbols_char"), r.getAs[Long]("n_symbols_bpe"),
+          r.getAs[Long]("compression_permille"))).toSeq.sortBy(_._1)
+
+      // --- direct replay ---
+      val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def pairCounts(seqs: Map[String, String]): Map[(String, String), Long] =
+        seqs.toSeq.flatMap { case (tok, syms) =>
+          val arr = syms.trim.split(" ", -1)
+          if (arr.length < 2) Nil
+          else arr.init.zip(arr.tail).map(p => p -> tf(tok))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      def applyBest(seqs: Map[String, String]): Map[String, String] = {
+        val c = pairCounts(seqs)
+        if (c.isEmpty) seqs
+        else {
+          val (ba, bb) = c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+          seqs.map { case (tok, syms) =>
+            tok -> syms.replace(s" $ba $bb ", s" $ba$bb ")
+          }
+        }
+      }
+      val s0: Map[String, String] =
+        tf.keys.map(tok => tok -> (" " + tok.toCharArray.mkString(" ") + " ")).toMap
+      val s2 = applyBest(applyBest(s0))
+      val symCount: Map[String, Long] =
+        s2.map { case (tok, syms) => tok -> syms.trim.split(" ", -1).length.toLong }
+      val expected = ds.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ", -1).filter(_.nonEmpty)
+        val chars = toks.map(_.length.toLong).sum
+        val bpe = toks.map(symCount).sum
+        (i.toLong, toks.length.toLong, chars, bpe, bpe * 1000 / chars)
+      }.filter(_._2 > 0).sortBy(_._1)
+      got == expected
+    }
+
   private val sortedDistinctLongs: Gen[Seq[Long]] =
     Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
 
