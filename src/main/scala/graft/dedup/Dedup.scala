@@ -366,6 +366,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Canonical selection over the near-dup clusters with the KEEP-BEST
+    * policy: the longest document wins its cluster (doc_id tiebreak),
+    * everything else is dropped — the production dedup decision
+    * (min-id canonical is replay-convenient; real pipelines keep the
+    * best copy, typically the longest / highest-quality one). One
+    * |dup-docs|-row join onto the components labels + one aggregate;
+    * the cluster frame is tiny relative to the corpus at any scale. */
+  def qDedupClusterPick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sized = qDedupComponents(spark, dir)
+      .select($"doc_id", $"component_id")
+      .join(Tables.load(spark, dir, "documents").select($"doc_id", $"n_chars"),
+        Seq("doc_id"))
+    // max over (n_chars, -doc_id): longest wins, smallest id breaks ties
+    val keepers = sized.groupBy($"component_id")
+      .agg(max_by($"doc_id", struct($"n_chars", -$"doc_id")).as("keep_doc"),
+        count(lit(1)).as("n_members"))
+    sized.join(keepers, Seq("component_id"))
+      .select($"doc_id", $"component_id", $"n_members", $"keep_doc",
+        when($"doc_id" === $"keep_doc", "keep").otherwise("drop").as("action"))
+      .orderBy($"doc_id")
+  }
+
   /** Min-label propagation with a pointer-doubling shortcut
     * (Hash-to-Min flavor — Rastogi et al. 2012, "Finding Connected
     * Components in Map-Reduce"): each round every node takes the min
@@ -542,11 +565,50 @@ object Dedup {
     "q_dedup_simhash_wide" -> qDedupSimhashWide,
     "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_cluster_pick" -> qDedupClusterPick,
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_source_overlap" -> qSourceOverlap
   )
+
+  /** DuckDB CTE chain replaying the LSH-verified near-dup graph +
+    * recursive transitive closure, ending in
+    * `comp(doc_id, component_id)` — shared by the components and
+    * cluster-pick oracles. */
+  private def duckComponentsCte: String =
+    (s"""${duckShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |sig AS (
+      |  SELECT doc_id,
+      |${(0 until MinhashK).map(i =>
+          s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+          .mkString(",\n")}
+      |  FROM d WHERE len(sh) > 0),
+      |banded AS (
+      |${(0 until MinhashK / 2).map(bnd =>
+          s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+          .mkString("\n  UNION ALL\n")}
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |jac AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    (CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000)
+      |      // (CAST(len(x.sh) + len(y.sh) AS BIGINT)
+      |          - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)) AS jac_permille
+      |  FROM cand c
+      |  JOIN d x ON x.doc_id = c.doc_a
+      |  JOIN d y ON y.doc_id = c.doc_b),
+      |edges AS (SELECT doc_a, doc_b FROM jac WHERE jac_permille >= 500),
+      |und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+      |        UNION SELECT doc_b, doc_a FROM edges),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)""".stripMargin)
 
   /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
   private val duckShingleCte =
@@ -676,42 +738,33 @@ object Dedup {
     // the verify chain again, then an undirected transitive closure:
     // component id = min reachable doc (matches min-label propagation)
     "q_dedup_components" ->
-      (s"""${duckShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |sig AS (
-        |  SELECT doc_id,
-        |${(0 until MinhashK).map(i =>
-            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
-            .mkString(",\n")}
-        |  FROM d WHERE len(sh) > 0),
-        |banded AS (
-        |${(0 until MinhashK / 2).map(bnd =>
-            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
-            .mkString("\n  UNION ALL\n")}
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |jac AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    (CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000)
-        |      // (CAST(len(x.sh) + len(y.sh) AS BIGINT)
-        |          - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)) AS jac_permille
-        |  FROM cand c
-        |  JOIN d x ON x.doc_id = c.doc_a
-        |  JOIN d y ON y.doc_id = c.doc_b),
-        |edges AS (SELECT doc_a, doc_b FROM jac WHERE jac_permille >= 500),
-        |und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-        |        UNION SELECT doc_b, doc_a FROM edges),
-        |nodes AS (SELECT DISTINCT a AS doc_id FROM und),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM nodes
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)
+      (duckComponentsCte +
+        """
         |SELECT doc_id, component_id,
         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
         |  CASE WHEN doc_id = component_id THEN 'Y' ELSE 'N' END AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_cluster_pick" ->
+      (duckComponentsCte +
+        """,
+        |sized AS (
+        |  SELECT c.doc_id, c.component_id, doc.n_chars
+        |  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id),
+        |rk AS (
+        |  SELECT component_id, doc_id,
+        |         row_number() OVER (PARTITION BY component_id
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM sized),
+        |keep AS (SELECT component_id, doc_id AS keep_doc FROM rk WHERE rn = 1),
+        |nm AS (SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM sized GROUP BY component_id)
+        |SELECT s.doc_id, s.component_id, nm.n_members, keep.keep_doc,
+        |  CASE WHEN s.doc_id = keep.keep_doc THEN 'keep' ELSE 'drop' END AS action
+        |FROM sized s
+        |JOIN keep ON keep.component_id = s.component_id
+        |JOIN nm ON nm.component_id = s.component_id
+        |ORDER BY s.doc_id""".stripMargin),
 
     "q_dedup_simhash" ->
       (s"""WITH tok AS (

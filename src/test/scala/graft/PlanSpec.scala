@@ -159,7 +159,9 @@ class PlanSpec extends SparkSpec {
     val intended = Set(
       "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall",
-      "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train")
+      "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train",
+      // encode applies the same 1-row learned-pair broadcasts as training
+      "q_bpe_encode")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -171,7 +173,9 @@ class PlanSpec extends SparkSpec {
       // incremental IVF query builds its partitioned index (rebuild +
       // merge writes) on construct — its one intended cross fan-out
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
-      "q_graph_pagerank", "q_graph_triangles", "q_sim_ivf_incremental")
+      "q_graph_pagerank", "q_graph_triangles", "q_sim_ivf_incremental",
+      // runs the components label-propagation rounds on construct
+      "q_dedup_cluster_pick")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
