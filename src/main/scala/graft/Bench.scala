@@ -11,7 +11,10 @@ object Bench {
   private val ScalingQueries = Seq(
     "q_text_span_dup", "q_text_rollhash", "q_vocab_cms_est", "q_unpivot",
     "q_quality_repetition", "q_text_bpe", "q_sql_tpch5", "q_sql_tpch9",
-    "q_sim_ann_ivf_trained", "q_dedup_simhash_pairs")
+    "q_sim_ann_ivf_trained", "q_dedup_simhash_pairs",
+    // r7 heavies: staged-edge graph analytics (staging charged to the
+    // first query per sf, as in the full bench)
+    "q_graph_pagerank", "q_graph_triangles")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

@@ -109,12 +109,16 @@ object GraftFunctions {
     }
 }
 
-/** SparkSessionExtensions hook: `spark.sql("SELECT cosine_sim(a, b)")`
-  * via `.withExtensions(new GraftExtensions)` or the
-  * spark.sql.extensions conf. */
+/** The ONE SparkSessionExtensions entry point for the engine:
+  * SQL-callable custom expressions, the bounded-Levenshtein optimizer
+  * rewrite, and the as-of join planner strategy. Use
+  * `.withExtensions(new GraftExtensions)` or the spark.sql.extensions
+  * conf. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.sortedIntersectCount)
+    ext.injectOptimizerRule(_ => BoundLevenshteinRule)
+    graft.plans.AsOfJoin.register(ext)
   }
 }

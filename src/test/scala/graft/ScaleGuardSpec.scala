@@ -53,6 +53,35 @@ class ScaleGuardSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("optimizer rewrites levenshtein-vs-literal predicates to the banded form") {
+    val df = spark.range(200).select(
+      concat(lit("tok"), ($"id" % 17).cast("string")).as("a"),
+      concat(lit("tkk"), ($"id" % 13).cast("string")).as("b"))
+    df.createOrReplaceTempView("lev_pairs")
+
+    // users write the builtin; the optimized plan carries the banded form
+    val q = spark.sql("SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2")
+    assert(q.queryExecution.optimizedPlan.toString.contains("boundedlevenshtein"),
+      q.queryExecution.optimizedPlan.toString)
+    // and the rewrite is answer-preserving vs the un-rewritten semantics
+    val want = df.filter(least(levenshtein($"a", $"b"), lit(3)) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet == want)
+
+    // strict <, and mirrored literal-first forms rewrite too
+    for (pred <- Seq("levenshtein(a, b) < 3", "2 >= levenshtein(a, b)",
+        "3 > levenshtein(a, b)")) {
+      val p = spark.sql(s"SELECT a FROM lev_pairs WHERE $pred")
+      assert(p.queryExecution.optimizedPlan.toString.contains("boundedlevenshtein"), pred)
+      assert(p.collect().map(_.getString(0)).toSeq.sorted ==
+        q.select($"a").collect().map(_.getString(0)).toSeq.sorted, pred)
+    }
+
+    // a bare projection of the distance is NOT rewritten (no bound to exploit)
+    val proj = spark.sql("SELECT levenshtein(a, b) AS d FROM lev_pairs")
+    assert(!proj.queryExecution.optimizedPlan.toString.contains("boundedlevenshtein"))
+  }
+
   test("bounded_levenshtein == min(levenshtein, k+1) and stays codegen'd") {
     val rnd = new scala.util.Random(42)
     val alpha = "abcde"
