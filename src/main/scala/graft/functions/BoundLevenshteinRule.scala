@@ -16,8 +16,15 @@ import org.apache.spark.sql.types.IntegerType
   * This is the (b)-tier extension story end to end: users write the
   * builtin, Catalyst swaps in the cheaper expression — the same
   * contract as Spark's own `Levenshtein(..., threshold)` pushdown for
-  * its SQL threshold form, extended to plain comparisons. Registered
-  * via `GraftExtensions` (injectOptimizerRule).
+  * its SQL threshold form, extended to plain comparisons.
+  *
+  * Registered via `GraftExtensions` as a PRE-CBO rule (a run-ONCE
+  * batch), NOT injectOptimizerRule: the operator-optimization batch is
+  * a fix-point loop, so a rule there re-traverses every expression of
+  * every plan per iteration — measured +6 s staging / +13 s streaming
+  * at sf0.1 on the wide TaskRouter plans (thousands of expression
+  * nodes, re-optimized per micro-batch). The rewrite is single-pass
+  * and idempotent; Once placement keeps it free.
   */
 object BoundLevenshteinRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -118,7 +118,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.sortedIntersectCount)
-    ext.injectOptimizerRule(_ => BoundLevenshteinRule)
+    // run-ONCE batch — see BoundLevenshteinRule's doc for why not the
+    // fix-point operator-optimization batch
+    ext.injectPreCBORule(_ => BoundLevenshteinRule)
     graft.plans.AsOfJoin.register(ext)
   }
 }
