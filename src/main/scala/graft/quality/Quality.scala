@@ -317,6 +317,60 @@ object Quality {
       .orderBy($"col_name")
   }
 
+  /** PII patterns shared by the batch query and specs. Written in the
+    * common subset of Java regex and RE2 (no lookaround, no backrefs,
+    * `\b` word boundaries, non-capturing groups) so the Spark plan and
+    * the DuckDB oracle match occurrence-for-occurrence. */
+  private[graft] final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] final val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] final val PhoneRe = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** Adds detection counts + the redacted text to any frame with a text
+    * column `t`: emails → `[EMAIL]`, IPv4 → `[IP]`, phone → `[PHONE]`,
+    * replacements applied in that fixed order; counts are taken on the
+    * un-redacted text. Pure per-row regex expressions — scan speed,
+    * zero shuffle, fully codegen'd. */
+  private[graft] def withPiiScrub(df: DataFrame): DataFrame = df
+    .withColumn("n_email",
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long"))
+    .withColumn("n_ip",
+      size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).cast("long"))
+    .withColumn("n_phone",
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long"))
+    .withColumn("clean_text",
+      regexp_replace(regexp_replace(regexp_replace(
+        col("t"), EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]"))
+
+  /** PII detection + redaction over the corpus (reference analog: the
+    * event payloads the reference stores verbatim — addresses/contact
+    * attributes in `routes/events.js` worker attributes — would need
+    * exactly this scrub before training on them).
+    *
+    * The synthetic corpus carries no PII, so the query scrubs a
+    * deterministically augmented view: each doc gets a doc_id-derived
+    * contact header (email + IPv4 + phone) appended, giving every row
+    * known positives while the raw text is still scanned end-to-end
+    * (its zero matches are part of the checked contract). Counts are
+    * exact integers; redaction is string-deterministic — the DuckDB
+    * oracle replays both bit-for-bit. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.org from 10."),
+        (col("doc_id") % 200).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 250).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"),
+        lit(" tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0")).as("t"))
+    withPiiScrub(aug)
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> qProfileColumns,
     "q_quality_gopher" -> qQualityGopher,
@@ -328,7 +382,8 @@ object Quality {
     "q_mix_weighted" -> qMixWeighted,
     "q_attribution" -> qAttribution,
     "q_token_budget" -> qTokenBudget,
-    "q_quality_bins" -> qQualityBins
+    "q_quality_bins" -> qQualityBins,
+    "q_pii_scrub" -> qPiiScrub
   )
 
   /** DuckDB CTE producing doc_id/lang/n_words/score — the shared gate
@@ -529,6 +584,28 @@ object Quality {
           |       CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_words) AS BIGINT) AS sum_tokens,
           |       min(score) AS min_score, max(score) AS max_score
-          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    "q_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.org from 10.' ||
+         |    CAST(doc_id % 200 AS VARCHAR) || '.' ||
+         |    CAST((doc_id * 7) % 250 AS VARCHAR) || '.' ||
+         |    CAST(doc_id % 250 AS VARCHAR) ||
+         |    ' tel 555-' ||
+         |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |    lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$Ipv4Re', '[IP]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g') AS clean_text
+         |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

@@ -106,4 +106,54 @@ class QualitySpec extends SparkSpec {
     val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 user_id hash exchange, got $exchanges\n$p")
   }
+
+  test("pii scrub: fixture texts redact and count exactly") {
+    val fixtures = Seq(
+      // (input, expected clean, n_email, n_ip, n_phone)
+      ("mail me at jane.doe+spam@sub.example.co.uk today",
+        "mail me at [EMAIL] today", 1L, 0L, 0L),
+      ("two contacts: a@b.io and c_d%x@ex.org.",
+        "two contacts: [EMAIL] and [EMAIL].", 2L, 0L, 0L),
+      ("server 192.168.0.1 fell over; failover 10.0.0.255 took it",
+        "server [IP] fell over; failover [IP] took it", 0L, 2L, 0L),
+      ("call 555-123-4567 or 555 987 6543 now",
+        "call [PHONE] or [PHONE] now", 0L, 0L, 2L),
+      ("all three: bob@x.dev from 8.8.8.8 tel 123-456-7890",
+        "all three: [EMAIL] from [IP] tel [PHONE]", 1L, 1L, 1L),
+      ("10.1.2.3", "[IP]", 0L, 1L, 0L), // entire string is the match
+      ("no pii here at all", "no pii here at all", 0L, 0L, 0L),
+      // a bare 4-dot-group version string matches the IPv4 shape (a
+      // documented false-positive class of the pattern); a letter
+      // prefix blocks the \b, a 3-group version lacks a 4th octet
+      ("release 1.2.3.4 shipped; v1.2.3.4 and 1.2.3 do not match",
+        "release [IP] shipped; v1.2.3.4 and 1.2.3 do not match", 0L, 1L, 0L))
+    val df = fixtures.map(_._1).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val got = graft.quality.Quality.withPiiScrub(df)
+      .select($"doc_id", $"clean_text", $"n_email", $"n_ip", $"n_phone")
+      .collect().sortBy(_.getLong(0))
+    fixtures.zip(got).foreach { case ((in, clean, ne, ni, np), r) =>
+      assert(r.getString(1) == clean, s"input: $in")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((ne, ni, np)), s"input: $in")
+    }
+  }
+
+  test("pii scrub query: every doc gets its synthetic header scrubbed; raw text stays clean") {
+    val rows = Quality.qPiiScrub(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the appended header contributes exactly one of each; the raw
+      // corpus text none
+      assert(r.getAs[Long]("n_email") == 1L)
+      assert(r.getAs[Long]("n_ip") == 1L)
+      assert(r.getAs[Long]("n_phone") == 1L)
+      val clean = r.getAs[String]("clean_text")
+      // "user<id>" is consumed by the email local part
+      assert(clean.endsWith(" contact [EMAIL] from [IP] tel [PHONE]"),
+        clean.takeRight(80))
+    }
+    // scan-speed contract: no shuffle anywhere in the scrub
+    assert(!plan(Quality.qPiiScrub(spark, sf0001))
+      .contains("Exchange hashpartitioning"))
+  }
 }
