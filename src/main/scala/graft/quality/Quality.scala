@@ -371,6 +371,72 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Code-vs-prose heuristic per document: symbol-character density and
+    * programming-keyword density, combined into a fixed-point ppm score
+    * with a hard threshold — the cheap first-pass classifier a training
+    * mix needs before routing docs to code/prose pipelines. Pure
+    * per-row expressions (scan speed, zero shuffle).
+    *
+    * The synthetic corpus is pure prose, so the query scores a
+    * deterministically augmented view: each doc gets `doc_id % 20`
+    * repetitions of a statement snippet appended — a genuine two-class
+    * distribution (scores 0..~200k ppm; the %20==0 docs plus long
+    * low-repeat docs fall below the threshold). */
+  /** Adds the code-score columns to any frame with a text column `t` —
+    * shared by the batch query and fixture specs. */
+  private[graft] def withCodeScore(df: DataFrame): DataFrame = df
+    .withColumn("n_chars", length(col("t")).cast("long"))
+    .withColumn("n_sym",
+      (length(col("t")) -
+        length(regexp_replace(col("t"), "[{}();=+<>\\[\\]]", ""))).cast("long"))
+    .withColumn("ws", expr("filter(split(t, '\\\\s+'), w -> w <> '')"))
+    .withColumn("n_words", size(col("ws")).cast("long"))
+    .withColumn("kw_hits", expr(
+      "size(filter(ws, w -> w IN ('if','return','def','class','for','while','import','var','val')))")
+      .cast("long"))
+    .withColumn("sym_ppm", expr("(n_sym * 1000000) div n_chars"))
+    .withColumn("kw_ppm", expr("(kw_hits * 1000000) div n_words"))
+    .withColumn("code_score_ppm", expr("(sym_ppm + kw_ppm) div 2"))
+    .withColumn("is_code", col("code_score_ppm") >= 15000)
+
+  def qCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    withCodeScore(Tables.load(spark, dir, "documents")
+      .withColumn("t", expr(
+        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .select(col("doc_id"), col("n_sym"), col("kw_hits"), col("sym_ppm"),
+        col("kw_ppm"), col("code_score_ppm"), col("is_code"))
+      .orderBy(col("doc_id"))
+
+  /** Distribution drift between two time periods of the event stream:
+    * value-histogram shares per event type (10 fixed-width bins),
+    * reference period vs current period, with the per-bin share delta
+    * in ppm — the monitor that catches a drifting metric before it
+    * poisons a training mix.
+    *
+    * All fixed-point integer arithmetic (shares in ppm via integral
+    * div) — no `ln`, so no last-ulp divergence vs the oracle. One
+    * map-side-combined shuffle on (event_type, bin) — the period split
+    * is folded into conditional sums, NOT a grouping key, so ref and
+    * cur land in the same row with no pivot; the per-type totals frame
+    * (5 rows) broadcasts back. */
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("bin", least(lit(9L), floor(col("value") / 50).cast("long")))
+      .withColumn("is_ref", col("ts") < lit("2024-01-16").cast("timestamp"))
+    val counts = ev.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("ref_n")).as("ref_total"), sum(col("cur_n")).as("cur_total"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .withColumn("ref_ppm", expr("(ref_n * 1000000) div ref_total"))
+      .withColumn("cur_ppm", expr("(cur_n * 1000000) div cur_total"))
+      .withColumn("drift_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+      .select(col("event_type"), col("bin"), col("ref_n"), col("cur_n"),
+        col("ref_ppm"), col("cur_ppm"), col("drift_ppm"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> qProfileColumns,
     "q_quality_gopher" -> qQualityGopher,
@@ -383,7 +449,9 @@ object Quality {
     "q_attribution" -> qAttribution,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
-    "q_pii_scrub" -> qPiiScrub
+    "q_pii_scrub" -> qPiiScrub,
+    "q_code_detect" -> qCodeDetect,
+    "q_quality_drift" -> qQualityDrift
   )
 
   /** DuckDB CTE producing doc_id/lang/n_words/score — the shared gate
@@ -606,6 +674,57 @@ object Quality {
          |    '$EmailRe', '[EMAIL]', 'g'),
          |    '$Ipv4Re', '[IP]', 'g'),
          |    '$PhoneRe', '[PHONE]', 'g') AS clean_text
-         |FROM aug ORDER BY doc_id""".stripMargin
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q_code_detect" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' ' || repeat('if (x) { y = x + 1; return y; } ',
+        |                          CAST(doc_id % 20 AS INT)) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_chars,
+        |    CAST(len(t) - len(regexp_replace(t, '[{}();=+<>\[\]]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+        |      w -> w IN ('if','return','def','class','for','while','import','var','val')))
+        |      AS BIGINT) AS kw_hits,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'), w -> w <> ''))
+        |      AS BIGINT) AS n_words
+        |  FROM aug),
+        |s AS (
+        |  SELECT doc_id, n_sym, kw_hits,
+        |    (n_sym * 1000000) // n_chars AS sym_ppm,
+        |    (kw_hits * 1000000) // n_words AS kw_ppm
+        |  FROM m)
+        |SELECT doc_id, n_sym, kw_hits, sym_ppm, kw_ppm,
+        |  (sym_ppm + kw_ppm) // 2 AS code_score_ppm,
+        |  ((sym_ppm + kw_ppm) // 2 >= 15000) AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quality_drift" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bin,
+        |    (ts < TIMESTAMP '2024-01-16') AS is_ref
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |  FROM b GROUP BY event_type, bin),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+        |    CAST(SUM(cur_n) AS BIGINT) AS cur_total
+        |  FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.bin, c.ref_n, c.cur_n,
+        |  (c.ref_n * 1000000) // t.ref_total AS ref_ppm,
+        |  (c.cur_n * 1000000) // t.cur_total AS cur_ppm,
+        |  ABS((c.ref_n * 1000000) // t.ref_total -
+        |      (c.cur_n * 1000000) // t.cur_total) AS drift_ppm
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin
   )
 }

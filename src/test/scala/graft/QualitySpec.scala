@@ -156,4 +156,62 @@ class QualitySpec extends SparkSpec {
     assert(!plan(Quality.qPiiScrub(spark, sf0001))
       .contains("Exchange hashpartitioning"))
   }
+
+  test("code detect: real code scores high, prose scores low") {
+    val fixtures = Seq(
+      ("""def fib(n): return n if n < 2 else fib(n-1) + fib(n-2)""", true),
+      ("""for (i = 0; i < 10; i++) { sum += a[i]; }""", true),
+      ("""import os; class Foo: pass""", true),
+      ("the quick brown fox jumps over the lazy dog and keeps running", false),
+      ("we discussed the quarterly report over coffee this morning", false))
+    val df = fixtures.map(_._1).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val got = Quality.withCodeScore(df)
+      .select($"doc_id", $"is_code", $"code_score_ppm", $"sym_ppm", $"kw_ppm",
+        $"n_sym", $"n_chars", $"kw_hits", $"n_words")
+      .collect().sortBy(_.getLong(0))
+    fixtures.zip(got).foreach { case ((in, isCode), r) =>
+      assert(r.getBoolean(1) == isCode, s"input: $in score=${r.getLong(2)}")
+      // score identities hold row by row
+      assert(r.getLong(3) == r.getLong(5) * 1000000L / r.getLong(6))
+      assert(r.getLong(4) == r.getLong(7) * 1000000L / r.getLong(8))
+      assert(r.getLong(2) == (r.getLong(3) + r.getLong(4)) / 2)
+    }
+  }
+
+  test("code detect query: two-class output with consistent threshold") {
+    val rows = Quality.qCodeDetect(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_code") == (r.getAs[Long]("code_score_ppm") >= 15000L))
+      assert(r.getAs[Long]("code_score_ppm") ==
+        (r.getAs[Long]("sym_ppm") + r.getAs[Long]("kw_ppm")) / 2)
+    }
+    val (code, prose) = rows.partition(_.getAs[Boolean]("is_code"))
+    assert(code.nonEmpty && prose.nonEmpty)
+    assert(!plan(Quality.qCodeDetect(spark, sf0001))
+      .contains("Exchange hashpartitioning"))
+  }
+
+  test("drift: shares sum to ~1e6 per side, deltas consistent, totals broadcast") {
+    val rows = Quality.qQualityDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("ref_ppm") - r.getAs[Long]("cur_ppm")))
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      // integral-div floors: each side's ppm shares sum to 1e6 minus at
+      // most one ulp-per-bin of rounding
+      val refSum = rs.map(_.getAs[Long]("ref_ppm")).sum
+      val curSum = rs.map(_.getAs[Long]("cur_ppm")).sum
+      assert(refSum <= 1000000L && refSum > 1000000L - rs.length, s"$et refSum=$refSum")
+      assert(curSum <= 1000000L && curSum > 1000000L - rs.length, s"$et curSum=$curSum")
+    }
+    // the 5-row totals frame must ride a broadcast, not shuffle the counts
+    val p = plan(Quality.qQualityDrift(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
