@@ -419,9 +419,15 @@ object Quality {
     * is folded into conditional sums, NOT a grouping key, so ref and
     * cur land in the same row with no pivot; the per-type totals frame
     * (5 rows) broadcasts back. */
+  /** The drift histogram's bin assignment — ONE definition shared by
+    * the batch monitor and the streaming feed (`streaming.StreamAggs
+    * .driftHistogram`) so the two legs cannot disagree on binning. */
+  private[graft] def valueBin: Column =
+    least(lit(9L), floor(col("value") / 50).cast("long"))
+
   def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-      .withColumn("bin", least(lit(9L), floor(col("value") / 50).cast("long")))
+      .withColumn("bin", valueBin)
       .withColumn("is_ref", col("ts") < lit("2024-01-16").cast("timestamp"))
     val counts = ev.groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),

@@ -28,4 +28,21 @@ object StreamAggs {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Streaming leg of the drift monitor (`Quality.qQualityDrift`):
+    * per-period value histograms as a watermarked tumbling-window
+    * aggregate — one finalized row per (period, event_type, bin) once
+    * the watermark passes the window end (append mode, state evicted).
+    * The bin assignment is `Quality.valueBin`, the SAME expression the
+    * batch monitor uses, so the two legs cannot disagree. Downstream,
+    * consecutive emitted periods feed the batch ppm compare unchanged.
+    * State is O(open windows × types × bins) — bounded, tiny. */
+  def driftHistogram(events: DataFrame, tsCol: String, watermark: String,
+      period: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .withColumn("bin", graft.quality.Quality.valueBin)
+      .groupBy(window(col(tsCol), period), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("period_start"),
+        col("event_type"), col("bin"), col("n"))
 }

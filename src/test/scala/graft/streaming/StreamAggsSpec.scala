@@ -46,4 +46,51 @@ class StreamAggsSpec extends SparkSpec {
     // carol's 11:00 session closed once the 12:00 event moved the watermark
     assert(rows.contains(("carol", ts("2026-08-12 11:00:00"), ts("2026-08-12 11:01:00"), 1L)), rows)
   }
+
+  test("drift histogram: windows finalize on watermark passage and match the batch leg") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val hist = StreamAggs.driftHistogram(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermark = "0 seconds", period = "1 hour")
+
+    val data = Seq(
+      // hour 10: two clicks land in bin 0 (value<50), one in bin 9 (capped)
+      (ts("2026-08-12 10:05:00"), "click", 12.0),
+      (ts("2026-08-12 10:10:00"), "click", 49.99),
+      (ts("2026-08-12 10:20:00"), "click", 700.0),
+      (ts("2026-08-12 10:30:00"), "view", 75.0),
+      // hour 11: shifted distribution
+      (ts("2026-08-12 11:05:00"), "click", 260.0),
+      (ts("2026-08-12 11:06:00"), "click", 260.5))
+    val q = hist.writeStream.format("memory").queryName("drift_hist")
+      .outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // push the watermark past both hours so every window emits
+      input.addData((ts("2026-08-12 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("drift_hist")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    val want = Set(
+      (ts("2026-08-12 10:00:00"), "click", 0L, 2L),
+      (ts("2026-08-12 10:00:00"), "click", 9L, 1L),
+      (ts("2026-08-12 10:00:00"), "view", 1L, 1L),
+      (ts("2026-08-12 11:00:00"), "click", 5L, 2L))
+    assert(got == want, got)
+
+    // batch equivalence: the same frame through a batch window agg with
+    // the shared bin expression produces the identical finalized rows
+    import org.apache.spark.sql.functions._
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type",
+        least(lit(9L), floor($"value" / 50).cast("long")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"bin", $"n")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(batch == want, batch)
+  }
 }
