@@ -84,7 +84,13 @@ object GraphOps {
     for (_ <- 1 to Iterations) {
       val contrib = ranks.join(deg, ranks("node") === deg("src"))
         .select(ranks("node").as("cnode"), expr("pr div outdeg").as("c"))
-      ranks = edges.join(contrib, edges("src") === col("cnode"))
+      // build the shuffled hash join on the node-sized contrib frame;
+      // without the hint the planner broadcasts the EDGE side (its
+      // staged parquet sits under the broadcast threshold) — backwards
+      // at any scale, and it re-broadcasts every round. Shuffling
+      // partitions edges on src once; ReuseExchange shares it.
+      ranks = edges.join(contrib.hint("shuffle_hash"),
+          edges("src") === col("cnode"))
         .groupBy(edges("dst").as("node"))
         .agg(expr(s"cast(${Scale * 15 / 100}L + ($Damp * sum(c)) div 100 as bigint)")
           .as("pr"))
@@ -169,9 +175,13 @@ object GraphOps {
     * A survivor whose surviving neighbors all dropped has no edges left
     * and therefore no output row (degree-0 nodes are not in the core). */
   private[graft] def kcoreOnEdges(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // build both survivor joins on the node-sized alive frame (see
+    // lpaOnEdges: the edge scan would otherwise be the broadcast side)
     def degWithin(alive: DataFrame): DataFrame = sym
-      .join(alive.select(col("node").as("sa")), col("src") === col("sa"))
-      .join(alive.select(col("node").as("da")), col("dst") === col("da"))
+      .join(alive.select(col("node").as("sa")).hint("shuffle_hash"),
+        col("src") === col("sa"))
+      .join(alive.select(col("node").as("da")).hint("shuffle_hash"),
+        col("dst") === col("da"))
       .groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // round 1's survivor set is "all nodes": degree comes straight off
     // the edge table, no identity joins
@@ -200,17 +210,37 @@ object GraphOps {
     lpaOnEdges(symmetricEdges(spark, dir), LpaRounds)
 
   /** Core LPA rounds over an explicit symmetric edge frame — factored
-    * out so specs can replay them on fixtures. */
+    * out so specs can replay them on fixtures.
+    *
+    * The per-node argmax-count/argmin-label vote is realized as a
+    * plain `max` over the packed BIGINT `c * 2^40 - lbl`: maximizing
+    * it maximizes the count and, on ties, minimizes the label, and a
+    * plain min/max aggregate is hash-aggregable with map-side partial
+    * combine — `min_by` over a struct ordering key falls back to
+    * SortAggregate (measured: two extra whole-grid sorts per round).
+    * The label is shifted by one inside the key (ids are 0-based), so
+    * the packing requires 0 <= label < 2^40 - 1 (~1.1e12) and
+    * count < 2^23 — both loudly safe for part keys and degree-bounded
+    * votes. Decoding: c = (key div 2^40) + 1, lbl = c·2^40 - key - 1. */
   private[graft] def lpaOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
-      val votes = sym.join(labels, sym("src") === labels("node"))
+      // shuffled hash join, building on the per-node label frame: the
+      // staged edge parquet sits under the broadcast threshold, so the
+      // planner would otherwise broadcast the EDGE side every round —
+      // backwards at any scale (labels is the node-sized frame, edges
+      // the m-sized one). Shuffling instead partitions edges on src
+      // ONCE (ReuseExchange shares it across rounds) and labels tiny.
+      val votes = sym.join(labels.hint("shuffle_hash"),
+          sym("src") === labels("node"))
         .groupBy(sym("dst").as("n"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       labels = votes
         .groupBy(col("n").as("node"))
-        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .agg(max(expr("c * 1099511627776L - (lbl + 1L)")).as("k"))
+        .select(col("node"),
+          expr("((k div 1099511627776L) + 1L) * 1099511627776L - k - 1L").as("lbl"))
     }
     labels.select(col("node").as("part"), col("lbl").as("community"))
       .orderBy(col("part"))
