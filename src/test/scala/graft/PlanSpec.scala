@@ -246,6 +246,34 @@ class PlanSpec extends SparkSpec {
     assert(!"CartesianProduct|BroadcastNestedLoopJoin".r.findFirstIn(tri).isDefined, tri)
   }
 
+  test("iterative graph rounds join shuffled, never broadcasting the edge scan") {
+    // the staged edge parquet sits under the broadcast threshold, so
+    // without the shuffle_hash hints the planner would broadcast the
+    // m-sized EDGE side of every round's join (re-broadcast per round,
+    // backwards at scale). Pin: rounds are shuffled hash joins, and no
+    // broadcast carries a raw edge scan — broadcasts of NODE-sized
+    // aggregates (deg, contrib) are legitimate and stay allowed.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def scanWithoutAgg(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: FileSourceScanExec => true
+      case other => other.children.exists(scanWithoutAgg)
+    }
+    for (q <- Seq(
+        graft.graph.GraphOps.qGraphPagerank(spark, sf0001),
+        graft.graph.GraphOps.qGraphKcore(spark, sf0001),
+        graft.graph.GraphOps.qGraphCommunities(spark, sf0001))) {
+      val sp = q.queryExecution.sparkPlan
+      assert(sp.toString.contains("ShuffledHashJoin"), sp)
+      val rawEdgeBroadcasts = sp.collect {
+        case b: BroadcastExchangeExec if b.children.exists(scanWithoutAgg) => b
+      }
+      assert(rawEdgeBroadcasts.isEmpty, sp)
+    }
+  }
+
   test("incremental IVF search scans the stored partitioned index") {
     // the search plan reads the cell-partitioned inverted lists from
     // disk; the only codebook fan-out is the broadcast probe side
