@@ -246,6 +246,45 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  private final val BfsRounds = 3
+
+  /** Multi-source BFS hop labeling: every node's shortest-path distance
+    * (capped at 3 hops) from the deterministic seed set
+    * `partkey % 500 == 0` — the "blast radius" query (which entities
+    * sit within k hops of a flagged set). On this corpus the frontier
+    * exhausts at hop 2 (4 → 424 → 1572 at sf0.01), so the cap is
+    * observably not the binding constraint. */
+  def qGraphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsOnEdges(symmetricEdges(spark, dir),
+      seeds = symmetricEdges(spark, dir)
+        .select(col("src").as("node")).distinct()
+        .filter(col("node") % 500 === 0),
+      rounds = BfsRounds)
+
+  /** Core BFS rounds over explicit symmetric edges + seed frame —
+    * factored out so specs can replay them on fixtures. Each round is
+    * one shuffled hash join of the edge table against the (node-sized)
+    * frontier plus one anti join against the accumulated levels; the
+    * edge exchange is shared across rounds (ReuseExchange), and the
+    * frontier shrinks once the graph saturates. */
+  private[graft] def bfsOnEdges(sym: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var levels = seeds.select(col("node"), lit(0L).as("level"))
+    for (r <- 1 to rounds) {
+      val frontier = levels.filter(col("level") === (r - 1))
+        .select(col("node").as("fnode"))
+      val next = sym
+        .join(frontier.hint("shuffle_hash"), col("src") === col("fnode"))
+        .select(col("dst").as("node")).distinct()
+        .join(levels.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("level"))
+      levels = levels.union(next)
+    }
+    levels.select(col("node").as("part"), col("level"))
+      .orderBy(col("part"))
+  }
+
   // -----------------------------------------------------------------
   // registration
   // -----------------------------------------------------------------
@@ -254,7 +293,8 @@ object GraphOps {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
-    "q_graph_communities" -> qGraphCommunities)
+    "q_graph_communities" -> qGraphCommunities,
+    "q_graph_bfs" -> qGraphBfs)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -343,5 +383,25 @@ object GraphOps {
          |  FROM edges e JOIN l2 r ON e.src = r.node
          |  GROUP BY e.dst, r.lbl) WHERE rn = 1)
          |SELECT node AS part, lbl AS community FROM l3
+         |ORDER BY part""".stripMargin,
+    "q_graph_bfs" ->
+      s"""WITH $edgesCte,
+         |l0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 500 = 0),
+         |f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |       JOIN l0 ON e.src = l0.node
+         |       WHERE e.dst NOT IN (SELECT node FROM l0)),
+         |f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |       JOIN f1 ON e.src = f1.node
+         |       WHERE e.dst NOT IN (SELECT node FROM l0)
+         |         AND e.dst NOT IN (SELECT node FROM f1)),
+         |f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |       JOIN f2 ON e.src = f2.node
+         |       WHERE e.dst NOT IN (SELECT node FROM l0)
+         |         AND e.dst NOT IN (SELECT node FROM f1)
+         |         AND e.dst NOT IN (SELECT node FROM f2))
+         |SELECT node AS part, CAST(0 AS BIGINT) AS level FROM l0
+         |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+         |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+         |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
          |ORDER BY part""".stripMargin)
 }

@@ -192,6 +192,69 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Direct Scala replay of multi-source BFS hop labeling. */
+  private def replayBfs(sym: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var levels: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to rounds) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long])) -- levels.keySet
+      levels ++= next.map(_ -> r.toLong)
+      frontier = next
+    }
+    levels
+  }
+
+  test("fixture BFS: every hop level exercised, engine == replay") {
+    val symDf = fixtureSym.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.bfsOnEdges(symDf, seeds, rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("level")).toMap
+    assert(got == replayBfs(fixtureSym, Set(1L), 3))
+    // hand-checked: 1 at 0; K4 peers + hub 7 at 1; 5 via 4 at 2; 6 at 3
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      5L -> 2L, 6L -> 3L))
+  }
+
+  test("randomized graphs: BFS levels == replay") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(18)
+      val pEdge = 0.1 + rnd.nextDouble() * 0.4
+      val ce = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < pEdge
+      } yield (i.toLong, j.toLong)).toSeq
+      if (ce.nonEmpty) {
+        val sym = ce ++ ce.map(e => (e._2, e._1))
+        val nodes = sym.map(_._1).distinct
+        val seedSet = nodes.filter(_ % 3 == 0).toSet
+        if (seedSet.nonEmpty) {
+          val got = GraphOps.bfsOnEdges(sym.toDF("src", "dst"),
+              seedSet.toSeq.toDF("node"), rounds = 3).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == replayBfs(sym, seedSet, 3), s"trial $trial edges=$ce")
+        }
+      }
+    }
+  }
+
+  test("sf0.001 BFS: engine == replay; frontier exhausts within the cap") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val seeds = sym.map(_._1).distinct.filter(_ % 500 == 0).toSet
+    val got = GraphOps.qGraphBfs(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("level")).toMap
+    assert(got == replayBfs(sym, seeds, 3))
+    assert(got.nonEmpty && got.values.max <= 3)
+  }
+
   test("sf0.001 k-core and LPA: engine == replay on the real graph") {
     val li = Tables.load(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()

@@ -174,7 +174,7 @@ class PlanSpec extends SparkSpec {
       // merge writes) on construct — its one intended cross fan-out
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
-      "q_graph_communities", "q_sim_ivf_incremental",
+      "q_graph_communities", "q_graph_bfs", "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
