@@ -248,6 +248,51 @@ object GraphOps {
 
   private final val BfsRounds = 3
 
+  /** Personalized PageRank from the deterministic seed set
+    * `partkey % 500 == 0` (the same flagged set [[qGraphBfs]] labels):
+    * rank mass teleports back to the SEEDS instead of uniformly, so
+    * high-pr nodes are "entities most reachable from the flagged set
+    * by short weighted walks" — the recommendation / risk-propagation
+    * query. Same fixed-point BIGINT arithmetic and per-round shape as
+    * [[qGraphPagerank]] plus one node-keyed shuffled-hash join per
+    * round to re-apply the seed-only base term (the seed frame reuses
+    * the node partitioning round to round). */
+  def qGraphPpr(spark: SparkSession, dir: String): DataFrame =
+    pprOnEdges(symmetricEdges(spark, dir))
+
+  /** Core personalized-PageRank iteration over an explicit symmetric
+    * edge frame — factored out so specs can replay it on fixtures.
+    *
+    * r_0(v)    = Scale·1{v ∈ S}
+    * r_{k+1}(v) = 15·Scale/100·1{v ∈ S} + (85 · Σ_{u→v} (r_k(u) div outdeg(u))) div 100
+    *
+    * Non-seed zero ranks still flow through the join (contrib 0) so
+    * every round covers every node with an in-edge — no frontier
+    * bookkeeping, identical round shape to the global PageRank. */
+  private[graft] def pprOnEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumn("base",
+        when(col("src") % 500 === 0, lit(Scale * 15 / 100)).otherwise(lit(0L)))
+    var ranks = deg.select(col("src").as("node"),
+      when(col("src") % 500 === 0, lit(Scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to Iterations) {
+      val contrib = ranks.join(deg, ranks("node") === deg("src"))
+        .select(ranks("node").as("cnode"), expr("pr div outdeg").as("c"))
+      ranks = edges.join(contrib.hint("shuffle_hash"),
+          edges("src") === col("cnode"))
+        .groupBy(edges("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .join(deg.select(col("src").as("node"), col("base")).hint("shuffle_hash"),
+          Seq("node"))
+        .select(col("node"),
+          expr(s"cast(base + ($Damp * s) div 100 as bigint)").as("pr"))
+    }
+    ranks
+      .join(deg, ranks("node") === deg("src"))
+      .select(col("node").as("part"), col("outdeg").as("degree"), col("pr"))
+      .orderBy(col("part"))
+  }
+
   /** Multi-source BFS hop labeling: every node's shortest-path distance
     * (capped at 3 hops) from the deterministic seed set
     * `partkey % 500 == 0` — the "blast radius" query (which entities
@@ -294,7 +339,8 @@ object GraphOps {
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_communities" -> qGraphCommunities,
-    "q_graph_bfs" -> qGraphBfs)
+    "q_graph_bfs" -> qGraphBfs,
+    "q_graph_ppr" -> qGraphPpr)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -403,5 +449,32 @@ object GraphOps {
          |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
          |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
+         |ORDER BY part""".stripMargin,
+    "q_graph_ppr" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src, COUNT(*) AS outdeg,
+         |          CASE WHEN src % 500 = 0 THEN CAST(150000000 AS BIGINT)
+         |               ELSE CAST(0 AS BIGINT) END AS base
+         |        FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node,
+         |         CASE WHEN src % 500 = 0 THEN CAST(1000000000 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS pr FROM deg),
+         |r1 AS (SELECT e.dst AS node,
+         |         CAST(MIN(d2.base) + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       JOIN deg d2 ON d2.src = e.dst
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS node,
+         |         CAST(MIN(d2.base) + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       JOIN deg d2 ON d2.src = e.dst
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS node,
+         |         CAST(MIN(d2.base) + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |       JOIN deg d2 ON d2.src = e.dst
+         |       GROUP BY e.dst)
+         |SELECT r3.node AS part, deg.outdeg AS degree, r3.pr
+         |FROM r3 JOIN deg ON deg.src = r3.node
          |ORDER BY part""".stripMargin)
 }

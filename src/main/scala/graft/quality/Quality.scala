@@ -443,6 +443,66 @@ object Quality {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** Hex-bucket SQL for the hashed-token feature space of
+    * [[qImportanceDsir]]: first 2 hex chars of md5("imp|" + operand)
+    * → 0..255, written so the identical expression runs in Spark and
+    * (with substr/`'||'`) DuckDB. */
+  private def impBucketSql(operand: String): String = {
+    val hx = s"md5(cast(concat('imp|', $operand) as binary))"
+    s"cast((instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1) as bigint)"
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more its hashed-token distribution looks
+    * like the TARGET corpus (sources src0-src2, the high-quality mix
+    * tier of [[qMixWeighted]]) than like the raw corpus overall.
+    *
+    * Tokens hash into 256 md5 buckets; each bucket gets an integer
+    * weight = add-one-smoothed target probability minus raw
+    * probability, both in parts-per-million (fixed-point BIGINT — the
+    * oracle is exact, no float log-likelihoods); a document's
+    * importance is the sum of its tokens' bucket weights, and
+    * `target_like` marks docs whose token mix is net target-leaning —
+    * the DSIR resampling key.
+    *
+    * Scale shape (100 TB): ONE map-side-combined shuffle collapses all
+    * tokens to 256 bucket rows; the 256-entry weight map broadcasts
+    * back as a single-row map column; scoring is then a pure per-row
+    * `aggregate` over the token array — scan speed, zero doc-keyed
+    * shuffle, no join back. Every token's bucket exists in the map by
+    * construction (stats come from the same corpus). Bucket counts are
+    * multiplied by 1e6 before the integral division, so counts up to
+    * ~9e12 per bucket fit BIGINT; past that, pre-normalize counts to
+    * permille before weighting. */
+  def qImportanceDsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val bucketed = docs
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .withColumn("b", expr(impBucketSql("token")))
+    val stats = bucketed.groupBy($"b").agg(
+      count(lit(1)).as("r_b"),
+      count(when($"source".isin("src0", "src1", "src2"), 1)).as("t_b"))
+    val tot = stats.agg(sum($"r_b").as("rtot"), sum($"t_b").as("ttot"))
+    val weights = stats.crossJoin(broadcast(tot))
+      .select($"b", (expr("((t_b + 1) * 1000000) div (ttot + 256)") -
+        expr("((r_b + 1) * 1000000) div (rtot + 256)")).as("w"))
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct($"b", $"w"))).as("wmap"))
+    docs.crossJoin(broadcast(wmap))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      .select($"doc_id", $"source",
+        size($"toks").cast("long").as("n_tokens"),
+        expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + wmap[" +
+          impBucketSql("t") + "])").as("imp_score"))
+      .withColumn("imp_score", coalesce($"imp_score", lit(0L)))
+      .withColumn("target_like", $"imp_score" > 0)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> qProfileColumns,
     "q_quality_gopher" -> qQualityGopher,
@@ -452,6 +512,7 @@ object Quality {
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
     "q_mix_weighted" -> qMixWeighted,
+    "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
@@ -600,6 +661,36 @@ object Quality {
         |  count(*) AS n_docs,
         |  CAST(count(CASE WHEN (hv * 1000) // 256 < rate_permille THEN 1 END) AS BIGINT) AS n_kept
         |FROM d GROUP BY source, rate_permille ORDER BY source""".stripMargin,
+
+    "q_importance_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, source,
+        |    (instr('0123456789abcdef', substr(md5('imp|' || token), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('imp|' || token), 2, 1)) - 1) AS b
+        |  FROM tok),
+        |stats AS (
+        |  SELECT b, count(*) AS r_b,
+        |         count(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 END) AS t_b
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT sum(r_b) AS rtot, sum(t_b) AS ttot FROM stats),
+        |w AS (
+        |  SELECT b, ((t_b + 1) * 1000000) // (ttot + 256)
+        |           - ((r_b + 1) * 1000000) // (rtot + 256) AS w
+        |  FROM stats, tot),
+        |ds AS (
+        |  SELECT tb.doc_id, count(*) AS n_tokens, sum(w.w) AS imp_score
+        |  FROM tb JOIN w ON tb.b = w.b
+        |  GROUP BY tb.doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ds.imp_score, 0) AS BIGINT) AS imp_score,
+        |  COALESCE(ds.imp_score, 0) > 0 AS target_like
+        |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -282,6 +282,80 @@ class GraphOpsSpec extends SparkSpec {
     assert(gotC.values.toSet.size < gotC.size)
   }
 
+  /** Direct Scala replay of personalized PageRank: teleport mass goes
+    * only to the seed set (node % 500 == 0), same fixed-point BIGINT
+    * arithmetic as the engine. */
+  private def replayPpr(sym: Seq[(Long, Long)], rounds: Int = 3): Map[Long, Long] = {
+    val outdeg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    def base(n: Long): Long = if (n % 500 == 0) Scale * 15 / 100 else 0L
+    var ranks: Map[Long, Long] =
+      outdeg.map { case (n, _) => n -> (if (n % 500 == 0) Scale else 0L) }
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.map { case (n, pr) => n -> pr / outdeg(n) }
+      val incoming = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => contrib(e._1)).sum
+      }
+      ranks = incoming.map { case (v, s) => v -> (base(v) + (85L * s) / 100) }
+    }
+    ranks
+  }
+
+  // fixture relabeled so the deterministic % 500 seed predicate fires:
+  // node 1 -> 500, node 4 -> 1000 (seeds), others keep their small ids
+  private def pprFixtureSym: Seq[(Long, Long)] = {
+    def m(n: Long): Long = n match { case 1L => 500L; case 4L => 1000L; case x => x }
+    fixtureSym.map { case (a, b) => (m(a), m(b)) }
+  }
+
+  test("fixture PPR: engine == replay; mass stays near the seed set") {
+    val sym = pprFixtureSym
+    val got = GraphOps.pprOnEdges(sym.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+    val want = replayPpr(sym)
+    assert(got == want)
+    // seeds keep their teleport floor; far leaf 6 (3 hops out) ranks
+    // below every seed and below the seeds' direct neighbors
+    assert(got(500L) >= Scale * 15 / 100 && got(1000L) >= Scale * 15 / 100)
+    assert(got(6L) < got(500L) && got(6L) < got(2L))
+  }
+
+  test("randomized graphs: PPR == replay (ids scaled so seeds exist)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(18)
+      val pEdge = 0.15 + rnd.nextDouble() * 0.5
+      // multiply ids by 250 so roughly half the graphs get >=1 seed node
+      val ce = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < pEdge
+      } yield (i.toLong * 250, j.toLong * 250)).toSeq
+      if (ce.nonEmpty) {
+        val sym = ce ++ ce.map(e => (e._2, e._1))
+        val got = GraphOps.pprOnEdges(sym.toDF("src", "dst")).collect()
+          .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+        assert(got == replayPpr(sym), s"trial $trial edges=$ce")
+      }
+    }
+  }
+
+  test("sf0.001 PPR: engine == replay; non-seeds accrue walk mass only") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val got = GraphOps.qGraphPpr(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr")).toMap
+    val want = replayPpr(sym)
+    assert(got == want)
+    val seeds = sym.map(_._1).distinct.filter(_ % 500 == 0).toSet
+    assert(seeds.nonEmpty)
+    // global PR gives every node the teleport floor; PPR must not
+    assert(got.exists { case (n, pr) => !seeds(n) && pr < Scale * 15 / 100 })
+  }
+
   test("sf0.001 triangles: engine == brute adjacency intersection") {
     val li = Tables.load(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()

@@ -214,4 +214,58 @@ class QualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  /** md5("imp|" + token) first byte — the engine's DSIR hash bucket. */
+  private def impBucket(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(("imp|" + token).getBytes("UTF-8"))
+    (d(0) & 0xff).toLong
+  }
+
+  test("DSIR importance: engine == direct Scala replay of the exact arithmetic") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val bucketed = toks.flatMap { case (_, src, ts) => ts.map(t => (src, impBucket(t))) }
+    val rB = bucketed.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val tB = bucketed.filter(x => Set("src0", "src1", "src2")(x._1))
+      .groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val rtot = rB.values.sum; val ttot = tB.values.sum
+    val w = rB.map { case (b, r) =>
+      b -> (((tB.getOrElse(b, 0L) + 1) * 1000000L) / (ttot + 256) -
+        ((r + 1) * 1000000L) / (rtot + 256))
+    }
+    val want = toks.map { case (id, src, ts) =>
+      id -> ((src, ts.size.toLong, ts.map(t => w(impBucket(t))).sum))
+    }.toMap
+    val rows = Quality.qImportanceDsir(spark, sf0001).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (src, n, score) = want(id)
+      assert(r.getAs[String]("source") == src)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id")
+      assert(r.getAs[Long]("imp_score") == score, s"doc $id")
+      assert(r.getAs[Boolean]("target_like") == (score > 0), s"doc $id")
+    }
+    // the target tier must skew positive vs the rest — the operator's point
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val tgtPos = bySrc.filter(_._1 <= "src2").values.flatten
+      .count(_.getAs[Boolean]("target_like"))
+    val restPos = bySrc.filter(_._1 > "src2").values.flatten
+      .count(_.getAs[Boolean]("target_like"))
+    assert(tgtPos > restPos)
+  }
+
+  test("DSIR importance plan: stats broadcast back — no doc-keyed shuffle or join") {
+    val p = plan(Quality.qImportanceDsir(spark, sf0001))
+    // scoring rides a 1-row broadcast (nested-loop cross join), never a
+    // doc_id-keyed exchange; the only hash exchange is the 256-bucket grid
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
