@@ -161,7 +161,10 @@ class PlanSpec extends SparkSpec {
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall",
       "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train",
       // encode applies the same 1-row learned-pair broadcasts as training
-      "q_bpe_encode")
+      "q_bpe_encode",
+      // DSIR: 1-row totals then the 1-row 256-entry weight map broadcast
+      // onto the corpus scan (its own QualitySpec test pins the shape)
+      "q_importance_dsir")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -174,7 +177,8 @@ class PlanSpec extends SparkSpec {
       // merge writes) on construct — its one intended cross fan-out
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
-      "q_graph_communities", "q_graph_bfs", "q_sim_ivf_incremental",
+      "q_graph_communities", "q_graph_bfs", "q_graph_ppr",
+      "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -264,7 +268,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq(
         graft.graph.GraphOps.qGraphPagerank(spark, sf0001),
         graft.graph.GraphOps.qGraphKcore(spark, sf0001),
-        graft.graph.GraphOps.qGraphCommunities(spark, sf0001))) {
+        graft.graph.GraphOps.qGraphCommunities(spark, sf0001),
+        graft.graph.GraphOps.qGraphPpr(spark, sf0001))) {
       val sp = q.queryExecution.sparkPlan
       assert(sp.toString.contains("ShuffledHashJoin"), sp)
       val rawEdgeBroadcasts = sp.collect {
