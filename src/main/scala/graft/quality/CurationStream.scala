@@ -47,4 +47,22 @@ object CurationStream {
       .withColumn("fp", graft.dedup.Dedup.headFingerprint(col("text")))
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
       .drop("fp")
+
+  /** Streaming DSIR importance scoring: score arriving documents
+    * against the STORED bucket-weight table that the batch pass
+    * ([[Quality.qImportanceDsir]] via [[Quality.importanceWeights]])
+    * learned over the corpus — the online half of importance
+    * resampling, for routing docs at ingest time (keep/downsample by
+    * `target_like` before anything lands).
+    *
+    * Shares [[Quality.withImportanceScore]] VERBATIM with the batch
+    * query (the shared-definition rule: batch and stream must agree on
+    * what the score IS), so the only moving part is where the weights
+    * come from. The weight table is static and 256 rows: it collapses
+    * to a 1-row map and rides a broadcast equi-join on a constant key —
+    * stateless per micro-batch, stream rows never shuffle, and a
+    * weight-table refresh between batches is picked up automatically
+    * (Spark re-plans the static side each micro-batch). */
+  def scoreImportance(docs: DataFrame, weights: DataFrame): DataFrame =
+    Quality.withImportanceScore(docs, weights)
 }

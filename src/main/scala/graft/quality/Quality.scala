@@ -447,7 +447,7 @@ object Quality {
     * [[qImportanceDsir]]: first 2 hex chars of md5("imp|" + operand)
     * → 0..255, written so the identical expression runs in Spark and
     * (with substr/`'||'`) DuckDB. */
-  private def impBucketSql(operand: String): String = {
+  private[graft] def impBucketSql(operand: String): String = {
     val hx = s"md5(cast(concat('imp|', $operand) as binary))"
     s"cast((instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1) as bigint)"
@@ -479,28 +479,81 @@ object Quality {
   def qImportanceDsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val bucketed = docs
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("token"))
-      .filter(length($"token") > 0)
-      .withColumn("b", expr(impBucketSql("token")))
-    val stats = bucketed.groupBy($"b").agg(
-      count(lit(1)).as("r_b"),
-      count(when($"source".isin("src0", "src1", "src2"), 1)).as("t_b"))
-    val tot = stats.agg(sum($"r_b").as("rtot"), sum($"t_b").as("ttot"))
-    val weights = stats.crossJoin(broadcast(tot))
-      .select($"b", (expr("((t_b + 1) * 1000000) div (ttot + 256)") -
-        expr("((r_b + 1) * 1000000) div (rtot + 256)")).as("w"))
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct($"b", $"w"))).as("wmap"))
-    docs.crossJoin(broadcast(wmap))
-      .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
-      .select($"doc_id", $"source",
-        size($"toks").cast("long").as("n_tokens"),
-        expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + wmap[" +
-          impBucketSql("t") + "])").as("imp_score"))
-      .withColumn("imp_score", coalesce($"imp_score", lit(0L)))
-      .withColumn("target_like", $"imp_score" > 0)
+    withImportanceScore(docs, importanceWeights(docs))
+      .select($"doc_id", $"source", $"n_tokens", $"imp_score", $"target_like")
       .orderBy($"doc_id")
+  }
+
+  /** The 256-row (b, w) bucket-weight table of [[qImportanceDsir]] —
+    * factored out because it is also the STORED artifact the streaming
+    * scorer ([[CurationStream.scoreImportance]]) reads: batch learns
+    * the weights over the corpus, the stream applies them to arriving
+    * docs with the identical expression. */
+  private[graft] def importanceWeights(docs: DataFrame): DataFrame = {
+    val bucketed = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", expr(impBucketSql("token")))
+    val stats = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("r_b"),
+      count(when(col("source").isin("src0", "src1", "src2"), 1)).as("t_b"))
+    val tot = stats.agg(sum(col("r_b")).as("rtot"), sum(col("t_b")).as("ttot"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("b"), (expr("((t_b + 1) * 1000000) div (ttot + 256)") -
+        expr("((r_b + 1) * 1000000) div (rtot + 256)")).as("w"))
+  }
+
+  /** Scores a doc frame against a (b, w) weight table: the weights
+    * collapse to a 1-row map column riding a broadcast, and the score
+    * is a per-row `aggregate` over the token array — no doc-keyed
+    * shuffle, no join back, so the SAME code path serves the batch
+    * query and the streaming scorer (stream-static equi-join on a
+    * constant key; stream rows never shuffle). */
+  private[graft] def withImportanceScore(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val wmap = weights
+      .agg(map_from_entries(collect_list(struct(col("b"), col("w")))).as("wmap"))
+      .withColumn("one", lit(1))
+    docs.withColumn("one", lit(1))
+      .join(broadcast(wmap), Seq("one"))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("imp_score",
+        coalesce(expr("aggregate(toks, cast(0 as bigint), (acc, t) -> acc + wmap[" +
+          impBucketSql("t") + "])"), lit(0L)))
+      .withColumn("target_like", col("imp_score") > 0)
+      .drop("one", "wmap", "toks")
+  }
+
+  /** Temperature-scaled source mixture weights — the multilingual-LM
+    * sampling exponent (sampling probability ∝ size^α, α = 1/2 here):
+    * small sources get upsampled relative to their raw token share,
+    * large sources downsampled, flattening the mixture without going
+    * uniform. Emits per-source raw vs temperature share (ppm) and the
+    * resulting boost factor (permille; >1000 = upsampled).
+    *
+    * α = 1/2 keeps the arithmetic engine-exact: `floor(sqrt(x))` on a
+    * BIGINT is the same number in Spark and DuckDB because IEEE sqrt is
+    * correctly rounded and both cast through the same double (exact for
+    * token counts < 2^52; beyond that, switch to an integer Newton
+    * isqrt). Shape: one map-side-combined shuffle to the per-source
+    * grid (5 rows), totals broadcast back — scan-bound at any scale. */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.load(spark, dir, "documents")
+      .select($"source",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as long)")
+          .as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      .withColumn("w_raw",
+        expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"))
+    val tot = stats.agg(sum($"w_raw").as("wtot"), sum($"n_tokens").as("ttot"))
+    stats.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("(n_tokens * 1000000) div ttot").as("raw_ppm"),
+        expr("(w_raw * 1000000) div wtot").as("sample_ppm"))
+      .withColumn("boost_permille", expr("(sample_ppm * 1000) div raw_ppm"))
+      .orderBy($"source")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -512,6 +565,7 @@ object Quality {
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
     "q_mix_weighted" -> qMixWeighted,
+    "q_mix_temperature" -> qMixTemperature,
     "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
     "q_token_budget" -> qTokenBudget,
@@ -661,6 +715,24 @@ object Quality {
         |  count(*) AS n_docs,
         |  CAST(count(CASE WHEN (hv * 1000) // 256 < rate_permille THEN 1 END) AS BIGINT) AS n_kept
         |FROM d GROUP BY source, rate_permille ORDER BY source""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_raw
+        |      FROM s),
+        |t AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS wtot,
+        |             CAST(SUM(n_tokens) AS BIGINT) AS ttot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST((n_tokens * 1000000) // ttot AS BIGINT) AS raw_ppm,
+        |  CAST((w_raw * 1000000) // wtot AS BIGINT) AS sample_ppm,
+        |  CAST((((w_raw * 1000000) // wtot) * 1000)
+        |       // ((n_tokens * 1000000) // ttot) AS BIGINT) AS boost_permille
+        |FROM w, t ORDER BY source""".stripMargin,
 
     "q_importance_dsir" ->
       """WITH tok AS (

@@ -70,4 +70,44 @@ class CurationStreamSpec extends SparkSpec {
     val ids = spark.table("corpus_deduped").as[Long].collect().toSet
     assert(ids == Set(2L, 4L), ids)
   }
+
+  test("streaming importance scores == batch scores against the same stored weights") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+
+    // weights learned by the batch pass over the real corpus — the
+    // stored artifact both halves read
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val weights = Quality.importanceWeights(corpus).cache()
+
+    // the stream carries a sample of the same docs; its scores must be
+    // row-identical to the batch query's for those doc_ids
+    val sample = corpus.select($"doc_id", $"source", $"text")
+      .filter($"doc_id" % 25 === 0)
+      .as[(Long, String, String)].collect().toSeq
+    assert(sample.nonEmpty)
+
+    val input = MemoryStream[(Long, String, String)]
+    val scored = CurationStream.scoreImportance(
+      input.toDF().toDF("doc_id", "source", "text"), weights)
+      .select($"doc_id", $"n_tokens", $"imp_score", $"target_like")
+    val q = scored.writeStream.format("memory").queryName("stream_scored")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_scored")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = Quality.qImportanceDsir(spark, sf0001)
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", $"n_tokens", $"imp_score", $"target_like")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size == sample.size)
+  }
 }

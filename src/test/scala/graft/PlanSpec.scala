@@ -164,7 +164,9 @@ class PlanSpec extends SparkSpec {
       "q_bpe_encode",
       // DSIR: 1-row totals then the 1-row 256-entry weight map broadcast
       // onto the corpus scan (its own QualitySpec test pins the shape)
-      "q_importance_dsir")
+      "q_importance_dsir",
+      // temperature mixture: 1-row totals broadcast onto the 5-row grid
+      "q_mix_temperature")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

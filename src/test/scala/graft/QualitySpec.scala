@@ -260,10 +260,43 @@ class QualitySpec extends SparkSpec {
     assert(tgtPos > restPos)
   }
 
+  test("temperature mixture: engine == replay; flattens toward small sources") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val nTok = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+    }
+    val wRaw = nTok.map { case (s, n) => s -> math.sqrt(n.toDouble).floor.toLong }
+    val ttot = nTok.values.sum; val wtot = wRaw.values.sum
+    val rows = Quality.qMixTemperature(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length == nTok.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tokens") == nTok(s), s)
+      val rawPpm = nTok(s) * 1000000L / ttot
+      val samplePpm = wRaw(s) * 1000000L / wtot
+      assert(r.getAs[Long]("raw_ppm") == rawPpm, s)
+      assert(r.getAs[Long]("sample_ppm") == samplePpm, s)
+      assert(r.getAs[Long]("boost_permille") == samplePpm * 1000L / rawPpm, s)
+    }
+    // α = 1/2 flattens: the smallest source is boosted at least as much
+    // as the largest (strictly more when sizes genuinely differ)
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val (small, large) = (bySize.head, bySize.last)
+    if (small.getAs[Long]("n_tokens") < large.getAs[Long]("n_tokens"))
+      assert(small.getAs[Long]("boost_permille") > large.getAs[Long]("boost_permille"))
+    // shares each sum to ~1e6 (integral-div floors)
+    val rawSum = rows.map(_.getAs[Long]("raw_ppm")).sum
+    val sampleSum = rows.map(_.getAs[Long]("sample_ppm")).sum
+    assert(rawSum <= 1000000L && rawSum > 1000000L - rows.length)
+    assert(sampleSum <= 1000000L && sampleSum > 1000000L - rows.length)
+  }
+
   test("DSIR importance plan: stats broadcast back — no doc-keyed shuffle or join") {
     val p = plan(Quality.qImportanceDsir(spark, sf0001))
-    // scoring rides a 1-row broadcast (nested-loop cross join), never a
-    // doc_id-keyed exchange; the only hash exchange is the 256-bucket grid
+    // totals and the 1-row weight map both ride 1-row broadcasts (the
+    // constant join key folds to a nested loop — same shape as a cross
+    // join, build side is one row); never a doc_id-keyed exchange
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("hashpartitioning(doc_id"), p)
     assert(!p.contains("SortMergeJoin"), p)
