@@ -330,12 +330,43 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  /** PageRank over the INCREMENTALLY-maintained edge table: the
+    * membership rows arrive in three batches split on the PART key, so
+    * an order's parts deliberately straddle batches — every merge must
+    * produce cross-batch pairs (the ΔR ⋈ R_old term of the delta rule,
+    * not just ΔR ⋈ ΔR) and dedupe pairs that recur across orders seen
+    * in different batches. Built by [[EdgeMaintenance.rebuild]] + two
+    * [[EdgeMaintenance.mergeBatch]] deltas. The oracle is VERBATIM the
+    * batch [[qGraphPagerank]] oracle — the driver hash proves the
+    * incrementally-grown graph is indistinguishable from the
+    * rebuilt-from-scratch one. */
+  def qGraphPagerankInc(spark: SparkSession, dir: String): DataFrame =
+    pagerankOnEdges(symmetrize(incrementalEdges(spark, dir)))
+
+  private def symmetrize(ce: DataFrame): DataFrame =
+    ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Stage-once incremental edge build: rebuild from the first third
+    * of the membership rows, merge the other two thirds as deltas. */
+  private def incrementalEdges(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.edges.inc|$dir") {
+      val base = s"target/graft-stage/${spark.sparkContext.applicationId}/edgeinc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      EdgeMaintenance.rebuild(li.filter(col("l_partkey") % 3 === 0), base)
+      EdgeMaintenance.mergeBatch(li.filter(col("l_partkey") % 3 === 1), base, 1L)
+      EdgeMaintenance.mergeBatch(li.filter(col("l_partkey") % 3 === 2), base, 2L)
+      EdgeMaintenance.edges(spark, base)
+    }
+
   // -----------------------------------------------------------------
   // registration
   // -----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_pagerank_inc" -> qGraphPagerankInc,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_communities" -> qGraphCommunities,
@@ -349,26 +380,31 @@ object GraphOps {
       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce)""".stripMargin
 
+  private val pagerankOracle =
+    s"""WITH $edgesCte,
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+       |r1 AS (SELECT e.dst AS node,
+       |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+       |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |r2 AS (SELECT e.dst AS node,
+       |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+       |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |r3 AS (SELECT e.dst AS node,
+       |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+       |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst)
+       |SELECT r3.node AS part, deg.outdeg AS degree, r3.pr
+       |FROM r3 JOIN deg ON deg.src = r3.node
+       |ORDER BY part""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_graph_pagerank" ->
-      s"""WITH $edgesCte,
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
-         |r1 AS (SELECT e.dst AS node,
-         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
-         |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
-         |       GROUP BY e.dst),
-         |r2 AS (SELECT e.dst AS node,
-         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
-         |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
-         |       GROUP BY e.dst),
-         |r3 AS (SELECT e.dst AS node,
-         |         CAST(150000000 + (85 * SUM(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
-         |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
-         |       GROUP BY e.dst)
-         |SELECT r3.node AS part, deg.outdeg AS degree, r3.pr
-         |FROM r3 JOIN deg ON deg.src = r3.node
-         |ORDER BY part""".stripMargin,
+    // the incremental build must be indistinguishable from the batch
+    // build — SAME oracle, so the driver hash compares them to one SQL
+    "q_graph_pagerank_inc" -> pagerankOracle,
+    "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" ->
       s"""WITH $edgesCte,
          |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
