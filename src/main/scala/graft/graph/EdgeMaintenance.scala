@@ -135,6 +135,43 @@ object EdgeMaintenance {
   def edges(spark: SparkSession, path: String): DataFrame =
     read(spark, edgesDir(path))
 
+  /** Time travel: the per-batch publish dirs double as a commit log,
+    * so a snapshot read is just directory selection — the edge table
+    * as of `maxBatchId` is `base/` plus every `batch-<id>` with
+    * id <= maxBatchId. No tombstones exist (edges are append-only
+    * facts), so snapshot = union of selected dirs, zero reconstruction
+    * work. At 100 TB this is the same read path as [[edges]] with a
+    * shorter file list. */
+  def edgesAsOf(spark: SparkSession, path: String, maxBatchId: Long): DataFrame = {
+    val dirs = listVersionDirs(spark, edgesDir(path))
+      .filter { case (id, _) => id <= maxBatchId }
+      .map(_._2)
+    require(dirs.nonEmpty, s"no edge snapshot at or before batch $maxBatchId")
+    dirs.map(d => spark.read.parquet(d)).reduce(_.union(_))
+  }
+
+  /** Change-data feed: exactly the edges batch `batchId` added — one
+    * directory read, no diffing. */
+  def edgeDelta(spark: SparkSession, path: String, batchId: Long): DataFrame =
+    spark.read.parquet(s"${edgesDir(path)}/batch-$batchId")
+
+  /** (batch id, dir) pairs under a table dir; `base/` sorts as -1 so
+    * it is part of every snapshot. */
+  private def listVersionDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case "base" => Some((-1L, st.getPath.toString))
+          case n if n.startsWith("batch-") => Some((n.stripPrefix("batch-").toLong, st.getPath.toString))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
   /** Attach the maintenance sink to a stream of membership rows
     * (l_orderkey, l_partkey): every micro-batch merges incrementally,
     * idempotently per batch id. */

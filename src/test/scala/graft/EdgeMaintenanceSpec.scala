@@ -81,6 +81,35 @@ class EdgeMaintenanceSpec extends SparkSpec {
     assert(edgeSet(p) == bruteEdges(fixture))
   }
 
+  test("time travel + change feed: batch dirs are the commit log") {
+    val all = fixture.toDF("l_orderkey", "l_partkey")
+    val p = base("fix_tt")
+    EdgeMaintenance.rebuild(all.filter($"l_partkey" % 3 === 0), p)
+    val snap0 = edgeSet(p)
+    EdgeMaintenance.mergeBatch(all.filter($"l_partkey" % 3 === 1), p, 1L)
+    val snap1 = edgeSet(p)
+    EdgeMaintenance.mergeBatch(all.filter($"l_partkey" % 3 === 2), p, 2L)
+    val snap2 = edgeSet(p)
+
+    def asOf(id: Long): Set[(Long, Long)] =
+      EdgeMaintenance.edgesAsOf(spark, p, id).as[(Long, Long)].collect().toSet
+    // snapshots reproduce the table exactly as it stood after each merge
+    assert(asOf(0L) == snap0)
+    assert(asOf(1L) == snap1)
+    assert(asOf(2L) == snap2 && snap2 == bruteEdges(fixture))
+    assert(snap0.subsetOf(snap1) && snap1.subsetOf(snap2))
+    // the change feed is the exact per-batch delta
+    def delta(id: Long): Set[(Long, Long)] =
+      EdgeMaintenance.edgeDelta(spark, p, id).as[(Long, Long)].collect().toSet
+    assert(delta(1L) == snap1 -- snap0)
+    assert(delta(2L) == snap2 -- snap1)
+    // asking for a snapshot before any commit fails loudly
+    intercept[IllegalArgumentException] {
+      // base sorts as -1, so -5 selects nothing
+      EdgeMaintenance.edgesAsOf(spark, p, -5L)
+    }
+  }
+
   test("sf0.001: incremental pagerank == batch pagerank, row for row") {
     val inc = GraphOps.qGraphPagerankInc(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
