@@ -34,7 +34,7 @@ object Dedup {
 
   /** Shingle frame, materialized once per (session, dir): consumed by
     * both sides of the Jaccard self-join and by the signature builder. */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def withShingles(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"dedup.shingles|$dir") {
       import spark.implicits._
       Tables.load(spark, dir, "documents")
@@ -611,7 +611,7 @@ object Dedup {
       |comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)""".stripMargin)
 
   /** DuckDB CTE prologue producing doc_id/source/lang/sh (shingles). */
-  private val duckShingleCte =
+  private[graft] val duckShingleCte =
     """WITH tt AS (
       |  SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents),
       |d AS (

@@ -267,24 +267,117 @@ object Quality {
       .orderBy($"touch_type")
   }
 
-  def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val rate = expr(
-      """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
-        |     WHEN source IN ('src3', 'src4') THEN 500
-        |     ELSE 200 END""".stripMargin)
+  /** The mix rule's per-source keep rate (permille) and the salted hash
+    * value (0..255) it is tested against — ONE definition shared by the
+    * audit rollup ([[qMixWeighted]]) and the composed curation pipeline
+    * ([[qPipelineCuration]]) so the two cannot disagree on what the mix
+    * keeps. A doc is kept iff `(hv * 1000) div 256 < rate_permille`. */
+  private def mixRateCol: Column = expr(
+    """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+      |     WHEN source IN ('src3', 'src4') THEN 500
+      |     ELSE 200 END""".stripMargin).cast("long")
+
+  private def mixHvCol: Column = {
     val hx = "substring(md5(cast(concat('mix|', cast(doc_id as string)) as binary)), 1, 2)"
-    val hv = expr(
+    expr(
       s"(instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
         s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1)")
+  }
+
+  def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.load(spark, dir, "documents")
-      .withColumn("rate_permille", rate.cast("long"))
-      .withColumn("hv", hv)
+      .withColumn("rate_permille", mixRateCol)
+      .withColumn("hv", mixHvCol)
       .withColumn("kept", expr("(hv * 1000) div 256") < col("rate_permille"))
       .groupBy($"source", $"rate_permille")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"kept", 1)).as("n_kept"))
       .orderBy($"source")
+  }
+
+  /** A doc whose shingle set overlaps the benchmark by at least this
+    * many permille is dropped by the pipeline's decontamination stage. */
+  private[graft] val PipelineContamThreshold = 100L
+
+  /** The composed end-to-end curation run — every stage above chained
+    * in the order a production corpus build executes them, with ONE
+    * per-doc verdict naming the first stage that rejects the doc:
+    *
+    *   1. `gate_fail`   — Gopher quality gate ([[withQualityGate]]);
+    *   2. `dup`         — head-fingerprint dedup among gate survivors
+    *                      (`dedup.Dedup.headFingerprint`, the SAME key
+    *                      both incremental-dedup halves use — min
+    *                      passing doc_id is canonical);
+    *   3. `contaminated`— benchmark n-gram overlap ≥
+    *                      [[PipelineContamThreshold]]‰ (src0 is the
+    *                      held-out benchmark, as in `qContamination`);
+    *   4. `sampled_out` — the deterministic mix rule ([[mixRateCol]] /
+    *                      [[mixHvCol]], shared with [[qMixWeighted]]);
+    *   5. `kept`        — survives into the training corpus.
+    *
+    * Gate, contamination score and mix decision are pure per-doc
+    * functions, so composing them adds NO set-dependence; only the
+    * dedup stage depends on the survivor set, and it is defined on
+    * gate-passers via a conditional window min — the whole pipeline is
+    * one deterministic pass, replayed exactly by the DuckDB oracle.
+    *
+    * Scale shape (100 TB): gate + mix are scan-speed expressions; dedup
+    * is ONE window over the head-fingerprint (hash-partitioned, groups
+    * are tiny); contamination is the broadcast shingle-hash join of
+    * `qContamination` plus a doc-keyed rollup; the final joins are
+    * doc_id-equi. Linear end to end — no stage is quadratic and no
+    * stage re-reads text. */
+  private[graft] def curationVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "documents").filter($"source" =!= "src0")
+    val wfp = Window.partitionBy($"fp")
+    val gated = withQualityGate(corpus)
+      .withColumn("fp", graft.dedup.Dedup.headFingerprint($"text"))
+      .withColumn("canon", min(when($"quality_pass", $"doc_id")).over(wfp))
+    val sh = graft.dedup.Dedup.withShingles(spark, dir)
+    val bench = sh.filter($"source" === "src0")
+      .select(explode($"shs").as("h")).distinct()
+    val shDocs = sh.filter($"source" =!= "src0" && size($"shs") > 0)
+      .select($"doc_id", size($"shs").cast("long").as("n_sh"), $"shs")
+    val hits = shDocs.select($"doc_id", explode($"shs").as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+    val contam = shDocs.select($"doc_id", $"n_sh")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select($"doc_id", expr("(coalesce(hits, 0) * 1000) div n_sh").as("cp"))
+    gated.join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("contam_permille", coalesce($"cp", lit(0L)))
+      .withColumn("rate_permille", mixRateCol)
+      .withColumn("hv", mixHvCol)
+      .withColumn("verdict",
+        when(not($"quality_pass"), "gate_fail")
+          .when($"doc_id" =!= $"canon", "dup")
+          .when($"contam_permille" >= PipelineContamThreshold, "contaminated")
+          .when(expr("(hv * 1000) div 256") >= $"rate_permille", "sampled_out")
+          .otherwise("kept"))
+  }
+
+  /** Per-doc audit frame of the composed curation pipeline — every
+    * non-benchmark doc exactly once with the first-failing-stage
+    * verdict (see [[curationVerdicts]]). */
+  def qPipelineCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curationVerdicts(spark, dir)
+      .select($"doc_id", $"source", $"n_words", $"contam_permille", $"verdict")
+      .orderBy($"doc_id")
+  }
+
+  /** The pipeline's loss funnel: docs and token mass per (source,
+    * verdict) — the one-page artifact a corpus build reports ("where
+    * did the data go"). Same frame as [[qPipelineCuration]], one
+    * map-side-combined rollup on top. */
+  def qPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curationVerdicts(spark, dir)
+      .groupBy($"source", $"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("sum_words"))
+      .orderBy($"source", $"verdict")
   }
 
   /** Per-column dataset profiling — the health check every ingestion
@@ -572,8 +665,70 @@ object Quality {
     "q_quality_bins" -> qQualityBins,
     "q_pii_scrub" -> qPiiScrub,
     "q_code_detect" -> qCodeDetect,
-    "q_quality_drift" -> qQualityDrift
+    "q_quality_drift" -> qQualityDrift,
+    "q_pipeline_curation" -> qPipelineCuration,
+    "q_pipeline_funnel" -> qPipelineFunnel
   )
+
+  /** DuckDB CTE chain replaying [[curationVerdicts]] end to end,
+    * ending in `v(doc_id, source, n_words, contam_permille, verdict)` —
+    * shared by the per-doc and funnel oracles. Reuses the proven
+    * shingle prologue (`Dedup.duckShingleCte`) and the head-fingerprint
+    * expression of the incremental-dedup oracle. */
+  private def duckPipelineCte: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""${graft.dedup.Dedup.duckShingleCte},
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE source = 'src0'),
+       |cd AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh
+       |       FROM d WHERE source <> 'src0' AND len(sh) > 0),
+       |cg AS (SELECT doc_id, unnest(sh) AS g FROM cd),
+       |hits AS (SELECT doc_id, count(*) AS hits
+       |         FROM cg JOIN bench USING (g) GROUP BY doc_id),
+       |contam AS (
+       |  SELECT cd.doc_id,
+       |    CAST((COALESCE(h.hits, 0) * 1000) // cd.n_sh AS BIGINT) AS cp
+       |  FROM cd LEFT JOIN hits h ON h.doc_id = cd.doc_id),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+       |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+       |  FROM documents WHERE source <> 'src0'),
+       |m AS (
+       |  SELECT doc_id, source, fp,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+       |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+       |  FROM g),
+       |q AS (
+       |  SELECT doc_id, source, fp, n_words,
+       |    (n_words BETWEEN 50 AND 100000)
+       |      AND ((sum_wlen * 1000) // nullif(n_words, 0) BETWEEN 3000 AND 10000)
+       |      AND (stop_hits >= 2) AS quality_pass
+       |  FROM m),
+       |dd AS (
+       |  SELECT q.*,
+       |    min(CASE WHEN quality_pass THEN doc_id END) OVER (PARTITION BY fp) AS canon
+       |  FROM q),
+       |mx AS (
+       |  SELECT dd.*,
+       |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+       |         WHEN source IN ('src3', 'src4') THEN 500
+       |         ELSE 200 END AS rate_permille,
+       |    (instr('0123456789abcdef',
+       |       substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       |    + (instr('0123456789abcdef',
+       |       substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+       |  FROM dd),
+       |v AS (
+       |  SELECT mx.doc_id, mx.source, mx.n_words,
+       |    CAST(COALESCE(c.cp, 0) AS BIGINT) AS contam_permille,
+       |    CASE WHEN NOT quality_pass THEN 'gate_fail'
+       |         WHEN mx.doc_id <> canon THEN 'dup'
+       |         WHEN COALESCE(c.cp, 0) >= $PipelineContamThreshold THEN 'contaminated'
+       |         WHEN (hv * 1000) // 256 >= rate_permille THEN 'sampled_out'
+       |         ELSE 'kept' END AS verdict
+       |  FROM mx LEFT JOIN contam c ON c.doc_id = mx.doc_id)""".stripMargin
+  }
 
   /** DuckDB CTE producing doc_id/lang/n_words/score — the shared gate
     * metrics + integer quality score, mirroring [[withQualityGate]] +
@@ -894,6 +1049,19 @@ object Quality {
         |  ABS((c.ref_n * 1000000) // t.ref_total -
         |      (c.cur_n * 1000000) // t.cur_total) AS drift_ppm
         |FROM c JOIN t ON c.event_type = t.event_type
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_pipeline_curation" ->
+      (duckPipelineCte +
+        """
+          |SELECT doc_id, source, n_words, contam_permille, verdict
+          |FROM v ORDER BY doc_id""".stripMargin),
+
+    "q_pipeline_funnel" ->
+      (duckPipelineCte +
+        """
+          |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_words) AS BIGINT) AS sum_words
+          |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin)
   )
 }

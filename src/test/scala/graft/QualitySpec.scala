@@ -301,4 +301,56 @@ class QualitySpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(doc_id"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("curation pipeline: verdicts partition the corpus, stage precedence holds") {
+    val nCorpus = Tables.load(spark, sf0001, "documents")
+      .filter($"source" =!= "src0").count()
+    val v = Quality.qPipelineCuration(spark, sf0001).collect()
+    assert(v.length.toLong == nCorpus)
+    assert(v.map(_.getAs[Long]("doc_id")).distinct.length == v.length)
+    // the sf0.001 fixture exercises every stage
+    assert(v.map(_.getAs[String]("verdict")).toSet ==
+      Set("gate_fail", "dup", "contaminated", "sampled_out", "kept"))
+    // stage 1 agrees with the standalone gopher gate, and later stages
+    // only ever see docs the earlier ones passed
+    val gatePass = Quality.qQualityGopher(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("quality_pass")).toMap
+    v.foreach { r =>
+      val verdict = r.getAs[String]("verdict")
+      assert((verdict == "gate_fail") == !gatePass(r.getAs[Long]("doc_id")))
+      if (verdict == "contaminated")
+        assert(r.getAs[Long]("contam_permille") >= Quality.PipelineContamThreshold)
+      if (verdict == "kept" || verdict == "sampled_out")
+        assert(r.getAs[Long]("contam_permille") < Quality.PipelineContamThreshold)
+    }
+  }
+
+  test("curation pipeline: every dup has a smaller gate-passing doc with its head fingerprint") {
+    val fp = Tables.load(spark, sf0001, "documents")
+      .filter($"source" =!= "src0")
+      .select($"doc_id", graft.dedup.Dedup.headFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v = Quality.qPipelineCuration(spark, sf0001).collect()
+    val passers = v.filter(_.getAs[String]("verdict") != "gate_fail")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val dups = v.filter(_.getAs[String]("verdict") == "dup").map(_.getAs[Long]("doc_id"))
+    assert(dups.nonEmpty)
+    dups.foreach { id =>
+      assert(passers.exists(o => o < id && fp(o) == fp(id)),
+        s"dup doc $id has no smaller surviving doc sharing its fingerprint")
+    }
+  }
+
+  test("pipeline funnel equals the per-doc rollup") {
+    val doc = Quality.qPipelineCuration(spark, sf0001).collect()
+      .groupBy(r => (r.getAs[String]("source"), r.getAs[String]("verdict")))
+      .map { case ((s, vd), rs) =>
+        (s, vd, rs.length.toLong, rs.map(_.getAs[Long]("n_words")).sum) }
+      .toList.sorted
+    val fun = Quality.qPipelineFunnel(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("verdict"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"))).toList
+    assert(fun == fun.sorted, "funnel output must be ordered by (source, verdict)")
+    assert(doc == fun)
+  }
 }
