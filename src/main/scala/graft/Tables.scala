@@ -17,13 +17,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to
-      // read natively (PARQUET_TYPE_ILLEGAL). Read it as a raw long and
-      // integer-divide to micros — identical to DuckDB's own ns→µs
-      // truncation, so oracle comparisons stay bit-exact.
+      // events.ts has shipped in two driver generations: parquet
+      // TIMESTAMP(NANOS) — which Spark refuses to read natively
+      // (PARQUET_TYPE_ILLEGAL), so it arrives as a raw long under
+      // nanosAsLong and is integer-divided to micros (identical to
+      // DuckDB's own ns→µs truncation) — and plain TIMESTAMP_MICROS,
+      // which arrives as TIMESTAMP_NTZ and only needs the cast to the
+      // session-tz (UTC) TimestampType every downstream query expects.
+      // Both paths yield the same µs instants, bit-exact vs the oracle.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+        case _ =>
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", ts)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

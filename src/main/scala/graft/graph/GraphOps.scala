@@ -246,6 +246,42 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  private final val CcRounds = 3
+
+  /** Connected components by synchronous min-label propagation, 3
+    * rounds: every node adopts the minimum id seen among itself and its
+    * neighbors — after r rounds a node's label is the minimum id within
+    * r hops, so on any component of diameter ≤ 3 the label IS the
+    * component id. Fixed rounds keep the oracle an unrolled CTE
+    * (exact integer match); at scale you run to fix-point — or switch
+    * to the O(log d) pointer-doubling variant `dedup.Dedup` already
+    * uses for cluster closure ([[graft.dedup.Dedup]] components; this
+    * query is the oracle-checkable simple-iteration form). Each round
+    * is one shuffled-hash join of the edge table against the node-sized
+    * label frame + one map-side-combined min + one node-keyed least —
+    * identical round shape to [[qGraphCommunities]]. */
+  def qGraphCc(spark: SparkSession, dir: String): DataFrame =
+    ccOnEdges(symmetricEdges(spark, dir), CcRounds)
+
+  /** Core min-label rounds over an explicit symmetric edge frame —
+    * factored out so specs can replay them on fixtures. */
+  private[graft] def ccOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      // same build-side policy as lpaOnEdges: shuffle-hash on the
+      // node-sized label frame so the edge exchange is built once and
+      // shared across rounds instead of re-broadcasting the edge scan
+      val nbrMin = sym.join(labels.hint("shuffle_hash"),
+          sym("src") === labels("node"))
+        .groupBy(sym("dst").as("node")).agg(min(col("lbl")).as("nl"))
+      labels = labels.join(nbrMin.hint("shuffle_hash"), Seq("node"))
+        .select(col("node"), least(col("lbl"), col("nl")).as("lbl"))
+    }
+    labels.select(col("node").as("part"), col("lbl").as("component"))
+      .orderBy(col("part"))
+  }
+
   private final val BfsRounds = 3
 
   /** Personalized PageRank from the deterministic seed set
@@ -369,6 +405,7 @@ object GraphOps {
     "q_graph_pagerank_inc" -> qGraphPagerankInc,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_kcore" -> qGraphKcore,
+    "q_graph_cc" -> qGraphCc,
     "q_graph_communities" -> qGraphCommunities,
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_ppr" -> qGraphPpr)
@@ -442,6 +479,23 @@ object GraphOps {
          |SELECT e.src AS part, COUNT(*) AS degree FROM edges e
          |JOIN a3 s ON e.src = s.node JOIN a3 t ON e.dst = t.node
          |GROUP BY e.src
+         |ORDER BY part""".stripMargin,
+    "q_graph_cc" ->
+      s"""WITH $edgesCte,
+         |c0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |c1 AS (SELECT l.node, LEAST(l.lbl, n.nl) AS lbl
+         |       FROM c0 l JOIN (SELECT e.dst AS node, MIN(r.lbl) AS nl
+         |                       FROM edges e JOIN c0 r ON e.src = r.node
+         |                       GROUP BY e.dst) n ON l.node = n.node),
+         |c2 AS (SELECT l.node, LEAST(l.lbl, n.nl) AS lbl
+         |       FROM c1 l JOIN (SELECT e.dst AS node, MIN(r.lbl) AS nl
+         |                       FROM edges e JOIN c1 r ON e.src = r.node
+         |                       GROUP BY e.dst) n ON l.node = n.node),
+         |c3 AS (SELECT l.node, LEAST(l.lbl, n.nl) AS lbl
+         |       FROM c2 l JOIN (SELECT e.dst AS node, MIN(r.lbl) AS nl
+         |                       FROM edges e JOIN c2 r ON e.src = r.node
+         |                       GROUP BY e.dst) n ON l.node = n.node)
+         |SELECT node AS part, lbl AS component FROM c3
          |ORDER BY part""".stripMargin,
     "q_graph_communities" ->
       s"""WITH $edgesCte,

@@ -192,6 +192,80 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Direct Scala replay of synchronous min-label propagation: each
+    * round every node takes the min of its own label and its neighbors'
+    * previous-round labels — after r rounds the label is the min id
+    * within r hops. */
+  private def replayCc(sym: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = sym.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    var labels: Map[Long, Long] = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = labels.map { case (v, l) =>
+        v -> math.min(l, adj.getOrElse(v, Nil).map(labels).min)
+      }
+    }
+    labels
+  }
+
+  /** Ground-truth components: min node id per component from a full
+    * union-find closure (no round cap). */
+  private def trueComponents(sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    sym.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    sym.map(_._1).distinct.map(n => n -> find(n)).toMap
+  }
+
+  test("fixture CC: engine == replay == union-find (diameter <= 3)") {
+    val symDf = fixtureSym.toDF("src", "dst")
+    val got = GraphOps.ccOnEdges(symDf, rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("component")).toMap
+    assert(got == replayCc(fixtureSym, 3))
+    // the whole fixture is one component of diameter 3 (6 to 7 via 5-4-1),
+    // so 3 rounds converge to the true component labeling: all label 1
+    assert(got == trueComponents(fixtureSym))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("two disjoint components get distinct min-id labels") {
+    // triangle {1,2,3} and path 10-11-12: diameters 1 and 2, both <= 3
+    val ce = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+    val sym = ce ++ ce.map(e => (e._2, e._1))
+    val got = GraphOps.ccOnEdges(sym.toDF("src", "dst"), rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("component")).toMap
+    assert(got == trueComponents(sym))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("randomized graphs: CC rounds == replay; labels never increase") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(18)
+      val pEdge = 0.08 + rnd.nextDouble() * 0.4
+      val ce = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < pEdge
+      } yield (i.toLong, j.toLong)).toSeq
+      if (ce.nonEmpty) {
+        val sym = ce ++ ce.map(e => (e._2, e._1))
+        val got = GraphOps.ccOnEdges(sym.toDF("src", "dst"), rounds = 3).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == replayCc(sym, 3), s"cc trial $trial edges=$ce")
+        // a label is always the id of some node within 3 hops, <= own id
+        assert(got.forall { case (n2, l) => l <= n2 }, s"trial $trial")
+        // and never below the true component min (monotone from above)
+        val truth = trueComponents(sym)
+        assert(got.forall { case (n2, l) => l >= truth(n2) }, s"trial $trial")
+      }
+    }
+  }
+
   /** Direct Scala replay of multi-source BFS hop labeling. */
   private def replayBfs(sym: Seq[(Long, Long)], seeds: Set[Long],
       rounds: Int): Map[Long, Long] = {
