@@ -267,6 +267,66 @@ object Quality {
       .orderBy($"touch_type")
   }
 
+  /** A user-arm "converts" on a metric when their mean event value for
+    * that type exceeds 45.00 — compared as exact DECIMAL `sum·100 >
+    * 4500·count` so no float summation order can flip a near-threshold
+    * user (the corpus's per-user MAX is ~always high, so a max-based
+    * conversion would saturate at 100%; the mean splits mid-range). */
+  private val AbMeanCutoffCents = 4500L
+
+  /** Two-proportion z-test experiment readout — the A/B analysis
+    * primitive: users are deterministically assigned to arms by id
+    * parity, each event type is a metric, and the per-metric output is
+    * arm sizes, conversions, rates (ppm) and the pooled two-proportion
+    * z statistic with a |z| > 1.96 significance flag.
+    *
+    * The statistic stays engine-exact: z² = (x₁n₂−x₂n₁)²·N /
+    * (n₁n₂·x·(N−x)) (x = pooled conversions, N = n₁+n₂) is computed as
+    * one DECIMAL(38,0) integral `div` ×10⁶ — Spark's decimal `div` and
+    * DuckDB's HUGEINT `//` produce the same BIGINT — then
+    * `z_x1000 = sign(x₁n₂−x₂n₁) · floor(sqrt(z²·10⁶))`, exact because
+    * IEEE sqrt is correctly rounded and z²·10⁶ ≪ 2^52. Degenerate
+    * pools (x = 0 or x = N, variance 0) emit z = 0 rather than divide
+    * by zero.
+    *
+    * Scale shape: ONE map-side-combined shuffle to the (metric, user)
+    * grid — conversion is an aggregate of that combine — then the
+    * arm rollup collapses to one row per metric. Linear in events;
+    * no window, no join. */
+  def qAbZtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conv = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg((sum($"value".cast("decimal(18,2)")) * 100 >
+        lit(AbMeanCutoffCents) * count(lit(1))).as("converted"))
+      .withColumn("variant", $"user_id" % 2)
+    conv.groupBy($"event_type")
+      .agg(
+        count(when($"variant" === 0, 1)).as("n_a"),
+        count(when($"variant" === 1, 1)).as("n_b"),
+        count(when($"variant" === 0 && $"converted", 1)).as("conv_a"),
+        count(when($"variant" === 1 && $"converted", 1)).as("conv_b"))
+      .withColumn("p_a_ppm", expr("(conv_a * 1000000) div n_a"))
+      .withColumn("p_b_ppm", expr("(conv_b * 1000000) div n_b"))
+      .withColumn("delta_ppm", $"p_a_ppm" - $"p_b_ppm")
+      .withColumn("z2_x1e6", expr(
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+          |     THEN cast(0 as bigint)
+          |     ELSE cast((cast(conv_a * n_b - conv_b * n_a as decimal(38,0))
+          |                * cast(conv_a * n_b - conv_b * n_a as decimal(38,0))
+          |                * cast(n_a + n_b as decimal(38,0)) * 1000000)
+          |          div (cast(n_a as decimal(38,0))
+          |               * cast(n_b as decimal(38,0))
+          |               * cast(conv_a + conv_b as decimal(38,0))
+          |               * cast(n_a + n_b - conv_a - conv_b as decimal(38,0)))
+          |          as bigint) END""".stripMargin))
+      .withColumn("z_x1000", expr(
+        "cast(sign(conv_a * n_b - conv_b * n_a) as bigint)" +
+          " * cast(floor(sqrt(cast(z2_x1e6 as double))) as bigint)"))
+      .withColumn("significant", abs($"z_x1000") > 1960)
+      .orderBy($"event_type")
+  }
+
   /** The mix rule's per-source keep rate (permille) and the salted hash
     * value (0..255) it is tested against — ONE definition shared by the
     * audit rollup ([[qMixWeighted]]) and the composed curation pipeline
@@ -661,6 +721,7 @@ object Quality {
     "q_mix_temperature" -> qMixTemperature,
     "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
+    "q_ab_ztest" -> qAbZtest,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
     "q_pii_scrub" -> qPiiScrub,
@@ -952,6 +1013,39 @@ object Quality {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY COALESCE(touch, 'direct')
         |ORDER BY touch_type""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH conv AS (
+        |  SELECT event_type, user_id, user_id % 2 AS variant,
+        |    (sum(CAST(value AS DECIMAL(18,2))) * 100 > 4500 * count(*)) AS converted
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (WHERE variant = 0 AND converted) AS BIGINT) AS conv_a,
+        |    CAST(count(*) FILTER (WHERE variant = 1 AND converted) AS BIGINT) AS conv_b
+        |  FROM conv GROUP BY event_type),
+        |z AS (
+        |  SELECT *,
+        |    (conv_a * 1000000) // n_a AS p_a_ppm,
+        |    (conv_b * 1000000) // n_b AS p_b_ppm,
+        |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |         THEN CAST(0 AS BIGINT)
+        |         ELSE CAST((CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+        |                    * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+        |                    * (n_a + n_b) * 1000000)
+        |              // (CAST(n_a AS HUGEINT) * n_b
+        |                  * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b))
+        |              AS BIGINT) END AS z2_x1e6
+        |  FROM g)
+        |SELECT event_type, n_a, n_b, conv_a, conv_b, p_a_ppm, p_b_ppm,
+        |  p_a_ppm - p_b_ppm AS delta_ppm, z2_x1e6,
+        |  CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)
+        |    * CAST(floor(sqrt(CAST(z2_x1e6 AS DOUBLE))) AS BIGINT) AS z_x1000,
+        |  abs(CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)
+        |    * CAST(floor(sqrt(CAST(z2_x1e6 AS DOUBLE))) AS BIGINT)) > 1960 AS significant
+        |FROM z ORDER BY event_type""".stripMargin,
 
     "q_token_budget" ->
       (duckScoreCte +

@@ -255,6 +255,67 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  private val Bm25TopK = 15
+
+  /** BM25 "more-like-this" retrieval — the full-text ranking primitive
+    * behind search-based curation (query-by-document, near-neighbor
+    * retrieval without embeddings): every document is scored against
+    * the query formed by the distinct tokens of the smallest-doc_id
+    * document, and the top-15 are ranked.
+    *
+    * The arithmetic is the Okapi form with k1=1.2, b=0.75 carried in
+    * BIGINT fixed-point end to end: the rational idf `(N·1000) div df`
+    * of [[qTfidfTopk]] (see the ulp note there for why not `ln`), a
+    * ×1000 length normalization `250 + (750·dl·1000) div avgdl_x1000`,
+    * and the saturating tf term `(tf·2200·idf_x1000) div (tf·1000 +
+    * (1200·norm_x1000) div 1000)` — every `div` identical to DuckDB's
+    * `//` on positives, and the per-doc score an order-independent
+    * integer sum.
+    *
+    * Scale shape: the two token shuffles every retrieval index pays
+    * (per-doc tf, corpus df) and a doc-length rollup of the tf frame;
+    * the query side is a broadcast so candidate generation is "scan the
+    * postings of the query's terms" — corpus rows without a query term
+    * never reach the join. The final rank is `orderBy + limit` — Spark
+    * plans it as TakeOrderedAndProject (a bounded heap per partition,
+    * merged on the driver), never a global sort; row_number then labels
+    * only the 15 survivors (a global window CANNOT take the
+    * WindowGroupLimit rewrite — it has no partition key — so ranking
+    * before limiting would sort the whole candidate set on one task). */
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfr = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 1000) div count(1)").as("avgdl_x1000"))
+    val qdoc = docs.agg(min($"doc_id").as("qid"))
+    val qterms = tf.join(broadcast(qdoc), tf("doc_id") === qdoc("qid"))
+      .select($"token").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score_x1000".desc, $"doc_id")
+    tf.join(broadcast(qterms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(dfr, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(qdoc))
+      .filter($"doc_id" =!= $"qid")
+      .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
+      .withColumn("norm_x1000", expr("250 + (750 * dl * 1000) div avgdl_x1000"))
+      .withColumn("score_term",
+        expr("(tf * 2200 * idf_x1000) div (tf * 1000 + (1200 * norm_x1000) div 1000)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum($"score_term").as("score_x1000"))
+      .orderBy($"score_x1000".desc, $"doc_id")
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"doc_id", $"n_matched", $"score_x1000")
+      .orderBy($"rank")
+  }
+
   /** Token-rarity scoring — the integer stand-in for LM-perplexity
     * filtering: per document, the mean corpus document-frequency of its
     * tokens (permille of n_docs) and the rarest token's df. Documents
@@ -622,6 +683,7 @@ object TextAnalysis {
     "q_vocab_topk" -> qVocabTopk,
     "q_vocab_cms_est" -> qVocabCmsEst,
     "q_tfidf_topk" -> qTfidfTopk,
+    "q_text_bm25" -> qTextBm25,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
@@ -862,6 +924,35 @@ object TextAnalysis {
         |SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       idf_x1000, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tt GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 (sum(dl) * 1000) // count(*) AS avgdl_x1000 FROM dl),
+        |qdoc AS (SELECT min(doc_id) AS qid FROM documents),
+        |qterms AS (SELECT DISTINCT token FROM tf, qdoc WHERE tf.doc_id = qdoc.qid),
+        |scored AS (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum((f.tf * 2200 * ((s.n_docs * 1000) // d2.df))
+        |         // (f.tf * 1000
+        |             + (1200 * (250 + (750 * d.dl * 1000) // s.avgdl_x1000)) // 1000))
+        |      AS BIGINT) AS score_x1000
+        |  FROM tf f
+        |  JOIN qterms q ON f.token = q.token
+        |  JOIN dl d ON f.doc_id = d.doc_id
+        |  JOIN dfr d2 ON f.token = d2.token
+        |  CROSS JOIN stats s CROSS JOIN qdoc
+        |  WHERE f.doc_id <> qdoc.qid
+        |  GROUP BY f.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score_x1000 DESC, doc_id)
+        |              AS BIGINT) AS rank FROM scored)
+        |SELECT rank, doc_id, n_matched, score_x1000
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -222,6 +222,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bm25 more-like-this equals a direct Scala replay") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }
+    val tf = toks.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dl = tf.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    val dfr = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val nDocs = dl.size.toLong                       // docs with >= 1 token
+    val avgdlX1000 = dl.values.sum * 1000L / nDocs
+    val qid = docs.keys.min
+    val qterms = toks(qid).toSet
+    val expected = dl.keys.filter(_ != qid).toSeq
+      .flatMap { id =>
+        val terms = qterms.filter(w => tf.contains((id, w)))
+        if (terms.isEmpty) None
+        else {
+          val score = terms.toSeq.map { w =>
+            val t = tf((id, w))
+            val idf = nDocs * 1000L / dfr(w)
+            val norm = 250L + 750L * dl(id) * 1000L / avgdlX1000
+            t * 2200L * idf / (t * 1000L + 1200L * norm / 1000L)
+          }.sum
+          Some((id, terms.size.toLong, score))
+        }
+      }
+      .sortBy { case (id, _, s) => (-s, id) }.take(15)
+      .zipWithIndex.map { case ((id, m, s), i) => (i + 1L, id, m, s) }
+    val got = TextAnalysis.qTextBm25(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matched"), r.getAs[Long]("score_x1000"))).toSeq
+    assert(got == expected)
+  }
+
+  test("bm25 plan: query side broadcast, top-k rank limited below the sort") {
+    val p = TextAnalysis.qTextBm25(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // query terms + corpus stats ride broadcasts; candidate generation
+    // is the postings join, never a corpus-wide nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the top-15 is a bounded per-partition heap merged on the driver,
+    // never a global sort of the whole candidate set
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("near-dup pairs meet the threshold and are label-blocked") {
     val rows = Similarity.qSimNearDup(spark, sf0001).collect()
     assert(rows.nonEmpty)

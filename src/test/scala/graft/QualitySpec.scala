@@ -302,6 +302,50 @@ class QualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ab z-test equals a direct Scala replay of the pooled statistic") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"user_id", $"value".cast("decimal(18,2)").as("v"))
+      .collect()
+    val conv = ev.groupBy(r => (r.getString(0), r.getLong(1))).map { case ((t, u), rs) =>
+      val s = rs.map(r => BigDecimal(r.getDecimal(2))).sum
+      (t, u, s * 100 > BigDecimal(4500) * rs.length)
+    }
+    val expected = conv.groupBy(_._1).map { case (t, cs) =>
+      val a = cs.filter(_._2 % 2 == 0); val b = cs.filter(_._2 % 2 == 1)
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      val (xa, xb) = (a.count(_._3).toLong, b.count(_._3).toLong)
+      val num = BigInt(xa * nb - xb * na)
+      val z2 =
+        if (xa + xb == 0 || xa + xb == na + nb) BigInt(0)
+        else num * num * BigInt(na + nb) * 1000000 /
+          (BigInt(na) * nb * (xa + xb) * (na + nb - xa - xb))
+      val z = num.signum * math.floor(math.sqrt(z2.toDouble)).toLong
+      t -> (na, nb, xa, xb, xa * 1000000L / na, xb * 1000000L / nb,
+        z2.toLong, z, math.abs(z) > 1960)
+    }
+    val got = Quality.qAbZtest(spark, sf0001).collect().map { r =>
+      r.getAs[String]("event_type") -> (
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b"),
+        r.getAs[Long]("p_a_ppm"), r.getAs[Long]("p_b_ppm"),
+        r.getAs[Long]("z2_x1e6"), r.getAs[Long]("z_x1000"),
+        r.getAs[Boolean]("significant"))
+    }.toMap
+    assert(got == expected)
+    // delta is consistent with the per-arm rates
+    Quality.qAbZtest(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("delta_ppm") ==
+        r.getAs[Long]("p_a_ppm") - r.getAs[Long]("p_b_ppm"))
+    }
+  }
+
+  test("ab z-test plan: two aggregate exchanges, no join") {
+    val p = plan(Quality.qAbZtest(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    // (metric, user) combine then the per-metric rollup — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("curation pipeline: verdicts partition the corpus, stage precedence holds") {
     val nCorpus = Tables.load(spark, sf0001, "documents")
       .filter($"source" =!= "src0").count()
