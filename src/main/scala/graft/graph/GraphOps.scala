@@ -366,6 +366,60 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  private final val LinkPredTopK = 5
+
+  /** Seed-anchored link prediction by the Resource-Allocation index
+    * (Zhou–Lü–Zhang 2009): for each flagged seed s (`partkey % 500 ==
+    * 0`, the same set [[qGraphBfs]]/[[qGraphPpr]] use) and every
+    * non-adjacent two-hop candidate v,
+    * `RA(s,v) = Σ_{w ∈ N(s)∩N(v)} 1/deg(w)`, carried exactly as
+    * `1000000 div deg(w)` — RA, unlike Adamic–Adar's `1/ln(deg)`, is
+    * RATIONAL, so the oracle hash-matches with no ulp risk. Top-5
+    * candidates per seed — the "recommend what the flagged entities
+    * are two co-purchases away from" query.
+    *
+    * Scale shape: anchoring on the seed set is what bounds wedge
+    * enumeration — the seed-neighbor base is |S|·d̄ rows, so the
+    * two-hop expansion costs one pass over the edge table instead of
+    * the Σ deg² all-pairs wedge blowup (run whole-graph RA per seed
+    * batch, never unanchored). The tiny seed frame broadcasts; the
+    * candidate expansion, middle-degree lookup and known-edge anti
+    * join follow the module's shuffled-hash round-join policy (never
+    * broadcast the edge scan); the per-seed top-5 window partitions
+    * by seed. */
+  def qGraphLinkPred(spark: SparkSession, dir: String): DataFrame = {
+    val sym = symmetricEdges(spark, dir)
+    linkPredOnEdges(sym, sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0))
+  }
+
+  /** Core RA scoring over explicit symmetric edges + seed frame —
+    * factored out so specs can replay it on fixtures. */
+  private[graft] def linkPredOnEdges(sym: DataFrame, seeds: DataFrame): DataFrame = {
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val sn = sym.join(broadcast(seeds.select(col("node").as("s"))),
+        col("src") === col("s"))
+      .select(col("s"), col("dst").as("w"))
+    val wedges = sym.join(sn.hint("shuffle_hash"), sym("src") === sn("w"))
+      .select(col("s"), col("w"), sym("dst").as("cand"))
+      .filter(col("cand") =!= col("s"))
+    val open = wedges.join(
+      sym.select(col("src").as("s"), col("dst").as("cand")).hint("shuffle_hash"),
+      Seq("s", "cand"), "left_anti")
+    val scored = open
+      .join(deg.withColumnRenamed("node", "w").hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("s"), col("cand"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div d")).as("ra_x1e6"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("ra_x1e6").desc, col("cand"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= LinkPredTopK)
+      .select(col("s").as("part"), col("rank"), col("cand"),
+        col("common_neighbors"), col("ra_x1e6"))
+      .orderBy(col("part"), col("rank"))
+  }
+
   /** PageRank over the INCREMENTALLY-maintained edge table: the
     * membership rows arrive in three batches split on the PART key, so
     * an order's parts deliberately straddle batches — every merge must
@@ -408,6 +462,7 @@ object GraphOps {
     "q_graph_cc" -> qGraphCc,
     "q_graph_communities" -> qGraphCommunities,
     "q_graph_bfs" -> qGraphBfs,
+    "q_graph_linkpred" -> qGraphLinkPred,
     "q_graph_ppr" -> qGraphPpr)
 
   private val edgesCte =
@@ -497,6 +552,27 @@ object GraphOps {
          |                       GROUP BY e.dst) n ON l.node = n.node)
          |SELECT node AS part, lbl AS component FROM c3
          |ORDER BY part""".stripMargin,
+    "q_graph_linkpred" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT src AS s FROM edges WHERE src % 500 = 0),
+         |sn AS (SELECT seeds.s, edges.dst AS w
+         |       FROM edges JOIN seeds ON edges.src = seeds.s),
+         |wedges AS (SELECT sn.s, sn.w, e.dst AS cand
+         |           FROM edges e JOIN sn ON e.src = sn.w
+         |           WHERE e.dst <> sn.s),
+         |open AS (SELECT * FROM wedges wg WHERE NOT EXISTS
+         |         (SELECT 1 FROM edges x WHERE x.src = wg.s AND x.dst = wg.cand)),
+         |scored AS (SELECT s, cand,
+         |             CAST(count(*) AS BIGINT) AS common_neighbors,
+         |             CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_x1e6
+         |           FROM open JOIN deg ON open.w = deg.node
+         |           GROUP BY s, cand),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY s
+         |            ORDER BY ra_x1e6 DESC, cand) AS BIGINT) AS rank
+         |      FROM scored)
+         |SELECT s AS part, rank, cand, common_neighbors, ra_x1e6
+         |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
     "q_graph_communities" ->
       s"""WITH $edgesCte,
          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),

@@ -266,6 +266,65 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Direct Scala replay of seed-anchored Resource-Allocation link
+    * prediction: RA(s,v) = Σ over common neighbors w of 1000000/deg(w)
+    * for non-adjacent two-hop candidates, top-5 per seed by
+    * (ra desc, cand). */
+  private def replayLinkPred(sym: Seq[(Long, Long)],
+      seeds: Set[Long]): Seq[(Long, Long, Long, Long, Long)] = {
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    seeds.toSeq.sorted.flatMap { s =>
+      val cands = adj(s).flatMap(adj(_)).filter(v => v != s && !adj(s)(v))
+      cands.toSeq.map { v =>
+        val common = adj(s) intersect adj(v)
+        (v, common.size.toLong, common.toSeq.map(w => 1000000L / deg(w)).sum)
+      }
+        .sortBy { case (v, _, ra) => (-ra, v) }.take(5)
+        .zipWithIndex.map { case ((v, cn, ra), i) => (s, i + 1L, v, cn, ra) }
+    }
+  }
+
+  test("fixture link prediction: engine == replay; candidates are open two-hop pairs") {
+    val symDf = fixtureSym.toDF("src", "dst")
+    val seeds = Set(4L, 7L)
+    val got = GraphOps.linkPredOnEdges(symDf,
+        seeds.toSeq.toDF("node")).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand"), r.getAs[Long]("common_neighbors"),
+        r.getAs[Long]("ra_x1e6"))).toSeq
+    assert(got == replayLinkPred(fixtureSym, seeds))
+    // every prediction is a genuine open pair: non-adjacent, >= 1 shared
+    val adj = fixtureSym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    got.foreach { case (s, _, v, cn, ra) =>
+      assert(!adj(s)(v) && v != s)
+      assert(cn >= 1 && ra > 0)
+    }
+  }
+
+  test("randomized graphs: link prediction == replay") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(16)
+      val pEdge = 0.15 + rnd.nextDouble() * 0.3
+      val ce = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < pEdge
+      } yield (i.toLong, j.toLong)).toSeq
+      if (ce.nonEmpty) {
+        val sym = ce ++ ce.map(e => (e._2, e._1))
+        val nodes = sym.map(_._1).distinct
+        val seeds = nodes.filter(_ % 3 == 0).toSet
+        if (seeds.nonEmpty) {
+          val got = GraphOps.linkPredOnEdges(sym.toDF("src", "dst"),
+              seeds.toSeq.toDF("node")).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSeq
+          assert(got == replayLinkPred(sym, seeds), s"trial $trial edges=$ce")
+        }
+      }
+    }
+  }
+
   /** Direct Scala replay of multi-source BFS hop labeling. */
   private def replayBfs(sym: Seq[(Long, Long)], seeds: Set[Long],
       rounds: Int): Map[Long, Long] = {
