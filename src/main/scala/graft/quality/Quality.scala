@@ -267,6 +267,65 @@ object Quality {
       .orderBy($"touch_type")
   }
 
+  /** Cross-source quantile normalization — the calibration step for
+    * mixing heterogeneously-scored sources: each document's quality
+    * score is replaced by the POOLED-distribution score at the same
+    * within-source quantile, so "top decile of src3" and "top decile
+    * of src7" become comparable numbers (classifier scores from
+    * different domains are never directly comparable; ranks are).
+    *
+    * Everything stays integer-exact: within-source quantile
+    * `((s_rank−1)·1000) div (n_src−1)` (permille, single-doc sources
+    * coalesce to 0), and the pooled side is quantized to a 1001-point
+    * grid — permille p maps to the pooled score at rank
+    * `1 + ((n_all−1)·p) div 1000`, the standard lower-interpolation
+    * empirical quantile.
+    *
+    * Scale shape: BOTH global ranks are distributed prefix ranks, not
+    * single-partition windows — the qTokenBudget band trick: stop_hits
+    * is the score's dominant term, so ranking within (band) [pooled]
+    * or (source, band) [per source] plus a broadcast running band
+    * offset reconstructs the exact global rank. The grid is built by
+    * one 1001-row equi-join against the ranked corpus and broadcasts
+    * back; no stage ever sorts the whole corpus on one task. */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withQualityGate(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"source", $"stop_hits".as("band"), scoreCol.as("score"))
+    // pooled global rank: ascending band offsets + within-band rank
+    val bandCounts = scored.groupBy($"band").agg(count(lit(1)).as("bn"))
+    val wb = Window.orderBy($"band".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bandCounts.withColumn("off", coalesce(sum($"bn").over(wb), lit(0L)))
+    val wPool = Window.partitionBy($"band").orderBy($"score".asc, $"doc_id")
+    val pooled = scored.join(broadcast(offs.select($"band", $"off")), Seq("band"))
+      .withColumn("g_rank", $"off" + row_number().over(wPool))
+    val nAll = scored.agg(count(lit(1)).as("n_all"))
+    val grid = nAll
+      .select(explode(expr("sequence(0, 1000)")).as("p"), $"n_all")
+      .select($"p".cast("long").as("p"),
+        expr("1 + ((n_all - 1) * p) div 1000").as("target_rank"))
+    val gridScores = pooled.join(broadcast(grid), $"g_rank" === $"target_rank")
+      .select($"p", $"score".as("norm_score"))
+    // within-source rank: same banded pattern keyed by (source, band)
+    val srcBandCounts = scored.groupBy($"source", $"band").agg(count(lit(1)).as("sn"))
+    val wsb = Window.partitionBy($"source").orderBy($"band".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soffs = srcBandCounts
+      .withColumn("soff", coalesce(sum($"sn").over(wsb), lit(0L)))
+    val wSrc = Window.partitionBy($"source", $"band").orderBy($"score".asc, $"doc_id")
+    val srcN = scored.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    scored
+      .join(broadcast(soffs.select($"source", $"band", $"soff")), Seq("source", "band"))
+      .withColumn("s_rank", $"soff" + row_number().over(wSrc))
+      .join(broadcast(srcN), Seq("source"))
+      .withColumn("q_permille",
+        expr("coalesce(((s_rank - 1) * 1000) div nullif(n_src - 1, 0), 0)"))
+      .join(broadcast(gridScores), $"q_permille" === $"p")
+      .select($"doc_id", $"source", $"score", $"s_rank", $"q_permille", $"norm_score")
+      .orderBy($"doc_id")
+  }
+
   /** A user-arm "converts" on a metric when their mean event value for
     * that type exceeds 45.00 — compared as exact DECIMAL `sum·100 >
     * 4500·count` so no float summation order can flip a near-threshold
@@ -722,6 +781,7 @@ object Quality {
     "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
     "q_ab_ztest" -> qAbZtest,
+    "q_quantile_norm" -> qQuantileNorm,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
     "q_pii_scrub" -> qPiiScrub,
@@ -1013,6 +1073,43 @@ object Quality {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY COALESCE(touch, 'direct')
         |ORDER BY touch_type""".stripMargin,
+
+    "q_quantile_norm" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+         |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+         |  FROM w),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    stop_hits * 100000 + COALESCE((sum_wlen * 1000) // nullif(n_words, 0), 0) AS score
+         |  FROM m),
+         |n AS (SELECT count(*) AS n_all FROM s),
+         |pooled AS (SELECT doc_id, score,
+         |             CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS g_rank
+         |           FROM s),
+         |grid AS (SELECT CAST(p AS BIGINT) AS p,
+         |                1 + ((n.n_all - 1) * p) // 1000 AS target_rank
+         |         FROM range(0, 1001) t(p), n),
+         |gs AS (SELECT grid.p, pooled.score AS norm_score
+         |       FROM grid JOIN pooled ON pooled.g_rank = grid.target_rank),
+         |sr AS (SELECT doc_id, source, score,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS s_rank,
+         |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |       FROM s),
+         |q AS (SELECT doc_id, source, score, s_rank,
+         |        COALESCE(((s_rank - 1) * 1000) // nullif(n_src - 1, 0), 0) AS q_permille
+         |      FROM sr)
+         |SELECT q.doc_id, q.source, q.score, q.s_rank, q.q_permille, gs.norm_score
+         |FROM q JOIN gs ON gs.p = q.q_permille
+         |ORDER BY q.doc_id""".stripMargin
+    },
 
     "q_ab_ztest" ->
       """WITH conv AS (

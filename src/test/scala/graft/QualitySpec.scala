@@ -339,6 +339,46 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("quantile normalization equals a direct Scala replay") {
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "on")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = docs.map { case (id, src, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val score =
+        if (ws.isEmpty) ws.count(stop) * 100000L
+        else ws.count(stop) * 100000L + ws.map(_.length.toLong).sum * 1000L / ws.length
+      (id, src, score)
+    }
+    val nAll = scored.length.toLong
+    val pooledSorted = scored.sortBy { case (id, _, s) => (s, id) }
+    val gridScore = (0L to 1000L).map { p =>
+      p -> pooledSorted(((nAll - 1) * p / 1000).toInt)._3
+    }.toMap
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val inOrder = ds.toSeq.sortBy { case (id, _, s) => (s, id) }
+      val nSrc = inOrder.length.toLong
+      inOrder.zipWithIndex.map { case ((id, src, s), i) =>
+        val q = if (nSrc == 1) 0L else i.toLong * 1000L / (nSrc - 1)
+        id -> ((src, s, i + 1L, q, gridScore(q)))
+      }
+    }.toMap
+    val got = Quality.qQuantileNorm(spark, sf0001).collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("source"),
+        r.getAs[Long]("score"), r.getAs[Long]("s_rank"),
+        r.getAs[Long]("q_permille"), r.getAs[Long]("norm_score")))
+    }.toMap
+    assert(got == expected)
+    // normalized scores are monotone in the within-source quantile
+    got.values.groupBy(_._1).foreach { case (_, vs) =>
+      vs.toSeq.sortBy(_._4).sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo._5 <= hi._5)
+        case _ =>
+      }
+    }
+  }
+
   test("ab z-test plan: two aggregate exchanges, no join") {
     val p = plan(Quality.qAbZtest(spark, sf0001))
     assert(!p.contains("Join"), p)
