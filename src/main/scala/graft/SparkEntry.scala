@@ -25,7 +25,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles),
       (graft.quality.Quality.queries, graft.quality.Quality.oracles),
       (graft.graph.GraphOps.queries, graft.graph.GraphOps.oracles),
-      (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles)
+      (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles),
+      (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

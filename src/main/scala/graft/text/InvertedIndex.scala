@@ -1,0 +1,222 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Stored inverted text index with incremental maintenance — the
+  * text-retrieval twin of [[graft.sim.IvfIndex]]: postings live as a
+  * parquet directory PARTITIONED BY token-hash bucket, new-document
+  * batches merge idempotently (same staging → deterministic-name
+  * publish protocol), and BM25 search scans ONLY the buckets of the
+  * query's terms.
+  *
+  * Invariant (InvertedIndexSpec): search-after-merge ≡ search-over-
+  * rebuilt-index — tokenization and layout are shared by both paths
+  * and the layout carries no batch lineage. The driver-checked query
+  * `q_text_bm25_indexed` uses the SAME DuckDB oracle as the direct
+  * `q_text_bm25`, so the driver hash proves the stored-index search is
+  * indistinguishable from computing BM25 from the raw corpus.
+  *
+  * Scale shapes:
+  *  - the index pays the tokenize+tf shuffle ONCE at build/merge time;
+  *    queries never re-tokenize the corpus — they scan postings;
+  *  - postings partition into [[Buckets]] token-hash buckets; the
+  *    query's term list (with its buckets) broadcasts, so the
+  *    bucket+token equi-join prunes to matching buckets and a term's
+  *    document frequency falls out of the scanned postings themselves
+  *    (no separate df table to maintain);
+  *  - doc lengths are a slim (doc_id, dl) side table appended under
+  *    the same idempotent protocol; corpus stats (N, avgdl) are one
+  *    aggregate of that table at query time, never a stored scalar
+  *    that could drift from the postings;
+  *  - per-bucket [[graft.sources.Compaction]] bounds small files from
+  *    many micro-batches without ever rewriting the whole index.
+  */
+object InvertedIndex {
+
+  private val Buckets = 64
+
+  private def tokenBucket(c: Column): Column = pmod(xxhash64(c), lit(Buckets))
+
+  /** Tokenize a docs batch into postings (doc_id, token, tf, bucket) —
+    * THE shared tokenization used by [[rebuild]] and [[mergeBatch]];
+    * equivalence of the two index paths reduces to this being
+    * deterministic. Same token semantics as every TextAnalysis query
+    * (whitespace split, empties dropped). */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", tokenBucket(col("token")))
+
+  /** Doc lengths (docs with ≥1 token only — the same universe the
+    * direct query's tf-derived `dl` frame covers). */
+  private def doclensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as long)")
+          .as("dl"))
+      .filter(col("dl") > 0)
+
+  /** Full index (re)build: overwrite bucket-partitioned postings and
+    * the doc-length side table. */
+  def rebuild(docs: DataFrame, path: String): Unit = {
+    postingsOf(docs).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    // slim (doc_id, dl) table; no coalesce — file count follows the
+    // scan partitioning, so the write scales with the corpus
+    doclensOf(docs)
+      .write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Incremental merge of one new-documents batch keyed by batch id,
+    * IDEMPOTENT under replay — the same write protocol as
+    * [[graft.sim.IvfIndex.mergeBatch]]: stage under `_staging/batch=N`
+    * (invisible to parquet discovery, retries rewrite only staging),
+    * then publish every staged file under a DETERMINISTIC
+    * `batch-<id>-part-<i>` name via delete+rename so a replayed batch
+    * overwrites exactly its own files. Single-writer maintenance job
+    * by design. */
+  def mergeBatch(docs: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val staging = s"$path/_staging/batch=$batchId"
+    postingsOf(docs).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/postings")
+    doclensOf(docs)
+      .write.mode("overwrite").parquet(s"$staging/doclens")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(hconf)
+    def publish(srcDir: org.apache.hadoop.fs.Path,
+        destDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(destDir)
+      fs.listStatus(srcDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            destDir, s"batch-$batchId-part-$i.parquet")
+          fs.delete(target, false) // republish: overwrite own prior file
+          if (!fs.rename(f.getPath, target))
+            sys.error(s"index merge publish failed: ${f.getPath} -> $target")
+        }
+    }
+    if (fs.exists(stagingPath)) {
+      val stagedPostings = new org.apache.hadoop.fs.Path(s"$staging/postings")
+      if (fs.exists(stagedPostings)) {
+        fs.listStatus(stagedPostings)
+          .filter(_.getPath.getName.startsWith("bucket="))
+          .foreach { bDir =>
+            publish(bDir.getPath,
+              new org.apache.hadoop.fs.Path(s"$path/postings", bDir.getPath.getName))
+          }
+      }
+      val stagedDls = new org.apache.hadoop.fs.Path(s"$staging/doclens")
+      if (fs.exists(stagedDls))
+        publish(stagedDls, new org.apache.hadoop.fs.Path(s"$path/doclens"))
+      fs.delete(stagingPath, true)
+    }
+  }
+
+  /** Attach the maintenance sink to a stream of new documents
+    * (doc_id, text): every micro-batch merges into the index,
+    * idempotently per batch id. */
+  def streamingMerge(stream: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** Compact one bucket's postings directory; content-preserving,
+    * atomic swap, per `sources.Compaction`. */
+  def compactBucket(spark: SparkSession, path: String, bucket: Long,
+      targetBytes: Long = 128L << 20): (Int, Int) =
+    graft.sources.Compaction.compact(
+      spark, s"$path/postings/bucket=$bucket", targetBytes)
+
+  /** BM25 top-k over the stored index for a query-term frame
+    * (`token` column). Scoring is [[TextAnalysis.withBm25Score]] —
+    * shared with the direct query. `excludeDoc` drops one doc_id from
+    * the candidates (query-by-document convention). */
+  def search(spark: SparkSession, qterms: DataFrame, path: String,
+      excludeDoc: DataFrame, k: Int): DataFrame = {
+    val post = spark.read.parquet(s"$path/postings")
+    val dls = spark.read.parquet(s"$path/doclens")
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 1000) div count(1)").as("avgdl_x1000"))
+    val qb = qterms.select(col("token")).distinct()
+      .withColumn("bucket", tokenBucket(col("token")))
+    val cand = post.join(broadcast(qb), Seq("bucket", "token"))
+    // a term's df IS its posting count — the postings cover the corpus
+    val dfr = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+    TextAnalysis.withBm25Score(cand
+      .join(dls, Seq("doc_id"))
+      .join(dfr, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(excludeDoc))
+      .filter(col("doc_id") =!= col("qid")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("score_term")).as("score_x1000"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_matched"), col("score_x1000"))
+      .orderBy(col("rank"))
+  }
+
+  // -----------------------------------------------------------------
+  // driver-checked query: search over an index grown by BOTH paths
+  // -----------------------------------------------------------------
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the index once per (session, dir): bootstrap the even
+    * doc_ids via [[rebuild]], grow the odd ones via [[mergeBatch]] —
+    * the exact per-batch call the foreachBatch sink makes — so the
+    * driver-checked search verifies the incremental path. */
+  private def indexPath(spark: SparkSession, dir: String): String = {
+    val key = spark.sparkContext.applicationId + "|invidx|" + dir
+    built.getOrElseUpdate(key, {
+      val docs = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val p = stageDir(spark, "invidx|" + dir)
+      rebuild(docs.filter(col("doc_id") % 2 === 0), p)
+      mergeBatch(docs.filter(col("doc_id") % 2 === 1), p, batchId = 0L)
+      p
+    })
+  }
+
+  /** BM25 more-like-this over the stored index — same query document,
+    * scoring and output as [[TextAnalysis.qTextBm25]]; the driver
+    * checks it against the SAME oracle SQL, proving the stored-index
+    * path returns bit-identical results. */
+  def qTextBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val qdoc = docs.agg(min(col("doc_id")).as("qid"))
+    val qterms = docs.join(broadcast(qdoc), col("doc_id") === col("qid"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    search(spark, qterms, indexPath(spark, dir), qdoc, TextAnalysis.Bm25TopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25_indexed" -> qTextBm25Indexed)
+
+  // the whole point: the index path answers the direct query's oracle
+  val oracles: Map[String, String] = Map(
+    "q_text_bm25_indexed" -> TextAnalysis.oracles("q_text_bm25"))
+
+  /** Session-scoped stage dir under the SessionCache root so stale-app
+    * purging applies to index dirs too. */
+  private def stageDir(spark: SparkSession, key: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get("target", "graft-stage",
+      spark.sparkContext.applicationId, "inv_" + md5).toString
+  }
+}

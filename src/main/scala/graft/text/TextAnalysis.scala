@@ -255,7 +255,18 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
-  private val Bm25TopK = 15
+  private[text] val Bm25TopK = 15
+
+  /** The BM25 scoring expressions (k1=1.2, b=0.75, ×1000 fixed-point)
+    * over a frame carrying (tf, df, dl, n_docs, avgdl_x1000) — ONE
+    * definition shared by the direct query ([[qTextBm25]]) and the
+    * stored-index search ([[InvertedIndex]]), so the two paths cannot
+    * disagree on a score. */
+  private[text] def withBm25Score(frame: DataFrame): DataFrame = frame
+    .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
+    .withColumn("norm_x1000", expr("250 + (750 * dl * 1000) div avgdl_x1000"))
+    .withColumn("score_term",
+      expr("(tf * 2200 * idf_x1000) div (tf * 1000 + (1200 * norm_x1000) div 1000)"))
 
   /** BM25 "more-like-this" retrieval — the full-text ranking primitive
     * behind search-based curation (query-by-document, near-neighbor
@@ -297,16 +308,12 @@ object TextAnalysis {
       .select($"token").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"score_x1000".desc, $"doc_id")
-    tf.join(broadcast(qterms), Seq("token"))
+    withBm25Score(tf.join(broadcast(qterms), Seq("token"))
       .join(dl, Seq("doc_id"))
       .join(dfr, Seq("token"))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(qdoc))
-      .filter($"doc_id" =!= $"qid")
-      .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
-      .withColumn("norm_x1000", expr("250 + (750 * dl * 1000) div avgdl_x1000"))
-      .withColumn("score_term",
-        expr("(tf * 2200 * idf_x1000) div (tf * 1000 + (1200 * norm_x1000) div 1000)"))
+      .filter($"doc_id" =!= $"qid"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_matched"), sum($"score_term").as("score_x1000"))
       .orderBy($"score_x1000".desc, $"doc_id")
