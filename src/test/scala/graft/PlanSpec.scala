@@ -166,7 +166,10 @@ class PlanSpec extends SparkSpec {
       // onto the corpus scan (its own QualitySpec test pins the shape)
       "q_importance_dsir",
       // temperature mixture: 1-row totals broadcast onto the 5-row grid
-      "q_mix_temperature")
+      "q_mix_temperature",
+      // BM25 (direct + stored-index): 1-row corpus stats and 1-row
+      // query-doc-id broadcasts onto the candidate postings
+      "q_text_bm25", "q_text_bm25_indexed")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
