@@ -14,7 +14,10 @@ object Bench {
     "q_sim_ann_ivf_trained", "q_dedup_simhash_pairs",
     // r7 heavies: staged-edge graph analytics (staging charged to the
     // first query per sf, as in the full bench)
-    "q_graph_pagerank", "q_graph_triangles")
+    "q_graph_pagerank", "q_graph_triangles",
+    // late-r7 heavies: two more iterative/anchored graph shapes and
+    // the stored-index BM25 (pays its one-time index build per sf)
+    "q_graph_cc", "q_graph_linkpred", "q_text_bm25_indexed")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

@@ -326,6 +326,45 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  private val PpsTarget = 50L
+
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * deterministic weighted sampler: a fixed grid of ~50 selection
+    * points at `step = W div 50` over the cumulative token-count line
+    * picks each document with probability ∝ its token count; zero
+    * randomness, so the draw is replay/shard-stable like qSampleHash
+    * but weighted like a token-budget draw. A document wider than one
+    * step covers several points — `n_hits` reports the multiplicity
+    * (the standard PPS-systematic caveat, surfaced rather than
+    * hidden).
+    *
+    * All integer: the hit count is `cum div step − (cum−w) div step`,
+    * identical in DuckDB. The cumulative line is the distributed
+    * band prefix sum again — doc_id-range bands (ids div 1000), tiny
+    * broadcast running offsets, within-band windows; no global-order
+    * window ever sees the corpus in one partition. */
+  def qSamplePps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as long)")
+          .as("w"))
+    val banded = docs.withColumn("band", expr("doc_id div 1000"))
+    val bandTotals = banded.groupBy($"band").agg(sum($"w").as("bw"))
+    val wb = Window.orderBy($"band".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bandTotals.withColumn("off", coalesce(sum($"bw").over(wb), lit(0L)))
+    val wDoc = Window.partitionBy($"band").orderBy($"doc_id")
+    val tot = docs.agg(sum($"w").as("wtot"))
+    banded.join(broadcast(offs.select($"band", $"off")), Seq("band"))
+      .withColumn("cum", $"off" + sum($"w").over(wDoc))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_hits",
+        expr(s"cum div (wtot div $PpsTarget) - (cum - w) div (wtot div $PpsTarget)"))
+      .select($"doc_id", $"w", $"cum", $"n_hits", ($"n_hits" >= 1L).as("selected"))
+      .orderBy($"doc_id")
+  }
+
   /** A user-arm "converts" on a metric when their mean event value for
     * that type exceeds 45.00 — compared as exact DECIMAL `sum·100 >
     * 4500·count` so no float summation order can flip a near-threshold
@@ -782,6 +821,7 @@ object Quality {
     "q_attribution" -> qAttribution,
     "q_ab_ztest" -> qAbZtest,
     "q_quantile_norm" -> qQuantileNorm,
+    "q_sample_pps" -> qSamplePps,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
     "q_pii_scrub" -> qPiiScrub,
@@ -1110,6 +1150,21 @@ object Quality {
          |FROM q JOIN gs ON gs.p = q.q_permille
          |ORDER BY q.doc_id""".stripMargin
     },
+
+    "q_sample_pps" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CAST(sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM d)
+        |SELECT doc_id, w, cum,
+        |  cum // (wtot // 50) - (cum - w) // (wtot // 50) AS n_hits,
+        |  (cum // (wtot // 50) - (cum - w) // (wtot // 50)) >= 1 AS selected
+        |FROM c, t ORDER BY doc_id""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH conv AS (

@@ -325,6 +325,27 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("sf0.001 CC and link prediction: engine == replay on the real graph") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val gotCc = GraphOps.qGraphCc(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("component")).toMap
+    assert(gotCc == replayCc(sym, 3) && gotCc.nonEmpty)
+    val seeds = sym.map(_._1).distinct.filter(_ % 500 == 0).toSet
+    assert(seeds.nonEmpty)
+    val gotLp = GraphOps.qGraphLinkPred(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand"), r.getAs[Long]("common_neighbors"),
+        r.getAs[Long]("ra_x1e6"))).toSeq
+    assert(gotLp == replayLinkPred(sym, seeds) && gotLp.nonEmpty)
+  }
+
   /** Direct Scala replay of multi-source BFS hop labeling. */
   private def replayBfs(sym: Seq[(Long, Long)], seeds: Set[Long],
       rounds: Int): Map[Long, Long] = {

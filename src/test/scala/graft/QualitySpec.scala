@@ -379,6 +379,31 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("pps sampling equals a direct Scala replay; grid accounting holds") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).count(_.nonEmpty).toLong)
+      .sortBy(_._1)
+    val wtot = docs.map(_._2).sum
+    val step = wtot / 50
+    var cum = 0L
+    val expected = docs.map { case (id, w) =>
+      cum += w
+      val hits = cum / step - (cum - w) / step
+      (id, w, cum, hits, hits >= 1)
+    }.toSeq
+    val got = Quality.qSamplePps(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("cum"),
+        r.getAs[Long]("n_hits"), r.getAs[Boolean]("selected"))).toSeq
+    assert(got == expected)
+    // every grid point lands on exactly one doc: hits sum to the grid size
+    assert(got.map(_._4).sum == wtot / step)
+    // the draw is weighted: selected docs are longer on average
+    val (sel, unsel) = got.partition(_._5)
+    assert(sel.nonEmpty && unsel.nonEmpty)
+    assert(sel.map(_._2).sum / sel.size > unsel.map(_._2).sum / unsel.size)
+  }
+
   test("ab z-test plan: two aggregate exchanges, no join") {
     val p = plan(Quality.qAbZtest(spark, sf0001))
     assert(!p.contains("Join"), p)
