@@ -425,6 +425,76 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  /** CUPED variance-reduced A/B readout (Deng–Xu–Kohavi–Walker 2013)
+    * — the production companion to [[qAbZtest]]: each user's
+    * post-period metric is adjusted by their PRE-period behavior
+    * (`Y' = Y − θ·X`, θ = cov(X,Y)/var(X) pooled across arms), which
+    * cancels the between-user variance that pre-dates the experiment
+    * and typically halves the sample size a test needs. Pre period:
+    * events before 2024-01-16 (the corpus midpoint); metric and
+    * covariate are the per-user value sums in exact cents per event
+    * type.
+    *
+    * Everything is rational, so it stays exact end to end: sums are
+    * BIGINT cents (via DECIMAL(18,2)·100, no float truncation),
+    * moment terms (n·Σxy − ΣxΣy etc.) and the final estimates are
+    * DECIMAL(38,0) products with ONE integral division each —
+    * `theta_x1e6 = cov_n·10⁶ div var_n` and `delta_cuped_x1e6 =
+    * (Δy·var_n − Δx·cov_n)·10⁶ div (n_a·n_b·var_n)` — Spark `div` and
+    * DuckDB `//` both truncate toward zero, so even negative deltas
+    * match bit-for-bit. Degenerate var_n = 0 falls back to the raw
+    * delta.
+    *
+    * Scale shape: identical to the z-test — one map-side-combined
+    * (metric, user) shuffle with the period split folded into
+    * conditional sums, then a 5-row rollup; no join, no window. */
+  def qAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = "cast(cast(value as decimal(18,2)) * 100 as bigint)"
+    val split = "timestamp'2024-01-16 00:00:00'"
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(
+        sum(expr(s"CASE WHEN ts < $split THEN $cents ELSE 0L END")).as("x"),
+        sum(expr(s"CASE WHEN ts >= $split THEN $cents ELSE 0L END")).as("y"))
+      .withColumn("variant", $"user_id" % 2)
+    per.groupBy($"event_type")
+      .agg(
+        count(when($"variant" === 0, 1)).as("n_a"),
+        count(when($"variant" === 1, 1)).as("n_b"),
+        sum(when($"variant" === 0, $"x").otherwise(0L)).as("sx_a"),
+        sum(when($"variant" === 1, $"x").otherwise(0L)).as("sx_b"),
+        sum(when($"variant" === 0, $"y").otherwise(0L)).as("sy_a"),
+        sum(when($"variant" === 1, $"y").otherwise(0L)).as("sy_b"),
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
+      .withColumn("cov_n", expr(
+        """cast(n_a + n_b as decimal(38,0)) * sxy
+          | - (cast(sx_a as decimal(38,0)) + sx_b)
+          |   * (cast(sy_a as decimal(38,0)) + sy_b)""".stripMargin))
+      .withColumn("var_n", expr(
+        """cast(n_a + n_b as decimal(38,0)) * sxx
+          | - (cast(sx_a as decimal(38,0)) + sx_b)
+          |   * (cast(sx_a as decimal(38,0)) + sx_b)""".stripMargin))
+      .withColumn("dyn", expr(
+        "cast(sy_a as decimal(38,0)) * n_b - cast(sy_b as decimal(38,0)) * n_a"))
+      .withColumn("dxn", expr(
+        "cast(sx_a as decimal(38,0)) * n_b - cast(sx_b as decimal(38,0)) * n_a"))
+      .withColumn("theta_x1e6", expr(
+        """CASE WHEN var_n = 0 THEN cast(0 as bigint)
+          |     ELSE cast((cov_n * 1000000) div var_n as bigint) END""".stripMargin))
+      .withColumn("delta_raw_x1e6", expr(
+        "cast((dyn * 1000000) div (cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+      .withColumn("delta_cuped_x1e6", expr(
+        """CASE WHEN var_n = 0 THEN delta_raw_x1e6
+          |     ELSE cast(((dyn * var_n - dxn * cov_n) * 1000000)
+          |          div (cast(n_a as decimal(38,0)) * n_b * var_n) as bigint) END""".stripMargin))
+      .select($"event_type", $"n_a", $"n_b",
+        $"sx_a", $"sx_b", $"sy_a", $"sy_b",
+        $"theta_x1e6", $"delta_raw_x1e6", $"delta_cuped_x1e6")
+      .orderBy($"event_type")
+  }
+
   /** The mix rule's per-source keep rate (permille) and the salted hash
     * value (0..255) it is tested against — ONE definition shared by the
     * audit rollup ([[qMixWeighted]]) and the composed curation pipeline
@@ -822,6 +892,7 @@ object Quality {
     "q_ab_ztest" -> qAbZtest,
     "q_quantile_norm" -> qQuantileNorm,
     "q_sample_pps" -> qSamplePps,
+    "q_ab_cuped" -> qAbCuped,
     "q_token_budget" -> qTokenBudget,
     "q_quality_bins" -> qQualityBins,
     "q_pii_scrub" -> qPiiScrub,
@@ -1165,6 +1236,46 @@ object Quality {
         |  cum // (wtot // 50) - (cum - w) // (wtot // 50) AS n_hits,
         |  (cum // (wtot // 50) - (cum - w) // (wtot // 50)) >= 1 AS selected
         |FROM c, t ORDER BY doc_id""".stripMargin,
+
+    "q_ab_cuped" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, user_id % 2 AS variant,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+        |    CAST(COALESCE(sum(x) FILTER (WHERE variant = 0), 0) AS BIGINT) AS sx_a,
+        |    CAST(COALESCE(sum(x) FILTER (WHERE variant = 1), 0) AS BIGINT) AS sx_b,
+        |    CAST(COALESCE(sum(y) FILTER (WHERE variant = 0), 0) AS BIGINT) AS sy_a,
+        |    CAST(COALESCE(sum(y) FILTER (WHERE variant = 1), 0) AS BIGINT) AS sy_b,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM per GROUP BY event_type),
+        |m AS (
+        |  SELECT *,
+        |    CAST(n_a + n_b AS HUGEINT) * sxy
+        |      - (CAST(sx_a AS HUGEINT) + sx_b) * (CAST(sy_a AS HUGEINT) + sy_b) AS cov_n,
+        |    CAST(n_a + n_b AS HUGEINT) * sxx
+        |      - (CAST(sx_a AS HUGEINT) + sx_b) * (CAST(sx_a AS HUGEINT) + sx_b) AS var_n,
+        |    CAST(sy_a AS HUGEINT) * n_b - CAST(sy_b AS HUGEINT) * n_a AS dyn,
+        |    CAST(sx_a AS HUGEINT) * n_b - CAST(sx_b AS HUGEINT) * n_a AS dxn
+        |  FROM g)
+        |SELECT event_type, n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+        |  CASE WHEN var_n = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((cov_n * 1000000) // var_n AS BIGINT) END AS theta_x1e6,
+        |  CAST((dyn * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS delta_raw_x1e6,
+        |  CASE WHEN var_n = 0
+        |       THEN CAST((dyn * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |       ELSE CAST(((dyn * var_n - dxn * cov_n) * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b * var_n) AS BIGINT) END AS delta_cuped_x1e6
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH conv AS (

@@ -404,6 +404,48 @@ class QualitySpec extends SparkSpec {
     assert(sel.map(_._2).sum / sel.size > unsel.map(_._2).sum / unsel.size)
   }
 
+  test("cuped equals a direct BigInt Scala replay of the moment arithmetic") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"user_id", $"ts", $"value".cast("decimal(18,2)").as("v"))
+      .collect()
+    val per = ev.groupBy(r => (r.getString(0), r.getLong(1))).map { case ((t, u), rs) =>
+      def cents(pre: Boolean) = rs.filter { r =>
+        val isPre = r.getTimestamp(2).before(split)
+        if (pre) isPre else !isPre
+      }.map(r => BigDecimal(r.getDecimal(3)) * 100).sum.toLongExact
+      (t, u, cents(pre = true), cents(pre = false))
+    }
+    val expected = per.groupBy(_._1).map { case (t, us) =>
+      val a = us.filter(_._2 % 2 == 0); val b = us.filter(_._2 % 2 == 1)
+      val (na, nb) = (BigInt(a.size), BigInt(b.size))
+      val (sxa, sxb) = (BigInt(a.map(_._3).sum), BigInt(b.map(_._3).sum))
+      val (sya, syb) = (BigInt(a.map(_._4).sum), BigInt(b.map(_._4).sum))
+      val sxx = us.map(u => BigInt(u._3) * u._3).sum
+      val sxy = us.map(u => BigInt(u._3) * u._4).sum
+      val n = na + nb
+      val covN = n * sxy - (sxa + sxb) * (sya + syb)
+      val varN = n * sxx - (sxa + sxb) * (sxa + sxb)
+      val dyn = sya * nb - syb * na
+      val dxn = sxa * nb - sxb * na
+      val theta = if (varN == 0) BigInt(0) else covN * 1000000 / varN
+      val raw = dyn * 1000000 / (na * nb)
+      val cuped =
+        if (varN == 0) raw
+        else (dyn * varN - dxn * covN) * 1000000 / (na * nb * varN)
+      t -> ((na.toLong, nb.toLong, sxa.toLong, sxb.toLong, sya.toLong, syb.toLong,
+        theta.toLong, raw.toLong, cuped.toLong))
+    }
+    val got = Quality.qAbCuped(spark, sf0001).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("sx_a"), r.getAs[Long]("sx_b"),
+        r.getAs[Long]("sy_a"), r.getAs[Long]("sy_b"),
+        r.getAs[Long]("theta_x1e6"), r.getAs[Long]("delta_raw_x1e6"),
+        r.getAs[Long]("delta_cuped_x1e6")))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("ab z-test plan: two aggregate exchanges, no join") {
     val p = plan(Quality.qAbZtest(spark, sf0001))
     assert(!p.contains("Join"), p)
