@@ -700,6 +700,27 @@ object Relational {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Top user journey trigrams — path mining one step past the
+    * transition matrix ([[qEventTransitions]]'s bigrams): the 20 most
+    * frequent 3-event sequences users actually walk, strict event-time
+    * order with the event_id tiebreak. One user-keyed window shuffle
+    * (two leads share one frame), a map-side-combined path count, and
+    * a TakeOrderedAndProject top-20 — no global sort. */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t3".isNotNull)
+      .groupBy(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
   /** HLL approximate distinct — engine-specific sketches can't hash-match
     * an oracle; registered without oracleSql (driver rows-only check). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
@@ -1578,6 +1599,7 @@ object Relational {
     "q_approx_distinct" -> qApproxDistinct,
     "q_cohort_retention" -> qCohortRetention,
     "q_event_transitions" -> qEventTransitions,
+    "q_event_paths" -> qEventPaths,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2129,6 +2151,19 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE t3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_ts_sax_motif" ->
       """WITH ordered AS (

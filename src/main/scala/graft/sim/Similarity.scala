@@ -507,6 +507,43 @@ object Similarity {
       .orderBy($"label", $"pos")
   }
 
+  /** Embedding-centroid drift — the vector-space sibling of the
+    * histogram drift monitor (`Quality.qQualityDrift`): per label, the
+    * mean-pooled centroid of one half of the corpus (vec_id parity —
+    * stand-in for "last month vs this month" batches) against the
+    * other, reported as fixed-point cosine. A label whose prototype
+    * rotates between batches signals upstream distribution shift in
+    * the embedding space before any downstream metric moves.
+    *
+    * Exactness: per-component means are DECIMAL sums (order
+    * independent) cast to double once — bit-identical across engines —
+    * and the cosine over the two 64-d centroid arrays evaluates in
+    * array order on both sides (the codegen'd CosineSimilarity
+    * expression here, sequential list_sum in DuckDB). Shape: the same
+    * one (label, half, pos) map-side-combined shuffle as the centroid
+    * builder, then a 10-row self-join. */
+  def qEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "embeddings")
+      .withColumn("half", pmod($"vec_id", lit(2L)))
+      .select($"label", $"half", posexplode($"embedding"))
+      .groupBy($"label", $"half", $"pos")
+      .agg(sum($"col".cast("double").cast(DecimalType(20, 7))).as("s"),
+        count(lit(1)).as("n"))
+      .select($"label", $"half", $"pos", ($"s".cast("double") / $"n").as("m"), $"n")
+    val cents = m.groupBy($"label", $"half")
+      .agg(max($"n").as("n_vectors"),
+        expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
+    val a = cents.filter($"half" === 0)
+      .select($"label", $"n_vectors".as("n_a"), $"cv".as("ca"))
+    val b = cents.filter($"half" === 1)
+      .select($"label", $"n_vectors".as("n_b"), $"cv".as("cb"))
+    a.join(b, Seq("label"))
+      .withColumn("cos_e6", cosE6("ca", "cb"))
+      .select($"label", $"n_a", $"n_b", $"cos_e6")
+      .orderBy($"label")
+  }
+
   /** Hard-negative mining: for each query vector, the top-3 most
     * similar vectors with a DIFFERENT label — the contrastive-training
     * negative selection step (easy negatives are useless; the hardest
@@ -541,6 +578,7 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
     "q_emb_centroid" -> qEmbCentroid,
+    "q_emb_drift" -> qEmbDrift,
     "q_kmeans" -> qKmeans,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
   )
@@ -900,6 +938,29 @@ object Similarity {
     "q_sim_ann_recall" -> recallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,
+    "q_emb_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS half, i + 1 AS idx, embedding[i + 1] AS val
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t),
+        |m AS (
+        |  SELECT label, half, idx,
+        |    CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,7))) AS DOUBLE) / count(*) AS m,
+        |    count(*) AS n
+        |  FROM x GROUP BY label, half, idx),
+        |c AS (
+        |  SELECT label, half, CAST(max(n) AS BIGINT) AS n_vectors,
+        |    list(m ORDER BY idx) AS cv
+        |  FROM m GROUP BY label, half),
+        |j AS (
+        |  SELECT a.label, a.n_vectors AS n_a, b.n_vectors AS n_b,
+        |         a.cv AS ca, b.cv AS cb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1)
+        |SELECT label, n_a, n_b,
+        |  CAST(round((list_sum(list_transform(range(1, 65), i -> ca[i] * cb[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> ca[i] * ca[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> cb[i] * cb[i]))))) * 1e6)
+        |    AS BIGINT) AS cos_e6
+        |FROM j ORDER BY label""".stripMargin,
     "q_kmeans" -> kmeansOracle,
     "q_sim_ann_ivf_trained" -> ivfTrainedOracle)
 }

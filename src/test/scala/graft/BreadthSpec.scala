@@ -381,6 +381,57 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("event paths: trigram counts replay; paths nest inside transition pairs") {
+    val rows = Relational.qEventPaths(spark, sf0001).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // descending count with path tiebreak, every path 3 segments
+    assert(rows.sortBy { case (p, n) => (-n, p) }.toSeq == rows.toSeq)
+    assert(rows.forall(_._1.split(">", -1).length == 3))
+    // direct Scala replay of the trigram counting (top-20 slice)
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(3).filter(_.length == 3)
+        .map(_.mkString(">"))
+    }.toSeq.groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows.toSeq == want)
+  }
+
+  test("embedding drift: halves partition each label, cosine bounded") {
+    val rows = Similarity.qEmbDrift(spark, sf0001).collect()
+    val sizes = Tables.load(spark, sf0001, "embeddings")
+      .groupBy($"label").count().as[(Int, Long)].collect().toMap
+    assert(rows.map(_.getAs[Int]("label")).toSet == sizes.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") ==
+        sizes(r.getAs[Int]("label")))
+      val c = r.getAs[Long]("cos_e6")
+      assert(c >= -1000000L && c <= 1000000L)
+    }
+    // cross-check label 0 against a direct Scala recomputation
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .filter($"label" === 0).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def centroid(half: Long): Array[Double] = {
+      val vs = vecs.filter(_._1 % 2 == half).map(_._2)
+      (0 until 64).map { i =>
+        val s = vs.map(v => BigDecimal(v(i).toDouble)
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+        // mirror the engine's op order: decimal -> double, THEN divide
+        s.toDouble / vs.length
+      }.toArray
+    }
+    val (ca, cb) = (centroid(0), centroid(1))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    val want = math.round(dot(ca, cb) /
+      (math.sqrt(dot(ca, ca)) * math.sqrt(dot(cb, cb))) * 1e6)
+    assert(rows.find(_.getAs[Int]("label") == 0).get.getAs[Long]("cos_e6") == want)
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)
