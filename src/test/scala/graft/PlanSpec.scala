@@ -169,7 +169,9 @@ class PlanSpec extends SparkSpec {
       "q_mix_temperature",
       // BM25 (direct + stored-index): 1-row corpus stats and 1-row
       // query-doc-id broadcasts onto the candidate postings
-      "q_text_bm25", "q_text_bm25_indexed")
+      "q_text_bm25", "q_text_bm25_indexed",
+      // PPS sampling: the 1-row total-weight broadcast onto the scan
+      "q_sample_pps")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
