@@ -700,6 +700,44 @@ object Relational {
       .orderBy($"prev_type", $"next_type")
   }
 
+  private val BasketMinSupport = 3L
+
+  /** Association rules over order baskets — support / confidence /
+    * lift for co-purchased part pairs (the market-basket classic; the
+    * graph module's edge table is these pairs WITHOUT counts, so this
+    * is the quantified sibling of the co-occurrence graph). All three
+    * measures are rational and carried ×10⁶ in BIGINT:
+    * conf = supp_ab/supp_a, lift = N·supp_ab/(supp_a·supp_b).
+    *
+    * Scale shape: the basket self-join shuffles on orderkey (same key
+    * both sides — one Exchange, the edge-staging shape) into a
+    * map-side-combined pair count; the min-support filter prunes the
+    * pair frame BEFORE the two part-keyed support joins; the 1-row
+    * order count broadcasts. Linear in Σ basket² like the edge table
+    * itself. */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val supp = li.groupBy($"l_partkey").agg(count(lit(1)).as("supp"))
+    val nOrders = li.agg(countDistinct($"l_orderkey").as("n_orders"))
+    val pairs = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter($"supp_ab" >= BasketMinSupport)
+    pairs
+      .join(supp.select($"l_partkey".as("part_a"), $"supp".as("supp_a")), Seq("part_a"))
+      .join(supp.select($"l_partkey".as("part_b"), $"supp".as("supp_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ab_x1e6", expr("(supp_ab * 1000000) div supp_a"))
+      .withColumn("lift_x1e6",
+        expr("(n_orders * supp_ab * 1000000) div (supp_a * supp_b)"))
+      .select($"part_a", $"part_b", $"supp_a", $"supp_b", $"supp_ab",
+        $"n_orders", $"conf_ab_x1e6", $"lift_x1e6")
+      .orderBy($"lift_x1e6".desc, $"part_a", $"part_b")
+  }
+
   /** Top user journey trigrams — path mining one step past the
     * transition matrix ([[qEventTransitions]]'s bigrams): the 20 most
     * frequent 3-event sequences users actually walk, strict event-time
@@ -1600,6 +1638,7 @@ object Relational {
     "q_cohort_retention" -> qCohortRetention,
     "q_event_transitions" -> qEventTransitions,
     "q_event_paths" -> qEventPaths,
+    "q_basket_rules" -> qBasketRules,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2151,6 +2190,25 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |             CAST(count(*) AS BIGINT) AS supp_ab
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, sa.supp AS supp_a, sb.supp AS supp_b, supp_ab,
+        |  n.n_orders,
+        |  (supp_ab * 1000000) // sa.supp AS conf_ab_x1e6,
+        |  (n.n_orders * supp_ab * 1000000) // (sa.supp * sb.supp) AS lift_x1e6
+        |FROM p
+        |JOIN s sa ON p.part_a = sa.l_partkey
+        |JOIN s sb ON p.part_b = sb.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift_x1e6 DESC, part_a, part_b""".stripMargin,
 
     "q_event_paths" ->
       """WITH o AS (

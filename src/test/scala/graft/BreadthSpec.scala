@@ -432,6 +432,34 @@ class BreadthSpec extends SparkSpec {
     assert(rows.find(_.getAs[Int]("label") == 0).get.getAs[Long]("cos_e6") == want)
   }
 
+  test("basket rules: supports, confidence and lift replay in Scala") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val supp = li.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val pairSupp = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    val expected = pairSupp.toSeq.map { case ((a, b), sab) =>
+      (a, b, supp(a), supp(b), sab, nOrders,
+        sab * 1000000L / supp(a),
+        nOrders * sab * 1000000L / (supp(a) * supp(b)))
+    }.sortBy { case (a, b, _, _, _, _, _, lift) => (-lift, a, b) }
+    val got = Relational.qBasketRules(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"),
+        r.getAs[Long]("supp_ab"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("conf_ab_x1e6"), r.getAs[Long]("lift_x1e6"))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // lift > 1e6 means positively associated; confidence never exceeds 1
+    got.foreach { case (_, _, _, _, _, _, conf, _) =>
+      assert(conf > 0L && conf <= 1000000L)
+    }
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -171,7 +171,9 @@ class PlanSpec extends SparkSpec {
       // query-doc-id broadcasts onto the candidate postings
       "q_text_bm25", "q_text_bm25_indexed",
       // PPS sampling: the 1-row total-weight broadcast onto the scan
-      "q_sample_pps")
+      "q_sample_pps",
+      // basket rules: the 1-row order-count broadcast onto the pairs
+      "q_basket_rules")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
