@@ -213,25 +213,66 @@ object Quality {
     * chained window minima share ONE user_id exchange (no orderBy in
     * the frame, so no per-stage sort either); the per-user rollup then
     * reads exchange-local data. */
+  /** Per-user ordered funnel epochs (first view, first click at-or-
+    * after it, first purchase at-or-after that) — ONE definition shared
+    * by the stage rollup ([[qFunnel]]) and the latency distribution
+    * ([[qFunnelLatency]]). */
+  private def funnelEpochs(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    df.withColumn("us", unix_micros(col("ts")))
+      .withColumn("v_ep", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_ep",
+        min(when(col("event_type") === "click" && col("us") >= col("v_ep"),
+          col("us"))).over(w))
+      .withColumn("p_ep",
+        min(when(col("event_type") === "purchase" && col("us") >= col("c_ep"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_ep")).as("view_ep"), max(col("c_ep")).as("click_ep"),
+        max(col("p_ep")).as("purchase_ep"))
+  }
+
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id")
-    Tables.load(spark, dir, "events")
-      .withColumn("us", unix_micros($"ts"))
-      .withColumn("v_ep", min(when($"event_type" === "view", $"us")).over(w))
-      .withColumn("c_ep",
-        min(when($"event_type" === "click" && $"us" >= $"v_ep", $"us")).over(w))
-      .withColumn("p_ep",
-        min(when($"event_type" === "purchase" && $"us" >= $"c_ep", $"us")).over(w))
-      .groupBy($"user_id")
-      .agg(max($"v_ep").as("view_ep"), max($"c_ep").as("click_ep"),
-        max($"p_ep").as("purchase_ep"))
+    funnelEpochs(Tables.load(spark, dir, "events"))
       .select($"user_id", $"view_ep", $"click_ep", $"purchase_ep",
         when($"purchase_ep".isNotNull, 3)
           .when($"click_ep".isNotNull, 2)
           .when($"view_ep".isNotNull, 1)
           .otherwise(0).as("stage"))
       .orderBy($"user_id")
+  }
+
+  /** Funnel time-to-convert distribution: whole-funnel latency
+    * (first view → the funnel-ordered first purchase) in whole
+    * seconds for every converted user, summarized as count / min /
+    * exact median / exact p90 / max. Percentiles use the value-count
+    * ranking pattern (distinct-second frame with cumulative counts —
+    * no per-user sort at any scale); p90 is the value at integer rank
+    * `ceil(9n/10) = (9n+9) div 10`, median averages ranks
+    * `(n+1) div 2` and `n div 2 + 1` — both replayed verbatim in the
+    * oracle CTE so no engine quantile-interpolation convention is
+    * involved. */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lat = funnelEpochs(Tables.load(spark, dir, "events"))
+      .filter($"purchase_ep".isNotNull)
+      .select(expr("(purchase_ep - view_ep) div 1000000").as("sec"))
+    val g = lat.groupBy(lit(1L).as("__g"), $"sec".as("__v"))
+      .agg(count(lit(1)).as("c"))
+    val vc = g
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"__g").orderBy($"__v")))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"__g")))
+    def rankValue(rank: Column): Column =
+      max(when($"cum" - $"c" < rank && rank <= $"cum", $"__v"))
+    vc.groupBy($"__g")
+      .agg(max($"n").as("n_converted"),
+        min($"__v").as("min_sec"), max($"__v").as("max_sec"),
+        ((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
+          .as("median_sec"),
+        rankValue(expr("(9 * n + 9) div 10")).as("p90_sec"))
+      .select($"n_converted", $"min_sec", $"max_sec", $"median_sec", $"p90_sec")
   }
 
   /** Source-weighted data mixing — the "mixture weights" step of every
@@ -885,6 +926,7 @@ object Quality {
     "q_sample_stratified" -> qSampleStratified,
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
+    "q_funnel_latency" -> qFunnelLatency,
     "q_mix_weighted" -> qMixWeighted,
     "q_mix_temperature" -> qMixTemperature,
     "q_importance_dsir" -> qImportanceDsir,
@@ -1170,6 +1212,31 @@ object Quality {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_ep FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_ep FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.v_ep
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ep FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) >= c.c_ep
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |lat AS (SELECT (p.p_ep - v.v_ep) // 1000000 AS sec
+        |        FROM p JOIN v ON p.user_id = v.user_id),
+        |g AS (SELECT sec AS v, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY sec),
+        |vc AS (SELECT v, c,
+        |         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n
+        |       FROM g)
+        |SELECT max(n) AS n_converted,
+        |  min(v) AS min_sec, max(v) AS max_sec,
+        |  (max(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN v END)
+        |   + max(CASE WHEN cum - c < n // 2 + 1 AND n // 2 + 1 <= cum THEN v END)) / 2
+        |    AS median_sec,
+        |  max(CASE WHEN cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum THEN v END)
+        |    AS p90_sec
+        |FROM vc""".stripMargin,
 
     "q_attribution" ->
       """WITH t AS (

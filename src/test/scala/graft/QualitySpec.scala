@@ -446,6 +446,23 @@ class QualitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("funnel latency distribution replays from the funnel's own epochs") {
+    val lats = Quality.qFunnel(spark, sf0001).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getAs[Long]("purchase_ep") - r.getAs[Long]("view_ep")) / 1000000L)
+      .sorted
+    assert(lats.nonEmpty)
+    val n = lats.length
+    val median = (lats((n + 1) / 2 - 1) + lats(n / 2)) / 2.0
+    val p90 = lats(((9 * n + 9) / 10 - 1).toInt)
+    val r = Quality.qFunnelLatency(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_converted") == n.toLong)
+    assert(r.getAs[Long]("min_sec") == lats.head)
+    assert(r.getAs[Long]("max_sec") == lats.last)
+    assert(r.getAs[Double]("median_sec") == median)
+    assert(r.getAs[Long]("p90_sec") == p90)
+  }
+
   test("ab z-test plan: two aggregate exchanges, no join") {
     val p = plan(Quality.qAbZtest(spark, sf0001))
     assert(!p.contains("Join"), p)
