@@ -262,7 +262,7 @@ object TextAnalysis {
     * definition shared by the direct query ([[qTextBm25]]) and the
     * stored-index search ([[InvertedIndex]]), so the two paths cannot
     * disagree on a score. */
-  private[text] def withBm25Score(frame: DataFrame): DataFrame = frame
+  private[graft] def withBm25Score(frame: DataFrame): DataFrame = frame
     .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
     .withColumn("norm_x1000", expr("250 + (750 * dl * 1000) div avgdl_x1000"))
     .withColumn("score_term",

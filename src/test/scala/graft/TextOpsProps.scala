@@ -158,6 +158,35 @@ object TextOpsProps extends Properties("TextOps") {
     .flatMap(n => Gen.listOfN(n, bpeWord)).map(_.mkString(" "))
   private val bpeDocs = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, bpeDoc))
 
+  property("bm25 scoring expressions equal a direct Scala replay") =
+    Prop.forAll(docs) { ds =>
+      import spark.implicits._
+      val frame = ds.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(w => (i.toLong, w))
+      }
+      if (frame.isEmpty) true
+      else {
+        val tfm = frame.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val dlm = tfm.groupBy(_._1._1).map { case (d, m) => d -> m.values.sum }
+        val dfm = tfm.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+        val nDocs = dlm.size.toLong
+        val avgdl = dlm.values.sum * 1000L / nDocs
+        val rows = tfm.toSeq.map { case ((d, w), tf) =>
+          (d, w, tf, dfm(w), dlm(d), nDocs, avgdl)
+        }
+        val scored = graft.text.TextAnalysis.withBm25Score(
+          rows.toDF("doc_id", "token", "tf", "df", "dl", "n_docs", "avgdl_x1000"))
+          .select($"doc_id", $"token", $"score_term").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val want = rows.map { case (d, w, tf, df, dl, n, av) =>
+          val idf = n * 1000L / df
+          val norm = 250L + 750L * dl * 1000L / av
+          (d, w) -> tf * 2200L * idf / (tf * 1000L + 1200L * norm / 1000L)
+        }.toMap
+        scored == want
+      }
+    }
+
   property("bpe training rounds equal a direct Scala replay") =
     Prop.forAll(bpeDocs) { ds =>
       import spark.implicits._
