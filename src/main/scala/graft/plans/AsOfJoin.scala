@@ -41,7 +41,7 @@ object AsOfJoin {
   case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute]) extends BinaryNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -59,15 +59,15 @@ object AsOfJoin {
     * side); otherwise the co-partitioned merge [[AsOfJoinExec]]. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload) =>
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload, tol) =>
         val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
         val exec =
           if (thr > 0 && r.stats.sizeInBytes <= thr)
             BroadcastAsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload)
+              lk, rk, lt, rt, tie, payload, tol)
           else
             AsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload)
+              lk, rk, lt, rt, tie, payload, tol)
         exec :: Nil
       case _ => Nil
     }
@@ -84,7 +84,7 @@ object AsOfJoin {
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute]) extends BinaryExecNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -140,11 +140,13 @@ object AsOfJoin {
         val nullPayload = new GenericInternalRow(nPayload)
         val joined = new JoinedRow
 
+        val tol = toleranceMicros
         new Iterator[InternalRow] {
           private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
-          // latest right row (payload projection) for the current left key
+          // latest right row (payload projection + time) for the current left key
           private var candKey: InternalRow = null
           private var cand: InternalRow = null
+          private var candTime: Long = Long.MinValue
 
           override def hasNext: Boolean = lIt.hasNext
 
@@ -152,7 +154,7 @@ object AsOfJoin {
             val l = lIt.next()
             val lKey = lKeyProj(l)
             if (candKey == null || keyOrd.compare(candKey, lKey) != 0) {
-              candKey = null; cand = null
+              candKey = null; cand = null; candTime = Long.MinValue
             }
             val lTime = l.getLong(lTimeIdx)
             // advance the right cursor up to (but excluding) lTime for
@@ -163,12 +165,16 @@ object AsOfJoin {
               val c = keyOrd.compare(rKey, lKey)
               if (c < 0) { rHead = if (rIt.hasNext) rIt.next() else null }
               else if (c == 0 && rHead.getLong(rTimeIdx) < lTime) {
+                candTime = rHead.getLong(rTimeIdx)
                 cand = payloadProj(rHead).copy()
                 candKey = rKey.copy()
                 rHead = if (rIt.hasNext) rIt.next() else null
               } else advancing = false
             }
-            resultProj(joined(l, if (cand != null) cand else nullPayload))
+            // a bounded-lookback join rejects a latest-match that is
+            // too old (anything older is older still — no match)
+            val inWindow = cand != null && (tol == 0L || lTime - candTime <= tol)
+            resultProj(joined(l, if (inWindow) cand else nullPayload))
           }
         }
       }
@@ -182,7 +188,7 @@ object AsOfJoin {
   case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute]) extends BinaryExecNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -261,7 +267,10 @@ object AsOfJoin {
                 val mid = (lo + hi) >>> 1
                 if (times(mid) < lTime) lo = mid + 1 else hi = mid
               }
-              if (lo == 0) nullPayload else payloads(lo - 1)
+              if (lo == 0) nullPayload
+              else if (toleranceMicros != 0L &&
+                lTime - times(lo - 1) > toleranceMicros) nullPayload
+              else payloads(lo - 1)
             }
           resultProj(joined(l, matched))
         }
@@ -277,11 +286,17 @@ object AsOfJoin {
     * `right` row whose `rightTime` is STRICTLY before the left row's
     * `leftTime` on the same key (ties on `rightTime` → greatest
     * `rightTie` wins). Time and tiebreak columns must be LongType.
-    * Right column names must not collide with left's. */
+    * Right column names must not collide with left's.
+    *
+    * `toleranceMicros` > 0 bounds the lookback (the pandas/kdb as-of
+    * `tolerance`): a latest-match older than the window yields NULL
+    * payload instead — anything older is older still, so the reject
+    * happens after the same O(1) cursor/bisect step and the merge
+    * stays one forward pass. */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String, rightTie: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], toleranceMicros: Long = 0L): DataFrame = {
     val spark = left.sparkSession
     // defensive registration for sessions not built withExtensions
     if (!spark.experimental.extraStrategies.contains(Strategy) &&
@@ -297,9 +312,10 @@ object AsOfJoin {
     val tie = attr(rPlan, rightTie)
     require(lt.dataType == LongType && rt.dataType == LongType &&
       tie.dataType == LongType, "as-of time/tie columns must be LongType")
+    require(toleranceMicros >= 0L, "as-of tolerance must be non-negative")
     val node = AsOfJoinNode(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      lt, rt, tie, payload.map(attr(rPlan, _)))
+      lt, rt, tie, payload.map(attr(rPlan, _)), toleranceMicros)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -279,6 +279,30 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** The custom as-of join's bounded-lookback variant: same purchase →
+    * latest-prior-touch attachment as [[qAsofCustom]], but a touch
+    * older than ONE HOUR no longer counts (the pandas/kdb `tolerance`
+    * semantic — "recent context only"). Same one-pass merge plan; the
+    * window check is a constant-time reject after the cursor step. */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("l_us"),
+        ep($"ts").as("purchase_ep"))
+    val right = Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("view", "click"))
+      .select($"user_id".as("r_user"), unix_micros($"ts").as("r_us"),
+        $"event_id".as("r_id"), ep($"ts").as("entry_ep"))
+    graft.plans.AsOfJoin.joinAsOf(left, right,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("entry_ep"), toleranceMicros = 3600L * 1000000L)
+      .select($"event_id", $"user_id", $"purchase_ep", $"entry_ep",
+        when($"entry_ep".isNotNull, $"purchase_ep" - $"entry_ep").as("wait_secs"))
+      .orderBy($"event_id")
+  }
+
   /** Decorrelated scalar subquery: customers whose max order exceeds a
     * threshold. */
   def qSubqueryAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -1578,6 +1602,7 @@ object Relational {
     "q_join_outer" -> qJoinOuter,
     "q_asof_join" -> qAsofJoin,
     "q_asof_custom" -> qAsofCustom,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_subquery_agg" -> qSubqueryAgg,
     "q_filter_pred" -> qFilterPred,
     "q_proj_json" -> qProjJson,
@@ -1777,6 +1802,23 @@ object Relational {
         |  WHERE r.user_id = l.user_id AND r.event_type IN ('view','click')
         |    AND r.ts < l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+        |       CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ep,
+        |       r.entry_ep,
+        |       CASE WHEN r.entry_ep IS NOT NULL
+        |            THEN CAST(floor(epoch(l.ts)) AS BIGINT) - r.entry_ep
+        |       END AS wait_secs
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT CAST(floor(epoch(rr.ts)) AS BIGINT) AS entry_ep
+        |  FROM events rr
+        |  WHERE rr.user_id = l.user_id AND rr.event_type IN ('view','click')
+        |    AND rr.ts < l.ts
+        |    AND epoch_us(l.ts) - epoch_us(rr.ts) <= 3600000000
+        |  ORDER BY rr.ts DESC, rr.event_id DESC LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
 

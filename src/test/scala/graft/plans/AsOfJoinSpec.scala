@@ -127,6 +127,41 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
   }
 
+  test("tolerance: both physical variants equal the filtered max_by formulation") {
+    val tol = 3600L * 1000000L
+    def reference: Set[(Long, Option[Any], Option[Any])] =
+      leftDf.join(rightDf,
+          $"user_id" === $"r_user" && $"r_us" < $"l_us", "left_outer")
+        .groupBy($"event_id", $"user_id", $"l_us")
+        .agg(max_by(struct($"r_us", $"r_id"), struct($"r_us", $"r_id")).as("m"))
+        .select($"event_id", $"l_us",
+          // latest-match-then-reject: the window filter applies AFTER
+          // picking the latest prior row, exactly like the operator
+          when($"l_us" - $"m.r_us" <= tol, $"m.r_us").as("r_us"),
+          when($"l_us" - $"m.r_us" <= tol, $"m.r_id").as("r_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)))).toSet
+    def bounded = AsOfJoin.joinAsOf(leftDf, rightDf,
+      leftKey = "user_id", rightKey = "r_user",
+      leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+      payload = Seq("r_us", "r_id"), toleranceMicros = tol)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"r_us", $"r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // broadcast path (default threshold)
+    val b = rows(bounded)
+    assert(b == reference)
+    // merge path (threshold off)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(rows(bounded) == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // the window genuinely rejects: fewer matches than unbounded
+    val unboundedMatches = rows(custom).count(_._2.nonEmpty)
+    val boundedMatches = b.count(_._2.nonEmpty)
+    assert(boundedMatches < unboundedMatches && boundedMatches > 0)
+  }
+
   test("strict-prior semantics: a right row tied to the left time is excluded") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
