@@ -323,6 +323,54 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  private val RakeMaxPhrase = 4
+  private val RakeTopK = 20
+
+  /** RAKE keyphrase extraction (Rose et al. 2010 — public): candidate
+    * phrases are maximal stopword-free token runs (capped at 4 tokens
+    * — the cap bounds per-word degree, the scale guard the original
+    * paper doesn't need at document scale but a corpus does); corpus-
+    * level word scores `deg/freq` (deg = Σ lengths of phrases
+    * containing the word, freq = occurrences in phrases) carried as
+    * `(deg·1000) div freq`; a phrase scores the sum of its words, and
+    * identical phrase text always scores identically (word scores are
+    * corpus-level), so the per-text rollup takes `max` purely for
+    * determinism. Top-20 by (score, phrase).
+    *
+    * Shape: one doc-keyed window shuffle for the phrase-id running
+    * count, the phrase rollup and word joins co-partitioned on
+    * (doc_id, phrase_id), one token shuffle for word scores, and a
+    * bounded-heap top-20. */
+  def qTextRake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val marked = Tables.load(spark, dir, "documents")
+      .select($"doc_id", posexplode(tokens($"text")))
+      .select($"doc_id", $"pos", $"col".as("token"))
+      .withColumn("is_stop",
+        $"token".isin(Stopwords: _*) || length($"token") === 0)
+    val words = marked
+      .withColumn("phrase_id", sum(when($"is_stop", 1L).otherwise(0L)).over(w))
+      .filter(!$"is_stop")
+    val phrases = words.groupBy($"doc_id", $"phrase_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, token)))," +
+        " x -> x.token), ' ')").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter($"len" <= RakeMaxPhrase)
+    val pw = words.join(phrases, Seq("doc_id", "phrase_id"))
+    val wordScores = pw.groupBy($"token")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .withColumn("wscore_x1000", expr("(deg * 1000) div freq"))
+    pw.join(wordScores.select($"token", $"wscore_x1000"), Seq("token"))
+      .groupBy($"doc_id", $"phrase_id", $"phrase")
+      .agg(sum($"wscore_x1000").as("score_x1000"))
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max($"score_x1000").as("score_x1000"))
+      .orderBy($"score_x1000".desc, $"phrase")
+      .limit(RakeTopK)
+  }
+
   /** Token-rarity scoring — the integer stand-in for LM-perplexity
     * filtering: per document, the mean corpus document-frequency of its
     * tokens (permille of n_docs) and the rarest token's df. Documents
@@ -691,6 +739,7 @@ object TextAnalysis {
     "q_vocab_cms_est" -> qVocabCmsEst,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_text_bm25" -> qTextBm25,
+    "q_text_rake" -> qTextRake,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
@@ -931,6 +980,41 @@ object TextAnalysis {
         |SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       idf_x1000, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_rake" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.pos, u.tok AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |  LATERAL (SELECT unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos) u),
+        |wds AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, pos, token,
+        |      (token IN ('the', 'a') OR token = '') AS is_stop,
+        |      CAST(sum(CASE WHEN (token IN ('the', 'a') OR token = '')
+        |               THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS phrase_id
+        |    FROM tok)
+        |  WHERE NOT is_stop),
+        |ph AS (
+        |  SELECT doc_id, phrase_id,
+        |    string_agg(token, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM wds GROUP BY doc_id, phrase_id
+        |  HAVING count(*) <= 4),
+        |pw AS (SELECT w.doc_id, w.phrase_id, w.token, p.phrase, p.len
+        |       FROM wds w JOIN ph p USING (doc_id, phrase_id)),
+        |wsc AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |               CAST(sum(len) AS BIGINT) AS deg
+        |        FROM pw GROUP BY token),
+        |psc AS (
+        |  SELECT pw.doc_id, pw.phrase_id, pw.phrase,
+        |    CAST(sum((wsc.deg * 1000) // wsc.freq) AS BIGINT) AS score_x1000
+        |  FROM pw JOIN wsc USING (token)
+        |  GROUP BY pw.doc_id, pw.phrase_id, pw.phrase)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(max(score_x1000) AS BIGINT) AS score_x1000
+        |FROM psc GROUP BY phrase
+        |ORDER BY score_x1000 DESC, phrase LIMIT 20""".stripMargin,
 
     "q_text_bm25" ->
       """WITH tok AS (

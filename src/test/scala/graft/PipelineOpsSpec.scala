@@ -270,6 +270,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("rake keyphrases equal a direct Scala replay") {
+    val stop = Set("the", "a", "")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // phrases: maximal stopword-free runs, capped at 4 tokens
+    val phrases = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.filter(_.length <= 4).map(ws => (id, ws))
+    }
+    val freq = phrases.flatMap(_._2).groupBy(identity)
+      .map { case (w, os) => w -> os.length.toLong }
+    val deg = phrases.flatMap { case (_, ws) => ws.map(w => w -> ws.length.toLong) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    def wscore(w: String) = deg(w) * 1000L / freq(w)
+    val expected = phrases
+      .map { case (_, ws) => (ws.mkString(" "), ws.map(wscore).sum) }
+      .groupBy(_._1)
+      .map { case (p, os) => (p, os.length.toLong, os.map(_._2).max) }
+      .toSeq.sortBy { case (p, _, s) => (-s, p) }.take(20)
+    val got = TextAnalysis.qTextRake(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("score_x1000"))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("near-dup pairs meet the threshold and are label-blocked") {
     val rows = Similarity.qSimNearDup(spark, sf0001).collect()
     assert(rows.nonEmpty)
