@@ -226,30 +226,79 @@ object Multimodal {
     dhashImages(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
   }
 
+  /** Perceptual image near-dup PAIRS — the dedup half the dHash exists
+    * for: Hamming ≤ 7 over the 64-bit hash via pigeonhole banding into
+    * 8 byte-chunks (≤ 7 differing bits over 8 chunks ⇒ ≥ 1 chunk
+    * matches exactly) — identical machinery to the 64-bit simhash text
+    * pairs (`Dedup.qDedupSimhashWidePairs`), applied to the image
+    * hashes. One shuffle on (chunk, value); no all-pairs join at any
+    * scale — duplicate uploads and re-encodes collide on a band, the
+    * `bit_count` verify discards the rest. */
+  def qMmDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = dhashImages(mediaFromDocuments(spark, dir)).toDF()
+    val banded = s.select($"media_id", $"dhash_hi", $"dhash_lo", explode(array(
+      (0 until 8).map { i =>
+        val src = if (i < 4) $"dhash_lo" else $"dhash_hi"
+        struct(lit(i).as("ck"),
+          shiftright(src, (i % 4) * 8).bitwiseAND(255).as("cv"))
+      }: _*)).as("c"))
+      .select($"media_id", $"dhash_hi", $"dhash_lo",
+        $"c.ck".as("ck"), $"c.cv".as("cv"))
+    val a = banded.select($"ck", $"cv", $"media_id".as("media_a"),
+      $"dhash_hi".as("hia"), $"dhash_lo".as("loa"))
+    val b = banded.select($"ck", $"cv", $"media_id".as("media_b"),
+      $"dhash_hi".as("hib"), $"dhash_lo".as("lob"))
+    a.join(b, Seq("ck", "cv"))
+      .filter($"media_a" < $"media_b")
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter($"hamming" <= 7)
+      .select($"media_a", $"media_b", $"hamming").distinct()
+      .orderBy($"media_a", $"media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_byte_hist" -> qMmByteHist,
     "q_mm_frames" -> qMmFrames,
     "q_mm_resize" -> qMmResize,
     "q_mm_audio_energy" -> qMmAudioEnergy,
-    "q_mm_dhash" -> qMmDhash
+    "q_mm_dhash" -> qMmDhash,
+    "q_mm_dhash_pairs" -> qMmDhashPairs
   )
 
   private def duckPx(i: Int): String =
     s"(CASE WHEN length(text) > $i THEN ord(substr(text, ${i + 1}, 1)) ELSE 0 END)"
 
+  /** The dHash bit arithmetic as a DuckDB CTE — ONE definition shared
+    * by the per-image hash oracle and the near-dup pairs oracle. */
+  private def duckDhashCte: String =
+    s"""h AS (SELECT doc_id AS media_id,
+       |  CAST(${(32 until 64).map { bit =>
+          val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+          s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << (bit - 32)} ELSE 0 END)"
+        }.mkString(" + ")} AS BIGINT) AS dhash_hi,
+       |  CAST(${(0 until 32).map { bit =>
+          val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+          s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << bit} ELSE 0 END)"
+        }.mkString(" + ")} AS BIGINT) AS dhash_lo
+       |FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_mm_dhash" ->
-      (s"""SELECT doc_id AS media_id,
-        |  CAST(${(32 until 64).map { bit =>
-            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
-            s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << (bit - 32)} ELSE 0 END)"
-          }.mkString(" + ")} AS BIGINT) AS dhash_hi,
-        |  CAST(${(0 until 32).map { bit =>
-            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
-            s"(CASE WHEN ${duckPx(i)} < ${duckPx(i + 1)} THEN ${1L << bit} ELSE 0 END)"
-          }.mkString(" + ")} AS BIGINT) AS dhash_lo
-        |FROM documents WHERE doc_id % 3 = 0
-        |ORDER BY media_id""".stripMargin),
+      s"""WITH $duckDhashCte
+         |SELECT media_id, dhash_hi, dhash_lo FROM h
+         |ORDER BY media_id""".stripMargin,
+
+    "q_mm_dhash_pairs" ->
+      s"""WITH $duckDhashCte
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |       + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 7
+         |ORDER BY media_a, media_b""".stripMargin,
 
     "q_mm_byte_hist" ->
       (s"""WITH ch AS (

@@ -84,6 +84,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash banded pairs reproduce the all-pairs hamming output") {
+    val h = Multimodal.dhashImages(Multimodal.mediaFromDocuments(spark, sf0001))
+      .collect()
+    val all = (for {
+      a <- h; b <- h if a.media_id < b.media_id
+      d = java.lang.Long.bitCount(a.dhash_hi ^ b.dhash_hi) +
+        java.lang.Long.bitCount(a.dhash_lo ^ b.dhash_lo)
+      if d <= 7
+    } yield (a.media_id, b.media_id, d.toLong)).toSet
+    val got = Multimodal.qMmDhashPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // the pigeonhole banding must lose nothing vs brute force
+    assert(got == all)
+  }
+
   test("audio energy: audio rows only, full windows, matches direct recomputation") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001)
     val got = Multimodal.audioEnergy(media).collect()
