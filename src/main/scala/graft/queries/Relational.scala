@@ -783,6 +783,41 @@ object Relational {
       .limit(20)
   }
 
+  /** Markov next-event prediction, evaluated on a real time split —
+    * the train/eval pattern every model pipeline runs: transitions
+    * whose SOURCE event falls before the corpus midpoint train a
+    * first-order predictor (argmax next-type per prev-type,
+    * deterministic (count desc, type) tie-break), the rest evaluate
+    * it; per prev-type output is the prediction, eval volume, hits and
+    * accuracy in ppm. Two user-keyed window passes share one shuffle;
+    * the model is a |types|-row broadcast. */
+  def qMarkovEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val tr = Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .withColumn("is_train", $"ts" < lit("2024-01-16 00:00:00").cast("timestamp"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"n".desc, $"next_type")
+    val model = tr.filter($"is_train")
+      .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(wRank))
+      .filter($"r" === 1)
+      .select($"event_type", $"next_type".as("predicted"), $"n".as("train_n"))
+    tr.filter(!$"is_train")
+      .join(broadcast(model), Seq("event_type"))
+      .groupBy($"event_type", $"predicted", $"train_n")
+      .agg(count(lit(1)).as("eval_n"),
+        count(when($"next_type" === $"predicted", 1)).as("hits"))
+      .withColumn("accuracy_ppm", expr("(hits * 1000000) div eval_n"))
+      .select($"event_type", $"predicted", $"train_n", $"eval_n", $"hits",
+        $"accuracy_ppm")
+      .orderBy($"event_type")
+  }
+
   /** HLL approximate distinct — engine-specific sketches can't hash-match
     * an oracle; registered without oracleSql (driver rows-only check). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
@@ -1664,6 +1699,7 @@ object Relational {
     "q_event_transitions" -> qEventTransitions,
     "q_event_paths" -> qEventPaths,
     "q_basket_rules" -> qBasketRules,
+    "q_markov_eval" -> qMarkovEval,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2232,6 +2268,31 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_markov_eval" ->
+      """WITH tr AS (
+        |  SELECT event_type, ts,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |t2 AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+        |model AS (
+        |  SELECT event_type, next_type AS predicted, n AS train_n FROM (
+        |    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY count(*) DESC, next_type) AS r
+        |    FROM t2 WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    GROUP BY event_type, next_type)
+        |  WHERE r = 1)
+        |SELECT e.event_type, m.predicted, m.train_n,
+        |  CAST(count(*) AS BIGINT) AS eval_n,
+        |  CAST(count(*) FILTER (WHERE e.next_type = m.predicted) AS BIGINT) AS hits,
+        |  (CAST(count(*) FILTER (WHERE e.next_type = m.predicted) AS BIGINT)
+        |   * 1000000) // count(*) AS accuracy_ppm
+        |FROM t2 e JOIN model m ON e.event_type = m.event_type
+        |WHERE NOT e.ts < TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY e.event_type, m.predicted, m.train_n
+        |ORDER BY e.event_type""".stripMargin,
 
     "q_basket_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

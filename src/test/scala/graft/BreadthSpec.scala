@@ -460,6 +460,36 @@ class BreadthSpec extends SparkSpec {
     }
   }
 
+  test("markov eval: train/eval split replays in Scala") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type", $"ts", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._4, e._5)).sliding(2).filter(_.length == 2)
+        .map { case Array(a, b) => (a._2, b._2, a._3) }
+    }.toSeq
+    val (train, eval) = trans.partition(_._3.before(split))
+    val model = train.groupBy(_._1).map { case (p, ts) =>
+      val best = ts.groupBy(_._2).map { case (nxt, os) => (nxt, os.size.toLong) }
+        .toSeq.sortBy { case (nxt, n) => (-n, nxt) }.head
+      p -> best
+    }
+    val expected = eval.groupBy(_._1).collect {
+      case (p, es) if model.contains(p) =>
+        val (pred, trainN) = model(p)
+        val hits = es.count(_._2 == pred).toLong
+        p -> ((pred, trainN, es.size.toLong, hits, hits * 1000000L / es.size))
+    }
+    val got = Relational.qMarkovEval(spark, sf0001).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[String]("predicted"),
+        r.getAs[Long]("train_n"), r.getAs[Long]("eval_n"),
+        r.getAs[Long]("hits"), r.getAs[Long]("accuracy_ppm")))
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)
