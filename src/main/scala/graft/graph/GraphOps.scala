@@ -366,6 +366,49 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  /** Modularity breakdown of the LPA communities — the quality metric
+    * that says whether a clustering is better than chance: per
+    * community c, `Q_c = e_c/m − (d_c/2m)²` (internal-edge share minus
+    * the expected share under the configuration model); Σ Q_c is
+    * Newman–Girvan modularity. Labels come from the SAME `lpaOnEdges`
+    * rounds as [[qGraphCommunities]] (shared-definition rule), and the
+    * contribution is carried ×10⁹ in DECIMAL(38,0) integral divisions
+    * (d_c² overflows BIGINT at corpus scale) so Spark `div` and DuckDB
+    * `//` agree exactly.
+    *
+    * Shape: two node-keyed shuffled-hash joins of the canonical edges
+    * against the label frame, one degree rollup, a per-community
+    * aggregate, and a 1-row edge-count broadcast. */
+  def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val ce = canonicalEdges(spark, dir)
+    val labels = lpaOnEdges(symmetricEdges(spark, dir), LpaRounds)
+      .select(col("part").as("node"), col("community"))
+    val m = ce.agg(count(lit(1)).as("m"))
+    val internal = ce
+      .join(labels.select(col("node").as("src"), col("community").as("cs"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cd"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degs = symmetricEdges(spark, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    degs.join(labels.hint("shuffle_hash"), Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+      .join(internal, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib_x1e9", expr(
+        """cast((cast(internal_edges as decimal(38,0)) * 1000000000) div m
+          | - (cast(degree_sum as decimal(38,0)) * degree_sum * 1000000000)
+          |   div (cast(4 as decimal(38,0)) * m * m) as bigint)""".stripMargin))
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"), col("q_contrib_x1e9"))
+      .orderBy(col("community"))
+  }
+
   private final val LinkPredTopK = 5
 
   /** Seed-anchored link prediction by the Resource-Allocation index
@@ -461,6 +504,7 @@ object GraphOps {
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_cc" -> qGraphCc,
     "q_graph_communities" -> qGraphCommunities,
+    "q_graph_modularity" -> qGraphModularity,
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_linkpred" -> qGraphLinkPred,
     "q_graph_ppr" -> qGraphPpr)
@@ -471,6 +515,29 @@ object GraphOps {
       |       FROM li a JOIN li b
       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce)""".stripMargin
+
+  /** The 3 unrolled LPA label rounds ending in `l3(node, lbl)` — ONE
+    * definition shared by the communities and modularity oracles. */
+  private val lpaLabelsCte =
+    """l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |l1 AS (SELECT node, lbl FROM (
+      |  SELECT e.dst AS node, r.lbl AS lbl,
+      |         ROW_NUMBER() OVER (PARTITION BY e.dst
+      |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
+      |  FROM edges e JOIN l0 r ON e.src = r.node
+      |  GROUP BY e.dst, r.lbl) WHERE rn = 1),
+      |l2 AS (SELECT node, lbl FROM (
+      |  SELECT e.dst AS node, r.lbl AS lbl,
+      |         ROW_NUMBER() OVER (PARTITION BY e.dst
+      |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
+      |  FROM edges e JOIN l1 r ON e.src = r.node
+      |  GROUP BY e.dst, r.lbl) WHERE rn = 1),
+      |l3 AS (SELECT node, lbl FROM (
+      |  SELECT e.dst AS node, r.lbl AS lbl,
+      |         ROW_NUMBER() OVER (PARTITION BY e.dst
+      |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
+      |  FROM edges e JOIN l2 r ON e.src = r.node
+      |  GROUP BY e.dst, r.lbl) WHERE rn = 1)""".stripMargin
 
   private val pagerankOracle =
     s"""WITH $edgesCte,
@@ -575,27 +642,29 @@ object GraphOps {
          |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
     "q_graph_communities" ->
       s"""WITH $edgesCte,
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-         |l1 AS (SELECT node, lbl FROM (
-         |  SELECT e.dst AS node, r.lbl AS lbl,
-         |         ROW_NUMBER() OVER (PARTITION BY e.dst
-         |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
-         |  FROM edges e JOIN l0 r ON e.src = r.node
-         |  GROUP BY e.dst, r.lbl) WHERE rn = 1),
-         |l2 AS (SELECT node, lbl FROM (
-         |  SELECT e.dst AS node, r.lbl AS lbl,
-         |         ROW_NUMBER() OVER (PARTITION BY e.dst
-         |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
-         |  FROM edges e JOIN l1 r ON e.src = r.node
-         |  GROUP BY e.dst, r.lbl) WHERE rn = 1),
-         |l3 AS (SELECT node, lbl FROM (
-         |  SELECT e.dst AS node, r.lbl AS lbl,
-         |         ROW_NUMBER() OVER (PARTITION BY e.dst
-         |           ORDER BY COUNT(*) DESC, r.lbl) AS rn
-         |  FROM edges e JOIN l2 r ON e.src = r.node
-         |  GROUP BY e.dst, r.lbl) WHERE rn = 1)
+         |$lpaLabelsCte
          |SELECT node AS part, lbl AS community FROM l3
          |ORDER BY part""".stripMargin,
+    "q_graph_modularity" ->
+      s"""WITH $edgesCte,
+         |$lpaLabelsCte,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+         |ei AS (SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS internal_edges
+         |       FROM ce JOIN l3 a ON ce.src = a.node JOIN l3 b ON ce.dst = b.node
+         |       WHERE a.lbl = b.lbl GROUP BY a.lbl),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY src),
+         |ds AS (SELECT l3.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |              CAST(sum(deg.d) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN l3 ON deg.node = l3.node GROUP BY l3.lbl)
+         |SELECT ds.community, ds.n_nodes,
+         |  CAST(COALESCE(ei.internal_edges, 0) AS BIGINT) AS internal_edges,
+         |  ds.degree_sum,
+         |  CAST((CAST(COALESCE(ei.internal_edges, 0) AS HUGEINT) * 1000000000) // m.m
+         |    - (CAST(ds.degree_sum AS HUGEINT) * ds.degree_sum * 1000000000)
+         |      // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT) AS q_contrib_x1e9
+         |FROM ds LEFT JOIN ei ON ds.community = ei.community CROSS JOIN m
+         |ORDER BY ds.community""".stripMargin,
     "q_graph_bfs" ->
       s"""WITH $edgesCte,
          |l0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 500 = 0),

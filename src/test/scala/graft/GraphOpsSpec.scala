@@ -346,6 +346,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(gotLp == replayLinkPred(sym, seeds) && gotLp.nonEmpty)
   }
 
+  test("sf0.001 modularity: contributions replay from the LPA labels") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val labels = replayLpa(sym, 3)
+    val m = BigInt(ceSet.size)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val expected = labels.groupBy(_._2).map { case (c, ns) =>
+      val nodes = ns.keySet
+      val eC = BigInt(ceSet.count { case (u, v) =>
+        labels(u) == c && labels(v) == c })
+      val dC = BigInt(nodes.toSeq.map(deg).sum)
+      c -> ((nodes.size.toLong, eC.toLong, dC.toLong,
+        (eC * 1000000000L / m - dC * dC * 1000000000L / (4 * m * m)).toLong))
+    }
+    val got = GraphOps.qGraphModularity(spark, sf0001).collect().map { r =>
+      r.getAs[Long]("community") -> ((r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("internal_edges"), r.getAs[Long]("degree_sum"),
+        r.getAs[Long]("q_contrib_x1e9")))
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+    // accounting: nodes partition; internal edges never exceed m
+    assert(got.values.map(_._1).sum == labels.size.toLong)
+    assert(got.values.map(_._2).sum <= m.toLong)
+  }
+
   /** Direct Scala replay of multi-source BFS hop labeling. */
   private def replayBfs(sym: Seq[(Long, Long)], seeds: Set[Long],
       rounds: Int): Map[Long, Long] = {

@@ -186,7 +186,7 @@ class PlanSpec extends SparkSpec {
       // merge writes) on construct — its one intended cross fan-out
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
-      "q_graph_communities", "q_graph_bfs", "q_graph_ppr",
+      "q_graph_communities", "q_graph_modularity", "q_graph_bfs", "q_graph_ppr",
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
       "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
