@@ -64,18 +64,46 @@ object TextAnalysis {
     * argmax with deterministic priority. Marker profiles are
     * illustrative; the operator shape (score-and-argmax over character
     * n-gram counts) is the real langid structure. */
+  /** The n-gram language-ID scores + argmax — ONE definition shared by
+    * the per-doc prediction query ([[qTextLangId]]) and the evaluation
+    * matrix ([[qLangIdEval]]). */
+  private[graft] def withLangId(df: DataFrame): DataFrame =
+    df.withColumn("s_en", markerCount("the ") + markerCount(" a "))
+      .withColumn("s_es", markerCount("os ") + markerCount("as "))
+      .withColumn("s_de", markerCount("sch") + markerCount("ein"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+
   def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def cnt(m: String): Column = markerCount(m)
-    Tables.load(spark, dir, "documents")
-      .withColumn("s_en", cnt("the ") + cnt(" a "))
-      .withColumn("s_es", cnt("os ") + cnt("as "))
-      .withColumn("s_de", cnt("sch") + cnt("ein"))
-      .select($"doc_id", $"s_en", $"s_es", $"s_de",
-        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de", "en")
-          .when($"s_es" >= $"s_de", "es")
-          .otherwise("de").as("predicted_lang"))
+    withLangId(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"s_en", $"s_es", $"s_de", $"predicted_lang")
       .orderBy($"doc_id")
+  }
+
+  /** Language-ID evaluation against the corpus's labeled `lang` —
+    * the classifier-evaluation primitive: the full confusion matrix
+    * with per-cell shares of the TRUE class (diagonal = recall) and of
+    * the PREDICTED class (diagonal = precision), exact ppm. The truth
+    * has 5 languages and the detector only 3 heads, so the matrix also
+    * surfaces what the missing heads absorb. Two map-side-combined
+    * aggregates over the cell frame; marginals broadcast back. */
+  def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = withLangId(Tables.load(spark, dir, "documents"))
+      .groupBy($"lang", $"predicted_lang").agg(count(lit(1)).as("n"))
+    val trueTot = cells.groupBy($"lang").agg(sum($"n").as("n_true"))
+    val predTot = cells.groupBy($"predicted_lang").agg(sum($"n").as("n_pred"))
+    cells
+      .join(broadcast(trueTot), Seq("lang"))
+      .join(broadcast(predTot), Seq("predicted_lang"))
+      .withColumn("true_share_ppm", expr("(n * 1000000) div n_true"))
+      .withColumn("pred_share_ppm", expr("(n * 1000000) div n_pred"))
+      .select($"lang", $"predicted_lang", $"n", $"n_true", $"n_pred",
+        $"true_share_ppm", $"pred_share_ppm")
+      .orderBy($"lang", $"predicted_lang")
   }
 
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 and
@@ -743,10 +771,30 @@ object TextAnalysis {
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
+    "q_langid_eval" -> qLangIdEval,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
   )
+
+  /** The language-ID scoring+argmax as a DuckDB CTE ending in
+    * `p(doc_id, lang, s_en, s_es, s_de, predicted_lang)` — shared by
+    * the prediction and evaluation oracles, mirroring [[withLangId]]. */
+  private def duckLangIdCte: String =
+    """p AS (
+      |  SELECT doc_id, lang, s_en, s_es, s_de,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |         WHEN s_es >= s_de THEN 'es'
+      |         ELSE 'de' END AS predicted_lang
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      (length(text) - length(replace(text, 'the ', ''))) // 4
+      |        + (length(text) - length(replace(text, ' a ', ''))) // 3 AS s_en,
+      |      (length(text) - length(replace(text, 'os ', ''))) // 3
+      |        + (length(text) - length(replace(text, 'as ', ''))) // 3 AS s_es,
+      |      (length(text) - length(replace(text, 'sch', ''))) // 3
+      |        + (length(text) - length(replace(text, 'ein', ''))) // 3 AS s_de
+      |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bpe_encode" ->
@@ -1074,20 +1122,25 @@ object TextAnalysis {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    (length(text) - length(replace(text, 'the ', ''))) // 4
-        |      + (length(text) - length(replace(text, ' a ', ''))) // 3 AS s_en,
-        |    (length(text) - length(replace(text, 'os ', ''))) // 3
-        |      + (length(text) - length(replace(text, 'as ', ''))) // 3 AS s_es,
-        |    (length(text) - length(replace(text, 'sch', ''))) // 3
-        |      + (length(text) - length(replace(text, 'ein', ''))) // 3 AS s_de
-        |  FROM documents)
-        |SELECT doc_id, s_en, s_es, s_de,
-        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-        |       WHEN s_es >= s_de THEN 'es'
-        |       ELSE 'de' END AS predicted_lang
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckLangIdCte
+         |SELECT doc_id, s_en, s_es, s_de, predicted_lang
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_langid_eval" ->
+      s"""WITH $duckLangIdCte,
+         |cells AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+         |          FROM p GROUP BY lang, predicted_lang),
+         |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+         |       FROM cells GROUP BY lang),
+         |pt AS (SELECT predicted_lang, CAST(sum(n) AS BIGINT) AS n_pred
+         |       FROM cells GROUP BY predicted_lang)
+         |SELECT c.lang, c.predicted_lang, c.n, tt.n_true, pt.n_pred,
+         |  (c.n * 1000000) // tt.n_true AS true_share_ppm,
+         |  (c.n * 1000000) // pt.n_pred AS pred_share_ppm
+         |FROM cells c
+         |JOIN tt ON c.lang = tt.lang
+         |JOIN pt ON c.predicted_lang = pt.predicted_lang
+         |ORDER BY c.lang, c.predicted_lang""".stripMargin,
 
     "q_text_bpe" ->
       """WITH p AS (

@@ -270,6 +270,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("langid eval: cells account for the corpus, shares sum per class") {
+    val rows = TextAnalysis.qLangIdEval(spark, sf0001).collect()
+    val total = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cs) =>
+      val s = cs.map(_.getAs[Long]("true_share_ppm")).sum
+      // floor division loses at most (cells - 1) ppm
+      assert(s <= 1000000L && s > 1000000L - cs.length)
+      assert(cs.map(_.getAs[Long]("n")).sum == cs.head.getAs[Long]("n_true"))
+    }
+    // marginals agree with the shared per-doc prediction query
+    val pred = TextAnalysis.qTextLangId(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("predicted_lang"))
+      .view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_.getAs[String]("predicted_lang")).foreach { case (p, cs) =>
+      assert(cs.head.getAs[Long]("n_pred") == pred(p))
+    }
+  }
+
   test("rake keyphrases equal a direct Scala replay") {
     val stop = Set("the", "a", "")
     val docs = Tables.load(spark, sf0001, "documents")
