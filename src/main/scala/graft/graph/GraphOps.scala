@@ -207,7 +207,18 @@ object GraphOps {
     * round. On this corpus the label count contracts 2000 -> 95 -> 42
     * -> 3 communities in 3 rounds. */
   def qGraphCommunities(spark: SparkSession, dir: String): DataFrame =
-    lpaOnEdges(symmetricEdges(spark, dir), LpaRounds)
+    stagedLpa(spark, dir)
+      .select(col("node").as("part"), col("community"))
+      .orderBy(col("part"))
+
+  /** The LPA label frame staged once per (session, dir) — read by the
+    * communities query AND by modularity's three label joins, so the
+    * 3 voting rounds run exactly once per corpus. */
+  private def stagedLpa(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.lpa|$dir") {
+      lpaOnEdges(symmetricEdges(spark, dir), LpaRounds)
+        .select(col("part").as("node"), col("community"))
+    }
 
   /** Core LPA rounds over an explicit symmetric edge frame — factored
     * out so specs can replay them on fixtures.
@@ -381,8 +392,10 @@ object GraphOps {
     * aggregate, and a 1-row edge-count broadcast. */
   def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
     val ce = canonicalEdges(spark, dir)
-    val labels = lpaOnEdges(symmetricEdges(spark, dir), LpaRounds)
-      .select(col("part").as("node"), col("community"))
+    // the label frame feeds THREE joins below; staged once per
+    // (session, dir) so the 3 LPA rounds run once, not once per join
+    // (unstaged, the bench measured 15.5 s — 3× the communities query)
+    val labels = stagedLpa(spark, dir)
     val m = ce.agg(count(lit(1)).as("m"))
     val internal = ce
       .join(labels.select(col("node").as("src"), col("community").as("cs"))

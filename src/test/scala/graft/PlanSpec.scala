@@ -275,10 +275,14 @@ class PlanSpec extends SparkSpec {
       case _: FileSourceScanExec => true
       case other => other.children.exists(scanWithoutAgg)
     }
+    // q_graph_communities now reads the staged LPA label table (its
+    // rounds run once at staging), so the round-shape pin inspects
+    // q_graph_cc instead — the same voting-round join structure built
+    // inline every run
     for (q <- Seq(
         graft.graph.GraphOps.qGraphPagerank(spark, sf0001),
         graft.graph.GraphOps.qGraphKcore(spark, sf0001),
-        graft.graph.GraphOps.qGraphCommunities(spark, sf0001),
+        graft.graph.GraphOps.qGraphCc(spark, sf0001),
         graft.graph.GraphOps.qGraphPpr(spark, sf0001))) {
       val sp = q.queryExecution.sparkPlan
       assert(sp.toString.contains("ShuffledHashJoin"), sp)
