@@ -490,6 +490,30 @@ object Dedup {
     * equi-self-join; per-shingle fan-out is bounded by #sources² (a
     * handful), never by corpus size — contrast with doc-level pair
     * enumeration. The per-source totals are a tiny broadcast. */
+  /** N-gram novelty — the diversity/memorization metric curation
+    * pipelines rank on: per document, the fraction (permille) of its
+    * DISTINCT word 3-grams that appear in NO other document. Low
+    * novelty = boilerplate/templated text the corpus already covers;
+    * high = fresh content worth keeping. Shares the staged shingle
+    * frame ([[withShingles]]) with the dedup family, so the only new
+    * cost is one shingle-keyed document-frequency shuffle and the
+    * doc rollup — the same linear histogram shape as word counting. */
+  def qTextNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = withShingles(spark, dir)
+      .filter(size($"sh") > 0)
+      .select($"doc_id", explode($"sh").as("g"))
+    // (g, doc) pairs are distinct (shingle arrays are deduped), so the
+    // per-shingle row count IS its document frequency
+    val gdf = sh.groupBy($"g").agg(count(lit(1)).as("gdf"))
+    sh.join(gdf, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when($"gdf" === 1, 1)).as("n_unique"))
+      .withColumn("novelty_permille", expr("(n_unique * 1000) div n_shingles"))
+      .orderBy($"doc_id")
+  }
+
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = withShingles(spark, dir)
@@ -569,7 +593,8 @@ object Dedup {
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination,
     "q_dedup_incremental" -> qDedupIncremental,
-    "q_source_overlap" -> qSourceOverlap
+    "q_source_overlap" -> qSourceOverlap,
+    "q_text_novelty" -> qTextNovelty
   )
 
   /** DuckDB CTE chain replaying the LSH-verified near-dup graph +
@@ -911,6 +936,17 @@ object Dedup {
         |FROM p
         |JOIN per pa ON pa.source = p.src_a
         |JOIN per pb ON pb.source = p.src_b
-        |ORDER BY src_a, src_b""".stripMargin)
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    "q_text_novelty" ->
+      (s"""$duckShingleCte,
+        |g AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) > 0),
+        |gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY g)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(*) FILTER (WHERE gdf.gdf = 1) AS BIGINT) AS n_unique,
+        |  (CAST(count(*) FILTER (WHERE gdf.gdf = 1) AS BIGINT) * 1000)
+        |    // count(*) AS novelty_permille
+        |FROM g JOIN gdf ON g.g = gdf.g
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
   )
 }

@@ -270,6 +270,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("novelty equals a direct Scala replay; exact dups score zero") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    val df = sh.flatMap(_._2).groupBy(identity).map { case (g, os) => g -> os.length }
+    val expected = sh.map { case (id, gs) =>
+      val unique = gs.count(df(_) == 1).toLong
+      id -> ((gs.size.toLong, unique, unique * 1000L / gs.size))
+    }.toMap
+    val got = graft.dedup.Dedup.qTextNovelty(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("novelty_permille")))).toMap
+    assert(got == expected && got.nonEmpty)
+    // an exact duplicate's shingles all recur -> novelty 0 (sf0.001
+    // has no exact dup pair, so this bites only where one exists)
+    docs.groupBy(_._2).values.filter(_.length > 1).flatMap(_.map(_._1))
+      .filter(got.contains).foreach(id => assert(got(id)._3 == 0L))
+    // the metric discriminates on this corpus
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("langid eval: cells account for the corpus, shares sum per class") {
     val rows = TextAnalysis.qLangIdEval(spark, sf0001).collect()
     val total = Tables.load(spark, sf0001, "documents").count()
