@@ -243,6 +243,40 @@ object Quality {
       .orderBy($"user_id")
   }
 
+  /** The funnel with a CONVERSION DEADLINE — the definition product
+    * analytics actually uses ("purchased within 7 days of first
+    * view"): each user's stage counts only transitions that happened
+    * within `deadline` of the funnel-ordered first view. Reuses
+    * [[funnelEpochs]] verbatim; the deadline is a pure per-row
+    * predicate on the epoch columns, so the plan is the funnel's
+    * plan. Emits the per-stage user counts and conversion rates
+    * (ppm of stage-1 entrants) — the numbers a funnel chart plots. */
+  def qFunnelDeadline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deadlineUs = 7L * 24 * 3600 * 1000000L
+    val staged = funnelEpochs(Tables.load(spark, dir, "events"))
+      .select($"user_id", $"view_ep",
+        when($"click_ep" - $"view_ep" <= deadlineUs, $"click_ep").as("c_ok"),
+        when($"purchase_ep" - $"view_ep" <= deadlineUs, $"purchase_ep").as("p_ok"))
+      .select($"user_id",
+        when($"p_ok".isNotNull && $"c_ok".isNotNull, 3)
+          .when($"c_ok".isNotNull, 2)
+          .when($"view_ep".isNotNull, 1)
+          .otherwise(0).as("stage"))
+    val counts = staged.groupBy($"stage").agg(count(lit(1)).as("n_users"))
+    val entered = counts.filter($"stage" >= 1).agg(sum($"n_users").as("n_entered"))
+    counts.crossJoin(broadcast(entered))
+      .withColumn("reached", // users at or past this stage
+        sum($"n_users").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"stage".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rate_ppm",
+        expr("CASE WHEN stage = 0 THEN cast(0 as bigint)"
+          + " ELSE (reached * 1000000) div n_entered END"))
+      .select($"stage", $"n_users", $"reached", $"n_entered", $"rate_ppm")
+      .orderBy($"stage")
+  }
+
   /** Funnel time-to-convert distribution: whole-funnel latency
     * (first view → the funnel-ordered first purchase) in whole
     * seconds for every converted user, summarized as count / min /
@@ -927,6 +961,7 @@ object Quality {
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
     "q_funnel_latency" -> qFunnelLatency,
+    "q_funnel_deadline" -> qFunnelDeadline,
     "q_mix_weighted" -> qMixWeighted,
     "q_mix_temperature" -> qMixTemperature,
     "q_importance_dsir" -> qImportanceDsir,
@@ -1212,6 +1247,41 @@ object Quality {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    "q_funnel_deadline" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(epoch_us(ts)) AS v_ep FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_ep FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.v_ep
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ep FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) >= c.c_ep
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |st AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN p.p_ep IS NOT NULL AND p.p_ep - v.v_ep <= 604800000000
+        |              AND c.c_ep IS NOT NULL AND c.c_ep - v.v_ep <= 604800000000
+        |         THEN 3
+        |         WHEN c.c_ep IS NOT NULL AND c.c_ep - v.v_ep <= 604800000000
+        |         THEN 2
+        |         WHEN v.v_ep IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id),
+        |cnt AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM st GROUP BY stage),
+        |ent AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_entered
+        |        FROM cnt WHERE stage >= 1)
+        |SELECT stage, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY stage DESC ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS reached,
+        |  ent.n_entered,
+        |  CASE WHEN stage = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (CAST(sum(n_users) OVER (ORDER BY stage DESC
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+        |            // ent.n_entered END AS rate_ppm
+        |FROM cnt, ent ORDER BY stage""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_ep FROM events

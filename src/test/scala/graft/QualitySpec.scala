@@ -463,6 +463,41 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("p90_sec") == p90)
   }
 
+  test("deadline funnel replays from the funnel's epochs and never exceeds it") {
+    val deadline = 7L * 24 * 3600 * 1000000L
+    val epochs = Quality.qFunnel(spark, sf0001).collect().map { r =>
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getAs[Int]("stage"))
+    }
+    val stages = epochs.map { case (v, c, p, _) =>
+      val cOk = for (ve <- v; ce <- c if ce - ve <= deadline) yield ce
+      val pOk = for (ve <- v; pe <- p if pe - ve <= deadline) yield pe
+      if (pOk.nonEmpty && cOk.nonEmpty) 3
+      else if (cOk.nonEmpty) 2
+      else if (v.nonEmpty) 1 else 0
+    }
+    val expectedCounts = stages.groupBy(identity)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    val rows = Quality.qFunnelDeadline(spark, sf0001).collect()
+    val gotCounts = rows.map(r =>
+      r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(gotCounts == expectedCounts)
+    // the deadline can only demote stages vs the unconstrained funnel
+    epochs.map(_._4).zip(stages).foreach { case (unconstrained, bounded) =>
+      assert(bounded <= unconstrained)
+    }
+    // reached/rate accounting
+    val entered = stages.count(_ >= 1).toLong
+    rows.filter(_.getAs[Int]("stage") >= 1).foreach { r =>
+      val s = r.getAs[Int]("stage")
+      assert(r.getAs[Long]("reached") == stages.count(_ >= s).toLong)
+      assert(r.getAs[Long]("rate_ppm") ==
+        stages.count(_ >= s).toLong * 1000000L / entered)
+    }
+  }
+
   test("ab z-test plan: two aggregate exchanges, no join") {
     val p = plan(Quality.qAbZtest(spark, sf0001))
     assert(!p.contains("Join"), p)
