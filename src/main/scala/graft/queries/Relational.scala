@@ -447,7 +447,11 @@ object Relational {
   /** W1 gap-based sessionization: 30-minute inactivity splits sessions
     * (reference's AGENT STATUS span machine, batch form —
     * routes/events.js:639-664). */
-  def qWindowSession(spark: SparkSession, dir: String): DataFrame = {
+  /** The 30-minute-gap session frame (user_id, sess_id, n_events,
+    * sess_start, sess_end) — ONE definition shared by the raw session
+    * listing ([[qWindowSession]]) and the KPI rollup
+    * ([[qSessionKpis]]). */
+  private def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -461,7 +465,31 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min($"ep").as("sess_start"),
         max($"ep").as("sess_end"))
-      .orderBy($"user_id", $"sess_id")
+  }
+
+  def qWindowSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionFrame(spark, dir).orderBy($"user_id", $"sess_id")
+  }
+
+  /** Per-user session KPIs — the canonical web-analytics rollup over
+    * the sessionization: session count, bounce rate (single-event
+    * sessions, ppm), and mean session duration/depth in exact ×100
+    * fixed point. Same shared session frame, one more user-keyed
+    * combine — no new window. */
+  def qSessionKpis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionFrame(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when($"n_events" === 1, 1)).as("n_bounces"),
+        sum($"sess_end" - $"sess_start").as("total_duration_sec"),
+        sum($"n_events").as("total_events"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))
+      .withColumn("avg_duration_x100",
+        expr("(total_duration_sec * 100) div n_sessions"))
+      .withColumn("avg_events_x100", expr("(total_events * 100) div n_sessions"))
+      .orderBy($"user_id")
   }
 
   // ---------------------------------------------------------------
@@ -1700,6 +1728,7 @@ object Relational {
     "q_event_paths" -> qEventPaths,
     "q_basket_rules" -> qBasketRules,
     "q_markov_eval" -> qMarkovEval,
+    "q_session_kpis" -> qSessionKpis,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -1952,6 +1981,34 @@ object Relational {
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
         |       min(ep) AS sess_start, max(ep) AS sess_end
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_session_kpis" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(ep) AS sess_start, max(ep) AS sess_end
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+        |  CAST(sum(sess_end - sess_start) AS BIGINT) AS total_duration_sec,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  (CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) * 1000000)
+        |    // count(*) AS bounce_ppm,
+        |  (CAST(sum(sess_end - sess_start) AS BIGINT) * 100) // count(*)
+        |    AS avg_duration_x100,
+        |  (CAST(sum(n_events) AS BIGINT) * 100) // count(*) AS avg_events_x100
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

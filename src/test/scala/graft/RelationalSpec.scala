@@ -50,6 +50,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == n)
   }
 
+  test("session KPIs equal the rollup of the raw session listing") {
+    val sessions = Relational.qWindowSession(spark, sf0001).collect()
+    val expected = sessions.groupBy(_.getAs[Long]("user_id")).map { case (u, ss) =>
+      val n = ss.length.toLong
+      val b = ss.count(_.getAs[Long]("n_events") == 1).toLong
+      val dur = ss.map(r =>
+        r.getAs[Long]("sess_end") - r.getAs[Long]("sess_start")).sum
+      val ev = ss.map(_.getAs[Long]("n_events")).sum
+      u -> ((n, b, dur, ev, b * 1000000L / n, dur * 100L / n, ev * 100L / n))
+    }
+    val got = Relational.qSessionKpis(spark, sf0001).collect().map { r =>
+      r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_bounces"), r.getAs[Long]("total_duration_sec"),
+        r.getAs[Long]("total_events"), r.getAs[Long]("bounce_ppm"),
+        r.getAs[Long]("avg_duration_x100"), r.getAs[Long]("avg_events_x100")))
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("tpch5: revenue positive per nation; tpch6 consistent with manual filter") {
     val q5 = Relational.qSqlTpch5(spark, sf0001).collect()
     assert(q5.nonEmpty)
