@@ -173,7 +173,9 @@ class PlanSpec extends SparkSpec {
       // PPS sampling: the 1-row total-weight broadcast onto the scan
       "q_sample_pps",
       // basket rules: the 1-row order-count broadcast onto the pairs
-      "q_basket_rules")
+      "q_basket_rules",
+      // deadline funnel: the 1-row entrants broadcast onto 4 stage rows
+      "q_funnel_deadline")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
