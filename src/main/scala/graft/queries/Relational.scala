@@ -811,6 +811,49 @@ object Relational {
       .limit(20)
   }
 
+  /** RFM segmentation — the classic customer scoring: per user,
+    * recency (last event epoch), frequency (event count) and monetary
+    * (exact DECIMAL cents sum), each bucketed 1–5 against the
+    * corpus-wide quintile cut values. The cuts come from the
+    * value-count ranking machinery (the exact-median pattern): value
+    * at integer rank `(k·n) div 5`, so no engine quantile convention
+    * is involved and no global sort runs — one (metric-value) combine
+    * per metric, 1-row cut frames broadcast back, scores are per-row
+    * comparisons. `segment` packs the three scores as r·100+f·10+m. */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(ep($"ts")).as("recency_ep"),
+        count(lit(1)).as("frequency"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("monetary_cents"))
+    def cuts(metric: String): DataFrame = {
+      val vc = per.groupBy(lit(1L).as("__g"), col(metric).as("__v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum($"c").over(Window.partitionBy($"__g").orderBy($"__v")))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"__g")))
+      val aggs = (1 to 4).map(k =>
+        rankValue(expr(s"($k * n) div 5")).as(s"${metric}_t$k"))
+      vc.groupBy($"__g").agg(aggs.head, aggs.tail: _*).drop("__g")
+    }
+    def score(metric: String): Column =
+      (lit(1L) +
+        (1 to 4).map(k =>
+          when(col(metric) > col(s"${metric}_t$k"), 1L).otherwise(0L))
+          .reduce(_ + _)).as(s"${metric}_score")
+    per
+      .crossJoin(broadcast(cuts("recency_ep")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("monetary_cents")))
+      .select($"user_id", $"recency_ep", $"frequency", $"monetary_cents",
+        score("recency_ep").as("r_score"),
+        score("frequency").as("f_score"),
+        score("monetary_cents").as("m_score"))
+      .withColumn("segment", expr("r_score * 100 + f_score * 10 + m_score"))
+      .orderBy($"user_id")
+  }
+
   /** Markov next-event prediction, evaluated on a real time split —
     * the train/eval pattern every model pipeline runs: transitions
     * whose SOURCE event falls before the corpus midpoint train a
@@ -1729,6 +1772,7 @@ object Relational {
     "q_basket_rules" -> qBasketRules,
     "q_markov_eval" -> qMarkovEval,
     "q_session_kpis" -> qSessionKpis,
+    "q_rfm_segments" -> qRfmSegments,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2325,6 +2369,43 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_rfm_segments" -> {
+      def cutsCte(metric: String): String =
+        s"""${metric}_vc AS (
+           |  SELECT __v, c,
+           |    CAST(sum(c) OVER (ORDER BY __v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM (SELECT $metric AS __v, CAST(count(*) AS BIGINT) AS c
+           |        FROM per GROUP BY $metric)),
+           |${metric}_t AS (
+           |  SELECT
+           |${(1 to 4).map(k =>
+              s"    max(CASE WHEN cum - c < ($k * n) // 5 AND ($k * n) // 5 <= cum" +
+                s" THEN __v END) AS ${metric}_t$k").mkString(",\n")}
+           |  FROM ${metric}_vc)""".stripMargin
+      def scoreSql(metric: String): String =
+        s"CAST(1 ${(1 to 4).map(k =>
+          s"+ (CASE WHEN $metric > ${metric}_t$k THEN 1 ELSE 0 END)").mkString(" ")}" +
+          s" AS BIGINT)"
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(max(floor(epoch(ts))) AS BIGINT) AS recency_ep,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS monetary_cents
+         |  FROM events GROUP BY user_id),
+         |${cutsCte("recency_ep")},
+         |${cutsCte("frequency")},
+         |${cutsCte("monetary_cents")}
+         |SELECT user_id, recency_ep, frequency, monetary_cents,
+         |  ${scoreSql("recency_ep")} AS r_score,
+         |  ${scoreSql("frequency")} AS f_score,
+         |  ${scoreSql("monetary_cents")} AS m_score,
+         |  ${scoreSql("recency_ep")} * 100 + ${scoreSql("frequency")} * 10
+         |    + ${scoreSql("monetary_cents")} AS segment
+         |FROM per, recency_ep_t, frequency_t, monetary_cents_t
+         |ORDER BY user_id""".stripMargin
+    },
 
     "q_markov_eval" ->
       """WITH tr AS (

@@ -490,6 +490,36 @@ class BreadthSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("rfm segmentation equals a direct Scala replay of the quintile cuts") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        $"value".cast("decimal(18,2)").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val per = ev.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.map(_._2).max / 1000000L, rs.length.toLong,
+        (rs.map(_._3).sum * 100).toLongExact)
+    }.toSeq
+    def cuts(vals: Seq[Long]): Seq[Long] = {
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      (1 to 4).map(k => sorted(((k * n / 5) - 1).toInt))
+    }
+    def score(v: Long, ts: Seq[Long]): Long = 1L + ts.count(v > _)
+    val (rc, fc, mc) =
+      (cuts(per.map(_._2)), cuts(per.map(_._3)), cuts(per.map(_._4)))
+    val expected = per.map { case (u, r, f, m) =>
+      val (rs, fs, ms) = (score(r, rc), score(f, fc), score(m, mc))
+      u -> ((r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms))
+    }.toMap
+    val got = Relational.qRfmSegments(spark, sf0001).collect().map { row =>
+      row.getAs[Long]("user_id") -> ((row.getAs[Long]("recency_ep"),
+        row.getAs[Long]("frequency"), row.getAs[Long]("monetary_cents"),
+        row.getAs[Long]("r_score"), row.getAs[Long]("f_score"),
+        row.getAs[Long]("m_score"), row.getAs[Long]("segment")))
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -175,7 +175,9 @@ class PlanSpec extends SparkSpec {
       // basket rules: the 1-row order-count broadcast onto the pairs
       "q_basket_rules",
       // deadline funnel: the 1-row entrants broadcast onto 4 stage rows
-      "q_funnel_deadline")
+      "q_funnel_deadline",
+      // RFM: three 1-row quintile-cut broadcasts onto the user frame
+      "q_rfm_segments")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
