@@ -811,6 +811,45 @@ object Relational {
       .limit(20)
   }
 
+  /** Revenue concentration per nation — the Gini coefficient over
+    * customer order totals (the inequality metric concentration
+    * analyses report): with per-customer revenue x sorted ascending
+    * (custkey tiebreak) and 1-based rank i,
+    * `G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`, carried ×10⁶ with the
+    * products in DECIMAL(38,0) (rank·cents overflows BIGINT at
+    * customer scale) and ONE integral division — exact in both
+    * engines. Customers without orders count as zero revenue.
+    * Nations partition customers, so the rank window is per-nation —
+    * no global sort; one customer-keyed revenue join + one nation
+    * rollup. Zero-revenue nations emit G = 0. */
+  def qGiniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .join(rev, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_nationkey", $"c_custkey",
+        coalesce($"cents", lit(0L)).as("x"))
+    val w = Window.partitionBy($"c_nationkey").orderBy($"x", $"c_custkey")
+    cust.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"x").as("total_cents"),
+        sum($"i".cast("decimal(38,0)") * $"x").as("rank_weighted"))
+      .withColumn("gini_x1e6", expr(
+        """CASE WHEN total_cents = 0 THEN cast(0 as bigint)
+          |     ELSE cast(((cast(2 as decimal(38,0)) * rank_weighted
+          |                 - cast(n_customers + 1 as decimal(38,0)) * total_cents)
+          |                * 1000000)
+          |          div (cast(n_customers as decimal(38,0)) * total_cents)
+          |          as bigint) END""".stripMargin))
+      .select($"c_nationkey", $"n_customers", $"total_cents", $"gini_x1e6")
+      .orderBy($"c_nationkey")
+  }
+
   /** RFM segmentation — the classic customer scoring: per user,
     * recency (last event epoch), frequency (event count) and monetary
     * (exact DECIMAL cents sum), each bucketed 1–5 against the
@@ -1773,6 +1812,7 @@ object Relational {
     "q_markov_eval" -> qMarkovEval,
     "q_session_kpis" -> qSessionKpis,
     "q_rfm_segments" -> qRfmSegments,
+    "q_gini_revenue" -> qGiniRevenue,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2369,6 +2409,34 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |    AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |cust AS (
+        |  SELECT c_nationkey, c_custkey, COALESCE(rev.cents, 0) AS x
+        |  FROM customer LEFT JOIN rev ON c_custkey = rev.o_custkey),
+        |r AS (
+        |  SELECT c_nationkey, x,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |         ORDER BY x, c_custkey) AS BIGINT) AS i
+        |  FROM cust),
+        |g AS (
+        |  SELECT c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(x) AS BIGINT) AS total_cents,
+        |    CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS rank_weighted
+        |  FROM r GROUP BY c_nationkey)
+        |SELECT c_nationkey, n_customers, total_cents,
+        |  CASE WHEN total_cents = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(((CAST(2 AS HUGEINT) * rank_weighted
+        |                   - CAST(n_customers + 1 AS HUGEINT) * total_cents)
+        |                  * 1000000)
+        |            // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT) END
+        |    AS gini_x1e6
+        |FROM g ORDER BY c_nationkey""".stripMargin,
 
     "q_rfm_segments" -> {
       def cutsCte(metric: String): String =

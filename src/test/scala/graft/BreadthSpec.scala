@@ -520,6 +520,32 @@ class BreadthSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("per-nation gini equals a direct BigInt Scala replay") {
+    val rev = Tables.load(spark, sf0001, "orders")
+      .select($"o_custkey", $"o_totalprice".cast("decimal(18,2)").as("p")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> (rs.map(r => BigDecimal(r.getDecimal(1))).sum * 100).toLongExact }
+    val cust = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val expected = cust.groupBy(_._2).map { case (nation, cs) =>
+      val xs = cs.map { case (ck, _) => (rev.getOrElse(ck, 0L), ck) }
+        .sortBy(identity)
+      val n = BigInt(xs.length)
+      val tot = BigInt(xs.map(_._1).sum)
+      val rw = xs.zipWithIndex.map { case ((x, _), i) => BigInt(i + 1) * x }.sum
+      val g = if (tot == 0) BigInt(0)
+        else (BigInt(2) * rw - (n + 1) * tot) * 1000000 / (n * tot)
+      nation -> ((n.toLong, tot.toLong, g.toLong))
+    }
+    val got = Relational.qGiniRevenue(spark, sf0001).collect().map { r =>
+      r.getAs[Number]("c_nationkey").longValue -> ((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("total_cents"), r.getAs[Long]("gini_x1e6")))
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+    got.values.foreach { case (_, _, g) => assert(g >= 0L && g < 1000000L) }
+  }
+
   test("attribution: every purchase lands in exactly one touch bucket") {
     val rows = graft.quality.Quality.qAttribution(spark, sf0001).collect()
     assert(rows.nonEmpty)
