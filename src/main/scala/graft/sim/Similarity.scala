@@ -507,6 +507,26 @@ object Similarity {
       .orderBy($"label", $"pos")
   }
 
+  /** Embedding QA — the vector-sanity gate every indexing pipeline
+    * runs BEFORE building anything: per vector, its dimensionality,
+    * L2 norm (×10⁶ fixed point, summed in array order so both engines
+    * round identically — the cosine-expression convention) and an `ok`
+    * verdict (expected dim, norm comfortably non-zero). Zero or
+    * near-zero vectors poison cosine similarity (NaN / garbage
+    * neighbors), wrong dims crash zip_with — both get caught here at
+    * scan speed, zero shuffle. */
+  def qEmbQa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        expr("cast(round(sqrt(aggregate(transform(embedding," +
+          " x -> cast(x as double) * cast(x as double)), 0D," +
+          " (acc, v) -> acc + v)) * 1e6) as bigint)").as("norm_e6"))
+      .withColumn("ok", $"dim" === 64 && $"norm_e6" > 10000L)
+      .orderBy($"vec_id")
+  }
+
   /** Embedding-centroid drift — the vector-space sibling of the
     * histogram drift monitor (`Quality.qQualityDrift`): per label, the
     * mean-pooled centroid of one half of the corpus (vec_id parity —
@@ -579,6 +599,7 @@ object Similarity {
     "q_sem_dedup" -> qSemDedup,
     "q_emb_centroid" -> qEmbCentroid,
     "q_emb_drift" -> qEmbDrift,
+    "q_emb_qa" -> qEmbQa,
     "q_kmeans" -> qKmeans,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
   )
@@ -938,6 +959,17 @@ object Similarity {
     "q_sim_ann_recall" -> recallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,
+    "q_emb_qa" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT)
+        |    AS norm_e6,
+        |  (CAST(len(embedding) AS BIGINT) = 64
+        |   AND CAST(round(sqrt(list_sum(list_transform(embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6) AS BIGINT)
+        |     > 10000) AS ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_emb_drift" ->
       """WITH x AS (
         |  SELECT label, vec_id % 2 AS half, i + 1 AS idx, embedding[i + 1] AS val

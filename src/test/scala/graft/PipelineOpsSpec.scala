@@ -270,6 +270,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("embedding qa: norms match a Scala replay; scan-speed plan") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val want = vecs.map { case (id, v) =>
+      // mirror the engine's op order: per-component double square,
+      // sequential sum, sqrt, round
+      var acc = 0.0
+      v.foreach { x => val d = x.toDouble; acc += d * d }
+      id -> math.round(math.sqrt(acc) * 1e6)
+    }.toMap
+    val got = graft.sim.Similarity.qEmbQa(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("norm_e6")).toMap
+    assert(got == want)
+    val p = graft.sim.Similarity.qEmbQa(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("novelty equals a direct Scala replay; exact dups score zero") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").collect()
