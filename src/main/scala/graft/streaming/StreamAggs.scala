@@ -45,4 +45,36 @@ object StreamAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("period_start"),
         col("event_type"), col("bin"), col("n"))
+
+  /** Trending tokens: tumbling-window token counts over a stream of
+    * timestamped documents — the "what is spiking right now" feed.
+    * Tokens explode BEFORE the watermarked window aggregate (state is
+    * one counter per (open window, token) — bounded by window span ×
+    * live vocabulary), finalized rows emit on watermark passage
+    * (append mode), and the rate-vs-previous-window comparison is a
+    * BATCH join over the emitted table (finalized windows are
+    * immutable, so trend math never sits in stream state). Shares the
+    * TextAnalysis token semantics (whitespace split, empties
+    * dropped). */
+  def trendingTokens(docs: DataFrame, tsCol: String, watermark: String,
+      period: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(window(col(tsCol), period), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("period_start"), col("token"), col("n"))
+
+  /** The batch leg over the emitted (period_start, token, n) table:
+    * per token, each window's count vs the previous window's, rate in
+    * permille (1000 = flat; absent-previous rows surface as new
+    * arrivals with NULL rate). */
+  def tokenTrends(emitted: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("period_start"))
+    emitted
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("rate_permille", expr("(n * 1000) div prev_n"))
+  }
 }

@@ -93,4 +93,50 @@ class StreamAggsSpec extends SparkSpec {
       .as[(Timestamp, String, Long, Long)].collect().toSet
     assert(batch == want, batch)
   }
+
+  test("trending tokens: out-of-order docs finalize per window; trends join batch-side") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamAggs.trendingTokens(
+      input.toDF().toDF("ts", "text"),
+      "ts", watermark = "10 minutes", period = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("trend_tok")
+      .outputMode("append").start()
+    try {
+      // hour 10 arrives interleaved and out of order
+      input.addData(
+        (ts("2026-08-12 10:05:00"), "spark spark flink"),
+        (ts("2026-08-12 10:40:00"), "spark duck"))
+      q.processAllAvailable()
+      // a LATE row (10:02 arrives after max event time 10:40 set the
+      // watermark to 10:30) still lands: windows only reject late data
+      // once the watermark passes their END (11:00), so hour 10 is open
+      input.addData((ts("2026-08-12 10:02:00"), "flink"))
+      q.processAllAvailable()
+      // hour 11 closes hour 10; hour 12 probe closes hour 11
+      input.addData(
+        (ts("2026-08-12 11:15:00"), "spark spark spark duck"),
+        (ts("2026-08-12 12:30:00"), "fin"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("trend_tok")
+    val got = emitted.as[(Timestamp, String, Long)].collect().toSet
+    // the late 10:02 "flink" counted: its window was still open
+    val want = Set(
+      (ts("2026-08-12 10:00:00"), "spark", 3L),
+      (ts("2026-08-12 10:00:00"), "flink", 2L),
+      (ts("2026-08-12 10:00:00"), "duck", 1L),
+      (ts("2026-08-12 11:00:00"), "spark", 3L),
+      (ts("2026-08-12 11:00:00"), "duck", 1L))
+    assert(got == want, got)
+
+    // batch trend leg: rates vs the previous window in exact permille
+    val trends = StreamAggs.tokenTrends(emitted)
+      .select($"token", $"period_start", $"rate_permille")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(trends.contains(("spark", ts("2026-08-12 11:00:00"), Some(1000L))))
+    assert(trends.contains(("duck", ts("2026-08-12 11:00:00"), Some(1000L))))
+    assert(trends.contains(("spark", ts("2026-08-12 10:00:00"), None)))
+  }
 }
