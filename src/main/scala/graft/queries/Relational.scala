@@ -811,6 +811,28 @@ object Relational {
       .limit(20)
   }
 
+  /** Monthly revenue with month-over-month growth — the canonical BI
+    * time rollup: order revenue in exact DECIMAL cents per calendar
+    * month, order count, and growth vs the previous month in exact
+    * permille (1000 = flat; the first month has NULL growth). One
+    * map-side-combined month rollup; the lag window runs over the
+    * months frame (dozens of rows at any corpus scale — time rollups
+    * shrink before they sort). */
+  def qRevenueMonthly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"month")
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+          .cast("long").as("revenue_cents"))
+      .withColumn("prev_cents", lag($"revenue_cents", 1).over(w))
+      .withColumn("growth_permille",
+        expr("(revenue_cents * 1000) div prev_cents"))
+      .select($"month", $"n_orders", $"revenue_cents", $"growth_permille")
+      .orderBy($"month")
+  }
+
   /** Revenue concentration per nation — the Gini coefficient over
     * customer order totals (the inequality metric concentration
     * analyses report): with per-customer revenue x sorted ascending
@@ -1813,6 +1835,7 @@ object Relational {
     "q_session_kpis" -> qSessionKpis,
     "q_rfm_segments" -> qRfmSegments,
     "q_gini_revenue" -> qGiniRevenue,
+    "q_revenue_monthly" -> qRevenueMonthly,
     "q_ts_sax_motif" -> qTsSaxMotif
   )
 
@@ -2409,6 +2432,18 @@ object Relational {
         |  CAST((n * 1000) // tot AS BIGINT) AS share_permille
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    "q_revenue_monthly" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, revenue_cents,
+        |  (revenue_cents * 1000) // lag(revenue_cents, 1) OVER (ORDER BY month)
+        |    AS growth_permille
+        |FROM m ORDER BY month""".stripMargin,
 
     "q_gini_revenue" ->
       """WITH rev AS (

@@ -69,6 +69,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("monthly revenue: totals account for all orders, growth consistent") {
+    val rows = Relational.qRevenueMonthly(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("month")).toSeq ==
+      rows.map(_.getAs[String]("month")).toSeq.sorted)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.load(spark, sf0001, "orders").count())
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getAs[Long]("growth_permille") ==
+          cur.getAs[Long]("revenue_cents") * 1000L /
+            prev.getAs[Long]("revenue_cents"))
+      case _ =>
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("growth_permille")))
+  }
+
   test("tpch5: revenue positive per nation; tpch6 consistent with manual filter") {
     val q5 = Relational.qSqlTpch5(spark, sf0001).collect()
     assert(q5.nonEmpty)
