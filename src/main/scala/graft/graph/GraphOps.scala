@@ -506,6 +506,73 @@ object GraphOps {
       EdgeMaintenance.edges(spark, base)
     }
 
+  /** Directed purchase edges customer → supplier (an order by customer
+    * c containing a line supplied by s). Staged once per (session,
+    * dir): the orders⋈lineitem join shuffles on orderkey, the distinct
+    * on the (cust, supp) pair — at 100 TB this IS a stored table,
+    * partitioned by cust. */
+  private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.bip|$dir") {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * customer → supplier purchase graph — the two-sided score the
+    * undirected family can't express (on an undirected graph hubs ≡
+    * authorities, which is why PageRank/PPR run on the co-occurrence
+    * graph and HITS gets the bipartite one). Authority(s) = how much
+    * hub mass points at supplier s; Hub(c) = how much authority mass
+    * customer c points at.
+    *
+    * Two mutual-reinforcement rounds, L1-normalized each half-step so
+    * scores are shares ×10⁹: `score = raw · 10⁹ div Σraw`, the product
+    * carried in DECIMAL(38,0) (raw sums reach n·10⁶, so the ×10⁹
+    * product overflows BIGINT at corpus scale) — Spark decimal `div`
+    * ≡ DuckDB HUGEINT `//` on positives, so the oracle hash-matches
+    * exactly.
+    *
+    * Shape per half-step: one equi-join of the node-sized score frame
+    * onto the edge table (shuffled-hash per the module's round-join
+    * policy — never broadcast the edge scan) + one map-side-combined
+    * aggregate + a 1-row total broadcast. Edge exchanges on cust and
+    * on supp are each reused across rounds (ReuseExchange). */
+  def qGraphHits(spark: SparkSession, dir: String): DataFrame =
+    hitsOnEdges(bipartiteEdges(spark, dir))
+
+  /** Core HITS rounds over an explicit (cust, supp) edge frame —
+    * factored out so specs can replay it on fixtures. */
+  private[graft] def hitsOnEdges(bip: DataFrame): DataFrame = {
+    def l1norm(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key), expr(
+          s"cast((cast(raw as decimal(38,0)) * 1000000000) div tot as bigint)")
+          .as(out))
+    }
+    val h0 = bip.select(col("cust").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("h"))
+    val ar1 = bip.join(h0.hint("shuffle_hash"), bip("cust") === h0("node"))
+      .groupBy(col("supp")).agg(sum(col("h")).as("raw"))
+    val a1 = l1norm(ar1, "supp", "a")
+    val hr1 = bip.join(a1.hint("shuffle_hash"), Seq("supp"))
+      .groupBy(col("cust")).agg(sum(col("a")).as("raw"))
+    val h1 = l1norm(hr1, "cust", "h")
+    val ar2 = bip.join(h1.hint("shuffle_hash"), Seq("cust"))
+      .groupBy(col("supp")).agg(sum(col("h")).as("raw"))
+    val a2 = l1norm(ar2, "supp", "a")
+    a2.select(lit("authority").as("kind"), col("supp").as("node"),
+        col("a").as("score_x1e9"))
+      .union(h1.select(lit("hub").as("kind"), col("cust").as("node"),
+        col("h").as("score_x1e9")))
+      .orderBy(col("kind"), col("node"))
+  }
+
   // -----------------------------------------------------------------
   // registration
   // -----------------------------------------------------------------
@@ -520,7 +587,8 @@ object GraphOps {
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_linkpred" -> qGraphLinkPred,
-    "q_graph_ppr" -> qGraphPpr)
+    "q_graph_ppr" -> qGraphPpr,
+    "q_graph_hits" -> qGraphHits)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -698,6 +766,25 @@ object GraphOps {
          |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
          |ORDER BY part""".stripMargin,
+    "q_graph_hits" ->
+      """WITH bip AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT cust AS node, CAST(1000000 AS BIGINT) AS h FROM bip),
+        |ar1 AS (SELECT supp, SUM(h0.h) AS raw FROM bip
+        |        JOIN h0 ON bip.cust = h0.node GROUP BY supp),
+        |a1 AS (SELECT supp, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT SUM(raw) FROM ar1) AS BIGINT) AS a FROM ar1),
+        |hr1 AS (SELECT cust, SUM(a1.a) AS raw FROM bip
+        |        JOIN a1 ON bip.supp = a1.supp GROUP BY cust),
+        |h1 AS (SELECT cust, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT SUM(raw) FROM hr1) AS BIGINT) AS h FROM hr1),
+        |ar2 AS (SELECT supp, SUM(h1.h) AS raw FROM bip
+        |        JOIN h1 ON bip.cust = h1.cust GROUP BY supp),
+        |a2 AS (SELECT supp, CAST((CAST(raw AS HUGEINT) * 1000000000)
+        |         // (SELECT SUM(raw) FROM ar2) AS BIGINT) AS a FROM ar2)
+        |SELECT 'authority' AS kind, supp AS node, a AS score_x1e9 FROM a2
+        |UNION ALL SELECT 'hub', cust, h FROM h1
+        |ORDER BY kind, node""".stripMargin,
     "q_graph_ppr" ->
       s"""WITH $edgesCte,
          |deg AS (SELECT src, COUNT(*) AS outdeg,

@@ -342,6 +342,95 @@ object Quality {
       .orderBy($"touch_type")
   }
 
+  /** Corpus datasheet — the "datasheets for datasets" summary every
+    * released training corpus ships with, as ONE composed rollup per
+    * (source, lang): document and token counts, quality-gate pass rate,
+    * exact-duplicate rate (head-fingerprint multiplicity ≥ 2 anywhere
+    * in the corpus — the [[graft.dedup.Dedup.qDedupIncremental]] key),
+    * and mean integer quality score. Every metric reuses the SHARED
+    * definition of its standalone operator ([[withQualityGate]],
+    * [[scoreCol]], `Dedup.headFingerprint`), so the datasheet cannot
+    * drift from the operators it summarizes.
+    *
+    * Shape: one scan computes gate metrics + fingerprint per row, one
+    * fp-keyed shuffle counts fingerprint multiplicity (shuffled-hash
+    * join back — at 100 TB the fp-count frame is the stored distinct-
+    * digest table), one (source, lang) map-side-combined rollup. All
+    * rates are exact integer ppm. */
+  def qCorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = withQualityGate(Tables.load(spark, dir, "documents"))
+      .withColumn("fp", graft.dedup.Dedup.headFingerprint($"text"))
+      .select($"doc_id", $"source", $"lang", $"n_words", $"quality_pass",
+        scoreCol.as("score"), $"fp")
+    val fpc = g.groupBy($"fp").agg(count(lit(1)).as("fpn"))
+    g.join(fpc.hint("shuffle_hash"), Seq("fp"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("sum_words"),
+        sum(when($"quality_pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when($"fpn" > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum($"score").as("score_sum"))
+      .select($"source", $"lang", $"n_docs", $"sum_words",
+        expr("(n_pass * 1000000) div n_docs").as("gate_pass_ppm"),
+        expr("(n_dup * 1000000) div n_docs").as("dup_ppm"),
+        expr("score_sum div n_docs").as("mean_score"))
+      .orderBy($"source", $"lang")
+  }
+
+  /** Position-based (U-shaped) MULTI-touch attribution — the sibling of
+    * [[qAttribution]]'s last-touch rule: every purchase splits one full
+    * credit (10⁶ ppm) across ALL its preceding touches since the prior
+    * purchase — 40% to the first touch, 40% to the last, the remaining
+    * 20% shared by the middles (k=1 → 100%, k=2 → 50/50). Credits are
+    * exact integer ppm: the middle share is `200000 div (k−2)` with the
+    * division remainder assigned to the EARLIEST middle, so every
+    * purchase's credits sum to exactly 10⁶ (QualitySpec proves the
+    * conservation; attributed value is credit·cents, exact microcents).
+    *
+    * Touch→purchase assignment avoids any ordered self-join: `pgrp` =
+    * the running count of purchases from this event to the end of the
+    * user's history (one reverse-frame window) — a touch and the
+    * purchase it precedes share (user_id, pgrp). Shape: two user-keyed
+    * window exchanges + one co-keyed join + a |event_types|-row
+    * rollup; per-purchase touch groups are bounded by a user's
+    * inter-purchase activity, never by corpus size. At 100 TB the
+    * microcent sums outgrow BIGINT, so the value aggregate is carried
+    * in DECIMAL(38,0). */
+  def qAttrMultitouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val wNext = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = ev.withColumn("pgrp",
+      count(when($"event_type" === "purchase", lit(1))).over(wNext))
+    val wPos = Window.partitionBy($"user_id", $"pgrp").orderBy($"us", $"event_id")
+    val sized = tagged
+      .filter($"event_type" =!= "purchase" && $"pgrp" > 0)
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy($"user_id", $"pgrp")).cast("long"))
+    val credited = sized.withColumn("credit_ppm", expr(
+      """CASE WHEN k = 1L THEN 1000000L
+        |     WHEN k = 2L THEN 500000L
+        |     WHEN pos = 1L OR pos = k THEN 400000L
+        |     ELSE (200000L div (k - 2L)) +
+        |          if(pos = 2L, 200000L - (k - 2L) * (200000L div (k - 2L)), 0L)
+        |END""".stripMargin))
+    val purchases = tagged.filter($"event_type" === "purchase")
+      .select($"user_id", $"pgrp", $"cents".as("p_cents"))
+    credited.drop("cents").join(purchases, Seq("user_id", "pgrp"))
+      .groupBy($"event_type".as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"credit_ppm").as("credit_ppm_sum"),
+        sum(($"credit_ppm" * $"p_cents").cast("decimal(38,0)"))
+          .cast("long").as("value_microcents"))
+      .orderBy($"touch_type")
+  }
+
   /** Cross-source quantile normalization — the calibration step for
     * mixing heterogeneously-scored sources: each document's quality
     * score is replaced by the POOLED-distribution score at the same
@@ -966,6 +1055,8 @@ object Quality {
     "q_mix_temperature" -> qMixTemperature,
     "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
+    "q_attr_multitouch" -> qAttrMultitouch,
+    "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_ab_ztest" -> qAbZtest,
     "q_quantile_norm" -> qQuantileNorm,
     "q_sample_pps" -> qSamplePps,
@@ -1307,6 +1398,75 @@ object Quality {
         |  max(CASE WHEN cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum THEN v END)
         |    AS p90_sec
         |FROM vc""".stripMargin,
+
+    "q_corpus_datasheet" -> {
+      val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, source, lang,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+         |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, lang, fp,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+         |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+         |  FROM w),
+         |q AS (
+         |  SELECT *,
+         |    (n_words BETWEEN 50 AND 100000)
+         |      AND ((sum_wlen * 1000) // nullif(n_words, 0) BETWEEN 3000 AND 10000)
+         |      AND (stop_hits >= 2) AS quality_pass,
+         |    stop_hits * 100000
+         |      + COALESCE((sum_wlen * 1000) // nullif(n_words, 0), 0) AS score
+         |  FROM m),
+         |fpc AS (SELECT fp, COUNT(*) AS fpn FROM q GROUP BY fp)
+         |SELECT q.source, q.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(q.n_words) AS BIGINT) AS sum_words,
+         |  CAST((SUM(CASE WHEN q.quality_pass THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS gate_pass_ppm,
+         |  CAST((SUM(CASE WHEN fpc.fpn > 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS dup_ppm,
+         |  CAST(SUM(q.score) // COUNT(*) AS BIGINT) AS mean_score
+         |FROM q JOIN fpc ON q.fp = fpc.fp
+         |GROUP BY q.source, q.lang
+         |ORDER BY q.source, q.lang""".stripMargin
+    },
+
+    "q_attr_multitouch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_us(ts) AS BIGINT) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT *, CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS pgrp
+        |  FROM ev),
+        |sized AS (
+        |  SELECT user_id, pgrp, event_type, us, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, pgrp
+        |      ORDER BY us, event_id) AS BIGINT) AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, pgrp) AS BIGINT) AS k
+        |  FROM t WHERE event_type <> 'purchase' AND pgrp > 0),
+        |credited AS (
+        |  SELECT *, CAST(CASE WHEN k = 1 THEN 1000000
+        |    WHEN k = 2 THEN 500000
+        |    WHEN pos = 1 OR pos = k THEN 400000
+        |    ELSE (200000 // (k - 2)) + CASE WHEN pos = 2
+        |      THEN 200000 - (k - 2) * (200000 // (k - 2)) ELSE 0 END
+        |    END AS BIGINT) AS credit_ppm
+        |  FROM sized),
+        |p AS (SELECT user_id, pgrp, cents FROM t WHERE event_type = 'purchase')
+        |SELECT c.event_type AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(c.credit_ppm) AS BIGINT) AS credit_ppm_sum,
+        |  CAST(SUM(CAST(c.credit_ppm AS HUGEINT) * p.cents) AS BIGINT) AS value_microcents
+        |FROM credited c JOIN p USING (user_id, pgrp)
+        |GROUP BY c.event_type
+        |ORDER BY touch_type""".stripMargin,
 
     "q_attribution" ->
       """WITH t AS (

@@ -790,6 +790,66 @@ object Relational {
       .orderBy($"lift_x1e6".desc, $"part_a", $"part_b")
   }
 
+  private val ItemcfMinSupport = 3L
+  private val ItemcfTopK = 5L
+  private val ItemcfMaxBasket = 10000L
+
+  /** Item-item collaborative filtering — "customers who bought X also
+    * bought Y": top-5 most-similar parts per part by co-purchasing
+    * customer overlap. Similarity is cosine over the binary
+    * customer-incidence vectors, carried EXACTLY as its square in ppm
+    * (`cos² = c_ij²·10⁶ div (c_i·c_j)` — monotone in cosine, so ranks
+    * are identical, and rational, so the oracle hash-matches with no
+    * sqrt ulp risk); products ride DECIMAL(38,0) (c² ·10⁶ overflows
+    * BIGINT at web scale). Differs from [[qBasketRules]] (order-level
+    * pair measures, no ranking) by aggregating at the CUSTOMER level
+    * and ranking neighbors per item — the classic Amazon-style
+    * item-to-item recommender precompute.
+    *
+    * Scale shape: the incidence self-join shuffles once on cust;
+    * per-customer distinct-item baskets are bounded by shopping
+    * behavior, not corpus size — and a basket over
+    * [[ItemcfMaxBasket]] raises loudly (assert_true on a broadcast
+    * basket census, the `qDedupJaccard` guard policy) instead of
+    * running silently quadratic. Min-support prunes pairs before the
+    * two item-count joins; the per-item top-5 is a window over the
+    * surviving pair frame. */
+  def qRecItemcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cp = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("item")).distinct()
+    val sizes = cp.groupBy($"cust").agg(count(lit(1)).as("bn"))
+    val guarded = cp.join(broadcast(sizes.filter($"bn" > ItemcfMaxBasket)
+        .limit(1).select($"cust", $"bn")), Seq("cust"), "left_outer")
+      .filter(assert_true($"bn".isNull,
+        format_string("qRecItemcf basket over cap %d: cust=%d n=%d",
+          lit(ItemcfMaxBasket), $"cust", $"bn")).isNull)
+      .drop("bn")
+    val cnt = guarded.groupBy($"item").agg(count(lit(1)).as("c"))
+    val pairs = guarded.as("a").join(guarded.as("b"),
+        $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
+      .agg(count(lit(1)).as("cij"))
+      .filter($"cij" >= ItemcfMinSupport)
+    val sym = pairs.union(pairs.select($"ib".as("ia"), $"ia".as("ib"), $"cij"))
+    val scored = sym
+      .join(cnt.select($"item".as("ia"), $"c".as("ca")), Seq("ia"))
+      .join(cnt.select($"item".as("ib"), $"c".as("cb")), Seq("ib"))
+      .withColumn("cos2_ppm", expr(
+        "cast((cast(cij as decimal(38,0)) * cij * 1000000) div (cast(ca as decimal(38,0)) * cb) as bigint)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ia").orderBy($"cos2_ppm".desc, $"ib")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= ItemcfTopK)
+      .select($"ia".as("item"), $"rank", $"ib".as("neighbor"),
+        $"cij".as("n_common"), $"cos2_ppm")
+      .orderBy($"item", $"rank")
+  }
+
   /** Top user journey trigrams — path mining one step past the
     * transition matrix ([[qEventTransitions]]'s bigrams): the 20 most
     * frequent 3-event sequences users actually walk, strict event-time
@@ -1749,6 +1809,56 @@ object Relational {
       .orderBy($"user_id", $"day_ep")
   }
 
+  /** EWMA control chart: per-user exponentially-weighted moving average
+    * (α = 1/4) over the event-time-ordered value series, plus the
+    * control-band anomaly count — points whose deviation from the
+    * running EWMA exceeds 3× the user's mean absolute deviation.
+    *
+    * EWMA is a LINEAR RECURRENCE (`ema_i = (v_i + 3·ema_{i-1}) div 4`)
+    * — the one time-series shape no window frame expresses, so it runs
+    * as a higher-order `aggregate` fold over the per-user sorted array
+    * (`collect_list` + `array_sort`): ONE user-keyed shuffle, then
+    * per-row lambda compute; per-user series are bounded (a user's
+    * event history, not the corpus), so the arrays stay small at any
+    * corpus scale — the same justification as the SAX sketch. All
+    * arithmetic is BIGINT cents with integral division, so the DuckDB
+    * recursive-CTE oracle replays it exactly. Two fold passes: the
+    * first computes the final EWMA and the mean absolute deviation,
+    * the second counts excursions beyond the 3×MAD band (the band
+    * needs the whole series' MAD, hence two passes — both map-side
+    * over the same array, no second shuffle). */
+  def qTsEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        (dec($"value") * 100).cast("long").as("c"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"c"))).as("pts"))
+    pts
+      .withColumn("fold", expr(
+        """aggregate(pts,
+          |  named_struct('i', 0L, 'ema', 0L, 'sd', 0L),
+          |  (acc, x) -> named_struct(
+          |    'i', acc.i + 1L,
+          |    'ema', if(acc.i = 0L, x.c, (x.c + 3L * acc.ema) div 4L),
+          |    'sd', acc.sd + if(acc.i = 0L, 0L, abs(x.c - acc.ema))))""".stripMargin))
+      .select($"user_id", $"pts",
+        $"fold.i".as("n_points"), $"fold.ema".as("ema_last"),
+        when($"fold.i" > 1, expr("fold.sd div (fold.i - 1L)"))
+          .otherwise(lit(0L)).as("mean_dev"))
+      .withColumn("n_anomalies", expr(
+        """aggregate(pts,
+          |  named_struct('i', 0L, 'ema', 0L, 'n', 0L),
+          |  (acc, x) -> named_struct(
+          |    'i', acc.i + 1L,
+          |    'ema', if(acc.i = 0L, x.c, (x.c + 3L * acc.ema) div 4L),
+          |    'n', acc.n + if(acc.i > 0L and abs(x.c - acc.ema) > 3L * mean_dev,
+          |                    1L, 0L)),
+          |  acc -> acc.n)""".stripMargin))
+      .select($"user_id", $"n_points", $"ema_last", $"mean_dev", $"n_anomalies")
+      .orderBy($"user_id")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -1831,12 +1941,14 @@ object Relational {
     "q_event_transitions" -> qEventTransitions,
     "q_event_paths" -> qEventPaths,
     "q_basket_rules" -> qBasketRules,
+    "q_rec_itemcf" -> qRecItemcf,
     "q_markov_eval" -> qMarkovEval,
     "q_session_kpis" -> qSessionKpis,
     "q_rfm_segments" -> qRfmSegments,
     "q_gini_revenue" -> qGiniRevenue,
     "q_revenue_monthly" -> qRevenueMonthly,
-    "q_ts_sax_motif" -> qTsSaxMotif
+    "q_ts_sax_motif" -> qTsSaxMotif,
+    "q_ts_ewma" -> qTsEwma
   )
 
   val oracles: Map[String, String] = Map(
@@ -1849,6 +1961,38 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_ts_ewma" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, c, c AS ema, CAST(NULL AS BIGINT) AS dev
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.user_id, p.rn, p.c,
+        |         (p.c + 3 * r.ema) // 4 AS ema,
+        |         abs(p.c - r.ema) AS dev
+        |  FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.rn = r.rn + 1),
+        |stats AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |         arg_max(ema, rn) AS ema_last,
+        |         COALESCE(SUM(dev), 0) AS sumdev
+        |  FROM rec GROUP BY user_id),
+        |md AS (
+        |  SELECT user_id, n_points, ema_last,
+        |         CAST(CASE WHEN n_points > 1 THEN sumdev // (n_points - 1)
+        |              ELSE 0 END AS BIGINT) AS mean_dev
+        |  FROM stats)
+        |SELECT md.user_id, md.n_points, md.ema_last, md.mean_dev,
+        |  CAST(COALESCE(SUM(CASE WHEN rec.dev > 3 * md.mean_dev
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies
+        |FROM md JOIN rec ON md.user_id = rec.user_id
+        |GROUP BY md.user_id, md.n_points, md.ema_last, md.mean_dev
+        |ORDER BY md.user_id""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH med AS (
@@ -2534,6 +2678,25 @@ object Relational {
         |WHERE NOT e.ts < TIMESTAMP '2024-01-16 00:00:00'
         |GROUP BY e.event_type, m.predicted, m.train_n
         |ORDER BY e.event_type""".stripMargin,
+
+    "q_rec_itemcf" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM cp GROUP BY item),
+        |pairs AS (SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS cij
+        |          FROM cp a JOIN cp b ON a.cust = b.cust AND a.item < b.item
+        |          GROUP BY a.item, b.item HAVING COUNT(*) >= 3),
+        |sym AS (SELECT ia, ib, cij FROM pairs
+        |        UNION ALL SELECT ib, ia, cij FROM pairs),
+        |scored AS (SELECT sym.ia, sym.ib, sym.cij,
+        |    CAST((CAST(sym.cij AS HUGEINT) * sym.cij * 1000000)
+        |      // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS cos2_ppm
+        |  FROM sym JOIN cnt ca ON sym.ia = ca.item
+        |           JOIN cnt cb ON sym.ib = cb.item),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY ia
+        |        ORDER BY cos2_ppm DESC, ib) AS BIGINT) AS rank FROM scored)
+        |SELECT ia AS item, rank, ib AS neighbor, cij AS n_common, cos2_ppm
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
 
     "q_basket_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -36,6 +36,24 @@ object StreamJoins {
         right(rightTs) >= left(leftTs) &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $horizon"))
 
+  /** LEFT OUTER interval join — the "did anything respond within the
+    * horizon?" form: every left row is emitted exactly once, either
+    * with its matches or (once the RIGHT watermark passes
+    * `leftTs + horizon`, proving no match can still arrive) with NULL
+    * right columns. Same bounded state as the inner form; the outer
+    * row's emission is watermark-gated, so unmatched results trail the
+    * data by one watermark horizon — the price of a correct negative.
+    * The reference cannot express this at all: its "no match"
+    * (routes/events.js:161-182) is an exception that silently drops
+    * the event's writes rather than a first-class unmatched row. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, horizon: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $horizon"),
+      "left_outer")
+
   /** Stream-static enrichment: every micro-batch broadcast-joins the
     * (small) static dimension — the streaming analog of the agents dim
     * lookup (J7). NO streaming state is involved: the dim is re-read

@@ -254,6 +254,43 @@ object TextAnalysis {
       .orderBy($"exact_tf".desc, $"token")
   }
 
+  /** Mergeable HLL sketch TABLE — the stored-sketch architecture for
+    * distinct counting at 100 TB: build ONE binary Datasketches-HLL
+    * sketch per source over its token space (`hll_sketch_agg`,
+    * map-side-combined like any aggregate), store the 5-row sketch
+    * table, and answer the GLOBAL distinct-token question by merging
+    * sketches (`hll_union_agg`) — never by rescanning the corpus. This
+    * is the pattern behind partition-level NDV stats: per-partition
+    * sketches persist with the data; any subset's cardinality is a
+    * union over kilobyte blobs. Output: per-source exact vs estimated
+    * distinct tokens plus the 'ALL' row whose estimate comes ONLY from
+    * the merged sketches (the exact columns exist to audit the
+    * estimate and are what you deliberately stop computing at scale).
+    *
+    * ESTIMATES ARE ENGINE-SPECIFIC (DuckDB has no Datasketches HLL),
+    * so this is a rows-only driver entry by design — like
+    * q_approx_distinct; TextOpsProps pins the ≤2% relative-error bound
+    * (lgK=14) and merge-vs-direct consistency. */
+  def qSketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    // the stored sketch table: one binary sketch + exact audit per source
+    val sketches = tok.groupBy($"source")
+      .agg(expr("hll_sketch_agg(token)").as("sk"),
+        count_distinct($"token").as("exact_distinct"))
+    val perSource = sketches
+      .select($"source", $"exact_distinct",
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+    val global = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .crossJoin(broadcast(
+        tok.agg(count_distinct($"token").as("exact_distinct"))))
+      .select(lit("ALL").as("source"), $"exact_distinct", $"est_distinct")
+    perSource.unionByName(global).orderBy($"source")
+  }
+
   /** Per-document top-3 salient terms by tf·idf, with a RATIONAL idf
     * (`(N·1000) div df` fixed-point) instead of `ln(N/df)`: JVM
     * `Math.log` and DuckDB `ln` differ in the last ulp (measured: 1 of
@@ -755,6 +792,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_distinct" -> qSketchDistinct, // rows-only: engine-specific HLL
     "q_text_bigram_lm" -> qTextBigramLm,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,

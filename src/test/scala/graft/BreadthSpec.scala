@@ -570,4 +570,66 @@ class BreadthSpec extends SparkSpec {
     // the synthetic corpus repeats templates: some doc must share a span
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
+
+  test("sf0.001 itemCF: engine == Scala replay; per-item neighbor lists rank-ordered") {
+    val o = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val cp = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .flatMap { case (ok, pk) => o.get(ok).map(ck => (ck, pk)) }.distinct
+    val cnt = cp.groupBy(_._2).map { case (i, xs) => i -> xs.length.toLong }
+    val pairs = cp.groupBy(_._1).values.flatMap { basket =>
+      val is = basket.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).collect { case (p, xs) if xs.size >= 3 => p -> xs.size.toLong }
+    val sym = pairs.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val scored = sym.map { case (a, b, c) =>
+      (a, b, c, (BigInt(c) * c * 1000000L / (BigInt(cnt(a)) * cnt(b))).toLong)
+    }
+    val want = scored.groupBy(_._1).flatMap { case (a, ns) =>
+      ns.toSeq.sortBy(n => (-n._4, n._2)).take(5).zipWithIndex
+        .map { case ((_, b, c, s), i) => (a, i + 1L, b, c, s) }
+    }.toSet
+    val got = Relational.qRecItemcf(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("cos2_ppm"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // cosine² never exceeds 1 (ppm)
+    assert(got.forall(_._5 <= 1000000L))
+  }
+
+  test("sf0.001 EWMA control chart: engine == two-pass Scala fold replay") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("c"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val vs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      // pass 1: final EWMA + mean absolute deviation from the running EWMA
+      var ema = 0L; var sd = 0L
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (i == 0) ema = v
+        else { sd += math.abs(v - ema); ema = (v + 3 * ema) / 4 }
+      }
+      val meanDev = if (vs.length > 1) sd / (vs.length - 1) else 0L
+      // pass 2: count excursions beyond the 3×MAD band
+      var ema2 = 0L; var anom = 0L
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (i > 0 && math.abs(v - ema2) > 3 * meanDev) anom += 1
+        if (i == 0) ema2 = v else ema2 = (v + 3 * ema2) / 4
+      }
+      u -> ((vs.length.toLong, ema, meanDev, anom))
+    }
+    val got = Relational.qTsEwma(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("ema_last"),
+          r.getAs[Long]("mean_dev"), r.getAs[Long]("n_anomalies"))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the band is 3× the mean deviation: some user must still excurse
+    assert(got.values.exists(_._4 > 0L))
+  }
 }

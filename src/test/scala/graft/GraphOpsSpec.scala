@@ -555,4 +555,72 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  /** Direct Scala replay of the engine's HITS rounds: BigInt products
+    * for the ×10⁹ L1 normalization (the DECIMAL(38,0) path), truncating
+    * division on positives. Input: directed (cust, supp) edges. */
+  private def replayHits(bip: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = raw.values.map(BigInt(_)).sum
+      raw.map { case (k, v) => k -> ((BigInt(v) * 1000000000L) / tot).toLong }
+    }
+    val h0 = bip.map(_._1).distinct.map(_ -> 1000000L).toMap
+    val a1 = norm(bip.groupBy(_._2).map { case (s, es) => s -> es.map(e => h0(e._1)).sum })
+    val h1 = norm(bip.groupBy(_._1).map { case (c, es) => c -> es.map(e => a1(e._2)).sum })
+    val a2 = norm(bip.groupBy(_._2).map { case (s, es) => s -> es.map(e => h1(e._1)).sum })
+    (h1, a2)
+  }
+
+  test("fixture HITS: engine == BigInt replay; shares sum to ~1e9") {
+    // two "hub" customers (1, 2) buying from popular suppliers, a
+    // long-tail customer 3, suppliers 10 (popular), 11, 12 (niche)
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 10L))
+    val got = GraphOps.hitsOnEdges(bip.toDF("cust", "supp")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("node")) -> r.getAs[Long]("score_x1e9"))
+      .toMap
+    val (h1, a2) = replayHits(bip)
+    assert(got.collect { case (("hub", n), s) => n -> s }.toMap == h1)
+    assert(got.collect { case (("authority", n), s) => n -> s }.toMap == a2)
+    // L1 normalization: each side's shares sum to 1e9 minus truncation
+    val hubSum = h1.values.sum; val authSum = a2.values.sum
+    assert(hubSum <= 1000000000L && hubSum > 1000000000L - h1.size)
+    assert(authSum <= 1000000000L && authSum > 1000000000L - a2.size)
+    // the popular supplier out-ranks the niche ones; the two-supplier
+    // hubs out-rank the single-supplier tail customer
+    assert(got(("authority", 10L)) > got(("authority", 11L)))
+    assert(got(("hub", 1L)) > got(("hub", 3L)))
+  }
+
+  test("randomized bipartite graphs: HITS == BigInt replay") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 8) {
+      val nc = 3 + rnd.nextInt(12); val ns = 2 + rnd.nextInt(6)
+      val bip = (for {
+        c <- 1 to nc; s <- 1 to ns if rnd.nextDouble() < 0.4
+      } yield (c.toLong, 100L + s)).toSeq
+      if (bip.nonEmpty) {
+        val (h1, a2) = replayHits(bip)
+        val got = GraphOps.hitsOnEdges(bip.toDF("cust", "supp")).collect()
+          .map(r => (r.getString(0), r.getAs[Long]("node")) -> r.getAs[Long]("score_x1e9"))
+          .toMap
+        assert(got.collect { case (("hub", n), s) => n -> s }.toMap == h1)
+        assert(got.collect { case (("authority", n), s) => n -> s }.toMap == a2)
+      }
+    }
+  }
+
+  test("sf0.001 HITS: engine == BigInt replay on the real purchase graph") {
+    val o = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val l = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_suppkey").as[(Long, Long)].collect()
+    val bip = l.flatMap { case (ok, sk) => o.get(ok).map(ck => (ck, sk)) }
+      .distinct.toSeq
+    val (h1, a2) = replayHits(bip)
+    val got = GraphOps.qGraphHits(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("node")) -> r.getAs[Long]("score_x1e9"))
+      .toMap
+    assert(got.collect { case (("hub", n), s) => n -> s }.toMap == h1)
+    assert(got.collect { case (("authority", n), s) => n -> s }.toMap == a2)
+  }
 }

@@ -468,4 +468,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(m(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
+
+  test("HLL sketch table: estimates within 5% of exact; ALL row consistent") {
+    val rows = TextAnalysis.qSketchDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Long]("est_distinct"))))
+      .toMap
+    assert(rows.contains("ALL") && rows.size > 1)
+    rows.foreach { case (src, (exact, est)) =>
+      assert(exact > 0, src)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$src: est $est vs exact $exact")
+    }
+    // the merged-sketch global covers at least every per-source space
+    val (allExact, allEst) = rows("ALL")
+    rows.filterNot(_._1 == "ALL").values.foreach { case (exact, est) =>
+      assert(exact <= allExact)
+      // merged estimate can't be materially below any single source
+      assert(allEst >= (est * 95) / 100)
+    }
+    // deterministic: a second run reproduces the estimates exactly
+    val again = TextAnalysis.qSketchDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(again == rows.map { case (k, v) => k -> v._2 })
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{expr, unix_micros}
 
 import graft.quality.Quality
 
@@ -555,5 +556,82 @@ class QualitySpec extends SparkSpec {
         r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"))).toList
     assert(fun == fun.sorted, "funnel output must be ordered by (source, verdict)")
     assert(doc == fun)
+  }
+
+  test("corpus datasheet == composition of gopher gate + head fingerprints") {
+    val gop = Quality.qQualityGopher(spark, sf0001).collect()
+      .map { r =>
+        val mwl = if (r.isNullAt(r.fieldIndex("mean_wlen_permille"))) 0L
+          else r.getAs[Long]("mean_wlen_permille")
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Boolean]("quality_pass"),
+            r.getAs[Long]("stop_hits") * 100000L + mwl))
+      }.toMap
+    val meta = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"lang",
+        graft.dedup.Dedup.headFingerprint($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val fpn = meta.groupBy(_._4).map { case (k, v) => k -> v.size }
+    val want = meta.groupBy(m => (m._2, m._3)).map { case ((src, lang), ms) =>
+      val n = ms.length.toLong
+      (src, lang) -> ((n,
+        ms.map(m => gop(m._1)._1).sum,
+        ms.count(m => gop(m._1)._2).toLong * 1000000L / n,
+        ms.count(m => fpn(m._4) > 1).toLong * 1000000L / n,
+        ms.map(m => gop(m._1)._3).sum / n))
+    }
+    val got = Quality.qCorpusDatasheet(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_words"),
+          r.getAs[Long]("gate_pass_ppm"), r.getAs[Long]("dup_ppm"),
+          r.getAs[Long]("mean_score"))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("multi-touch attribution: engine == Scala replay; credits conserve per purchase") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // replay: suffix purchase count per user = the touch→purchase group key
+    val groups = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val pgrps = ordered.scanRight(0L)((r, acc) =>
+        acc + (if (r._4 == "purchase") 1L else 0L)).init
+      ordered.zip(pgrps).map { case (r, g) => (u, g, r._4, r._5) }
+    }
+    val purchases = groups.collect { case (u, g, "purchase", c) => (u, g) -> c }.toMap
+    val touches = groups.filter(t => t._3 != "purchase" && t._2 > 0)
+      .groupBy(t => (t._1, t._2))
+      .filter { case (key, _) => purchases.contains(key) }
+    def credit(pos: Long, k: Long): Long =
+      if (k == 1) 1000000L else if (k == 2) 500000L
+      else if (pos == 1 || pos == k) 400000L
+      else 200000L / (k - 2) +
+        (if (pos == 2) 200000L - (k - 2) * (200000L / (k - 2)) else 0L)
+    val want = touches.toSeq.flatMap { case (key, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        val c = credit(i + 1L, ts.size.toLong)
+        (t._3, c, c * purchases(key))
+      }
+    }.groupBy(_._1).map { case (typ, rows) =>
+      typ -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum))
+    }
+    // conservation: every attributed purchase's credits sum to exactly 1e6
+    touches.foreach { case (_, ts) =>
+      val total = ts.zipWithIndex.map { case (_, i) =>
+        credit(i + 1L, ts.size.toLong) }.sum
+      assert(total == 1000000L)
+    }
+    val got = Quality.qAttrMultitouch(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm_sum"),
+          r.getAs[Long]("value_microcents"))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 }
