@@ -342,6 +342,64 @@ object Quality {
       .orderBy($"touch_type")
   }
 
+  /** Deterministic EPOCH SHUFFLE + sharding — how a reproducible
+    * dataloader re-orders the corpus each epoch without ever sorting
+    * it: a doc's shard for epoch e is a salted hash of (e, doc_id), so
+    * (a) the permutation is different every epoch, (b) any shard of
+    * any epoch can be re-materialized independently (resume-from-step
+    * reproducibility), and (c) nothing is stateful — the assignment is
+    * a pure per-row expression, zero shuffle until the audit rollup.
+    * Same md5 hex-pair convention as the mix sampler, so the DuckDB
+    * oracle replays the arithmetic exactly. Output: per (epoch, shard)
+    * doc and char mass — the balance audit a dataloader checks before
+    * trusting hash sharding. */
+  def qEpochShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hx = "substring(md5(cast(concat('ep', cast(epoch as string), '|', " +
+      "cast(doc_id as string)) as binary)), 1, 2)"
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars", explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("hv", expr(
+        s"(instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1)"))
+      .withColumn("shard", expr("hv % 32").cast("long"))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"epoch", $"shard")
+  }
+
+  private[graft] val KAnonThreshold = 10L
+
+  /** k-anonymity release audit — the privacy gate run before any
+    * derived dataset ships: group sizes over the quasi-identifier
+    * tuples an attacker could join on, at TWO generalization levels of
+    * the lattice ((nation, segment) and its coarsening (region,
+    * segment)), with the k≥10 verdict per cell. Cells failing at the
+    * finer level but passing at the coarser one are exactly the rows a
+    * release generalizes rather than suppresses — the audit emits both
+    * levels so that decision is mechanical. Complements the PII scrub
+    * (row content) with membership-disclosure protection (row counts).
+    * Shape: one broadcast dim join + two map-side-combined rollups of
+    * dim-bounded width. */
+  def qKanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+    val fine = c.groupBy($"n_name".as("key1"), $"c_mktsegment".as("key2"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("nation_segment").as("level"), $"key1", $"key2", $"n")
+    val coarse = c.groupBy($"n_regionkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("region_segment").as("level"),
+        $"n_regionkey".cast("string").as("key1"),
+        $"c_mktsegment".as("key2"), $"n")
+    fine.unionByName(coarse)
+      .withColumn("k_ok", $"n" >= KAnonThreshold)
+      .orderBy($"level", $"key1", $"key2")
+  }
+
   /** Corpus datasheet — the "datasheets for datasets" summary every
     * released training corpus ships with, as ONE composed rollup per
     * (source, lang): document and token counts, quality-gate pass rate,
@@ -1057,6 +1115,8 @@ object Quality {
     "q_attribution" -> qAttribution,
     "q_attr_multitouch" -> qAttrMultitouch,
     "q_corpus_datasheet" -> qCorpusDatasheet,
+    "q_epoch_shard" -> qEpochShard,
+    "q_kanon_audit" -> qKanonAudit,
     "q_ab_ztest" -> qAbZtest,
     "q_quantile_norm" -> qQuantileNorm,
     "q_sample_pps" -> qSamplePps,
@@ -1398,6 +1458,41 @@ object Quality {
         |  max(CASE WHEN cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum THEN v END)
         |    AS p90_sec
         |FROM vc""".stripMargin,
+
+    "q_epoch_shard" ->
+      """WITH e AS (
+        |  SELECT doc_id, n_chars, CAST(unnest([0, 1]) AS BIGINT) AS epoch
+        |  FROM documents),
+        |h AS (
+        |  SELECT epoch, n_chars,
+        |    (instr('0123456789abcdef',
+        |       substr(md5('ep' || CAST(epoch AS VARCHAR) || '|'
+        |         || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef',
+        |       substr(md5('ep' || CAST(epoch AS VARCHAR) || '|'
+        |         || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+        |  FROM e)
+        |SELECT epoch, CAST(hv % 32 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM h GROUP BY epoch, hv % 32
+        |ORDER BY epoch, shard""".stripMargin,
+
+    "q_kanon_audit" ->
+      """WITH c AS (
+        |  SELECT n.n_name, n.n_regionkey, cu.c_mktsegment
+        |  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+        |fine AS (
+        |  SELECT 'nation_segment' AS level, n_name AS key1,
+        |         c_mktsegment AS key2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY n_name, c_mktsegment),
+        |coarse AS (
+        |  SELECT 'region_segment' AS level, CAST(n_regionkey AS VARCHAR) AS key1,
+        |         c_mktsegment AS key2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY n_regionkey, c_mktsegment)
+        |SELECT level, key1, key2, n, n >= 10 AS k_ok
+        |FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+        |ORDER BY level, key1, key2""".stripMargin,
 
     "q_corpus_datasheet" -> {
       val stopList = stopwords.map(s => s"'$s'").mkString(", ")

@@ -291,6 +291,33 @@ object TextAnalysis {
     perSource.unionByName(global).orderBy($"source")
   }
 
+  /** Length-bucketed batching prep — the dynamic-padding step every
+    * training dataloader runs: documents grouped into power-of-two
+    * token-length buckets (pad-to-bucket wastes far less than
+    * pad-to-global-max), with the padding-waste accounting that decides
+    * the bucket granularity. The bucket is computed in pure INTEGER bit
+    * arithmetic — `1 << length(bin(n−1))` is the next power of two ≥ n
+    * — because `2^ceil(log2 n)` through doubles flips at exact powers
+    * of two (the float-vs-oracle trap). Waste is exact ppm:
+    * `(padded − real)·10⁶ div padded` where padded = n_docs·bucket.
+    * One scan + one map-side-combined rollup onto ≤ ~20 bucket rows;
+    * scan-speed at any corpus size. */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+        .as("n_tokens"))
+      .withColumn("bucket", expr(
+        "CASE WHEN n_tokens <= 1 THEN 1L ELSE shiftleft(1L, length(bin(n_tokens - 1))) END"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .select($"bucket", $"n_docs", $"sum_tokens",
+        ($"n_docs" * $"bucket").as("padded_tokens"),
+        expr("((n_docs * bucket - sum_tokens) * 1000000) div (n_docs * bucket)")
+          .as("waste_ppm"))
+      .orderBy($"bucket")
+  }
+
   /** Per-document top-3 salient terms by tf·idf, with a RATIONAL idf
     * (`(N·1000) div df` fixed-point) instead of `ln(N/df)`: JVM
     * `Math.log` and DuckDB `ln` differ in the last ulp (measured: 1 of
@@ -793,6 +820,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_distinct" -> qSketchDistinct, // rows-only: engine-specific HLL
+    "q_length_buckets" -> qLengthBuckets,
     "q_text_bigram_lm" -> qTextBigramLm,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
@@ -835,6 +863,23 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_length_buckets" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1)) END AS bucket
+        |  FROM n)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        |  CAST(((COUNT(*) * bucket - SUM(n_tokens)) * 1000000)
+        |    // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_bpe_encode" ->
       """WITH tok AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf

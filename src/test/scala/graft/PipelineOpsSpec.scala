@@ -469,6 +469,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
 
+  test("length buckets: engine == Scala replay; waste bounded below 50%") {
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select($"text").as[String].collect()
+      .map(t => t.split(" ", -1).count(_.nonEmpty).toLong)
+    def pow2(n: Long): Long =
+      if (n <= 1) 1L else java.lang.Long.highestOneBit(n - 1) << 1
+    val want = lens.groupBy(pow2).map { case (b, xs) =>
+      val n = xs.length.toLong; val s = xs.sum
+      b -> ((n, s, n * b, (n * b - s) * 1000000L / (n * b)))
+    }
+    val got = graft.text.TextAnalysis.qLengthBuckets(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_ppm"))))
+      .toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == lens.length.toLong)
+    // pad-to-power-of-two never wastes half the batch (bucket/2 < len ≤ bucket)
+    got.foreach { case (b, (_, _, _, waste)) =>
+      if (b > 1) assert(waste < 500000L, s"bucket $b waste $waste")
+    }
+  }
+
   test("HLL sketch table: estimates within 5% of exact; ALL row consistent") {
     val rows = TextAnalysis.qSketchDistinct(spark, sf0001).collect()
       .map(r => r.getString(0) ->

@@ -177,7 +177,10 @@ class PlanSpec extends SparkSpec {
       // deadline funnel: the 1-row entrants broadcast onto 4 stage rows
       "q_funnel_deadline",
       // RFM: three 1-row quintile-cut broadcasts onto the user frame
-      "q_rfm_segments")
+      "q_rfm_segments",
+      // sketch table: the 1-row exact-global audit column broadcast
+      // onto the 1-row merged-sketch estimate
+      "q_sketch_distinct")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -191,6 +194,10 @@ class PlanSpec extends SparkSpec {
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
       "q_graph_communities", "q_graph_modularity", "q_graph_bfs", "q_graph_ppr",
+      // HITS stages the bipartite edge table on construct; its 1-row
+      // L1-total broadcasts are the intended fan-out (round-join pin
+      // covers the plan shape)
+      "q_graph_hits",
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
       "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
@@ -287,7 +294,8 @@ class PlanSpec extends SparkSpec {
         graft.graph.GraphOps.qGraphPagerank(spark, sf0001),
         graft.graph.GraphOps.qGraphKcore(spark, sf0001),
         graft.graph.GraphOps.qGraphCc(spark, sf0001),
-        graft.graph.GraphOps.qGraphPpr(spark, sf0001))) {
+        graft.graph.GraphOps.qGraphPpr(spark, sf0001),
+        graft.graph.GraphOps.qGraphHits(spark, sf0001))) {
       val sp = q.queryExecution.sparkPlan
       assert(sp.toString.contains("ShuffledHashJoin"), sp)
       val rawEdgeBroadcasts = sp.collect {

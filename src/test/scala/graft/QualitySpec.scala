@@ -558,6 +558,56 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("epoch shuffle: engine == MD5 replay; partition exact, permutations differ") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shard(epoch: Long, docId: Long): Long = {
+      val h = md5hex(s"ep$epoch|$docId").substring(0, 2)
+      java.lang.Long.parseLong(h, 16) % 32
+    }
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val want = (for { e <- Seq(0L, 1L); (id, nc) <- docs } yield
+      ((e, shard(e, id)), nc))
+      .groupBy(_._1).map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val got = Quality.qEpochShard(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"))))
+      .toMap
+    assert(got == want)
+    // every doc lands in exactly one shard per epoch
+    Seq(0L, 1L).foreach { e =>
+      assert(got.collect { case ((`e`, _), (n, _)) => n }.sum == docs.length.toLong)
+    }
+    assert(got.keys.forall { case (_, s) => s >= 0 && s < 32 })
+    // the two epochs are genuinely different permutations
+    assert(docs.exists { case (id, _) => shard(0L, id) != shard(1L, id) })
+  }
+
+  test("k-anonymity audit: coarse level is the rollup of the fine level") {
+    val rows = Quality.qKanonAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("k_ok"))))
+      .toMap
+    val nCust = Tables.load(spark, sf0001, "customer").count()
+    val fine = rows.filter(_._1._1 == "nation_segment")
+    val coarse = rows.filter(_._1._1 == "region_segment")
+    assert(fine.values.map(_._1).sum == nCust)
+    assert(coarse.values.map(_._1).sum == nCust)
+    // coarse cells aggregate fine cells via the nation→region map
+    val region = Tables.load(spark, sf0001, "nation")
+      .select($"n_name", $"n_regionkey").as[(String, Long)].collect().toMap
+    val rolled = fine.groupBy { case ((_, nation, seg), _) =>
+      (region(nation).toString, seg)
+    }.map { case (k, cells) => k -> cells.values.map(_._1).sum }
+    assert(coarse.map { case ((_, k1, k2), (n, _)) => (k1, k2) -> n } == rolled)
+    // verdicts follow the threshold; generalization only helps
+    rows.foreach { case (_, (n, ok)) => assert(ok == (n >= 10L)) }
+    val coarseOk = coarse.collect { case ((_, k1, _), (_, true)) => k1 }.toSet
+    assert(coarse.nonEmpty && fine.nonEmpty && coarseOk.nonEmpty)
+  }
+
   test("corpus datasheet == composition of gopher gate + head fingerprints") {
     val gop = Quality.qQualityGopher(spark, sf0001).collect()
       .map { r =>
