@@ -577,7 +577,44 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Corpus SNAPSHOT DIFF — the version-to-version change audit a
+    * dataset release ships next to its datasheet: two snapshots are
+    * compared by key + content digest and every document classified
+    * `added` / `removed` / `changed` / `unchanged`, rolled up per
+    * source. The snapshots are derived deterministically from the
+    * corpus so the oracle replays them: v1 drops `doc_id % 11 = 0`
+    * (those become v2's additions) and truncates the text of
+    * `doc_id % 7 = 0` docs (those become `changed`); v2 drops
+    * `doc_id % 13 = 0` (v1's removals).
+    *
+    * Scale shape: each side reduces to (doc_id, source, digest) at
+    * scan time — the diff joins 16-byte digests, never text; one
+    * co-keyed full-outer join on doc_id + one rollup. At 100 TB both
+    * digest frames are the stored manifests of their snapshots, so the
+    * diff never reads either corpus. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val v1 = docs.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id", $"source", md5(
+        when($"doc_id" % 7 === 0,
+          expr("substring(text, 1, greatest(length(text) - 5, 0))"))
+          .otherwise($"text").cast("binary")).as("d1"))
+    val v2 = docs.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", $"source".as("source2"), md5($"text".cast("binary")).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce($"source", $"source2").as("source"),
+        when($"d1".isNull, "added")
+          .when($"d2".isNull, "removed")
+          .when($"d1" =!= $"d2", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_diff" -> qCorpusDiff,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -647,6 +684,26 @@ object Dedup {
       |  FROM tt)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 7 = 0
+        |        THEN substr(text, 1, greatest(length(text) - 5, 0))
+        |        ELSE text END) AS d1
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source AS source2, md5(text) AS d2
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (
+        |  SELECT COALESCE(v1.source, v2.source2) AS source,
+        |    CASE WHEN v1.d1 IS NULL THEN 'added'
+        |         WHEN v2.d2 IS NULL THEN 'removed'
+        |         WHEN v1.d1 <> v2.d2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
     "q_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents)
         |SELECT doc_id, fp,

@@ -613,6 +613,33 @@ object Quality {
     * grid — conversion is an aggregate of that combine — then the
     * arm rollup collapses to one row per metric. Linear in events;
     * no window, no join. */
+  /** Sample-ratio-mismatch (SRM) gate — the sanity check every
+    * experiment readout must pass BEFORE its deltas mean anything: if
+    * the 50/50 user split didn't land 50/50, the assignment is broken
+    * and [[qAbZtest]]/[[qAbCuped]] read garbage. χ² against the
+    * expected even split is rational —
+    * `χ² = (n_a − n_b)² / (n_a + n_b)` — carried ×10⁶ in exact BIGINT
+    * with the standard p<0.05 cutoff (3.84). Also audits per-arm EVENT
+    * volume (an engagement-skew tell the user-count χ² can't see).
+    * Shape: one map-side-combined user aggregate + a 1-row readout —
+    * strictly cheaper than the readouts it gates. */
+  def qAbSrm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(count_distinct($"user_id").as("users"), count(lit(1)).as("events"))
+      .agg(
+        sum(when($"variant" === 0, $"users")).as("n_a"),
+        sum(when($"variant" === 1, $"users")).as("n_b"),
+        sum(when($"variant" === 0, $"events")).as("events_a"),
+        sum(when($"variant" === 1, $"events")).as("events_b"))
+      .withColumn("chi2_x1e6", expr(
+        "((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)"))
+      .withColumn("srm_flag", $"chi2_x1e6" > 3840000L)
+      .select($"n_a", $"n_b", $"events_a", $"events_b",
+        $"chi2_x1e6", $"srm_flag")
+  }
+
   def qAbZtest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val conv = Tables.load(spark, dir, "events")
@@ -1118,6 +1145,7 @@ object Quality {
     "q_epoch_shard" -> qEpochShard,
     "q_kanon_audit" -> qKanonAudit,
     "q_ab_ztest" -> qAbZtest,
+    "q_ab_srm" -> qAbSrm,
     "q_quantile_norm" -> qQuantileNorm,
     "q_sample_pps" -> qSamplePps,
     "q_ab_cuped" -> qAbCuped,
@@ -1668,6 +1696,26 @@ object Quality {
         |       ELSE CAST(((dyn * var_n - dxn * cov_n) * 1000000)
         |            // (CAST(n_a AS HUGEINT) * n_b * var_n) AS BIGINT) END AS delta_cuped_x1e6
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_ab_srm" ->
+      """WITH arms AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+        |    CAST(COUNT(*) AS BIGINT) AS events
+        |  FROM events GROUP BY user_id % 2),
+        |t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN users END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN users END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN events END) AS BIGINT) AS events_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN events END) AS BIGINT) AS events_b
+        |  FROM arms)
+        |SELECT n_a, n_b, events_a, events_b,
+        |  CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS BIGINT)
+        |    AS chi2_x1e6,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3840000
+        |    AS srm_flag
+        |FROM t""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH conv AS (

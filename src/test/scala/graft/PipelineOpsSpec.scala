@@ -469,6 +469,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
 
+  test("corpus diff: engine == Scala replay; statuses partition both snapshots") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val v1 = docs.filter(_._1 % 11 != 0).map { case (id, src, t) =>
+      id -> ((src, if (id % 7 == 0) t.substring(0, math.max(t.length - 5, 0)) else t))
+    }.toMap
+    val v2 = docs.filter(_._1 % 13 != 0).map { case (id, src, t) => id -> ((src, t)) }.toMap
+    val want = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val status =
+        if (!v1.contains(id)) "added"
+        else if (!v2.contains(id)) "removed"
+        else if (v1(id)._2 != v2(id)._2) "changed"
+        else "unchanged"
+      (v1.get(id).map(_._1).getOrElse(v2(id)._1), status)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = Dedup.qCorpusDiff(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(got == want)
+    // the partition identities: every v1 doc is removed/changed/unchanged,
+    // every v2 doc is added/changed/unchanged
+    def tot(s: String) = got.collect { case ((_, `s`), n) => n }.sum
+    assert(tot("removed") + tot("changed") + tot("unchanged") == v1.size.toLong)
+    assert(tot("added") + tot("changed") + tot("unchanged") == v2.size.toLong)
+    assert(Seq("added", "removed", "changed", "unchanged").forall(tot(_) > 0))
+  }
+
   test("length buckets: engine == Scala replay; waste bounded below 50%") {
     val lens = Tables.load(spark, sf0001, "documents")
       .select($"text").as[String].collect()

@@ -558,6 +558,25 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("SRM gate: engine == Scala replay of the even-split chi-square") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id").as[Long].collect()
+    val na = ev.filter(_ % 2 == 0).distinct.length.toLong
+    val nb = ev.filter(_ % 2 == 1).distinct.length.toLong
+    val ea = ev.count(_ % 2 == 0).toLong
+    val eb = ev.count(_ % 2 == 1).toLong
+    val chi2 = (na - nb) * (na - nb) * 1000000L / (na + nb)
+    val r = Quality.qAbSrm(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(row.getAs[Long]("events_a") == ea && row.getAs[Long]("events_b") == eb)
+    assert(row.getAs[Long]("chi2_x1e6") == chi2)
+    assert(row.getAs[Boolean]("srm_flag") == (chi2 > 3840000L))
+    // a parity split of sequential user ids must NOT trip the gate
+    assert(!row.getAs[Boolean]("srm_flag"))
+  }
+
   test("epoch shuffle: engine == MD5 replay; partition exact, permutations differ") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
