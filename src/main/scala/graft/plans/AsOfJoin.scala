@@ -41,7 +41,8 @@ object AsOfJoin {
   case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L,
+      forward: Boolean = false) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -59,15 +60,15 @@ object AsOfJoin {
     * side); otherwise the co-partitioned merge [[AsOfJoinExec]]. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload, tol) =>
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload, tol, fwd) =>
         val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
         val exec =
           if (thr > 0 && r.stats.sizeInBytes <= thr)
             BroadcastAsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload, tol)
+              lk, rk, lt, rt, tie, payload, tol, fwd)
           else
             AsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload, tol)
+              lk, rk, lt, rt, tie, payload, tol, fwd)
         exec :: Nil
       case _ => Nil
     }
@@ -84,7 +85,8 @@ object AsOfJoin {
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryExecNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L,
+      forward: Boolean = false) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -141,6 +143,37 @@ object AsOfJoin {
         val joined = new JoinedRow
 
         val tol = toleranceMicros
+        if (forward)
+          // FORWARD direction: the match is the first same-key right
+          // row with time strictly AFTER the left time. Left times are
+          // ascending, so rows the cursor discards (time <= lTime) can
+          // never match a later left row either — the cursor still only
+          // advances, and the match is rHead ITSELF (not consumed: the
+          // next left row may need the same right row).
+          new Iterator[InternalRow] {
+            private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+
+            override def hasNext: Boolean = lIt.hasNext
+
+            override def next(): InternalRow = {
+              val l = lIt.next()
+              val lKey = lKeyProj(l)
+              val lTime = l.getLong(lTimeIdx)
+              var advancing = true
+              while (advancing && rHead != null) {
+                val rKey = rKeyProj(rHead)
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0 || (c == 0 && rHead.getLong(rTimeIdx) <= lTime))
+                  rHead = if (rIt.hasNext) rIt.next() else null
+                else advancing = false
+              }
+              val matches = rHead != null &&
+                keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+                (tol == 0L || rHead.getLong(rTimeIdx) - lTime <= tol)
+              resultProj(joined(l, if (matches) payloadProj(rHead) else nullPayload))
+            }
+          }
+        else
         new Iterator[InternalRow] {
           private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
           // latest right row (payload projection + time) for the current left key
@@ -188,7 +221,8 @@ object AsOfJoin {
   case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
-      payload: Seq[Attribute], toleranceMicros: Long = 0L) extends BinaryExecNode {
+      payload: Seq[Attribute], toleranceMicros: Long = 0L,
+      forward: Boolean = false) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -257,7 +291,21 @@ object AsOfJoin {
           val entry = index.get(lKeyProj(l))
           val matched =
             if (entry == null) nullPayload
-            else {
+            else if (forward) {
+              val (times, _, payloads) = entry
+              val lTime = l.getLong(lTimeIdx)
+              // leftmost position with time > lTime: sorted by
+              // (time, tie), so that position IS the min-(time,tie) row
+              var lo = 0; var hi = times.length // [lo, hi)
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= lTime) lo = mid + 1 else hi = mid
+              }
+              if (lo == times.length) nullPayload
+              else if (toleranceMicros != 0L &&
+                times(lo) - lTime > toleranceMicros) nullPayload
+              else payloads(lo)
+            } else {
               val (times, _, payloads) = entry
               val lTime = l.getLong(lTimeIdx)
               // rightmost position with time < lTime: sorted by
@@ -292,11 +340,22 @@ object AsOfJoin {
     * `tolerance`): a latest-match older than the window yields NULL
     * payload instead — anything older is older still, so the reject
     * happens after the same O(1) cursor/bisect step and the merge
-    * stays one forward pass. */
+    * stays one forward pass.
+    *
+    * `direction = "forward"` flips the match to the EARLIEST right row
+    * with `rightTime` strictly AFTER `leftTime` (pandas
+    * `merge_asof(direction='forward')` — the "what happened next"
+    * lookup; ties on `rightTime` → smallest `rightTie` wins, the
+    * mirror of backward's greatest). Identical physical shapes: the
+    * merge cursor still only advances (left times are ascending, so
+    * discarded right rows can never match a later left), and the
+    * broadcast probe is the mirrored bisect. `toleranceMicros` then
+    * bounds the look-AHEAD. */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String, rightTie: String,
-      payload: Seq[String], toleranceMicros: Long = 0L): DataFrame = {
+      payload: Seq[String], toleranceMicros: Long = 0L,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     // defensive registration for sessions not built withExtensions
     if (!spark.experimental.extraStrategies.contains(Strategy) &&
@@ -313,9 +372,12 @@ object AsOfJoin {
     require(lt.dataType == LongType && rt.dataType == LongType &&
       tie.dataType == LongType, "as-of time/tie columns must be LongType")
     require(toleranceMicros >= 0L, "as-of tolerance must be non-negative")
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
     val node = AsOfJoinNode(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      lt, rt, tie, payload.map(attr(rPlan, _)), toleranceMicros)
+      lt, rt, tie, payload.map(attr(rPlan, _)), toleranceMicros,
+      forward = direction == "forward")
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -303,6 +303,35 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of join on the custom plan — "what happened next": for
+    * every view, the user's next purchase strictly after it, within a
+    * 24-hour look-ahead ([[graft.plans.AsOfJoin.joinAsOf]] with
+    * `direction = "forward"`, pandas `merge_asof(direction='forward')`).
+    * Same one-pass merge / broadcast-bisect physical shapes as the
+    * backward join — the cursor still only advances; ties resolve to
+    * the smallest event_id (backward's mirror). The oracle is the
+    * LATERAL first-after-top-1, so the driver hash pins the direction
+    * semantics end to end. */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val left = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("l_us"),
+        ep($"ts").as("view_ep"))
+    val right = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("r_user"), unix_micros($"ts").as("r_us"),
+        $"event_id".as("r_id"), ep($"ts").as("purchase_ep"))
+    graft.plans.AsOfJoin.joinAsOf(left, right,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("purchase_ep"), toleranceMicros = 24L * 3600L * 1000000L,
+        direction = "forward")
+      .select($"event_id", $"user_id", $"view_ep", $"purchase_ep",
+        when($"purchase_ep".isNotNull, $"purchase_ep" - $"view_ep").as("lag_secs"))
+      .orderBy($"event_id")
+  }
+
   /** Decorrelated scalar subquery: customers whose max order exceeds a
     * threshold. */
   def qSubqueryAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -1880,6 +1909,7 @@ object Relational {
     "q_asof_join" -> qAsofJoin,
     "q_asof_custom" -> qAsofCustom,
     "q_asof_tolerance" -> qAsofTolerance,
+    "q_asof_forward" -> qAsofForward,
     "q_subquery_agg" -> qSubqueryAgg,
     "q_filter_pred" -> qFilterPred,
     "q_proj_json" -> qProjJson,
@@ -2119,6 +2149,23 @@ object Relational {
         |    AND r.ts < l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r
         |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+        |       CAST(floor(epoch(l.ts)) AS BIGINT) AS view_ep,
+        |       r.purchase_ep,
+        |       CASE WHEN r.purchase_ep IS NOT NULL
+        |            THEN r.purchase_ep - CAST(floor(epoch(l.ts)) AS BIGINT)
+        |       END AS lag_secs
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT CAST(floor(epoch(rr.ts)) AS BIGINT) AS purchase_ep
+        |  FROM events rr
+        |  WHERE rr.user_id = l.user_id AND rr.event_type = 'purchase'
+        |    AND epoch_us(rr.ts) > epoch_us(l.ts)
+        |    AND epoch_us(rr.ts) - epoch_us(l.ts) <= 86400000000
+        |  ORDER BY rr.ts ASC, rr.event_id ASC LIMIT 1) r ON true
+        |WHERE l.event_type = 'view'
         |ORDER BY l.event_id""".stripMargin,
 
     "q_asof_tolerance" ->

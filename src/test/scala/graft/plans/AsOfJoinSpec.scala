@@ -183,4 +183,63 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 200L, Some(150L), Some(22L)),   // tie on rt=150 -> max rid
       (2L, 50L, None, None)))              // no right rows for key 2
   }
+
+  test("forward direction: both variants equal the min_by formulation") {
+    def forwardRef(tol: Long): Set[(Long, Option[Any], Option[Any])] =
+      leftDf.join(rightDf,
+          $"user_id" === $"r_user" && $"r_us" > $"l_us" &&
+            (if (tol == 0L) lit(true) else $"r_us" - $"l_us" <= tol),
+          "left_outer")
+        .groupBy($"event_id", $"user_id", $"l_us")
+        .agg(min_by(struct($"r_us", $"r_id"), struct($"r_us", $"r_id")).as("m"))
+        .select($"event_id", $"m.r_us".as("r_us"), $"m.r_id".as("r_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    def fwd(tol: Long) = AsOfJoin.joinAsOf(leftDf, rightDf,
+      leftKey = "user_id", rightKey = "r_user",
+      leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+      payload = Seq("r_us", "r_id"), toleranceMicros = tol,
+      direction = "forward")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"r_us", $"r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    for (tol <- Seq(0L, 3600L * 1000000L)) {
+      val want = forwardRef(tol)
+      // broadcast path (default threshold)
+      assert(rows(fwd(tol)) == want, s"broadcast, tol=$tol")
+      // merge path (threshold off)
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(rows(fwd(tol)) == want, s"merge, tol=$tol")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      assert(want.exists(_._2.nonEmpty))
+    }
+  }
+
+  test("forward fixture: strict-after, smallest tie wins, look-ahead bounds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    def df(rows: Seq[(Long, Long, Long)], prefix: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        StructType(schema.fields.map(f => f.copy(name = prefix + f.name))))
+    val l = df(Seq((1L, 100L, 10L), (1L, 160L, 11L), (2L, 50L, 12L)), "l")
+    val r = df(Seq((1L, 100L, 20L), (1L, 150L, 22L), (1L, 150L, 21L)), "r")
+    def run(tol: Long) = AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+        payload = Seq("rt", "rid"), toleranceMicros = tol,
+        direction = "forward")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(3)), Option(x.get(4)))).toSet
+    assert(run(0L) == Set(
+      (1L, 100L, Some(150L), Some(21L)),   // tied 100 excluded; tie -> MIN rid
+      (1L, 160L, None, None),              // nothing after 160
+      (2L, 50L, None, None)))
+    assert(run(40L) == Set(
+      (1L, 100L, None, None),              // 150 is beyond the 40 look-ahead
+      (1L, 160L, None, None),
+      (2L, 50L, None, None)))
+  }
 }
