@@ -42,7 +42,7 @@ object AsOfJoin {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
       payload: Seq[Attribute], toleranceMicros: Long = 0L,
-      forward: Boolean = false) extends BinaryNode {
+      direction: String = "backward") extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -60,15 +60,15 @@ object AsOfJoin {
     * side); otherwise the co-partitioned merge [[AsOfJoinExec]]. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload, tol, fwd) =>
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload, tol, dir) =>
         val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
         val exec =
           if (thr > 0 && r.stats.sizeInBytes <= thr)
             BroadcastAsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload, tol, fwd)
+              lk, rk, lt, rt, tie, payload, tol, dir)
           else
             AsOfJoinExec(planLater(l), planLater(r),
-              lk, rk, lt, rt, tie, payload, tol, fwd)
+              lk, rk, lt, rt, tie, payload, tol, dir)
         exec :: Nil
       case _ => Nil
     }
@@ -86,7 +86,7 @@ object AsOfJoin {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
       payload: Seq[Attribute], toleranceMicros: Long = 0L,
-      forward: Boolean = false) extends BinaryExecNode {
+      direction: String = "backward") extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -143,7 +143,7 @@ object AsOfJoin {
         val joined = new JoinedRow
 
         val tol = toleranceMicros
-        if (forward)
+        if (direction == "forward")
           // FORWARD direction: the match is the first same-key right
           // row with time strictly AFTER the left time. Left times are
           // ascending, so rows the cursor discards (time <= lTime) can
@@ -171,6 +171,68 @@ object AsOfJoin {
                 keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
                 (tol == 0L || rHead.getLong(rTimeIdx) - lTime <= tol)
               resultProj(joined(l, if (matches) payloadProj(rHead) else nullPayload))
+            }
+          }
+        else if (direction == "nearest")
+          // NEAREST: closer of the strict-prior and strict-after
+          // candidates; equal distances resolve BACKWARD. One cursor
+          // still suffices: consumed rows (time <= lTime) fill a
+          // TWO-slot backward buffer — (candA, tA) the latest consumed
+          // row, (candB, tB) the latest with a strictly smaller time —
+          // so a row tied to the CURRENT left time (captured for later
+          // lefts, where it becomes strictly prior) cannot evict this
+          // left's valid strictly-prior candidate. The unconsumed
+          // rHead is the forward candidate.
+          new Iterator[InternalRow] {
+            private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+            private var candKey: InternalRow = null
+            private var candA: InternalRow = null; private var tA = Long.MinValue
+            private var candB: InternalRow = null; private var tB = Long.MinValue
+
+            override def hasNext: Boolean = lIt.hasNext
+
+            override def next(): InternalRow = {
+              val l = lIt.next()
+              val lKey = lKeyProj(l)
+              if (candKey == null || keyOrd.compare(candKey, lKey) != 0) {
+                candKey = null
+                candA = null; tA = Long.MinValue
+                candB = null; tB = Long.MinValue
+              }
+              val lTime = l.getLong(lTimeIdx)
+              var advancing = true
+              while (advancing && rHead != null) {
+                val rKey = rKeyProj(rHead)
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) { rHead = if (rIt.hasNext) rIt.next() else null }
+                else if (c == 0 && rHead.getLong(rTimeIdx) <= lTime) {
+                  val t = rHead.getLong(rTimeIdx)
+                  if (t == tA) candA = payloadProj(rHead).copy()
+                  else {
+                    candB = candA; tB = tA
+                    candA = payloadProj(rHead).copy(); tA = t
+                  }
+                  candKey = rKey.copy()
+                  rHead = if (rIt.hasNext) rIt.next() else null
+                } else advancing = false
+              }
+              // best strictly-prior candidate for THIS left
+              val (back, backTime) =
+                if (candA != null && tA < lTime) (candA, tA)
+                else if (candB != null && tB < lTime) (candB, tB)
+                else (null, Long.MinValue)
+              val backOk = back != null && (tol == 0L || lTime - backTime <= tol)
+              val fwdOk = rHead != null &&
+                keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+                (tol == 0L || rHead.getLong(rTimeIdx) - lTime <= tol)
+              val pick =
+                if (backOk && fwdOk)
+                  if (lTime - backTime <= rHead.getLong(rTimeIdx) - lTime) back
+                  else payloadProj(rHead)
+                else if (backOk) back
+                else if (fwdOk) payloadProj(rHead)
+                else nullPayload
+              resultProj(joined(l, pick))
             }
           }
         else
@@ -222,7 +284,7 @@ object AsOfJoin {
       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       leftTime: Attribute, rightTime: Attribute, rightTie: Attribute,
       payload: Seq[Attribute], toleranceMicros: Long = 0L,
-      forward: Boolean = false) extends BinaryExecNode {
+      direction: String = "backward") extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
@@ -291,7 +353,7 @@ object AsOfJoin {
           val entry = index.get(lKeyProj(l))
           val matched =
             if (entry == null) nullPayload
-            else if (forward) {
+            else if (direction == "forward") {
               val (times, _, payloads) = entry
               val lTime = l.getLong(lTimeIdx)
               // leftmost position with time > lTime: sorted by
@@ -305,6 +367,33 @@ object AsOfJoin {
               else if (toleranceMicros != 0L &&
                 times(lo) - lTime > toleranceMicros) nullPayload
               else payloads(lo)
+            } else if (direction == "nearest") {
+              val (times, _, payloads) = entry
+              val lTime = l.getLong(lTimeIdx)
+              // two mirrored bisects: first >= lTime and first > lTime
+              var lo = 0; var hi = times.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) < lTime) lo = mid + 1 else hi = mid
+              }
+              val posGE = lo
+              lo = posGE; hi = times.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= lTime) lo = mid + 1 else hi = mid
+              }
+              val posGT = lo
+              val backOk = posGE > 0 && (toleranceMicros == 0L ||
+                lTime - times(posGE - 1) <= toleranceMicros)
+              val fwdOk = posGT < times.length && (toleranceMicros == 0L ||
+                times(posGT) - lTime <= toleranceMicros)
+              if (backOk && fwdOk)
+                if (lTime - times(posGE - 1) <= times(posGT) - lTime)
+                  payloads(posGE - 1)
+                else payloads(posGT)
+              else if (backOk) payloads(posGE - 1)
+              else if (fwdOk) payloads(posGT)
+              else nullPayload
             } else {
               val (times, _, payloads) = entry
               val lTime = l.getLong(lTimeIdx)
@@ -350,7 +439,15 @@ object AsOfJoin {
     * merge cursor still only advances (left times are ascending, so
     * discarded right rows can never match a later left), and the
     * broadcast probe is the mirrored bisect. `toleranceMicros` then
-    * bounds the look-AHEAD. */
+    * bounds the look-AHEAD.
+    *
+    * `direction = "nearest"` picks the CLOSER of the strict-prior and
+    * strict-after candidates (equal distances resolve backward, each
+    * side's own tie rule applies within it); `toleranceMicros` bounds
+    * both distances. Still one advancing cursor in the merge (a
+    * two-slot buffer keeps the strictly-prior candidate safe from
+    * equal-time captures) and two mirrored bisects in the broadcast
+    * probe. */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String, rightTie: String,
@@ -372,12 +469,12 @@ object AsOfJoin {
     require(lt.dataType == LongType && rt.dataType == LongType &&
       tie.dataType == LongType, "as-of time/tie columns must be LongType")
     require(toleranceMicros >= 0L, "as-of tolerance must be non-negative")
-    require(direction == "backward" || direction == "forward",
-      s"as-of direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got $direction")
     val node = AsOfJoinNode(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
       lt, rt, tie, payload.map(attr(rPlan, _)), toleranceMicros,
-      forward = direction == "forward")
+      direction)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -332,6 +332,34 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NEAREST as-of join on the custom plan — "which signup is this
+    * purchase closest to in time": the closer of the strict-prior and
+    * strict-after signup, backward winning equal distances (pandas
+    * `merge_asof(direction='nearest')`). Same single advancing merge
+    * cursor / mirrored broadcast bisects as the other directions. The
+    * oracle is the LATERAL min-absolute-distance top-1 with the
+    * operator's exact tie order, so the driver hash pins all three
+    * direction semantics. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("l_us"),
+        ep($"ts").as("purchase_ep"))
+    val right = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "signup")
+      .select($"user_id".as("r_user"), unix_micros($"ts").as("r_us"),
+        $"event_id".as("r_id"), ep($"ts").as("signup_ep"))
+    graft.plans.AsOfJoin.joinAsOf(left, right,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+        payload = Seq("signup_ep"), direction = "nearest")
+      .select($"event_id", $"user_id", $"purchase_ep", $"signup_ep",
+        when($"signup_ep".isNotNull, abs($"purchase_ep" - $"signup_ep"))
+          .as("dist_secs"))
+      .orderBy($"event_id")
+  }
+
   /** Decorrelated scalar subquery: customers whose max order exceeds a
     * threshold. */
   def qSubqueryAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -1910,6 +1938,7 @@ object Relational {
     "q_asof_custom" -> qAsofCustom,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_asof_forward" -> qAsofForward,
+    "q_asof_nearest" -> qAsofNearest,
     "q_subquery_agg" -> qSubqueryAgg,
     "q_filter_pred" -> qFilterPred,
     "q_proj_json" -> qProjJson,
@@ -2148,6 +2177,26 @@ object Relational {
         |  WHERE r.user_id = l.user_id AND r.event_type IN ('view','click')
         |    AND r.ts < l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """SELECT l.event_id, l.user_id,
+        |       CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ep,
+        |       r.signup_ep,
+        |       CASE WHEN r.signup_ep IS NOT NULL
+        |            THEN abs(CAST(floor(epoch(l.ts)) AS BIGINT) - r.signup_ep)
+        |       END AS dist_secs
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT CAST(floor(epoch(rr.ts)) AS BIGINT) AS signup_ep
+        |  FROM events rr
+        |  WHERE rr.user_id = l.user_id AND rr.event_type = 'signup'
+        |    AND epoch_us(rr.ts) <> epoch_us(l.ts)
+        |  ORDER BY abs(epoch_us(rr.ts) - epoch_us(l.ts)) ASC,
+        |           (epoch_us(rr.ts) < epoch_us(l.ts)) DESC,
+        |           CASE WHEN epoch_us(rr.ts) < epoch_us(l.ts)
+        |                THEN -rr.event_id ELSE rr.event_id END ASC
+        |  LIMIT 1) r ON true
         |WHERE l.event_type = 'purchase'
         |ORDER BY l.event_id""".stripMargin,
 

@@ -216,6 +216,71 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest direction: both variants equal the closest-pick formulation") {
+    def nearestRef(tol: Long): Set[(Long, Option[Any], Option[Any])] =
+      leftDf.join(rightDf,
+          $"user_id" === $"r_user" && $"r_us" =!= $"l_us" &&
+            (if (tol == 0L) lit(true) else abs($"r_us" - $"l_us") <= tol),
+          "left_outer")
+        .groupBy($"event_id", $"user_id", $"l_us")
+        // order by (distance, backward-first, directional tie): backward
+        // prefers greatest id, forward smallest — min_by on the
+        // composite picks exactly the operator's row
+        .agg(min_by(struct($"r_us", $"r_id"),
+          struct(abs($"r_us" - $"l_us"),
+            when($"r_us" < $"l_us", 0L).otherwise(1L),
+            when($"r_us" < $"l_us", -$"r_id").otherwise($"r_id"))).as("m"))
+        .select($"event_id", $"m.r_us".as("r_us"), $"m.r_id".as("r_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    def near(tol: Long) = AsOfJoin.joinAsOf(leftDf, rightDf,
+      leftKey = "user_id", rightKey = "r_user",
+      leftTime = "l_us", rightTime = "r_us", rightTie = "r_id",
+      payload = Seq("r_us", "r_id"), toleranceMicros = tol,
+      direction = "nearest")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"r_us", $"r_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    for (tol <- Seq(0L, 1800L * 1000000L)) {
+      val want = nearestRef(tol)
+      assert(rows(near(tol)) == want, s"broadcast, tol=$tol")
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(rows(near(tol)) == want, s"merge, tol=$tol")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      assert(want.exists(_._2.nonEmpty))
+    }
+  }
+
+  test("nearest fixture: distance pick, backward wins ties, equal-time capture is safe") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    def df(rows: Seq[(Long, Long, Long)], prefix: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        StructType(schema.fields.map(f => f.copy(name = prefix + f.name))))
+    // left 100: prior 90 (d=10) vs after 105 (d=5) -> forward 105
+    // left 200: prior 195 (d=5) vs after 205 (d=5) -> tie -> backward 195
+    // left 300: an equal-time right row (300) must NOT evict prior 290
+    val l = df(Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L)), "l")
+    val r = df(Seq((1L, 90L, 20L), (1L, 105L, 21L), (1L, 195L, 22L),
+      (1L, 205L, 23L), (1L, 290L, 24L), (1L, 300L, 25L)), "r")
+    def run() = AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+        payload = Seq("rt", "rid"), direction = "nearest")
+      .collect().map(x => (x.getLong(1), Option(x.get(3)))).toSet
+    val want = Set(
+      (100L, Some(105L)), (200L, Some(195L)), (300L, Some(290L)))
+    assert(run() == want)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(run() == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("forward fixture: strict-after, smallest tie wins, look-ahead bounds") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
