@@ -130,7 +130,11 @@ object Bench {
       if (selected.keys.exists(_.startsWith("q_graph_"))) {
         val t0 = System.nanoTime()
         graft.graph.GraphOps.stageEdges(spark, sfDir)
-        Seq("q_graph_staging" -> (System.nanoTime() - t0) / 1e9)
+        val co = Seq("q_graph_staging" -> (System.nanoTime() - t0) / 1e9)
+        // HITS runs on its own DIRECTED bipartite edge table
+        val t1 = System.nanoTime()
+        graft.graph.GraphOps.stageBipartite(spark, sfDir)
+        co :+ ("q_graph_bip_staging" -> (System.nanoTime() - t1) / 1e9)
       } else Nil
 
     val results = staging ++ streaming ++ graphStaging ++

@@ -522,6 +522,13 @@ object GraphOps {
         .distinct()
     }
 
+  /** Force the one-time bipartite-edge staging (same attribution
+    * policy as [[stageEdges]] — the bench charges it to its own line
+    * instead of whichever HITS run goes first). */
+  def stageBipartite(spark: SparkSession, dir: String): Unit = {
+    bipartiteEdges(spark, dir); ()
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     * customer → supplier purchase graph — the two-sided score the
     * undirected family can't express (on an undirected graph hubs ≡

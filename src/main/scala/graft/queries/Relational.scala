@@ -950,6 +950,33 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** The monthly rollup over the INCREMENTALLY-maintained aggregate
+    * view (`sources.AggMaintenance`): orders arrive in three batches
+    * split on the order key, each landing only its own mergeable
+    * partial; the view folds partials at read time. The oracle is
+    * VERBATIM [[qRevenueMonthly]]'s — the driver hash proves the
+    * maintained view is indistinguishable from the full rescan. Growth
+    * runs over the months frame exactly as in the batch query. */
+  def qRevenueMonthlyInc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = graft.SessionCache.checkpointed(spark, s"agg.inc|$dir") {
+      val base = s"target/graft-stage/${spark.sparkContext.applicationId}/agginc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val o = Tables.load(spark, dir, "orders")
+      graft.sources.AggMaintenance.rebuild(o.filter($"o_orderkey" % 3 === 0), base)
+      graft.sources.AggMaintenance.mergeBatch(o.filter($"o_orderkey" % 3 === 1), base, 1L)
+      graft.sources.AggMaintenance.mergeBatch(o.filter($"o_orderkey" % 3 === 2), base, 2L)
+      graft.sources.AggMaintenance.read(spark, base)
+    }
+    val w = Window.orderBy($"month")
+    agg
+      .withColumn("prev_cents", lag($"revenue_cents", 1).over(w))
+      .withColumn("growth_permille",
+        expr("(revenue_cents * 1000) div prev_cents"))
+      .select($"month", $"n_orders", $"revenue_cents", $"growth_permille")
+      .orderBy($"month")
+  }
+
   /** Revenue concentration per nation — the Gini coefficient over
     * customer order totals (the inequality metric concentration
     * analyses report): with per-customer revenue x sorted ascending
@@ -2006,9 +2033,22 @@ object Relational {
     "q_rfm_segments" -> qRfmSegments,
     "q_gini_revenue" -> qGiniRevenue,
     "q_revenue_monthly" -> qRevenueMonthly,
+    "q_revenue_monthly_inc" -> qRevenueMonthlyInc,
     "q_ts_sax_motif" -> qTsSaxMotif,
     "q_ts_ewma" -> qTsEwma
   )
+
+  private val revenueMonthlyOracle =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, revenue_cents,
+      |  (revenue_cents * 1000) // lag(revenue_cents, 1) OVER (ORDER BY month)
+      |    AS growth_permille
+      |FROM m ORDER BY month""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -2673,17 +2713,10 @@ object Relational {
         |FROM p JOIN t ON p.prev_type = t.prev_type
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
 
-    "q_revenue_monthly" ->
-      """WITH m AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |    CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-        |      AS revenue_cents
-        |  FROM orders GROUP BY 1)
-        |SELECT month, n_orders, revenue_cents,
-        |  (revenue_cents * 1000) // lag(revenue_cents, 1) OVER (ORDER BY month)
-        |    AS growth_permille
-        |FROM m ORDER BY month""".stripMargin,
+    // the incremental view must be indistinguishable from the batch
+    // rollup — SAME oracle, so the driver hash compares both to one SQL
+    "q_revenue_monthly" -> revenueMonthlyOracle,
+    "q_revenue_monthly_inc" -> revenueMonthlyOracle,
 
     "q_gini_revenue" ->
       """WITH rev AS (

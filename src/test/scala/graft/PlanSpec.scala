@@ -199,6 +199,7 @@ class PlanSpec extends SparkSpec {
       // covers the plan shape)
       "q_graph_hits",
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
+      "q_revenue_monthly_inc", // runs rebuild + 2 partial merges on construct
       "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick")
