@@ -977,6 +977,42 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** Shuffle-key SKEW REPORT — the diagnosis you run before choosing
+    * `operators.Salted` or an AQE skew threshold: per-key row counts
+    * on the prospective join/aggregation key, the top-10 heaviest keys
+    * with their exact ppm share, and the key-count distribution's
+    * exact p50/p99/max via value-count ranking (counts-of-counts — the
+    * distribution frame is tiny regardless of corpus size). A top key
+    * holding 10000× the p50 is the salting signal; uniform shares say
+    * the shuffle is safe. Shape: one key shuffle (map-side combined) +
+    * a counts-of-counts rollup + a 1-row stats broadcast. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kc = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_suppkey".as("key")).agg(count(lit(1)).as("cnt"))
+    val dist = kc.groupBy($"cnt").agg(count(lit(1)).as("freq"))
+    val wc = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist.withColumn("cum", sum($"freq").over(wc))
+    val stats = kc.agg(sum($"cnt").as("total_rows"),
+        count(lit(1)).as("n_keys"), max($"cnt").as("max_cnt"))
+    val pcts = cum.crossJoin(broadcast(stats))
+      .agg(
+        min(when($"cum" >= expr("(n_keys + 1) div 2"), $"cnt")).as("p50_cnt"),
+        min(when($"cum" >= expr("(99 * (n_keys + 1)) div 100"), $"cnt")).as("p99_cnt"))
+    // top-10 via TakeOrderedAndProject (bounded heap), THEN rank the 10
+    // survivors — never a corpus-wide single-partition window
+    val top = kc.orderBy($"cnt".desc, $"key").limit(10)
+    val w = Window.orderBy($"cnt".desc, $"key")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(pcts))
+      .select($"rank", $"key", $"cnt",
+        expr("(cnt * 1000000) div total_rows").as("share_ppm"),
+        $"n_keys", $"p50_cnt", $"p99_cnt", $"max_cnt")
+      .orderBy($"rank")
+  }
+
   /** Revenue concentration per nation — the Gini coefficient over
     * customer order totals (the inequality metric concentration
     * analyses report): with per-customer revenue x sorted ascending
@@ -2017,6 +2053,7 @@ object Relational {
     "q_sql_tpch20" -> sqlQuery(tpch20Sql) _,
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
+    "q_skew_report" -> qSkewReport,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -2891,6 +2928,34 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH kc AS (
+        |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |stats AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM kc),
+        |dist AS (SELECT cnt, COUNT(*) AS freq FROM kc GROUP BY cnt),
+        |cum AS (SELECT cnt, SUM(freq) OVER (ORDER BY cnt
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM dist),
+        |pcts AS (
+        |  SELECT
+        |    CAST(MIN(CASE WHEN cum >= (stats.n_keys + 1) // 2 THEN cnt END)
+        |      AS BIGINT) AS p50_cnt,
+        |    CAST(MIN(CASE WHEN cum >= (99 * (stats.n_keys + 1)) // 100 THEN cnt END)
+        |      AS BIGINT) AS p99_cnt
+        |  FROM cum CROSS JOIN stats GROUP BY stats.n_keys),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+        |        AS rank FROM kc)
+        |SELECT r.rank, r.key, r.cnt,
+        |  CAST((r.cnt * 1000000) // stats.total_rows AS BIGINT) AS share_ppm,
+        |  stats.n_keys, pcts.p50_cnt, pcts.p99_cnt, stats.max_cnt
+        |FROM r CROSS JOIN stats CROSS JOIN pcts
+        |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT user_id,

@@ -571,6 +571,33 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("skew report: engine == Scala replay of counts, shares, percentiles") {
+    val keys = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_suppkey").as[Long].collect()
+    val kc = keys.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val total = keys.length.toLong; val nKeys = kc.size.toLong
+    val cnts = kc.values.toSeq.sorted
+    def pctAt(rank: Long): Long = {
+      var cum = 0L
+      cnts.distinct.sorted.find { c =>
+        cum += cnts.count(_ == c); cum >= rank
+      }.get
+    }
+    val p50 = pctAt((nKeys + 1) / 2)
+    val p99 = pctAt((99 * (nKeys + 1)) / 100)
+    val want = kc.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).zipWithIndex
+      .map { case ((k, c), i) =>
+        (i + 1L, k, c, c * 1000000L / total, nKeys, p50, p99, cnts.max)
+      }.toSet
+    val got = Relational.qSkewReport(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("key"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("p50_cnt"), r.getAs[Long]("p99_cnt"),
+        r.getAs[Long]("max_cnt"))).toSet
+    assert(got == want)
+    assert(got.size == 10)
+  }
+
   test("sf0.001 itemCF: engine == Scala replay; per-item neighbor lists rank-ordered") {
     val o = Tables.load(spark, sf0001, "orders")
       .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap

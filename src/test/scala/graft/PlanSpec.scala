@@ -180,7 +180,10 @@ class PlanSpec extends SparkSpec {
       "q_rfm_segments",
       // sketch table: the 1-row exact-global audit column broadcast
       // onto the 1-row merged-sketch estimate
-      "q_sketch_distinct")
+      "q_sketch_distinct",
+      // skew report: 1-row stats + 1-row percentile broadcasts onto
+      // the 10 surviving top-key rows
+      "q_skew_report")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
