@@ -587,7 +587,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Top principal direction of the embedding corpus by POWER
+    * ITERATION in exact fixed point — the drift-axis / index-rotation
+    * primitive (which direction carries the corpus' energy): two
+    * rounds of `v ← M·v` against the 64×64 second-moment matrix
+    * `M = Σ q qᵀ`, L∞-normalized to ×10⁶ each round.
+    *
+    * Everything is engine-exact: components quantize to
+    * `round(x·10⁶)` BIGINT (signed — no shift needed because the only
+    * divisions run on MAGNITUDES: `sign(w)·((|w|·10⁶) div max|w|)`,
+    * sidestepping the floor-vs-truncate divergence on negatives);
+    * M·v products ride DECIMAL(38,0) (m·v tops BIGINT immediately).
+    *
+    * Scale shape: the moment matrix is ONE map-side-combined shuffle
+    * of the per-vector position pairs (d² cells regardless of corpus
+    * size — the classic distributed Gram computation); iterations are
+    * d²-sized joins against a broadcast 64-row vector, free at any
+    * corpus scale. */
+  def qEmbPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = vectors(spark, dir)
+      .select($"vec_id", posexplode($"nv").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        expr("cast(round(x * 1e6) as bigint)").as("q"))
+    val m = comp.as("a").join(comp.as("b"), $"a.vec_id" === $"b.vec_id")
+      .groupBy($"a.pos".as("p"), $"b.pos".as("qq"))
+      .agg(sum($"a.q" * $"b.q").as("mpq"))
+    var v = m.select($"p".as("pos")).distinct()
+      .select($"pos", lit(1000000L).as("v"))
+    for (_ <- 1 to 2) {
+      val w = m.join(broadcast(v), m("qq") === v("pos"))
+        .groupBy($"p")
+        .agg(sum(expr("cast(mpq as decimal(38,0)) * v")).as("w"))
+      val mx = w.agg(max(abs($"w")).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select($"p".as("pos"), expr(
+          """cast(case when w < 0
+            |  then -((cast(-w as decimal(38,0)) * 1000000) div mx)
+            |  else (cast(w as decimal(38,0)) * 1000000) div mx
+            |end as bigint)""".stripMargin).as("v"))
+    }
+    v.select($"pos", $"v".as("pc1_x1e6")).orderBy($"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
     "q_sim_knn_agg" -> qSimKnnAgg,
@@ -956,6 +1000,31 @@ object Similarity {
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_emb_pca_power" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t),
+        |m AS (SELECT a.pos AS p, b.pos AS qq,
+        |        CAST(SUM(a.q * b.q) AS BIGINT) AS mpq
+        |      FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+        |      GROUP BY a.pos, b.pos),
+        |v0 AS (SELECT DISTINCT p AS pos, CAST(1000000 AS BIGINT) AS v FROM m),
+        |w1 AS (SELECT m.p, SUM(CAST(m.mpq AS HUGEINT) * v0.v) AS w
+        |       FROM m JOIN v0 ON m.qq = v0.pos GROUP BY m.p),
+        |v1 AS (SELECT p AS pos,
+        |  CAST(CASE WHEN w < 0
+        |    THEN -((CAST(-w AS HUGEINT) * 1000000) // (SELECT MAX(abs(w)) FROM w1))
+        |    ELSE (CAST(w AS HUGEINT) * 1000000) // (SELECT MAX(abs(w)) FROM w1)
+        |  END AS BIGINT) AS v FROM w1),
+        |w2 AS (SELECT m.p, SUM(CAST(m.mpq AS HUGEINT) * v1.v) AS w
+        |       FROM m JOIN v1 ON m.qq = v1.pos GROUP BY m.p),
+        |v2 AS (SELECT p AS pos,
+        |  CAST(CASE WHEN w < 0
+        |    THEN -((CAST(-w AS HUGEINT) * 1000000) // (SELECT MAX(abs(w)) FROM w2))
+        |    ELSE (CAST(w AS HUGEINT) * 1000000) // (SELECT MAX(abs(w)) FROM w2)
+        |  END AS BIGINT) AS v FROM w2)
+        |SELECT pos, v AS pc1_x1e6 FROM v2 ORDER BY pos""".stripMargin,
     "q_sim_ann_recall" -> recallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,

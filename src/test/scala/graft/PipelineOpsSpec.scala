@@ -469,6 +469,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
 
+  test("PCA power iteration: engine == BigInt replay; L-inf normalized") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as nv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val d = 64
+    val q = vecs.map { case (_, nv) =>
+      nv.map(x => BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val m = Array.ofDim[BigInt](d, d)
+    for (p <- 0 until d; j <- 0 until d)
+      m(p)(j) = q.map(v => BigInt(v(p)) * v(j)).sum
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 2) {
+      val w = (0 until d).map(p => (0 until d).map(j => m(p)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(x =>
+        if (x < 0) -((-x * 1000000) / mx) else (x * 1000000) / mx).toArray
+    }
+    val got = Similarity.qEmbPcaPower(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("pc1_x1e6")).toMap
+    assert(got == (0 until d).map(p => p.toLong -> v(p).toLong).toMap)
+    // L-inf normalization: every component within ±1e6, one at the peak
+    assert(got.values.forall(x => math.abs(x) <= 1000000L))
+    assert(got.values.exists(x => math.abs(x) == 1000000L))
+  }
+
   test("corpus diff: engine == Scala replay; statuses partition both snapshots") {
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"source", $"text").collect()

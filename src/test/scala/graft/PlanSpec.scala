@@ -183,7 +183,10 @@ class PlanSpec extends SparkSpec {
       "q_sketch_distinct",
       // skew report: 1-row stats + 1-row percentile broadcasts onto
       // the 10 surviving top-key rows
-      "q_skew_report")
+      "q_skew_report",
+      // PCA power iteration: per-round 1-row L-inf max broadcast onto
+      // the 64-row vector
+      "q_emb_pca_power")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
