@@ -977,6 +977,46 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** JOIN-SIZE ESTIMATION by Count-Min sketch dot product (Cormode &
+    * Muthukrishnan 2005; the AGMS line) — what a cost-based optimizer
+    * consults before picking a join strategy: the exact size of
+    * `views ⋈ purchases ON user_id` is `Σ_u cA(u)·cB(u)`; a CMS of
+    * each side's key frequencies estimates it as the MIN over hash
+    * rows of the row-wise sketch dot product, never undercounting
+    * (collision cross-terms are nonnegative). The audit emits each
+    * row's estimate next to the exact size — at 100 TB the sketches
+    * are 2×4×64 counters maintained incrementally per side; the exact
+    * column is what you stop computing. Deterministic md5 bucket
+    * hashing (the q_vocab_cms_est convention) keeps it oracle-exact.
+    * Shape: one user-keyed combine + a 512-cell sketch shuffle. */
+  def qJoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bucketExpr(d: Int): String = {
+      val h = "md5(cast(cast(user_id as string) as binary))"
+      val hx = (0 until 4).map { i =>
+        s"(instr('0123456789abcdef', substring($h, ${4 * d + i + 1}, 1)) - 1)"
+      }
+      s"(((${hx(0)} * 16 + ${hx(1)}) * 16 + ${hx(2)}) * 16 + ${hx(3)}) % 64"
+    }
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(when($"event_type" === "view", 1)).as("ca"),
+        count(when($"event_type" === "purchase", 1)).as("cb"))
+    val exact = perUser.agg(sum($"ca" * $"cb").as("exact_size"))
+    val cells = perUser
+      .select($"ca", $"cb",
+        explode(array((0 until 4).map(d =>
+          struct(lit(d).as("d"), expr(bucketExpr(d)).as("bucket"))): _*)).as("c"))
+      .groupBy($"c.d".as("d"), $"c.bucket".as("bucket"))
+      .agg(sum($"ca").as("sa"), sum($"cb").as("sb"))
+    val ests = cells.groupBy($"d").agg(sum($"sa" * $"sb").as("dot_est"))
+    val minEst = ests.agg(min($"dot_est").as("est_min"))
+    ests.crossJoin(broadcast(exact)).crossJoin(broadcast(minEst))
+      .select($"d".cast("long").as("d"), $"dot_est", $"exact_size", $"est_min",
+        ($"dot_est" - $"exact_size").as("overcount"))
+      .orderBy($"d")
+  }
+
   /** Shuffle-key SKEW REPORT — the diagnosis you run before choosing
     * `operators.Salted` or an AQE skew threshold: per-key row counts
     * on the prospective join/aggregation key, the top-10 heaviest keys
@@ -2054,6 +2094,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_salted_agg" -> qSaltedAgg,
     "q_skew_report" -> qSkewReport,
+    "q_join_card_est" -> qJoinCardEst,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -2928,6 +2969,32 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_join_card_est" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY user_id),
+        |exact AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_size FROM pu),
+        |cells AS (
+        |  SELECT d, (((h1 * 16 + h2) * 16 + h3) * 16 + h4) % 64 AS bucket,
+        |         SUM(ca) AS sa, SUM(cb) AS sb
+        |  FROM (
+        |    SELECT pu.ca, pu.cb, t.d,
+        |      instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4*t.d + 1, 1)) - 1 AS h1,
+        |      instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4*t.d + 2, 1)) - 1 AS h2,
+        |      instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4*t.d + 3, 1)) - 1 AS h3,
+        |      instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4*t.d + 4, 1)) - 1 AS h4
+        |    FROM pu, (SELECT unnest(range(0, 4)) AS d) t)
+        |  GROUP BY d, bucket),
+        |ests AS (SELECT d, CAST(SUM(sa * sb) AS BIGINT) AS dot_est
+        |         FROM cells GROUP BY d),
+        |m AS (SELECT CAST(MIN(dot_est) AS BIGINT) AS est_min FROM ests)
+        |SELECT CAST(ests.d AS BIGINT) AS d, ests.dot_est, exact.exact_size,
+        |  m.est_min, ests.dot_est - exact.exact_size AS overcount
+        |FROM ests CROSS JOIN exact CROSS JOIN m
+        |ORDER BY d""".stripMargin,
 
     "q_skew_report" ->
       """WITH kc AS (

@@ -571,6 +571,39 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("join-size CMS estimate: engine == MD5 replay; never undercounts") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> ((xs.count(_._2 == "view").toLong, xs.count(_._2 == "purchase").toLong))
+    }
+    val exact = perUser.values.map { case (a, b) => a * b }.sum
+    val ests = (0 until 4).map { d =>
+      val cells = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        .withDefaultValue((0L, 0L))
+      perUser.foreach { case (u, (a, b)) =>
+        val h = md5hex(u.toString).substring(4 * d, 4 * d + 4)
+        val bucket = java.lang.Long.parseLong(h, 16) % 64
+        val (sa, sb) = cells(bucket); cells(bucket) = (sa + a, sb + b)
+      }
+      d.toLong -> cells.values.map { case (sa, sb) => sa * sb }.sum
+    }.toMap
+    val got = Relational.qJoinCardEst(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("dot_est"), r.getAs[Long]("exact_size"),
+          r.getAs[Long]("est_min"), r.getAs[Long]("overcount"))))
+      .toMap
+    assert(got.map { case (d, v) => d -> v._1 } == ests)
+    got.values.foreach { case (est, ex, mn, over) =>
+      assert(ex == exact)
+      assert(mn == ests.values.min)
+      assert(est >= ex && over == est - ex) // one-sided: never undercounts
+    }
+  }
+
   test("skew report: engine == Scala replay of counts, shares, percentiles") {
     val keys = Tables.load(spark, sf0001, "lineitem")
       .select($"l_suppkey").as[Long].collect()

@@ -186,7 +186,10 @@ class PlanSpec extends SparkSpec {
       "q_skew_report",
       // PCA power iteration: per-round 1-row L-inf max broadcast onto
       // the 64-row vector
-      "q_emb_pca_power")
+      "q_emb_pca_power",
+      // join-size audit: 1-row exact + 1-row min-estimate broadcasts
+      // onto the 4 sketch-row estimates
+      "q_join_card_est")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
