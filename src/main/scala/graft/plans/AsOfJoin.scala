@@ -138,7 +138,11 @@ object AsOfJoin {
           case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
         })
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-        val resultProj = UnsafeProjection.create(output, lOut ++ payload)
+        // bind against NULLABLE payload attrs: the null-payload row must
+        // project as NULL even when the right column was non-nullable
+        // (a non-null binding would read getLong(null) == 0 instead)
+        val resultProj = UnsafeProjection.create(output,
+          lOut ++ payload.map(_.withNullability(true)))
         val nullPayload = new GenericInternalRow(nPayload)
         val joined = new JoinedRow
 
@@ -345,7 +349,11 @@ object AsOfJoin {
         val lKeyProj = UnsafeProjection.create(lKeyIdx.zip(keyTypes).map {
           case (i, t) => org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
         })
-        val resultProj = UnsafeProjection.create(output, lOut ++ payload)
+        // bind against NULLABLE payload attrs: the null-payload row must
+        // project as NULL even when the right column was non-nullable
+        // (a non-null binding would read getLong(null) == 0 instead)
+        val resultProj = UnsafeProjection.create(output,
+          lOut ++ payload.map(_.withNullability(true)))
         val nullPayload = new GenericInternalRow(nPayload)
         val joined = new JoinedRow
 

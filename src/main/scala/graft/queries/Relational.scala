@@ -1296,20 +1296,56 @@ object Relational {
     * Two chained windows over one user_id exchange (lag to detect
     * changes, lead/row_number over the change rows); the 100 TB shape
     * is identical — state-change detection is a per-key linear pass. */
+  /** SCD-2 core over an explicit event frame — ONE definition shared
+    * by the history query and the point-in-time join (shared-definition
+    * rule: the join must read exactly the history the audit shows). */
+  private def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"), col("version"),
+        when(col("valid_to_us").isNull, "Y").otherwise("N").as("is_current"))
+  }
+
   def qScd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val changes = Tables.load(spark, dir, "events")
-      .withColumn("us", unix_micros($"ts"))
-      .withColumn("prev", lag($"event_type", 1).over(w))
-      .filter($"prev".isNull || $"prev" =!= $"event_type")
-    changes
-      .withColumn("valid_to_us", lead($"us", 1).over(w))
-      .withColumn("version", row_number().over(w))
-      .select($"user_id", $"event_type".as("state"),
-        $"us".as("valid_from_us"), $"valid_to_us", $"version",
-        when($"valid_to_us".isNull, "Y").otherwise("N").as("is_current"))
+    scd2(Tables.load(spark, dir, "events"))
       .orderBy($"user_id", $"version")
+  }
+
+  /** POINT-IN-TIME (temporal) join against SCD-2 history — the
+    * warehouse pattern behind "which plan was the customer on when
+    * they paid": each purchase picks the dimension version valid at
+    * its instant. History comes from the SAME [[scd2]] core (built
+    * over the non-purchase events — the state stream); validity
+    * lookup is the custom as-of join (latest state change STRICTLY
+    * before the purchase — an as-of match against `valid_from` IS
+    * interval containment when intervals tile, which SCD-2 validity
+    * does by construction; the containment identity is spec-proved).
+    * Purchases before any state change keep NULL state (left-outer).
+    * Same one-pass merge / broadcast-bisect physics as every as-of
+    * query — never an interval nested-loop. */
+  def qScd2Pit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val hist = scd2(ev.filter($"event_type" =!= "purchase"))
+      .select($"user_id".as("h_user"), $"valid_from_us", $"state",
+        $"version".cast("long").as("version"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("p_us"),
+        ep($"ts").as("purchase_ep"))
+    graft.plans.AsOfJoin.joinAsOf(purchases, hist,
+        leftKey = "user_id", rightKey = "h_user",
+        leftTime = "p_us", rightTime = "valid_from_us", rightTie = "version",
+        payload = Seq("state", "version"))
+      .select($"event_id", $"user_id", $"purchase_ep",
+        $"state".as("state_at_purchase"), $"version")
+      .orderBy($"event_id")
   }
 
   /** TPC-H Q10 shape (adapted to the driver's trimmed columns):
@@ -2062,6 +2098,7 @@ object Relational {
     "q_sql_tpch17" -> qSqlTpch17,
     "q_sql_tpch18" -> qSqlTpch18,
     "q_scd2_history" -> qScd2History,
+    "q_scd2_pit" -> qScd2Pit,
     "q_sql_tpch10" -> qSqlTpch10,
     "q_sql_tpch13" -> qSqlTpch13,
     "q_sql_tpch14" -> qSqlTpch14,
@@ -2541,6 +2578,27 @@ object Relational {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
         |GROUP BY c_name, c_custkey, o_orderkey, o_ep, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_scd2_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_type AS state, us,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version
+        |  FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS purchase_ep,
+        |  r.state AS state_at_purchase, r.version
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT ch.state, ch.version FROM ch
+        |  WHERE ch.user_id = l.user_id AND ch.us < epoch_us(l.ts)
+        |  ORDER BY ch.us DESC, ch.version DESC LIMIT 1) r ON true
+        |WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_scd2_history" ->
       """WITH e AS (

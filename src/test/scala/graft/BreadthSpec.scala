@@ -571,6 +571,41 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("SCD-2 point-in-time join: matches are the valid interval (containment identity)") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // replay the SCD-2 intervals over the non-purchase state stream
+    val hist: Map[Long, Seq[(Long, Option[Long], String, Long)]] =
+      ev.filter(_._4 != "purchase").groupBy(_._1).map { case (u, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        val changes = ordered.zipWithIndex.filter { case (r, i) =>
+          i == 0 || ordered(i - 1)._4 != r._4
+        }.map(_._1)
+        val iv = changes.zipWithIndex.map { case (c, i) =>
+          (c._2, if (i + 1 < changes.length) Some(changes(i + 1)._2) else None,
+            c._4, i + 1L)
+        }
+        u -> iv.toSeq
+      }
+    val got = Relational.qScd2Pit(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.getAs[Any]("state_at_purchase")).map(_.toString),
+        Option(r.getAs[Any]("version")).map(_.asInstanceOf[Long])))
+    assert(got.nonEmpty && got.exists(_._3.nonEmpty))
+    val pUs = ev.filter(_._4 == "purchase").map(r => r._3 -> r._2).toMap
+    got.foreach { case (eid, u, state, ver) =>
+      val t = pUs(eid)
+      val expected = hist.getOrElse(u, Seq.empty)
+        .filter(_._1 < t).sortBy(_._1).lastOption
+      assert(state == expected.map(_._3) && ver == expected.map(_._4), s"event $eid")
+      // the as-of match IS interval containment: t in (from, to]
+      expected.foreach { case (from, to, _, _) =>
+        assert(from < t && to.forall(t <= _))
+      }
+    }
+  }
+
   test("join-size CMS estimate: engine == MD5 replay; never undercounts") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -281,6 +281,35 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("non-nullable payload columns project NULL (not 0) on unmatched rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    def df(rows: Seq[(Long, Long, Long)], prefix: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+        StructType(schema.fields.map(f => f.copy(name = prefix + f.name))))
+    val l = df(Seq((1L, 100L, 10L), (2L, 50L, 12L)), "l")
+    // row_number produces a NON-nullable column — the regression case:
+    // an unmatched left must yield NULL here, never the default 0
+    val r = df(Seq((1L, 90L, 20L)), "r")
+      .withColumn("ver",
+        row_number().over(W.partitionBy($"rk").orderBy($"rt")).cast("long"))
+    for (thr <- Seq(None, Some("-1"))) {
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        thr.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        val res = AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+            payload = Seq("ver"))
+          .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+        assert(res == Map(1L -> Some(1L), 2L -> None), res)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+  }
+
   test("forward fixture: strict-after, smallest tie wins, look-ahead bounds") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
