@@ -1144,6 +1144,7 @@ object Quality {
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_kanon_audit" -> qKanonAudit,
+    "q_expectations" -> ((sp, d) => Expectations.standardSuite(sp, d)),
     "q_ab_ztest" -> qAbZtest,
     "q_ab_srm" -> qAbSrm,
     "q_quantile_norm" -> qQuantileNorm,
@@ -1486,6 +1487,58 @@ object Quality {
         |  max(CASE WHEN cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum THEN v END)
         |    AS p90_sec
         |FROM vc""".stripMargin,
+
+    "q_expectations" ->
+      """WITH li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qr,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+        |      OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS dr,
+        |    CAST(SUM(CASE WHEN l_extendedprice IS NULL
+        |      OR l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS pp
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dn,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS ku
+        |  FROM orders),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS ku
+        |  FROM customer),
+        |ev AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN event_type NOT IN
+        |      ('view', 'click', 'signup', 'purchase', 'error')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS en
+        |  FROM events),
+        |ri1 AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |    CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders oo WHERE oo.o_orderkey = l.l_orderkey))
+        |      AS BIGINT) AS v),
+        |ri2 AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+        |    CAST((SELECT COUNT(*) FROM orders oo WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer cc WHERE cc.c_custkey = oo.o_custkey))
+        |      AS BIGINT) AS v),
+        |u AS (
+        |  SELECT 'lineitem_quantity_range' AS check_name, n_rows, qr AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem_discount_range', n_rows, dr FROM li
+        |  UNION ALL SELECT 'lineitem_price_positive', n_rows, pp FROM li
+        |  UNION ALL SELECT 'orders_date_not_null', n_rows, dn FROM o
+        |  UNION ALL SELECT 'orders_price_positive', n_rows, pp FROM o
+        |  UNION ALL SELECT 'orders_key_unique', n_rows, ku FROM o
+        |  UNION ALL SELECT 'customer_key_unique', n_rows, ku FROM c
+        |  UNION ALL SELECT 'events_type_enum', n_rows, en FROM ev
+        |  UNION ALL SELECT 'lineitem_orders_ri', n_rows, v FROM ri1
+        |  UNION ALL SELECT 'orders_customer_ri', n_rows, v FROM ri2)
+        |SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
 
     "q_epoch_shard" ->
       """WITH e AS (

@@ -189,7 +189,10 @@ class PlanSpec extends SparkSpec {
       "q_emb_pca_power",
       // join-size audit: 1-row exact + 1-row min-estimate broadcasts
       // onto the 4 sketch-row estimates
-      "q_join_card_est")
+      "q_join_card_est",
+      // expectations: each RI check crosses a 1-row child count with a
+      // 1-row broadcast orphan count
+      "q_expectations")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

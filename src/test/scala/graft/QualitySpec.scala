@@ -558,6 +558,37 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("expectations: clean corpus passes the standard suite; violations are counted") {
+    import graft.quality.Expectations
+    val rows = Expectations.standardSuite(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("pass"))))
+      .toMap
+    assert(rows.size == 10)
+    // the synthetic corpus satisfies its own contracts
+    rows.foreach { case (name, (n, v, pass)) =>
+      assert(n > 0, name); assert(v == 0L && pass, s"$name: $v violations")
+    }
+    val nLi = Tables.load(spark, sf0001, "lineitem").count()
+    assert(rows("lineitem_quantity_range")._1 == nLi)
+    assert(rows("lineitem_orders_ri")._1 == nLi)
+    // a deliberately-broken contract is detected and counted exactly
+    val broken = Expectations.run(spark, sf0001,
+      rows = Seq(
+        Expectations.RowCheck("impossible_quantity", "lineitem",
+          org.apache.spark.sql.functions.col("l_quantity") >= 1),
+        Expectations.RowCheck("quantity_over_10", "lineitem",
+          org.apache.spark.sql.functions.col("l_quantity") > 10)),
+      uniques = Seq.empty, refs = Seq.empty).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_violations"),
+        r.getAs[Boolean]("pass")))).toMap
+    assert(broken("impossible_quantity")._1 == nLi && !broken("impossible_quantity")._2)
+    val over10 = Tables.load(spark, sf0001, "lineitem")
+      .filter($"l_quantity" > 10).count()
+    assert(broken("quantity_over_10")._1 == over10)
+  }
+
   test("SRM gate: engine == Scala replay of the even-split chi-square") {
     val ev = Tables.load(spark, sf0001, "events")
       .select($"user_id").as[Long].collect()
