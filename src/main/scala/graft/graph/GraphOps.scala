@@ -506,6 +506,60 @@ object GraphOps {
       EdgeMaintenance.edges(spark, base)
     }
 
+  /** WEIGHTED canonical co-occurrence edges: (src < dst, n_orders
+    * containing both) — the tie-strength the unweighted edge table
+    * discards. Staged once per (session, dir), same shuffles as
+    * [[canonicalEdges]] plus the count. */
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.wedges|$dir") {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+  private final val SsspRounds = 3
+
+  /** Bounded-hop WEIGHTED shortest paths (Bellman–Ford relaxation)
+    * from the flagged seed set — the "how cheaply can the flagged
+    * entities reach X" query [[qGraphBfs]]'s hop counts can't answer:
+    * edge cost is `10⁶ div n_orders` (strong co-purchase ties are
+    * cheap), distance is the exact BIGINT min path cost within 3
+    * hops. Unlike BFS, a relaxation round can IMPROVE already-labeled
+    * nodes (a 2-hop path through strong ties may undercut a direct
+    * weak tie), so each round re-mins the full node-sized distance
+    * frame instead of expanding a shrinking frontier: one
+    * shuffled-hash join of distances onto edges + one min-combine per
+    * round — the textbook distributed Bellman–Ford shape. */
+  def qGraphSssp(spark: SparkSession, dir: String): DataFrame = {
+    val w = weightedEdges(spark, dir)
+    val sym = w.union(w.select(col("dst").as("src"), col("src").as("dst"), col("cnt")))
+      .withColumn("w", expr("1000000L div cnt"))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    ssspOnEdges(sym, seeds, SsspRounds)
+  }
+
+  /** Core relaxation rounds over explicit symmetric weighted edges
+    * (src, dst, w) + seed frame — factored out for spec replay. */
+  private[graft] def ssspOnEdges(sym: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("node").as("part"), col("d").as("dist_x1e6"))
+      .orderBy(col("part"))
+  }
+
   /** Directed purchase edges customer → supplier (an order by customer
     * c containing a line supplied by s). Staged once per (session,
     * dir): the orders⋈lineitem join shuffles on orderkey, the distinct
@@ -595,7 +649,8 @@ object GraphOps {
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_linkpred" -> qGraphLinkPred,
     "q_graph_ppr" -> qGraphPpr,
-    "q_graph_hits" -> qGraphHits)
+    "q_graph_hits" -> qGraphHits,
+    "q_graph_sssp" -> qGraphSssp)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -773,6 +828,31 @@ object GraphOps {
          |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
          |ORDER BY part""".stripMargin,
+    "q_graph_sssp" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |wce AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |          CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM li a JOIN li b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |        GROUP BY a.l_partkey, b.l_partkey),
+        |sym AS (SELECT src, dst, 1000000 // cnt AS w FROM wce
+        |        UNION ALL SELECT dst, src, 1000000 // cnt FROM wce),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+        |       FROM sym WHERE src % 500 = 0),
+        |d1 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL SELECT sym.dst, d0.d + sym.w FROM sym
+        |    JOIN d0 ON sym.src = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d1
+        |  UNION ALL SELECT sym.dst, d1.d + sym.w FROM sym
+        |    JOIN d1 ON sym.src = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        |  SELECT node, d FROM d2
+        |  UNION ALL SELECT sym.dst, d2.d + sym.w FROM sym
+        |    JOIN d2 ON sym.src = d2.node) GROUP BY node)
+        |SELECT node AS part, d AS dist_x1e6 FROM d3
+        |ORDER BY part""".stripMargin,
     "q_graph_hits" ->
       """WITH bip AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         |             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

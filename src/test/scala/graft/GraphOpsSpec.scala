@@ -609,6 +609,53 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Direct Scala Bellman–Ford replay: min path cost within `rounds`
+    * hops over symmetric weighted edges. */
+  private def replaySssp(sym: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.flatMap { case (s, t, w) =>
+        dist.get(s).map(d => t -> (d + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  test("fixture SSSP: relaxation can undercut a direct weak tie") {
+    // seed 1; direct edge 1-4 is weak (w=9), but 1-2-4 through strong
+    // ties costs 2+2=4 — round 2 must IMPROVE node 4's round-1 label
+    val ce = Seq((1L, 2L, 2L), (2L, 4L, 2L), (1L, 4L, 9L), (4L, 5L, 1L))
+    val sym = ce ++ ce.map(e => (e._2, e._1, e._3))
+    val got = GraphOps.ssspOnEdges(
+        sym.toDF("src", "dst", "w"), Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getAs[Long]("part") -> r.getAs[Long]("dist_x1e6")).toMap
+    assert(got == replaySssp(sym, Set(1L), 3))
+    assert(got(4L) == 4L) // the 2-hop path, not the direct 9
+    assert(got(5L) == 5L) // 3 hops through the improved label
+  }
+
+  test("sf0.001 SSSP: engine == Bellman-Ford replay on the real graph") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val wce = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      (a, b, 1000000L / xs.size)
+    }.toSeq
+    val sym = wce ++ wce.map(e => (e._2, e._1, e._3))
+    val seeds = sym.map(_._1).distinct.filter(_ % 500 == 0).toSet
+    val want = replaySssp(sym, seeds, 3)
+    val got = GraphOps.qGraphSssp(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("dist_x1e6")).toMap
+    assert(got == want)
+    assert(got.nonEmpty && seeds.forall(s => got(s) == 0L))
+  }
+
   test("sf0.001 HITS: engine == BigInt replay on the real purchase graph") {
     val o = Tables.load(spark, sf0001, "orders")
       .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap

@@ -210,6 +210,8 @@ class PlanSpec extends SparkSpec {
       // L1-total broadcasts are the intended fan-out (round-join pin
       // covers the plan shape)
       "q_graph_hits",
+      // SSSP stages the weighted edge table on construct
+      "q_graph_sssp",
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
       "q_revenue_monthly_inc", // runs rebuild + 2 partial merges on construct
       "q_sim_ivf_incremental",
