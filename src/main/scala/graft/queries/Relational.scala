@@ -977,6 +977,39 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** INTERVAL MERGE (gaps-and-islands over RANGES): each event opens a
+    * 30-minute activity interval; overlapping or touching intervals
+    * merge into islands — the classic coverage computation
+    * (maintenance windows, ad exposure, machine uptime) that
+    * point-gap sessionization (q_window_session) cannot express,
+    * because an interval can OUTLAST its successor's start and still
+    * have to extend the island (the running-max-of-ends subtlety —
+    * comparing only adjacent starts under-merges).
+    *
+    * The standard algorithm: order per user by start; a row opens a
+    * new island iff its start exceeds the running max of ALL prior
+    * ends; island id = running sum of open flags. ONE user-keyed
+    * exchange feeds both window passes and the rollup. */
+  def qIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val iv = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", ep($"ts").as("s"),
+        (ep($"ts") + 1800L).as("e"))
+      .withColumn("prev_max_end",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when($"prev_max_end".isNull || $"s" > $"prev_max_end", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    iv.groupBy($"user_id", $"island")
+      .agg(min($"s").as("start_ep"), max($"e").as("end_ep"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"island", $"start_ep", $"end_ep",
+        ($"end_ep" - $"start_ep").as("span_secs"), $"n_events")
+      .orderBy($"user_id", $"island")
+  }
+
   /** JOIN-SIZE ESTIMATION by Count-Min sketch dot product (Cormode &
     * Muthukrishnan 2005; the AGMS line) — what a cost-based optimizer
     * consults before picking a join strategy: the exact size of
@@ -2132,6 +2165,7 @@ object Relational {
     "q_salted_agg" -> qSaltedAgg,
     "q_skew_report" -> qSkewReport,
     "q_join_card_est" -> qJoinCardEst,
+    "q_interval_merge" -> qIntervalMerge,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -3027,6 +3061,28 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, CAST(SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM fl)
+        |SELECT user_id, island,
+        |  CAST(MIN(s) AS BIGINT) AS start_ep, CAST(MAX(e) AS BIGINT) AS end_ep,
+        |  CAST(MAX(e) - MIN(s) AS BIGINT) AS span_secs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
 
     "q_join_card_est" ->
       """WITH pu AS (

@@ -571,6 +571,38 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("interval merge: engine == Scala sweep replay; islands are disjoint covers") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_timestamp($"ts").as("s"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.map(r => (r._2, r._2 + 1800L, r._3)).sortBy(r => (r._1, r._3))
+      var island = 0L; var maxEnd = Long.MinValue
+      val tagged = ordered.map { case (s, e, _) =>
+        if (maxEnd == Long.MinValue || s > maxEnd) island += 1
+        maxEnd = math.max(maxEnd, e)
+        (island, s, e)
+      }
+      tagged.groupBy(_._1).map { case (i, xs) =>
+        (u, i, xs.map(_._2).min, xs.map(_._3).max,
+          xs.map(_._3).max - xs.map(_._2).min, xs.length.toLong)
+      }
+    }.toSet
+    val got = Relational.qIntervalMerge(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island"),
+        r.getAs[Long]("start_ep"), r.getAs[Long]("end_ep"),
+        r.getAs[Long]("span_secs"), r.getAs[Long]("n_events"))).toSet
+    assert(got == want)
+    // islands of one user never overlap and are ordered
+    got.groupBy(_._1).values.foreach { isl =>
+      val sorted = isl.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 < b._3, s"overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("SCD-2 point-in-time join: matches are the valid interval (containment identity)") {
     val ev = Tables.load(spark, sf0001, "events")
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
