@@ -194,6 +194,42 @@ object Multimodal {
     }
   }
 
+  case class SceneBoundary(media_id: Long, frame_idx: Long,
+      l1_diff: Long, is_cut: Boolean)
+
+  /** SCENE-CHANGE detection over video payloads: consecutive sampled
+    * frames are compared by 16-bucket byte histogram, and a boundary
+    * whose L1 histogram distance exceeds the threshold is a cut — the
+    * shot-segmentation primitive (keyframe selection, clip extraction
+    * for video training data). Runs entirely inside the partition
+    * (frames, histograms and diffs of one video never cross a task
+    * boundary — zero shuffle); the decode is the module's stubbed
+    * codec step, the windowing/diff plumbing is the real contract.
+    * Same frame geometry as [[sampleFrames]]. */
+  def sceneCuts(media: Dataset[Media], frameLen: Int = 32, stride: Int = 64,
+      maxFrames: Int = 4, threshold: Long = 16L): Dataset[SceneBoundary] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val bytes = decodeStub(m)
+        val hists = Iterator.range(0, maxFrames).flatMap { idx =>
+          val off = idx * stride
+          if (off + frameLen <= bytes.length) {
+            val h = new Array[Long](HistBuckets)
+            var j = 0
+            while (j < frameLen) { h((bytes(off + j) & 0xFF) / 16) += 1; j += 1 }
+            Some((idx.toLong, h))
+          } else None
+        }.toSeq
+        hists.sliding(2).collect { case Seq((_, h0), (i1, h1)) =>
+          var l1 = 0L; var b = 0
+          while (b < HistBuckets) { l1 += math.abs(h0(b) - h1(b)); b += 1 }
+          SceneBoundary(m.media_id, i1, l1, l1 > threshold)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
@@ -224,6 +260,12 @@ object Multimodal {
   def qMmDhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     dhashImages(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
+  }
+
+  def qMmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sceneCuts(mediaFromDocuments(spark, dir)).toDF()
+      .orderBy($"media_id", $"frame_idx")
   }
 
   /** Perceptual image near-dup PAIRS — the dedup half the dHash exists
@@ -264,7 +306,8 @@ object Multimodal {
     "q_mm_resize" -> qMmResize,
     "q_mm_audio_energy" -> qMmAudioEnergy,
     "q_mm_dhash" -> qMmDhash,
-    "q_mm_dhash_pairs" -> qMmDhashPairs
+    "q_mm_dhash_pairs" -> qMmDhashPairs,
+    "q_mm_scene_cuts" -> qMmSceneCuts
   )
 
   private def duckPx(i: Int): String =
@@ -285,6 +328,33 @@ object Multimodal {
        |FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mm_scene_cuts" ->
+      """WITH pos AS (
+        |  SELECT f.f, j.j FROM (SELECT unnest(range(0, 4)) AS f) f,
+        |       (SELECT unnest(range(0, 32)) AS j) j),
+        |v AS (
+        |  SELECT doc_id, pos.f,
+        |    ord(substr(text, pos.f * 64 + pos.j + 1, 1)) // 16 AS bucket
+        |  FROM documents, pos
+        |  WHERE doc_id % 3 = 2 AND length(text) >= pos.f * 64 + 32),
+        |h AS (SELECT doc_id, f, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM v GROUP BY doc_id, f, bucket),
+        |hg AS (
+        |  SELECT df.doc_id, df.f, g.bucket, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT doc_id, f FROM v) df
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+        |  LEFT JOIN h ON h.doc_id = df.doc_id AND h.f = df.f
+        |             AND h.bucket = g.bucket),
+        |l1 AS (
+        |  SELECT a.doc_id, b.f AS frame_idx,
+        |    CAST(SUM(abs(b.c - a.c)) AS BIGINT) AS l1_diff
+        |  FROM hg a JOIN hg b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |                     AND a.bucket = b.bucket
+        |  GROUP BY a.doc_id, b.f)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  l1_diff, l1_diff > 16 AS is_cut
+        |FROM l1 ORDER BY media_id, frame_idx""".stripMargin,
+
     "q_mm_dhash" ->
       s"""WITH $duckDhashCte
          |SELECT media_id, dhash_hi, dhash_lo FROM h

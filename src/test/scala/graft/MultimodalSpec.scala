@@ -118,4 +118,33 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("scene cuts: video rows only, matches direct histogram-diff recomputation") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val got = Multimodal.sceneCuts(media).collect()
+      .map(b => (b.media_id, b.frame_idx) -> ((b.l1_diff, b.is_cut))).toMap
+    assert(got.nonEmpty)
+    val byId = media.collect().map(m => m.media_id -> m).toMap
+    // every boundary belongs to a video payload
+    assert(got.keys.forall { case (id, _) => byId(id).kind == "video" })
+    got.foreach { case ((id, fi), (l1, cut)) =>
+      val bytes = byId(id).content
+      def hist(f: Long): Array[Long] = {
+        val h = new Array[Long](16)
+        (0 until 32).foreach(j => h((bytes(f.toInt * 64 + j) & 0xFF) / 16) += 1)
+        h
+      }
+      val (h0, h1) = (hist(fi - 1), hist(fi))
+      val want = (0 until 16).map(b => math.abs(h0(b) - h1(b))).sum
+      assert(l1 == want && cut == (l1 > 16L), s"media $id boundary $fi")
+    }
+    // boundaries are exactly the consecutive valid frame pairs
+    val wantKeys = byId.values.filter(_.kind == "video").flatMap { m =>
+      val nFrames = (0 until 4).count(f => f * 64 + 32 <= m.content.length)
+      (1 until nFrames).map(i => (m.media_id, i.toLong))
+    }.toSet
+    assert(got.keySet == wantKeys)
+    // the synthetic corpus has real cuts and real non-cuts
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
 }
