@@ -17,7 +17,10 @@ object Bench {
     "q_graph_pagerank", "q_graph_triangles",
     // late-r7 heavies: two more iterative/anchored graph shapes and
     // the stored-index BM25 (pays its one-time index build per sf)
-    "q_graph_cc", "q_graph_linkpred", "q_text_bm25_indexed")
+    "q_graph_cc", "q_graph_linkpred", "q_text_bm25_indexed",
+    // end-of-r7 heavies: HITS (+ its bipartite staging), the itemCF
+    // basket fan-out, the EWMA HOF folds, multi-touch windows
+    "q_graph_hits", "q_rec_itemcf", "q_ts_ewma", "q_attr_multitouch")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
