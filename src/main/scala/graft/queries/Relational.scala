@@ -977,6 +977,48 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** FORECAST-ACCURACY readout (seasonal-naive evaluation): per event
+    * type, hourly volumes are "forecast" by the same hour one day
+    * earlier (the seasonal-naive baseline every real forecast must
+    * beat) and by the previous hour (persistence); the query reports
+    * both exact mean absolute errors ×100 and their ratio in ppm — the
+    * MASE-style skill score monitoring dashboards track. All integer:
+    * counts, absolute differences, integral-div means. Shape: one
+    * (type, hour) map-side-combined rollup, then two lag windows over
+    * the HOURS frame (|types|·|hours| rows — time rollups shrink
+    * before they sort), one |types|-row readout. */
+  def qForecastMase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 3600L").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    // DENSIFY: zero-volume hours are real observations a forecast must
+    // predict — lag over the sparse observed sequence would silently
+    // compare across gaps (the qTsFill grid pattern)
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("hour"))
+    val dense = grid.join(hourly, Seq("event_type", "hour"), "left_outer")
+      .select($"event_type", $"hour", coalesce($"n", lit(0L)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val scored = dense
+      .withColumn("prev_day", lag($"n", 24).over(w))
+      .withColumn("prev_hour", lag($"n", 1).over(w))
+      .filter($"prev_day".isNotNull && $"prev_hour".isNotNull)
+    scored.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs($"n" - $"prev_day")).as("ae_seasonal"),
+        sum(abs($"n" - $"prev_hour")).as("ae_persist"))
+      .select($"event_type", $"n_hours",
+        expr("(ae_seasonal * 100) div n_hours").as("mae_seasonal_x100"),
+        expr("(ae_persist * 100) div n_hours").as("mae_persist_x100"),
+        expr("""CASE WHEN ae_persist = 0 THEN 0L
+               |ELSE (ae_seasonal * 1000000) div ae_persist END""".stripMargin)
+          .as("skill_ppm"))
+      .orderBy($"event_type")
+  }
+
   /** INTERVAL MERGE (gaps-and-islands over RANGES): each event opens a
     * 30-minute activity interval; overlapping or touching intervals
     * merge into islands — the classic coverage computation
@@ -2166,6 +2208,7 @@ object Relational {
     "q_skew_report" -> qSkewReport,
     "q_join_card_est" -> qJoinCardEst,
     "q_interval_merge" -> qIntervalMerge,
+    "q_forecast_mase" -> qForecastMase,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -3061,6 +3104,38 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_forecast_mase" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS hour
+        |  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        |        FROM hourly GROUP BY event_type)),
+        |dense AS (
+        |  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hour = g.hour),
+        |scored AS (
+        |  SELECT *,
+        |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS prev_day,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS prev_hour
+        |  FROM dense),
+        |f AS (SELECT * FROM scored WHERE prev_day IS NOT NULL
+        |      AND prev_hour IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST((SUM(abs(n - prev_day)) * 100) // COUNT(*) AS BIGINT)
+        |    AS mae_seasonal_x100,
+        |  CAST((SUM(abs(n - prev_hour)) * 100) // COUNT(*) AS BIGINT)
+        |    AS mae_persist_x100,
+        |  CAST(CASE WHEN SUM(abs(n - prev_hour)) = 0 THEN 0
+        |    ELSE (SUM(abs(n - prev_day)) * 1000000) // SUM(abs(n - prev_hour))
+        |  END AS BIGINT) AS skill_ppm
+        |FROM f GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (

@@ -571,6 +571,34 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("forecast evaluation: engine == dense-grid Scala replay") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_type", unix_timestamp($"ts").as("s"))
+      .as[(String, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (t, xs) =>
+      val byHour = xs.groupBy(_._2 / 3600).map { case (h, ys) => h -> ys.length.toLong }
+      val h0 = byHour.keys.min; val h1 = byHour.keys.max
+      val dense = (h0 to h1).map(h => byHour.getOrElse(h, 0L))
+      val rows = dense.indices.drop(24).map { i =>
+        (math.abs(dense(i) - dense(i - 24)), math.abs(dense(i) - dense(i - 1)))
+      }
+      if (rows.isEmpty) None
+      else {
+        val aeS = rows.map(_._1).sum; val aeP = rows.map(_._2).sum
+        Some(t -> ((rows.length.toLong, aeS * 100 / rows.length,
+          aeP * 100 / rows.length,
+          if (aeP == 0) 0L else aeS * 1000000L / aeP)))
+      }
+    }
+    val got = Relational.qForecastMase(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_hours"), r.getAs[Long]("mae_seasonal_x100"),
+          r.getAs[Long]("mae_persist_x100"), r.getAs[Long]("skill_ppm"))))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("interval merge: engine == Scala sweep replay; islands are disjoint covers") {
     val ev = Tables.load(spark, sf0001, "events")
       .select($"user_id", unix_timestamp($"ts").as("s"), $"event_id")

@@ -127,6 +127,51 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
   }
 
+  test("randomized: forward and nearest equal their formulations on adversarial mixes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(20260814L)
+    val schemaL = StructType(Seq(StructField("lk", LongType),
+      StructField("lt", LongType), StructField("lid", LongType)))
+    val schemaR = StructType(Seq(StructField("rk", LongType),
+      StructField("rt", LongType), StructField("rid", LongType)))
+    def canon(xs: Array[(Long, Option[Any], Option[Any])]) =
+      xs.toList.sortBy(t => (t._1, t._2.map(_.toString).getOrElse(""),
+        t._3.map(_.toString).getOrElse("")))
+    val oldThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try for (trial <- 1 to 6) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        if (trial % 2 == 0) "-1" else "10485760")
+      val lRows = (0 until 150).map(i => Row(rnd.nextInt(6).toLong,
+        rnd.nextInt(10).toLong, i.toLong))
+      val rRows = Seq.fill(150)(Row(rnd.nextInt(8).toLong,
+        rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+      val l = spark.createDataFrame(spark.sparkContext.parallelize(lRows, 5), schemaL)
+      val r = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 3), schemaR)
+      def run(dir: String) = canon(
+        AsOfJoin.joinAsOf(l, r, "lk", "rk", "lt", "rt", "rid",
+            payload = Seq("rt", "rid"), direction = dir)
+          .collect().map(x => (x.getLong(2), Option(x.get(3)), Option(x.get(4)))))
+      val fwdWant = canon(
+        l.join(r, $"lk" === $"rk" && $"rt" > $"lt", "left_outer")
+          .groupBy($"lk", $"lt", $"lid")
+          .agg(min_by(struct($"rt", $"rid"), struct($"rt", $"rid")).as("m"))
+          .select($"lid", $"m.rt", $"m.rid")
+          .collect().map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))))
+      assert(run("forward") == fwdWant, s"forward trial $trial")
+      val nearWant = canon(
+        l.join(r, $"lk" === $"rk" && $"rt" =!= $"lt", "left_outer")
+          .groupBy($"lk", $"lt", $"lid")
+          .agg(min_by(struct($"rt", $"rid"),
+            struct(abs($"rt" - $"lt"),
+              when($"rt" < $"lt", 0L).otherwise(1L),
+              when($"rt" < $"lt", -$"rid").otherwise($"rid"))).as("m"))
+          .select($"lid", $"m.rt", $"m.rid")
+          .collect().map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))))
+      assert(run("nearest") == nearWant, s"nearest trial $trial")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
+  }
+
   test("tolerance: both physical variants equal the filtered max_by formulation") {
     val tol = 3600L * 1000000L
     def reference: Set[(Long, Option[Any], Option[Any])] =
