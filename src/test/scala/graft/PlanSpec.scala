@@ -192,7 +192,10 @@ class PlanSpec extends SparkSpec {
       "q_join_card_est",
       // expectations: each RI check crosses a 1-row child count with a
       // 1-row broadcast orphan count
-      "q_expectations")
+      "q_expectations",
+      // LSH recall audit: 1-row hit/lsh count broadcasts onto the
+      // 1-row truth count
+      "q_dedup_lsh_recall")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
