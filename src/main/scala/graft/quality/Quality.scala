@@ -977,6 +977,48 @@ object Quality {
         col("kw_ppm"), col("code_score_ppm"), col("is_code"))
       .orderBy(col("doc_id"))
 
+  /** EXACT AUC for the code classifier (Mann–Whitney U with midrank
+    * ties) — the threshold-free evaluation the confusion-matrix family
+    * (q_langid_eval) can't provide: AUC = P(score of a random code doc
+    * > score of a random prose doc), computed without floats via the
+    * doubled-midrank identity — a tie group of size g after c smaller
+    * rows has 2·midrank = 2c + g + 1 (always integer), so
+    * `AUC·10⁶ = ((Σ2R⁺ − nP(nP+1))·10⁶) div (2·nP·nN)` exactly.
+    * Ground truth is the augmented view's construction (docs with
+    * `doc_id % 20 == 0` get no injected code — the prose negatives),
+    * scored by the SAME [[withCodeScore]] the detector uses.
+    * Shape: one score-keyed combine to the distinct-score frame, one
+    * window over that shrunken frame (the value-count ranking
+    * machinery), a 1-row readout. */
+  def qClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aucOf(withCodeScore(Tables.load(spark, dir, "documents")
+      .withColumn("t", expr(
+        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .select($"code_score_ppm".as("score"),
+        ($"doc_id" % 20 =!= 0).as("label")))
+  }
+
+  /** Core exact-AUC over an explicit (score: long, label: boolean)
+    * frame — factored out so specs can drive it on non-degenerate
+    * fixtures (the corpus separates perfectly; ties and interleaving
+    * need constructed inputs). */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    val groups = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("gpos"))
+    val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .withColumn("c", coalesce(sum(col("g")).over(w), lit(0L)))
+      .agg(
+        sum(col("gpos")).as("n_pos"),
+        sum(col("g") - col("gpos")).as("n_neg"),
+        sum(col("gpos") * (lit(2L) * col("c") + col("g") + 1L)).as("sum2r_pos"))
+      .select(col("n_pos"), col("n_neg"), col("sum2r_pos"),
+        expr("""cast(((sum2r_pos - n_pos * (n_pos + 1)) * 1000000)
+               |div (2 * n_pos * n_neg) as bigint)""".stripMargin).as("auc_ppm"))
+  }
+
   /** Distribution drift between two time periods of the event stream:
     * value-histogram shares per event type (10 fixed-width bins),
     * reference period vs current period, with the per-bin share delta
@@ -1144,6 +1186,7 @@ object Quality {
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_kanon_audit" -> qKanonAudit,
+    "q_classifier_auc" -> qClassifierAuc,
     "q_expectations" -> ((sp, d) => Expectations.standardSuite(sp, d)),
     "q_ab_ztest" -> qAbZtest,
     "q_ab_srm" -> qAbSrm,
@@ -1539,6 +1582,41 @@ object Quality {
         |  UNION ALL SELECT 'orders_customer_ri', n_rows, v FROM ri2)
         |SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    "q_classifier_auc" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' ' || repeat('if (x) { y = x + 1; return y; } ',
+        |                          CAST(doc_id % 20 AS INT)) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_chars,
+        |    CAST(len(t) - len(regexp_replace(t, '[{}();=+<>\[\]]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+        |      w -> w IN ('if','return','def','class','for','while','import','var','val')))
+        |      AS BIGINT) AS kw_hits,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'), w -> w <> ''))
+        |      AS BIGINT) AS n_words
+        |  FROM aug),
+        |scored AS (
+        |  SELECT doc_id % 20 <> 0 AS label,
+        |    ((n_sym * 1000000) // n_chars + (kw_hits * 1000000) // n_words) // 2
+        |      AS score
+        |  FROM m),
+        |g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS g,
+        |        CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS gpos
+        |      FROM scored GROUP BY score),
+        |r AS (SELECT *, COALESCE(SUM(g.g) OVER (ORDER BY score
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |      FROM g)
+        |SELECT CAST(SUM(gpos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(g - gpos) AS BIGINT) AS n_neg,
+        |  CAST(SUM(gpos * (2 * c + g + 1)) AS BIGINT) AS sum2r_pos,
+        |  CAST(((SUM(gpos * (2 * c + g + 1)) - SUM(gpos) * (SUM(gpos) + 1)) * 1000000)
+        |    // (2 * SUM(gpos) * SUM(g - gpos)) AS BIGINT) AS auc_ppm
+        |FROM r""".stripMargin,
 
     "q_epoch_shard" ->
       """WITH e AS (

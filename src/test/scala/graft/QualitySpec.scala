@@ -558,6 +558,31 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("exact AUC: midrank identity == brute pair counting on randomized fixtures") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 8) {
+      // small score domain forces heavy ties and class interleaving
+      val rows = (1 to 120).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextBoolean()))
+      if (rows.exists(_._2) && rows.exists(!_._2)) {
+        // brute AUC: wins + half-ties over all (pos, neg) pairs, x2 to
+        // stay integral
+        val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+        val twice = (for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val wantPpm = twice * 1000000L / (2L * pos.length * neg.length)
+        val r = Quality.aucOf(rows.toDF("score", "label")).collect().head
+        assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+        assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+        assert(r.getAs[Long]("auc_ppm") == wantPpm)
+      }
+    }
+    // the corpus query: perfect separation by construction
+    val corpus = Quality.qClassifierAuc(spark, sf0001).collect().head
+    assert(corpus.getAs[Long]("auc_ppm") == 1000000L)
+    assert(corpus.getAs[Long]("n_neg") > 0)
+  }
+
   test("expectations: clean corpus passes the standard suite; violations are counted") {
     import graft.quality.Expectations
     val rows = Expectations.standardSuite(spark, sf0001).collect()
