@@ -226,4 +226,55 @@ object TransformWithStateOps {
       .transformWithState(new SessionCloseProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class Metered(userId: Long, seq: Long, cents: Long)
+  case class EwmaAlert(userId: Long, seq: Long, cents: Long,
+      ema_before: Long, dev: Long, band: Long, alert: Boolean)
+
+  /** ONLINE EWMA control chart — the streaming alerting leg of
+    * `Relational.qTsEwma`, sharing its recurrence VERBATIM
+    * (`ema' = (v + 3·ema) div 4`, integer cents): per key the state
+    * holds (ema, Σ|dev|, n); each arriving point is judged against the
+    * band BEFORE folding in (the prequential rule — an online monitor
+    * can only use the past, where the batch chart's band is the whole
+    * series' mean deviation). Alert when `dev > 3·(Σdev div (n−1))`
+    * with at least 2 prior points. State is three longs per key —
+    * O(keys), never O(history) — and rows emit with their dev/band so
+    * the alert is auditable downstream. */
+  class EwmaAlertProcessor
+      extends StatefulProcessor[Long, Metered, EwmaAlert] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "ewma", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Metered],
+        timerValues: TimerValues): Iterator[EwmaAlert] = {
+      var (ema, sd, n) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = rows.toSeq.sortBy(_.seq).map { m =>
+        val dev = if (n == 0) 0L else math.abs(m.cents - ema)
+        val band = if (n >= 2) 3L * (sd / (n - 1)) else Long.MaxValue
+        val alert = n >= 2 && dev > band
+        val res = EwmaAlert(key, m.seq, m.cents, ema, dev,
+          if (band == Long.MaxValue) -1L else band, alert)
+        if (n == 0) ema = m.cents
+        else { sd += dev; ema = (m.cents + 3L * ema) / 4L }
+        n += 1
+        res
+      }
+      st.update((ema, sd, n))
+      out.iterator
+    }
+  }
+
+  /** Per-key online anomaly alerts over a metered stream; rows within
+    * a batch process in `seq` order (the stream's event order). */
+  def ewmaAlerts(points: Dataset[Metered]): Dataset[EwmaAlert] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.userId)
+      .transformWithState(new EwmaAlertProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

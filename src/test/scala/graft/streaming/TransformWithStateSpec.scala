@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
-import graft.streaming.TransformWithStateOps.{EventIn, RunningTotal}
+import graft.streaming.TransformWithStateOps.{EventIn, EwmaAlert, Metered, RunningTotal}
 
 /** transformWithState (Spark 4 arbitrary-state API) on the RocksDB
   * state store: totals accumulate across micro-batches per key. */
@@ -379,6 +379,60 @@ class TransformWithStateSpec extends SparkSpec {
       // key 2's session closes once key 3 moves the watermark past it
       val bobTs = ts("2026-08-12 11:00:00").getTime
       assert(rows.contains(ClosedSession(2L, bobTs, bobTs, 1L)), rows)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("online EWMA alerts: prequential band, cross-batch state, Scala replay") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Metered]
+    val q = TransformWithStateOps.ewmaAlerts(input.toDS())
+      .writeStream.format("memory").queryName("ewma_alerts")
+      .outputMode("append").start()
+    // user 1: stable around 100 then a spike; user 2: constant (no alert,
+    // zero band means any nonzero dev alerts after 2 points)
+    val pts = Seq(
+      Metered(1L, 1L, 100L), Metered(1L, 2L, 104L), Metered(1L, 3L, 98L),
+      Metered(1L, 4L, 102L), Metered(1L, 5L, 500L),
+      Metered(2L, 1L, 50L), Metered(2L, 2L, 50L), Metered(2L, 3L, 50L))
+    try {
+      input.addData(pts.take(4): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(4): _*)  // the spike arrives in batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_alerts").as[EwmaAlert].collect()
+      .map(a => (a.userId, a.seq) -> a).toMap
+
+    // direct Scala replay of the prequential semantics
+    val want = pts.groupBy(_.userId).flatMap { case (u, xs) =>
+      var ema = 0L; var sd = 0L; var n = 0L
+      xs.sortBy(_.seq).map { m =>
+        val dev = if (n == 0) 0L else math.abs(m.cents - ema)
+        val band = if (n >= 2) 3L * (sd / (n - 1)) else -1L
+        val alert = n >= 2 && dev > band
+        val res = (u, m.seq) -> ((ema, dev, band, alert))
+        if (n == 0) ema = m.cents else { sd += dev; ema = (m.cents + 3L * ema) / 4L }
+        n += 1
+        res
+      }
+    }
+    assert(got.size == pts.size)
+    want.foreach { case (k, (ema, dev, band, alert)) =>
+      val a = got(k)
+      assert((a.ema_before, a.dev, a.band, a.alert) == ((ema, dev, band, alert)), s"$k -> $a")
+    }
+    // the spike alerts; the stable user's small wobbles do not
+    assert(got((1L, 5L)).alert)
+    assert(!got((1L, 4L)).alert && !got((2L, 3L)).alert)
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
