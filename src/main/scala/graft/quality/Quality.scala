@@ -999,6 +999,33 @@ object Quality {
         ($"doc_id" % 20 =!= 0).as("label")))
   }
 
+  /** CALIBRATION readout for the code classifier — AUC says the
+    * RANKING is right; calibration says whether the score VALUES mean
+    * anything (a score bin's mean should track its empirical positive
+    * rate before anyone treats the score as a probability-like
+    * weight). Fixed 5000-ppm-wide score bins (capped at 9 — fixed
+    * bins, not quantiles, so bins are comparable across corpus
+    * versions), per bin: docs, mean score, positive rate in exact ppm.
+    * One combine rollup onto ≤10 rows. Same augmented view + shared
+    * [[withCodeScore]] as the AUC/detector. */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withCodeScore(Tables.load(spark, dir, "documents")
+      .withColumn("t", expr(
+        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .select($"code_score_ppm".as("score"),
+        ($"doc_id" % 20 =!= 0).as("label"))
+      .withColumn("bin", least(lit(9L), expr("score div 5000")))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"score").as("score_sum"),
+        sum(when($"label", 1L).otherwise(0L)).as("n_pos"))
+      .select($"bin", $"n_docs",
+        expr("score_sum div n_docs").as("mean_score_ppm"),
+        expr("(n_pos * 1000000) div n_docs").as("pos_rate_ppm"))
+      .orderBy($"bin")
+  }
+
   /** Core exact-AUC over an explicit (score: long, label: boolean)
     * frame — factored out so specs can drive it on non-degenerate
     * fixtures (the corpus separates perfectly; ties and interleaving
@@ -1187,6 +1214,7 @@ object Quality {
     "q_epoch_shard" -> qEpochShard,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
+    "q_calibration" -> qCalibration,
     "q_expectations" -> ((sp, d) => Expectations.standardSuite(sp, d)),
     "q_ab_ztest" -> qAbZtest,
     "q_ab_srm" -> qAbSrm,
@@ -1582,6 +1610,36 @@ object Quality {
         |  UNION ALL SELECT 'orders_customer_ri', n_rows, v FROM ri2)
         |SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    "q_calibration" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' ' || repeat('if (x) { y = x + 1; return y; } ',
+        |                          CAST(doc_id % 20 AS INT)) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_chars,
+        |    CAST(len(t) - len(regexp_replace(t, '[{}();=+<>\[\]]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+        |      w -> w IN ('if','return','def','class','for','while','import','var','val')))
+        |      AS BIGINT) AS kw_hits,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'), w -> w <> ''))
+        |      AS BIGINT) AS n_words
+        |  FROM aug),
+        |scored AS (
+        |  SELECT doc_id % 20 <> 0 AS label,
+        |    ((n_sym * 1000000) // n_chars + (kw_hits * 1000000) // n_words) // 2
+        |      AS score
+        |  FROM m)
+        |SELECT CAST(least(9, score // 5000) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+        |  CAST((SUM(CASE WHEN label THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+        |    AS BIGINT) AS pos_rate_ppm
+        |FROM scored GROUP BY least(9, score // 5000)
+        |ORDER BY bin""".stripMargin,
 
     "q_classifier_auc" ->
       """WITH aug AS (

@@ -558,6 +558,26 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("calibration bins: accounting consistent with the AUC frame") {
+    val rows = Quality.qCalibration(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_score_ppm"),
+          r.getAs[Long]("pos_rate_ppm"))))
+      .toMap
+    assert(rows.nonEmpty && rows.keys.forall(b => b >= 0 && b <= 9))
+    val auc = Quality.qClassifierAuc(spark, sf0001).collect().head
+    // bins partition the same scored corpus the AUC reads
+    assert(rows.values.map(_._1).sum ==
+      auc.getAs[Long]("n_pos") + auc.getAs[Long]("n_neg"))
+    rows.foreach { case (b, (_, mean, rate)) =>
+      assert(rate >= 0 && rate <= 1000000L)
+      if (b < 9) assert(mean >= b * 5000 && mean < (b + 1) * 5000, s"bin $b mean $mean")
+    }
+    // perfect separation shows up as monotone purity at the extremes
+    val minBin = rows.keys.min; val maxBin = rows.keys.max
+    assert(rows(minBin)._3 < rows(maxBin)._3)
+  }
+
   test("exact AUC: midrank identity == brute pair counting on randomized fixtures") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 8) {
