@@ -560,6 +560,44 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  /** DEGREE ASSORTATIVITY — do hubs attach to hubs (r > 0) or to
+    * leaves (r < 0)? Newman's r is the Pearson correlation of
+    * (deg(src), deg(dst)) over the DIRECTED edge list; on a symmetric
+    * edge list the two marginals coincide, so r collapses to the
+    * RATIONAL `(m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)` — no square root,
+    * hence exactly representable ×10⁶ (negative values divide by
+    * magnitude, the module's sign convention). Products ride
+    * DECIMAL(38,0) (m·Σxy tops BIGINT at corpus scale). One degree
+    * join per edge side + a 1-row moment readout — the cheapest graph
+    * statistic in the module. */
+  def qGraphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOnEdges(symmetricEdges(spark, dir))
+
+  /** Core over an explicit symmetric edge frame — factored for spec
+    * replay on fixtures. */
+  private[graft] def assortativityOnEdges(sym: DataFrame): DataFrame = {
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy"))
+        .hint("shuffle_hash"), Seq("dst"))
+    pairs.agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+        expr(
+          """cast(CASE
+            |  WHEN cast(m2 as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx = 0
+            |    THEN 0
+            |  WHEN cast(m2 as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx < 0
+            |    THEN -(((cast(sx as decimal(38,0)) * sx - cast(m2 as decimal(38,0)) * sxy) * 1000000)
+            |           div (cast(m2 as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx))
+            |  ELSE ((cast(m2 as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx) * 1000000)
+            |       div (cast(m2 as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)
+            |END as bigint)""".stripMargin).as("r_ppm"))
+  }
+
   /** Directed purchase edges customer → supplier (an order by customer
     * c containing a line supplied by s). Staged once per (session,
     * dir): the orders⋈lineitem join shuffles on orderkey, the distinct
@@ -650,7 +688,8 @@ object GraphOps {
     "q_graph_linkpred" -> qGraphLinkPred,
     "q_graph_ppr" -> qGraphPpr,
     "q_graph_hits" -> qGraphHits,
-    "q_graph_sssp" -> qGraphSssp)
+    "q_graph_sssp" -> qGraphSssp,
+    "q_graph_assortativity" -> qGraphAssortativity)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -828,6 +867,28 @@ object GraphOps {
          |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
          |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
          |ORDER BY part""".stripMargin,
+    "q_graph_assortativity" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY src),
+         |p AS (SELECT dx.d AS dx, dy.d AS dy
+         |      FROM edges e JOIN deg dx ON e.src = dx.src
+         |                   JOIN deg dy ON e.dst = dy.src),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         |         CAST(SUM(dx) AS BIGINT) AS sx,
+         |         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+         |       FROM p)
+         |SELECT m2, sx, sxx, sxy,
+         |  CAST(CASE
+         |    WHEN CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+         |    WHEN CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx < 0
+         |      THEN -(((CAST(sx AS HUGEINT) * sx - CAST(m2 AS HUGEINT) * sxy) * 1000000)
+         |             // (CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+         |    ELSE ((CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx) * 1000000)
+         |         // (CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+         |  END AS BIGINT) AS r_ppm
+         |FROM mo""".stripMargin,
     "q_graph_sssp" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |wce AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,

@@ -656,6 +656,53 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty && seeds.forall(s => got(s) == 0L))
   }
 
+  /** Direct BigInt replay of the rational assortativity. */
+  private def replayAssort(sym: Seq[(Long, Long)]): Long = {
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val xs = sym.map { case (s, t) => (BigInt(deg(s)), BigInt(deg(t))) }
+    val m2 = BigInt(xs.length)
+    val sx = xs.map(_._1).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val cov = m2 * sxy - sx * sx
+    val vr = m2 * sxx - sx * sx
+    if (vr == 0) 0L
+    else if (cov < 0) -((-cov * 1000000) / vr).toLong
+    else ((cov * 1000000) / vr).toLong
+  }
+
+  test("assortativity: fixture signs, BigInt replay, bounds") {
+    // a star (hub to leaves) is maximally DISassortative
+    val star = (2L to 6L).map(l => (1L, l))
+    val starSym = star ++ star.map(e => (e._2, e._1))
+    val rStar = GraphOps.assortativityOnEdges(starSym.toDF("src", "dst"))
+      .collect().head.getAs[Long]("r_ppm")
+    assert(rStar == replayAssort(starSym))
+    assert(rStar == -1000000L, s"star must be r = -1, got $rStar")
+    // two disjoint cliques of different sizes: every node links only
+    // to same-degree nodes — perfectly assortative
+    val k3 = for (i <- 1L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val cliqueSym = (k3 ++ k4) ++ (k3 ++ k4).map(e => (e._2, e._1))
+    val rCliques = GraphOps.assortativityOnEdges(cliqueSym.toDF("src", "dst"))
+      .collect().head.getAs[Long]("r_ppm")
+    assert(rCliques == replayAssort(cliqueSym))
+    assert(rCliques == 1000000L, s"disjoint cliques must be r = +1, got $rCliques")
+    // the real graph: engine == replay, r within [-1, 1]
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val ceSet = li.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = ceSet.toSeq ++ ceSet.toSeq.map(e => (e._2, e._1))
+    val r = GraphOps.qGraphAssortativity(spark, sf0001)
+      .collect().head.getAs[Long]("r_ppm")
+    assert(r == replayAssort(sym))
+    assert(math.abs(r) <= 1000000L)
+  }
+
   test("sf0.001 HITS: engine == BigInt replay on the real purchase graph") {
     val o = Tables.load(spark, sf0001, "orders")
       .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap

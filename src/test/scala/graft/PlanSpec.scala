@@ -215,6 +215,8 @@ class PlanSpec extends SparkSpec {
       "q_graph_hits",
       // SSSP stages the weighted edge table on construct
       "q_graph_sssp",
+      // assortativity reads the staged edge table (construct-time write)
+      "q_graph_assortativity",
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
       "q_revenue_monthly_inc", // runs rebuild + 2 partial merges on construct
       "q_sim_ivf_incremental",
