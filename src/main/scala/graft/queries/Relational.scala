@@ -977,6 +977,40 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** COHORT LTV curves — the monetary sibling of [[qCohortRetention]]:
+    * users cohorted by first-event epoch WEEK (the corpus spans one
+    * calendar month, so weekly cohorts are the non-degenerate grain),
+    * purchase revenue accumulated by week offset, lifetime value to
+    * date as exact `cum_cents div cohort_size`. Week index =
+    * `epoch div 604800` (monotone, so cohort = `min(week_idx)`);
+    * offsets carry only OBSERVED weeks — the running sum is correct
+    * across gaps, absent offsets are zero-revenue weeks (documented,
+    * not emitted). One user-keyed
+    * combine for cohorts, one co-keyed join for purchases, windows
+    * over the cohort×offset frame (tiny — time rollups shrink before
+    * they sort). All revenue exact BIGINT cents. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("week_idx", expr("unix_timestamp(ts) div 604800L"))
+    val cohort = ev.groupBy($"user_id").agg(min($"week_idx").as("cm"))
+    val sizes = cohort.groupBy($"cm").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"week_idx",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .join(cohort, Seq("user_id"))
+      .groupBy($"cm", ($"week_idx" - $"cm").as("offset"))
+      .agg(sum($"cents").as("revenue_cents"))
+    val w = Window.partitionBy($"cm").orderBy($"offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cm"))
+      .withColumn("cum_cents", sum($"revenue_cents").over(w))
+      .select($"cm".as("cohort_week_idx"), $"offset", $"n_users",
+        $"revenue_cents", $"cum_cents",
+        expr("cum_cents div n_users").as("ltv_cents_per_user"))
+      .orderBy($"cohort_week_idx", $"offset")
+  }
+
   /** FORECAST-ACCURACY readout (seasonal-naive evaluation): per event
     * type, hourly volumes are "forecast" by the same hour one day
     * earlier (the seasonal-naive baseline every real forecast must
@@ -2209,6 +2243,7 @@ object Relational {
     "q_join_card_est" -> qJoinCardEst,
     "q_interval_merge" -> qIntervalMerge,
     "q_forecast_mase" -> qForecastMase,
+    "q_cohort_ltv" -> qCohortLtv,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -3104,6 +3139,30 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week_idx,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week_idx) AS cm FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_users
+        |          FROM cohort GROUP BY cm),
+        |rev AS (
+        |  SELECT c.cm, e.week_idx - c.cm AS "offset",
+        |    CAST(SUM(e.cents) AS BIGINT) AS revenue_cents
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY c.cm, e.week_idx - c.cm),
+        |cum AS (
+        |  SELECT rev.cm, rev."offset", sizes.n_users, rev.revenue_cents,
+        |    CAST(SUM(rev.revenue_cents) OVER (PARTITION BY rev.cm ORDER BY rev."offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM rev JOIN sizes ON rev.cm = sizes.cm)
+        |SELECT cm AS cohort_week_idx, "offset", n_users, revenue_cents,
+        |  cum_cents, cum_cents // n_users AS ltv_cents_per_user
+        |FROM cum ORDER BY cohort_week_idx, "offset"""".stripMargin,
 
     "q_forecast_mase" ->
       """WITH hourly AS (

@@ -571,6 +571,37 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("cohort LTV: engine == Scala replay; curves are cumulative") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", expr("unix_timestamp(ts) div 604800L").as("w"),
+        $"event_type",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val rev = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case (k, xs) => k -> xs.map(_._4).sum }
+    val want = rev.groupBy(_._1._1).flatMap { case (c, offs) =>
+      var cum = 0L
+      offs.toSeq.sortBy(_._1._2).map { case ((_, o), r) =>
+        cum += r
+        (c, o, sizes(c), r, cum, cum / sizes(c))
+      }
+    }.toSet
+    val got = Relational.qCohortLtv(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cohort_week_idx"), r.getAs[Long]("offset"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("revenue_cents"),
+        r.getAs[Long]("cum_cents"), r.getAs[Long]("ltv_cents_per_user"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // LTV never decreases along a cohort's curve
+    got.groupBy(_._1).values.foreach { curve =>
+      val ltv = curve.toSeq.sortBy(_._2).map(_._6)
+      assert(ltv == ltv.sorted)
+    }
+  }
+
   test("forecast evaluation: engine == dense-grid Scala replay") {
     val ev = Tables.load(spark, sf0001, "events")
       .select($"event_type", unix_timestamp($"ts").as("s"))
