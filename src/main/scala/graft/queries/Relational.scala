@@ -977,6 +977,44 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** PARETO / concentration CURVE — the decile readout behind "the top
+    * 10% of customers drive X% of revenue", complementing the Gini
+    * SCALAR (q_gini_revenue) with the distribution itself: customers
+    * ranked by order revenue (descending, custkey tiebreak) into ten
+    * equal-count bands via `((rank−1)·10) div n`, per-decile revenue
+    * share and the cumulative share in exact ppm. The global rank
+    * reuses the banded distributed-rank machinery in spirit — here the
+    * rank window partitions by nothing but the frame has already
+    * shrunk to one row per customer with revenue (bounded by the
+    * customer dimension, not the fact table); the decile rollup is 10
+    * rows. All revenue exact DECIMAL→BIGINT cents. */
+  def qParetoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+        .as("cents"))
+    val n = rev.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+    val w = Window.orderBy($"cents".desc, $"o_custkey")
+    val deciles = rev
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rank - 1) * 10) div n"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("revenue_cents"),
+        max($"total").as("total"))
+    val wc = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum($"revenue_cents").over(wc))
+      .select($"decile", $"n_customers", $"revenue_cents",
+        expr("cast((cast(revenue_cents as decimal(38,0)) * 1000000) div total as bigint)")
+          .as("share_ppm"),
+        expr("cast((cast(cum_cents as decimal(38,0)) * 1000000) div total as bigint)")
+          .as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
   /** COHORT LTV curves — the monetary sibling of [[qCohortRetention]]:
     * users cohorted by first-event epoch WEEK (the corpus spans one
     * calendar month, so weekly cohorts are the non-degenerate grain),
@@ -2244,6 +2282,7 @@ object Relational {
     "q_interval_merge" -> qIntervalMerge,
     "q_forecast_mase" -> qForecastMase,
     "q_cohort_ltv" -> qCohortLtv,
+    "q_pareto_revenue" -> qParetoRevenue,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -3139,6 +3178,29 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_pareto_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+        |r AS (SELECT cents,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rank
+        |      FROM rev),
+        |d AS (SELECT ((rank - 1) * 10) // t.n AS decile,
+        |        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |        CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |        CAST(MAX(t.total) AS BIGINT) AS total
+        |      FROM r CROSS JOIN t GROUP BY ((rank - 1) * 10) // t.n),
+        |c AS (SELECT *, CAST(SUM(revenue_cents) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |      FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue_cents,
+        |  CAST((CAST(revenue_cents AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total AS BIGINT) AS cum_share_ppm
+        |FROM c ORDER BY decile""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH ev AS (

@@ -571,6 +571,38 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("Pareto curve: engine == Scala replay; shares accumulate to ~1e6") {
+    val rev = Tables.load(spark, sf0001, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+        .as("c"))
+      .select($"o_custkey", $"c").as[(Long, Long)].collect()
+    val n = rev.length.toLong; val total = rev.map(_._2).sum
+    val ranked = rev.sortBy { case (k, c) => (-c, k) }.zipWithIndex
+    val want = ranked.groupBy { case (_, i) => i.toLong * 10 / n }
+      .toSeq.sortBy(_._1).foldLeft((0L, Seq.empty[(Long, Long, Long, Long, Long)])) {
+        case ((cum, acc), (d, xs)) =>
+          val r = xs.map(_._1._2).sum
+          val c2 = cum + r
+          (c2, acc :+ ((d, xs.length.toLong, r,
+            (BigInt(r) * 1000000 / total).toLong,
+            (BigInt(c2) * 1000000 / total).toLong)))
+      }._2.toSet
+    val got = Relational.qParetoRevenue(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("revenue_cents"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("cum_share_ppm"))).toSet
+    assert(got == want)
+    assert(got.size == 10)
+    // deciles are balanced to within one customer; top decile dominates
+    val sizes = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    val byDecile = got.map(g => g._1 -> g._4).toMap
+    assert(byDecile(0L) > byDecile(9L))
+    // final cumulative share is exactly the truncated total
+    assert(got.maxBy(_._1)._5 == BigInt(total) * 1000000 / total)
+  }
+
   test("cohort LTV: engine == Scala replay; curves are cumulative") {
     val ev = Tables.load(spark, sf0001, "events")
       .select($"user_id", expr("unix_timestamp(ts) div 604800L").as("w"),

@@ -195,7 +195,10 @@ class PlanSpec extends SparkSpec {
       "q_expectations",
       // LSH recall audit: 1-row hit/lsh count broadcasts onto the
       // 1-row truth count
-      "q_dedup_lsh_recall")
+      "q_dedup_lsh_recall",
+      // Pareto: the 1-row (n, total) broadcast onto the ranked
+      // customer-revenue frame
+      "q_pareto_revenue")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
