@@ -366,6 +366,33 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DEDUP IMPACT report — what the near-dup clustering actually buys:
+    * the cluster-SIZE histogram (how many clusters of each size) with
+    * the removable-doc accounting (`(size−1)·n_clusters` per row —
+    * every cluster keeps one canonical) plus each size's share of the
+    * whole corpus in ppm. This is the readout a curation run publishes
+    * before committing a dedup pass: total docs touched, total
+    * removed, and whether the mass sits in pairs or in a few giant
+    * templates (which changes the keep-policy conversation). Built
+    * from the SAME staged component labels as q_dedup_components; the
+    * histogram rollup is |distinct sizes| rows. */
+  def qDedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = qDedupComponents(spark, dir)
+      .select($"doc_id", $"component_id", $"component_size")
+    val nDocs = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    comp.groupBy($"component_id", $"component_size").agg(count(lit(1)))
+      .groupBy($"component_size".as("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(nDocs))
+      .select($"size", $"n_clusters",
+        ($"size" * $"n_clusters").as("docs_in_clusters"),
+        (($"size" - 1L) * $"n_clusters").as("docs_removable"),
+        expr("(size * n_clusters * 1000000) div n_docs").as("corpus_share_ppm"))
+      .orderBy($"size")
+  }
+
   /** Canonical selection over the near-dup clusters with the KEEP-BEST
     * policy: the longest document wins its cluster (doc_id tiebreak),
     * everything else is dropped — the production dedup decision
@@ -656,6 +683,7 @@ object Dedup {
     "q_dedup_simhash_wide" -> qDedupSimhashWide,
     "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_impact" -> qDedupImpact,
     "q_dedup_cluster_pick" -> qDedupClusterPick,
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination,
@@ -897,6 +925,23 @@ object Dedup {
         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
         |  CASE WHEN doc_id = component_id THEN 'Y' ELSE 'N' END AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_impact" ->
+      (duckComponentsCte +
+        """,
+        |sized AS (
+        |  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS size
+        |  FROM comp GROUP BY component_id),
+        |hist AS (
+        |  SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM sized GROUP BY size),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT hist.size, hist.n_clusters,
+        |  CAST(hist.size * hist.n_clusters AS BIGINT) AS docs_in_clusters,
+        |  CAST((hist.size - 1) * hist.n_clusters AS BIGINT) AS docs_removable,
+        |  CAST((hist.size * hist.n_clusters * 1000000) // nd.n_docs AS BIGINT)
+        |    AS corpus_share_ppm
+        |FROM hist CROSS JOIN nd ORDER BY hist.size""".stripMargin),
 
     "q_dedup_cluster_pick" ->
       (duckComponentsCte +

@@ -469,6 +469,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
   }
 
+  test("dedup impact: histogram == components rollup; removable accounting holds") {
+    val comp = Dedup.qDedupComponents(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("component_id") -> r.getAs[Long]("component_size"))
+    val want = comp.groupBy(_._1).map(_._2.head._2)
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    val got = Dedup.qDedupImpact(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("docs_in_clusters"),
+          r.getAs[Long]("docs_removable"), r.getAs[Long]("corpus_share_ppm"))))
+      .toMap
+    assert(got.map { case (s, v) => s -> v._1 } == want)
+    got.foreach { case (s, (n, inC, rem, share)) =>
+      assert(inC == s * n && rem == (s - 1) * n)
+      assert(share == s * n * 1000000L / nDocs)
+      assert(s >= 2, "singletons never appear in the component frame")
+    }
+    // totals tie back to the component frame
+    assert(got.values.map(_._2).sum == comp.length.toLong)
+  }
+
   test("LSH dedup recall audit: counts consistent; banded path misses nothing within blocks") {
     val r = Dedup.qDedupLshRecall(spark, sf0001).collect()
     assert(r.length == 1)

@@ -224,7 +224,10 @@ class PlanSpec extends SparkSpec {
       "q_revenue_monthly_inc", // runs rebuild + 2 partial merges on construct
       "q_sim_ivf_incremental",
       // runs the components label-propagation rounds on construct
-      "q_dedup_cluster_pick")
+      "q_dedup_cluster_pick",
+      // impact report reads the staged component labels (construct-time
+      // propagation) and crosses the 1-row corpus count
+      "q_dedup_impact")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
