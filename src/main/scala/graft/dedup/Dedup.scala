@@ -366,6 +366,39 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** CONTAINMENT detection — the asymmetric near-dup symmetric Jaccard
+    * is BLIND to: a short document wholly quoted inside a long one has
+    * tiny Jaccard (the union is dominated by the long doc) but
+    * containment `|A∩B| div |A| ≈ 1`. Candidates come from the SAME
+    * LSH bands as the dedup pipeline; each pair is verified with BOTH
+    * directed containments and the Jaccard, and the interesting
+    * verdict is `contained` (max containment ≥ 800‰ while Jaccard
+    * < 500‰) — subset/quote pairs the symmetric threshold passes over.
+    * Same candidates→verify scale shape as qDedupLshVerify; the
+    * verify adds two integral divisions, nothing else. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = qDedupLsh(spark, dir)
+    val sh = withShingles(spark, dir)
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"sh_a", $"sh_b"))
+      .filter($"inter" > 0)
+      .withColumn("jac_permille", expr(
+        "(inter * 1000) div (size(sh_a) + size(sh_b) - inter)"))
+      .withColumn("cont_a_in_b", expr("(inter * 1000) div size(sh_a)"))
+      .withColumn("cont_b_in_a", expr("(inter * 1000) div size(sh_b)"))
+      .withColumn("verdict", expr(
+        """CASE WHEN jac_permille >= 500 THEN 'duplicate'
+          |     WHEN greatest(cont_a_in_b, cont_b_in_a) >= 800 THEN 'contained'
+          |     ELSE 'distinct' END""".stripMargin))
+      .select($"doc_a", $"doc_b", $"inter", $"jac_permille",
+        $"cont_a_in_b", $"cont_b_in_a", $"verdict")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** DEDUP IMPACT report — what the near-dup clustering actually buys:
     * the cluster-SIZE histogram (how many clusters of each size) with
     * the removable-doc accounting (`(size−1)·n_clusters` per row —
@@ -684,6 +717,7 @@ object Dedup {
     "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_impact" -> qDedupImpact,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_cluster_pick" -> qDedupClusterPick,
     "q_split_assign" -> qSplitAssign,
     "q_contamination" -> qContamination,
@@ -925,6 +959,42 @@ object Dedup {
         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
         |  CASE WHEN doc_id = component_id THEN 'Y' ELSE 'N' END AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_containment" ->
+      (s"""$duckShingleCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until MinhashK).map(i =>
+            s"    list_min(list_transform(sh, s -> substr(md5(s), ${4 * i + 1}, 4))) AS mh$i")
+            .mkString(",\n")}
+        |  FROM d WHERE len(sh) > 0),
+        |banded AS (
+        |${(0 until MinhashK / 2).map(bnd =>
+            s"  SELECT doc_id, $bnd AS band, md5(mh${2 * bnd} || mh${2 * bnd + 1}) AS sig FROM sig")
+            .mkString("\n  UNION ALL\n")}
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |    CAST(len(x.sh) AS BIGINT) AS la, CAST(len(y.sh) AS BIGINT) AS lb
+        |  FROM cand c
+        |  JOIN d x ON x.doc_id = c.doc_a
+        |  JOIN d y ON y.doc_id = c.doc_b
+        |  WHERE len(list_intersect(x.sh, y.sh)) > 0),
+        |m AS (
+        |  SELECT doc_a, doc_b, inter,
+        |    (inter * 1000) // (la + lb - inter) AS jac_permille,
+        |    (inter * 1000) // la AS cont_a_in_b,
+        |    (inter * 1000) // lb AS cont_b_in_a
+        |  FROM v)
+        |SELECT doc_a, doc_b, inter, jac_permille, cont_a_in_b, cont_b_in_a,
+        |  CASE WHEN jac_permille >= 500 THEN 'duplicate'
+        |       WHEN greatest(cont_a_in_b, cont_b_in_a) >= 800 THEN 'contained'
+        |       ELSE 'distinct' END AS verdict
+        |FROM m ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_dedup_impact" ->
       (duckComponentsCte +
