@@ -489,6 +489,27 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** PQ recall guard — completes the ANN recall family
+    * ([[qSimAnnRecall]] covers IVF and LSH): recall@3 of the full
+    * PQ/ADC pipeline (codebook → codes → asymmetric-distance top-10 →
+    * exact rerank top-3) against brute-force ground truth, integer
+    * permille. A codebook/subspace change that craters PQ recall now
+    * fails correctness, not just quality. */
+  def qSimPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qSimKnnBrute(spark, dir).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = truth.join(
+        qSimAnnPq(spark, dir).select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("pq_hits"))
+    truth.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select($"query_id", coalesce($"pq_hits", lit(0L)).as("pq_hits"),
+        expr("coalesce(pq_hits, 0L) * 1000 div 3").as("pq_recall_permille"))
+      .orderBy($"query_id")
+  }
+
   /** Per-label centroid embeddings (mean pooling — the class-prototype
     * / cluster-seed builder): posexplode to (label, pos, component),
     * sum in DECIMAL (summation-order independent across engines and
@@ -638,6 +659,7 @@ object Similarity {
     "q_sim_ann_lsh" -> qSimAnnLsh,
     "q_sim_ann_ivf" -> qSimAnnIvf,
     "q_sim_ann_pq" -> qSimAnnPq,
+    "q_sim_pq_recall" -> qSimPqRecall,
     "q_sim_ann_recall" -> qSimAnnRecall,
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
@@ -884,6 +906,20 @@ object Similarity {
        |LEFT JOIN lh ON q.query_id = lh.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  private val pqRecallOracle =
+    s"""WITH b AS (${baseOracles("q_sim_knn_brute")}),
+       |p AS (${baseOracles("q_sim_ann_pq")}),
+       |t AS (SELECT query_id, neighbor_id FROM b WHERE rank <= 3),
+       |ph AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+       |       FROM t JOIN p ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+       |       GROUP BY t.query_id)
+       |SELECT q.query_id,
+       |  coalesce(ph.hits, 0) AS pq_hits,
+       |  coalesce(ph.hits, 0) * 1000 // 3 AS pq_recall_permille
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN ph ON q.query_id = ph.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   private val centroidOracle =
     """WITH x AS (
       |  SELECT label, i + 1 AS idx, embedding[i + 1] AS val
@@ -1026,6 +1062,7 @@ object Similarity {
         |  END AS BIGINT) AS v FROM w2)
         |SELECT pos, v AS pc1_x1e6 FROM v2 ORDER BY pos""".stripMargin,
     "q_sim_ann_recall" -> recallOracle,
+    "q_sim_pq_recall" -> pqRecallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,
     "q_emb_qa" ->

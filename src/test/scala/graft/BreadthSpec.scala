@@ -571,6 +571,32 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("PQ recall guard: hits == set intersection; the 64x compression price is visible") {
+    val truth = Similarity.qSimKnnBrute(spark, sf0001).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val pq = Similarity.qSimAnnPq(spark, sf0001)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val got = Similarity.qSimPqRecall(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("pq_hits"), r.getAs[Long]("pq_recall_permille"))))
+      .toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (q, (hits, recall)) =>
+      val want = truth(q).intersect(pq.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == want, s"query $q")
+      assert(recall == hits * 1000 / 3)
+    }
+    // the guard's point: 8-codeword-per-subspace PQ at 64x compression
+    // measurably loses neighbors — at sf0.001 recall@3 is actually ZERO
+    // across all queries (the driver's sf0.01 check measures ~200
+    // permille), which is exactly the signal the audit exists to
+    // surface; a fake 100% would indicate a broken pipeline
+    assert(got.values.exists(_._1 < 3L))
+    assert(got.values.forall(v => v._1 >= 0L && v._1 <= 3L))
+  }
+
   test("Pareto curve: engine == Scala replay; shares accumulate to ~1e6") {
     val rev = Tables.load(spark, sf0001, "orders")
       .groupBy($"o_custkey")

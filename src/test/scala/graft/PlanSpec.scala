@@ -227,7 +227,10 @@ class PlanSpec extends SparkSpec {
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time
       // propagation) and crosses the 1-row corpus count
-      "q_dedup_impact")
+      "q_dedup_impact",
+      // PQ recall drives the full PQ pipeline (stored code table
+      // written on construct; brute side's broadcast-query cross join)
+      "q_sim_pq_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
