@@ -366,6 +366,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DEDUP BIAS audit — does the dedup pass disproportionately erase a
+    * source? Responsible curation requires knowing WHERE the removed
+    * mass comes from: a near-dup pass that happens to hit one domain
+    * 10× harder than the corpus average silently reshapes the mix.
+    * Per source: docs, docs the keep-best policy drops (the SAME
+    * [[qDedupClusterPick]] decision — shared-definition rule), removal
+    * rate in ppm, the corpus-wide rate, and the bias ratio ×1000
+    * (1000 = at par). One join of the tiny drop set onto document
+    * sources + a |sources|-row rollup + a 1-row corpus-rate
+    * broadcast. */
+  def qDedupBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val drops = qDedupClusterPick(spark, dir)
+      .filter($"action" === "drop").select($"doc_id")
+    val perSource = Tables.load(spark, dir, "documents")
+      .join(drops.withColumn("dropped", lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"dropped", lit(0L))).as("n_removed"))
+    val corpus = perSource.agg(
+      sum($"n_docs").as("tot_docs"), sum($"n_removed").as("tot_removed"))
+    perSource.crossJoin(broadcast(corpus))
+      .select($"source", $"n_docs", $"n_removed",
+        expr("(n_removed * 1000000) div n_docs").as("removed_ppm"),
+        expr("(tot_removed * 1000000) div tot_docs").as("corpus_removed_ppm"),
+        expr("""CASE WHEN tot_removed = 0 THEN 1000L
+               |ELSE ((n_removed * 1000000) div n_docs) * 1000
+               |     div ((tot_removed * 1000000) div tot_docs) END""".stripMargin)
+          .as("bias_x1000"))
+      .orderBy($"source")
+  }
+
   /** CONTAINMENT detection — the asymmetric near-dup symmetric Jaccard
     * is BLIND to: a short document wholly quoted inside a long one has
     * tiny Jaccard (the union is dominated by the long doc) but
@@ -717,6 +749,7 @@ object Dedup {
     "q_dedup_simhash_wide_pairs" -> qDedupSimhashWidePairs,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_impact" -> qDedupImpact,
+    "q_dedup_bias" -> qDedupBias,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_cluster_pick" -> qDedupClusterPick,
     "q_split_assign" -> qSplitAssign,
@@ -1012,6 +1045,36 @@ object Dedup {
         |  CAST((hist.size * hist.n_clusters * 1000000) // nd.n_docs AS BIGINT)
         |    AS corpus_share_ppm
         |FROM hist CROSS JOIN nd ORDER BY hist.size""".stripMargin),
+
+    "q_dedup_bias" ->
+      (duckComponentsCte +
+        """,
+        |sized AS (
+        |  SELECT c.doc_id, c.component_id, doc.n_chars
+        |  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id),
+        |rk AS (
+        |  SELECT component_id, doc_id,
+        |         row_number() OVER (PARTITION BY component_id
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM sized),
+        |drops AS (SELECT doc_id FROM rk WHERE rn > 1),
+        |ps AS (
+        |  SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed
+        |  FROM documents doc LEFT JOIN drops dr ON dr.doc_id = doc.doc_id
+        |  GROUP BY doc.source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |               CAST(SUM(n_removed) AS BIGINT) AS tot_removed FROM ps)
+        |SELECT ps.source, ps.n_docs, ps.n_removed,
+        |  CAST((ps.n_removed * 1000000) // ps.n_docs AS BIGINT) AS removed_ppm,
+        |  CAST((tot.tot_removed * 1000000) // tot.tot_docs AS BIGINT)
+        |    AS corpus_removed_ppm,
+        |  CAST(CASE WHEN tot.tot_removed = 0 THEN 1000
+        |    ELSE ((ps.n_removed * 1000000) // ps.n_docs) * 1000
+        |         // ((tot.tot_removed * 1000000) // tot.tot_docs) END AS BIGINT)
+        |    AS bias_x1000
+        |FROM ps CROSS JOIN tot ORDER BY ps.source""".stripMargin),
 
     "q_dedup_cluster_pick" ->
       (duckComponentsCte +

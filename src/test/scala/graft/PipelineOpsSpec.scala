@@ -504,6 +504,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fixture.getAs[Long]("jac_permille") < 500L)
   }
 
+  test("dedup bias: removal accounting ties to the keep-best decision") {
+    val drops = Dedup.qDedupClusterPick(spark, sf0001).collect()
+      .filter(_.getAs[String]("action") == "drop").map(_.getAs[Long]("doc_id")).toSet
+    val src = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val got = Dedup.qDedupBias(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("removed_ppm"), r.getAs[Long]("corpus_removed_ppm"),
+          r.getAs[Long]("bias_x1000"))))
+      .toMap
+    // per-source accounting matches the shared keep-best decision
+    val want = src.groupBy(_._2).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.count(x => drops(x._1)).toLong))
+    }
+    assert(got.map { case (s, v) => s -> ((v._1, v._2)) } == want)
+    assert(got.values.map(_._2).sum == drops.size.toLong)
+    val corpusPpm = drops.size.toLong * 1000000L / src.length
+    got.foreach { case (s, (n, rem, ppm, cPpm, bias)) =>
+      assert(ppm == rem * 1000000L / n)
+      assert(cPpm == corpusPpm)
+      assert(bias == (if (corpusPpm == 0) 1000L else ppm * 1000L / cPpm), s)
+    }
+    // the corpus removes something, and sources genuinely differ
+    assert(drops.nonEmpty)
+    assert(got.values.map(_._5).toSet.size > 1)
+  }
+
   test("dedup impact: histogram == components rollup; removable accounting holds") {
     val comp = Dedup.qDedupComponents(spark, sf0001).collect()
       .map(r => r.getAs[Long]("component_id") -> r.getAs[Long]("component_size"))

@@ -230,7 +230,10 @@ class PlanSpec extends SparkSpec {
       "q_dedup_impact",
       // PQ recall drives the full PQ pipeline (stored code table
       // written on construct; brute side's broadcast-query cross join)
-      "q_sim_pq_recall")
+      "q_sim_pq_recall",
+      // bias audit runs the components propagation on construct and
+      // crosses the 1-row corpus-rate broadcast
+      "q_dedup_bias")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
