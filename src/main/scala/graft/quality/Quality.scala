@@ -845,6 +845,40 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** MIX DIVERGENCE — did curation deliver the mix it was asked for?
+    * The achieved per-source share of KEPT docs (the composed
+    * pipeline's own verdicts, shared-definition rule) is compared to
+    * the TARGET mix implied by the sampling rates
+    * (`n_docs_s · rate_s`, normalized), and the gap is summarized as
+    * TOTAL-VARIATION distance — `½·Σ|achieved − target|` — which
+    * unlike KL needs no logarithm, so the whole readout is exact
+    * integer ppm. Gate/dedup/decontamination losses are exactly what
+    * push achieved off target; a TV beyond tolerance means the
+    * sampling rates need re-planning against the post-filter corpus.
+    * Per-source rows + the half-sum repeated for the release note. */
+  def qMixDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = qPipelineCuration(spark, dir)
+    val kept = v.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"verdict" === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate_permille", mixRateCol)
+    val tot = kept.agg(sum($"n_kept").as("tot_kept"),
+      sum($"n_docs" * $"rate_permille").as("tot_target"))
+    val shares = kept.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_kept",
+        expr("(n_kept * 1000000) div tot_kept").as("achieved_ppm"),
+        expr("cast((cast(n_docs as decimal(38,0)) * rate_permille * 1000000) div tot_target as bigint)")
+          .as("target_ppm"))
+      .withColumn("abs_gap_ppm",
+        expr("abs(achieved_ppm - target_ppm)"))
+    val tv = shares.agg(expr("cast(sum(abs_gap_ppm) div 2 as bigint)").as("tv_ppm"))
+    shares.crossJoin(broadcast(tv))
+      .select($"source", $"n_docs", $"n_kept", $"achieved_ppm",
+        $"target_ppm", $"abs_gap_ppm", $"tv_ppm")
+      .orderBy($"source")
+  }
+
   /** The pipeline's loss funnel: docs and token mass per (source,
     * verdict) — the one-page artifact a corpus build reports ("where
     * did the data go"). Same frame as [[qPipelineCuration]], one
@@ -1227,6 +1261,7 @@ object Quality {
     "q_code_detect" -> qCodeDetect,
     "q_quality_drift" -> qQualityDrift,
     "q_pipeline_curation" -> qPipelineCuration,
+    "q_mix_divergence" -> qMixDivergence,
     "q_pipeline_funnel" -> qPipelineFunnel
   )
 
@@ -2036,6 +2071,33 @@ object Quality {
         |      (c.cur_n * 1000000) // t.cur_total) AS drift_ppm
         |FROM c JOIN t ON c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_mix_divergence" ->
+      (duckPipelineCte +
+        """,
+        |kept AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+        |         WHEN source IN ('src3', 'src4') THEN 500
+        |         ELSE 200 END AS rate
+        |  FROM v GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS tot_kept,
+        |               CAST(SUM(n_docs * rate) AS BIGINT) AS tot_target
+        |        FROM kept),
+        |sh AS (
+        |  SELECT kept.source, kept.n_docs, kept.n_kept,
+        |    CAST((kept.n_kept * 1000000) // tot.tot_kept AS BIGINT) AS achieved_ppm,
+        |    CAST((CAST(kept.n_docs AS HUGEINT) * kept.rate * 1000000)
+        |      // tot.tot_target AS BIGINT) AS target_ppm
+        |  FROM kept CROSS JOIN tot),
+        |gap AS (SELECT *, CAST(abs(achieved_ppm - target_ppm) AS BIGINT)
+        |        AS abs_gap_ppm FROM sh),
+        |tv AS (SELECT CAST(SUM(abs_gap_ppm) // 2 AS BIGINT) AS tv_ppm FROM gap)
+        |SELECT gap.source, gap.n_docs, gap.n_kept, gap.achieved_ppm, gap.target_ppm,
+        |  gap.abs_gap_ppm, tv.tv_ppm
+        |FROM gap CROSS JOIN tv ORDER BY gap.source""".stripMargin),
 
     "q_pipeline_curation" ->
       (duckPipelineCte +

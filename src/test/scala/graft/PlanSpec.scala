@@ -233,7 +233,10 @@ class PlanSpec extends SparkSpec {
       "q_sim_pq_recall",
       // bias audit runs the components propagation on construct and
       // crosses the 1-row corpus-rate broadcast
-      "q_dedup_bias")
+      "q_dedup_bias",
+      // mix divergence: 1-row totals + 1-row TV broadcasts onto the
+      // per-source share frame
+      "q_mix_divergence")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>

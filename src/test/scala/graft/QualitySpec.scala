@@ -558,6 +558,31 @@ class QualitySpec extends SparkSpec {
     assert(doc == fun)
   }
 
+  test("mix divergence: TV identity, shares sum, ties to the pipeline verdicts") {
+    val rows = Quality.qMixDivergence(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("achieved_ppm"), r.getAs[Long]("target_ppm"),
+          r.getAs[Long]("abs_gap_ppm"), r.getAs[Long]("tv_ppm"))))
+      .toMap
+    assert(rows.nonEmpty)
+    // kept counts tie to the composed pipeline's own verdicts
+    val kept = Quality.qPipelineCuration(spark, sf0001).collect()
+      .filter(_.getAs[String]("verdict") == "kept")
+      .groupBy(_.getAs[String]("source")).map { case (s, xs) => s -> xs.length.toLong }
+    rows.foreach { case (s, v) => assert(v._2 == kept.getOrElse(s, 0L), s) }
+    // shares each sum to ~1e6 (integral-div truncation only)
+    val aSum = rows.values.map(_._3).sum; val tSum = rows.values.map(_._4).sum
+    assert(aSum <= 1000000L && aSum > 1000000L - rows.size)
+    assert(tSum <= 1000000L && tSum > 1000000L - rows.size)
+    // the TV half-sum identity, repeated on every row
+    val tv = rows.values.map(_._5).sum / 2
+    assert(rows.values.forall(_._6 == tv))
+    assert(rows.values.forall(v => v._5 == math.abs(v._3 - v._4)))
+    // curation losses genuinely move the mix off target
+    assert(tv > 0L)
+  }
+
   test("calibration bins: accounting consistent with the AUC frame") {
     val rows = Quality.qCalibration(spark, sf0001).collect()
       .map(r => r.getAs[Long]("bin") ->
