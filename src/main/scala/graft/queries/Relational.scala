@@ -977,6 +977,39 @@ object Relational {
       .orderBy($"month")
   }
 
+  /** HERFINDAHL–HIRSCHMAN index per nation — the third concentration
+    * lens next to the Gini scalar and the Pareto curve: HHI =
+    * Σ share² over each nation's customers, exactly rational as
+    * `Σ cents² · 10⁶ div (Σ cents)²` with the squares in DECIMAL(38,0)
+    * (cents² tops BIGINT at revenue scale). 10000 ppm ≈ monopoly
+    * threshold territory in the classic scaled convention; here the
+    * full ppm value rides alongside customer counts so thin nations
+    * read correctly. One customer-revenue combine + broadcast dim join
+    * + |nations| rollup. */
+  def qHhiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+        .as("cents"))
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .join(rev, $"c_custkey" === $"o_custkey", "left_outer")
+      .na.fill(0L, Seq("cents"))
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("revenue_cents"),
+        sum(expr("cast(cents as decimal(38,0)) * cents")).as("sumsq"))
+      .select($"nation", $"n_customers", $"revenue_cents",
+        expr("""cast(CASE WHEN revenue_cents = 0 THEN 0
+               |ELSE (sumsq * 1000000)
+               |     div (cast(revenue_cents as decimal(38,0)) * revenue_cents)
+               |END as bigint)""".stripMargin).as("hhi_ppm"))
+      .orderBy($"nation")
+  }
+
   /** PARETO / concentration CURVE — the decile readout behind "the top
     * 10% of customers drive X% of revenue", complementing the Gini
     * SCALAR (q_gini_revenue) with the distribution itself: customers
@@ -2283,6 +2316,7 @@ object Relational {
     "q_forecast_mase" -> qForecastMase,
     "q_cohort_ltv" -> qCohortLtv,
     "q_pareto_revenue" -> qParetoRevenue,
+    "q_hhi_revenue" -> qHhiRevenue,
     "q_salted_join" -> qSaltedJoin,
     "q_agg_percentiles" -> qAggPercentiles,
     "q_join_range" -> qJoinRange,
@@ -3178,6 +3212,24 @@ object Relational {
         |FROM sax a JOIN sax b ON a.sax_word = b.sax_word AND a.user_id < b.user_id
         |WHERE abs(a.n0 - b.n0) + abs(a.n1 - b.n1) + abs(a.n2 - b.n2) + abs(a.n3 - b.n3) <= 300
         |ORDER BY user_a, user_b""".stripMargin,
+
+    "q_hhi_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT n.n_name AS nation, COALESCE(rev.cents, 0) AS cents
+        |  FROM customer cu
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  LEFT JOIN rev ON cu.c_custkey = rev.o_custkey)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(CASE WHEN SUM(cents) = 0 THEN 0
+        |    ELSE (SUM(CAST(cents AS HUGEINT) * cents) * 1000000)
+        |         // (CAST(SUM(cents) AS HUGEINT) * SUM(cents)) END AS BIGINT)
+        |    AS hhi_ppm
+        |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
 
     "q_pareto_revenue" ->
       """WITH rev AS (

@@ -571,6 +571,34 @@ class BreadthSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("dup_spans") > 0L))
   }
 
+  test("HHI: engine == BigInt replay; bounds 1/n to 1") {
+    val rev = Tables.load(spark, sf0001, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+        .as("c"))
+      .select($"o_custkey", $"c").as[(Long, Long)].collect().toMap
+    val cust = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect()
+    val nation = Tables.load(spark, sf0001, "nation")
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val want = cust.groupBy(c => nation(c._2)).map { case (n, cs) =>
+      val cents = cs.map(c => BigInt(rev.getOrElse(c._1, 0L)))
+      val tot = cents.sum
+      val hhi = if (tot == 0) 0L
+        else (cents.map(x => x * x).sum * 1000000 / (tot * tot)).toLong
+      n -> ((cs.length.toLong, tot.toLong, hhi))
+    }
+    val got = Relational.qHhiRevenue(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("revenue_cents"), r.getAs[Long]("hhi_ppm")))).toMap
+    assert(got == want)
+    // HHI in [1e6/n, 1e6] for nations with revenue
+    got.foreach { case (n, (nc, tot, hhi)) =>
+      if (tot > 0) assert(hhi >= 1000000L / nc - 1 && hhi <= 1000000L, n)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("PQ recall guard: hits == set intersection; the 64x compression price is visible") {
     val truth = Similarity.qSimKnnBrute(spark, sf0001).filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
