@@ -32,9 +32,21 @@ object StreamMetrics {
 
   /** Attach with `spark.streams.addListener(recorder)`; detach with
     * `removeListener`. One recorder can watch any number of queries —
-    * rows carry the (queryId, runId, name) identity. */
-  final class Recorder extends StreamingQueryListener {
+    * rows carry the (queryId, runId, name) identity.
+    *
+    * The buffer is CAPPED at `maxBuffered` rows: if flush is never
+    * called while queries keep progressing, the oldest rows are
+    * dropped (and counted in [[droppedCount]]) instead of leaking heap
+    * without bound in a long-lived listener. At one row per
+    * micro-batch the default cap covers ~11 days of 10s triggers. */
+  final class Recorder(maxBuffered: Int = 100000) extends StreamingQueryListener {
     private val buf = new ConcurrentLinkedQueue[BatchMetric]()
+    private val buffered = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Rows evicted oldest-first because the cap was reached before a
+      * flush — non-zero means the flush cadence is too slow. */
+    def droppedCount: Long = dropped.get()
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -54,13 +66,27 @@ object StreamMetrics {
         Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
         stateRows, stateMem))
+      if (buffered.incrementAndGet() > maxBuffered) {
+        if (buf.poll() != null) { dropped.incrementAndGet(); () }
+        buffered.decrementAndGet()
+        ()
+      }
     }
 
     /** Drain the buffer into the metrics table (one parquet file per
       * flush — run per N batches or on a timer in production; the
       * listener thread itself never touches I/O). */
-    def flush(spark: SparkSession, path: String): Unit = {
+    /** Remove and return every buffered row — used by [[flush]] and by
+      * callers that want the rows in-process (the bench's streaming
+      * self-attribution embeds them in its summary artifact). */
+    def drain(): Seq[BatchMetric] = {
       val rows = Iterator.continually(buf.poll()).takeWhile(_ != null).toSeq
+      buffered.addAndGet(-rows.size)
+      rows
+    }
+
+    def flush(spark: SparkSession, path: String): Unit = {
+      val rows = drain()
       if (rows.nonEmpty) {
         import spark.implicits._
         rows.toDF().coalesce(1).write.mode("append").parquet(path)
