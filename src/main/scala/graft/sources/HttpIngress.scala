@@ -43,7 +43,16 @@ object HttpIngress {
     http.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
-          if (ex.getRequestMethod != "POST") respond(ex, 404, "not found")
+          if (ex.getRequestMethod == "GET") {
+            // The reference's demo loop: POST events at the webhook,
+            // then open the same server in a browser and read both
+            // report tables (routes/index.js:5-31 renders index.pug
+            // from the cached model per request). Derivation runs on
+            // the log as it stands at request time — unauthenticated
+            // like the reference's GET (only POST carries a signature).
+            respond(ex, 200, renderReport(spark, logPath),
+              contentType = "text/html; charset=utf-8")
+          } else if (ex.getRequestMethod != "POST") respond(ex, 404, "not found")
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val sig =
@@ -83,8 +92,37 @@ object HttpIngress {
     } finally { parsed.unpersist(); () }
   }
 
-  private def respond(ex: HttpExchange, code: Int, msg: String): Unit = {
+  /** Render the reference's `GET /` page over everything ingressed so
+    * far: read the event log, derive the agent + conversation report
+    * frames, emit the two-table HTML (views/index.pug:9-83). An empty
+    * or not-yet-created log renders the page with empty tables — the
+    * reference does the same with an empty event cache. */
+  private def renderReport(spark: SparkSession, logPath: String): String = {
+    import graft.report.Report
+    import graft.taskrouter.Derivation
+    val parsed = scala.util.Try(EventLog.read(spark, logPath)).toOption
+    parsed match {
+      case Some(log) =>
+        val ev = log.drop("event_date")
+        Report.renderHtml(
+          Report.agentsReport(Derivation.agents(ev)),
+          Report.conversationsReport(Derivation.segments(ev)))
+      case None =>
+        Report.renderHtml(
+          Report.agentsReport(Derivation.agents(emptyParsed(spark))),
+          Report.conversationsReport(Derivation.segments(emptyParsed(spark))))
+    }
+  }
+
+  private def emptyParsed(spark: SparkSession) =
+    Ingest.parse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Model.cloudEventSchema))
+
+  private def respond(ex: HttpExchange, code: Int, msg: String,
+      contentType: String = "text/plain"): Unit = {
     val b = msg.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, b.length.toLong)
     val os = ex.getResponseBody
     try os.write(b) finally os.close()

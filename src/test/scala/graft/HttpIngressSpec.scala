@@ -45,11 +45,19 @@ class HttpIngressSpec extends SparkSpec {
       // authenticate middleware parity: wrong signature → 403, no write
       assert(post(body, "not-the-mac").statusCode() == 403)
       assert(!new java.io.File(logPath).exists())
-      // non-POST → 404 (the reference routes only POST /)
+      // GET before anything landed → the report page with EMPTY tables
+      // (the reference renders index.pug over an empty cache the same
+      // way); non-GET/POST methods → 404
       val get = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(get.statusCode() == 404)
+      assert(get.statusCode() == 200)
+      assert(get.body().contains("agent data") &&
+        get.body().contains("conversations data"), get.body())
+      val del = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 404)
 
       // correct HMAC-SHA1 over url + raw body → 200 and a parsed append
       val sig = Signature.hmacSha1Base64(token)(url, body)
@@ -101,12 +109,22 @@ class HttpIngressSpec extends SparkSpec {
         .collect().sorted.toSeq
       assert(keyOf(fromSocket) == keyOf(fromBatch))
 
-      // and the reference's GET / renders from it
-      val html = graft.report.Report.renderHtml(
-        graft.report.Report.agentsReport(
-          graft.taskrouter.Derivation.agents(EventLog.read(spark, logPath))),
-        graft.report.Report.conversationsReport(fromSocket), maxRows = 50)
-      assert(html.contains("conversations data") && html.contains("<td>"))
+      // and the reference's demo loop closes over the SAME server: GET /
+      // returns both report tables rendered from the ingressed events
+      // (routes/index.js:5-31), no auth on the read path
+      val page = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${srv.port}/")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      assert(page.body().contains("agent data") &&
+        page.body().contains("conversations data") &&
+        page.body().contains("<td>"), page.body().take(500))
+      // a conversation id derived from the POSTed corpus appears on the page
+      val anyConv = fromSocket.select($"conversation_id").as[String].head()
+      assert(page.body().contains(anyConv.take(10)))
     } finally srv.stop()
   }
 }
