@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL media codecs behind the Multimodal batch interface (closes the
+  * r7 "stubbed codec" gap): PNG/JPEG via `javax.imageio` and WAV/PCM16
+  * via `javax.sound.sampled` — both in the JDK, no external library.
+  *
+  * PNG and WAV are LOSSLESS, so a corpus encoded from a deterministic
+  * pixel/sample formula decodes back to exactly those values — which
+  * makes decode queries driver-checkable: the DuckDB oracle recomputes
+  * the same formula arithmetically while Spark goes the long way
+  * through real encoded bytes (encode → container format → decode).
+  * JPEG decode shares the same image path but is lossy, so it is
+  * spec-tested on dimensions + bounded pixel error, not oracle-hashed.
+  *
+  * Scale notes: codecs run inside `mapPartitions` batches exactly like
+  * the stub did — the binary payload never shuffles, decode parallelism
+  * is partition parallelism, and per-batch memory is one decoded image
+  * at a time. */
+object Codec {
+
+  /** Encode a flat RGB byte array (row-major, 3 bytes/pixel, values
+    * 0-255) as a real PNG. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width*$height*3")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        img.setRGB(x, y,
+          ((rgb(i) & 0xFF) << 16) | ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported container (PNG, JPEG, GIF, BMP) to
+    * (width, height, flat row-major RGB bytes). */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = ((p >> 16) & 0xFF).toByte
+        rgb(i + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(i + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Encode 16-bit signed PCM mono samples as a real RIFF/WAVE file. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(i * 2) = (samples(i) & 0xFF).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV container to (sampleRate, 16-bit signed PCM mono
+    * samples) via the real audio file parser. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected PCM16 mono, got $fmt")
+      val pcm = in.readAllBytes()
+      val samples = new Array[Short](pcm.length / 2)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < samples.length) {
+        val (lo, hi) = if (le) (pcm(i * 2), pcm(i * 2 + 1)) else (pcm(i * 2 + 1), pcm(i * 2))
+        samples(i) = (((hi & 0xFF) << 8) | (lo & 0xFF)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, samples)
+    } finally in.close()
+  }
+}

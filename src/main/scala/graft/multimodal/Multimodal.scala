@@ -230,7 +230,103 @@ object Multimodal {
     }
   }
 
+  // --- REAL-codec corpus + decode queries (r8) ---------------------
+
+  case class EncodedMedia(media_id: Long, kind: String, content: Array[Byte])
+
+  /** Deterministic pixel channel value at flat RGB index `i` of image
+    * `id` — the formula the DuckDB oracle recomputes arithmetically
+    * while Spark round-trips it through REAL PNG bytes. */
+  private def pxVal(id: Long, i: Long): Long = (id * 2654435761L + i * 40503L) % 256
+  private def imgW(id: Long): Int = (8 + id % 9).toInt
+  private def imgH(id: Long): Int = (8 + id % 7).toInt
+
+  /** Deterministic PCM16 sample `i` of clip `id` (oracle-shared). */
+  private def pcmVal(id: Long, i: Long): Long = (id * 7919L + i * 104729L) % 65536L - 32768L
+  private def pcmN(id: Long): Int = (64 + id % 65).toInt
+  private def pcmRate(id: Long): Int = if (id % 2 == 0) 8000 else 16000
+
+  /** Media corpus with REAL encoded bytes: every document becomes one
+    * PNG image and one WAV clip, payload pixels/samples generated from
+    * the doc_id formula and encoded through the actual JDK codecs
+    * ([[Codec]]). Encoding runs batched per partition — binary bytes
+    * are born on executors and never shuffle. */
+  def encodedMedia(spark: SparkSession, dir: String): Dataset[EncodedMedia] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { id =>
+            val (w, h) = (imgW(id), imgH(id))
+            val rgb = Array.tabulate(w * h * 3)(i => pxVal(id, i.toLong).toByte)
+            val png = EncodedMedia(id, "image/png", Codec.encodePng(w, h, rgb))
+            val samples = Array.tabulate(pcmN(id))(i => pcmVal(id, i.toLong).toShort)
+            val wav = EncodedMedia(id, "audio/wav", Codec.encodeWav(samples, pcmRate(id)))
+            Iterator(png, wav)
+          }
+        }
+      }
+  }
+
+  case class DecodedImage(media_id: Long, width: Long, height: Long,
+      pix_sum: Long, pix_wsum: Long)
+
+  /** Decode the real PNG corpus with the real codec and reduce each
+    * image to exact integer fingerprints: dimensions, Σ channel values,
+    * and the position-weighted Σ (i+1)·v — strong enough that any
+    * codec/byte-order/rounding defect flips the driver hash. */
+  def decodeImages(media: Dataset[EncodedMedia]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image/png").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, rgb) = Codec.decodeImage(m.content)
+          var s = 0L; var ws = 0L; var i = 0
+          while (i < rgb.length) {
+            val v = rgb(i) & 0xFF
+            s += v; ws += (i + 1L) * v
+            i += 1
+          }
+          DecodedImage(m.media_id, w.toLong, h.toLong, s, ws)
+        }
+      }
+    }
+  }
+
+  case class DecodedAudio(media_id: Long, sample_rate: Long, n_samples: Long,
+      amp_wsum: Long, energy: Long)
+
+  /** Decode the real WAV corpus (RIFF parse via javax.sound) to exact
+    * integer fingerprints: rate, count, weighted amplitude sum, Σ s². */
+  def decodeAudio(media: Dataset[EncodedMedia]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio/wav").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (rate, samples) = Codec.decodeWav(m.content)
+          var ws = 0L; var en = 0L; var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toLong
+            ws += (i + 1L) * s; en += s * s
+            i += 1
+          }
+          DecodedAudio(m.media_id, rate.toLong, samples.length.toLong, ws, en)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
+
+  def qMmDecodeImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeImages(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
+
+  def qMmDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeAudio(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -307,7 +403,9 @@ object Multimodal {
     "q_mm_audio_energy" -> qMmAudioEnergy,
     "q_mm_dhash" -> qMmDhash,
     "q_mm_dhash_pairs" -> qMmDhashPairs,
-    "q_mm_scene_cuts" -> qMmSceneCuts
+    "q_mm_scene_cuts" -> qMmSceneCuts,
+    "q_mm_decode_image" -> qMmDecodeImage,
+    "q_mm_decode_audio" -> qMmDecodeAudio
   )
 
   private def duckPx(i: Int): String =
@@ -328,6 +426,32 @@ object Multimodal {
        |FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Spark round-trips each image through REAL PNG bytes (encode →
+    // container → javax.imageio decode); the oracle recomputes the
+    // pixel formula arithmetically. PNG is lossless, so any disparity
+    // anywhere in the codec path breaks the hash.
+    "q_mm_decode_image" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + d.doc_id % 7 AS BIGINT) AS height,
+        |  CAST(SUM((d.doc_id * 2654435761 + g.i * 40503) % 256) AS BIGINT) AS pix_sum,
+        |  CAST(SUM((g.i + 1) * ((d.doc_id * 2654435761 + g.i * 40503) % 256)) AS BIGINT) AS pix_wsum
+        |FROM documents d
+        |CROSS JOIN LATERAL (SELECT unnest(range(0,
+        |  (8 + d.doc_id % 9) * (8 + d.doc_id % 7) * 3)) AS i) g
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_mm_decode_audio" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate,
+        |  CAST(64 + d.doc_id % 65 AS BIGINT) AS n_samples,
+        |  CAST(SUM((g.i + 1) * ((d.doc_id * 7919 + g.i * 104729) % 65536 - 32768)) AS BIGINT) AS amp_wsum,
+        |  CAST(SUM(((d.doc_id * 7919 + g.i * 104729) % 65536 - 32768)
+        |         * ((d.doc_id * 7919 + g.i * 104729) % 65536 - 32768)) AS BIGINT) AS energy
+        |FROM documents d
+        |CROSS JOIN LATERAL (SELECT unnest(range(0, 64 + d.doc_id % 65)) AS i) g
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "q_mm_scene_cuts" ->
       """WITH pos AS (
         |  SELECT f.f, j.j FROM (SELECT unnest(range(0, 4)) AS f) f,
