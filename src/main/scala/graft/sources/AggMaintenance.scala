@@ -72,7 +72,9 @@ object AggMaintenance {
       if (!fs.rename(src, dest))
         sys.error(s"agg merge publish failed: $src -> $dest")
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_staging"), true)
+    // clean up only THIS batch's staging dir — deleting the _staging
+    // root would wipe a concurrently-staged batch's in-flight dir
+    fs.delete(src, true)
     ()
   }
 

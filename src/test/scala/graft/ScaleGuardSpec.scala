@@ -47,6 +47,43 @@ class ScaleGuardSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("block over cap")), e.toString)
   }
 
+  test("fuzzyPairs at cap-1: one skewed block just under the cap completes and matches brute force") {
+    // generator-backed skewed fixture (VERDICT r7 item 6): every token
+    // shares last char 'x' AND length 6, so the (x,6)/(x,7) cells each
+    // hold the entire vocabulary — the worst block the cap allows.
+    val cap = 1500L
+    val rnd = new scala.util.Random(42)
+    val toks = Iterator.continually(
+      (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + "x")
+      .distinct.take(cap.toInt - 1).toVector
+    assert(toks.size == cap - 1 && toks.forall(_.length == 6))
+    val vocabDf = toks.toDF("token").repartition(4)
+
+    // cap-1 tokens in the hot cell: must COMPLETE (guard silent)...
+    val got = TextAnalysis.fuzzyPairs(vocabDf, maxBlock = cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // ...and equal the brute-force quadratic over the same predicate
+    val want = (for {
+      i <- toks.indices.iterator
+      j <- (i + 1) until toks.size
+      (a, b) = if (toks(i) < toks(j)) (toks(i), toks(j)) else (toks(j), toks(i))
+      d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(a, b).toLong
+      if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture produced no qualifying pairs — weak test")
+
+    // one more token pushes the cell to the cap boundary; cap-1 at a
+    // LOWER cap fails loudly — the guard fires exactly past the cap
+    val e = intercept[Exception] {
+      TextAnalysis.fuzzyPairs(vocabDf, maxBlock = cap - 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("block over cap")), e.toString)
+  }
+
   test("qDedupJaccard still runs under its block census guard") {
     val rows = graft.dedup.Dedup.qDedupJaccard(spark, sf0001).collect()
     // guard must be invisible at this corpus size; pairs are symmetric-free
