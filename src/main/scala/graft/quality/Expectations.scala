@@ -65,7 +65,10 @@ object Expectations {
         .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_violations"))))
         .select(lit(r.name).as("check_name"), col("n_rows"), col("n_violations"))
     }
-    (perTable ++ refFrames).reduce(_.unionByName(_))
+    (perTable ++ refFrames).reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataset[(String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+        .toDF("check_name", "n_rows", "n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("check_name"))
   }

@@ -484,8 +484,17 @@ object Quality {
       .groupBy($"event_type".as("touch_type"))
       .agg(count(lit(1)).as("n_touches"),
         sum($"credit_ppm").as("credit_ppm_sum"),
+        // guard the narrowing cast: with ANSI off an over-Long.Max
+        // decimal sum would silently become NULL where the DuckDB
+        // oracle's CAST raises — fail loudly like the oracle instead
+        expr("""CAST(assert_true(
+               |  SUM(CAST(credit_ppm * p_cents AS DECIMAL(38,0)))
+               |    BETWEEN -9223372036854775808BD AND 9223372036854775807BD,
+               |  'qAttrMultitouch value_microcents overflows BIGINT')
+               |IS NULL AS LONG)""".stripMargin).as("overflow_guard"),
         sum(($"credit_ppm" * $"p_cents").cast("decimal(38,0)"))
           .cast("long").as("value_microcents"))
+      .drop("overflow_guard")
       .orderBy($"touch_type")
   }
 

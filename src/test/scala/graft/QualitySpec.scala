@@ -657,6 +657,12 @@ class QualitySpec extends SparkSpec {
     val over10 = Tables.load(spark, sf0001, "lineitem")
       .filter($"l_quantity" > 10).count()
     assert(broken("quantity_over_10")._1 == over10)
+    // an EMPTY suite returns an empty report, not an exception
+    val empty = Expectations.run(spark, sf0001,
+      rows = Seq.empty, uniques = Seq.empty, refs = Seq.empty)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("check_name", "n_rows", "n_violations", "pass"))
   }
 
   test("SRM gate: engine == Scala replay of the even-split chi-square") {
