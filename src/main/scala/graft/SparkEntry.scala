@@ -26,7 +26,8 @@ object SparkEntry {
       (graft.quality.Quality.queries, graft.quality.Quality.oracles),
       (graft.graph.GraphOps.queries, graft.graph.GraphOps.oracles),
       (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles),
-      (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles)
+      (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles),
+      (graft.operators.ZoneMap.queries, graft.operators.ZoneMap.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -368,6 +368,43 @@ object Quality {
       .orderBy($"epoch", $"shard")
   }
 
+  /** CURRICULUM SCHEDULE (Bengio et al. 2009 — public paper): the
+    * dataloader-prep step that orders training so the cleanest
+    * documents come first — every doc gets its exact global quality
+    * rank (score desc, doc_id tiebreak; the SHARED scoreCol, so the
+    * curriculum cannot disagree with the budget/binning operators), a
+    * curriculum stage = its rank quartile (stage 1 trains first), and
+    * a deterministic within-stage shuffle key (the epoch-shard md5
+    * convention — consumers sort by it; different salt per stage so
+    * stage boundaries don't correlate with the shuffle).
+    *
+    * The global rank is the DISTRIBUTED band prefix sum shared with
+    * qTokenBudget: docs band on stop_hits (the score's dominant term,
+    * so band order == score order), per-band counts broadcast back as
+    * offsets, rank = offset + within-band row_number — no corpus-sized
+    * single-partition window anywhere. */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withQualityGate(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", scoreCol.as("score"), $"stop_hits".as("band"))
+    val bandCounts = scored.groupBy($"band").agg(count(lit(1)).as("bn"))
+    val wBand = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts // one row per distinct stop_hits — tiny
+      .withColumn("offset", coalesce(sum($"bn").over(wBand), lit(0L)))
+      .select($"band", $"offset")
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    val wDoc = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
+    scored.join(broadcast(offsets), Seq("band"))
+      .crossJoin(broadcast(total))
+      .withColumn("global_rank", $"offset" + row_number().over(wDoc))
+      .withColumn("stage", expr("((global_rank - 1) * 4) div n_total + 1"))
+      .select($"doc_id", $"score", $"global_rank", $"stage",
+        expr("md5(cast(concat('cur', cast(stage as string), '|', " +
+          "cast(doc_id as string)) as binary))").as("shuffle_key"))
+      .orderBy($"doc_id")
+  }
+
   private[graft] val KAnonThreshold = 10L
 
   /** k-anonymity release audit — the privacy gate run before any
@@ -1255,6 +1292,7 @@ object Quality {
     "q_attr_multitouch" -> qAttrMultitouch,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
+    "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
     "q_calibration" -> qCalibration,
@@ -1982,6 +2020,24 @@ object Quality {
         |  abs(CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT)
         |    * CAST(floor(sqrt(CAST(z2_x1e6 AS DOUBLE))) AS BIGINT)) > 1960 AS significant
         |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_curriculum" ->
+      (duckScoreCte +
+        """,
+          |r AS (
+          |  SELECT doc_id, score,
+          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+          |      AS global_rank,
+          |    CAST(count(*) OVER () AS BIGINT) AS n_total
+          |  FROM s),
+          |st AS (
+          |  SELECT doc_id, score, global_rank,
+          |    ((global_rank - 1) * 4) // n_total + 1 AS stage
+          |  FROM r)
+          |SELECT doc_id, score, global_rank, stage,
+          |  md5('cur' || CAST(stage AS VARCHAR) || '|'
+          |      || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          |FROM st ORDER BY doc_id""".stripMargin),
 
     "q_token_budget" ->
       (duckScoreCte +

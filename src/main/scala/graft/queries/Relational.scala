@@ -2235,6 +2235,131 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** SEASONAL DECOMPOSITION (STL-lite): hourly event volumes split into
+    * trend + daily-seasonal + remainder — the classical additive
+    * decomposition behind anomaly baselining and capacity planning,
+    * float-free: trend is the centered 25-hour moving average ×100
+    * (integral div by the exact window size), the seasonal component is
+    * the per-hour-of-day mean deviation (magnitudes divided under the
+    * module's sign convention so Spark's truncating `div` and the
+    * oracle agree on negatives), remainder is what's left. Runs on the
+    * DENSIFIED grid (qForecastMase's pattern — zero-volume hours are
+    * real observations; a moving average over the sparse sequence
+    * silently spans gaps).
+    *
+    * Shape: one (type, hour) map-side-combined rollup, windows over the
+    * shrunken hours frame (|types|·|hours| rows), one (type, hour%24)
+    * combine for the seasonal means — the documented safe-window
+    * pattern; nothing corpus-sized ever sorts in one partition. */
+  def qTsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 3600L").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("hour"))
+    val dense = grid.join(hourly, Seq("event_type", "hour"), "left_outer")
+      .select($"event_type", $"hour", coalesce($"n", lit(0L)).as("n"))
+    val wTrend = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(-12, 12)
+    val trended = dense
+      .withColumn("w_n", count(lit(1)).over(wTrend))
+      .withColumn("w_sum", sum($"n").over(wTrend))
+      // only hours with the FULL centered window carry a trend — edge
+      // hours would average a shorter window and bias the seasonal fit
+      .filter($"w_n" === 25)
+      .withColumn("trend_x100", expr("(w_sum * 100) div 25"))
+      .withColumn("dev_x100", $"n" * 100 - $"trend_x100")
+    val seasonal = trended
+      .groupBy($"event_type".as("s_type"), ($"hour" % 24).as("hod"))
+      .agg(sum($"dev_x100").as("s"), count(lit(1)).as("cnt"))
+      .select($"s_type", $"hod",
+        expr("""CASE WHEN s >= 0 THEN s div cnt
+               |ELSE -((-s) div cnt) END""".stripMargin).as("seas_x100"))
+    trended.join(broadcast(seasonal),
+        $"event_type" === $"s_type" && $"hour" % 24 === $"hod")
+      .select($"event_type", $"hour", $"n", $"trend_x100",
+        $"seas_x100", ($"dev_x100" - $"seas_x100").as("remainder_x100"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  /** WEIGHTED MEDIAN — the revenue-weighted center the plain median
+    * can't see ("half the MONEY sits at or below this quantity"):
+    * smallest value whose cumulative weight reaches half the total,
+    * exact in BIGINT cents (2·cumw ≥ totw avoids the halving division
+    * entirely). Same scale shape as the exact percentile family: one
+    * (group, value) combine with the weights summed map-side, windows
+    * over the DISTINCT-value frame, one rollup per group. */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vc = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(18,2))) * 100 as bigint)")
+        .as("w"), count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    val wAll = Window.partitionBy($"l_returnflag")
+    vc.withColumn("cumw", sum($"w").over(wOrd))
+      .withColumn("totw", sum($"w").over(wAll))
+      .withColumn("n_rows", sum($"c").over(wAll))
+      .filter($"cumw" * 2 >= $"totw")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("wmedian_qty"),
+        max($"totw").as("total_cents"), max($"n_rows").as("n_rows"))
+      .select($"l_returnflag", $"n_rows", $"total_cents", $"wmedian_qty")
+      .orderBy($"l_returnflag")
+  }
+
+  /** MERGEABLE QUANTILE SKETCH (DDSketch-shaped, power-of-two buckets):
+    * completes the sketch family (HLL cardinality, CMS frequency +
+    * join size, MinHash similarity) with the quantile sketch — each
+    * value lands in bucket = bit-length of its cents (`length(bin(v))`
+    * — exact integer log2, no floating log), so the sketch is a ≤64-row
+    * count vector per group: mergeable by addition across partitions,
+    * days, and corpora, with a guaranteed 2× relative-error envelope
+    * (bucket bounds are [2^(b−1), 2^b−1]). The estimate returned for a
+    * quantile is the covering bucket's UPPER bound; exact p50/p99 from
+    * the value-count ranking ride alongside as the audit columns (at
+    * 100 TB the exact columns are what you stop computing — the
+    * sketch's count vector is what a monitoring pipeline stores).
+    * Shape: one (type, bucket) map-side combine onto ≤|types|·64 rows,
+    * windows over that tiny frame; audit reuses the shared ranking. */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+    val buckets = ev
+      .withColumn("bucket",
+        expr("CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("bc"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"bucket")
+    val wAll = Window.partitionBy($"event_type")
+    val cum = buckets
+      .withColumn("cumc", sum($"bc").over(wOrd))
+      .withColumn("n", sum($"bc").over(wAll))
+    def estAt(permille: Int, label: String): Column =
+      min(when($"cumc" * 1000 >= $"n" * permille,
+        expr("shiftleft(1L, bucket) - 1L"))).as(label)
+    val est = cum.groupBy($"event_type")
+      .agg(max($"n").as("n"), estAt(500, "p50_est"), estAt(990, "p99_est"))
+    val exact = valueCounts(ev, $"event_type", $"cents")
+      .groupBy($"__g")
+      .agg(rankValue(expr("(500 * n + 999) div 1000")).as("p50_exact"),
+        rankValue(expr("(990 * n + 999) div 1000")).as("p99_exact"))
+      .select($"__g".as("event_type"), $"p50_exact", $"p99_exact")
+    est.join(exact, Seq("event_type"))
+      .select($"event_type", $"n", $"p50_est", $"p50_exact", $"p99_est",
+        $"p99_exact",
+        expr("(p50_est * 1000000) div nullif(p50_exact, 0)")
+          .as("p50_ratio_ppm"),
+        expr("(p99_est * 1000000) div nullif(p99_exact, 0)")
+          .as("p99_ratio_ppm"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -2335,7 +2460,10 @@ object Relational {
     "q_revenue_monthly" -> qRevenueMonthly,
     "q_revenue_monthly_inc" -> qRevenueMonthlyInc,
     "q_ts_sax_motif" -> qTsSaxMotif,
-    "q_ts_ewma" -> qTsEwma
+    "q_ts_ewma" -> qTsEwma,
+    "q_ts_decompose" -> qTsDecompose,
+    "q_weighted_median" -> qWeightedMedian,
+    "q_quantile_sketch" -> qQuantileSketch
   )
 
   private val revenueMonthlyOracle =
@@ -2351,6 +2479,106 @@ object Relational {
       |FROM m ORDER BY month""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ts_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT h.event_type, g.hour
+        |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |        FROM hourly GROUP BY 1) h
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h.h0, h.h1 + 1)) AS hour) g),
+        |dense AS (
+        |  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hour = g.hour),
+        |t AS (
+        |  SELECT event_type, hour, n,
+        |    count(*) OVER w AS w_n, sum(n) OVER w AS w_sum
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        |  SELECT event_type, hour, n,
+        |    CAST((w_sum * 100) // 25 AS BIGINT) AS trend_x100,
+        |    CAST(n * 100 - (w_sum * 100) // 25 AS BIGINT) AS dev_x100
+        |  FROM t WHERE w_n = 25),
+        |seas AS (
+        |  SELECT event_type, hour % 24 AS hod,
+        |    CAST(CASE WHEN sum(dev_x100) >= 0
+        |         THEN sum(dev_x100) // count(*)
+        |         ELSE -((-sum(dev_x100)) // count(*)) END AS BIGINT) AS seas_x100
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT tr.event_type, tr.hour, tr.n, tr.trend_x100, s.seas_x100,
+        |  tr.dev_x100 - s.seas_x100 AS remainder_x100
+        |FROM tr JOIN seas s
+        |  ON s.event_type = tr.event_type AND s.hod = tr.hour % 24
+        |ORDER BY tr.event_type, tr.hour""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS w,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS nr
+        |  FROM vc)
+        |SELECT l_returnflag, CAST(max(nr) AS BIGINT) AS n_rows,
+        |  CAST(max(totw) AS BIGINT) AS total_cents,
+        |  min(l_quantity) AS wmedian_qty
+        |FROM cw WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN 0
+        |         ELSE length(bin(cents)) END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS bc
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, bc,
+        |    sum(bc) OVER (PARTITION BY event_type ORDER BY bucket) AS cumc,
+        |    sum(bc) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |est AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(CASE WHEN cumc * 1000 >= n * 500
+        |             THEN (1::BIGINT << bucket) - 1 END) AS BIGINT) AS p50_est,
+        |    CAST(min(CASE WHEN cumc * 1000 >= n * 990
+        |             THEN (1::BIGINT << bucket) - 1 END) AS BIGINT) AS p99_est
+        |  FROM cum GROUP BY 1),
+        |vc AS (
+        |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, cents, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vc),
+        |exact AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN cum - c < (500 * n + 999) // 1000
+        |              AND (500 * n + 999) // 1000 <= cum THEN cents END) AS p50_exact,
+        |    max(CASE WHEN cum - c < (990 * n + 999) // 1000
+        |              AND (990 * n + 999) // 1000 <= cum THEN cents END) AS p99_exact
+        |  FROM rk GROUP BY 1)
+        |SELECT e.event_type, e.n, e.p50_est, x.p50_exact, e.p99_est,
+        |  x.p99_exact,
+        |  (e.p50_est * 1000000) // nullif(x.p50_exact, 0) AS p50_ratio_ppm,
+        |  (e.p99_est * 1000000) // nullif(x.p99_exact, 0) AS p99_ratio_ppm
+        |FROM est e JOIN exact x ON x.event_type = e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
