@@ -102,6 +102,79 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Any prefix-token posting list longer than this fails loudly: a
+    * frequent token surviving into prefixes means the frequency
+    * ordering is broken (or the corpus is pathological) and the
+    * candidate join would go quadratic on that token. */
+  private[graft] val MaxPrefixPosting = 10000L
+
+  /** PREFIX-FILTERED exact similarity join — PPJoin-style (Xiao et
+    * al., WWW 2008, public paper): ALL pairs with Jaccard ≥ 500‰,
+    * EXACTLY — the guarantee LSH banding trades away (recall < 1, the
+    * gap q_dedup_lsh_recall measures) — without an all-pairs join.
+    *
+    * The filter: order every document's shingles by GLOBAL document
+    * frequency (rarest first; hash tiebreak — any consistent total
+    * order works) and keep only the PREFIX of length
+    * n − ⌈t·n⌉ + 1. Two sets with J ≥ t must overlap in at least
+    * ⌈t·n⌉ elements, so they cannot avoid each other's prefixes —
+    * candidates sharing a prefix token are a SUPERSET of the true
+    * pairs, and exact verification (the shared SortedIntersectCount
+    * merge) keeps precision at 1. Because prefixes hold each doc's
+    * RAREST tokens, posting lists stay short by construction — the
+    * inverse of the hot-token blow-up a naive token join suffers —
+    * and the length filter (t·|a| ≤ |b| ≤ |a|/t) prunes cross-size
+    * candidates before the verify.
+    *
+    * Scale shape: one df shuffle (map-side combined), one per-doc
+    * sort of its own shingle list (array_sort, no shuffle), one
+    * posting-list self-join on prefix tokens (short lists, loud
+    * [[MaxPrefixPosting]] census), verify on the staged sorted-hash
+    * arrays. */
+  def qDedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 500L // permille
+    val d = withShingles(spark, dir).filter(size($"shs") > 0)
+      .select($"doc_id", $"shs")
+    // global shingle document frequencies
+    val df = d.select($"doc_id", explode($"shs").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+    // per-doc (df, h)-sorted shingles → prefix of length n − ⌈t·n⌉ + 1
+    val prefixes = d.select($"doc_id", size($"shs").as("n"), explode($"shs").as("h"))
+      .join(df, Seq("h"))
+      .groupBy($"doc_id", $"n")
+      .agg(array_sort(collect_list(struct($"df", $"h"))).as("ord"))
+      .withColumn("p", expr(s"n - (($t * n + 999) div 1000) + 1"))
+      .select($"doc_id", $"n",
+        expr("transform(slice(ord, 1, cast(p as int)), x -> x.h)").as("pref"))
+      .select($"doc_id", $"n", explode($"pref").as("h"))
+    val postingCounts = prefixes.groupBy($"h").agg(count(lit(1)).as("pn"))
+    val guarded = prefixes.join(broadcast(
+        postingCounts.filter($"pn" > lit(MaxPrefixPosting / 2))),
+        Seq("h"), "left_outer")
+      .filter(assert_true(coalesce($"pn", lit(0L)) <= lit(MaxPrefixPosting),
+        format_string("qDedupPpjoin prefix posting over cap %d: h=%d n=%d",
+          lit(MaxPrefixPosting), $"h", $"pn")).isNull)
+      .drop("pn")
+    val cand = guarded.select($"h", $"doc_id".as("doc_a"), $"n".as("na"))
+      .join(guarded.select($"h", $"doc_id".as("doc_b"), $"n".as("nb")), Seq("h"))
+      .filter($"doc_a" < $"doc_b" &&
+        $"nb" * 1000 >= $"na" * t && $"na" * 1000 >= $"nb" * t)
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(d.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), Seq("doc_a"))
+      .join(d.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"sh_a", $"sh_b"))
+      .withColumn("uni",
+        (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+      .filter($"inter" > 0)
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        expr("(inter * 1000) div uni").as("jac_permille"))
+      .filter($"jac_permille" >= t)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** MinHash signature: one md5 per shingle, sliced into k 4-hex-char
     * (16-bit) slots; each slot's lexicographic min over the shingle set
     * is an independent minhash — 1/k-th the hashing cost of k seeded
@@ -739,6 +812,7 @@ object Dedup {
     "q_dedup_lsh_recall" -> qDedupLshRecall,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_ppjoin" -> qDedupPpjoin,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_lsh_pairs" -> qDedupLsh,
     "q_dedup_lsh_verify" -> qDedupLshVerify,
@@ -889,6 +963,22 @@ object Dedup {
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |  AND (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
         |    // (CAST(len(a.sh) + len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 20
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // the oracle is the UNBLOCKED brute-force join — proving the
+    // prefix-filtered candidates lost nothing anywhere in the corpus
+    "q_dedup_ppjoin" ->
+      (s"""$duckShingleCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |  CAST(len(a.sh) + len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+        |  (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
+        |    // (CAST(len(a.sh) + len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) AS jac_permille
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh)) > 0
+        |  AND (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000)
+        |    // (CAST(len(a.sh) + len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 500
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q_dedup_minhash" ->

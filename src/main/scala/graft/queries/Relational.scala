@@ -2360,6 +2360,48 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945 / Kendall 1975 — public
+    * method): the nonparametric "is this metric drifting" monitor —
+    * S = Σ_{i<j} sign(x_j − x_i) over the daily volume series per
+    * event type, with the tie-corrected variance and the |S|−1 ≥
+    * z·σ significance verdict carried EXACTLY by squaring both sides
+    * ((|S|−1)²·18·10⁴ ≥ 38416·(18·Var) — no square root, no floats;
+    * 38416 = (1.96·100)²). Distribution-free, so it needs no model of
+    * the series — the standard first-line drift alarm.
+    *
+    * Shape: one (type, day) map-side-combined rollup shrinks the
+    * corpus to the days frame; the Σ-sign pair join runs on THAT
+    * (|types|·|days|² pairs — days² of a rollup, not corpus²), ties
+    * counted on the same frame; one |types|-row readout. */
+  def qTrendMk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select($"event_type", $"day".as("da"), $"n".as("na"))
+    val b = daily.select($"event_type", $"day".as("db"), $"n".as("nb"))
+    val s = a.join(b, Seq("event_type")).filter($"da" < $"db")
+      .groupBy($"event_type")
+      .agg(sum(signum($"nb" - $"na").cast("long")).as("s_stat"))
+    val ties = daily.groupBy($"event_type", $"n")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18"))
+      .select($"event_type", $"n_days", $"s_stat", $"var18",
+        expr("""CASE
+               |  WHEN s_stat = 0 THEN 'none'
+               |  WHEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 180000
+               |       < 38416 * var18 THEN 'none'
+               |  WHEN s_stat > 0 THEN 'increasing'
+               |  ELSE 'decreasing' END""".stripMargin).as("trend"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -2463,7 +2505,8 @@ object Relational {
     "q_ts_ewma" -> qTsEwma,
     "q_ts_decompose" -> qTsDecompose,
     "q_weighted_median" -> qWeightedMedian,
-    "q_quantile_sketch" -> qQuantileSketch
+    "q_quantile_sketch" -> qQuantileSketch,
+    "q_trend_mk" -> qTrendMk
   )
 
   private val revenueMonthlyOracle =
@@ -2479,6 +2522,36 @@ object Relational {
       |FROM m ORDER BY month""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_trend_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s.event_type, t.n_days, s.s_stat,
+        |  t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18 AS var18,
+        |  CASE
+        |    WHEN s.s_stat = 0 THEN 'none'
+        |    WHEN (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * 180000
+        |         < 38416 * (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie18)
+        |      THEN 'none'
+        |    WHEN s.s_stat > 0 THEN 'increasing'
+        |    ELSE 'decreasing' END AS trend
+        |FROM s JOIN ties t ON t.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
+
     "q_ts_decompose" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,

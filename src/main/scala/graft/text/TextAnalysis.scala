@@ -818,7 +818,47 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The taxonomy dictionary for [[qTextTagging]] — (keyword →
+    * category), the multi-pattern matching dictionary a content
+    * pipeline ships (topic routing, compliance wordlists, PII keyword
+    * pre-filters). ONE definition shared with the oracle. */
+  private[graft] val Taxonomy: Seq[(String, String)] = Seq(
+    "join" -> "relational", "merge" -> "relational", "agg" -> "relational",
+    "scan" -> "access", "index" -> "access",
+    "sort" -> "ordering", "order" -> "ordering",
+    "window" -> "analytics", "rank" -> "analytics",
+    "stream" -> "streaming", "batch" -> "streaming",
+    "hash" -> "physical", "shuffle" -> "physical", "partition" -> "physical")
+
+  /** DICTIONARY TAGGING (multi-pattern keyword matching): every
+    * document tagged with the taxonomy categories its tokens hit,
+    * with per-category match counts and the dominant category — the
+    * Aho–Corasick use case expressed relationally: explode tokens
+    * once, broadcast-join the (keyword → category) dictionary (small
+    * by definition — dictionaries are human-curated), combine per
+    * (doc, category). At 100 TB: one token scan, a broadcast no
+    * bigger than the wordlist, one doc-keyed combine — no shuffle of
+    * text, ever. Dominant category resolves ties by category name so
+    * the output is deterministic. */
+  def qTextTagging(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Taxonomy.toDF("kw", "category")
+    val hits = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("kw"))
+      .join(broadcast(dict), Seq("kw"))
+      .groupBy($"doc_id", $"category")
+      .agg(count(lit(1)).as("n_hits"))
+    hits.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_categories"),
+        sum($"n_hits").as("n_matches"),
+        max_by($"category", struct($"n_hits", $"category")).as("top_category"),
+        max($"n_hits").as("top_hits"),
+        array_join(array_sort(collect_list($"category")), ",").as("categories"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tagging" -> qTextTagging,
     "q_sketch_distinct" -> qSketchDistinct, // rows-only: engine-specific HLL
     "q_length_buckets" -> qLengthBuckets,
     "q_text_bigram_lm" -> qTextBigramLm,
@@ -862,7 +902,31 @@ object TextAnalysis {
       |        + (length(text) - length(replace(text, 'ein', ''))) // 3 AS s_de
       |    FROM documents))""".stripMargin
 
+  private def duckTaxonomyValues: String =
+    Taxonomy.map { case (k, c) => s"('$k', '$c')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q_text_tagging" ->
+      s"""WITH dict(kw, category) AS (VALUES $duckTaxonomyValues),
+         |hits AS (
+         |  SELECT d.doc_id, t.category, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS kw
+         |        FROM documents) d
+         |  JOIN dict t ON t.kw = d.kw
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, category, n_hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_hits DESC, category DESC) AS rn
+         |  FROM hits)
+         |SELECT h.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_categories,
+         |  CAST(sum(h.n_hits) AS BIGINT) AS n_matches,
+         |  max(CASE WHEN t.rn = 1 THEN t.category END) AS top_category,
+         |  CAST(max(h.n_hits) AS BIGINT) AS top_hits,
+         |  array_to_string(list_sort(list(h.category)), ',') AS categories
+         |FROM hits h JOIN top t ON t.doc_id = h.doc_id AND t.category = h.category
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_length_buckets" ->
       """WITH n AS (
         |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))

@@ -71,6 +71,66 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ppjoin: exact — equals the unblocked brute-force Jaccard join (recall AND precision 1)") {
+    import graft.dedup.Dedup
+    val got = Dedup.qDedupPpjoin(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jac_permille"))).toSet
+    // brute force with the same shingle definition and threshold
+    val sh = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("sh", expr(
+        "CASE WHEN size(toks) < 3 THEN CAST(array() AS array<string>) " +
+          "ELSE array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))) END"))
+      .select($"doc_id", $"sh").collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      i <- sh.indices.iterator; j <- (i + 1) until sh.length
+      (ida, a) = sh(i); (idb, b) = sh(j)
+      (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+      inter = (a & b).size if inter > 0
+      jac = inter.toLong * 1000 / (a.size + b.size - inter) if jac >= 500
+    } yield (lo, hi, jac)).toSet
+    assert(got == want, s"ppjoin ${got.size} vs brute ${want.size}")
+    assert(want.nonEmpty, "no qualifying pairs at sf0.001 — weak test")
+  }
+
+  test("trend_mk: replay on planted monotone and flat fixtures") {
+    // strictly increasing series: S = n(n-1)/2, verdict 'increasing'
+    val inc = (1 to 30).map(i => ("up", i.toLong, i.toLong * 3))
+    val flat = (1 to 30).map(i => ("fl", i.toLong, 7L))
+    val daily = (inc ++ flat).toDF("event_type", "day", "n")
+    val a = daily.select($"event_type", $"day".as("da"), $"n".as("na"))
+    val b = daily.select($"event_type", $"day".as("db"), $"n".as("nb"))
+    val s = a.join(b, Seq("event_type")).filter($"da" < $"db")
+      .groupBy($"event_type")
+      .agg(sum(signum($"nb" - $"na").cast("long")).as("s_stat"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s("up") == 30L * 29 / 2)
+    assert(s("fl") == 0L)
+    // corpus query runs and emits one verdict per type
+    val out = Relational.qTrendMk(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(Set("increasing", "decreasing", "none")(r.getAs[String]("trend")))
+      assert(r.getAs[Long]("var18") > 0)
+    }
+  }
+
+  test("tagging: accounting identities and dominant-category membership") {
+    val rows = graft.text.TextAnalysis.qTextTagging(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cats = r.getAs[String]("categories").split(",").toSeq
+      assert(cats.length == r.getAs[Long]("n_categories"))
+      assert(cats.contains(r.getAs[String]("top_category")))
+      assert(r.getAs[Long]("n_matches") >= r.getAs[Long]("top_hits"))
+      assert(cats == cats.sorted)
+    }
+  }
+
   test("curriculum: rank is a bijection, stages are balanced quartiles, score-monotone") {
     val rows = graft.quality.Quality.qCurriculum(spark, sf0001).collect()
     val n = rows.length
