@@ -676,7 +676,83 @@ object GraphOps {
   // registration
   // -----------------------------------------------------------------
 
+  /** SEEDED BETWEENNESS (Brandes 2001, public paper — forward sigma +
+    * backward dependency accumulation, from the deterministic flagged
+    * seed set shared with [[qGraphBfs]]/[[qGraphPpr]], hop-capped at
+    * [[BfsRounds]]): the "who brokers the flow" centrality the
+    * degree/PageRank family can't see (a low-degree node on every
+    * shortest path between two clusters is invisible to both).
+    *
+    * Forward: per-seed BFS where each frontier node's σ = Σ σ of its
+    * predecessors (shortest-path counts — one grouped join per hop,
+    * frames keyed (seed, node): |seeds|·|V| rows, seeds constant, so
+    * linear in V). Backward: δ(v) = Σ_{v→w in the BFS DAG}
+    * (σ_v·(10⁶+δ_w)) div σ_w — Brandes's accumulation carried ×10⁶ in
+    * integral division (products in DECIMAL(38,0); σ·δ outgrows BIGINT
+    * before the divide), level-by-level so the truncation order is
+    * deterministic and the DuckDB oracle replays it bit-for-bit.
+    * Output per node: seeds reaching it, total path count, total
+    * dependency — the Σ_s δ_s(v) betweenness readout. */
+  def qGraphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    betweennessOnEdges(symmetricEdges(spark, dir), BfsRounds)
+
+  private[graft] def betweennessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    // forward: (seed, node, level, sigma)
+    var levels = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("level"), lit(1L).as("sigma"))
+    for (r <- 1 to rounds) {
+      val frontier = levels.filter(col("level") === (r - 1))
+        .select(col("seed"), col("node").as("fnode"), col("sigma").as("fsig"))
+      val next = sym
+        .join(frontier.hint("shuffle_hash"), col("src") === col("fnode"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("fsig")).as("sigma"))
+        .join(levels.select(col("seed"), col("node")).hint("shuffle_hash"),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("level"), col("sigma"))
+      levels = levels.union(next)
+    }
+    // backward: (seed, node, delta), deepest level seeds the recursion at 0
+    var delta = levels.filter(col("level") === rounds)
+      .select(col("seed"), col("node"), lit(0L).as("delta"))
+    for (r <- (rounds - 1) to 0 by -1) {
+      val cur = levels.filter(col("level") === r)
+        .select(col("seed"), col("node").as("vnode"), col("sigma").as("vsig"))
+      val nxt = levels.filter(col("level") === (r + 1))
+        .select(col("seed").as("wseed"), col("node").as("wnode"),
+          col("sigma").as("wsig"))
+      val wd = delta.select(col("seed").as("dseed"), col("node").as("dnode"),
+        col("delta").as("wdelta"))
+      val contrib = cur
+        .join(sym.hint("shuffle_hash"), col("src") === col("vnode"))
+        .join(nxt.hint("shuffle_hash"),
+          col("wseed") === col("seed") && col("wnode") === col("dst"))
+        .join(wd.hint("shuffle_hash"),
+          col("dseed") === col("seed") && col("dnode") === col("wnode"))
+        .select(col("seed"), col("vnode"),
+          expr("cast((cast(vsig as decimal(38,0)) * (1000000 + wdelta)) div wsig as bigint)")
+            .as("term"))
+        .groupBy(col("seed"), col("vnode"))
+        .agg(sum(col("term")).as("d"))
+      val layer = cur
+        .join(contrib, Seq("seed", "vnode"), "left_outer")
+        .select(col("seed"), col("vnode").as("node"),
+          coalesce(col("d"), lit(0L)).as("delta"))
+      delta = delta.union(layer)
+    }
+    levels.join(delta, Seq("seed", "node"))
+      .filter(col("node") =!= col("seed"))
+      .groupBy(col("node").as("part"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(col("sigma")).as("sigma_total"),
+        sum(col("delta")).as("betweenness_x1e6"))
+      .orderBy(col("part"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_betweenness" -> qGraphBetweenness,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_pagerank_inc" -> qGraphPagerankInc,
     "q_graph_triangles" -> qGraphTriangles,
@@ -742,6 +818,66 @@ object GraphOps {
        |ORDER BY part""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_graph_betweenness" ->
+      s"""WITH $edgesCte,
+         |l0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sig
+         |       FROM edges WHERE src % 500 = 0),
+         |l1 AS (SELECT l0.seed, e.dst AS node, CAST(SUM(l0.sig) AS BIGINT) AS sig
+         |       FROM edges e JOIN l0 ON e.src = l0.node
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+         |                         WHERE x.seed = l0.seed AND x.node = e.dst)
+         |       GROUP BY 1, 2),
+         |l2 AS (SELECT l1.seed, e.dst AS node, CAST(SUM(l1.sig) AS BIGINT) AS sig
+         |       FROM edges e JOIN l1 ON e.src = l1.node
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+         |                         WHERE x.seed = l1.seed AND x.node = e.dst)
+         |         AND NOT EXISTS (SELECT 1 FROM l1 y
+         |                         WHERE y.seed = l1.seed AND y.node = e.dst)
+         |       GROUP BY 1, 2),
+         |l3 AS (SELECT l2.seed, e.dst AS node, CAST(SUM(l2.sig) AS BIGINT) AS sig
+         |       FROM edges e JOIN l2 ON e.src = l2.node
+         |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+         |                         WHERE x.seed = l2.seed AND x.node = e.dst)
+         |         AND NOT EXISTS (SELECT 1 FROM l1 y
+         |                         WHERE y.seed = l2.seed AND y.node = e.dst)
+         |         AND NOT EXISTS (SELECT 1 FROM l2 z
+         |                         WHERE z.seed = l2.seed AND z.node = e.dst)
+         |       GROUP BY 1, 2),
+         |d3 AS (SELECT seed, node, CAST(0 AS BIGINT) AS delta FROM l3),
+         |d2 AS (SELECT v.seed, v.node,
+         |         CAST(COALESCE(SUM((CAST(v.sig AS HUGEINT) * (1000000 + d.delta)) // w.sig), 0)
+         |           AS BIGINT) AS delta
+         |       FROM l2 v
+         |       LEFT JOIN edges e ON e.src = v.node
+         |       LEFT JOIN l3 w ON w.seed = v.seed AND w.node = e.dst
+         |       LEFT JOIN d3 d ON d.seed = v.seed AND d.node = w.node
+         |       GROUP BY 1, 2),
+         |d1 AS (SELECT v.seed, v.node,
+         |         CAST(COALESCE(SUM((CAST(v.sig AS HUGEINT) * (1000000 + d.delta)) // w.sig), 0)
+         |           AS BIGINT) AS delta
+         |       FROM l1 v
+         |       LEFT JOIN edges e ON e.src = v.node
+         |       LEFT JOIN l2 w ON w.seed = v.seed AND w.node = e.dst
+         |       LEFT JOIN d2 d ON d.seed = v.seed AND d.node = w.node
+         |       GROUP BY 1, 2),
+         |d0 AS (SELECT v.seed, v.node,
+         |         CAST(COALESCE(SUM((CAST(v.sig AS HUGEINT) * (1000000 + d.delta)) // w.sig), 0)
+         |           AS BIGINT) AS delta
+         |       FROM l0 v
+         |       LEFT JOIN edges e ON e.src = v.node
+         |       LEFT JOIN l1 w ON w.seed = v.seed AND w.node = e.dst
+         |       LEFT JOIN d1 d ON d.seed = v.seed AND d.node = w.node
+         |       GROUP BY 1, 2),
+         |lv AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |       UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+         |dv AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         |       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |SELECT l.node AS part, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+         |  CAST(SUM(l.sig) AS BIGINT) AS sigma_total,
+         |  CAST(SUM(d.delta) AS BIGINT) AS betweenness_x1e6
+         |FROM lv l JOIN dv d ON d.seed = l.seed AND d.node = l.node
+         |WHERE l.node <> l.seed
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incremental build must be indistinguishable from the batch
     // build — SAME oracle, so the driver hash compares them to one SQL
     "q_graph_pagerank_inc" -> pagerankOracle,

@@ -402,6 +402,38 @@ class GraphOpsSpec extends SparkSpec {
       5L -> 2L, 6L -> 3L))
   }
 
+  test("fixture betweenness: Brandes forward/backward replays by hand") {
+    // diamond: 0-1, 1-2, 1-3, 2-4, 3-4 — two shortest 0→4 paths, so
+    // sigma(4)=2 and the dependency splits 50/50 across the brokers
+    val ce = Seq((0L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.betweennessOnEdges(sym, rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("n_seeds"), r.getAs[Long]("sigma_total"),
+          r.getAs[Long]("betweenness_x1e6")))).toMap
+    // seed set = {0} (node % 500 == 0); hand-computed Brandes:
+    // δ(4)=0; δ(2)=δ(3)=(1·10⁶)//2=500000; δ(1)=2·(10⁶+500000)=3·10⁶
+    assert(got == Map(
+      1L -> ((1L, 1L, 3000000L)),
+      2L -> ((1L, 1L, 500000L)),
+      3L -> ((1L, 1L, 500000L)),
+      4L -> ((1L, 2L, 0L))))
+  }
+
+  test("betweenness: a bridge node dominates both endpoints clusters") {
+    // two triangles joined by a bridge node 1: {0,2,3} and {1} and {4,5}
+    // 0-2,0-3,2-3 triangle; 3-1 bridge; 1-4; 4-5,4-6,5-6 triangle
+    val ce = Seq((0L, 2L), (0L, 3L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.betweennessOnEdges(sym, rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("betweenness_x1e6")).toMap
+    // from seed 0, the cut vertices 3 (then 1) carry all downstream flow
+    assert(got(3L) > got(2L), got.toString)
+    assert(got(3L) > got(1L), got.toString) // 3 is closer to the seed
+    assert(got(1L) > got(4L) || !got.contains(4L), got.toString)
+  }
+
   test("randomized graphs: BFS levels == replay") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 8) {
