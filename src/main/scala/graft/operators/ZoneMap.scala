@@ -87,19 +87,108 @@ object ZoneMap {
       .orderBy($"month")
   }
 
+  // --- incremental manifest maintenance ----------------------------
+  // The claim in [[buildManifest]]'s doc made real: at scale the
+  // manifest is maintained at WRITE time — each appended batch lands
+  // in its own dir, its file stats are computed from exactly the
+  // files it wrote, and the manifest grows by an idempotent published
+  // batch partial (the AggMaintenance/EdgeMaintenance protocol: stage
+  // under _staging/batch=<id>, rename to batch-<id>, dir existence is
+  // the applied marker). Readers fold the manifest log; a replayed
+  // batch discards its recomputation. Scan-based [[buildManifest]]
+  // remains the backfill path and the spec's rebuild baseline.
+
+  private def manifestDir(path: String) = s"$path/manifest"
+
+  /** Append one batch of rows to the table AND publish its manifest
+    * partial, idempotent per batch id. */
+  def appendBatch(df: DataFrame, tablePath: String, zoneCol: String,
+      batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val batchDir = s"$tablePath/data/batch=$batchId"
+    val bp = new org.apache.hadoop.fs.Path(batchDir)
+    val fs = bp.getFileSystem(hconf)
+    val dest = new org.apache.hadoop.fs.Path(
+      s"${manifestDir(tablePath)}/batch-$batchId")
+    if (fs.exists(dest)) return // applied marker: replay discarded
+    df.write.mode("overwrite").parquet(batchDir)
+    val staging = s"$tablePath/_staging/batch=$batchId"
+    spark.read.parquet(batchDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val src = new org.apache.hadoop.fs.Path(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(src, "_SUCCESS"), false)
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(src, dest))
+      sys.error(s"zonemap manifest publish failed: $src -> $dest")
+    fs.delete(src, true)
+    ()
+  }
+
+  /** The maintained manifest: fold of the published batch partials. */
+  def readManifest(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(manifestDir(tablePath))
+
+  /** Pruned read off the STORED manifest — no scan touches the table
+    * before planning; at 100 TB this collect is the only driver-side
+    * metadata (|files| rows). */
+  def prunedReadStored(spark: SparkSession, tablePath: String,
+      zoneCol: String, lo: String, hi: String): (DataFrame, Int, Int) = {
+    val manifest = readManifest(spark, tablePath).collect()
+    val survivors = manifest
+      .filter(r => r.getAs[Any]("zmax").toString >= lo &&
+        r.getAs[Any]("zmin").toString <= hi)
+      .map(_.getAs[String]("file"))
+    val df = spark.read.parquet(survivors.toIndexedSeq: _*)
+      .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
+    (df, survivors.length, manifest.length)
+  }
+
+  /** Same quarter rollup as [[qZonemapScan]], but through a table
+    * grown in three appendBatch calls with its manifest maintained
+    * incrementally — the oracle is VERBATIM the full-scan SQL, so the
+    * driver hash proves maintained-manifest pruning loses nothing. */
+  def qZonemapScanInc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = SessionCache.scratchDir(spark,
+      "zonemap_inc_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!new java.io.File(s"$base/manifest").exists()) {
+      val o = Tables.load(spark, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+      appendBatch(o.filter($"o_orderkey" % 3 === 0), base, "o_orderdate", 0L)
+      appendBatch(o.filter($"o_orderkey" % 3 === 1), base, "o_orderdate", 1L)
+      appendBatch(o.filter($"o_orderkey" % 3 === 2), base, "o_orderdate", 2L)
+    }
+    val (df, _, _) =
+      prunedReadStored(spark, base, "o_orderdate", "1995-01-01", "1995-03-31")
+    df.groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
+          .as("revenue_cents"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zonemap_scan" -> qZonemapScan
+    "q_zonemap_scan" -> qZonemapScan,
+    "q_zonemap_scan_inc" -> qZonemapScanInc
   )
 
+  private val quarterRollupSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |  AND o_orderdate <= DATE '1995-03-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_zonemap_scan" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-        |    AS revenue_cents
-        |FROM orders
-        |WHERE o_orderdate >= DATE '1995-01-01'
-        |  AND o_orderdate <= DATE '1995-03-31'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+    "q_zonemap_scan_inc" -> quarterRollupSql,
+    "q_zonemap_scan" -> quarterRollupSql
   )
 }

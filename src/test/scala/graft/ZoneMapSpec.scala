@@ -36,6 +36,41 @@ class ZoneMapSpec extends SparkSpec {
     assert(got == want, s"pruned read lost/gained rows: ${got.size} vs ${want.size}")
   }
 
+  test("incremental manifest == scan-based rebuild; replay discarded; pruning intact") {
+    val base = SessionCache.scratchDir(spark, "zonemap-spec-inc")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val o = Tables.load(spark, sf0001, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+    ZoneMap.appendBatch(o.filter($"o_orderkey" % 2 === 0), base, "o_orderdate", 0L)
+    ZoneMap.appendBatch(o.filter($"o_orderkey" % 2 === 1), base, "o_orderdate", 1L)
+    // replay of an applied batch: discarded, no duplicate stats rows
+    ZoneMap.appendBatch(o.filter($"o_orderkey" % 2 === 1), base, "o_orderdate", 1L)
+
+    // maintained manifest == scan-based backfill over the same data
+    val stored = ZoneMap.readManifest(spark, base).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Any]("zmin").toString,
+        r.getAs[Any]("zmax").toString, r.getAs[Long]("n_rows"))).toSet
+    val rebuilt = ZoneMap.buildManifest(spark, s"$base/data", "o_orderdate")
+      .collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Any]("zmin").toString,
+        r.getAs[Any]("zmax").toString, r.getAs[Long]("n_rows"))).toSet
+    assert(stored == rebuilt,
+      s"stored ${stored.size} vs rebuilt ${rebuilt.size}")
+
+    // stored-manifest pruning: same rows as the direct filter
+    val (df, read, total) =
+      ZoneMap.prunedReadStored(spark, base, "o_orderdate",
+        "1995-01-01", "1995-03-31")
+    assert(read > 0 && read <= total)
+    val want = Tables.load(spark, sf0001, "orders")
+      .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" <= "1995-03-31")
+      .count()
+    assert(df.count() == want)
+  }
+
   test("a coarse (single-file) layout degrades to a full read, never wrong rows") {
     val path = SessionCache.scratchDir(spark, "zonemap-spec-coarse")
     Tables.load(spark, sf0001, "orders").coalesce(1)
