@@ -316,7 +316,63 @@ object Multimodal {
     }
   }
 
+  case class Thumbnail(media_id: Long, src_w: Long, src_h: Long,
+      thumb_sum: Long, thumb_wsum: Long)
+
+  private val ThumbSide = 8
+
+  /** REAL thumbnail pipeline — decode the PNG corpus, nearest-neighbor
+    * resample to 8×8 with exact integer index math (src pixel
+    * (tx·w div 8, ty·h div 8) per thumb pixel), RE-ENCODE through the
+    * real PNG writer, decode AGAIN, and fingerprint the final pixels —
+    * both directions of the codec exercised twice per asset, end to
+    * end. PNG is lossless so the whole chain is formula-predictable:
+    * the oracle computes the thumb fingerprint straight from the
+    * source-pixel formula. Batched per partition; bytes never
+    * shuffle. */
+  def thumbnails(media: Dataset[EncodedMedia]): Dataset[Thumbnail] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image/png").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, rgb) = Codec.decodeImage(m.content)
+          val t = new Array[Byte](ThumbSide * ThumbSide * 3)
+          var ty = 0
+          while (ty < ThumbSide) {
+            var tx = 0
+            while (tx < ThumbSide) {
+              val sy = ty * h / ThumbSide
+              val sx = tx * w / ThumbSide
+              var c = 0
+              while (c < 3) {
+                t((ty * ThumbSide + tx) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+                c += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          // second round trip: real encode, real decode
+          val reencoded = Codec.encodePng(ThumbSide, ThumbSide, t)
+          val (_, _, back) = Codec.decodeImage(reencoded)
+          var s = 0L; var ws = 0L; var i = 0
+          while (i < back.length) {
+            val v = back(i) & 0xFF
+            s += v; ws += (i + 1L) * v
+            i += 1
+          }
+          Thumbnail(m.media_id, w.toLong, h.toLong, s, ws)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
+
+  def qMmThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    thumbnails(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
 
   def qMmDecodeImage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -405,7 +461,8 @@ object Multimodal {
     "q_mm_dhash_pairs" -> qMmDhashPairs,
     "q_mm_scene_cuts" -> qMmSceneCuts,
     "q_mm_decode_image" -> qMmDecodeImage,
-    "q_mm_decode_audio" -> qMmDecodeAudio
+    "q_mm_decode_audio" -> qMmDecodeAudio,
+    "q_mm_thumbnail" -> qMmThumbnail
   )
 
   private def duckPx(i: Int): String =
@@ -440,6 +497,32 @@ object Multimodal {
         |CROSS JOIN LATERAL (SELECT unnest(range(0,
         |  (8 + d.doc_id % 9) * (8 + d.doc_id % 7) * 3)) AS i) g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // thumb pixel (tx, ty, ch) samples source pixel
+    // (tx·w // 8, ty·h // 8); the source pixel value is the encode
+    // formula at flat index ((sy·w + sx)·3 + ch); the fingerprint sums
+    // run in THUMB order ti = (ty·8 + tx)·3 + ch
+    "q_mm_thumbnail" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents),
+        |tp AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (g.ty * 8 + g.tx) * 3 + g.ch AS ti,
+        |    (((g.ty * d.h // 8) * d.w + (g.tx * d.w // 8)) * 3 + g.ch) AS si
+        |  FROM dims d
+        |  CROSS JOIN (SELECT a.tx, b.ty, c.ch
+        |              FROM (SELECT unnest(range(0, 8)) AS tx) a,
+        |                   (SELECT unnest(range(0, 8)) AS ty) b,
+        |                   (SELECT unnest(range(0, 3)) AS ch) c) g)
+        |SELECT doc_id AS media_id, max(w) AS src_w, max(h) AS src_h,
+        |  CAST(SUM((doc_id * 2654435761 + si * 40503) % 256) AS BIGINT)
+        |    AS thumb_sum,
+        |  CAST(SUM((ti + 1) * ((doc_id * 2654435761 + si * 40503) % 256))
+        |    AS BIGINT) AS thumb_wsum
+        |FROM tp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mm_decode_audio" ->
       """SELECT d.doc_id AS media_id,

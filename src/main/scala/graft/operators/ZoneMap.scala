@@ -148,6 +148,19 @@ object ZoneMap {
     (df, survivors.length, manifest.length)
   }
 
+  /** Streaming maintenance: every micro-batch lands through the same
+    * idempotent [[appendBatch]] — foreachBatch replays re-enter the
+    * same batch dir and are discarded by the manifest's applied
+    * marker, so the data+manifest pair stays exactly-once. */
+  def streamingAppend(stream: DataFrame, tablePath: String, zoneCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, tablePath, zoneCol, id)
+      }
+      .start()
+
   /** Same quarter rollup as [[qZonemapScan]], but through a table
     * grown in three appendBatch calls with its manifest maintained
     * incrementally — the oracle is VERBATIM the full-scan SQL, so the

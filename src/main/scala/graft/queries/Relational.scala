@@ -2402,6 +2402,88 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** ROLLING ACTIVE USERS (DAU / WAU / stickiness): distinct users per
+    * day and per trailing 7-day window, plus the DAU/WAU "stickiness"
+    * ratio in exact permille — the engagement dashboard primitive.
+    * Sliding COUNT DISTINCT has no direct window form; the exact
+    * expansion is: each (user, day) activity row contributes to the 7
+    * calendar days whose trailing window contains it, so one explode
+    * of the DEDUPLICATED user-day frame (×7, bounded) and a distinct
+    * count per target day give the rolling distinct exactly. Days
+    * without activity are still reporting days inside the observed
+    * range (the densify rule).
+    *
+    * Shape: corpus shrinks to the (user, day) distinct frame in one
+    * combine; the ×7 explode runs on THAT; output is the days frame. */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .distinct()
+    val dau = userDays.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val grid = userDays.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val wau = userDays
+      .select($"user_id", explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    grid.join(dau, Seq("day"), "left_outer")
+      .join(wau, Seq("day"), "left_outer")
+      .select($"day", coalesce($"dau", lit(0L)).as("dau"),
+        coalesce($"wau", lit(0L)).as("wau"))
+      .withColumn("stickiness_permille",
+        expr("CASE WHEN wau = 0 THEN 0L ELSE (dau * 1000) div wau END"))
+      .orderBy($"day")
+  }
+
+  /** CUSUM CHANGEPOINT DETECTION (Page 1954 — public method): the
+    * "when did this metric shift" monitor that the point-in-time
+    * Mann–Kendall trend verdict can't localize. Per event type over
+    * daily volumes: the one-sided cumulative sums
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − k)) and the mirrored S⁻ₜ, with
+    * μ the series mean and k = μ/20 slack, both in exact integer
+    * ×20 arithmetic (μ enters as Σx·20 div n once — one truncation,
+    * replayed identically by the oracle). A linear RECURRENCE no
+    * window frame expresses — the EWMA pattern: a higher-order
+    * `aggregate` fold over the per-type day-sorted array (days frame,
+    * not corpus). Output: first alarm day per side (if any) and the
+    * peak statistics — the changepoint localization. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("pts"),
+        count(lit(1)).as("n_days"), sum($"n").as("total"))
+      // all x20: mu20 = Σx·20 div n (one truncation); slack k20 = mu20 div 20;
+      // threshold h20 = 4·mu20 (4σ-ish in volume units — a monitoring default)
+      .withColumn("mu20", expr("(total * 20) div n_days"))
+      .withColumn("k20", expr("mu20 div 20"))
+      .withColumn("h20", expr("4 * mu20"))
+      .withColumn("f", expr(
+        """aggregate(pts,
+          |  named_struct('sp', 0L, 'sn', 0L, 'up_day', CAST(NULL AS LONG),
+          |               'dn_day', CAST(NULL AS LONG), 'peak', 0L),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(0L, acc.sp + (x.n * 20 - mu20 - k20)),
+          |    'sn', greatest(0L, acc.sn + (mu20 - k20 - x.n * 20)),
+          |    'up_day', coalesce(acc.up_day,
+          |      if(greatest(0L, acc.sp + (x.n * 20 - mu20 - k20)) > h20, x.day,
+          |         CAST(NULL AS LONG))),
+          |    'dn_day', coalesce(acc.dn_day,
+          |      if(greatest(0L, acc.sn + (mu20 - k20 - x.n * 20)) > h20, x.day,
+          |         CAST(NULL AS LONG))),
+          |    'peak', greatest(acc.peak,
+          |      greatest(0L, acc.sp + (x.n * 20 - mu20 - k20)),
+          |      greatest(0L, acc.sn + (mu20 - k20 - x.n * 20)))),
+          |  acc -> acc)""".stripMargin))
+      .select($"event_type", $"n_days", $"mu20", $"h20",
+        $"f.up_day".as("up_alarm_day"), $"f.dn_day".as("dn_alarm_day"),
+        $"f.peak".as("peak_stat20"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -2506,7 +2588,9 @@ object Relational {
     "q_ts_decompose" -> qTsDecompose,
     "q_weighted_median" -> qWeightedMedian,
     "q_quantile_sketch" -> qQuantileSketch,
-    "q_trend_mk" -> qTrendMk
+    "q_trend_mk" -> qTrendMk,
+    "q_active_users" -> qActiveUsers,
+    "q_cusum" -> qCusum
   )
 
   private val revenueMonthlyOracle =
@@ -2522,6 +2606,77 @@ object Relational {
       |FROM m ORDER BY month""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |grid AS (SELECT unnest(range((SELECT min(day) FROM ud),
+        |                             (SELECT max(day) FROM ud) + 1)) AS day),
+        |wau AS (
+        |  SELECT g.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        |  FROM ud u
+        |  CROSS JOIN LATERAL (SELECT unnest(range(u.day, u.day + 7)) AS day) g
+        |  GROUP BY 1)
+        |SELECT g.day, COALESCE(d.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau,
+        |  CASE WHEN COALESCE(w.wau, 0) = 0 THEN 0
+        |       ELSE (COALESCE(d.dau, 0) * 1000) // w.wau END
+        |    AS stickiness_permille
+        |FROM grid g LEFT JOIN dau d ON d.day = g.day
+        |LEFT JOIN wau w ON w.day = g.day
+        |ORDER BY g.day""".stripMargin,
+
+    "q_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    (CAST(sum(n) AS BIGINT) * 20) // count(*) AS mu20
+        |  FROM daily GROUP BY 1),
+        |pp AS (SELECT event_type, n_days, mu20, mu20 // 20 AS k20,
+        |              4 * mu20 AS h20 FROM p),
+        |f AS (
+        |  SELECT o.event_type, o.i,
+        |    GREATEST(0, o.n * 20 - q.mu20 - q.k20) AS sp,
+        |    GREATEST(0, q.mu20 - q.k20 - o.n * 20) AS sn,
+        |    CASE WHEN GREATEST(0, o.n * 20 - q.mu20 - q.k20) > q.h20
+        |         THEN o.day END AS up_day,
+        |    CASE WHEN GREATEST(0, q.mu20 - q.k20 - o.n * 20) > q.h20
+        |         THEN o.day END AS dn_day,
+        |    GREATEST(GREATEST(0, o.n * 20 - q.mu20 - q.k20),
+        |             GREATEST(0, q.mu20 - q.k20 - o.n * 20)) AS peak
+        |  FROM ord o JOIN pp q ON q.event_type = o.event_type
+        |  WHERE o.i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.i,
+        |    GREATEST(0, f.sp + o.n * 20 - q.mu20 - q.k20) AS sp,
+        |    GREATEST(0, f.sn + q.mu20 - q.k20 - o.n * 20) AS sn,
+        |    COALESCE(f.up_day,
+        |      CASE WHEN GREATEST(0, f.sp + o.n * 20 - q.mu20 - q.k20) > q.h20
+        |           THEN o.day END) AS up_day,
+        |    COALESCE(f.dn_day,
+        |      CASE WHEN GREATEST(0, f.sn + q.mu20 - q.k20 - o.n * 20) > q.h20
+        |           THEN o.day END) AS dn_day,
+        |    GREATEST(f.peak,
+        |      GREATEST(0, f.sp + o.n * 20 - q.mu20 - q.k20),
+        |      GREATEST(0, f.sn + q.mu20 - q.k20 - o.n * 20)) AS peak
+        |  FROM f JOIN ord o ON o.event_type = f.event_type AND o.i = f.i + 1
+        |  JOIN pp q ON q.event_type = o.event_type)
+        |SELECT q.event_type, q.n_days, q.mu20, q.h20,
+        |  f.up_day AS up_alarm_day, f.dn_day AS dn_alarm_day,
+        |  f.peak AS peak_stat20
+        |FROM f JOIN pp q ON q.event_type = f.event_type AND f.i = q.n_days
+        |ORDER BY q.event_type""".stripMargin,
+
     "q_trend_mk" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -198,7 +198,10 @@ class PlanSpec extends SparkSpec {
       "q_dedup_lsh_recall",
       // Pareto: the 1-row (n, total) broadcast onto the ranked
       // customer-revenue frame
-      "q_pareto_revenue")
+      "q_pareto_revenue",
+      // curriculum: the 1-row corpus-count broadcast onto the banded
+      // rank frame (the stage quartile needs n_total on every row)
+      "q_curriculum")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

@@ -131,6 +131,71 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("active_users: WAU dominates DAU and replays as distinct users over the window") {
+    val rows = Relational.qActiveUsers(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, (dau, wau)) => assert(wau >= dau, s"day $d") }
+    val ud = Tables.load(spark, sf0001, "events")
+      .select($"user_id", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { case (d, (dau, wau)) =>
+      assert(dau == byDay.getOrElse(d, Set.empty[Long]).size)
+      val window = (d - 6 to d).flatMap(byDay.getOrElse(_, Set.empty[Long])).toSet
+      assert(wau == window.size, s"day $d: $wau vs ${window.size}")
+    }
+  }
+
+  test("cusum: corpus output replays from a plain Scala fold") {
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    val got = Relational.qCusum(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val pts = rows.map(x => (x._2, x._3)).sortBy(_._1)
+      val total = pts.map(_._2).sum
+      val mu20 = total * 20 / pts.length
+      val k20 = mu20 / 20; val h20 = 4 * mu20
+      var sp = 0L; var sn = 0L; var peak = 0L
+      var up: Option[Long] = None; var dn: Option[Long] = None
+      pts.foreach { case (day, n) =>
+        sp = math.max(0L, sp + (n * 20 - mu20 - k20))
+        sn = math.max(0L, sn + (mu20 - k20 - n * 20))
+        if (up.isEmpty && sp > h20) up = Some(day)
+        if (dn.isEmpty && sn > h20) dn = Some(day)
+        peak = math.max(peak, math.max(sp, sn))
+      }
+      val r = got(t)
+      assert(r.getAs[Long]("mu20") == mu20 && r.getAs[Long]("h20") == h20)
+      assert(Option(r.getAs[java.lang.Long]("up_alarm_day")).map(_.toLong) == up, t)
+      assert(Option(r.getAs[java.lang.Long]("dn_alarm_day")).map(_.toLong) == dn, t)
+      assert(r.getAs[Long]("peak_stat20") == peak, t)
+    }
+  }
+
+  test("cusum detects a planted level shift via the same fold (sanity of the statistic)") {
+    // flat 100/day for 20 days then 200/day for 10: the up-side alarm
+    // must fire shortly after the shift, never before it
+    val pts = ((1 to 20).map(d => (d.toLong, 100L)) ++
+      (21 to 30).map(d => (d.toLong, 200L)))
+    val total = pts.map(_._2).sum
+    val mu20 = total * 20 / pts.length
+    val k20 = mu20 / 20; val h20 = 4 * mu20
+    var sp = 0L; var up: Option[Long] = None
+    pts.foreach { case (day, n) =>
+      sp = math.max(0L, sp + (n * 20 - mu20 - k20))
+      if (up.isEmpty && sp > h20) up = Some(day)
+    }
+    // increment per shifted day = 200·20 − μ20 − k20 ≈ 1200; h20 ≈ 10666
+    // → the alarm needs ~9 shifted days: fires at day 29, never before 21
+    assert(up.exists(_ >= 21L), s"alarm before the shift: $up")
+    assert(up.exists(_ <= 30L), s"alarm never fired in the series: $up")
+  }
+
   test("curriculum: rank is a bijection, stages are balanced quartiles, score-monotone") {
     val rows = graft.quality.Quality.qCurriculum(spark, sf0001).collect()
     val n = rows.length

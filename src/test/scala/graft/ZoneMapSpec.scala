@@ -71,6 +71,38 @@ class ZoneMapSpec extends SparkSpec {
     assert(df.count() == want)
   }
 
+  test("streaming foreachBatch maintenance: stored manifest == rebuild over the fed data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = SessionCache.scratchDir(spark, "zonemap-spec-stream")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val input = MemoryStream[(Long, String)]
+    val q = ZoneMap.streamingAppend(
+      input.toDF().toDF("o_orderkey", "o_orderdate"),
+      base, "o_orderdate", s"$base-ckpt")
+    try {
+      input.addData((1L, "1995-01-10"), (2L, "1995-02-20"))
+      q.processAllAvailable()
+      input.addData((3L, "1995-06-15"), (4L, "1996-01-05"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = ZoneMap.readManifest(spark, base).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Any]("zmin").toString,
+        r.getAs[Any]("zmax").toString, r.getAs[Long]("n_rows"))).toSet
+    val rebuilt = ZoneMap.buildManifest(spark, s"$base/data", "o_orderdate")
+      .collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Any]("zmin").toString,
+        r.getAs[Any]("zmax").toString, r.getAs[Long]("n_rows"))).toSet
+    assert(stored == rebuilt && stored.nonEmpty)
+    val (df, read, total) = ZoneMap.prunedReadStored(
+      spark, base, "o_orderdate", "1995-01-01", "1995-03-31")
+    assert(read < total, s"$read of $total")
+    assert(df.select($"o_orderkey").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("a coarse (single-file) layout degrades to a full read, never wrong rows") {
     val path = SessionCache.scratchDir(spark, "zonemap-spec-coarse")
     Tables.load(spark, sf0001, "orders").coalesce(1)
