@@ -2484,6 +2484,44 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** SEQUENTIAL PATTERN MINING (the 2-pattern core of PrefixSpan/GSP —
+    * Agrawal & Srikant 1995, public): support of "a THEN b" = distinct
+    * users whose event sequence contains some a-event strictly before
+    * some b-event — SUBSEQUENCE containment, not adjacency (that's
+    * q_event_transitions' Markov view; 'view … THEN purchase' with
+    * anything in between is the pattern a funnel designer asks for).
+    * Containment collapses to interval logic: user u contains a→b iff
+    * min_ts(a) < max_ts(b) — so the corpus shrinks to the per-(user,
+    * type) first/last-occurrence frame in ONE combine, and the pattern
+    * join runs on that (|users|·|types| rows), never on raw events.
+    * Lift ×1000 (exact: n_ab·N·1000 div n_a·n_b) separates real
+    * sequential structure from popularity. */
+  def qSeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+    val nUsers = spans.select($"user_id").distinct().count()
+    val typeCounts = spans.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_t"))
+    val a = spans.select($"user_id", $"event_type".as("t_a"), $"first_us")
+    val b = spans.select($"user_id", $"event_type".as("t_b"), $"last_us")
+    a.join(b, Seq("user_id"))
+      .filter($"first_us" < $"last_us")
+      .groupBy($"t_a", $"t_b")
+      .agg(count(lit(1)).as("n_users_ab"))
+      .join(broadcast(typeCounts.select($"event_type".as("t_a"),
+        $"n_t".as("n_a"))), Seq("t_a"))
+      .join(broadcast(typeCounts.select($"event_type".as("t_b"),
+        $"n_t".as("n_b"))), Seq("t_b"))
+      .select($"t_a".as("first_type"), $"t_b".as("then_type"),
+        $"n_users_ab", $"n_a", $"n_b",
+        expr(s"(n_users_ab * ${nUsers}L * 1000) div (n_a * n_b)")
+          .as("lift_x1000"))
+      .orderBy($"first_type", $"then_type")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -2590,7 +2628,8 @@ object Relational {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_trend_mk" -> qTrendMk,
     "q_active_users" -> qActiveUsers,
-    "q_cusum" -> qCusum
+    "q_cusum" -> qCusum,
+    "q_seq_patterns" -> qSeqPatterns
   )
 
   private val revenueMonthlyOracle =
@@ -2606,6 +2645,29 @@ object Relational {
       |FROM m ORDER BY month""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_seq_patterns" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_type,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |  FROM events GROUP BY 1, 2),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM spans),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM spans GROUP BY 1),
+        |ab AS (
+        |  SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |    CAST(count(*) AS BIGINT) AS n_users_ab
+        |  FROM spans a JOIN spans b ON b.user_id = a.user_id
+        |  WHERE a.first_us < b.last_us
+        |  GROUP BY 1, 2)
+        |SELECT ab.t_a AS first_type, ab.t_b AS then_type, ab.n_users_ab,
+        |  ta.n_t AS n_a, tb.n_t AS n_b,
+        |  (ab.n_users_ab * nu.n * 1000) // (ta.n_t * tb.n_t) AS lift_x1000
+        |FROM ab JOIN tc ta ON ta.event_type = ab.t_a
+        |        JOIN tc tb ON tb.event_type = ab.t_b
+        |        CROSS JOIN nu
+        |ORDER BY first_type, then_type""".stripMargin,
+
     "q_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,

@@ -204,12 +204,84 @@ object InvertedIndex {
     search(spark, qterms, indexPath(spark, dir), qdoc, TextAnalysis.Bm25TopK)
   }
 
+  // --- positional index + phrase search -----------------------------
+
+  /** POSITIONAL postings (doc_id, token, sorted positions) — the layer
+    * phrase/proximity search needs on top of the tf postings: stored
+    * once per (session, dir) with the token-hash bucket column, so a
+    * phrase query touches only its terms' buckets (at scale: the same
+    * bucket-partitioned layout as the BM25 postings). One
+    * tokenize+posexplode shuffle at build time; queries never
+    * re-tokenize. */
+  private def posIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"text.posindex|$dir") {
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+        .withColumn("bucket", tokenBucket(col("token")))
+    }
+
+  /** PHRASE SEARCH over the positional index: occurrences of the
+    * corpus's most frequent bigram (deterministic count-then-name
+    * tiebreak) counted per document as |{p ∈ pos(w1) : p+1 ∈ pos(w2)}|
+    * — adjacent-position intersection, the classic positional-postings
+    * merge. The two posting lists come from a broadcast of the 1-row
+    * phrase frame onto the index (two tokens' buckets scanned, nothing
+    * re-tokenized); handles w1 = w2 (overlapping occurrences) the same
+    * way the oracle's position scan does. */
+  def qTextPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = graft.Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .select(explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w1", $"w2").limit(1)
+    val idx = posIndex(spark, dir)
+    val pa = idx.join(broadcast(top), idx("token") === top("w1"))
+      .select($"doc_id", $"w1", $"w2", $"positions".as("pos_a"))
+    val pb = idx.select($"doc_id".as("doc_b"), $"token".as("tok_b"),
+      $"positions".as("pos_b"))
+    pa.join(pb, $"doc_id" === $"doc_b" && $"tok_b" === $"w2")
+      .withColumn("n_occ",
+        size(array_intersect(expr("transform(pos_a, p -> p + 1)"), $"pos_b"))
+          .cast("long"))
+      .filter($"n_occ" > 0)
+      .select($"doc_id", concat_ws(" ", $"w1", $"w2").as("phrase"), $"n_occ")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_bm25_indexed" -> qTextBm25Indexed)
+    "q_text_bm25_indexed" -> qTextBm25Indexed,
+    "q_text_phrase_search" -> qTextPhraseSearch)
 
   // the whole point: the index path answers the direct query's oracle
   val oracles: Map[String, String] = Map(
-    "q_text_bm25_indexed" -> TextAnalysis.oracles("q_text_bm25"))
+    "q_text_bm25_indexed" -> TextAnalysis.oracles("q_text_bm25"),
+    // direct text scan — proving the positional-index path finds
+    // exactly the occurrences the raw corpus contains
+    "q_text_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |big AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS b
+        |    FROM toks)
+        |  GROUP BY 1),
+        |top AS (SELECT b FROM big ORDER BY c DESC, b LIMIT 1),
+        |occ AS (
+        |  SELECT t.doc_id, p.b AS phrase,
+        |    CAST(len(list_filter(range(1, len(t.ws)),
+        |      i -> t.ws[i] || ' ' || t.ws[i + 1] = p.b)) AS BIGINT) AS n_occ
+        |  FROM toks t CROSS JOIN top p)
+        |SELECT doc_id, phrase, n_occ FROM occ
+        |WHERE n_occ > 0 ORDER BY doc_id""".stripMargin)
 
   /** Session-scoped stage dir under the SessionCache root so stale-app
     * purging applies to index dirs too. */

@@ -196,6 +196,43 @@ class R8OpsSpec extends SparkSpec {
     assert(up.exists(_ <= 30L), s"alarm never fired in the series: $up")
   }
 
+  test("phrase_search: positional-index occurrences == direct text scan") {
+    val rows = graft.text.InvertedIndex.qTextPhraseSearch(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val phrase = rows.head.getAs[String]("phrase")
+    val Array(w1, w2) = phrase.split(" ")
+    val texts = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val want = texts.view.mapValues { t =>
+      val ws = t.split(" ")
+      ws.indices.dropRight(1).count(i => ws(i) == w1 && ws(i + 1) == w2).toLong
+    }.filter(_._2 > 0).toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
+  test("seq_patterns: containment == per-user subsequence scan; lift identity") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val contains = (a: String, b: String) => byUser.count { case (_, es) =>
+      val as = es.filter(_._2 == a).map(_._3)
+      val bs = es.filter(_._2 == b).map(_._3)
+      as.nonEmpty && bs.nonEmpty && as.min < bs.max
+    }.toLong
+    val got = Relational.qSeqPatterns(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("first_type"), r.getAs[String]("then_type"))
+      assert(r.getAs[Long]("n_users_ab") == contains(a, b), s"$a->$b")
+      // support never exceeds either marginal
+      assert(r.getAs[Long]("n_users_ab") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_users_ab") <= r.getAs[Long]("n_b"))
+    }
+  }
+
   test("curriculum: rank is a bijection, stages are balanced quartiles, score-monotone") {
     val rows = graft.quality.Quality.qCurriculum(spark, sf0001).collect()
     val n = rows.length
