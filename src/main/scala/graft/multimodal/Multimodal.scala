@@ -253,19 +253,25 @@ object Multimodal {
     * are born on executors and never shuffle. */
   def encodedMedia(spark: SparkSession, dir: String): Dataset[EncodedMedia] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.flatMap { id =>
-            val (w, h) = (imgW(id), imgH(id))
-            val rgb = Array.tabulate(w * h * 3)(i => pxVal(id, i.toLong).toByte)
-            val png = EncodedMedia(id, "image/png", Codec.encodePng(w, h, rgb))
-            val samples = Array.tabulate(pcmN(id))(i => pcmVal(id, i.toLong).toShort)
-            val wav = EncodedMedia(id, "audio/wav", Codec.encodeWav(samples, pcmRate(id)))
-            Iterator(png, wav)
+    // staged once per (session, corpus): three queries read this table
+    // (image decode, audio decode, thumbnails) — without staging each
+    // re-ran the full corpus encode (~5s per query at sf0.1); this is
+    // also the realistic shape — media BYTES are stored, not re-made
+    graft.SessionCache.checkpointed(spark, s"mm.encoded|$dir") {
+      Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.iterator.flatMap { id =>
+              val (w, h) = (imgW(id), imgH(id))
+              val rgb = Array.tabulate(w * h * 3)(i => pxVal(id, i.toLong).toByte)
+              val png = EncodedMedia(id, "image/png", Codec.encodePng(w, h, rgb))
+              val samples = Array.tabulate(pcmN(id))(i => pcmVal(id, i.toLong).toShort)
+              val wav = EncodedMedia(id, "audio/wav", Codec.encodeWav(samples, pcmRate(id)))
+              Iterator(png, wav)
+            }
           }
-        }
-      }
+        }.toDF()
+    }.as[EncodedMedia]
   }
 
   case class DecodedImage(media_id: Long, width: Long, height: Long,
