@@ -2522,6 +2522,120 @@ object Relational {
       .orderBy($"first_type", $"then_type")
   }
 
+  /** AUTOCORRELATION FUNCTION (lags 1–7) of the daily volume series
+    * per event type — the periodicity detector behind seasonality
+    * diagnostics (a weekly cycle shows as an acf spike at lag 7),
+    * float-free: deviations are pre-scaled by n (dₜ = n·xₜ − Σx, an
+    * integer), so r_ℓ = Σ dₜ·dₜ₊ℓ over Σ dₜ² needs one sign-safe
+    * integral division ×10⁶ per lag. Products run in DECIMAL(38,0)
+    * (n-scaled deviations square past BIGINT). Dense grid (zero days
+    * are real observations); everything after the daily rollup runs on
+    * the days frame. */
+  def qTsAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"event_type", explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("x"))
+    val stats = dense.groupBy($"event_type")
+      .agg(count(lit(1)).as("nn"), sum($"x").as("sx"))
+    val dev = dense.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"day", ($"nn" * $"x" - $"sx").as("d"), $"nn")
+    val c0 = dev.groupBy($"event_type")
+      .agg(sum(expr("cast(d as decimal(38,0)) * d")).as("c0"))
+    val lagged = dev.select($"event_type", $"day", $"d".as("d_lead"))
+    dev.select($"event_type", $"day", $"d",
+        explode(expr("sequence(1L, 7L)")).as("lag"))
+      .join(lagged.withColumnRenamed("day", "day_b"),
+        Seq("event_type"))
+      .filter($"day_b" === $"day" + $"lag")
+      .groupBy($"event_type", $"lag")
+      .agg(sum(expr("cast(d as decimal(38,0)) * d_lead")).as("cl"))
+      .join(broadcast(c0), Seq("event_type"))
+      .select($"event_type", $"lag",
+        expr("""cast(CASE WHEN c0 = 0 THEN 0
+               |WHEN cl >= 0 THEN (cl * 1000000) div c0
+               |ELSE -(((-cl) * 1000000) div c0) END as bigint)""".stripMargin)
+          .as("acf_ppm"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  /** CHI-SQUARE INDEPENDENCE TEST (nation × market segment): are the
+    * two dimensions associated, or does the cross table factor into
+    * its margins — the classic categorical-association audit, exact:
+    * each cell's contribution is ((O·T − R·C)²·10⁶) div (R·C·T) in
+    * DECIMAL(38,0) (the squared term runs to ~10²⁸ at corpus scale),
+    * summed over the dim-bounded cell frame; the statistic and every
+    * cell's contribution ship together so the "which cells drive it"
+    * follow-up is already answered. One broadcast dim join + one
+    * dim-bounded rollup + margin broadcasts. */
+  def qChi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy($"nation").agg(sum($"o").as("r"))
+    val colTot = cells.groupBy($"segment").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("t"))
+    val contrib = cells
+      .join(broadcast(rowTot), Seq("nation"))
+      .join(broadcast(colTot), Seq("segment"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_x1e6", expr("(r * c * 1000000) div t"))
+      .withColumn("contrib_x1e6", expr(
+        """cast(((cast(o as decimal(38,0)) * t - cast(r as decimal(38,0)) * c)
+          |  * (cast(o as decimal(38,0)) * t - cast(r as decimal(38,0)) * c)
+          |  * 1000000)
+          | div (cast(r as decimal(38,0)) * c * t) as bigint)""".stripMargin))
+    contrib
+      .withColumn("chi2_x1e6",
+        sum($"contrib_x1e6").over(Window.partitionBy(lit(1))))
+      .select($"nation", $"segment", $"o", $"e_x1e6", $"contrib_x1e6",
+        $"chi2_x1e6")
+      .orderBy($"nation", $"segment")
+  }
+
+  /** Benford expected first-digit shares in permille —
+    * ⌊log10(1+1/d)·1000⌋, the public constants every fraud audit
+    * uses. ONE definition shared with the oracle. */
+  private[graft] val BenfordPermille =
+    Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+
+  /** BENFORD FIRST-DIGIT AUDIT of order totals — the forensic
+    * screening test for fabricated amounts: observed first-digit
+    * shares (of the exact cents value) vs Benford's law, per-digit
+    * deviation and the max deviation alongside, all exact permille.
+    * (This synthetic corpus draws totals from a bounded uniform-ish
+    * range, so it FAILS Benford — which is itself the audit working:
+    * uniform data is exactly what Benford flags.) One scan + a 9-row
+    * rollup. */
+  def qBenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = BenfordPermille.toDF("digit", "benford_permille")
+    val digits = Tables.load(spark, dir, "orders")
+      .select(expr(
+        "cast(substring(cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum($"n").as("t"))
+    digits.join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("(n * 1000) div t"))
+      .withColumn("dev_permille", abs($"share_permille" - $"benford_permille"))
+      .withColumn("max_dev_permille",
+        max($"dev_permille").over(Window.partitionBy(lit(1))))
+      .select($"digit", $"n", $"share_permille", $"benford_permille",
+        $"dev_permille", $"max_dev_permille")
+      .orderBy($"digit")
+  }
+
   // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
@@ -2629,7 +2743,10 @@ object Relational {
     "q_trend_mk" -> qTrendMk,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
-    "q_seq_patterns" -> qSeqPatterns
+    "q_seq_patterns" -> qSeqPatterns,
+    "q_ts_acf" -> qTsAcf,
+    "q_chi2_independence" -> qChi2Independence,
+    "q_benford_audit" -> qBenfordAudit
   )
 
   private val revenueMonthlyOracle =
@@ -2644,7 +2761,90 @@ object Relational {
       |    AS growth_permille
       |FROM m ORDER BY month""".stripMargin
 
+  private def benfordValues: String =
+    BenfordPermille.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q_ts_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT h.event_type, g.day
+        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1) h
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h.d0, h.d1 + 1)) AS day) g),
+        |dense AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+        |  FROM grid g LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(x) AS BIGINT) AS sx
+        |  FROM dense GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, s.nn * d.x - s.sx AS dd
+        |  FROM dense d JOIN stats s ON s.event_type = d.event_type),
+        |c0 AS (
+        |  SELECT event_type, SUM(CAST(dd AS HUGEINT) * dd) AS c0
+        |  FROM dev GROUP BY 1),
+        |cl AS (
+        |  SELECT a.event_type, l.lag,
+        |    SUM(CAST(a.dd AS HUGEINT) * b.dd) AS cl
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN dev b ON b.event_type = a.event_type
+        |            AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT cl.event_type, CAST(cl.lag AS BIGINT) AS lag,
+        |  CAST(CASE WHEN c0.c0 = 0 THEN 0
+        |       WHEN cl.cl >= 0 THEN (cl.cl * 1000000) // c0.c0
+        |       ELSE -(((-cl.cl) * 1000000) // c0.c0) END AS BIGINT) AS acf_ppm
+        |FROM cl JOIN c0 ON c0.event_type = cl.event_type
+        |ORDER BY cl.event_type, lag""".stripMargin,
+
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT n.n_name AS nation, cu.c_mktsegment AS segment,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT nation, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT segment, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |k AS (
+        |  SELECT cells.nation, cells.segment, cells.o,
+        |    (rt.r * ct.c * 1000000) // tt.t AS e_x1e6,
+        |    CAST(((CAST(cells.o AS HUGEINT) * tt.t - CAST(rt.r AS HUGEINT) * ct.c)
+        |      * (CAST(cells.o AS HUGEINT) * tt.t - CAST(rt.r AS HUGEINT) * ct.c)
+        |      * 1000000)
+        |     // (CAST(rt.r AS HUGEINT) * ct.c * tt.t) AS BIGINT) AS contrib_x1e6
+        |  FROM cells JOIN rt ON rt.nation = cells.nation
+        |             JOIN ct ON ct.segment = cells.segment
+        |             CROSS JOIN tt)
+        |SELECT nation, segment, o, e_x1e6, contrib_x1e6,
+        |  CAST(SUM(contrib_x1e6) OVER () AS BIGINT) AS chi2_x1e6
+        |FROM k ORDER BY nation, segment""".stripMargin,
+
+    "q_benford_audit" ->
+      s"""WITH expected(digit, benford_permille) AS (VALUES $benfordValues),
+         |d AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM d),
+         |k AS (
+         |  SELECT d.digit, d.n, (d.n * 1000) // t.t AS share_permille,
+         |    CAST(e.benford_permille AS BIGINT) AS benford_permille,
+         |    abs((d.n * 1000) // t.t - e.benford_permille) AS dev_permille
+         |  FROM d JOIN expected e ON e.digit = d.digit CROSS JOIN t)
+         |SELECT digit, n, share_permille, benford_permille, dev_permille,
+         |  CAST(MAX(dev_permille) OVER () AS BIGINT) AS max_dev_permille
+         |FROM k ORDER BY digit""".stripMargin,
+
     "q_seq_patterns" ->
       """WITH spans AS (
         |  SELECT user_id, event_type,

@@ -233,6 +233,60 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_acf: lag-0 identity, bounds, and a Scala replay per (type, lag)") {
+    val rows = Relational.qTsAcf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // |r| <= 1 (scaled): the Cauchy-Schwarz bound survives the scaling
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("acf_ppm")) <= 1000000L))
+    // replay: dense daily series per type, n-scaled deviations
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n")).as[(String, Long, Long)].collect()
+    val got = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("lag")) -> r.getAs[Long]("acf_ppm")).toMap
+    daily.groupBy(_._1).foreach { case (t, rs) =>
+      val byDay = rs.map(x => x._2 -> x._3).toMap
+      val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+      val xs = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      val n = xs.length.toLong; val sx = xs.sum
+      val dev = xs.map(x => BigInt(n * x - sx))
+      val c0 = dev.map(d => d * d).sum
+      for (lag <- 1 to 7; if xs.length > lag) {
+        val cl = (0 until xs.length - lag).map(i => dev(i) * dev(i + lag)).sum
+        val want =
+          if (c0 == 0) BigInt(0)
+          else if (cl >= 0) cl * 1000000 / c0
+          else -((-cl) * 1000000 / c0)
+        assert(BigInt(got((t, lag.toLong))) == want, s"$t lag $lag")
+      }
+    }
+  }
+
+  test("chi2: contributions sum to the statistic; margins reproduce expectations") {
+    val rows = Relational.qChi2Independence(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val chi2 = rows.map(_.getAs[Long]("chi2_x1e6")).distinct
+    assert(chi2.length == 1)
+    assert(rows.map(_.getAs[Long]("contrib_x1e6")).sum == chi2.head)
+    // expectation margins: sum of E over a row ~= row total (integral
+    // division loses < |cells| millionths)
+    val o = rows.map(_.getAs[Long]("o")).sum
+    val e = rows.map(_.getAs[Long]("e_x1e6")).sum
+    assert(math.abs(e - o * 1000000L) <= rows.length.toLong * 1000000L)
+  }
+
+  test("benford: shares account for all orders; uniform-ish corpus deviates as expected") {
+    val rows = Relational.qBenfordAudit(spark, sf0001).collect()
+    assert(rows.length == 9)
+    val nOrders = Tables.load(spark, sf0001, "orders").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    val maxDev = rows.map(_.getAs[Long]("max_dev_permille")).distinct
+    assert(maxDev.length == 1)
+    assert(maxDev.head == rows.map(_.getAs[Long]("dev_permille")).max)
+    // the audit WORKS: this corpus is not Benford-distributed
+    assert(maxDev.head > 20, s"suspiciously Benford-like: $maxDev")
+  }
+
   test("curriculum: rank is a bijection, stages are balanced quartiles, score-monotone") {
     val rows = graft.quality.Quality.qCurriculum(spark, sf0001).collect()
     val n = rows.length
