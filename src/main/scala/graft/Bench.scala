@@ -20,7 +20,12 @@ object Bench {
     "q_graph_cc", "q_graph_linkpred", "q_text_bm25_indexed",
     // end-of-r7 heavies: HITS (+ its bipartite staging), the itemCF
     // basket fan-out, the EWMA HOF folds, multi-touch windows
-    "q_graph_hits", "q_rec_itemcf", "q_ts_ewma", "q_attr_multitouch")
+    "q_graph_hits", "q_rec_itemcf", "q_ts_ewma", "q_attr_multitouch",
+    // r8 heavies: pivot-sampled Brandes (O(pivots·E) — must scale with
+    // E), the prefix-filtered exact similarity join, and the two
+    // real-codec pipelines (linear decode work per asset)
+    "q_graph_betweenness", "q_dedup_ppjoin", "q_mm_thumbnail",
+    "q_mm_decode_audio")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
