@@ -771,7 +771,118 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  /** Neighborhood Jaccard similarity of each flagged seed
+    * (`partkey % 500 == 0`) with its direct neighbors, top-5 per seed:
+    * |N(s)∩N(v)| / |N(s)∪N(v)| in fixed-point ppm — the "structurally
+    * interchangeable entities" query (two parts whose co-purchase
+    * neighborhoods coincide are substitutes even if never co-bought).
+    *
+    * Shape is [[qGraphLinkPred]]'s wedge enumeration with the CLOSED
+    * wedges kept instead of the open ones: cost is bounded by
+    * Σ_{s∈seeds} Σ_{w~s} deg(w) (seed-anchored, never all-pairs), the
+    * closure test is one left-semi join against the seed-neighbor
+    * frame, and the union size comes off the degree table —
+    * |N(s)|+|N(v)|−common, no second traversal. */
+  def qGraphJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardOnEdges(symmetricEdges(spark, dir))
+
+  private[graft] def jaccardOnEdges(sym: DataFrame): DataFrame = {
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val seeds = sym.select(col("src").as("s")).distinct()
+      .filter(col("s") % 500 === 0)
+    val sn = sym.join(seeds.hint("shuffle_hash"), col("src") === col("s"))
+      .select(col("s"), col("dst").as("v"))
+    val wedges = sym
+      .join(sn.select(col("s"), col("v").as("w")).hint("shuffle_hash"),
+        col("src") === col("w"))
+      .select(col("s"), col("dst").as("v"))
+      .filter(col("v") =!= col("s"))
+    val common = wedges
+      .join(sn, Seq("s", "v"), "left_semi") // keep only (s,v) that ARE edges
+      .groupBy(col("s"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val scored = common
+      .join(deg.select(col("node").as("s"), col("d").as("ds")), Seq("s"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("s"), col("v"), col("common_neighbors"),
+        expr("cast((1000000 * common_neighbors) div (ds + dv - common_neighbors) as bigint)")
+          .as("jaccard_ppm"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("s"))
+          .orderBy(col("jaccard_ppm").desc, col("v"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("s").as("part"), col("rank"), col("v").as("neighbor"),
+        col("common_neighbors"), col("jaccard_ppm"))
+      .orderBy(col("part"), col("rank"))
+  }
+
+  /** Hop-capped harmonic closeness of the flagged seeds: per seed, the
+    * count of nodes at exact shortest-path distance 1/2/3 and the
+    * harmonic sum Σ 1/dist carried ×1e6 in integral arithmetic
+    * (1e6·n1 + 1e6·n2 div 2 + 1e6·n3 div 3) — the "who can reach the
+    * most, fastest" centrality, exact within the cap.
+    *
+    * Per-seed levels are keyed (seed, node) like the betweenness
+    * forward pass: each hop is one shuffled-hash join of the edge
+    * table against the frontier plus one anti join against the
+    * accumulated visited set; frames are ≤ |seeds|·|V| with |seeds|
+    * corpus-proportional but sparse (one per 500 parts). */
+  def qGraphCloseness(spark: SparkSession, dir: String): DataFrame =
+    closenessOnEdges(symmetricEdges(spark, dir), BfsRounds)
+
+  private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    var levels = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("level"))
+    for (r <- 1 to rounds) {
+      val frontier = levels.filter(col("level") === (r - 1))
+        .select(col("seed"), col("node").as("fnode"))
+      val next = sym
+        .join(frontier.hint("shuffle_hash"), col("src") === col("fnode"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(levels.select(col("seed"), col("node")).hint("shuffle_hash"),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("level"))
+      levels = next.union(levels)
+    }
+    levels.filter(col("level") > 0)
+      .groupBy(col("seed").as("part"))
+      .agg(
+        sum(when(col("level") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("level") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("level") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("part"), col("n1"), col("n2"), col("n3"),
+        expr("cast(1000000 * n1 + (1000000 * n2) div 2 + (1000000 * n3) div 3 as bigint)")
+          .as("closeness_x1e6"))
+      .orderBy(col("part"))
+  }
+
+  /** Log2-bucketed degree histogram — the one-line answer to "is this
+    * graph skewed enough to need the degree-oriented / salted paths".
+    * Bucket = floor(log2(degree)) computed EXACTLY as
+    * length(bin(degree))−1 (no floating log at bucket boundaries;
+    * DuckDB replays it as length(printf('%b', d))−1). One count
+    * aggregate over the degree frame — map-side combined, node-sized. */
+  def qGraphDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    degreeHistOnEdges(symmetricEdges(spark, dir))
+
+  private[graft] def degreeHistOnEdges(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .select(expr("cast(length(bin(d)) - 1 as bigint)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bucket"),
+        expr("cast(shiftleft(1L, cast(bucket as int)) as bigint)").as("min_degree"),
+        col("n_nodes"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_jaccard" -> qGraphJaccard,
+    "q_graph_closeness" -> qGraphCloseness,
+    "q_graph_degree_hist" -> qGraphDegreeHist,
     "q_graph_betweenness" -> qGraphBetweenness,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_pagerank_inc" -> qGraphPagerankInc,
@@ -979,6 +1090,66 @@ object GraphOps {
          |      FROM scored)
          |SELECT s AS part, rank, cand, common_neighbors, ra_x1e6
          |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
+    "q_graph_jaccard" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT src AS s FROM edges WHERE src % 500 = 0),
+         |sn AS (SELECT seeds.s, edges.dst AS v
+         |       FROM edges JOIN seeds ON edges.src = seeds.s),
+         |wedges AS (SELECT sn.s, e.dst AS v
+         |           FROM edges e JOIN sn ON e.src = sn.v
+         |           WHERE e.dst <> sn.s),
+         |closed AS (SELECT w.s, w.v FROM wedges w WHERE EXISTS
+         |           (SELECT 1 FROM edges x WHERE x.src = w.s AND x.dst = w.v)),
+         |common AS (SELECT s, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+         |           FROM closed GROUP BY s, v),
+         |scored AS (SELECT c.s, c.v, c.common_neighbors,
+         |             CAST((1000000 * c.common_neighbors)
+         |               // (ds.d + dv.d - c.common_neighbors) AS BIGINT) AS jaccard_ppm
+         |           FROM common c JOIN deg ds ON c.s = ds.node
+         |                         JOIN deg dv ON c.v = dv.node),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY s
+         |            ORDER BY jaccard_ppm DESC, v) AS BIGINT) AS rank
+         |      FROM scored)
+         |SELECT s AS part, rank, v AS neighbor, common_neighbors, jaccard_ppm
+         |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
+    "q_graph_closeness" ->
+      s"""WITH $edgesCte,
+         |seeds AS (SELECT DISTINCT src AS seed FROM edges WHERE src % 500 = 0),
+         |l1 AS (SELECT DISTINCT s.seed, e.dst AS node
+         |       FROM edges e JOIN seeds s ON e.src = s.seed
+         |       WHERE e.dst <> s.seed),
+         |l2 AS (SELECT DISTINCT l1.seed, e.dst AS node
+         |       FROM edges e JOIN l1 ON e.src = l1.node
+         |       WHERE e.dst <> l1.seed
+         |         AND NOT EXISTS (SELECT 1 FROM l1 p
+         |                         WHERE p.seed = l1.seed AND p.node = e.dst)),
+         |l3 AS (SELECT DISTINCT l2.seed, e.dst AS node
+         |       FROM edges e JOIN l2 ON e.src = l2.node
+         |       WHERE e.dst <> l2.seed
+         |         AND NOT EXISTS (SELECT 1 FROM l1 p
+         |                         WHERE p.seed = l2.seed AND p.node = e.dst)
+         |         AND NOT EXISTS (SELECT 1 FROM l2 p
+         |                         WHERE p.seed = l2.seed AND p.node = e.dst)),
+         |cnt AS (SELECT seeds.seed AS part,
+         |          (SELECT COUNT(*) FROM l1 WHERE l1.seed = seeds.seed) AS n1,
+         |          (SELECT COUNT(*) FROM l2 WHERE l2.seed = seeds.seed) AS n2,
+         |          (SELECT COUNT(*) FROM l3 WHERE l3.seed = seeds.seed) AS n3
+         |        FROM seeds)
+         |SELECT part, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(n3 AS BIGINT) AS n3,
+         |  CAST(1000000 * n1 + (1000000 * n2) // 2 + (1000000 * n3) // 3 AS BIGINT)
+         |    AS closeness_x1e6
+         |FROM cnt ORDER BY part""".stripMargin,
+    "q_graph_degree_hist" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |b AS (SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS bucket
+         |      FROM deg)
+         |SELECT bucket,
+         |  CAST(1 << CAST(bucket AS INTEGER) AS BIGINT) AS min_degree,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_graph_communities" ->
       s"""WITH $edgesCte,
          |$lpaLabelsCte
