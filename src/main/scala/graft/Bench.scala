@@ -124,9 +124,15 @@ object Bench {
         }
         rm(new java.io.File(base))
         val inDir = s"$base/in"
-        graft.taskrouter.Synth.cloudEvents(spark, sfDir)
-          .select(to_json(struct(col("id"), col("type"), col("data"))).as("value"))
-          .write.text(inDir)
+        // time-ordered chunk files: with the pipeline's bounded trigger
+        // (maxFilesPerTrigger=32) the corpus replays as 128/32 = 4
+        // bounded micro-batches instead of one corpus-sized batch —
+        // the 100 TB ingestion shape, measured per batch below
+        Pipeline.stageOrderedJson(
+          graft.taskrouter.Synth.cloudEvents(spark, sfDir)
+            .select(to_json(struct(col("id"), col("type"), col("data"))).as("value"),
+              col("data.payload.timestamp").as("ts")),
+          col("ts"), col("value"), inDir, chunks = 128)
         val recorder = new graft.streaming.StreamMetrics.Recorder()
         spark.streams.addListener(recorder)
         val t0 = System.nanoTime()

@@ -22,11 +22,53 @@ import graft.taskrouter.{Derivation, Ingest}
   */
 object Pipeline {
 
+  /** Default admission cap for the streaming file source: no micro-batch
+    * admits more than this many files, so batch size is bounded by file
+    * size × cap regardless of how much history sits in the watch
+    * directory. At 100 TB a cold start (or a backlog after downtime)
+    * must replay as many bounded batches, not one corpus-sized batch —
+    * an unbounded batch is the one shape that cannot be sized to
+    * executor memory. `AvailableNow` honors the cap and still drains
+    * everything (admission control, then terminates). */
+  val DefaultMaxFilesPerTrigger = 32
+
   /** Parse raw CloudEvent JSON lines and append to the date-partitioned
     * event log (dedup happens at read/derive time — the log is an
     * immutable append store). */
   def ingestJson(spark: SparkSession, json: Dataset[String], logPath: String): Unit =
     EventLog.append(Ingest.parseJson(spark, json), logPath)
+
+  /** Stage a corpus into `dir` as `chunks` time-ordered text files with
+    * strictly ascending modification times — the layout a bounded
+    * trigger (maxFilesPerTrigger) replays as in-order micro-batches.
+    * `valueCol` is the JSON line, `tsCol` its event time: range
+    * partitioning makes chunk N+1's earliest event no older than chunk
+    * N's latest, so nothing lands behind the watermark between batches
+    * (the arrival order a real log ingest provides for free). The
+    * ascending mtimes pin the file source's oldest-first admission
+    * order even though all chunks are written in one job. */
+  def stageOrderedJson(events: DataFrame, tsCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, dir: String, chunks: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    events.select(valueCol.as("value"), tsCol.cast("timestamp").as("__ts"))
+      .repartitionByRange(chunks, col("__ts"))
+      .sortWithinPartitions("__ts")
+      .select("value")
+      .write.mode("overwrite").text(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - files.length * 2000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 2000L); ()
+    }
+  }
+
+  private def boundedText(spark: SparkSession, watchDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.text(watchDir)
+  }
 
   /** Derive and persist the reporting model from the event log. */
   def deriveTables(spark: SparkSession, logPath: String, outPath: String): Unit = {
@@ -50,8 +92,9 @@ object Pipeline {
     * the changelog sink. */
   def startStreaming(spark: SparkSession, watchDir: String,
       checkpointDir: String, outPath: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.text(watchDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
+    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
     val changelog = StreamingPipeline.segmentsChangelog(spark,
       StreamingPipeline.parseStream(spark, raw))
     changelog.writeStream
@@ -79,8 +122,9 @@ object Pipeline {
   def startStreamingMerged(spark: SparkSession, watchDir: String,
       checkpointDir: String, outPath: String,
       stateTtlMs: Option[Long] = Some(24L * 3600 * 1000),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.text(watchDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
+    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
     val changelog = StreamingPipeline.segmentsChangelog(spark,
       StreamingPipeline.parseStream(spark, raw), stateTtlMs)
     graft.streaming.MergeSink.start(changelog,
@@ -96,8 +140,9 @@ object Pipeline {
     * aggregate MERGEs into `outPath/agents_latest` by agent_uuid. */
   def startStreamingAgents(spark: SparkSession, watchDir: String,
       checkpointDir: String, outPath: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream.text(watchDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
+    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
     graft.streaming.MergeSink.startAgents(
       StreamingPipeline.parseStream(spark, raw),
       s"$outPath/agents_latest", checkpointDir, trigger)

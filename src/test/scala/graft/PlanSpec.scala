@@ -239,7 +239,13 @@ class PlanSpec extends SparkSpec {
       "q_dedup_bias",
       // mix divergence: 1-row totals + 1-row TV broadcasts onto the
       // per-source share frame
-      "q_mix_divergence")
+      "q_mix_divergence",
+      // chi-square independence: 1-row grand-total broadcast crossed
+      // onto the <=125 nation x segment margin frame
+      "q_chi2_independence",
+      // Benford audit: 1-row totals broadcast crossed onto the 9-row
+      // leading-digit frame
+      "q_benford_audit")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
