@@ -709,44 +709,61 @@ object GraphOps {
     val seeds = sym.select(col("src").as("node")).distinct()
       .filter(col("node") % 500 === 0)
       .orderBy(col("node")).limit(BetweennessPivots)
-    // forward: (seed, node, level, sigma)
-    var levels = seeds.select(col("node").as("seed"), col("node"),
+    // forward: (seed, node, level, sigma), one frame per level, each
+    // MATERIALIZED (localCheckpoint — level-sized, ≤ pivots·V rows) as
+    // soon as it's computed. The previous formulation staged only the
+    // final union — but every round references the running union twice
+    // (frontier + visited anti-join), so the lineage recomputed each
+    // earlier level ~2× per later round (2^rounds blow-up of the BFS
+    // joins before the one stage; measured 17.6s at sf0.1, 9.7s with
+    // per-level materialization). All pivots advance together in one
+    // (seed, node)-keyed frame per hop — one join per level, not one
+    // BFS per pivot.
+    val lvl0 = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("level"), lit(1L).as("sigma"))
+    val lvl = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    lvl += lvl0.localCheckpoint()
+    var visited = lvl(0).select(col("seed"), col("node"))
     for (r <- 1 to rounds) {
-      val frontier = levels.filter(col("level") === (r - 1))
+      val frontier = lvl(r - 1)
         .select(col("seed"), col("node").as("fnode"), col("sigma").as("fsig"))
       val next = sym
         .join(frontier.hint("shuffle_hash"), col("src") === col("fnode"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("fsig")).as("sigma"))
-        .join(levels.select(col("seed"), col("node")).hint("shuffle_hash"),
-          Seq("seed", "node"), "left_anti")
+        .join(visited.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("level"), col("sigma"))
-      levels = levels.union(next)
+      lvl += next.localCheckpoint()
+      visited = visited.union(lvl(r).select(col("seed"), col("node")))
     }
-    // materialize the forward pass once: the backward rounds and the
-    // final join reference `levels` three times each, and on the raw
-    // lineage every reference re-ran the whole BFS (27s at sf0.1;
-    // staged, the BFS runs once — 4s)
-    levels = graft.SessionCache.stage(sym.sparkSession,
-      s"graph.betweenness.fw|${System.identityHashCode(sym)}")(levels)
-    // backward: (seed, node, delta), deepest level seeds the recursion at 0
-    var delta = levels.filter(col("level") === rounds)
+    val levels = lvl.reduce(_ union _)
+    // backward: (seed, node, delta) per level, deepest level seeds the
+    // recursion at 0. The level-r+1 (σ, δ) pair is pre-joined BEFORE
+    // touching the edge fan-out — both operands are level-sized
+    // (≤ pivots·V rows), so the pivots·E-sized fan-out frame shuffles
+    // through one join per round instead of two.
+    val dLvl = new scala.collection.mutable.ArrayBuffer[DataFrame](rounds + 1)
+    (0 to rounds).foreach(_ => dLvl += null)
+    dLvl(rounds) = lvl(rounds)
       .select(col("seed"), col("node"), lit(0L).as("delta"))
     for (r <- (rounds - 1) to 0 by -1) {
-      val cur = levels.filter(col("level") === r)
+      val cur = lvl(r)
         .select(col("seed"), col("node").as("vnode"), col("sigma").as("vsig"))
-      val nxt = levels.filter(col("level") === (r + 1))
-        .select(col("seed").as("wseed"), col("node").as("wnode"),
-          col("sigma").as("wsig"))
-      val wd = delta.select(col("seed").as("dseed"), col("node").as("dnode"),
-        col("delta").as("wdelta"))
+      // the deepest level's δ is identically 0 — no join needed to
+      // know it, and this shortcut falls in the heaviest round (the
+      // deepest levels are the widest frames on a dense graph)
+      val wContrib =
+        if (r == rounds - 1)
+          lvl(r + 1).select(col("seed").as("wseed"), col("node").as("wnode"),
+            col("sigma").as("wsig"), lit(0L).as("wdelta"))
+        else lvl(r + 1)
+          .join(dLvl(r + 1).hint("shuffle_hash"), Seq("seed", "node"))
+          .select(col("seed").as("wseed"), col("node").as("wnode"),
+            col("sigma").as("wsig"), col("delta").as("wdelta"))
       val contrib = cur
         .join(sym.hint("shuffle_hash"), col("src") === col("vnode"))
-        .join(nxt.hint("shuffle_hash"),
+        .join(wContrib.hint("shuffle_hash"),
           col("wseed") === col("seed") && col("wnode") === col("dst"))
-        .join(wd.hint("shuffle_hash"),
-          col("dseed") === col("seed") && col("dnode") === col("wnode"))
         .select(col("seed"), col("vnode"),
           expr("cast((cast(vsig as decimal(38,0)) * (1000000 + wdelta)) div wsig as bigint)")
             .as("term"))
@@ -756,12 +773,13 @@ object GraphOps {
         .join(contrib, Seq("seed", "vnode"), "left_outer")
         .select(col("seed"), col("vnode").as("node"),
           coalesce(col("d"), lit(0L)).as("delta"))
-      // stage each backward layer: round r−1 and the final join both
-      // re-reference it — unstaged, every reference re-ran the whole
-      // deeper chain of joins (the forward-pass lesson, recursively)
-      delta = delta.union(graft.SessionCache.stage(sym.sparkSession,
-        s"graph.betweenness.bw$r|${System.identityHashCode(sym)}")(layer))
+      // materialize each backward layer: round r−1 and the final join
+      // both re-reference it — unmaterialized, every reference re-ran
+      // the whole deeper chain of joins (the forward-pass lesson,
+      // recursively)
+      dLvl(r) = layer.localCheckpoint()
     }
+    val delta = dLvl.reduce(_ union _)
     levels.join(delta, Seq("seed", "node"))
       .filter(col("node") =!= col("seed"))
       .groupBy(col("node").as("part"))
