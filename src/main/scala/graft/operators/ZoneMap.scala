@@ -27,10 +27,13 @@ import graft.{SessionCache, Tables}
 object ZoneMap {
 
   /** Stage a date-clustered multi-file copy of `orders` once per
-    * (session, sf): `repartitionByRange` on the zone column gives each
-    * file a tight disjoint date range — the layout every time-series
-    * table at scale already has (ingest-date partitioning). */
-  private def clusteredOrders(spark: SparkSession, dir: String,
+    * (session, sf), WITH its manifest stored at write time (the
+    * production contract: the writer that just produced the files
+    * knows their stats; queries never scan the table to plan).
+    * `repartitionByRange` on the zone column gives each file a tight
+    * disjoint date range — the layout every time-series table at
+    * scale already has (ingest-date partitioning). */
+  private[graft] def clusteredOrders(spark: SparkSession, dir: String,
       numFiles: Int = 16): String = {
     val path = SessionCache.scratchDir(spark,
       "zonemap_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -38,9 +41,16 @@ object ZoneMap {
       Tables.load(spark, dir, "orders")
         .repartitionByRange(numFiles, col("o_orderdate"))
         .write.mode("overwrite").parquet(path)
+      buildManifest(spark, path, "o_orderdate")
+        .coalesce(1).write.mode("overwrite").parquet(flatManifestDir(path))
     }
     path
   }
+
+  /** Where [[clusteredOrders]] (and any write-time producer of a flat,
+    * non-batch-partitioned table) stores its manifest. */
+  private[graft] def flatManifestDir(tablePath: String): String =
+    s"${tablePath}_manifest"
 
   /** Build the manifest: one row per file with (min, max, rows) on
     * `zoneCol`. One scan, one tiny combine — at scale this is produced
@@ -59,8 +69,15 @@ object ZoneMap {
     * planning metadata, |files| rows, the one collect that is the
     * point of the structure. */
   def prunedRead(spark: SparkSession, tablePath: String, zoneCol: String,
+      lo: String, hi: String): (DataFrame, Int, Int) =
+    pruneRows(spark, buildManifest(spark, tablePath, zoneCol).collect(),
+      zoneCol, lo, hi)
+
+  /** Survivor filter + pruned scan over collected manifest rows — the
+    * shared tail of every pruned-read entry point. */
+  private def pruneRows(spark: SparkSession,
+      manifest: Array[org.apache.spark.sql.Row], zoneCol: String,
       lo: String, hi: String): (DataFrame, Int, Int) = {
-    val manifest = buildManifest(spark, tablePath, zoneCol).collect()
     val survivors = manifest
       .filter(r => r.getAs[Any]("zmax").toString >= lo &&
         r.getAs[Any]("zmin").toString <= hi)
@@ -70,16 +87,28 @@ object ZoneMap {
     (df, survivors.length, manifest.length)
   }
 
+  /** Pruned read off a flat write-time manifest dir
+    * ([[flatManifestDir]]): planning touches ONLY the stored manifest
+    * (|files| rows) — no scan of the table precedes the pruned read. */
+  def prunedReadFlat(spark: SparkSession, tablePath: String,
+      zoneCol: String, lo: String, hi: String): (DataFrame, Int, Int) =
+    pruneRows(spark,
+      spark.read.parquet(flatManifestDir(tablePath)).collect(),
+      zoneCol, lo, hi)
+
   /** Driver-checked query: one quarter of orders by date through the
     * zone-mapped pruned read, rolled up per month — bit-identical to
     * the full-scan oracle, while reading only the overlapping files
     * (the spec asserts the skip; the oracle proves no rows were
-    * lost). */
+    * lost). Plans from the manifest STORED at write time
+    * ([[clusteredOrders]]) — the query itself never scans the table
+    * to decide what to skip; scan-based [[buildManifest]] remains the
+    * backfill/rebuild path (ZoneMapSpec's rebuild baseline). */
   def qZonemapScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = clusteredOrders(spark, dir)
     val (df, _, _) =
-      prunedRead(spark, path, "o_orderdate", "1995-01-01", "1995-03-31")
+      prunedReadFlat(spark, path, "o_orderdate", "1995-01-01", "1995-03-31")
     df.groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
@@ -137,16 +166,9 @@ object ZoneMap {
     * before planning; at 100 TB this collect is the only driver-side
     * metadata (|files| rows). */
   def prunedReadStored(spark: SparkSession, tablePath: String,
-      zoneCol: String, lo: String, hi: String): (DataFrame, Int, Int) = {
-    val manifest = readManifest(spark, tablePath).collect()
-    val survivors = manifest
-      .filter(r => r.getAs[Any]("zmax").toString >= lo &&
-        r.getAs[Any]("zmin").toString <= hi)
-      .map(_.getAs[String]("file"))
-    val df = spark.read.parquet(survivors.toIndexedSeq: _*)
-      .filter(col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi))
-    (df, survivors.length, manifest.length)
-  }
+      zoneCol: String, lo: String, hi: String): (DataFrame, Int, Int) =
+    pruneRows(spark, readManifest(spark, tablePath).collect(),
+      zoneCol, lo, hi)
 
   /** Streaming maintenance: every micro-batch lands through the same
     * idempotent [[appendBatch]] — foreachBatch replays re-enter the

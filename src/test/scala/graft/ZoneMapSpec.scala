@@ -103,6 +103,34 @@ class ZoneMapSpec extends SparkSpec {
     assert(df.select($"o_orderkey").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("headline path plans from the stored manifest: a vanished non-overlapping file is never opened") {
+    // qZonemapScan's exact staging + read path: write-time manifest,
+    // prunedReadFlat. Moving a non-surviving data file OUT of the
+    // table after staging proves the query never scans the table to
+    // plan (a scan-based build would fail or silently lose the file's
+    // stats; the stored manifest never opens the vanished file).
+    val path = ZoneMap.clusteredOrders(spark, sf0001)
+    val (lo, hi) = ("1995-01-01", "1995-03-31")
+    val manifest = spark.read.parquet(ZoneMap.flatManifestDir(path)).collect()
+    val nonSurvivor = manifest
+      .filter(r => r.getAs[Any]("zmax").toString < lo ||
+        r.getAs[Any]("zmin").toString > hi)
+      .map(r => r.getAs[String]("file")).head
+    val f = new java.io.File(new java.net.URI(nonSurvivor))
+    val hidden = new java.io.File(f.getParent, ".vanished-" + f.getName)
+    assert(f.renameTo(hidden), s"couldn't move $f")
+    try {
+      val (df, read, total) =
+        ZoneMap.prunedReadFlat(spark, path, "o_orderdate", lo, hi)
+      assert(read < total)
+      val want = Tables.load(spark, sf0001, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" <= hi)
+        .select($"o_orderkey").as[Long].collect().sorted.toSeq
+      val got = df.select($"o_orderkey").as[Long].collect().sorted.toSeq
+      assert(got == want)
+    } finally { hidden.renameTo(f); () }
+  }
+
   test("a coarse (single-file) layout degrades to a full read, never wrong rows") {
     val path = SessionCache.scratchDir(spark, "zonemap-spec-coarse")
     Tables.load(spark, sf0001, "orders").coalesce(1)
