@@ -45,12 +45,26 @@ object SessionCache {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Name of the per-app liveness marker file. Contains the owning
-    * JVM's PID; written before any stage data so a concurrent JVM's
-    * purge pass can tell a live peer's dir from a dead one's. */
+  /** Name of the per-app liveness marker file. Contains
+    * `pid:startEpochMillis` of the owning JVM (start time defends
+    * against the OS recycling a dead owner's PID — same number, a
+    * different process); written before any stage data so a
+    * concurrent JVM's purge pass can tell a live peer's dir from a
+    * dead one's. */
   private val LiveMarker = "_LIVE"
 
-  /** True iff the marker names a process that is still running. A
+  /** This JVM's marker content. Start instant can be unreadable on
+    * exotic platforms — fall back to the legacy pid-only form. */
+  private def markerContent: String = {
+    val ph = ProcessHandle.current()
+    val start = ph.info().startInstant()
+    if (start.isPresent) s"${ph.pid()}:${start.get().toEpochMilli}"
+    else ph.pid().toString
+  }
+
+  /** True iff the marker names a process that is still running — and,
+    * when the marker carries a start time, the SAME process (a
+    * recycled PID with a different start instant is a dead owner). A
     * missing or unparseable marker is treated as NOT live (legacy dirs
     * from before the marker existed), but such dirs are only reclaimed
     * once they age past [[markerlessGraceMs]] to dodge the tiny window
@@ -58,8 +72,16 @@ object SessionCache {
   private def markerAlive(appDir: Path): Boolean = {
     val m = appDir.resolve(LiveMarker)
     Files.isRegularFile(m) && Try {
-      val pid = new String(Files.readAllBytes(m), "UTF-8").trim.toLong
-      ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      val parts = new String(Files.readAllBytes(m), "UTF-8").trim.split(':')
+      val pid = parts(0).toLong
+      ProcessHandle.of(pid).map[Boolean] { ph =>
+        ph.isAlive && (parts.length < 2 || {
+          val start = ph.info().startInstant()
+          // unreadable peer start time: can't disprove ownership —
+          // err on keeping a possibly-live peer's data
+          !start.isPresent || start.get().toEpochMilli == parts(1).toLong
+        })
+      }.orElse(false)
     }.getOrElse(false)
   }
 
@@ -76,7 +98,7 @@ object SessionCache {
     Files.createDirectories(dir)
     val m = dir.resolve(LiveMarker)
     if (!Files.exists(m)) Try {
-      Files.write(m, ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+      Files.write(m, markerContent.getBytes("UTF-8"))
     }
     dir
   }

@@ -125,6 +125,22 @@ object Report {
        |</body></html>
        |""".stripMargin
 
+  /** The reference's error view (views/error.pug under
+    * views/layout.pug — h1 message, h2 status, pre stack; app.js:55-64
+    * populates the error object in the development env, Express's
+    * default when NODE_ENV is unset, so status+stack render). The
+    * layout's `title= title` is undefined on the error path — an empty
+    * title, reproduced. */
+  def renderErrorHtml(status: Int, message: String,
+      stack: String = ""): String =
+    s"""<!DOCTYPE html>
+       |<html><head><title></title></head><body>
+       |  <h1>${esc(message)}</h1>
+       |  <h2>$status</h2>
+       |  <pre>${esc(stack)}</pre>
+       |</body></html>
+       |""".stripMargin
+
   /** Agents table (views/index.pug:9-40). */
   def agentsReport(agents: DataFrame,
       locale: String = "en-US", tz: String = "UTC"): DataFrame = {

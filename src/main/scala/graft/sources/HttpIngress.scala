@@ -52,7 +52,8 @@ object HttpIngress {
             // like the reference's GET (only POST carries a signature).
             respond(ex, 200, renderReport(spark, logPath),
               contentType = "text/html; charset=utf-8")
-          } else if (ex.getRequestMethod != "POST") respond(ex, 404, "not found")
+          } else if (ex.getRequestMethod != "POST")
+            respondError(ex, 404, "Not Found")
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val sig =
@@ -60,7 +61,7 @@ object HttpIngress {
             val expected = Signature.hmacSha1Base64(authToken)(publicUrl, body)
             if (!java.security.MessageDigest.isEqual(
                 expected.getBytes(UTF_8), sig.getBytes(UTF_8)))
-              respond(ex, 403, "forbidden")
+              respondError(ex, 403, "Forbidden")
             else {
               val n = append(spark, body, logPath)
               respond(ex, 200, s"""{"ingested":$n}""")
@@ -68,7 +69,9 @@ object HttpIngress {
           }
         } catch {
           case e: Exception =>
-            respond(ex, 500, s"ingest error: ${e.getClass.getSimpleName}")
+            respondError(ex, 500,
+              s"ingest error: ${e.getClass.getSimpleName}",
+              e.getStackTrace.take(12).mkString(s"$e\n    at ", "\n    at ", ""))
         }
     })
     http.start()
@@ -118,6 +121,15 @@ object HttpIngress {
     Ingest.parse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Model.cloudEventSchema))
+
+  /** The reference's error page (views/error.pug via app.js:55-64):
+    * HTML with the message, status and (for 500s) stack — not the
+    * plain-text bodies of earlier rounds. */
+  private def respondError(ex: HttpExchange, code: Int, message: String,
+      stack: String = ""): Unit =
+    respond(ex, code,
+      graft.report.Report.renderErrorHtml(code, message, stack),
+      contentType = "text/html; charset=utf-8")
 
   private def respond(ex: HttpExchange, code: Int, msg: String,
       contentType: String = "text/plain"): Unit = {

@@ -42,8 +42,15 @@ class HttpIngressSpec extends SparkSpec {
           .POST(HttpRequest.BodyPublishers.ofString(b)).build(),
         HttpResponse.BodyHandlers.ofString())
 
-      // authenticate middleware parity: wrong signature → 403, no write
-      assert(post(body, "not-the-mac").statusCode() == 403)
+      // authenticate middleware parity: wrong signature → 403, no
+      // write — and the body is the reference's HTML error view
+      // (views/error.pug: h1 message, h2 status), not plain text
+      val forbidden = post(body, "not-the-mac")
+      assert(forbidden.statusCode() == 403)
+      assert(forbidden.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/html"))
+      assert(forbidden.body().contains("<h1>Forbidden</h1>") &&
+        forbidden.body().contains("<h2>403</h2>"), forbidden.body())
       assert(!new java.io.File(logPath).exists())
       // GET before anything landed → the report page with EMPTY tables
       // (the reference renders index.pug over an empty cache the same
@@ -58,6 +65,8 @@ class HttpIngressSpec extends SparkSpec {
         HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/")).DELETE().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(del.statusCode() == 404)
+      assert(del.body().contains("<h1>Not Found</h1>") &&
+        del.body().contains("<h2>404</h2>"), del.body())
 
       // correct HMAC-SHA1 over url + raw body → 200 and a parsed append
       val sig = Signature.hmacSha1Base64(token)(url, body)

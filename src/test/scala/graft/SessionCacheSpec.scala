@@ -40,6 +40,22 @@ class SessionCacheSpec extends SparkSpec {
     val deadPid = Iterator.from(1 << 22).find(p => ProcessHandle.of(p.toLong).isEmpty).get
     Files.write(dead.resolve("_LIVE"), deadPid.toString.getBytes("UTF-8"))
 
+    // forged recycled-PID marker: a LIVE pid but a start time that
+    // doesn't match the running process — the original owner is dead
+    // and the OS reused its pid. Must be reclaimed.
+    val recycled = plantDir("local-foreign-recycled")
+    val wrongStart = ProcessHandle.current().info().startInstant()
+      .get().toEpochMilli - 123456789L
+    Files.write(recycled.resolve("_LIVE"),
+      s"${ProcessHandle.current().pid()}:$wrongStart".getBytes("UTF-8"))
+
+    // live pid + CORRECT start time — the real owner; must survive
+    val liveTimed = plantDir("local-foreign-live-timed")
+    Files.write(liveTimed.resolve("_LIVE"),
+      (ProcessHandle.current().pid().toString + ":" +
+        ProcessHandle.current().info().startInstant().get().toEpochMilli)
+        .getBytes("UTF-8"))
+
     // markerless dir older than the grace window — must be reclaimed
     val aged = plantDir("local-foreign-aged")
     ageOut(aged)
@@ -59,15 +75,22 @@ class SessionCacheSpec extends SparkSpec {
       "young markerless dir (peer mid-claim) was deleted by purge")
     assert(!Files.exists(dead), "dead-owner stage dir was not reclaimed")
     assert(!Files.exists(aged), "aged markerless stage dir was not reclaimed")
+    assert(!Files.exists(recycled),
+      "recycled-PID (live pid, wrong start time) dir was not reclaimed")
+    assert(Files.exists(liveTimed.resolve("data.parquet")),
+      "pid+start-marked live dir was deleted by purge")
 
-    // this JVM's own dir carries its PID marker
+    // this JVM's own dir carries its pid:start marker
     val own = root.resolve(spark.sparkContext.applicationId)
     assert(Files.isRegularFile(own.resolve("_LIVE")))
-    assert(new String(Files.readAllBytes(own.resolve("_LIVE")), "UTF-8").trim ==
-      ProcessHandle.current().pid().toString)
+    val marker = new String(Files.readAllBytes(own.resolve("_LIVE")), "UTF-8").trim
+    assert(marker.startsWith(ProcessHandle.current().pid().toString + ":"),
+      s"marker '$marker' lacks pid:start form")
+    assert(marker.split(':')(1).toLong ==
+      ProcessHandle.current().info().startInstant().get().toEpochMilli)
 
     // cleanup the surviving plants
-    Seq(live, young).foreach { d =>
+    Seq(live, young, liveTimed).foreach { d =>
       Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => { Files.deleteIfExists(f); () })
     }
