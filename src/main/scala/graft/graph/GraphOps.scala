@@ -836,45 +836,62 @@ object GraphOps {
       .orderBy(col("part"), col("rank"))
   }
 
-  /** Hop-capped harmonic closeness of the flagged seeds: per seed, the
-    * count of nodes at exact shortest-path distance 1/2/3 and the
-    * harmonic sum Σ 1/dist carried ×1e6 in integral arithmetic
-    * (1e6·n1 + 1e6·n2 div 2 + 1e6·n3 div 3) — the "who can reach the
-    * most, fastest" centrality, exact within the cap.
+  /** Hop-capped harmonic closeness of 16 pivot seeds: per seed, the
+    * count of nodes at each exact shortest-path distance 1..rounds and
+    * the harmonic sum Σ 1/dist carried ×1e6 in integral arithmetic
+    * (Σ_r (1e6·n_r) div r) — the "who can reach the most, fastest"
+    * centrality, exact within the cap.
     *
     * Per-seed levels are keyed (seed, node) like the betweenness
     * forward pass: each hop is one shuffled-hash join of the edge
     * table against the frontier plus one anti join against the
-    * accumulated visited set; frames are ≤ |seeds|·|V| with |seeds|
-    * corpus-proportional but sparse (one per 500 parts). */
+    * accumulated visited set, each level materialized once. The seed
+    * set is capped at [[ClosenessPivots]] deterministic pivots
+    * (smallest flagged ids) for the same reason betweenness caps: the
+    * flagged set grows with the corpus (400 at sf0.1), and on this
+    * dense graph nearly every node is within the hop cap of every
+    * seed — uncapped, the level frames are |flagged|·|V| (the same
+    * ~80M-row blow-up the betweenness cap closed). */
   def qGraphCloseness(spark: SparkSession, dir: String): DataFrame =
     closenessOnEdges(symmetricEdges(spark, dir), BfsRounds)
 
+  /** Pivot cap, mirrored in the DuckDB oracle (see
+    * [[BetweennessPivots]] for the rationale). */
+  private[graft] val ClosenessPivots = 16
+
   private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"closeness needs at least one hop, got $rounds")
     val seeds = sym.select(col("src").as("node")).distinct()
       .filter(col("node") % 500 === 0)
-    var levels = seeds.select(col("node").as("seed"), col("node"),
-      lit(0L).as("level"))
+      .orderBy(col("node")).limit(ClosenessPivots)
+    val lvl = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    lvl += seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("level")).localCheckpoint()
+    var visited = lvl(0).select(col("seed"), col("node"))
     for (r <- 1 to rounds) {
-      val frontier = levels.filter(col("level") === (r - 1))
-        .select(col("seed"), col("node").as("fnode"))
+      val frontier = lvl(r - 1).select(col("seed"), col("node").as("fnode"))
       val next = sym
         .join(frontier.hint("shuffle_hash"), col("src") === col("fnode"))
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(levels.select(col("seed"), col("node")).hint("shuffle_hash"),
-          Seq("seed", "node"), "left_anti")
+        .join(visited.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("level"))
-      levels = next.union(levels)
+      lvl += next.localCheckpoint()
+      visited = visited.union(lvl(r).select(col("seed"), col("node")))
     }
-    levels.filter(col("level") > 0)
+    // level columns and the harmonic formula derive from `rounds` —
+    // n1..n_rounds, closeness = Σ_r (1e6·n_r) div r
+    val levels = lvl.drop(1).reduce(_ union _)
+    val nCols = (1 to rounds).map(r =>
+      sum(when(col("level") === r.toLong, 1L).otherwise(0L)).as(s"n$r"))
+    val harmonic = (1 to rounds).map {
+      case 1 => "1000000 * n1"
+      case r => s"(1000000 * n$r) div $r"
+    }.mkString(" + ")
+    levels
       .groupBy(col("seed").as("part"))
-      .agg(
-        sum(when(col("level") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("level") === 2, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("level") === 3, 1L).otherwise(0L)).as("n3"))
-      .select(col("part"), col("n1"), col("n2"), col("n3"),
-        expr("cast(1000000 * n1 + (1000000 * n2) div 2 + (1000000 * n3) div 3 as bigint)")
-          .as("closeness_x1e6"))
+      .agg(nCols.head, nCols.tail: _*)
+      .select(Seq(col("part")) ++ (1 to rounds).map(r => col(s"n$r")) :+
+        expr(s"cast($harmonic as bigint)").as("closeness_x1e6"): _*)
       .orderBy(col("part"))
   }
 
@@ -1133,7 +1150,8 @@ object GraphOps {
          |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
     "q_graph_closeness" ->
       s"""WITH $edgesCte,
-         |seeds AS (SELECT DISTINCT src AS seed FROM edges WHERE src % 500 = 0),
+         |seeds AS (SELECT DISTINCT src AS seed FROM edges
+         |          WHERE src % 500 = 0 ORDER BY seed LIMIT 16),
          |l1 AS (SELECT DISTINCT s.seed, e.dst AS node
          |       FROM edges e JOIN seeds s ON e.src = s.seed
          |       WHERE e.dst <> s.seed),

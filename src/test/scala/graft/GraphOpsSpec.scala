@@ -749,4 +749,76 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.collect { case (("hub", n), s) => n -> s }.toMap == h1)
     assert(got.collect { case (("authority", n), s) => n -> s }.toMap == a2)
   }
+
+  test("fixture jaccard: hand-computed top-5 with tie-break on neighbor id") {
+    // K4 on {0,1,2,3} plus a pendant 2-5; seed = 0 (node % 500 == 0).
+    // N(0)={1,2,3} N(1)={0,2,3} N(2)={0,1,3,5} N(3)={0,1,2}
+    // J(0,1) = |{2,3}| / (3+3-2) = 2/4 -> 500000 ppm
+    // J(0,2) = |{1,3}| / (3+4-2) = 2/5 -> 400000 ppm
+    // J(0,3) = |{1,2}| / (3+3-2) = 2/4 -> 500000 ppm
+    // ranks order by ppm desc then v asc: (1, 500000), (3, 500000), (2, 400000)
+    val ce = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 5L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.jaccardOnEdges(sym).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor"), r.getAs[Long]("common_neighbors"),
+          r.getAs[Long]("jaccard_ppm")))).toMap
+    assert(got == Map(
+      (0L, 1L) -> ((1L, 2L, 500000L)),
+      (0L, 2L) -> ((3L, 2L, 500000L)),
+      (0L, 3L) -> ((2L, 2L, 400000L))))
+  }
+
+  test("fixture closeness: 3-hop level counts and harmonic sum by hand") {
+    // path-ish graph with TWO flagged seeds: 0-1, 1-2, 2-500, 500-3.
+    // From 0:   L1={1}   L2={2}   L3={500} -> 1e6 + 5e5 + 333333
+    // From 500: L1={2,3} L2={1}   L3={0}   -> 2e6 + 5e5 + 333333
+    val ce = Seq((0L, 1L), (1L, 2L), (2L, 500L), (500L, 3L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.closenessOnEdges(sym, rounds = 3).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("n3"),
+          r.getAs[Long]("closeness_x1e6")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L, 1L, 1833333L)),
+      500L -> ((2L, 1L, 1L, 2833333L))))
+  }
+
+  test("closeness: level columns and harmonic formula derive from rounds") {
+    val ce = Seq((0L, 1L), (1L, 2L), (2L, 500L), (500L, 3L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val two = GraphOps.closenessOnEdges(sym, rounds = 2)
+    assert(two.columns.toSeq == Seq("part", "n1", "n2", "closeness_x1e6"))
+    val got = two.collect().map(r => r.getAs[Long]("part") ->
+      r.getAs[Long]("closeness_x1e6")).toMap
+    // rounds=2 stops at L2: from 0 -> 1e6 + 5e5; from 500 -> 2e6 + 5e5
+    assert(got == Map(0L -> 1500000L, 500L -> 2500000L))
+    intercept[IllegalArgumentException] {
+      GraphOps.closenessOnEdges(sym, rounds = 0)
+    }
+  }
+
+  test("closeness: seed set capped to the 16 smallest flagged pivots") {
+    // star: center 1, leaves 0, 500, 1000, ..., 9500 (20 flagged nodes)
+    val ce = (0 until 20).map(k => (1L, 500L * k))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.closenessOnEdges(sym, rounds = 3).collect()
+      .map(_.getAs[Long]("part")).toSet
+    assert(got == (0 until 16).map(_ * 500L).toSet,
+      s"expected the 16 smallest pivots, got ${got.toSeq.sorted}")
+  }
+
+  test("fixture degree histogram: log2 buckets by hand") {
+    // fixtureSym degrees: 1->4 2->4 3->3 4->4 5->2 6->1 7->2
+    // bucket floor(log2 d): d=1 -> 0; d in {2,3} -> 1; d=4 -> 2
+    val symDf = fixtureSym.toDF("src", "dst")
+    val got = GraphOps.degreeHistOnEdges(symDf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("min_degree"), r.getAs[Long]("n_nodes")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L)),   // node 6
+      1L -> ((2L, 3L)),   // nodes 3, 5, 7
+      2L -> ((4L, 3L)))) // nodes 1, 2, 4
+  }
 }
