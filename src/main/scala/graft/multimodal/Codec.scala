@@ -68,6 +68,77 @@ object Codec {
     (w, h, rgb)
   }
 
+  /** 256-entry grayscale palette: GIF is palette-indexed, so an
+    * explicit gray IndexColorModel makes the container LOSSLESS for
+    * 8-bit gray pixels (no quantizer in the path) — the property that
+    * lets the multi-frame corpus be oracle-hashed like PNG/WAV. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val cmap = Array.tabulate(256)(i => (0xFF << 24) | (i << 16) | (i << 8) | i)
+    new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+  }
+
+  private def grayIndexed(width: Int, height: Int,
+      gray: Array[Byte]): BufferedImage = {
+    val img = new BufferedImage(width, height,
+      BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    img
+  }
+
+  /** Encode N same-size 8-bit grayscale frames as a real multi-frame
+    * (animated) GIF via the JDK's GIF sequence writer. */
+  def encodeGif(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame length ${f.length} != $width*$height"))
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(grayIndexed(width, height, f), null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF container to 8-bit grayscale byte
+    * arrays: (width, height, frames). Frames written full-size (as
+    * [[encodeGif]] does) read back independently. */
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, "no frames in GIF payload")
+      val frames = (0 until n).map { fi =>
+        val img = reader.read(fi)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = ((img.getRGB(x, y) >> 16) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        gray
+      }
+      val first = reader.read(0)
+      (first.getWidth, first.getHeight, frames)
+    } finally { reader.dispose(); iis.close() }
+  }
+
   /** Encode 16-bit signed PCM mono samples as a real RIFF/WAVE file. */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)

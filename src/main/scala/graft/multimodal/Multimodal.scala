@@ -373,6 +373,128 @@ object Multimodal {
     }
   }
 
+  // --- REAL multi-frame container (animated GIF, r9) ---------------
+
+  /** Deterministic gray pixel `i` of frame `f` of video `id`. Frames
+    * come in 2-frame SCENES ((f div 2) drives the formula): frames of
+    * one scene are identical, scene changes jump to fresh pseudo-random
+    * pixels — so the scene-cut detector has real boundaries to find at
+    * exactly the odd→even frame transitions. */
+  private def gifVal(id: Long, f: Long, i: Long): Long =
+    (id * 2654435761L + (f / 2) * 6700417L + i * 40503L) % 256
+  private def gifW(id: Long): Int = (9 + id % 8).toInt // ≥ 9: dHash grid fits
+  private def gifH(id: Long): Int = (8 + id % 5).toInt
+  private def gifN(id: Long): Int = (2 + id % 4).toInt // 2..5 frames
+
+  /** Every document as one REAL animated GIF: gray frames from the
+    * deterministic formula, encoded through the JDK's GIF sequence
+    * writer. GIF's indexed palette is lossless for 8-bit gray, so
+    * frame/scene-cut/dHash queries over these bytes are oracle-hashed
+    * exactly like the PNG/WAV corpus. Staged once per (session,
+    * corpus); bytes are born on executors and never shuffle. */
+  def encodedVideos(spark: SparkSession, dir: String): Dataset[EncodedMedia] = {
+    import spark.implicits._
+    graft.SessionCache.checkpointed(spark, s"mm.encoded.gif|$dir") {
+      Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.grouped(BatchSize).flatMap { batch =>
+            batch.iterator.map { id =>
+              val (w, h) = (gifW(id), gifH(id))
+              val frames = (0 until gifN(id)).map(f =>
+                Array.tabulate(w * h)(i => gifVal(id, f.toLong, i.toLong).toByte))
+              EncodedMedia(id, "video/gif", Codec.encodeGif(w, h, frames))
+            }
+          }
+        }.toDF()
+    }.as[EncodedMedia]
+  }
+
+  case class GifFrame(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, pix_sum: Long, pix_wsum: Long)
+
+  /** Decode every frame of the real GIF corpus and fingerprint each
+    * with exact integer sums — [[sampleFrames]]' per-frame shape on
+    * real container bytes. */
+  def gifFrames(media: Dataset[EncodedMedia]): Dataset[GifFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video/gif").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val (w, h, frames) = Codec.decodeGifFrames(m.content)
+          frames.iterator.zipWithIndex.map { case (g, fi) =>
+            var s = 0L; var ws = 0L; var i = 0
+            while (i < g.length) {
+              val v = g(i) & 0xFF
+              s += v; ws += (i + 1L) * v
+              i += 1
+            }
+            GifFrame(m.media_id, fi.toLong, w.toLong, h.toLong, s, ws)
+          }
+        }
+      }
+    }
+  }
+
+  /** Scene cuts over the REAL decoded frames: 16-bucket gray histogram
+    * per frame, L1 distance between consecutive frames, cut when over
+    * threshold — [[sceneCuts]]' detector on real container bytes
+    * (same-scene frames are pixel-identical → L1 = 0; scene changes
+    * re-randomize every pixel → large L1). */
+  def gifSceneCuts(media: Dataset[EncodedMedia],
+      threshold: Long = 16L): Dataset[SceneBoundary] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video/gif").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val (_, _, frames) = Codec.decodeGifFrames(m.content)
+          val hists = frames.map { g =>
+            val hbuk = new Array[Long](HistBuckets)
+            var i = 0
+            while (i < g.length) { hbuk((g(i) & 0xFF) / 16) += 1; i += 1 }
+            hbuk
+          }
+          hists.iterator.zipWithIndex.sliding(2).withPartial(false).map {
+            case Seq((h0, _), (h1, i1)) =>
+              var l1 = 0L; var b = 0
+              while (b < HistBuckets) { l1 += math.abs(h0(b) - h1(b)); b += 1 }
+              SceneBoundary(m.media_id, i1.toLong, l1, l1 > threshold)
+          }
+        }
+      }
+    }
+  }
+
+  /** dHash of each video's FIRST decoded frame (the keyframe
+    * fingerprint a near-dup pass runs on): the module's 8×9-grid bit
+    * convention over the real decoded gray bytes. */
+  def gifDhash(media: Dataset[EncodedMedia]): Dataset[DHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video/gif").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (_, _, frames) = Codec.decodeGifFrames(m.content)
+          val g = frames.head
+          def px(i: Int): Int = if (i < g.length) g(i) & 0xFF else 0
+          var hi = 0L; var lo = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val i = r * 9 + c
+              if (px(i) < px(i + 1)) {
+                val bit = r * 8 + c
+                if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+              }
+              c += 1
+            }
+            r += 1
+          }
+          DHash(m.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
   // --- driver-checked queries --------------------------------------
 
   def qMmThumbnail(spark: SparkSession, dir: String): DataFrame = {
@@ -388,6 +510,23 @@ object Multimodal {
   def qMmDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeAudio(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
+
+  def qMmGifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifFrames(encodedVideos(spark, dir)).toDF()
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  def qMmGifSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifSceneCuts(encodedVideos(spark, dir)).toDF()
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  def qMmGifDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifDhash(encodedVideos(spark, dir)).toDF().orderBy($"media_id")
   }
 
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
@@ -468,7 +607,10 @@ object Multimodal {
     "q_mm_scene_cuts" -> qMmSceneCuts,
     "q_mm_decode_image" -> qMmDecodeImage,
     "q_mm_decode_audio" -> qMmDecodeAudio,
-    "q_mm_thumbnail" -> qMmThumbnail
+    "q_mm_thumbnail" -> qMmThumbnail,
+    "q_mm_gif_frames" -> qMmGifFrames,
+    "q_mm_gif_scene_cuts" -> qMmGifSceneCuts,
+    "q_mm_gif_dhash" -> qMmGifDhash
   )
 
   private def duckPx(i: Int): String =
@@ -625,6 +767,71 @@ object Multimodal {
         |    i -> (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128)
         |       * (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128))) AS BIGINT) AS energy
         |FROM a
-        |ORDER BY media_id, window_idx""".stripMargin
+        |ORDER BY media_id, window_idx""".stripMargin,
+
+    // Spark decodes REAL animated-GIF bytes frame by frame; the oracle
+    // recomputes the gray formula arithmetically. GIF's indexed gray
+    // palette is lossless, so any frame-order/offset/palette defect in
+    // the container path breaks the hash.
+    "q_mm_gif_frames" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+        |  CAST(9 + d.doc_id % 8 AS BIGINT) AS width,
+        |  CAST(8 + d.doc_id % 5 AS BIGINT) AS height,
+        |  CAST(SUM((d.doc_id * 2654435761 + (f.f // 2) * 6700417
+        |            + g.i * 40503) % 256) AS BIGINT) AS pix_sum,
+        |  CAST(SUM((g.i + 1) * ((d.doc_id * 2654435761 + (f.f // 2) * 6700417
+        |            + g.i * 40503) % 256)) AS BIGINT) AS pix_wsum
+        |FROM documents d
+        |CROSS JOIN LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 4)) AS f) f
+        |CROSS JOIN LATERAL (SELECT unnest(range(0,
+        |  (9 + d.doc_id % 8) * (8 + d.doc_id % 5))) AS i) g
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+
+    "q_mm_gif_scene_cuts" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f.f,
+        |    ((d.doc_id * 2654435761 + (f.f // 2) * 6700417
+        |      + g.i * 40503) % 256) // 16 AS bucket
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 4)) AS f) f
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0,
+        |    (9 + d.doc_id % 8) * (8 + d.doc_id % 5))) AS i) g),
+        |h AS (SELECT doc_id, f, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM px GROUP BY 1, 2, 3),
+        |hg AS (
+        |  SELECT df.doc_id, df.f, g.bucket, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT doc_id, f FROM px) df
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+        |  LEFT JOIN h ON h.doc_id = df.doc_id AND h.f = df.f
+        |             AND h.bucket = g.bucket),
+        |l1 AS (
+        |  SELECT a.doc_id, b.f AS frame_idx,
+        |    CAST(SUM(abs(b.c - a.c)) AS BIGINT) AS l1_diff
+        |  FROM hg a JOIN hg b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |                     AND a.bucket = b.bucket
+        |  GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  l1_diff, l1_diff > 16 AS is_cut
+        |FROM l1 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_mm_gif_dhash" ->
+      s"""WITH h AS (SELECT doc_id AS media_id,
+         |  CAST(${(32 until 64).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckGifPx(i)} < ${duckGifPx(i + 1)} THEN ${1L << (bit - 32)} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_hi,
+         |  CAST(${(0 until 32).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckGifPx(i)} < ${duckGifPx(i + 1)} THEN ${1L << bit} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_lo
+         |FROM documents)
+         |SELECT media_id, dhash_hi, dhash_lo FROM h
+         |ORDER BY media_id""".stripMargin
   )
+
+  /** Gray value of frame-0 pixel `i` of video `doc_id`, as DuckDB SQL
+    * (frame 0 ⇒ the scene term vanishes). Every video is ≥ 9×8 pixels,
+    * so the 8×9 dHash grid needs no out-of-range guard. */
+  private def duckGifPx(i: Int): String =
+    s"((doc_id * 2654435761 + $i * 40503) % 256)"
 }

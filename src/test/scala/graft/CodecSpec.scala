@@ -29,6 +29,33 @@ class CodecSpec extends SparkSpec {
     assert(out.toSeq == rgb.toSeq)
   }
 
+  test("animated GIF round-trip is lossless: every frame's gray pixels exact") {
+    val (w, h) = (11, 9)
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(w * h)(i => ((f * 83 + i * 37 + 11) % 256).toByte))
+    val gif = Codec.encodeGif(w, h, frames)
+    // real container: GIF89a/GIF87a magic
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    val (dw, dh, out) = Codec.decodeGifFrames(gif)
+    assert((dw, dh) == (w, h))
+    assert(out.length == 4)
+    out.zip(frames).zipWithIndex.foreach { case ((got, want), fi) =>
+      assert(got.toSeq == want.toSeq, s"frame $fi differs")
+    }
+  }
+
+  test("GIF fixture file on disk decodes identically to the in-memory bytes") {
+    val (w, h) = (9, 8)
+    val frames = Seq(Array.tabulate(w * h)(i => ((i * 13) % 256).toByte),
+      Array.tabulate(w * h)(i => ((i * 29 + 5) % 256).toByte))
+    val gif = Codec.encodeGif(w, h, frames)
+    val f = fixtureDir.resolve("fixture.gif")
+    Files.write(f, gif)
+    val (dw, dh, out) = Codec.decodeGifFrames(Files.readAllBytes(f))
+    assert((dw, dh) == (w, h))
+    assert(out.map(_.toSeq) == frames.map(_.toSeq))
+  }
+
   test("PNG fixture file on disk decodes identically to the in-memory bytes") {
     val (w, h) = (8, 8)
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 7) % 256).toByte)
