@@ -100,7 +100,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
-  private def all = Seq(cosineSim, sortedIntersectCount)
+  val spaceSavingTopK: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("spacesaving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "spacesaving_topk"),
+      (children: Seq[Expression]) =>
+        SpaceSavingTopK(children(0), children(1)).toAggregateExpression())
+
+  private def all = Seq(cosineSim, sortedIntersectCount, spaceSavingTopK)
 
   /** Register into an already-built session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -118,6 +124,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.sortedIntersectCount)
+    ext.injectFunction(GraftFunctions.spaceSavingTopK)
     // run-ONCE batch — see BoundLevenshteinRule's doc for why not the
     // fix-point operator-optimization batch
     ext.injectPreCBORule(_ => BoundLevenshteinRule)

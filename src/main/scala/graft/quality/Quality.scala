@@ -368,6 +368,50 @@ object Quality {
       .orderBy($"epoch", $"shard")
   }
 
+  /** SHUFFLE-QUALITY AUDIT of the epoch shards: hash sharding balances
+    * MASS ([[qEpochShard]]'s audit) but a dataloader also needs the
+    * within-shard READ ORDER to mix sources — adjacent same-source
+    * runs turn into correlated gradient batches. Per (epoch, shard),
+    * order docs by the deterministic shuffle key (the epoch-shard md5
+    * convention, 'sh' salt) and measure the adjacent-pair same-source
+    * rate against the rate a perfect within-shard shuffle would give
+    * from that shard's own composition (Σ nₛ(nₛ−1) / n(n−1), exact
+    * ppm). One window per (epoch, shard) partition — no corpus-wide
+    * sort — plus two combines on the shard-sized frames. */
+  def qShardShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hx = "substring(md5(cast(concat('ep', cast(epoch as string), '|', " +
+      "cast(doc_id as string)) as binary)), 1, 2)"
+    val assigned = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("hv", expr(
+        s"(instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1)"))
+      .withColumn("shard", expr("hv % 32").cast("long"))
+      .withColumn("okey", expr(
+        "md5(cast(concat('sh', cast(epoch as string), '|', " +
+          "cast(doc_id as string)) as binary))"))
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"okey", $"doc_id")
+    val adj = assigned
+      .withColumn("prev_src", lag($"source", 1).over(w))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"source" === $"prev_src", 1L).otherwise(0L)).as("adj_same"))
+    val comp = assigned.groupBy($"epoch", $"shard", $"source")
+      .agg(count(lit(1)).as("ns"))
+      .groupBy($"epoch", $"shard")
+      .agg(sum(expr("ns * (ns - 1)")).as("pair_same"))
+    adj.join(comp, Seq("epoch", "shard"))
+      .select($"epoch", $"shard", $"n_docs", $"adj_same",
+        when($"n_docs" > 1,
+          expr("(adj_same * 1000000) div (n_docs - 1)")).otherwise(0L)
+          .as("same_ppm"),
+        when($"n_docs" > 1,
+          expr("(pair_same * 1000000) div (n_docs * (n_docs - 1))"))
+          .otherwise(0L).as("expected_ppm"))
+      .orderBy($"epoch", $"shard")
+  }
+
   /** CURRICULUM SCHEDULE (Bengio et al. 2009 — public paper): the
     * dataloader-prep step that orders training so the cleanest
     * documents come first — every doc gets its exact global quality
@@ -1292,6 +1336,7 @@ object Quality {
     "q_attr_multitouch" -> qAttrMultitouch,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
+    "q_shard_shuffle_audit" -> qShardShuffleAudit,
     "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
@@ -1776,6 +1821,44 @@ object Quality {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM h GROUP BY epoch, hv % 32
         |ORDER BY epoch, shard""".stripMargin,
+
+    "q_shard_shuffle_audit" ->
+      """WITH e AS (
+        |  SELECT doc_id, source, CAST(unnest([0, 1]) AS BIGINT) AS epoch
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, epoch,
+        |    CAST((instr('0123456789abcdef',
+        |       substr(md5('ep' || CAST(epoch AS VARCHAR) || '|'
+        |         || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef',
+        |       substr(md5('ep' || CAST(epoch AS VARCHAR) || '|'
+        |         || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) % 32 AS shard,
+        |    md5('sh' || CAST(epoch AS VARCHAR) || '|'
+        |      || CAST(doc_id AS VARCHAR)) AS okey
+        |  FROM e),
+        |adj AS (
+        |  SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN source = prev_src THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS adj_same
+        |  FROM (SELECT epoch, shard, source,
+        |          lag(source) OVER (PARTITION BY epoch, shard
+        |            ORDER BY okey, doc_id) AS prev_src
+        |        FROM a) t
+        |  GROUP BY epoch, shard),
+        |comp AS (
+        |  SELECT epoch, shard, CAST(SUM(ns * (ns - 1)) AS BIGINT) AS pair_same
+        |  FROM (SELECT epoch, shard, source, COUNT(*) AS ns
+        |        FROM a GROUP BY epoch, shard, source) c
+        |  GROUP BY epoch, shard)
+        |SELECT adj.epoch, adj.shard, adj.n_docs, adj.adj_same,
+        |  CASE WHEN adj.n_docs > 1
+        |    THEN (adj.adj_same * 1000000) // (adj.n_docs - 1) ELSE 0 END AS same_ppm,
+        |  CASE WHEN adj.n_docs > 1
+        |    THEN (comp.pair_same * 1000000) // (adj.n_docs * (adj.n_docs - 1))
+        |    ELSE 0 END AS expected_ppm
+        |FROM adj JOIN comp ON adj.epoch = comp.epoch AND adj.shard = comp.shard
+        |ORDER BY adj.epoch, adj.shard""".stripMargin,
 
     "q_kanon_audit" ->
       """WITH c AS (

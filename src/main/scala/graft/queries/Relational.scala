@@ -2402,6 +2402,48 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** THEIL–SEN ROBUST SLOPE (Theil 1950 / Sen 1968, public method):
+    * the magnitude companion to [[qTrendMk]]'s direction verdict — per
+    * event type, the median of all pairwise slopes (n_b − n_a)/(d_b −
+    * d_a) over daily volumes, insensitive to up to ~29% outlier days
+    * (a single traffic spike drags an OLS slope arbitrarily; it moves
+    * the pairwise-slope median by one rank).
+    *
+    * Integer arithmetic: slope in ppm/day as sign(Δn)·((|Δn|·10⁶) div
+    * Δd) — magnitude divided on NONNEGATIVE operands so Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree, sign
+    * applied after (the transform is monotone, so the rank-median of
+    * transformed slopes is the transformed median). Median = the value
+    * at rank (pairs+1) div 2 (lower median, deterministic).
+    *
+    * Shape: the corpus shrinks to the (type, day) rollup in one
+    * combine; the pair join and the rank window run on THAT frame
+    * (days² of a rollup, each type its own partition); |types|-row
+    * readout. */
+  def qTrendTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select($"event_type", $"day".as("da"), $"n".as("na"))
+    val b = daily.select($"event_type", $"day".as("db"), $"n".as("nb"))
+    val slopes = a.join(b, Seq("event_type")).filter($"da" < $"db")
+      .select($"event_type",
+        expr("""CASE WHEN nb >= na
+               |  THEN ((nb - na) * 1000000) div (db - da)
+               |  ELSE -(((na - nb) * 1000000) div (db - da)) END""".stripMargin)
+          .as("slope_ppm"))
+    val w = Window.partitionBy($"event_type").orderBy($"slope_ppm")
+    slopes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .filter($"rk" === expr("(n_pairs + 1) div 2"))
+      .select($"event_type", $"n_pairs", $"slope_ppm".as("theilsen_slope_ppm"))
+      .orderBy($"event_type")
+  }
+
   /** ROLLING ACTIVE USERS (DAU / WAU / stickiness): distinct users per
     * day and per trailing 7-day window, plus the DAU/WAU "stickiness"
     * ratio in exact permille — the engagement dashboard primitive.
@@ -2741,6 +2783,7 @@ object Relational {
     "q_weighted_median" -> qWeightedMedian,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_trend_mk" -> qTrendMk,
+    "q_trend_theilsen" -> qTrendTheilsen,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
     "q_seq_patterns" -> qSeqPatterns,
@@ -2938,6 +2981,29 @@ object Relational {
         |  f.peak AS peak_stat20
         |FROM f JOIN pp q ON q.event_type = f.event_type AND f.i = q.n_days
         |ORDER BY q.event_type""".stripMargin,
+
+    "q_trend_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.n >= a.n
+        |      THEN ((b.n - a.n) * 1000000) // (b.day - a.day)
+        |      ELSE -(((a.n - b.n) * 1000000) // (b.day - a.day)) END AS slope_ppm
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, slope_ppm,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY slope_ppm) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+        |  FROM slopes)
+        |SELECT event_type, n_pairs, slope_ppm AS theilsen_slope_ppm
+        |FROM r WHERE rk = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "q_trend_mk" ->
       """WITH daily AS (

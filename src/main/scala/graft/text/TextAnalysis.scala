@@ -106,6 +106,80 @@ object TextAnalysis {
       .orderBy($"lang", $"predicted_lang")
   }
 
+  /** HEAVY HITTERS via the SpaceSaving mergeable aggregate
+    * ([[graft.functions.SpaceSavingTopK]]): tokens with frequency over
+    * 0.5% of the stream, EXACTLY — but without ever shuffling the full
+    * token cardinality. One scan folds each partition into an
+    * 800-entry summary, partials merge associatively (error ≤ n/800,
+    * so every token over n/200 is guaranteed in the candidate set —
+    * 4× margin), and the ≤ 800 candidates are re-counted exactly
+    * through a broadcast semi-join. At 100 TB the groupBy alternative
+    * shuffles billions of distinct keys to find these few; this
+    * shuffles 800. The sketch only proposes — the exact re-count
+    * decides — so the output is deterministic and oracle-hashable
+    * despite the sketch's order-dependent internals. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val cands = toks.agg(expr("spacesaving_topk(token, 800)").as("cand"))
+      .select(explode($"cand").as("token"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot)) // 1-row total onto ≤800 candidates
+      .filter($"n" * 200 > $"n_total")
+      .select($"token", $"n", expr("(n * 1000000) div n_total").as("share_ppm"))
+      .orderBy($"n".desc, $"token")
+  }
+
+  /** CODE-SWITCHING / LANGUAGE-MIX AUDIT: the doc-level langid hides
+    * documents that switch language mid-text (boilerplate headers,
+    * quoted translations, scraped concatenations) — a curation hazard
+    * langid-filtered corpora are known to carry. Chunk each document
+    * into fixed 256-char windows, run the SAME marker-trigram argmax
+    * per chunk, and report per doc: chunk votes per language, the
+    * dominant language (the doc-level priority rule on chunk votes),
+    * and the mix share — 1000 − dominant votes·1000 div chunks.
+    * `is_mixed` flags docs whose dominant language holds under 80% of
+    * chunks. One explode (bounded ×⌈len/256⌉) + one combine; no join,
+    * no shuffle beyond the rollup. */
+  def qLangIdMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(marker: String): Column =
+      expr(s"(length(chunk) - length(replace(chunk, '$marker', ''))) div ${marker.length}")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        explode(expr(
+          "sequence(0, cast((length(text) + 255) div 256 as int) - 1)")).as("ci"),
+        $"text")
+      .withColumn("chunk", expr("substring(text, ci * 256 + 1, 256)"))
+      .withColumn("c_en", cnt("the ") + cnt(" a "))
+      .withColumn("c_es", cnt("os ") + cnt("as "))
+      .withColumn("c_de", cnt("sch") + cnt("ein"))
+      .withColumn("chunk_lang",
+        when($"c_en" >= $"c_es" && $"c_en" >= $"c_de", "en")
+          .when($"c_es" >= $"c_de", "es").otherwise("de"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"chunk_lang" === "en", 1L).otherwise(0L)).as("v_en"),
+        sum(when($"chunk_lang" === "es", 1L).otherwise(0L)).as("v_es"),
+        sum(when($"chunk_lang" === "de", 1L).otherwise(0L)).as("v_de"))
+      .withColumn("dom_lang",
+        when($"v_en" >= $"v_es" && $"v_en" >= $"v_de", "en")
+          .when($"v_es" >= $"v_de", "es").otherwise("de"))
+      .withColumn("dom_votes",
+        when($"dom_lang" === "en", $"v_en")
+          .when($"dom_lang" === "es", $"v_es").otherwise($"v_de"))
+      .withColumn("mix_permille",
+        expr("1000 - (dom_votes * 1000) div n_chunks"))
+      .select($"doc_id", $"n_chunks", $"v_en", $"v_es", $"v_de",
+        $"dom_lang", $"mix_permille",
+        when($"mix_permille" > 200, "Y").otherwise("N").as("is_mixed"))
+      .orderBy($"doc_id")
+  }
+
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 and
     * java.util.regex match identically (no backrefs, no lookaround):
     * space-glued letter runs, digit runs, punctuation runs. */
@@ -878,6 +952,8 @@ object TextAnalysis {
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
     "q_langid_eval" -> qLangIdEval,
+    "q_langid_mix" -> qLangIdMix,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
@@ -1246,6 +1322,19 @@ object TextAnalysis {
         |WHERE len(token) > 0
         |GROUP BY token
         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // the sketch only PROPOSES candidates; the exact re-count decides —
+    // so the oracle is simply the exact frequent-items query
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT token FROM t WHERE len(token) > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tt),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tt GROUP BY token)
+        |SELECT c.token, c.n, (c.n * 1000000) // tot.n_total AS share_ppm
+        |FROM c, tot WHERE c.n * 200 > tot.n_total
+        |ORDER BY c.n DESC, c.token""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -1288,6 +1377,45 @@ object TextAnalysis {
          |JOIN tt ON c.lang = tt.lang
          |JOIN pt ON c.predicted_lang = pt.predicted_lang
          |ORDER BY c.lang, c.predicted_lang""".stripMargin,
+
+    "q_langid_mix" ->
+      """WITH ch AS (
+        |  SELECT d.doc_id, substr(d.text, g.ci * 256 + 1, 256) AS chunk
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0,
+        |    (length(d.text) + 255) // 256)) AS ci) g),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (length(chunk) - length(replace(chunk, 'the ', ''))) // 4
+        |      + (length(chunk) - length(replace(chunk, ' a ', ''))) // 3 AS c_en,
+        |    (length(chunk) - length(replace(chunk, 'os ', ''))) // 3
+        |      + (length(chunk) - length(replace(chunk, 'as ', ''))) // 3 AS c_es,
+        |    (length(chunk) - length(replace(chunk, 'sch', ''))) // 3
+        |      + (length(chunk) - length(replace(chunk, 'ein', ''))) // 3 AS c_de
+        |  FROM ch),
+        |v AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN c_en >= c_es AND c_en >= c_de THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_en,
+        |    CAST(sum(CASE WHEN NOT (c_en >= c_es AND c_en >= c_de)
+        |                   AND c_es >= c_de THEN 1 ELSE 0 END) AS BIGINT) AS v_es,
+        |    CAST(sum(CASE WHEN NOT (c_en >= c_es AND c_en >= c_de)
+        |                   AND NOT (c_es >= c_de) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_de
+        |  FROM sc GROUP BY doc_id),
+        |dv AS (
+        |  SELECT *,
+        |    CASE WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
+        |         WHEN v_es >= v_de THEN 'es' ELSE 'de' END AS dom_lang
+        |  FROM v),
+        |m AS (
+        |  SELECT *,
+        |    1000 - (CASE dom_lang WHEN 'en' THEN v_en WHEN 'es' THEN v_es
+        |            ELSE v_de END * 1000) // n_chunks AS mix_permille
+        |  FROM dv)
+        |SELECT doc_id, n_chunks, v_en, v_es, v_de, dom_lang, mix_permille,
+        |  CASE WHEN mix_permille > 200 THEN 'Y' ELSE 'N' END AS is_mixed
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_text_bpe" ->
       """WITH p AS (

@@ -245,7 +245,10 @@ class PlanSpec extends SparkSpec {
       "q_chi2_independence",
       // Benford audit: 1-row totals broadcast crossed onto the 9-row
       // leading-digit frame
-      "q_benford_audit")
+      "q_benford_audit",
+      // heavy hitters: 1-row total broadcast crossed onto the <=800
+      // exact-verified candidate counts
+      "q_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>

