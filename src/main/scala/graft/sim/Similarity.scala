@@ -651,7 +651,69 @@ object Similarity {
     v.select($"pos", $"v".as("pc1_x1e6")).orderBy($"pos")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998, public
+    * paper): diversified top-k — each pick maximizes
+    * λ·rel(q, c) − (1−λ)·max_{s∈selected} sim(c, s), so the result set
+    * trades raw relevance for coverage (retrieval diversification, and
+    * the dedup-aware batch-selection shape training-data curation
+    * uses: don't fill the context with five copies of the same
+    * paragraph). λ = 0.7, k = [[MmrK]] picks per query.
+    *
+    * ALL queries advance together each greedy round (the batched-pivot
+    * protocol): the scored (query, candidate) frame is staged once;
+    * a round is one join of it against the ≤ Q·r selected frame, one
+    * max-penalty combine, one max_by argmax per query — k bounded
+    * rounds, never a per-query loop. The MMR score stays integral
+    * (mmr_x1e7 = 7·rel_e6 − 3·pen_e6, no division — a negative score
+    * would diverge under Spark `div` vs DuckDB `//`). The oracle
+    * replays the full greedy recursion as k unrolled CTE stages. */
+  private val MmrK = 5
+  def qSimMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    val c = n.select($"vec_id".as("cand_id"), $"nv".as("cv"))
+    val scored = graft.SessionCache.checkpointed(spark, s"sim.mmr.scored|$dir") {
+      broadcast(q).join(c, $"query_id" =!= $"cand_id")
+        .withColumn("rel_e6", cosE6("qv", "cv"))
+        .filter($"rel_e6".isNotNull)
+        .select($"query_id", $"cand_id", $"rel_e6", $"cv")
+    }
+    def argmax(frame: DataFrame, rank: Int): DataFrame =
+      frame.groupBy($"query_id")
+        .agg(max_by(struct($"score", (-$"cand_id").as("nc"), $"cand_id",
+          $"rel_e6"), struct($"score", (-$"cand_id").as("nc"))).as("p"))
+        .select($"query_id", lit(rank.toLong).as("pick"),
+          $"p.cand_id".as("cand_id"), $"p.rel_e6".as("rel_e6"),
+          $"p.score".as("mmr_x1e7"))
+    // pick 1: pure relevance (empty selected set, penalty 0)
+    var selected = argmax(
+      scored.withColumn("score", $"rel_e6" * 7), 1).localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val selVecs = selected.select($"query_id", $"cand_id".as("sel_id"))
+        .join(c.withColumnRenamed("cand_id", "sel_id")
+          .withColumnRenamed("cv", "sv"), Seq("sel_id"))
+      val pen = scored
+        .join(broadcast(selVecs), Seq("query_id"))
+        .filter($"cand_id" =!= $"sel_id")
+        .withColumn("pair_e6", cosE6("cv", "sv"))
+        .groupBy($"query_id", $"cand_id")
+        .agg(max($"pair_e6").as("pen_e6"))
+      val remaining = scored
+        .join(selected.select($"query_id", $"cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(pen, Seq("query_id", "cand_id"))
+        .withColumn("score", $"rel_e6" * 7 - $"pen_e6" * 3)
+      selected = selected.union(argmax(remaining, r)).localCheckpoint()
+    }
+    selected
+      .select($"query_id", $"pick", $"cand_id", $"rel_e6", $"mmr_x1e7")
+      .orderBy($"query_id", $"pick")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_mmr" -> qSimMmr,
     "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -695,7 +757,62 @@ object Similarity {
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
 
+  /** The MMR greedy recursion as [[MmrK]] unrolled CTE stages (the
+    * betweenness-oracle technique): stage r computes every candidate's
+    * max pairwise cosine against the union of picks 1..r−1, scores
+    * 7·rel − 3·pen, and takes the per-query argmax. */
+  private lazy val mmrOracle: String = {
+    val sb = new StringBuilder(duckNorm)
+    sb.append(s""",
+      |sc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    CAST(round(${duckCos("q.nv", "c.nv")} * 1e6) AS BIGINT) AS rel_e6,
+      |    q.nv AS qv, c.nv AS cv
+      |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+      |s1 AS (
+      |  SELECT query_id, CAST(1 AS BIGINT) AS pick, cand_id, rel_e6,
+      |    CAST(rel_e6 * 7 AS BIGINT) AS mmr_x1e7
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY rel_e6 * 7 DESC, cand_id) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |selu1 AS (SELECT query_id, cand_id FROM s1)""".stripMargin)
+    for (r <- 2 to MmrK) {
+      val p = r - 1
+      sb.append(s""",
+        |pen$r AS (
+        |  SELECT sc.query_id, sc.cand_id,
+        |    max(CAST(round(${duckCos("cc.nv", "ss.nv")} * 1e6) AS BIGINT))
+        |      AS pen_e6
+        |  FROM sc
+        |  JOIN selu$p u ON sc.query_id = u.query_id AND sc.cand_id <> u.cand_id
+        |  JOIN n cc ON cc.vec_id = sc.cand_id
+        |  JOIN n ss ON ss.vec_id = u.cand_id
+        |  GROUP BY 1, 2),
+        |s$r AS (
+        |  SELECT query_id, CAST($r AS BIGINT) AS pick, cand_id, rel_e6,
+        |    CAST(score AS BIGINT) AS mmr_x1e7
+        |  FROM (
+        |    SELECT sc.query_id, sc.cand_id, sc.rel_e6,
+        |      sc.rel_e6 * 7 - pn.pen_e6 * 3 AS score,
+        |      row_number() OVER (PARTITION BY sc.query_id
+        |        ORDER BY sc.rel_e6 * 7 - pn.pen_e6 * 3 DESC, sc.cand_id) AS rn
+        |    FROM sc
+        |    JOIN pen$r pn ON sc.query_id = pn.query_id
+        |                 AND sc.cand_id = pn.cand_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM selu$p u
+        |      WHERE u.query_id = sc.query_id AND u.cand_id = sc.cand_id))
+        |  WHERE rn = 1),
+        |selu$r AS (SELECT * FROM selu$p
+        |  UNION ALL SELECT query_id, cand_id FROM s$r)""".stripMargin)
+    }
+    sb.append("\n" + (1 to MmrK).map(r =>
+      s"SELECT query_id, pick, cand_id, rel_e6, mmr_x1e7 FROM s$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, pick"))
+    sb.toString
+  }
+
   private val baseOracles: Map[String, String] = Map(
+    "q_sim_mmr" -> mmrOracle,
     "q_sim_hard_negatives" ->
       (duckNorm +
         s""",

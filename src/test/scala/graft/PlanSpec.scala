@@ -226,6 +226,9 @@ class PlanSpec extends SparkSpec {
       "q_graph_pagerank_inc", // runs rebuild + 2 edge merges on construct
       "q_revenue_monthly_inc", // runs rebuild + 2 partial merges on construct
       "q_sim_ivf_incremental",
+      // MMR stages its scored frame + runs the greedy rounds on
+      // construct (the batched-pivot protocol)
+      "q_sim_mmr",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time

@@ -136,6 +136,52 @@ class R9OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "no heavy hitters at all — threshold miscalibrated")
   }
 
+  test("mmr: engine picks == direct Scala greedy replay at sf0.001") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as nv")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).toArray).toMap
+    def cosE6(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+    }
+    val queries = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    val want = queries.flatMap { qid =>
+      val qv = vecs(qid)
+      val cands = vecs.keys.filter(_ != qid).toSeq.sorted
+      val rel = cands.map(c => c -> cosE6(qv, vecs(c))).toMap
+      var sel = Vector.empty[(Long, Long)] // (cand, mmr)
+      for (_ <- 1 to 5) {
+        val rem = cands.filterNot(c => sel.exists(_._1 == c))
+        val scoredRem = rem.map { c =>
+          val pen =
+            if (sel.isEmpty) 0L
+            else sel.map(s => cosE6(vecs(c), vecs(s._1))).max
+          val score = if (sel.isEmpty) rel(c) * 7 else rel(c) * 7 - pen * 3
+          (c, score)
+        }
+        val best = scoredRem.minBy { case (c, s) => (-s, c) }
+        sel :+= best
+      }
+      sel.zipWithIndex.map { case ((c, s), i) =>
+        (qid, (i + 1).toLong, c, rel(c), s)
+      }
+    }
+    val got = graft.sim.Similarity.qSimMmr(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("pick"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("rel_e6"),
+        r.getAs[Long]("mmr_x1e7")))
+    assert(got.toSeq == want)
+    // structural: 5 distinct picks per query; pick 1 is pure-relevance
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).distinct.length == 5, s"query $q repeats a pick")
+    }
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
