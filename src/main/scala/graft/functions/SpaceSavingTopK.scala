@@ -77,6 +77,39 @@ final case class SpaceSavingSummary(capacity: Int) {
     }
 }
 
+object SpaceSavingSummary {
+  /** Byte codec shared by the aggregate's shuffle serialization and
+    * the streaming leg's state-store blobs. */
+  def toBytes(buf: SpaceSavingSummary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (t, c) =>
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): SpaceSavingSummary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = SpaceSavingSummary(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val c = in.readLong()
+      s.add(new String(b, "UTF-8"), c)
+      i += 1
+    }
+    s
+  }
+}
+
 /** `spacesaving_topk(token, capacity)` → array<string> of the summary's
   * surviving candidates. `capacity` must be a foldable positive int. */
 case class SpaceSavingTopK(
@@ -139,35 +172,11 @@ case class SpaceSavingTopK(
       toks.map(t => UTF8String.fromString(t).asInstanceOf[Any]))
   }
 
-  override def serialize(buf: SpaceSavingSummary): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.capacity)
-    out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (t, c) =>
-      val b = t.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: SpaceSavingSummary): Array[Byte] =
+    SpaceSavingSummary.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingSummary = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val cap = in.readInt()
-    val s = SpaceSavingSummary(cap)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      val c = in.readLong()
-      s.add(new String(b, "UTF-8"), c)
-      i += 1
-    }
-    s
-  }
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSummary =
+    SpaceSavingSummary.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = newOffset)

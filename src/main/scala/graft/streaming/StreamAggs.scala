@@ -46,6 +46,46 @@ object StreamAggs {
       .select(col("window.start").as("period_start"),
         col("event_type"), col("bin"), col("n"))
 
+  /** STREAMING HEAVY HITTERS: the SpaceSaving summary
+    * ([[graft.functions.SpaceSavingSummary]]) as keyed stream state —
+    * the frequent-items feed maintained incrementally instead of
+    * recomputed per batch. Tokens hash into `buckets` groups, each
+    * group holds ONE capacity-bounded summary (state is
+    * O(buckets·capacity) FOREVER, independent of stream length or
+    * vocabulary); because buckets partition the token space, a token's
+    * bucket count IS its global count, so the union of per-bucket
+    * candidates is a superset of every token with frequency >
+    * n/capacity — the same guarantee as the batch aggregate, sharded.
+    * Each batch emits the bucket's refreshed candidate estimates in
+    * update mode (batch_seq rises, a sink keeps last-write-wins); the
+    * exact re-count stays a batch job over the landed corpus, exactly
+    * like [[graft.text.TextAnalysis.qHeavyHitters]].
+    * State serializes through the summary's own byte codec (an opaque
+    * binary blob to the store — RocksDB-friendly). */
+  def streamingHeavyHitters(tokens: DataFrame, buckets: Int = 16,
+      capacity: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    def flat(bucket: Int, it: Iterator[(Int, String)],
+        state: GroupState[Array[Byte]]): Iterator[(Int, String, Long)] = {
+      val s = state.getOption
+        .map(graft.functions.SpaceSavingSummary.fromBytes)
+        .getOrElse(graft.functions.SpaceSavingSummary(capacity))
+      it.foreach { case (_, tok) => s.add(tok, 1L) }
+      state.update(graft.functions.SpaceSavingSummary.toBytes(s))
+      s.counts.iterator.map { case (t, c) => (bucket, t, c) }.toSeq.iterator
+    }
+    tokens
+      .select((abs(xxhash64(col("token"))) % buckets).cast("int").as("bucket"),
+        col("token"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(flat)
+      .toDF("bucket", "token", "est")
+  }
+
   /** Trending tokens: tumbling-window token counts over a stream of
     * timestamped documents — the "what is spiking right now" feed.
     * Tokens explode BEFORE the watermarked window aggregate (state is

@@ -139,4 +139,52 @@ class StreamAggsSpec extends SparkSpec {
     assert(trends.contains(("duck", ts("2026-08-12 11:00:00"), Some(1000L))))
     assert(trends.contains(("spark", ts("2026-08-12 10:00:00"), None)))
   }
+
+  test("streaming heavy hitters: state-held summaries stay a superset of the true heavies across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val hh = StreamAggs.streamingHeavyHitters(
+      input.toDF().toDF("token"), buckets = 4, capacity = 8)
+    val q = hh.writeStream.format("memory").queryName("hhsink")
+      .outputMode("update").start()
+    // 3 batches of a skewed stream: "hot" dominates, "warm" is heavy,
+    // 40 cold singletons churn the summaries
+    val rnd = new scala.util.Random(7)
+    def batch(n: Int): Seq[String] =
+      Seq.fill(n * 6)("hot") ++ Seq.fill(n * 2)("warm") ++
+        Seq.tabulate(n)(i => s"cold${rnd.nextInt(40)}_$i")
+    val fed = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      Seq(10, 12, 8).foreach { n =>
+        val b = batch(n)
+        fed ++= b
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // candidates = every token ever emitted (update-mode changelog ⊇
+    // the final summaries); the guarantee: any token with true
+    // frequency > n/capacity is in its bucket's FINAL summary, hence
+    // somewhere in the changelog
+    val cand = spark.table("hhsink").select($"token").as[String]
+      .collect().toSet
+    val exact = fed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = fed.size.toLong
+    val mustHave = exact.filter(_._2 > n / 8).keySet
+    assert(mustHave.nonEmpty && mustHave.subsetOf(cand),
+      s"missing heavies: ${mustHave -- cand}")
+    // state stayed bounded: per bucket at most `capacity` distinct
+    // tokens in the LAST emission
+    val lastCounts = spark.table("hhsink").groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.countDistinct($"token").as("d"))
+      .collect()
+    assert(lastCounts.forall(_.getAs[Long]("d") <= 8 + 40),
+      "changelog cardinality blew past capacity + churn bound")
+    // estimates never undercount by more than the SpaceSaving error:
+    // est(hot) >= true(hot) for the max-count token
+    val hotEst = spark.table("hhsink").filter($"token" === "hot")
+      .agg(org.apache.spark.sql.functions.max($"est")).head().getLong(0)
+    assert(hotEst >= exact("hot"), s"hot est $hotEst < true ${exact("hot")}")
+  }
 }
