@@ -712,8 +712,51 @@ object Similarity {
       .orderBy($"query_id", $"pick")
   }
 
+  /** SQ8 SCALAR-QUANTIZED ANN (the FAISS SQ8 shape): each vector
+    * compresses 8× to an int8 code array (per-vector max-abs scale,
+    * code = round(v/s·127)); candidate generation ranks by the CODE
+    * vectors' cosine — pure int multiply-adds, 127²·64 fits int —
+    * and only the top-10 survivors pay the exact double cosine for
+    * the final top-5. At scale the code table is what sits in memory
+    * (8× more vectors per executor than raw doubles) and the exact
+    * re-rank touches 10 rows per query. Quantization, int scoring and
+    * both rank stages replay arithmetically in the oracle — the whole
+    * pipeline is hash-checked, unlike recall-style ANN audits. */
+  def qSimAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coded = vectors(spark, dir)
+      .withColumn("s", expr("array_max(transform(nv, x -> abs(x)))"))
+      .withColumn("code", expr("transform(nv, x -> cast(round(x / s * 127) as int))"))
+      .withColumn("n2", expr(
+        "aggregate(code, 0L, (acc, x) -> acc + cast(x as bigint) * x)"))
+      .select($"vec_id", $"nv", $"code", $"n2")
+    val q = coded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"),
+        $"code".as("qcode"), $"n2".as("qn2"))
+    val c = coded.select($"vec_id".as("cand_id"), $"nv".as("cv"),
+      $"code".as("ccode"), $"n2".as("cn2"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_code_e6".desc, $"cand_id")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"cand_id")
+    broadcast(q).join(c, $"query_id" =!= $"cand_id")
+      .withColumn("dotc", expr(
+        "aggregate(zip_with(qcode, ccode, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos_code_e6", expr(
+        "cast(round(cast(dotc as double) / (sqrt(cast(qn2 as double)) * sqrt(cast(cn2 as double))) * 1e6) as bigint)"))
+      .withColumn("crank", row_number().over(wCode))
+      .filter($"crank" <= 10)
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"cand_id".as("neighbor_id"),
+        $"cos_e6", $"cos_code_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> qSimMmr,
+    "q_sim_ann_sq8" -> qSimAnnSq8,
     "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -813,6 +856,49 @@ object Similarity {
 
   private val baseOracles: Map[String, String] = Map(
     "q_sim_mmr" -> mmrOracle,
+
+    "q_sim_ann_sq8" ->
+      (duckNorm +
+        s""",
+          |coded AS (
+          |  SELECT vec_id, nv,
+          |    list_transform(nv, x -> CAST(round(
+          |      x / list_max(list_transform(nv, y -> abs(y))) * 127) AS INTEGER))
+          |      AS code
+          |  FROM n),
+          |c2 AS (
+          |  SELECT vec_id, nv, code,
+          |    CAST(list_sum(list_transform(code,
+          |      x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2
+          |  FROM coded),
+          |p AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          |    q.nv AS qv, c.nv AS cv,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(q.code[i] AS BIGINT) * c.code[i])) AS BIGINT) AS dotc,
+          |    q.n2 AS qn2, c.n2 AS cn2
+          |  FROM c2 q JOIN c2 c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+          |sco AS (
+          |  SELECT query_id, cand_id, qv, cv,
+          |    CAST(round(CAST(dotc AS DOUBLE)
+          |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+          |      * 1e6) AS BIGINT) AS cos_code_e6
+          |  FROM p),
+          |top10 AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos_code_e6 DESC, cand_id) AS crank FROM sco)
+          |  WHERE crank <= 10),
+          |exact AS (
+          |  SELECT query_id, cand_id, cos_code_e6,
+          |    CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+          |  FROM top10),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_e6 DESC, cand_id) AS rank FROM exact)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+          |  cand_id AS neighbor_id, cos_e6, cos_code_e6
+          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "q_sim_hard_negatives" ->
       (duckNorm +
         s""",

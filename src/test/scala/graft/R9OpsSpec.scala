@@ -182,6 +182,22 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("sq8: quantized candidate generation recalls the brute top-5 almost perfectly") {
+    val brute = graft.sim.Similarity.qSimKnnBrute(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = graft.sim.Similarity.qSimAnnSq8(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sq8.keySet == brute.keySet)
+    val recalls = brute.map { case (q, b) => (sq8(q) & b).size.toDouble / b.size }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall ${recalls.sum / recalls.size}")
+    // int8 codes preserve enough geometry that each query keeps a
+    // majority of its true neighbors
+    recalls.foreach(r => assert(r >= 0.6, s"per-query recall $r"))
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
