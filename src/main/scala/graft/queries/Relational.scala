@@ -2402,6 +2402,49 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** HOLT LINEAR SMOOTHING (Holt 1957, public method): double
+    * exponential smoothing per event type over daily volumes — level +
+    * trend state folded through the day array, the one-step forecast
+    * the ops dashboard plots next to the raw series. α = 1/5,
+    * β = 1/10, everything ×100 integral; every division is
+    * SIGN-SPLIT (magnitude divided on nonnegative operands, sign
+    * re-applied) because a negative trend under Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` would diverge.
+    * The oracle replays the fold as a recursive CTE with the identical
+    * expressions.
+    *
+    * Shape: corpus → (type, day) rollup in one combine; the fold is a
+    * per-type `aggregate` over its own sorted day array (days-sized,
+    * never corpus-sized); |types|-row readout. */
+  def qTsHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // l' = sdiv(x·100 + 4(l + b), 5); b' = sdiv((l' − l) + 9b, 10)
+    val lp = "if(x.n * 100 + 4 * (acc.l + acc.b) >= 0, " +
+      "(x.n * 100 + 4 * (acc.l + acc.b)) div 5, " +
+      "-((-(x.n * 100 + 4 * (acc.l + acc.b))) div 5))"
+    val bp = s"if((($lp) - acc.l) + 9 * acc.b >= 0, " +
+      s"((($lp) - acc.l) + 9 * acc.b) div 10, " +
+      s"-((-((($lp) - acc.l) + 9 * acc.b)) div 10))"
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("pts"),
+        count(lit(1)).as("n_days"))
+      .withColumn("f", expr(
+        s"""aggregate(pts,
+           |  named_struct('l', CAST(NULL AS LONG), 'b', 0L),
+           |  (acc, x) -> if(acc.l is null,
+           |    named_struct('l', x.n * 100, 'b', 0L),
+           |    named_struct('l', $lp, 'b', $bp)),
+           |  acc -> acc)""".stripMargin))
+      .select($"event_type", $"n_days",
+        $"f.l".as("level_x100"), $"f.b".as("trend_x100"),
+        ($"f.l" + $"f.b").as("forecast_x100"))
+      .orderBy($"event_type")
+  }
+
   /** THEIL–SEN ROBUST SLOPE (Theil 1950 / Sen 1968, public method):
     * the magnitude companion to [[qTrendMk]]'s direction verdict — per
     * event type, the median of all pairwise slopes (n_b − n_a)/(d_b −
@@ -2784,6 +2827,7 @@ object Relational {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_trend_mk" -> qTrendMk,
     "q_trend_theilsen" -> qTrendTheilsen,
+    "q_ts_holt" -> qTsHolt,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
     "q_seq_patterns" -> qSeqPatterns,
@@ -2931,6 +2975,45 @@ object Relational {
         |FROM grid g LEFT JOIN dau d ON d.day = g.day
         |LEFT JOIN wau w ON w.day = g.day
         |ORDER BY g.day""".stripMargin,
+
+    "q_ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, i, n * 100 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.i,
+        |    CASE WHEN o.n * 100 + 4 * (f.l + f.b) >= 0
+        |      THEN (o.n * 100 + 4 * (f.l + f.b)) // 5
+        |      ELSE -((-(o.n * 100 + 4 * (f.l + f.b))) // 5) END AS l,
+        |    CASE WHEN ((CASE WHEN o.n * 100 + 4 * (f.l + f.b) >= 0
+        |          THEN (o.n * 100 + 4 * (f.l + f.b)) // 5
+        |          ELSE -((-(o.n * 100 + 4 * (f.l + f.b))) // 5) END) - f.l)
+        |        + 9 * f.b >= 0
+        |      THEN (((CASE WHEN o.n * 100 + 4 * (f.l + f.b) >= 0
+        |          THEN (o.n * 100 + 4 * (f.l + f.b)) // 5
+        |          ELSE -((-(o.n * 100 + 4 * (f.l + f.b))) // 5) END) - f.l)
+        |        + 9 * f.b) // 10
+        |      ELSE -((-(((CASE WHEN o.n * 100 + 4 * (f.l + f.b) >= 0
+        |          THEN (o.n * 100 + 4 * (f.l + f.b)) // 5
+        |          ELSE -((-(o.n * 100 + 4 * (f.l + f.b))) // 5) END) - f.l)
+        |        + 9 * f.b)) // 10) END AS b
+        |  FROM f JOIN ord o ON o.event_type = f.event_type AND o.i = f.i + 1)
+        |SELECT f.event_type, nd.n_days, f.l AS level_x100, f.b AS trend_x100,
+        |  f.l + f.b AS forecast_x100
+        |FROM f JOIN nd ON nd.event_type = f.event_type AND f.i = nd.n_days
+        |ORDER BY f.event_type""".stripMargin,
 
     "q_cusum" ->
       """WITH RECURSIVE daily AS (

@@ -727,6 +727,43 @@ object TextAnalysis {
     * loudly instead of going silently quadratic. */
   private[graft] val MaxFuzzyBlock = 50000L
 
+  /** ENTITY RESOLUTION over the fuzzy-match graph (record linkage):
+    * [[qTextFuzzy]]'s edit-distance pairs are the pairwise half of the
+    * problem — an entity is the TRANSITIVE closure ("colour" ~
+    * "color" ~ "colors" are one entity even though colour↮colors
+    * directly). Min-label propagation over the fuzzy edges, 3 bounded
+    * rounds (the qGraphCc convention; fuzzy clusters are short
+    * chains), every round one shuffled join + combine on the
+    * vocab-sized label frame; isolated tokens stay their own entity.
+    * Output: token → canonical entity label + entity size. */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") >= 3).distinct()
+    val pairs = fuzzyPairs(vocab, MaxFuzzyBlock)
+      .select($"tok_a", $"tok_b")
+    val edges = pairs
+      .union(pairs.select($"tok_b".as("tok_a"), $"tok_a".as("tok_b")))
+      .toDF("src", "dst")
+    var lbl = vocab.select($"token", $"token".as("entity")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val nbrMin = edges
+        .join(lbl.select($"token".as("dst"), $"entity".as("ne")).hint("shuffle_hash"),
+          Seq("dst"))
+        .groupBy($"src").agg(min($"ne").as("nbr_entity"))
+      lbl = lbl
+        .join(nbrMin.withColumnRenamed("src", "token"), Seq("token"), "left_outer")
+        .select($"token",
+          least($"entity", coalesce($"nbr_entity", $"entity")).as("entity"))
+        .localCheckpoint()
+    }
+    val sizes = lbl.groupBy($"entity").agg(count(lit(1)).as("n_members"))
+    lbl.join(sizes, Seq("entity"))
+      .select($"token", $"entity", $"n_members")
+      .orderBy($"token")
+  }
+
   /** Core of [[qTextFuzzy]] over any single-column `token` frame.
     *
     * Blocking (r7, VERDICT item 3): the candidate key is (last char,
@@ -868,6 +905,27 @@ object TextAnalysis {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(Tables.load(spark, dir, "documents"))
 
+  /** TOKENIZER FERTILITY by language: BPE symbols per word (×100) and
+    * per character (permille) rolled up over the labeled `lang` — the
+    * multilingual-tokenizer-fairness audit (a language whose fertility
+    * is 2× pays 2× the context budget for the same text). Pure rollup
+    * of the per-doc [[bpeEncode]] stats joined back to the corpus
+    * labels. */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    bpeEncode(docs)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
+        sum($"n_symbols_char").as("n_chars"),
+        sum($"n_symbols_bpe").as("n_bpe"))
+      .select($"lang", $"n_docs", $"n_words", $"n_chars", $"n_bpe",
+        expr("(n_bpe * 100) div n_words").as("fertility_x100"),
+        expr("(n_bpe * 1000) div n_chars").as("compression_permille"))
+      .orderBy($"lang")
+  }
+
   /** Core of [[qBpeEncode]] over any frame with doc_id + text —
     * separated so the randomized property suite can replay it. */
   private[graft] def bpeEncode(docs: DataFrame): DataFrame = {
@@ -954,6 +1012,8 @@ object TextAnalysis {
     "q_langid_eval" -> qLangIdEval,
     "q_langid_mix" -> qLangIdMix,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_entity_resolution" -> qEntityResolution,
+    "q_bpe_fertility" -> qBpeFertility,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
@@ -981,46 +1041,9 @@ object TextAnalysis {
   private def duckTaxonomyValues: String =
     Taxonomy.map { case (k, c) => s"('$k', '$c')" }.mkString(", ")
 
-  val oracles: Map[String, String] = Map(
-    "q_text_tagging" ->
-      s"""WITH dict(kw, category) AS (VALUES $duckTaxonomyValues),
-         |hits AS (
-         |  SELECT d.doc_id, t.category, CAST(count(*) AS BIGINT) AS n_hits
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS kw
-         |        FROM documents) d
-         |  JOIN dict t ON t.kw = d.kw
-         |  GROUP BY 1, 2),
-         |top AS (
-         |  SELECT doc_id, category, n_hits,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY n_hits DESC, category DESC) AS rn
-         |  FROM hits)
-         |SELECT h.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_categories,
-         |  CAST(sum(h.n_hits) AS BIGINT) AS n_matches,
-         |  max(CASE WHEN t.rn = 1 THEN t.category END) AS top_category,
-         |  CAST(max(h.n_hits) AS BIGINT) AS top_hits,
-         |  array_to_string(list_sort(list(h.category)), ',') AS categories
-         |FROM hits h JOIN top t ON t.doc_id = h.doc_id AND t.category = h.category
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_length_buckets" ->
-      """WITH n AS (
-        |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-        |    AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |b AS (
-        |  SELECT n_tokens,
-        |    CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
-        |         ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1)) END AS bucket
-        |  FROM n)
-        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-        |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
-        |  CAST(((COUNT(*) * bucket - SUM(n_tokens)) * 1000000)
-        |    // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    "q_bpe_encode" ->
+  /** The per-doc BPE encode oracle — shared verbatim by the
+    * q_bpe_encode entry and the q_bpe_fertility rollup. */
+  private val bpeEncodeOracle: String =
       """WITH tok AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1075,7 +1098,106 @@ object TextAnalysis {
         |    // CAST(sum(ts.n_chars) AS BIGINT) AS compression_permille
         |FROM dt JOIN ts ON dt.token = ts.token
         |GROUP BY dt.doc_id
-        |ORDER BY dt.doc_id""".stripMargin,
+        |ORDER BY dt.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tagging" ->
+      s"""WITH dict(kw, category) AS (VALUES $duckTaxonomyValues),
+         |hits AS (
+         |  SELECT d.doc_id, t.category, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS kw
+         |        FROM documents) d
+         |  JOIN dict t ON t.kw = d.kw
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, category, n_hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_hits DESC, category DESC) AS rn
+         |  FROM hits)
+         |SELECT h.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_categories,
+         |  CAST(sum(h.n_hits) AS BIGINT) AS n_matches,
+         |  max(CASE WHEN t.rn = 1 THEN t.category END) AS top_category,
+         |  CAST(max(h.n_hits) AS BIGINT) AS top_hits,
+         |  array_to_string(list_sort(list(h.category)), ',') AS categories
+         |FROM hits h JOIN top t ON t.doc_id = h.doc_id AND t.category = h.category
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_length_buckets" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1)) END AS bucket
+        |  FROM n)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        |  CAST(((COUNT(*) * bucket - SUM(n_tokens)) * 1000000)
+        |    // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_bpe_encode" -> bpeEncodeOracle,
+
+    // fertility = the per-doc encode stats rolled up per language;
+    // the subquery is the VERBATIM q_bpe_encode oracle (concatenated
+    // AFTER stripMargin — a second stripMargin pass would eat its
+    // `||` operators)
+    "q_bpe_fertility" ->
+      ("""SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n_symbols_char) AS BIGINT) AS n_chars,
+         |  CAST(sum(e.n_symbols_bpe) AS BIGINT) AS n_bpe,
+         |  (CAST(sum(e.n_symbols_bpe) AS BIGINT) * 100)
+         |    // CAST(sum(e.n_words) AS BIGINT) AS fertility_x100,
+         |  (CAST(sum(e.n_symbols_bpe) AS BIGINT) * 1000)
+         |    // CAST(sum(e.n_symbols_char) AS BIGINT) AS compression_permille
+         |FROM (
+         |""".stripMargin + bpeEncodeOracle + """
+         |) e
+         |JOIN documents d ON d.doc_id = e.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "q_entity_resolution" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, substr(token, len(token), 1) AS ck
+        |      FROM vocab WHERE len(token) >= 3),
+        |p AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b
+        |  FROM v a JOIN v b ON a.ck = b.ck AND a.token < b.token
+        |  WHERE abs(len(a.token) - len(b.token)) <= 1
+        |    AND levenshtein(a.token, b.token) <= 2),
+        |e AS (SELECT tok_a AS src, tok_b AS dst FROM p
+        |      UNION ALL SELECT tok_b, tok_a FROM p),
+        |l0 AS (SELECT token, token AS entity FROM v),
+        |l1 AS (
+        |  SELECT l.token, least(l.entity, coalesce(m.me, l.entity)) AS entity
+        |  FROM l0 l LEFT JOIN (
+        |    SELECT e.src, min(l0.entity) AS me
+        |    FROM e JOIN l0 ON l0.token = e.dst GROUP BY e.src) m
+        |  ON m.src = l.token),
+        |l2 AS (
+        |  SELECT l.token, least(l.entity, coalesce(m.me, l.entity)) AS entity
+        |  FROM l1 l LEFT JOIN (
+        |    SELECT e.src, min(l1.entity) AS me
+        |    FROM e JOIN l1 ON l1.token = e.dst GROUP BY e.src) m
+        |  ON m.src = l.token),
+        |l3 AS (
+        |  SELECT l.token, least(l.entity, coalesce(m.me, l.entity)) AS entity
+        |  FROM l2 l LEFT JOIN (
+        |    SELECT e.src, min(l2.entity) AS me
+        |    FROM e JOIN l2 ON l2.token = e.dst GROUP BY e.src) m
+        |  ON m.src = l.token),
+        |sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM l3 GROUP BY entity)
+        |SELECT l3.token, l3.entity, sz.n_members
+        |FROM l3 JOIN sz ON sz.entity = l3.entity
+        |ORDER BY l3.token""".stripMargin,
+
 
     "q_bpe_train" ->
       """WITH tok AS (

@@ -229,6 +229,9 @@ class PlanSpec extends SparkSpec {
       // MMR stages its scored frame + runs the greedy rounds on
       // construct (the batched-pivot protocol)
       "q_sim_mmr",
+      // entity resolution runs its 3 label-propagation rounds
+      // (localCheckpoint each) on construct
+      "q_entity_resolution",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time

@@ -198,6 +198,69 @@ class R9OpsSpec extends SparkSpec {
     recalls.foreach(r => assert(r >= 0.6, s"per-query recall $r"))
   }
 
+  test("holt: engine fold == direct Scala replay with sign-safe division") {
+    def sdiv(x: Long, d: Long): Long = if (x >= 0) x / d else -((-x) / d)
+    val daily = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day"), r.getAs[Long]("n")))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val pts = rows.sortBy(_._2).map(_._3)
+      var l = pts.head * 100L
+      var b = 0L
+      pts.tail.foreach { x =>
+        val lp = sdiv(x * 100 + 4 * (l + b), 5)
+        val bp = sdiv((lp - l) + 9 * b, 10)
+        l = lp; b = bp
+      }
+      t -> ((rows.length.toLong, l, b, l + b))
+    }
+    val got = Relational.qTsHolt(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_days"),
+        r.getAs[Long]("level_x100"), r.getAs[Long]("trend_x100"),
+        r.getAs[Long]("forecast_x100")))).toMap
+    assert(got == want)
+  }
+
+  test("entity resolution: engine == Scala 3-round min-label replay over fuzzy pairs") {
+    val pairs = TextAnalysis.qTextFuzzy(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = Tables.load(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(length($"t") >= 3).distinct().as[String].collect().toSet
+    val adj: Map[String, Seq[String]] = (pairs ++ pairs.map(_.swap)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = vocab.map(t => t -> t).toMap
+    for (_ <- 1 to 3) {
+      lbl = lbl.map { case (t, e) =>
+        val nbr = adj.getOrElse(t, Seq.empty[String]).map(lbl).minOption
+        t -> Seq(Some(e), nbr).flatten.min
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = lbl.map { case (t, e) => (t, e, sizes(e)) }.toSet
+    val got = TextAnalysis.qEntityResolution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_members")))
+      .toSet
+    assert(got == want)
+    // at least one multi-member entity exists, or the op is vacuous here
+    assert(sizes.values.exists(_ > 1), "no fuzzy clusters in fixture corpus")
+  }
+
+  test("bpe fertility: accounting identities per language") {
+    val rows = TextAnalysis.qBpeFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      // every word is at least one BPE symbol; symbols never exceed chars
+      assert(r.getAs[Long]("fertility_x100") >= 100L)
+      assert(r.getAs[Long]("compression_permille") <= 1000L)
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe") <= r.getAs[Long]("n_chars"))
+    }
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
