@@ -754,9 +754,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (JL 1984; Achlioptas 2003
+    * ±1 database-friendly variant, public papers): project 64-dim
+    * embeddings to 16 dims through a FIXED ±1 sign matrix (the
+    * deterministic (i·31+k·17)%7 weight convention shared with the LSH
+    * planes — reproducible in plain SQL, no RNG) and AUDIT the
+    * distortion: for each flagged query and its id+1 companion, the
+    * cosine before vs after. This is the cheap dim-reduction step
+    * ahead of clustering/dedup at scale — 4× less memory and flops per
+    * comparison, distortion measured instead of assumed. Projection is
+    * a per-row expression (zero shuffle); the audit joins a handful of
+    * pairs. */
+  private val JlDim = 16
+  def qSimJlProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def projCol(v: String): Column = {
+      val comps = (0 until JlDim).map { k =>
+        val terms = (1 to Dim).flatMap { i =>
+          ((i * 31 + k * 17) % 7) match {
+            case w if w < 3 => Some(s"-element_at($v, $i)") // 0,1,2 → −1
+            case w if w >= 4 => Some(s"element_at($v, $i)") // 4,5,6 → +1
+            case _ => None // 3 → 0 (sparse JL)
+          }
+        }
+        s"(${terms.mkString(" + ")})"
+      }
+      expr(s"array(${comps.mkString(", ")})")
+    }
+    val n = vectors(spark, dir)
+      .withColumn("jv", projCol("nv"))
+    val a = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("id_a"), $"nv".as("va"), $"jv".as("ja"))
+    val b = n.select($"vec_id".as("id_b"), $"nv".as("vb"), $"jv".as("jb"))
+    a.join(b, $"id_b" === $"id_a" + 1)
+      .withColumn("cos_orig_e6", cosE6("va", "vb"))
+      .withColumn("cos_proj_e6", cosE6("ja", "jb"))
+      .withColumn("distortion_e6", abs($"cos_proj_e6" - $"cos_orig_e6"))
+      .select($"id_a", $"id_b", $"cos_orig_e6", $"cos_proj_e6",
+        $"distortion_e6")
+      .orderBy($"id_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> qSimMmr,
     "q_sim_ann_sq8" -> qSimAnnSq8,
+    "q_sim_jl_project" -> qSimJlProject,
     "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -782,10 +824,12 @@ object Similarity {
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
       |  FROM embeddings)""".stripMargin
 
-  private def duckCos(a: String, b: String): String =
-    (s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))" +
-      s" / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))" +
-      s" * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))")
+  private def duckCosN(a: String, b: String, n: Int): String =
+    (s"list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i]))))")
+
+  private def duckCos(a: String, b: String): String = duckCosN(a, b, Dim)
 
   private val duckDot = duckCos("qv", "cv")
 
@@ -854,8 +898,42 @@ object Similarity {
     sb.toString
   }
 
+  /** The JL ±1 component expressions in DuckDB list syntax — same
+    * weight rule as the Spark side. */
+  private def duckJlComps: String =
+    (0 until JlDim).map { k =>
+      val terms = (1 to Dim).flatMap { i =>
+        ((i * 31 + k * 17) % 7) match {
+          case w if w < 3 => Some(s"-nv[$i]")
+          case w if w >= 4 => Some(s"nv[$i]")
+          case _ => None
+        }
+      }
+      s"(${terms.mkString(" + ")})"
+    }.mkString(", ")
+
   private val baseOracles: Map[String, String] = Map(
     "q_sim_mmr" -> mmrOracle,
+
+    "q_sim_jl_project" ->
+      (duckNorm +
+        s""",
+          |jl AS (SELECT vec_id, nv, [$duckJlComps] AS jv FROM n),
+          |p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    a.nv AS va, b.nv AS vb, a.jv AS ja, b.jv AS jb
+          |  FROM jl a JOIN jl b
+          |    ON a.vec_id % 100 = 0 AND b.vec_id = a.vec_id + 1),
+          |s AS (
+          |  SELECT id_a, id_b,
+          |    CAST(round(${duckCosN("va", "vb", 64)} * 1e6) AS BIGINT)
+          |      AS cos_orig_e6,
+          |    CAST(round(${duckCosN("ja", "jb", 16)} * 1e6) AS BIGINT)
+          |      AS cos_proj_e6
+          |  FROM p)
+          |SELECT id_a, id_b, cos_orig_e6, cos_proj_e6,
+          |  abs(cos_proj_e6 - cos_orig_e6) AS distortion_e6
+          |FROM s ORDER BY id_a""".stripMargin),
 
     "q_sim_ann_sq8" ->
       (duckNorm +

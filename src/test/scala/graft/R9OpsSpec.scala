@@ -261,6 +261,42 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("jl projection: engine == Scala replay of the deterministic projection") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as nv")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(16) { k =>
+        var s = 0.0
+        var i = 1
+        while (i <= 64) {
+          val w = (i * 31 + k * 17) % 7
+          if (w < 3) s -= v(i - 1) else if (w >= 4) s += v(i - 1)
+          i += 1
+        }
+        s
+      }
+    def cosE6(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+    }
+    val rows = graft.sim.Similarity.qSimJlProject(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val wantOrig = cosE6(vecs(a), vecs(b))
+      val wantProj = cosE6(proj(vecs(a)), proj(vecs(b)))
+      assert(r.getAs[Long]("cos_orig_e6") == wantOrig)
+      assert(r.getAs[Long]("cos_proj_e6") == wantProj)
+      assert(r.getAs[Long]("distortion_e6") ==
+        math.abs(wantProj - wantOrig))
+    }
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
