@@ -663,6 +663,77 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** LEAVE-ONE-OUT TRIGRAM LM with STUPID BACKOFF (Brants et al. 2007,
+    * public paper): each document's trigrams scored against counts
+    * trained on the REST of the corpus (its own occurrences
+    * subtracted) — the honest perplexity-style quality filter: scoring
+    * against counts that include the doc itself rewards self-repeated
+    * boilerplate, and the LOO form is where backoff actually fires
+    * (doc-unique trigrams back off to the bigram estimate × 0.4 —
+    * integral as ×2 div 5). High backoff share = unusual text; score 0
+    * = nothing in the rest of the corpus has even the bigram.
+    *
+    * Scale: ONE corpus scan makes the per-doc trigram counts; every
+    * other frame (global trigram/bigram/unigram-context counts and
+    * their per-doc complements) ROLLS UP from that — the joins run on
+    * distinct-n-gram frames, never the raw token stream. */
+  def qTextTrigramLoo(spark: SparkSession, dir: String): DataFrame =
+    trigramLoo(Tables.load(spark, dir, "documents"))
+
+  private[graft] def trigramLoo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tri = docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """zip_with(zip_with(slice(toks, 1, size(toks) - 2),
+          |                  slice(toks, 2, size(toks) - 2),
+          |                  (a, b) -> struct(a AS w1, b AS w2)),
+          |         slice(toks, 3, size(toks) - 2),
+          |         (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))""".stripMargin))
+        .as("t"))
+      .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+    val d123 = tri.groupBy($"doc_id", $"w1", $"w2", $"w3")
+      .agg(count(lit(1)).as("d123"))
+    val c123 = d123.groupBy($"w1", $"w2", $"w3").agg(sum($"d123").as("c123"))
+    val d12 = d123.groupBy($"doc_id", $"w1", $"w2").agg(sum($"d123").as("d12"))
+    val c12 = c123.groupBy($"w1", $"w2").agg(sum($"c123").as("c12"))
+    val d23 = d123.groupBy($"doc_id", $"w2", $"w3").agg(sum($"d123").as("d23"))
+    val c23 = c123.groupBy($"w2", $"w3").agg(sum($"c123").as("c23"))
+    val d2 = d23.groupBy($"doc_id", $"w2").agg(sum($"d23").as("d2"))
+    val c2 = c23.groupBy($"w2").agg(sum($"c23").as("c2"))
+    val scored = d123
+      .join(c123, Seq("w1", "w2", "w3"))
+      .join(d12, Seq("doc_id", "w1", "w2")).join(c12, Seq("w1", "w2"))
+      .join(d23, Seq("doc_id", "w2", "w3")).join(c23, Seq("w2", "w3"))
+      .join(d2, Seq("doc_id", "w2")).join(c2, Seq("w2"))
+      .withColumn("l123", $"c123" - $"d123")
+      .withColumn("l12", $"c12" - $"d12")
+      .withColumn("l23", $"c23" - $"d23")
+      .withColumn("l2", $"c2" - $"d2")
+      .withColumn("p_e6", expr(
+        """CASE WHEN l123 > 0 AND l12 > 0 THEN (l123 * 1000000) div l12
+          |     WHEN l23 > 0 AND l2 > 0
+          |       THEN (2 * ((l23 * 1000000) div l2)) div 5
+          |     ELSE 0 END""".stripMargin))
+      .withColumn("kind", expr(
+        """CASE WHEN l123 > 0 AND l12 > 0 THEN 'direct'
+          |     WHEN l23 > 0 AND l2 > 0 THEN 'backoff'
+          |     ELSE 'zero' END""".stripMargin))
+      .groupBy($"doc_id")
+      .agg(sum($"d123").as("n_trigrams"),
+        expr("sum(d123 * p_e6) div sum(d123)").as("avg_p_e6"),
+        expr("sum(if(kind = 'backoff', d123, 0L))").as("backoff_occ"),
+        expr("sum(if(kind = 'zero', d123, 0L))").as("zero_occ"))
+      .withColumn("backoff_permille",
+        expr("(backoff_occ * 1000) div n_trigrams"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_trigrams", $"avg_p_e6", $"backoff_occ",
+        $"zero_occ", $"backoff_permille")
+      .orderBy($"doc_id")
+  }
+
   /** Span-level duplication coverage (the suffix-array "duplicated
     * span" signal, approximated at 8-word granularity): per document,
     * the fraction of its distinct word 8-grams that occur in at least
@@ -1014,6 +1085,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
+    "q_text_trigram_loo" -> qTextTrigramLoo,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
@@ -1159,6 +1231,63 @@ object TextAnalysis {
          |) e
          |JOIN documents d ON d.doc_id = e.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "q_text_trigram_loo" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tr AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tt WHERE len(t) >= 3) q),
+        |dd AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS d123
+        |       FROM tr GROUP BY ALL),
+        |cc AS (SELECT w1, w2, w3, CAST(sum(d123) AS BIGINT) AS c123
+        |       FROM dd GROUP BY ALL),
+        |dp AS (SELECT doc_id, w1, w2, CAST(sum(d123) AS BIGINT) AS d12
+        |       FROM dd GROUP BY ALL),
+        |cp AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+        |       FROM cc GROUP BY ALL),
+        |ds AS (SELECT doc_id, w2, w3, CAST(sum(d123) AS BIGINT) AS d23
+        |       FROM dd GROUP BY ALL),
+        |cs AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23
+        |       FROM cc GROUP BY ALL),
+        |du AS (SELECT doc_id, w2, CAST(sum(d23) AS BIGINT) AS d2
+        |       FROM ds GROUP BY ALL),
+        |cu AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2
+        |       FROM cs GROUP BY ALL),
+        |sc AS (
+        |  SELECT dd.doc_id, dd.d123,
+        |    cc.c123 - dd.d123 AS l123, cp.c12 - dp.d12 AS l12,
+        |    cs.c23 - ds.d23 AS l23, cu.c2 - du.d2 AS l2
+        |  FROM dd
+        |  JOIN cc USING (w1, w2, w3)
+        |  JOIN dp ON dp.doc_id = dd.doc_id AND dp.w1 = dd.w1 AND dp.w2 = dd.w2
+        |  JOIN cp ON cp.w1 = dd.w1 AND cp.w2 = dd.w2
+        |  JOIN ds ON ds.doc_id = dd.doc_id AND ds.w2 = dd.w2 AND ds.w3 = dd.w3
+        |  JOIN cs ON cs.w2 = dd.w2 AND cs.w3 = dd.w3
+        |  JOIN du ON du.doc_id = dd.doc_id AND du.w2 = dd.w2
+        |  JOIN cu ON cu.w2 = dd.w2),
+        |sp AS (
+        |  SELECT doc_id, d123,
+        |    CASE WHEN l123 > 0 AND l12 > 0 THEN (l123 * 1000000) // l12
+        |         WHEN l23 > 0 AND l2 > 0
+        |           THEN (2 * ((l23 * 1000000) // l2)) // 5
+        |         ELSE 0 END AS p_e6,
+        |    CASE WHEN l123 > 0 AND l12 > 0 THEN 'direct'
+        |         WHEN l23 > 0 AND l2 > 0 THEN 'backoff'
+        |         ELSE 'zero' END AS kind
+        |  FROM sc),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(d123) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(d123 * p_e6) // sum(d123) AS BIGINT) AS avg_p_e6,
+        |    CAST(sum(CASE WHEN kind = 'backoff' THEN d123 ELSE 0 END)
+        |      AS BIGINT) AS backoff_occ,
+        |    CAST(sum(CASE WHEN kind = 'zero' THEN d123 ELSE 0 END)
+        |      AS BIGINT) AS zero_occ
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id, a.n_trigrams, a.avg_p_e6, a.backoff_occ, a.zero_occ,
+        |  (a.backoff_occ * 1000) // a.n_trigrams AS backoff_permille
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_entity_resolution" ->
       """WITH vocab AS (

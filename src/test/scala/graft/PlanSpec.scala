@@ -162,6 +162,9 @@ class PlanSpec extends SparkSpec {
       "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train",
       // encode applies the same 1-row learned-pair broadcasts as training
       "q_bpe_encode",
+      // fertility is the encode rollup — same 1-row learned-pair
+      // broadcasts inherited through bpeEncode
+      "q_bpe_fertility",
       // DSIR: 1-row totals then the 1-row 256-entry weight map broadcast
       // onto the corpus scan (its own QualitySpec test pins the shape)
       "q_importance_dsir",

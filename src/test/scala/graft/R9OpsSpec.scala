@@ -297,6 +297,34 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("trigram LOO: a duplicated doc scores high-direct; a unique doc backs off") {
+    import org.apache.spark.sql.functions.{col => c}
+    // corpus: the same sentence twice (docs 1, 2) + one unique doc 3.
+    // Doc 1's trigrams all exist in doc 2 (LOO direct, p = 1.0);
+    // doc 3's trigrams exist nowhere else (zero/backoff).
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLoo(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("avg_p_e6"),
+          r.getAs[Long]("backoff_occ"), r.getAs[Long]("zero_occ")))).toMap
+    // docs 1/2: 3 trigrams each, all direct with l123 = l12 (= 1) → 1e6
+    assert(got(1L) == ((3L, 1000000L, 0L, 0L)), got(1L))
+    assert(got(2L) == ((3L, 1000000L, 0L, 0L)), got(2L))
+    // doc 3: nothing else in the corpus shares its n-grams → all zero
+    assert(got(3L) == ((3L, 0L, 0L, 3L)), got(3L))
+
+    // backoff actually fires: doc B shares the BIGRAM "m n" with doc A
+    // but not the trigram "l m n" — its "l m n" backs off to
+    // 0.4 · c(m n)/c(m) over the rest
+    val docs2 = Seq(
+      (1L, "q m n o p"), (2L, "l m n r s")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.trigramLoo(docs2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("backoff_occ")).toMap
+    assert(got2.values.exists(_ > 0), s"no backoff fired: $got2")
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
