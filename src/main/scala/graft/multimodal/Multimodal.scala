@@ -529,6 +529,35 @@ object Multimodal {
     gifDhash(encodedVideos(spark, dir)).toDF().orderBy($"media_id")
   }
 
+  /** Video near-dup PAIRS by keyframe dHash — re-uploaded/re-encoded
+    * clips collide on their first frame's perceptual hash: the same
+    * Hamming ≤ 7 pigeonhole banding as [[qMmDhashPairs]], applied to
+    * the REAL decoded GIF keyframes. One (chunk, value) shuffle, no
+    * all-pairs join. */
+  def qMmGifDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = gifDhash(encodedVideos(spark, dir)).toDF()
+    val banded = s.select($"media_id", $"dhash_hi", $"dhash_lo", explode(array(
+      (0 until 8).map { i =>
+        val src = if (i < 4) $"dhash_lo" else $"dhash_hi"
+        struct(lit(i).as("ck"),
+          shiftright(src, (i % 4) * 8).bitwiseAND(255).as("cv"))
+      }: _*)).as("c"))
+      .select($"media_id", $"dhash_hi", $"dhash_lo",
+        $"c.ck".as("ck"), $"c.cv".as("cv"))
+    val a = banded.select($"ck", $"cv", $"media_id".as("media_a"),
+      $"dhash_hi".as("hia"), $"dhash_lo".as("loa"))
+    val b = banded.select($"ck", $"cv", $"media_id".as("media_b"),
+      $"dhash_hi".as("hib"), $"dhash_lo".as("lob"))
+    a.join(b, Seq("ck", "cv"))
+      .filter($"media_a" < $"media_b")
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter($"hamming" <= 7)
+      .select($"media_a", $"media_b", $"hamming").distinct()
+      .orderBy($"media_a", $"media_b")
+  }
+
   def qMmByteHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = extractFeatures(mediaFromDocuments(spark, dir))
@@ -610,7 +639,8 @@ object Multimodal {
     "q_mm_thumbnail" -> qMmThumbnail,
     "q_mm_gif_frames" -> qMmGifFrames,
     "q_mm_gif_scene_cuts" -> qMmGifSceneCuts,
-    "q_mm_gif_dhash" -> qMmGifDhash
+    "q_mm_gif_dhash" -> qMmGifDhash,
+    "q_mm_gif_dhash_pairs" -> qMmGifDhashPairs
   )
 
   private def duckPx(i: Int): String =
@@ -813,6 +843,25 @@ object Multimodal {
         |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  l1_diff, l1_diff > 16 AS is_cut
         |FROM l1 ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_mm_gif_dhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id AS media_id,
+         |  CAST(${(32 until 64).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckGifPx(i)} < ${duckGifPx(i + 1)} THEN ${1L << (bit - 32)} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_hi,
+         |  CAST(${(0 until 32).map { bit =>
+            val r = bit / 8; val c = bit % 8; val i = r * 9 + c
+            s"(CASE WHEN ${duckGifPx(i)} < ${duckGifPx(i + 1)} THEN ${1L << bit} ELSE 0 END)"
+          }.mkString(" + ")} AS BIGINT) AS dhash_lo
+         |FROM documents)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |       + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+         |      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 7
+         |ORDER BY media_a, media_b""".stripMargin,
 
     "q_mm_gif_dhash" ->
       s"""WITH h AS (SELECT doc_id AS media_id,

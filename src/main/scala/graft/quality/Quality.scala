@@ -368,6 +368,68 @@ object Quality {
       .orderBy($"epoch", $"shard")
   }
 
+  /** KOLMOGOROV–SMIRNOV divergence between sources over the
+    * document-length distribution — "is source X drawing from a
+    * different regime than source Y" with an exact statistic, no
+    * binning choice to argue about (the histogram-drift monitor needs
+    * bins; KS is the bin-free complement). D = max_v |CDF_a(v) −
+    * CDF_b(v)|, kept integral as max |cum_a·n_b − cum_b·n_a| with the
+    * ·10⁶ div (n_a·n_b) applied once at the end.
+    *
+    * Shape: the corpus shrinks to the (source, value) count frame in
+    * one combine; the densified grid, cumulative window and pair max
+    * all run on that tiny frame (|sources| · |distinct lengths|). */
+  def qKsSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val vc = docs.groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vals = vc.select($"v").distinct()
+    val srcN = vc.groupBy($"source").agg(sum($"c").as("n"))
+    val grid = vals.crossJoin(broadcast(srcN)) // tiny × tiny grid
+      .join(vc, Seq("source", "v"), "left_outer")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val wCum = Window.partitionBy($"source").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum($"c").over(wCum))
+      .select($"source", $"n", $"v", $"cum")
+    val a = cum.select($"source".as("source_a"), $"n".as("n_a"),
+      $"v", $"cum".as("cum_a"))
+    val b = cum.select($"source".as("source_b"), $"n".as("n_b"),
+      $"v", $"cum".as("cum_b"))
+    a.join(b, Seq("v")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b", $"n_a", $"n_b")
+      .agg(max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_num"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        expr("(d_num * 1000000) div (n_a * n_b)").as("ks_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** TEMPLATE DETECTION: instruction/boilerplate corpora explode into
+    * thousands of docs sharing one opening template — invisible to
+    * exact dedup (suffixes differ) and diluted in MinHash (shared
+    * prefix is a small Jaccard fraction of a long doc). Cluster on the
+    * first-5-token prefix, report clusters of ≥ 3 docs with corpus
+    * share and source spread — the "one template is 4% of the corpus"
+    * red flag. One map-side prefix expression + one combine; the 1-row
+    * corpus total broadcasts onto the cluster frame. */
+  def qTemplateDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("prefix",
+        expr("array_join(slice(split(text, ' '), 1, 5), ' ')"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("example_doc"))
+      .filter($"n_docs" >= 3)
+      .crossJoin(broadcast(tot)) // 1-row total onto the cluster frame
+      .select($"prefix", $"n_docs", $"n_sources", $"example_doc",
+        expr("(n_docs * 1000000) div n_total").as("share_ppm"))
+      .orderBy($"n_docs".desc, $"prefix")
+  }
+
   /** SHUFFLE-QUALITY AUDIT of the epoch shards: hash sharding balances
     * MASS ([[qEpochShard]]'s audit) but a dataloader also needs the
     * within-shard READ ORDER to mix sources — adjacent same-source
@@ -1337,6 +1399,8 @@ object Quality {
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
+    "q_template_detect" -> qTemplateDetect,
+    "q_ks_sources" -> qKsSources,
     "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
@@ -1821,6 +1885,47 @@ object Quality {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM h GROUP BY epoch, hv % 32
         |ORDER BY epoch, shard""".stripMargin,
+
+    "q_ks_sources" ->
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM vc),
+        |sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |       FROM vc GROUP BY 1),
+        |grid AS (
+        |  SELECT sn.source, sn.n, vals.v, COALESCE(vc.c, 0) AS c
+        |  FROM vals CROSS JOIN sn
+        |  LEFT JOIN vc ON vc.source = sn.source AND vc.v = vals.v),
+        |cum AS (
+        |  SELECT source, n, v,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM grid)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  (max(abs(a.cum * b.n - b.cum * a.n)) * 1000000)
+        |    // (a.n * b.n) AS ks_ppm
+        |FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_template_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p),
+        |cl AS (
+        |  SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(min(doc_id) AS BIGINT) AS example_doc
+        |  FROM p GROUP BY prefix HAVING count(*) >= 3)
+        |SELECT cl.prefix, cl.n_docs, cl.n_sources, cl.example_doc,
+        |  (cl.n_docs * 1000000) // tot.n_total AS share_ppm
+        |FROM cl, tot
+        |ORDER BY cl.n_docs DESC, cl.prefix""".stripMargin,
 
     "q_shard_shuffle_audit" ->
       """WITH e AS (

@@ -257,7 +257,13 @@ class PlanSpec extends SparkSpec {
       "q_benford_audit",
       // heavy hitters: 1-row total broadcast crossed onto the <=800
       // exact-verified candidate counts
-      "q_heavy_hitters")
+      "q_heavy_hitters",
+      // template detect: 1-row corpus total crossed onto the >=3-doc
+      // cluster frame
+      "q_template_detect",
+      // KS: |sources|-row totals crossed onto the distinct-length grid
+      // (both dim-bounded)
+      "q_ks_sources")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
