@@ -368,6 +368,32 @@ object Quality {
       .orderBy($"epoch", $"shard")
   }
 
+  /** MIXTURE REBALANCE (water-filling to a target): the sampling rates
+    * that move the corpus toward a UNIFORM per-language share subject
+    * to availability — a language short of its target keeps everything
+    * (rate capped at 100%, deficit reported) while over-represented
+    * ones downsample; the capacity-constrained complement to the
+    * weight/temperature samplers (which reweight but never confront
+    * "there isn't enough Basque"). Pure arithmetic on the |langs|-row
+    * availability frame + a 1-row total broadcast. */
+  def qMixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avail = Tables.load(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("available"))
+    val tot = avail.agg(sum($"available").as("n_total"),
+      count(lit(1)).as("n_langs"))
+    avail.crossJoin(broadcast(tot)) // 1-row totals onto the langs frame
+      .withColumn("target", expr("n_total div n_langs"))
+      .withColumn("sample_rate_ppm",
+        expr("least(1000000L, (target * 1000000) div available)"))
+      .withColumn("expected_docs",
+        expr("(available * sample_rate_ppm) div 1000000"))
+      .select($"lang", $"available", $"target", $"sample_rate_ppm",
+        $"expected_docs",
+        expr("greatest(0L, target - expected_docs)").as("deficit"))
+      .orderBy($"lang")
+  }
+
   /** KOLMOGOROV–SMIRNOV divergence between sources over the
     * document-length distribution — "is source X drawing from a
     * different regime than source Y" with an exact statistic, no
@@ -1401,6 +1427,7 @@ object Quality {
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
     "q_template_detect" -> qTemplateDetect,
     "q_ks_sources" -> qKsSources,
+    "q_mix_rebalance" -> qMixRebalance,
     "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
@@ -1885,6 +1912,24 @@ object Quality {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM h GROUP BY epoch, hv % 32
         |ORDER BY epoch, shard""".stripMargin,
+
+    "q_mix_rebalance" ->
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS available
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(available) AS BIGINT) AS n_total,
+        |             CAST(count(*) AS BIGINT) AS n_langs FROM a),
+        |r AS (
+        |  SELECT a.lang, a.available,
+        |    t.n_total // t.n_langs AS target,
+        |    least(1000000, ((t.n_total // t.n_langs) * 1000000)
+        |      // a.available) AS sample_rate_ppm
+        |  FROM a, t)
+        |SELECT lang, available, target, sample_rate_ppm,
+        |  (available * sample_rate_ppm) // 1000000 AS expected_docs,
+        |  greatest(0, target - (available * sample_rate_ppm) // 1000000)
+        |    AS deficit
+        |FROM r ORDER BY lang""".stripMargin,
 
     "q_ks_sources" ->
       """WITH vc AS (

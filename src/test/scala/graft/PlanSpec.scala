@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpec {
       "q_template_detect",
       // KS: |sources|-row totals crossed onto the distinct-length grid
       // (both dim-bounded)
-      "q_ks_sources")
+      "q_ks_sources",
+      // rebalance: 1-row totals crossed onto the |langs| frame
+      "q_mix_rebalance")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
