@@ -325,6 +325,54 @@ class R9OpsSpec extends SparkSpec {
     assert(got2.values.exists(_ > 0), s"no backoff fired: $got2")
   }
 
+  test("trigram LOO: randomized corpora == direct Scala recomputation") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocabSize = 4 + rnd.nextInt(4) // small vocab → real overlaps
+      val docs = (1L to 25L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        (id, Seq.fill(n)(s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // direct recomputation of the LOO fold
+      val tris = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        t.sliding(3).filter(_.length == 3).map(w => (id, (w(0), w(1), w(2))))
+      }
+      val d123 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def roll[K](f: ((Long, (String, String, String))) => K): Map[K, Long] =
+        d123.groupBy { case (k, _) => f(k) }.view.mapValues(_.values.sum).toMap
+      val c123 = roll { case (_, w) => w }
+      val d12 = roll { case (id, (a, b, _)) => (id, a, b) }
+      val c12 = roll { case (_, (a, b, _)) => (a, b) }
+      val d23 = roll { case (id, (_, b, c)) => (id, b, c) }
+      val c23 = roll { case (_, (_, b, c)) => (b, c) }
+      val d2 = roll { case (id, (_, b, _)) => (id, b) }
+      val c2 = roll { case (_, (_, b, _)) => b }
+      val perDoc = d123.groupBy(_._1._1).map { case (id, m) =>
+        var n = 0L; var sum = 0L; var back = 0L; var zero = 0L
+        m.foreach { case ((_, (a, b, c)), occ) =>
+          val l123 = c123((a, b, c)) - occ
+          val l12 = c12((a, b)) - d12((id, a, b))
+          val l23 = c23((b, c)) - d23((id, b, c))
+          val l2 = c2(b) - d2((id, b))
+          val p =
+            if (l123 > 0 && l12 > 0) (l123 * 1000000L) / l12
+            else if (l23 > 0 && l2 > 0) { back += occ; (2 * ((l23 * 1000000L) / l2)) / 5 }
+            else { zero += occ; 0L }
+          n += occ; sum += occ * p
+        }
+        id -> ((n, sum / n, back, zero))
+      }
+      val got = TextAnalysis.trigramLoo(df).collect()
+        .filter(r => !r.isNullAt(1))
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("avg_p_e6"),
+            r.getAs[Long]("backoff_occ"), r.getAs[Long]("zero_occ")))).toMap
+      assert(got == perDoc, s"trial $trial (vocab $vocabSize)")
+    }
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
