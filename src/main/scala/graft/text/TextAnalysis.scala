@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -178,6 +179,71 @@ object TextAnalysis {
         $"dom_lang", $"mix_permille",
         when($"mix_permille" > 200, "Y").otherwise("N").as("is_mixed"))
       .orderBy($"doc_id")
+  }
+
+  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (Cormack et al. 2009,
+    * public paper): the standard way to combine a lexical and a dense
+    * ranking without tuning score scales — fused(d) = Σ 1/(60 + rank)
+    * over the lists that retrieved d. For each flagged query document
+    * (doc_id % 100 == 0, the sim module's query set — vec_id and
+    * doc_id share a domain), the BM25 more-like-this top-20 fuses with
+    * the cosine-kNN top-20; each side contributes (10⁶ div (60+rank)),
+    * a doc missing from one list contributes 0 from it. All integral.
+    *
+    * Shape: the BM25 side joins query terms (broadcast — queries ×
+    * their distinct tokens) onto the tf frame, grouped per (query,
+    * doc); the dense side broadcasts the query vectors over one corpus
+    * scan; fusion is a full-outer join of two ≤20-row-per-query rank
+    * frames. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfr = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(dl) * 1000) div count(1)").as("avgdl_x1000"))
+    val qterms = tf.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qid"), $"token").distinct()
+    val wText = Window.partitionBy($"qid")
+      .orderBy($"score_x1000".desc, $"doc_id")
+    val textRanks = withBm25Score(tf
+      .join(broadcast(qterms), Seq("token"))
+      .filter($"doc_id" =!= $"qid")
+      .join(dl, Seq("doc_id"))
+      .join(dfr, Seq("token"))
+      .crossJoin(broadcast(stats)))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"score_term").as("score_x1000"))
+      .withColumn("rank_text", row_number().over(wText).cast("long"))
+      .filter($"rank_text" <= 20)
+      .select($"qid", $"doc_id", $"rank_text")
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as nv")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"nv".as("qv"))
+    val wVec = Window.partitionBy($"qid").orderBy($"cos_e6".desc, $"doc_id")
+    val vecRanks = broadcast(q)
+      .join(emb.select($"vec_id".as("doc_id"), $"nv".as("cv")),
+        $"qid" =!= $"doc_id")
+      .withColumn("c", graft.functions.CosineSimilarity.cosine_sim($"qv", $"cv"))
+      .filter(!isnan($"c"))
+      .withColumn("cos_e6", round($"c" * 1e6).cast("long"))
+      .withColumn("rank_vec", row_number().over(wVec).cast("long"))
+      .filter($"rank_vec" <= 20)
+      .select($"qid", $"doc_id", $"rank_vec")
+    val wFused = Window.partitionBy($"qid").orderBy($"rrf_e6".desc, $"doc_id")
+    textRanks.join(vecRanks, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        expr("coalesce(1000000 div (60 + rank_text), 0L) + " +
+          "coalesce(1000000 div (60 + rank_vec), 0L)"))
+      .withColumn("fused_rank", row_number().over(wFused).cast("long"))
+      .filter($"fused_rank" <= 10)
+      .select($"qid".as("query_id"), $"fused_rank", $"doc_id",
+        $"rank_text", $"rank_vec", $"rrf_e6")
+      .orderBy($"query_id", $"fused_rank")
   }
 
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 and
@@ -1086,6 +1152,7 @@ object TextAnalysis {
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
     "q_text_trigram_loo" -> qTextTrigramLoo,
+    "q_hybrid_rrf" -> qHybridRrf,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
@@ -1231,6 +1298,74 @@ object TextAnalysis {
          |) e
          |JOIN documents d ON d.doc_id = e.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tt AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tt GROUP BY ALL),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         (CAST(sum(dl) AS BIGINT) * 1000) // count(*) AS avgdl_x1000
+        |       FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS qid, token FROM tf
+        |       WHERE doc_id % 100 = 0),
+        |sc AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(sum((tf.tf * 2200 * ((st.n_docs * 1000) // dfr.df))
+        |      // (tf.tf * 1000
+        |          + (1200 * (250 + (750 * dl.dl * 1000) // st.avgdl_x1000))
+        |            // 1000)) AS BIGINT) AS score
+        |  FROM tf
+        |  JOIN qt USING (token)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN dfr ON dfr.token = tf.token, st
+        |  WHERE tf.doc_id <> qt.qid
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT qid, doc_id, rank_text FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+        |    FROM sc) WHERE rank_text <= 20),
+        |n AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+        |      FROM embeddings),
+        |vp AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+        |    CAST(round(list_sum(list_transform(range(1, 65),
+        |        i -> q.nv[i] * c.nv[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> q.nv[i] * q.nv[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> c.nv[i] * c.nv[i])))) * 1e6) AS BIGINT) AS cos_e6
+        |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        |vr AS (
+        |  SELECT qid, doc_id, rank_vec FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos_e6 DESC, doc_id) AS BIGINT) AS rank_vec
+        |    FROM vp) WHERE rank_vec <= 20),
+        |fu AS (
+        |  SELECT COALESCE(tr.qid, vr.qid) AS query_id,
+        |    COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+        |    tr.rank_text, vr.rank_vec,
+        |    COALESCE(1000000 // (60 + tr.rank_text), 0)
+        |      + COALESCE(1000000 // (60 + vr.rank_vec), 0) AS rrf_e6
+        |  FROM tr FULL JOIN vr
+        |    ON tr.qid = vr.qid AND tr.doc_id = vr.doc_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS fused_rank,
+        |  doc_id, rank_text, rank_vec, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+        |FROM fu
+        |QUALIFY fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
 
     "q_text_trigram_loo" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -265,7 +265,10 @@ class PlanSpec extends SparkSpec {
       // (both dim-bounded)
       "q_ks_sources",
       // rebalance: 1-row totals crossed onto the |langs| frame
-      "q_mix_rebalance")
+      "q_mix_rebalance",
+      // hybrid RRF: BM25 side's 1-row corpus stats broadcast + the
+      // broadcast-query non-equi kNN side (both established patterns)
+      "q_hybrid_rrf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>

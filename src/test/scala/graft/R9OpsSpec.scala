@@ -373,6 +373,26 @@ class R9OpsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: fusion arithmetic and rank structure") {
+    val rows = TextAnalysis.qHybridRrf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("fused_rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"query $q rank gaps")
+    }
+    rows.foreach { r =>
+      val rt = Option(r.getAs[Any]("rank_text")).map(_.asInstanceOf[Long])
+      val rv = Option(r.getAs[Any]("rank_vec")).map(_.asInstanceOf[Long])
+      assert(rt.nonEmpty || rv.nonEmpty, "fused doc in neither list")
+      val want = rt.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rv.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_e6") == want)
+    }
+    // fusion is not degenerate: some doc appears in BOTH lists
+    assert(rows.exists(r => !r.isNullAt(3) && !r.isNullAt(4)),
+      "no doc retrieved by both the lexical and the dense side")
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
