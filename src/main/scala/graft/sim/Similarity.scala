@@ -795,10 +795,64 @@ object Similarity {
       .orderBy($"id_a")
   }
 
+  /** Discount table for nDCG@10 — 10⁶/log₂(i+1) as LITERALS computed
+    * once here and embedded in both engines' expressions (a runtime
+    * log would reopen float-divergence questions the fixed-point
+    * conventions exist to close). */
+  private[graft] val NdcgDisc: IndexedSeq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private lazy val idcgPrefix: IndexedSeq[Long] = NdcgDisc.scanLeft(0L)(_ + _)
+
+  /** RANKING EVALUATION (nDCG@10 + MRR) of the cosine-kNN retrieval
+    * with label-match relevance — "how good is the dense retriever at
+    * surfacing same-class items", the metric that separates a usable
+    * index from a fast one. DCG = Σ rel_i·disc(i) over the top-10,
+    * IDCG from the total same-label availability (capped at 10),
+    * MRR = 10⁶ div first-relevant rank. All integral via the literal
+    * discount table. One broadcast-query corpus scan for the ranking;
+    * relevance totals ride the same scan. */
+  def qSimRankEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"), $"nv".as("qv"))
+    val c = n.select($"vec_id".as("cand_id"), $"label".as("clabel"),
+      $"nv".as("cv"))
+    val scored = broadcast(q).join(c, $"query_id" =!= $"cand_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .filter($"cos_e6".isNotNull)
+      .withColumn("rel", when($"qlabel" === $"clabel", 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"cand_id")
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val totals = scored.groupBy($"query_id")
+      .agg(sum($"rel").as("n_rel_total"))
+    val discCase = (1 to 10).map(i => s"WHEN $i THEN ${NdcgDisc(i - 1)}")
+      .mkString("CASE rank ", " ", " ELSE 0 END")
+    val idcgCase = (0 to 10).map(r => s"WHEN $r THEN ${idcgPrefix(r)}")
+      .mkString("CASE least(n_rel_total, 10L) ", " ", " ELSE 0 END")
+    ranked.filter($"rank" <= 10)
+      .groupBy($"query_id")
+      .agg(sum($"rel").as("n_rel10"),
+        expr(s"sum(rel * ($discCase))").as("dcg_e6"),
+        min(when($"rel" === 1, $"rank")).as("first_rel_rank"))
+      .join(totals, Seq("query_id"))
+      .withColumn("idcg_e6", expr(idcgCase))
+      .select($"query_id", $"n_rel10", $"n_rel_total", $"first_rel_rank",
+        expr("coalesce(1000000 div (nullif(first_rel_rank, 0)), 0L)")
+          .as("mrr_e6"),
+        $"dcg_e6",
+        expr("if(idcg_e6 > 0, (dcg_e6 * 1000000) div idcg_e6, 0L)")
+          .as("ndcg_ppm"))
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> qSimMmr,
     "q_sim_ann_sq8" -> qSimAnnSq8,
     "q_sim_jl_project" -> qSimJlProject,
+    "q_sim_rank_eval" -> qSimRankEval,
     "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -912,8 +966,45 @@ object Similarity {
       s"(${terms.mkString(" + ")})"
     }.mkString(", ")
 
+  private lazy val rankEvalOracle: String = {
+    val discCase = (1 to 10).map(i => s"WHEN $i THEN ${NdcgDisc(i - 1)}")
+      .mkString("CASE r.rank ", " ", " ELSE 0 END")
+    val idcgCase = (0 to 10).map(r => s"WHEN $r THEN ${idcgPrefix(r)}")
+      .mkString("CASE least(tt.n_rel_total, 10) ", " ", " ELSE 0 END")
+    duckNorm.replace("SELECT vec_id, label,",
+      "SELECT vec_id, label,") +
+      s""",
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |    c.vec_id AS cand_id, c.label AS clabel,
+        |    CAST(round(${duckCos("q.nv", "c.nv")} * 1e6) AS BIGINT) AS cos_e6
+        |  FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, cand_id,
+        |    CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_e6 DESC, cand_id) AS BIGINT) AS rank
+        |  FROM p),
+        |tot AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_total
+        |        FROM r GROUP BY 1),
+        |top AS (
+        |  SELECT r.query_id, CAST(sum(r.rel) AS BIGINT) AS n_rel10,
+        |    CAST(sum(r.rel * ($discCase)) AS BIGINT) AS dcg_e6,
+        |    CAST(min(CASE WHEN r.rel = 1 THEN r.rank END) AS BIGINT)
+        |      AS first_rel_rank
+        |  FROM r WHERE r.rank <= 10 GROUP BY 1)
+        |SELECT t.query_id, t.n_rel10, tt.n_rel_total, t.first_rel_rank,
+        |  COALESCE(1000000 // t.first_rel_rank, 0) AS mrr_e6,
+        |  t.dcg_e6,
+        |  CASE WHEN ($idcgCase) > 0
+        |    THEN (t.dcg_e6 * 1000000) // ($idcgCase) ELSE 0 END AS ndcg_ppm
+        |FROM top t JOIN tot tt ON tt.query_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     "q_sim_mmr" -> mmrOracle,
+    "q_sim_rank_eval" -> rankEvalOracle,
 
     "q_sim_jl_project" ->
       (duckNorm +
