@@ -181,6 +181,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** COMPRESSION-RATIO quality signal (the Gopher/RedPajama "too
+    * compressible" filter, public papers): deflate bytes per text byte
+    * in permille — templated/repetitive boilerplate compresses far
+    * below prose and gets dropped by thresholding this. DEFLATE runs
+    * in `mapPartitions` with one `Deflater`(level 6) reused per batch
+    * (native zlib allocation amortized); the compressed BYTES never
+    * leave the executor — only the two lengths do. Rows-only at the
+    * driver gate (no SQL engine replays zlib); the spec pins the
+    * discriminative property on planted fixtures instead. */
+  def qTextCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out,
+            if (in.length > 0) out * 1000 / in.length else 0L)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio_permille")
+      .orderBy($"doc_id")
+  }
+
   /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (Cormack et al. 2009,
     * public paper): the standard way to combine a lexical and a dense
     * ranking without tuning score scales — fused(d) = Σ 1/(60 + rank)
@@ -1153,6 +1184,7 @@ object TextAnalysis {
     "q_bpe_fertility" -> qBpeFertility,
     "q_text_trigram_loo" -> qTextTrigramLoo,
     "q_hybrid_rrf" -> qHybridRrf,
+    "q_text_compress_ratio" -> qTextCompressRatio,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint

@@ -393,6 +393,42 @@ class R9OpsSpec extends SparkSpec {
       "no doc retrieved by both the lexical and the dense side")
   }
 
+  test("compression ratio: discriminates boilerplate from varied text; exact on fixtures") {
+    // planted corpus: highly repetitive vs varied text
+    val rep = ("lorem ipsum " * 100).trim
+    val varied = (1 to 120).map(i => s"tok${i * 7919 % 1000}").mkString(" ")
+    // the op reads the documents table, so replay its deflate lambda
+    // directly on the planted fixtures
+    def deflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      val in = s.getBytes("UTF-8")
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      d.end()
+      out
+    }
+    val repRatio = deflateLen(rep) * 1000 / rep.getBytes("UTF-8").length
+    val varRatio = deflateLen(varied) * 1000 / varied.getBytes("UTF-8").length
+    assert(repRatio < varRatio / 2,
+      s"boilerplate ($repRatio) not clearly below varied ($varRatio)")
+
+    // the real operator at sf0.001: sane bounds + deterministic across runs
+    val rows = TextAnalysis.qTextCompressRatio(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_deflate"), r.getAs[Long]("ratio_permille")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, nd, ratio) =>
+      assert(nb > 0 && nd > 0, s"doc $id empty")
+      assert(ratio == nd * 1000 / nb, s"doc $id ratio identity")
+      assert(ratio < 2000, s"doc $id deflate expansion beyond header slack")
+    }
+    val again = TextAnalysis.qTextCompressRatio(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_deflate")))
+    assert(again.toSeq == rows.map(r => (r._1, r._3)).toSeq)
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
