@@ -102,6 +102,33 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  /** KATZ CENTRALITY (Katz 1953, public method): x_{t+1}(v) = β +
+    * α·Σ_{u→v} x_t(u) with α = 1/4, β = Scale (10⁹), x_0 = 0, 3 rounds — the
+    * "influence through ALL walks, geometrically damped" centrality
+    * (PageRank normalizes by out-degree; Katz lets a prolific hub
+    * transmit full weight on every edge, which is the right model for
+    * co-purchase influence). All BIGINT, `div 4` on positives so the
+    * DuckDB unrolled-round oracle replays it exactly; same round-join
+    * protocol as PageRank — each round one shuffled-hash join of the
+    * node-sized score frame onto the staged edge table + one map-side
+    * combined aggregate. */
+  def qGraphKatz(spark: SparkSession, dir: String): DataFrame =
+    katzOnEdges(symmetricEdges(spark, dir))
+
+  private[graft] def katzOnEdges(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var x = nodes.select(col("node"), lit(0L).as("katz"))
+    for (_ <- 1 to 3) {
+      val contrib = x.select(col("node").as("cnode"), col("katz").as("c"))
+      x = edges.join(contrib.hint("shuffle_hash"),
+          edges("src") === col("cnode"))
+        .groupBy(edges("dst").as("node"))
+        .agg(expr(s"cast($Scale + sum(c) div 4 as bigint)").as("katz"))
+        .select(col("node"), col("katz"))
+    }
+    x.orderBy(col("node")).select(col("node").as("part"), col("katz"))
+  }
+
   /** Per-node triangle counts via degree orientation + adjacency
     * intersection.
     *
@@ -931,7 +958,8 @@ object GraphOps {
     "q_graph_ppr" -> qGraphPpr,
     "q_graph_hits" -> qGraphHits,
     "q_graph_sssp" -> qGraphSssp,
-    "q_graph_assortativity" -> qGraphAssortativity)
+    "q_graph_assortativity" -> qGraphAssortativity,
+    "q_graph_katz" -> qGraphKatz)
 
   private val edgesCte =
     """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1049,6 +1077,17 @@ object GraphOps {
     // build — SAME oracle, so the driver hash compares them to one SQL
     "q_graph_pagerank_inc" -> pagerankOracle,
     "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_katz" ->
+      s"""WITH $edgesCte,
+         |k1 AS (SELECT dst AS node, CAST(1000000000 AS BIGINT) AS katz
+         |       FROM edges GROUP BY dst),
+         |k2 AS (SELECT e.dst AS node,
+         |         CAST(1000000000 + SUM(k.katz) // 4 AS BIGINT) AS katz
+         |       FROM edges e JOIN k1 k ON k.node = e.src GROUP BY e.dst),
+         |k3 AS (SELECT e.dst AS node,
+         |         CAST(1000000000 + SUM(k.katz) // 4 AS BIGINT) AS katz
+         |       FROM edges e JOIN k2 k ON k.node = e.src GROUP BY e.dst)
+         |SELECT node AS part, katz FROM k3 ORDER BY part""".stripMargin,
     "q_graph_triangles" ->
       s"""WITH $edgesCte,
          |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),

@@ -78,6 +78,23 @@ class BoundedTriggerSpec extends SparkSpec {
     assert(bounded.size == batchRows.size)
   }
 
+  test("agents leg: bounded multi-batch MERGE equals the single-batch dimension") {
+    val in = tmp("graft-bt-ag-in")
+    Pipeline.stageOrderedJson(corpus, col("ts"), col("value"), in, chunks = 4)
+    val boundedOut = tmp("graft-bt-ag-out")
+    Pipeline.startStreamingAgents(spark, in, tmp("graft-bt-ag-ckpt"),
+      boundedOut, maxFilesPerTrigger = Some(1)).awaitTermination(300000)
+    val singleOut = tmp("graft-bt-ag-single")
+    Pipeline.startStreamingAgents(spark, in, tmp("graft-bt-ag-sckpt"),
+      singleOut, maxFilesPerTrigger = None).awaitTermination(300000)
+    val bounded = Pipeline.mergedAgents(spark, boundedOut)
+      .orderBy("agent_uuid").collect().toSeq
+    val single = Pipeline.mergedAgents(spark, singleOut)
+      .orderBy("agent_uuid").collect().toSeq
+    assert(bounded.nonEmpty)
+    assert(bounded == single)
+  }
+
   test("ordered staging: chunk N+1 never starts behind chunk N (no late rows between batches)") {
     val in = tmp("graft-bt-ord")
     Pipeline.stageOrderedJson(corpus, col("ts"), col("value"), in, chunks = 4)

@@ -750,6 +750,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.collect { case (("authority", n), s) => n -> s }.toMap == a2)
   }
 
+  test("fixture katz: hand-computed 3-round recurrence on a path") {
+    // path 1-2-3 (symmetric): indeg 1:1, 2:2, 3:1. S = 1e9.
+    // x1 = S everywhere.
+    // x2(1) = S + S//4; x2(2) = S + 2S//4; x2(3) = S + S//4
+    // x3(1) = S + x2(2)//4 ; x3(2) = S + (x2(1)+x2(3))//4 ; x3(3) = S + x2(2)//4
+    val ce = Seq((1L, 2L), (2L, 3L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val s = 1000000000L
+    val x21 = s + s / 4
+    val x22 = s + 2 * s / 4
+    val want = Map(
+      1L -> (s + x22 / 4),
+      2L -> (s + (x21 + x21) / 4),
+      3L -> (s + x22 / 4))
+    val got = GraphOps.katzOnEdges(sym).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("katz")).toMap
+    assert(got == want, s"got $got want $want")
+    // the center of the path is strictly more central
+    assert(got(2L) > got(1L) && got(2L) > got(3L))
+  }
+
   test("fixture jaccard: hand-computed top-5 with tie-break on neighbor id") {
     // K4 on {0,1,2,3} plus a pendant 2-5; seed = 0 (node % 500 == 0).
     // N(0)={1,2,3} N(1)={0,2,3} N(2)={0,1,3,5} N(3)={0,1,2}

@@ -218,6 +218,7 @@ class PlanSpec extends SparkSpec {
       // (broadcast probes x centroids) is pinned by its own PlanSpec test
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
       "q_graph_communities", "q_graph_modularity", "q_graph_bfs", "q_graph_ppr",
+      "q_graph_katz",
       // HITS stages the bipartite edge table on construct; its 1-row
       // L1-total broadcasts are the intended fan-out (round-join pin
       // covers the plan shape)
