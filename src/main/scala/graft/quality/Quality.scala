@@ -368,6 +368,58 @@ object Quality {
       .orderBy($"epoch", $"shard")
   }
 
+  /** FEATURE-HASHING COLLISION AUDIT (the "hashing trick",
+    * Weinberger et al. 2009, public paper): before committing to a
+    * 2^k hashed feature space, measure what it destroys — distinct
+    * vocabulary per bucket, the occupancy histogram, and the collision
+    * rate (1 − used/vocab). Buckets come from the md5 hex-pair
+    * convention (engine-portable — xxhash64 has no DuckDB twin) over
+    * 1024 buckets. One vocab combine + one bucket combine, both on
+    * the distinct-token frame. */
+  def qFeatureHashAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hx = "substring(md5(cast(concat('fh|', token) as binary)), 1, 3)"
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0).distinct()
+      .withColumn("bucket", expr(
+        s"((instr('0123456789abcdef', substring($hx, 1, 1)) - 1) * 256 + " +
+          s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1) * 16 + " +
+          s"(instr('0123456789abcdef', substring($hx, 3, 1)) - 1)) % 1024"))
+    val occ = vocab.groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+    occ.groupBy($"n_tokens".as("occupancy"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(broadcast(occ.agg( // 1-row audit totals
+        sum($"n_tokens").as("vocab_size"),
+        count(lit(1)).as("buckets_used"),
+        max($"n_tokens").as("max_bucket"))))
+      .select($"occupancy", $"n_buckets", $"vocab_size", $"buckets_used",
+        expr("((vocab_size - buckets_used) * 1000000) div vocab_size")
+          .as("collision_ppm"), $"max_bucket")
+      .orderBy($"occupancy")
+  }
+
+  /** BOTTOM-K SAMPLE per language: the k = 5 docs with the smallest
+    * md5 rank — a bottom-k sketch IS a uniform sample that MERGES by
+    * keeping the k smallest (union of shards/days/corpora = take k
+    * smallest again), the property reservoir sampling lacks; the same
+    * priority makes the sample replay/shard/growth-stable like every
+    * hash decision in this module. One rank window per language
+    * partition over the doc-key frame. */
+  def qSampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy($"pri", $"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"lang", $"doc_id",
+        expr("md5(cast(concat('bk|', cast(doc_id as string)) as binary))")
+          .as("pri"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank", $"doc_id", $"pri")
+      .orderBy($"lang", $"rank")
+  }
+
   /** MIXTURE REBALANCE (water-filling to a target): the sampling rates
     * that move the corpus toward a UNIFORM per-language share subject
     * to availability — a language short of its target keeps everything
@@ -1428,6 +1480,8 @@ object Quality {
     "q_template_detect" -> qTemplateDetect,
     "q_ks_sources" -> qKsSources,
     "q_mix_rebalance" -> qMixRebalance,
+    "q_feature_hash_audit" -> qFeatureHashAudit,
+    "q_sample_bottomk" -> qSampleBottomK,
     "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
     "q_classifier_auc" -> qClassifierAuc,
@@ -1912,6 +1966,47 @@ object Quality {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM h GROUP BY epoch, hv % 32
         |ORDER BY epoch, shard""".stripMargin,
+
+    "q_feature_hash_audit" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM vocab WHERE len(token) > 0),
+        |b AS (
+        |  SELECT token,
+        |    ((instr('0123456789abcdef', substr(md5('fh|' || token), 1, 1)) - 1) * 256
+        |     + (instr('0123456789abcdef', substr(md5('fh|' || token), 2, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(md5('fh|' || token), 3, 1)) - 1)) % 1024
+        |      AS bucket
+        |  FROM v),
+        |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |        FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS vocab_size,
+        |          CAST(count(*) AS BIGINT) AS buckets_used,
+        |          CAST(max(n_tokens) AS BIGINT) AS max_bucket
+        |        FROM occ)
+        |SELECT occ.n_tokens AS occupancy,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  tot.vocab_size, tot.buckets_used,
+        |  ((tot.vocab_size - tot.buckets_used) * 1000000) // tot.vocab_size
+        |    AS collision_ppm,
+        |  tot.max_bucket
+        |FROM occ, tot
+        |GROUP BY 1, 3, 4, 5, 6
+        |ORDER BY occupancy""".stripMargin,
+
+    "q_sample_bottomk" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id,
+        |    md5('bk|' || CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, pri,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY pri, doc_id) AS BIGINT) AS rank
+        |  FROM p)
+        |SELECT lang, rank, doc_id, pri FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "q_mix_rebalance" ->
       """WITH a AS (

@@ -267,6 +267,9 @@ class PlanSpec extends SparkSpec {
       "q_ks_sources",
       // rebalance: 1-row totals crossed onto the |langs| frame
       "q_mix_rebalance",
+      // feature-hash audit: 1-row audit totals crossed onto the
+      // ≤1024-row occupancy histogram
+      "q_feature_hash_audit",
       // hybrid RRF: BM25 side's 1-row corpus stats broadcast + the
       // broadcast-query non-equi kNN side (both established patterns)
       "q_hybrid_rrf")

@@ -429,6 +429,36 @@ class R9OpsSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r._1, r._3)).toSeq)
   }
 
+  test("bottom-k sample: mergeable — bottom-5 of shard bottom-5s == global bottom-5") {
+    import java.security.MessageDigest
+    def pri(id: Long): String =
+      MessageDigest.getInstance("MD5").digest(s"bk|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"lang", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id")))
+    // split into 3 shards by doc_id; per shard take bottom-5 per lang,
+    // merge, take bottom-5 again — must equal the global bottom-5
+    val global = docs.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.map(_._2).sortBy(id => (pri(id), id)).take(5).toSeq
+    }
+    val merged = docs.groupBy(d => (d._1, d._2 % 3)).toSeq
+      .flatMap { case ((l, _), rs) =>
+        rs.map(_._2).sortBy(id => (pri(id), id)).take(5).map(l -> _)
+      }
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.map(_._2).sortBy(id => (pri(id), id)).take(5).toSeq
+      }
+    assert(merged == global, "bottom-k merge property broken")
+    // and the engine agrees with the direct computation
+    val got = graft.quality.Quality.qSampleBottomK(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(got == global)
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
