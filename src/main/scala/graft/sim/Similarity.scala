@@ -128,6 +128,40 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** MULTI-PROBE LSH (Lv et al. 2007, public paper): probe the
+    * query's own bucket AND every 1-bit-flip neighbor bucket — the
+    * recall of ~9 hash tables from ONE stored table (boundary-straddling
+    * neighbors land one hyperplane flip away, which single-probe
+    * misses entirely). Probe buckets are a per-query explode of
+    * [[Planes]]+1 literals (no corpus re-bucketing); candidate union,
+    * exact cosine verify and top-3 are the single-probe machinery.
+    * Same index memory, ~(Planes+1)× candidate work, strictly ≥
+    * recall — the standard memory/recall trade multi-probe exists
+    * for. */
+  def qSimAnnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
+      .withColumn("probe", explode(array(
+        ($"bucket" +: (0 until Planes).map(k =>
+          $"bucket".bitwiseXOR(lit(1L << k)))): _*)))
+    val c = n.select($"vec_id".as("neighbor_id"), $"nv".as("cv"),
+      $"bucket".as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    // probes are pairwise-distinct buckets and a candidate lives in
+    // exactly one bucket, so no (query, candidate) pair repeats — no
+    // dedup needed before the verify
+    q.join(c, Seq("probe")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   private val Centroids = 8
   private val NProbe = 2
 
@@ -853,6 +887,7 @@ object Similarity {
     "q_sim_ann_sq8" -> qSimAnnSq8,
     "q_sim_jl_project" -> qSimJlProject,
     "q_sim_rank_eval" -> qSimRankEval,
+    "q_sim_ann_lsh_multiprobe" -> qSimAnnLshMultiprobe,
     "q_emb_pca_power" -> qEmbPcaPower,
     "q_sim_knn_brute" -> qSimKnnBrute,
     "q_sim_hard_negatives" -> qSimHardNegatives,
@@ -1005,6 +1040,27 @@ object Similarity {
   private val baseOracles: Map[String, String] = Map(
     "q_sim_mmr" -> mmrOracle,
     "q_sim_rank_eval" -> rankEvalOracle,
+
+    "q_sim_ann_lsh_multiprobe" ->
+      (duckNorm +
+        s""",
+          |b AS (SELECT vec_id, nv, ${duckBucket("nv")} AS bucket FROM n),
+          |q AS (
+          |  SELECT vec_id AS query_id, nv AS qv,
+          |    unnest([bucket${(0 until Planes).map(k =>
+               s", xor(bucket, ${1L << k})").mkString}]) AS probe
+          |  FROM b WHERE vec_id % 100 = 0),
+          |p AS (
+          |  SELECT q.query_id, c.vec_id AS neighbor_id,
+          |    CAST(round(${duckCos("q.qv", "c.nv")} * 1e6) AS BIGINT) AS cos_e6
+          |  FROM q JOIN b c ON c.bucket = q.probe
+          |  WHERE q.query_id <> c.vec_id),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_e6 DESC, neighbor_id) AS rank
+          |  FROM p)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
+          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "q_sim_jl_project" ->
       (duckNorm +

@@ -459,6 +459,23 @@ class R9OpsSpec extends SparkSpec {
     assert(got == global)
   }
 
+  test("multiprobe LSH: candidate superset makes every pick at least as good as single-probe") {
+    def picks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("cos_e6")).toMap
+    val single = picks(graft.sim.Similarity.qSimAnnLsh(spark, sf0001)
+      .select($"query_id", $"rank", $"cos_e6"))
+    val multi = picks(graft.sim.Similarity.qSimAnnLshMultiprobe(spark, sf0001))
+    // every (query, rank) the single probe filled, multiprobe fills at
+    // least as well (its candidate set is a strict superset)
+    single.foreach { case (k, cosSingle) =>
+      assert(multi.contains(k), s"$k vanished under multiprobe")
+      assert(multi(k) >= cosSingle,
+        s"$k: multiprobe ${multi(k)} < single $cosSingle")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("spacesaving: summary add/trim bucket structure stays consistent") {
     val s = graft.functions.SpaceSavingSummary(3)
     Seq("a", "b", "a", "c", "a", "d", "b").foreach(s.add(_, 1L))
