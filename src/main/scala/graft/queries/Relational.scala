@@ -2402,6 +2402,65 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** SEASONALITY STRENGTH (Hyndman's STL feature, public method):
+    * F = max(0, 1 − Var(remainder)/Var(seasonal+remainder)) per event
+    * type over the [[qTsDecompose]] output — "is the daily cycle worth
+    * modeling" as one number in ppm. Variances compare at the same n,
+    * so the n·Σx² − (Σx)² form cancels the scale: the ratio needs no
+    * division until the final ppm. Products ride DECIMAL(38,0) (the
+    * betweenness convention — hourly devs square past BIGINT at
+    * scale); a zero denominator (flat seasonal+remainder) reads as
+    * strength 0. One combine over the decompose frame. */
+  def qTsStrength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qTsDecompose(spark, dir)
+      .withColumn("sr_x100", $"seas_x100" + $"remainder_x100")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum($"remainder_x100").as("sum_r"),
+        sum(expr("cast(remainder_x100 as decimal(38,0)) * remainder_x100"))
+          .as("ss_r"),
+        sum($"sr_x100").as("sum_sr"),
+        sum(expr("cast(sr_x100 as decimal(38,0)) * sr_x100")).as("ss_sr"))
+      .withColumn("num", expr(
+        "cast(n_hours as decimal(38,0)) * ss_r - cast(sum_r as decimal(38,0)) * sum_r"))
+      .withColumn("den", expr(
+        "cast(n_hours as decimal(38,0)) * ss_sr - cast(sum_sr as decimal(38,0)) * sum_sr"))
+      .select($"event_type", $"n_hours",
+        expr("""cast(CASE WHEN den > 0
+               |  THEN greatest(0, 1000000 - (num * 1000000) div den)
+               |  ELSE 0 END as bigint)""".stripMargin)
+          .as("seasonal_strength_ppm"))
+      .orderBy($"event_type")
+  }
+
+  /** BURSTINESS (index of dispersion / Fano factor): Var/Mean of daily
+    * volumes per event type ×1000 — 1000 means Poisson-like arrivals,
+    * materially above means bursty traffic (batchy producers, retry
+    * storms). D = (n·Σx² − (Σx)²) div ((n−1)·Σx), all positive so the
+    * integral division is engine-portable; products in DECIMAL(38,0)
+    * for the same overflow headroom as everywhere else. One rollup. */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sum_x"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("ss_x"))
+      .filter($"n_days" > 1)
+      .select($"event_type", $"n_days", $"sum_x",
+        expr("""cast(((cast(n_days as decimal(38,0)) * ss_x
+               |  - cast(sum_x as decimal(38,0)) * sum_x) * 1000)
+               |  div (cast(n_days - 1 as decimal(38,0)) * sum_x)
+               |  as bigint)""".stripMargin).as("dispersion_x1000"))
+      .withColumn("verdict",
+        when($"dispersion_x1000" > 1500, "bursty")
+          .when($"dispersion_x1000" < 667, "regular").otherwise("poisson_like"))
+      .orderBy($"event_type")
+  }
+
   /** HOLT LINEAR SMOOTHING (Holt 1957, public method): double
     * exponential smoothing per event type over daily volumes — level +
     * trend state folded through the day array, the one-step forecast
@@ -2828,6 +2887,8 @@ object Relational {
     "q_trend_mk" -> qTrendMk,
     "q_trend_theilsen" -> qTrendTheilsen,
     "q_ts_holt" -> qTsHolt,
+    "q_ts_strength" -> qTsStrength,
+    "q_burstiness" -> qBurstiness,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
     "q_seq_patterns" -> qSeqPatterns,
@@ -2850,6 +2911,45 @@ object Relational {
 
   private def benfordValues: String =
     BenfordPermille.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
+  /** The hourly STL-lite decomposition oracle — shared verbatim by
+    * the q_ts_decompose entry and the q_ts_strength rollup. */
+  private val tsDecomposeOracle: String =
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT h.event_type, g.hour
+        |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |        FROM hourly GROUP BY 1) h
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h.h0, h.h1 + 1)) AS hour) g),
+        |dense AS (
+        |  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.event_type = g.event_type AND h.hour = g.hour),
+        |t AS (
+        |  SELECT event_type, hour, n,
+        |    count(*) OVER w AS w_n, sum(n) OVER w AS w_sum
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        |  SELECT event_type, hour, n,
+        |    CAST((w_sum * 100) // 25 AS BIGINT) AS trend_x100,
+        |    CAST(n * 100 - (w_sum * 100) // 25 AS BIGINT) AS dev_x100
+        |  FROM t WHERE w_n = 25),
+        |seas AS (
+        |  SELECT event_type, hour % 24 AS hod,
+        |    CAST(CASE WHEN sum(dev_x100) >= 0
+        |         THEN sum(dev_x100) // count(*)
+        |         ELSE -((-sum(dev_x100)) // count(*)) END AS BIGINT) AS seas_x100
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT tr.event_type, tr.hour, tr.n, tr.trend_x100, s.seas_x100,
+        |  tr.dev_x100 - s.seas_x100 AS remainder_x100
+        |FROM tr JOIN seas s
+        |  ON s.event_type = tr.event_type AND s.hod = tr.hour % 24
+        |ORDER BY tr.event_type, tr.hour""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ts_acf" ->
@@ -3118,42 +3218,59 @@ object Relational {
         |FROM s JOIN ties t ON t.event_type = s.event_type
         |ORDER BY s.event_type""".stripMargin,
 
-    "q_ts_decompose" ->
-      """WITH hourly AS (
-        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
-        |         CAST(count(*) AS BIGINT) AS n
+    "q_ts_decompose" -> tsDecomposeOracle,
+
+    // strength = variance-ratio rollup of the decompose output; the
+    // subquery is the VERBATIM decompose oracle (concatenated after
+    // stripMargin — the bpeEncodeOracle lesson)
+    "q_ts_strength" ->
+      ("""WITH dc AS (
+         |""".stripMargin + tsDecomposeOracle + """
+         |),
+         |s AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(sum(remainder_x100) AS HUGEINT) AS sum_r,
+         |    CAST(sum(CAST(remainder_x100 AS HUGEINT) * remainder_x100)
+         |      AS HUGEINT) AS ss_r,
+         |    CAST(sum(seas_x100 + remainder_x100) AS HUGEINT) AS sum_sr,
+         |    CAST(sum(CAST(seas_x100 + remainder_x100 AS HUGEINT)
+         |      * (seas_x100 + remainder_x100)) AS HUGEINT) AS ss_sr
+         |  FROM dc GROUP BY 1),
+         |v AS (
+         |  SELECT event_type, n_hours,
+         |    n_hours * ss_r - sum_r * sum_r AS num,
+         |    n_hours * ss_sr - sum_sr * sum_sr AS den
+         |  FROM s)
+         |SELECT event_type, n_hours,
+         |  CAST(CASE WHEN den > 0
+         |    THEN greatest(0, 1000000 - (num * 1000000) // den)
+         |    ELSE 0 END AS BIGINT) AS seasonal_strength_ppm
+         |FROM v ORDER BY event_type""".stripMargin),
+
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT h.event_type, g.hour
-        |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
-        |        FROM hourly GROUP BY 1) h
-        |  CROSS JOIN LATERAL (SELECT unnest(range(h.h0, h.h1 + 1)) AS hour) g),
-        |dense AS (
-        |  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
-        |  FROM grid g LEFT JOIN hourly h
-        |    ON h.event_type = g.event_type AND h.hour = g.hour),
-        |t AS (
-        |  SELECT event_type, hour, n,
-        |    count(*) OVER w AS w_n, sum(n) OVER w AS w_sum
-        |  FROM dense
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
-        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |tr AS (
-        |  SELECT event_type, hour, n,
-        |    CAST((w_sum * 100) // 25 AS BIGINT) AS trend_x100,
-        |    CAST(n * 100 - (w_sum * 100) // 25 AS BIGINT) AS dev_x100
-        |  FROM t WHERE w_n = 25),
-        |seas AS (
-        |  SELECT event_type, hour % 24 AS hod,
-        |    CAST(CASE WHEN sum(dev_x100) >= 0
-        |         THEN sum(dev_x100) // count(*)
-        |         ELSE -((-sum(dev_x100)) // count(*)) END AS BIGINT) AS seas_x100
-        |  FROM tr GROUP BY 1, 2)
-        |SELECT tr.event_type, tr.hour, tr.n, tr.trend_x100, s.seas_x100,
-        |  tr.dev_x100 - s.seas_x100 AS remainder_x100
-        |FROM tr JOIN seas s
-        |  ON s.event_type = tr.event_type AND s.hod = tr.hour % 24
-        |ORDER BY tr.event_type, tr.hour""".stripMargin,
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sum_x,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss_x
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n_days, sum_x,
+        |    CAST(((CAST(n_days AS HUGEINT) * ss_x
+        |      - CAST(sum_x AS HUGEINT) * sum_x) * 1000)
+        |      // (CAST(n_days - 1 AS HUGEINT) * sum_x) AS BIGINT)
+        |      AS dispersion_x1000
+        |  FROM s WHERE n_days > 1)
+        |SELECT event_type, n_days, sum_x, dispersion_x1000,
+        |  CASE WHEN dispersion_x1000 > 1500 THEN 'bursty'
+        |       WHEN dispersion_x1000 < 667 THEN 'regular'
+        |       ELSE 'poisson_like' END AS verdict
+        |FROM d ORDER BY event_type""".stripMargin,
+
 
     "q_weighted_median" ->
       """WITH vc AS (
