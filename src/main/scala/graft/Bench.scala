@@ -25,7 +25,14 @@ object Bench {
     // E), the prefix-filtered exact similarity join, and the two
     // real-codec pipelines (linear decode work per asset)
     "q_graph_betweenness", "q_dedup_ppjoin", "q_mm_thumbnail",
-    "q_mm_decode_audio")
+    "q_mm_decode_audio",
+    // r9 heavies: the 8-join LOO trigram scorer (distinct-n-gram
+    // frames), the GIF keyframe banding pass (data-dependent candidate
+    // volume — must stay banded, not quadratic), hybrid RRF (two
+    // bounded retrieval sides), and entity resolution (3 label rounds
+    // over the blocked fuzzy graph)
+    "q_text_trigram_loo", "q_mm_gif_dhash_pairs", "q_hybrid_rrf",
+    "q_entity_resolution")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
