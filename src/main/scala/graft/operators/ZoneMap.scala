@@ -37,7 +37,14 @@ object ZoneMap {
       numFiles: Int = 16): String = {
     val path = SessionCache.scratchDir(spark,
       "zonemap_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-    if (!new java.io.File(path).exists()) {
+    // Guard on BOTH artifacts: the parquet write and the manifest
+    // write are two non-atomic steps, so a crash between them would
+    // otherwise leave a table dir that forever skips the rebuild while
+    // prunedReadFlat throws on the missing manifest (ADVICE r9).
+    // Rebuilding over a torn dir is safe — both writes are
+    // mode("overwrite") and the manifest lands last.
+    if (!new java.io.File(path).exists() ||
+        !new java.io.File(flatManifestDir(path)).exists()) {
       Tables.load(spark, dir, "orders")
         .repartitionByRange(numFiles, col("o_orderdate"))
         .write.mode("overwrite").parquet(path)

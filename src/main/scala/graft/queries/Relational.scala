@@ -2646,7 +2646,11 @@ object Relational {
       .groupBy($"user_id", $"event_type")
       .agg(min(unix_micros($"ts")).as("first_us"),
         max(unix_micros($"ts")).as("last_us"))
-    val nUsers = spans.select($"user_id").distinct().count()
+    // Global user count stays IN the plan as a 1-row broadcast (the
+    // repo-wide global-scalar convention) — no driver-side action at
+    // query-construction time, and the spans frame is scanned once.
+    val nUsersRow = spans.agg(
+      count_distinct($"user_id").as("n_users_total"))
     val typeCounts = spans.groupBy($"event_type")
       .agg(count(lit(1)).as("n_t"))
     val a = spans.select($"user_id", $"event_type".as("t_a"), $"first_us")
@@ -2659,9 +2663,10 @@ object Relational {
         $"n_t".as("n_a"))), Seq("t_a"))
       .join(broadcast(typeCounts.select($"event_type".as("t_b"),
         $"n_t".as("n_b"))), Seq("t_b"))
+      .crossJoin(broadcast(nUsersRow)) // 1-row global scalar
       .select($"t_a".as("first_type"), $"t_b".as("then_type"),
         $"n_users_ab", $"n_a", $"n_b",
-        expr(s"(n_users_ab * ${nUsers}L * 1000) div (n_a * n_b)")
+        expr("(n_users_ab * n_users_total * 1000) div (n_a * n_b)")
           .as("lift_x1000"))
       .orderBy($"first_type", $"then_type")
   }

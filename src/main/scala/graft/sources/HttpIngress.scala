@@ -36,9 +36,16 @@ object HttpIngress {
 
   /** Start the listener on `port` (0 = ephemeral). `publicUrl` is the
     * externally-visible webhook URL the signature covers — the
-    * reference signs url + raw body, NOT the local bind address. */
+    * reference signs url + raw body, NOT the local bind address.
+    *
+    * `dev` gates whether 500 pages carry the stack trace, mirroring
+    * Express's `app.get('env') === 'development'` check (app.js:57 —
+    * NODE_ENV unset defaults to development, so the same env probe is
+    * the default here). Production deployments get the message-only
+    * error page; stacks never leak to clients. */
   def start(spark: SparkSession, authToken: String, publicUrl: String,
-      logPath: String, port: Int = 0): Server = {
+      logPath: String, port: Int = 0,
+      dev: Boolean = sys.env.get("NODE_ENV").forall(_ == "development")): Server = {
     val http = HttpServer.create(new InetSocketAddress(port), 0)
     http.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
@@ -71,7 +78,9 @@ object HttpIngress {
           case e: Exception =>
             respondError(ex, 500,
               s"ingest error: ${e.getClass.getSimpleName}",
-              e.getStackTrace.take(12).mkString(s"$e\n    at ", "\n    at ", ""))
+              if (dev)
+                e.getStackTrace.take(12).mkString(s"$e\n    at ", "\n    at ", "")
+              else "")
         }
     })
     http.start()

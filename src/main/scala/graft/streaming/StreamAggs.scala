@@ -77,7 +77,10 @@ object StreamAggs {
       s.counts.iterator.map { case (t, c) => (bucket, t, c) }.toSeq.iterator
     }
     tokens
-      .select((abs(xxhash64(col("token"))) % buckets).cast("int").as("bucket"),
+      // pmod, not abs(..)%: abs(Long.MinValue) IS Long.MinValue, so the
+      // abs form could emit a negative bucket id outside the documented
+      // 0..buckets-1 domain (ADVICE r9). pmod is total and non-negative.
+      .select(pmod(xxhash64(col("token")), lit(buckets.toLong)).cast("int").as("bucket"),
         col("token"))
       .as[(Int, String)]
       .groupByKey(_._1)

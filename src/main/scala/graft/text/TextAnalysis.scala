@@ -152,8 +152,13 @@ object TextAnalysis {
       expr(s"(length(chunk) - length(replace(chunk, '$marker', ''))) div ${marker.length}")
     Tables.load(spark, dir, "documents")
       .select($"doc_id",
+        // greatest(1, …): a zero-length doc yields ONE empty chunk on
+        // both engines. Without it Spark's sequence(0, -1) auto-
+        // reverses to [0, -1] (two phantom chunks) while DuckDB's
+        // range(0, 0) emits none — a latent hash divergence on empty
+        // docs (ADVICE r9).
         explode(expr(
-          "sequence(0, cast((length(text) + 255) div 256 as int) - 1)")).as("ci"),
+          "sequence(0, greatest(1, cast((length(text) + 255) div 256 as int)) - 1)")).as("ci"),
         $"text")
       .withColumn("chunk", expr("substring(text, ci * 256 + 1, 256)"))
       .withColumn("c_en", cnt("the ") + cnt(" a "))
@@ -975,23 +980,47 @@ object TextAnalysis {
       .orderBy($"tok_a", $"tok_b")
   }
 
-  /** BPE merge training, two rounds: symbol sequences start as
-    * sentinel-spaced characters (" s p a r k "); each round counts
-    * adjacent symbol pairs weighted by corpus token frequency, learns
-    * the most frequent pair (lexicographic tiebreak), and applies the
-    * merge as a literal left-to-right non-overlapping replace — the
-    * identical semantics in both engines (true BPE also re-merges
-    * immediately-adjacent repeats within a round; this corpus has
-    * none). Output: the top-5 merge candidates per round — round 0's
-    * rank 1 is the learned merge that round 1's counts reflect.
+  /** BPE merge training, [[BpeRounds]] staged rounds: symbol
+    * sequences start as sentinel-spaced characters (" s p a r k ");
+    * each round counts adjacent symbol pairs weighted by corpus token
+    * frequency, learns the most frequent pair (lexicographic
+    * tiebreak), and applies the merge as a literal left-to-right
+    * non-overlapping replace — the identical semantics in both
+    * engines (true BPE also re-merges immediately-adjacent repeats
+    * within a round; this corpus has none). Output: the top-5 merge
+    * candidates per round — round r's rank 1 is the learned merge
+    * round r+1's counts reflect.
     *
     * Scale shape: the pair counts are one map-side-combined shuffle
-    * of the (distinct-token, tf) frame — NOT the raw corpus (tf
-    * weighting collapses repeats first, the standard trick); the
-    * learned pair is a 1-row broadcast into the next round's
-    * projection. Each round is one aggregate + one narrow map. */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrain(Tables.load(spark, dir, "documents"))
+    * of the DISTINCT-token tf frame — never the raw corpus (tf
+    * weighting collapses repeats first, the standard trick) — and the
+    * loop runs the staged-round protocol the graph module uses: each
+    * round's merged vocab frame and pair-count frame are parquet-
+    * staged, so round r plans over a flat scan, never an r-deep
+    * nested aggregate tree. The learned merge enters the next round
+    * as a 1-row broadcast merge ARRAY folded over the symbols in one
+    * projection ([[bpeApplyMerges]]); a round with no remaining pairs
+    * broadcasts an empty array and the apply is the identity — the
+    * loop's natural fixed point, no special-casing. Learning is
+    * memoized per (session, corpus): train/encode/fertility share one
+    * learned-rounds table. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeRoundsFor(spark, dir).orderBy($"round", $"rank")
+  }
+
+  /** Number of merge rounds the trainer learns and the encoder
+    * applies. A real tokenizer runs thousands of rounds with this
+    * exact per-round recipe; the oracle replays every round as a CTE,
+    * so the count is bounded by what DuckDB can re-derive, not by the
+    * engine. */
+  private[graft] val BpeRounds = 8
+
+  /** The learned-rounds table for a corpus dir, staged once per
+    * (session, dir) and shared by train/encode/fertility. */
+  private def bpeRoundsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"bpe_rounds_$BpeRounds|$dir")(
+      bpeTrain(Tables.load(spark, dir, "documents")))
 
   /** Core of [[qBpeTrain]] over any frame with a `text` column —
     * separated so the randomized property suite can drive it against
@@ -1025,53 +1054,96 @@ object TextAnalysis {
       .agg(sum($"tf").as("pair_count"))
   }
 
-  /** The most frequent pair (lexicographic tiebreak) as a 1-row
-    * (ba, bb) frame — the merge a BPE round learns. */
-  private def bpeBestPair(counts: DataFrame): DataFrame = {
+  /** The round's learned merge as a 1-row frame holding a 0-or-1-
+    * element merge array — empty when no adjacent pairs remain, so
+    * applying it is the identity and the round loop terminates at its
+    * natural fixed point without special-casing. */
+  private def bpeBestMerge(counts: DataFrame): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
     counts.orderBy($"pair_count".desc, $"sym_a", $"sym_b").limit(1)
-      .select($"sym_a".as("ba"), $"sym_b".as("bb"))
+      .agg(collect_list(struct($"sym_a".as("ba"), $"sym_b".as("bb")))
+        .as("merges"))
   }
 
-  /** Apply a learned (ba, bb) merge to a syms frame — literal
-    * left-to-right non-overlapping replace, same in both engines. */
-  private def bpeApply(df: DataFrame, best: DataFrame): DataFrame =
-    df.crossJoin(broadcast(best))
+  /** Apply an ORDERED merge list — a 1-row broadcast `merges` array —
+    * to a syms frame in ONE projection: fold the array left-to-right,
+    * each merge a literal non-overlapping replace (same semantics in
+    * both engines). Serves the trainer's per-round 1-merge apply AND
+    * the encoder's all-N-merges apply: the learned merge table is a
+    * broadcast-joined artifact folded in one codegen'd expression,
+    * never a chain of N per-merge plan nodes. */
+  private def bpeApplyMerges(df: DataFrame, mergesRow: DataFrame): DataFrame =
+    df.crossJoin(broadcast(mergesRow))
       .withColumn("syms", expr(
-        "replace(syms, concat(' ', ba, ' ', bb, ' '), concat(' ', ba, bb, ' '))"))
-      .drop("ba", "bb")
+        "aggregate(merges, syms, (acc, m) -> " +
+          "replace(acc, concat(' ', m.ba, ' ', m.bb, ' '), concat(' ', m.ba, m.bb, ' ')))"))
+      .drop("merges")
 
-  private[graft] def bpeTrain(docs: DataFrame): DataFrame = {
+  /** Distinguishes concurrent trainer invocations' stage dirs (the
+    * property suite drives many generated corpora through one
+    * session). */
+  private val bpeCallIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** N-round BPE merge learning over any frame with a `text` column —
+    * the staged-round loop behind [[qBpeTrain]], separated so the
+    * randomized property suite can drive it against a direct Scala
+    * replay on generated corpora. Returns (round, rank, sym_a, sym_b,
+    * pair_count), ranks 1–5 per round; rank 1 of round r is the merge
+    * applied before round r+1's counts. A round whose pair frame is
+    * empty contributes no rows and later rounds stay empty (identity
+    * apply). */
+  private[graft] def bpeTrain(docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = bpeVocab(docs).select($"tf", $"syms")
-    val c0 = bpePairCounts(vocab)
-    val merged = bpeApply(vocab, bpeBestPair(c0)).select($"tf", $"syms")
-    val c1 = bpePairCounts(merged)
-
-    def top5(df: DataFrame, round: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"pair_count".desc, $"sym_a", $"sym_b")
-      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-        .select(lit(round.toLong).as("round"), $"rank".cast("long").as("rank"),
+    require(rounds >= 1, s"bpeTrain needs >= 1 round, got $rounds")
+    val key = s"bpe_call_${bpeCallIds.incrementAndGet()}"
+    var cur = graft.SessionCache.stage(spark, s"$key|s0")(
+      bpeVocab(docs).select($"tf", $"syms"))
+    val tops = Vector.newBuilder[DataFrame]
+    for (r <- 0 until rounds) {
+      val counts = graft.SessionCache.stage(spark, s"$key|c$r")(
+        bpePairCounts(cur))
+      val w = Window.orderBy($"pair_count".desc, $"sym_a", $"sym_b")
+      tops += counts.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select(lit(r.toLong).as("round"), $"rank".cast("long").as("rank"),
           $"sym_a", $"sym_b", $"pair_count")
+      if (r < rounds - 1)
+        cur = graft.SessionCache.stage(spark, s"$key|s${r + 1}")(
+          bpeApplyMerges(cur, bpeBestMerge(counts)))
     }
-    top5(c0, 0).unionByName(top5(c1, 1)).orderBy($"round", $"rank")
+    tops.result().reduce(_.unionByName(_)).orderBy($"round", $"rank")
+  }
+
+  /** The learned merge table as a 1-row round-ordered merge array —
+    * the tokenizer artifact the encoder broadcasts. `array_sort` on
+    * (round, ba, bb) structs orders by round, so the fold applies
+    * merges in learning order. */
+  private def bpeMergeTable(roundsTable: DataFrame): DataFrame = {
+    val spark = roundsTable.sparkSession
+    import spark.implicits._
+    roundsTable.filter($"rank" === 1L)
+      .agg(array_sort(collect_list(struct($"round",
+        $"sym_a".as("ba"), $"sym_b".as("bb")))).as("merges"))
   }
 
   /** Tokenizer APPLICATION — the other half of [[qBpeTrain]]: encode
-    * the corpus with the two learned merges and account the per-doc
-    * compression (the token-budget input a trained tokenizer changes).
+    * the corpus with the [[BpeRounds]] learned merges and account the
+    * per-doc compression (the token-budget input a trained tokenizer
+    * changes).
     *
     * Scale shape: merges are learned on the DISTINCT-token frame
     * (repeats collapse before any shuffle) and applied there too — the
-    * per-doc pass is ONE equi-join of the exploded corpus tokens onto
-    * the |vocab|-row encoded lengths plus one map-side-combined
-    * groupBy; the corpus text never carries symbol arrays through a
-    * shuffle. */
+    * N merges arrive as ONE broadcast merge-table array folded over
+    * each token's symbols in a single projection; the per-doc pass is
+    * ONE equi-join of the exploded corpus tokens onto the |vocab|-row
+    * encoded lengths plus one map-side-combined groupBy; the corpus
+    * text never carries symbol arrays through a shuffle. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(Tables.load(spark, dir, "documents"))
+    bpeEncodeWith(Tables.load(spark, dir, "documents"),
+      bpeMergeTable(bpeRoundsFor(spark, dir)))
 
   /** TOKENIZER FERTILITY by language: BPE symbols per word (×100) and
     * per character (permille) rolled up over the labeled `lang` — the
@@ -1082,7 +1154,7 @@ object TextAnalysis {
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    bpeEncode(docs)
+    bpeEncodeWith(docs, bpeMergeTable(bpeRoundsFor(spark, dir)))
       .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
@@ -1095,15 +1167,22 @@ object TextAnalysis {
   }
 
   /** Core of [[qBpeEncode]] over any frame with doc_id + text —
-    * separated so the randomized property suite can replay it. */
-  private[graft] def bpeEncode(docs: DataFrame): DataFrame = {
+    * learns [[BpeRounds]] merges (or `rounds`) then applies them; the
+    * property suite replays it on generated corpora. */
+  private[graft] def bpeEncode(docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame =
+    bpeEncodeWith(docs, bpeMergeTable(bpeTrain(docs, rounds)))
+
+  /** Encode `docs` with a pre-learned merge table (1-row merge-array
+    * frame from [[bpeMergeTable]]): one broadcast fold over the
+    * distinct-token vocab, one corpus-token equi-join, one combine. */
+  private[graft] def bpeEncodeWith(docs: DataFrame,
+      mergesRow: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = bpeVocab(docs) // token, tf, syms
-    val applied1 = bpeApply(vocab, bpeBestPair(bpePairCounts(vocab)))
-    val applied2 = bpeApply(applied1,
-      bpeBestPair(bpePairCounts(applied1.select($"tf", $"syms"))))
-    val tokenStats = applied2.select($"token",
+    val appliedN = bpeApplyMerges(vocab, mergesRow)
+    val tokenStats = appliedN.select($"token",
       size(split(trim($"syms"), " ")).cast("long").as("n_sym_bpe"),
       length($"token").cast("long").as("n_chars"))
     docs.select($"doc_id", explode(tokens($"text")).as("token"))
@@ -1212,9 +1291,18 @@ object TextAnalysis {
   private def duckTaxonomyValues: String =
     Taxonomy.map { case (k, c) => s"('$k', '$c')" }.mkString(", ")
 
-  /** The per-doc BPE encode oracle — shared verbatim by the
-    * q_bpe_encode entry and the q_bpe_fertility rollup. */
-  private val bpeEncodeOracle: String =
+  /** The shared N-round BPE CTE chain for the DuckDB oracles: `tok`
+    * (distinct-token tf), `s0` (sentinel-spaced characters), then per
+    * round r: `p_r` (adjacent symbol pairs), `c_r` (tf-weighted
+    * counts), and — through round rounds−2, or rounds−1 when
+    * `applyLast` — `b_r` (learned pair) + `s_{r+1}` (merge applied as
+    * the same literal replace). The COUNT guard makes an exhausted
+    * round the identity (a NULL scalar subquery would otherwise null
+    * the replace pattern), mirroring the engine's empty-merge-array
+    * fold. Token is carried so the encode oracle can join back. */
+  private def bpeChainCtes(rounds: Int, applyLast: Boolean): String = {
+    val sb = new StringBuilder
+    sb ++=
       """WITH tok AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1223,53 +1311,73 @@ object TextAnalysis {
         |  SELECT token, tf, ' ' || array_to_string(
         |      list_transform(range(1, len(token) + 1), i -> substr(token, i, 1)), ' ')
         |    || ' ' AS syms
-        |  FROM tok),
-        |p0 AS (
-        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
-        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s0) q
-        |  WHERE len(l) >= 2),
-        |c0 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
-        |              CAST(sum(tf) AS BIGINT) AS pair_count
-        |       FROM p0 GROUP BY 1, 2),
-        |b0 AS (SELECT sym_a AS ba, sym_b AS bb FROM c0
-        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-        |s1 AS (
-        |  SELECT token, tf, replace(syms,
-        |    ' ' || (SELECT ba FROM b0) || ' ' || (SELECT bb FROM b0) || ' ',
-        |    ' ' || (SELECT ba FROM b0) || (SELECT bb FROM b0) || ' ') AS syms
-        |  FROM s0),
-        |p1 AS (
-        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
-        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s1) q
-        |  WHERE len(l) >= 2),
-        |c1 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
-        |              CAST(sum(tf) AS BIGINT) AS pair_count
-        |       FROM p1 GROUP BY 1, 2),
-        |b1 AS (SELECT sym_a AS ba, sym_b AS bb FROM c1
-        |       ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-        |s2 AS (
-        |  SELECT token, replace(syms,
-        |    ' ' || (SELECT ba FROM b1) || ' ' || (SELECT bb FROM b1) || ' ',
-        |    ' ' || (SELECT ba FROM b1) || (SELECT bb FROM b1) || ' ') AS syms
-        |  FROM s1),
-        |ts AS (
-        |  SELECT token,
-        |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_sym_bpe,
-        |    CAST(length(token) AS BIGINT) AS n_chars
-        |  FROM s2),
-        |dt AS (
-        |  SELECT doc_id, token
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-        |  WHERE len(token) > 0)
-        |SELECT dt.doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(sum(ts.n_chars) AS BIGINT) AS n_symbols_char,
-        |  CAST(sum(ts.n_sym_bpe) AS BIGINT) AS n_symbols_bpe,
-        |  (CAST(sum(ts.n_sym_bpe) AS BIGINT) * 1000)
-        |    // CAST(sum(ts.n_chars) AS BIGINT) AS compression_permille
-        |FROM dt JOIN ts ON dt.token = ts.token
-        |GROUP BY dt.doc_id
-        |ORDER BY dt.doc_id""".stripMargin
+        |  FROM tok)""".stripMargin
+    // MATERIALIZED is load-bearing: s_{r+1} references s_r several
+    // times (its own FROM plus the b_r scalar subqueries), so default
+    // inlined CTEs would re-derive the whole prefix 3^r times.
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+         |p$r AS (
+         |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
+         |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s$r) q
+         |  WHERE len(l) >= 2),
+         |c$r AS MATERIALIZED (
+         |       SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
+         |              CAST(sum(tf) AS BIGINT) AS pair_count
+         |       FROM p$r GROUP BY 1, 2)""".stripMargin
+      if (r < rounds - 1 || applyLast)
+        sb ++= s""",
+           |b$r AS MATERIALIZED (
+           |        SELECT sym_a AS ba, sym_b AS bb FROM c$r
+           |        ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+           |s${r + 1} AS MATERIALIZED (
+           |  SELECT token, tf,
+           |    CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN syms
+           |    ELSE replace(syms,
+           |      ' ' || (SELECT ba FROM b$r) || ' ' || (SELECT bb FROM b$r) || ' ',
+           |      ' ' || (SELECT ba FROM b$r) || (SELECT bb FROM b$r) || ' ') END AS syms
+           |  FROM s$r)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The N-round training oracle: top-5 pair candidates per round. */
+  private def bpeTrainOracle: String =
+    bpeChainCtes(BpeRounds, applyLast = false) +
+      (0 until BpeRounds).map { r =>
+        s""",
+           |t$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |        CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS BIGINT) AS rank,
+           |        sym_a, sym_b, pair_count FROM c$r)""".stripMargin
+      }.mkString +
+      (0 until BpeRounds)
+        .map(r => s"SELECT round, rank, sym_a, sym_b, pair_count FROM t$r WHERE rank <= 5")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY round, rank")
+
+  /** The per-doc BPE encode oracle (all [[BpeRounds]] merges applied)
+    * — shared verbatim by the q_bpe_encode entry and the
+    * q_bpe_fertility rollup. */
+  private val bpeEncodeOracle: String =
+    bpeChainCtes(BpeRounds, applyLast = true) +
+      s""",
+         |ts AS (
+         |  SELECT token,
+         |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_sym_bpe,
+         |    CAST(length(token) AS BIGINT) AS n_chars
+         |  FROM s$BpeRounds),
+         |dt AS (
+         |  SELECT doc_id, token
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE len(token) > 0)
+         |SELECT dt.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ts.n_chars) AS BIGINT) AS n_symbols_char,
+         |  CAST(sum(ts.n_sym_bpe) AS BIGINT) AS n_symbols_bpe,
+         |  (CAST(sum(ts.n_sym_bpe) AS BIGINT) * 1000)
+         |    // CAST(sum(ts.n_chars) AS BIGINT) AS compression_permille
+         |FROM dt JOIN ts ON dt.token = ts.token
+         |GROUP BY dt.doc_id
+         |ORDER BY dt.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_tagging" ->
@@ -1495,47 +1603,7 @@ object TextAnalysis {
         |ORDER BY l3.token""".stripMargin,
 
 
-    "q_bpe_train" ->
-      """WITH tok AS (
-        |  SELECT token, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |  WHERE len(token) > 0 GROUP BY token),
-        |s0 AS (
-        |  SELECT tf, ' ' || array_to_string(
-        |      list_transform(range(1, len(token) + 1), i -> substr(token, i, 1)), ' ')
-        |    || ' ' AS syms
-        |  FROM tok),
-        |p0 AS (
-        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
-        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s0) q
-        |  WHERE len(l) >= 2),
-        |c0 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
-        |              CAST(sum(tf) AS BIGINT) AS pair_count
-        |       FROM p0 GROUP BY 1, 2),
-        |best AS (SELECT sym_a AS ba, sym_b AS bb FROM c0
-        |         ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-        |s1 AS (
-        |  SELECT tf, replace(syms,
-        |    ' ' || (SELECT ba FROM best) || ' ' || (SELECT bb FROM best) || ' ',
-        |    ' ' || (SELECT ba FROM best) || (SELECT bb FROM best) || ' ') AS syms
-        |  FROM s0),
-        |p1 AS (
-        |  SELECT tf, l, unnest(generate_series(1, len(l) - 1)) AS i
-        |  FROM (SELECT tf, string_split(trim(syms), ' ') AS l FROM s1) q
-        |  WHERE len(l) >= 2),
-        |c1 AS (SELECT l[i] AS sym_a, l[i + 1] AS sym_b,
-        |              CAST(sum(tf) AS BIGINT) AS pair_count
-        |       FROM p1 GROUP BY 1, 2),
-        |t0 AS (SELECT CAST(0 AS BIGINT) AS round,
-        |              CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS BIGINT) AS rank,
-        |              sym_a, sym_b, pair_count FROM c0),
-        |t1 AS (SELECT CAST(1 AS BIGINT) AS round,
-        |              CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS BIGINT) AS rank,
-        |              sym_a, sym_b, pair_count FROM c1)
-        |SELECT round, rank, sym_a, sym_b, pair_count FROM t0 WHERE rank <= 5
-        |UNION ALL
-        |SELECT round, rank, sym_a, sym_b, pair_count FROM t1 WHERE rank <= 5
-        |ORDER BY round, rank""".stripMargin,
+    "q_bpe_train" -> bpeTrainOracle,
 
     "q_text_fuzzy" ->
       """WITH vocab AS (
@@ -1801,7 +1869,7 @@ object TextAnalysis {
         |  SELECT d.doc_id, substr(d.text, g.ci * 256 + 1, 256) AS chunk
         |  FROM documents d
         |  CROSS JOIN LATERAL (SELECT unnest(range(0,
-        |    (length(d.text) + 255) // 256)) AS ci) g),
+        |    greatest(1, (length(d.text) + 255) // 256))) AS ci) g),
         |sc AS (
         |  SELECT doc_id,
         |    (length(chunk) - length(replace(chunk, 'the ', ''))) // 4

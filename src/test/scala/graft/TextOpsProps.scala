@@ -187,7 +187,42 @@ object TextOpsProps extends Properties("TextOps") {
       }
     }
 
-  property("bpe training rounds equal a direct Scala replay") =
+  /** Direct Scala replay of the N-round trainer: per-token symbol
+    * strings, tf-weighted pair counts, lexicographic-tiebreak best
+    * pair, java String.replace (= the left-to-right non-overlapping
+    * rule Spark's and DuckDB's replace() apply). Returns the top-5
+    * rows per round AND the final per-token symbol strings after all
+    * N learned merges (exhausted rounds apply the identity). */
+  private def replayBpe(ds: Seq[String], rounds: Int)
+      : (Seq[(Long, Long, String, String, Long)], Map[String, String]) = {
+    val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def pairCounts(seqs: Map[String, String]): Map[(String, String), Long] =
+      seqs.toSeq.flatMap { case (tok, syms) =>
+        val arr = syms.trim.split(" ", -1)
+        if (arr.length < 2) Nil
+        else arr.init.zip(arr.tail).map(p => p -> tf(tok))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def top5(c: Map[(String, String), Long], round: Long) =
+      c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(5).zipWithIndex
+        .map { case (((a, b), n), i) => (round, (i + 1).toLong, a, b, n) }
+    var seqs: Map[String, String] =
+      tf.keys.map(tok => tok -> (" " + tok.toCharArray.mkString(" ") + " ")).toMap
+    val tops = Vector.newBuilder[(Long, Long, String, String, Long)]
+    for (r <- 0 until rounds) {
+      val c = pairCounts(seqs)
+      tops ++= top5(c, r.toLong)
+      if (c.nonEmpty) {
+        val (ba, bb) = c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        seqs = seqs.map { case (tok, syms) =>
+          tok -> syms.replace(s" $ba $bb ", s" $ba$bb ")
+        }
+      }
+    }
+    (tops.result(), seqs)
+  }
+
+  property("bpe training rounds equal a direct N-round Scala replay") =
     Prop.forAll(bpeDocs) { ds =>
       import spark.implicits._
       val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -195,38 +230,10 @@ object TextOpsProps extends Properties("TextOps") {
         .map(r => (r.getAs[Long]("round"), r.getAs[Long]("rank"),
           r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
           r.getAs[Long]("pair_count"))).toSeq
-
-      // --- direct replay: same semantics, plain Scala ---
-      val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
-        .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      def symsOf(tok: String): String = " " + tok.toCharArray.mkString(" ") + " "
-      def pairCounts(seqs: Map[String, Long]): Map[(String, String), Long] =
-        seqs.toSeq.flatMap { case (syms, w) =>
-          val arr = syms.trim.split(" ", -1)
-          if (arr.length < 2) Nil
-          else arr.init.zip(arr.tail).map(p => p -> w)
-        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      def top5(c: Map[(String, String), Long], round: Long) =
-        c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(5).zipWithIndex
-          .map { case (((a, b), n), i) => (round, (i + 1).toLong, a, b, n) }
-      val s0 = tf.map { case (tok, w) => symsOf(tok) -> w }
-        .groupBy(_._1).view.mapValues(_.values.sum).toMap
-      val c0 = pairCounts(s0)
-      val expected =
-        if (c0.isEmpty) top5(c0, 0L)
-        else {
-          val (ba, bb) = c0.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
-          // java String.replace = left-to-right non-overlapping, the
-          // same rule Spark's and DuckDB's replace() apply
-          val s1 = s0.toSeq.map { case (syms, w) =>
-            syms.replace(s" $ba $bb ", s" $ba$bb ") -> w
-          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-          top5(c0, 0L) ++ top5(pairCounts(s1), 1L)
-        }
-      got == expected
+      got == replayBpe(ds, graft.text.TextAnalysis.BpeRounds)._1
     }
 
-  property("bpe encoding equals a direct Scala replay of the 2 merges") =
+  property("bpe encoding equals a direct Scala replay of the N merges") =
     Prop.forAll(bpeDocs) { ds =>
       import spark.implicits._
       val df = ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -234,31 +241,9 @@ object TextOpsProps extends Properties("TextOps") {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
           r.getAs[Long]("n_symbols_char"), r.getAs[Long]("n_symbols_bpe"),
           r.getAs[Long]("compression_permille"))).toSeq.sortBy(_._1)
-
-      // --- direct replay ---
-      val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
-        .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      def pairCounts(seqs: Map[String, String]): Map[(String, String), Long] =
-        seqs.toSeq.flatMap { case (tok, syms) =>
-          val arr = syms.trim.split(" ", -1)
-          if (arr.length < 2) Nil
-          else arr.init.zip(arr.tail).map(p => p -> tf(tok))
-        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      def applyBest(seqs: Map[String, String]): Map[String, String] = {
-        val c = pairCounts(seqs)
-        if (c.isEmpty) seqs
-        else {
-          val (ba, bb) = c.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head._1
-          seqs.map { case (tok, syms) =>
-            tok -> syms.replace(s" $ba $bb ", s" $ba$bb ")
-          }
-        }
-      }
-      val s0: Map[String, String] =
-        tf.keys.map(tok => tok -> (" " + tok.toCharArray.mkString(" ") + " ")).toMap
-      val s2 = applyBest(applyBest(s0))
+      val sN = replayBpe(ds, graft.text.TextAnalysis.BpeRounds)._2
       val symCount: Map[String, Long] =
-        s2.map { case (tok, syms) => tok -> syms.trim.split(" ", -1).length.toLong }
+        sN.map { case (tok, syms) => tok -> syms.trim.split(" ", -1).length.toLong }
       val expected = ds.zipWithIndex.map { case (t, i) =>
         val toks = t.split(" ", -1).filter(_.nonEmpty)
         val chars = toks.map(_.length.toLong).sum
@@ -266,6 +251,29 @@ object TextOpsProps extends Properties("TextOps") {
         (i.toLong, toks.length.toLong, chars, bpe, bpe * 1000 / chars)
       }.filter(_._2 > 0).sortBy(_._1)
       got == expected
+    }
+
+  property("bpe merge rounds monotonically reduce total symbol count") =
+    Prop.forAll(bpeDocs) { ds =>
+      val tf: Map[String, Long] = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def total(seqs: Map[String, String]): Long =
+        seqs.map { case (tok, syms) =>
+          tf(tok) * syms.trim.split(" ", -1).length }.sum
+      // corpus-wide symbol mass after k merges, via the replay whose
+      // equality to the engine the two properties above pin: strictly
+      // decreasing while a merge was learned, flat once exhausted
+      val totals = (0 to graft.text.TextAnalysis.BpeRounds).map {
+        k => if (k == 0) {
+          val s0 = tf.keys.map(t => t -> (" " + t.toCharArray.mkString(" ") + " ")).toMap
+          total(s0)
+        } else total(replayBpe(ds, k)._2)
+      }
+      val learned = replayBpe(ds, graft.text.TextAnalysis.BpeRounds)._1
+        .count(_._2 == 1L) // rank-1 rows = merges actually learned
+      totals.sliding(2).zipWithIndex.forall { case (Seq(a, b), k) =>
+        if (k < learned) b < a else b == a
+      }
     }
 
   private val sortedDistinctLongs: Gen[Seq[Long]] =
