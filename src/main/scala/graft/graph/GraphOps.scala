@@ -745,7 +745,9 @@ object GraphOps {
     // joins before the one stage; measured 17.6s at sf0.1, 9.7s with
     // per-level materialization). All pivots advance together in one
     // (seed, node)-keyed frame per hop — one join per level, not one
-    // BFS per pivot.
+    // BFS per pivot. localCheckpoint (not parquet staging) per the
+    // bounded-ephemeral rule — SCALE.md "Iterative-materialization
+    // policy": an executor loss retries the whole seconds-long query.
     val lvl0 = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("level"), lit(1L).as("sigma"))
     val lvl = new scala.collection.mutable.ArrayBuffer[DataFrame]()

@@ -544,6 +544,106 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** IVFADC — the FAISS production composition (Jégou et al. 2011
+    * §IV: IVF coarse quantizer + PQ codes per inverted list): the
+    * trained k-means codebook routes every vector to a cell; WITHIN
+    * the cell the vector is stored as its 4 PQ code bytes; a query
+    * probes its [[NProbe]] nearest cells, scores ONLY those cells'
+    * codes with the ADC lookup-sum, and exact-reranks the top-10.
+    * Non-residual variant (FAISS `by_residual=false`): codes quantize
+    * the raw vector, so ONE PQ codebook serves every cell — the
+    * residual variant's per-cell re-centering adds nothing on this
+    * corpus and would break the shared-codebook oracle replay.
+    *
+    * Stored artifact: ONE bucketed (cell, vec_id, m, j) table — cell
+    * routing AND codes together, built once at index time (the
+    * composition of the two structures the engine already maintains
+    * separately: sim.ivfindex's lists and sim.pqcodes' codes). At
+    * 100 TB a search scans only the probed cells' code buckets
+    * (partition-prunable), broadcasts the query's 4×8-entry distance
+    * tables, and touches full vectors only for the ~10 rerank
+    * candidates per query — memory per candidate is 4 bytes, not
+    * 4·64. */
+  def qSimAnnIvfadc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vectors(spark, dir)
+    val (_, cents) = kmeansFit(spark, dir)
+    val qpts = quantized(spark, dir)
+    val cb = subspaced(
+        n.filter($"vec_id" < CodeWords).select($"vec_id".as("j"), $"nv"),
+        "nv", "cw")
+      .select($"m", $"j", $"cw")
+    val cellCodes = graft.SessionCache.bucketedTable(
+        spark, s"sim.ivfadc|$dir", "cell", 8) {
+      val cells = kmAssign(qpts, cents).withColumnRenamed("cluster", "cell")
+        .select($"vec_id", $"cell")
+      subspaced(n.select($"vec_id", $"nv"), "nv", "sv")
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("d_e6", l2E6("sv", "cw"))
+        .groupBy($"vec_id", $"m")
+        .agg(min_by($"j", struct($"d_e6", $"j")).as("j"))
+        .join(cells, Seq("vec_id"))
+        .select($"cell", $"vec_id", $"m", $"j")
+    }
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"d", $"j")
+    val probes = kmDistances(qpts.filter($"vec_id" % 100 === 0), cents)
+      .withColumn("prank", row_number().over(wProbe))
+      .filter($"prank" <= NProbe)
+      .select($"vec_id".as("query_id"), $"j".as("cell"))
+    val dtab = subspaced(
+        n.filter($"vec_id" % 100 === 0).select($"vec_id".as("query_id"), $"nv"),
+        "nv", "qsv")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_e6", l2E6("qsv", "cw"))
+      .select($"query_id", $"m", $"j", $"d_e6")
+    // ADC over probed cells only: the stored codes never shuffle —
+    // probe list and distance tables broadcast onto the bucket scan
+    val adist = cellCodes.join(broadcast(probes), Seq("cell"))
+      .filter($"query_id" =!= $"vec_id")
+      .join(broadcast(dtab), Seq("query_id", "m", "j"))
+      .groupBy($"query_id", $"vec_id", $"cell")
+      .agg(sum($"d_e6").as("adist_e6"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist_e6".asc, $"vec_id")
+    val cand = adist
+      .withColumn("arank", row_number().over(wA)).filter($"arank" <= 10)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cell", $"adist_e6")
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    cand
+      .join(n.select($"vec_id".as("query_id"), $"nv".as("qv")), Seq("query_id"))
+      .join(n.select($"vec_id".as("neighbor_id"), $"nv".as("cv")), Seq("neighbor_id"))
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(wR))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"neighbor_id", $"cell", $"adist_e6", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVFADC recall guard — the [[qSimPqRecall]] check on the composed
+    * index: recall@3 of the probed-cell ADC pipeline vs brute-force
+    * ground truth. Probing loses candidates PQ alone would score (a
+    * true neighbor in an unprobed cell can never surface), so this is
+    * the guard that prices the nprobe setting, alongside the PQ and
+    * IVF/LSH guards. */
+  def qSimIvfadcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qSimKnnBrute(spark, dir).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = truth.join(
+        qSimAnnIvfadc(spark, dir).select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("ivfadc_hits"))
+    truth.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select($"query_id",
+        coalesce($"ivfadc_hits", lit(0L)).as("ivfadc_hits"),
+        expr("coalesce(ivfadc_hits, 0L) * 1000 div 3").as("ivfadc_recall_permille"))
+      .orderBy($"query_id")
+  }
+
   /** Per-label centroid embeddings (mean pooling — the class-prototype
     * / cluster-seed builder): posexplode to (label, pos, component),
     * sum in DECIMAL (summation-order independent across engines and
@@ -721,7 +821,10 @@ object Similarity {
         .select($"query_id", lit(rank.toLong).as("pick"),
           $"p.cand_id".as("cand_id"), $"p.rel_e6".as("rel_e6"),
           $"p.score".as("mmr_x1e7"))
-    // pick 1: pure relevance (empty selected set, penalty 0)
+    // pick 1: pure relevance (empty selected set, penalty 0). Each
+    // round's selected frame is localCheckpoint-materialized (bounded
+    // ephemeral: ≤ queries·K rows, single-query lifetime — SCALE.md
+    // "Iterative-materialization policy").
     var selected = argmax(
       scored.withColumn("score", $"rel_e6" * 7), 1).localCheckpoint()
     for (r <- 2 to MmrK) {
@@ -896,6 +999,8 @@ object Similarity {
     "q_sim_ann_ivf" -> qSimAnnIvf,
     "q_sim_ann_pq" -> qSimAnnPq,
     "q_sim_pq_recall" -> qSimPqRecall,
+    "q_sim_ann_ivfadc" -> qSimAnnIvfadc,
+    "q_sim_ivfadc_recall" -> qSimIvfadcRecall,
     "q_sim_ann_recall" -> qSimAnnRecall,
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
@@ -905,6 +1010,33 @@ object Similarity {
     "q_kmeans" -> qKmeans,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
   )
+
+  /** The PQ codebook/encode/query-distance-table CTEs (assume `n`
+    * from [[duckNorm]]) — shared by the PQ and IVFADC oracles. Ends
+    * with `codes(vec_id, m, j)` and `dtab(query_id, m, j, d_e6)`. */
+  private lazy val pqChain: String =
+    s"""ms AS (SELECT unnest(range(0, $SubSpaces)) AS m),
+       |cb AS (SELECT m, vec_id AS j,
+       |         nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS cw
+       |       FROM n, ms WHERE vec_id < $CodeWords),
+       |sub AS (SELECT vec_id, m,
+       |          nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+       |        FROM n, ms),
+       |enc AS (SELECT vec_id, sub.m AS m, j,
+       |          CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |            i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
+       |        FROM sub JOIN cb ON sub.m = cb.m),
+       |codes AS (SELECT vec_id, m, j FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                      ORDER BY d_e6, j) AS rn FROM enc)
+       |          WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, m,
+       |           nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS qsv
+       |         FROM n, ms WHERE vec_id % 100 = 0),
+       |dtab AS (SELECT query_id, qsub.m AS m, j,
+       |           CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |             i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
+       |         FROM qsub JOIN cb ON qsub.m = cb.m)""".stripMargin
 
   /** DuckDB prologue: double-cast vectors (same fold order as the
     * CosineSimilarity expression's per-accumulator loops). */
@@ -1239,28 +1371,7 @@ object Similarity {
     "q_sim_ann_pq" ->
       (duckNorm +
         s""",
-          |ms AS (SELECT unnest(range(0, $SubSpaces)) AS m),
-          |cb AS (SELECT m, vec_id AS j,
-          |         nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS cw
-          |       FROM n, ms WHERE vec_id < $CodeWords),
-          |sub AS (SELECT vec_id, m,
-          |          nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
-          |        FROM n, ms),
-          |enc AS (SELECT vec_id, sub.m AS m, j,
-          |          CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
-          |            i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
-          |        FROM sub JOIN cb ON sub.m = cb.m),
-          |codes AS (SELECT vec_id, m, j FROM (
-          |            SELECT *, row_number() OVER (PARTITION BY vec_id, m
-          |                      ORDER BY d_e6, j) AS rn FROM enc)
-          |          WHERE rn = 1),
-          |qsub AS (SELECT vec_id AS query_id, m,
-          |           nv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS qsv
-          |         FROM n, ms WHERE vec_id % 100 = 0),
-          |dtab AS (SELECT query_id, qsub.m AS m, j,
-          |           CAST(round(list_sum(list_transform(range(1, ${SubDim + 1}),
-          |             i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) * 1e6) AS BIGINT) AS d_e6
-          |         FROM qsub JOIN cb ON qsub.m = cb.m),
+          |$pqChain,
           |adist AS (SELECT query_id, vec_id, CAST(sum(d_e6) AS BIGINT) AS adist_e6
           |          FROM codes JOIN dtab ON codes.m = dtab.m AND codes.j = dtab.j
           |          WHERE query_id <> vec_id GROUP BY query_id, vec_id),
@@ -1463,7 +1574,72 @@ object Similarity {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell, cos_e6
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
+  /** IVFADC oracle: the Lloyd chain + final-centroid cell assignment
+    * + nprobe probes (verbatim from the trained-IVF oracle) composed
+    * with the PQ chain (verbatim from the PQ oracle) — ADC lookup-sum
+    * restricted to probed cells, exact cosine rerank. */
+  private lazy val ivfadcOracle: String =
+    (duckNorm +
+      s""",
+        |$kmChain,
+        |c2 AS (
+        |  SELECT a.cluster AS j, p.pos, sum(p.vq) // count(*) AS cq
+        |  FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+        |  GROUP BY a.cluster, p.pos),
+        |d3 AS (
+        |  SELECT p.vec_id, c.j, sum((p.vq - c.cq) * (p.vq - c.cq)) AS d
+        |  FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY p.vec_id, c.j),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        |  FROM d3),
+        |cells AS (SELECT vec_id, j AS cell FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, j AS cell FROM rk
+        |           WHERE vec_id % 100 = 0 AND rn <= $NProbe),
+        |$pqChain,
+        |adist AS (
+        |  SELECT pr.query_id, mm.vec_id, mm.cell,
+        |         CAST(sum(dt.d_e6) AS BIGINT) AS adist_e6
+        |  FROM probes pr
+        |  JOIN cells mm ON pr.cell = mm.cell
+        |  JOIN codes ON codes.vec_id = mm.vec_id
+        |  JOIN dtab dt ON dt.query_id = pr.query_id
+        |             AND dt.m = codes.m AND dt.j = codes.j
+        |  WHERE pr.query_id <> mm.vec_id
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT query_id, vec_id AS neighbor_id, cell, adist_e6 FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY adist_e6, vec_id) AS arank FROM adist)
+        |         WHERE arank <= 10),
+        |p2 AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+        |         cand.adist_e6, q.nv AS qv, c.nv AS cv
+        |       FROM cand JOIN n q ON cand.query_id = q.vec_id
+        |       JOIN n c ON cand.neighbor_id = c.vec_id),
+        |s2 AS (SELECT query_id, neighbor_id, cell, adist_e6,
+        |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+        |       FROM p2),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM s2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |       cell, adist_e6, cos_e6
+        |FROM r2 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
+  private lazy val ivfadcRecallOracle: String =
+    s"""WITH b AS (${baseOracles("q_sim_knn_brute")}),
+       |v AS ($ivfadcOracle),
+       |t AS (SELECT query_id, neighbor_id FROM b WHERE rank <= 3),
+       |vh AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+       |       FROM t JOIN v ON t.query_id = v.query_id AND t.neighbor_id = v.neighbor_id
+       |       GROUP BY t.query_id)
+       |SELECT q.query_id,
+       |  coalesce(vh.hits, 0) AS ivfadc_hits,
+       |  coalesce(vh.hits, 0) * 1000 // 3 AS ivfadc_recall_permille
+       |FROM (SELECT DISTINCT query_id FROM t) q
+       |LEFT JOIN vh ON q.query_id = vh.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_sim_ann_ivfadc" -> ivfadcOracle,
+    "q_sim_ivfadc_recall" -> ivfadcRecallOracle,
     "q_emb_pca_power" ->
       """WITH comp AS (
         |  SELECT vec_id, CAST(i AS BIGINT) AS pos,

@@ -204,7 +204,13 @@ class PlanSpec extends SparkSpec {
       "q_pareto_revenue",
       // curriculum: the 1-row corpus-count broadcast onto the banded
       // rank frame (the stage quartile needs n_total on every row)
-      "q_curriculum")
+      "q_curriculum",
+      // sequential patterns: the 1-row global-user-count broadcast onto
+      // the pattern frame (r10 — replaced the eager driver-side count)
+      "q_seq_patterns",
+      // learned langid: the |langs|-row totals crossed onto the vocab
+      // grid + the 1-row vocab-size broadcast (training-side smoothing)
+      "q_text_langid", "q_langid_eval")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -244,6 +250,11 @@ class PlanSpec extends SparkSpec {
       // PQ recall drives the full PQ pipeline (stored code table
       // written on construct; brute side's broadcast-query cross join)
       "q_sim_pq_recall",
+      // IVFADC: k-means fit + stored (cell, codes) table on construct;
+      // broadcast codebook/centroid cross fan-outs as in PQ/IVF-trained
+      "q_sim_ann_ivfadc",
+      // IVFADC recall drives the composed pipeline + brute side
+      "q_sim_ivfadc_recall",
       // bias audit runs the components propagation on construct and
       // crosses the 1-row corpus-rate broadcast
       "q_dedup_bias",

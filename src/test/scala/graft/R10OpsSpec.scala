@@ -57,6 +57,35 @@ class R10OpsSpec extends SparkSpec {
     assert(t8 < t2, s"8-round total $t8 not below 2-round total $t2")
   }
 
+  test("ivfadc: ranked hits per query, self excluded, rerank order, sane distances") {
+    val rows = graft.sim.Similarity.qSimAnnIvfadc(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong), s"query $qid ranks not contiguous")
+      assert(sorted.length <= 3)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != qid)
+        assert(r.getAs[Long]("adist_e6") >= 0L)
+      }
+      val cos = sorted.map(_.getAs[Long]("cos_e6"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"query $qid rerank not descending: ${cos.toSeq}")
+    }
+  }
+
+  test("ivfadc recall guard: permille accounting, one row per query") {
+    val rows = graft.sim.Similarity.qSimIvfadcRecall(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("ivfadc_hits")
+      assert(h >= 0L && h <= 3L)
+      assert(r.getAs[Long]("ivfadc_recall_permille") == h * 1000 / 3)
+    }
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
