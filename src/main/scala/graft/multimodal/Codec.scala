@@ -15,8 +15,10 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
   * makes decode queries driver-checkable: the DuckDB oracle recomputes
   * the same formula arithmetically while Spark goes the long way
   * through real encoded bytes (encode → container format → decode).
-  * JPEG decode shares the same image path but is lossy, so it is
-  * spec-tested on dimensions + bounded pixel error, not oracle-hashed.
+  * JPEG (decode AND quality-factor encode, r10) shares the same image
+  * path but is lossy, so it is spec-tested on dimensions + bounded
+  * pixel error + the quality ladder, not oracle-hashed; the JPEG
+  * thumbnail query is rows-only by design, like q_text_compress_ratio.
   *
   * Scale notes: codecs run inside `mapPartitions` batches exactly like
   * the stub did — the binary payload never shuffles, decode parallelism
@@ -24,9 +26,8 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
   * at a time. */
 object Codec {
 
-  /** Encode a flat RGB byte array (row-major, 3 bytes/pixel, values
-    * 0-255) as a real PNG. */
-  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  private def toBufferedImage(width: Int, height: Int,
+      rgb: Array[Byte]): BufferedImage = {
     require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width*$height*3")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -40,8 +41,37 @@ object Codec {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode a flat RGB byte array (row-major, 3 bytes/pixel, values
+    * 0-255) as a real PNG. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    ImageIO.write(toBufferedImage(width, height, rgb), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode a flat RGB byte array as a real baseline JPEG at an
+    * explicit quality factor (0..1, the libjpeg-style knob). Lossy by
+    * design — [[decodeImage]] reads it back through the same image
+    * path; CodecSpec pins the dims-exact/bounded-error contract and
+    * the quality ladder (higher quality → more bytes, less error). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
+      quality: Float = 0.85f): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, s"quality $quality outside (0, 1]")
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toBufferedImage(width, height, rgb), null, null),
+        params)
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 

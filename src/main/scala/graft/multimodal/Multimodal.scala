@@ -373,6 +373,59 @@ object Multimodal {
     }
   }
 
+  case class JpegThumb(media_id: Long, src_w: Long, src_h: Long,
+      jpeg_bytes: Long, thumb_sum: Long, max_abs_err: Long,
+      sum_abs_err: Long)
+
+  /** JPEG thumbnail pipeline — the same decode + 8×8 nearest-neighbor
+    * resample as [[thumbnails]], but the thumbnail TARGETS the lossy
+    * container a real image corpus actually stores: quality-0.85
+    * [[Codec.encodeJpeg]] → real decode back → fingerprint + error
+    * accounting against the exact resample. JPEG output bytes are not
+    * SQL-replayable, so the query is rows-only by design (the
+    * q_text_compress_ratio precedent); CodecSpec pins the encoder's
+    * dims/bounded-error/quality-ladder contract and MultimodalSpec
+    * the per-row error bound on this corpus. Batched per partition;
+    * bytes never shuffle. */
+  def thumbnailsJpeg(media: Dataset[EncodedMedia],
+      quality: Float = 0.85f): Dataset[JpegThumb] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image/png").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, rgb) = Codec.decodeImage(m.content)
+          val t = new Array[Byte](ThumbSide * ThumbSide * 3)
+          var ty = 0
+          while (ty < ThumbSide) {
+            var tx = 0
+            while (tx < ThumbSide) {
+              val sy = ty * h / ThumbSide
+              val sx = tx * w / ThumbSide
+              var c = 0
+              while (c < 3) {
+                t((ty * ThumbSide + tx) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+                c += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          val jpeg = Codec.encodeJpeg(ThumbSide, ThumbSide, t, quality)
+          val (_, _, back) = Codec.decodeImage(jpeg)
+          var s = 0L; var maxE = 0L; var sumE = 0L; var i = 0
+          while (i < back.length) {
+            val v = back(i) & 0xFF
+            val e = math.abs(v - (t(i) & 0xFF)).toLong
+            s += v; sumE += e; if (e > maxE) maxE = e
+            i += 1
+          }
+          JpegThumb(m.media_id, w.toLong, h.toLong, jpeg.length.toLong,
+            s, maxE, sumE)
+        }
+      }
+    }
+  }
+
   // --- REAL multi-frame container (animated GIF, r9) ---------------
 
   /** Deterministic gray pixel `i` of frame `f` of video `id`. Frames
@@ -500,6 +553,11 @@ object Multimodal {
   def qMmThumbnail(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     thumbnails(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
+
+  def qMmThumbnailJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    thumbnailsJpeg(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
   }
 
   def qMmDecodeImage(spark: SparkSession, dir: String): DataFrame = {
@@ -637,6 +695,7 @@ object Multimodal {
     "q_mm_decode_image" -> qMmDecodeImage,
     "q_mm_decode_audio" -> qMmDecodeAudio,
     "q_mm_thumbnail" -> qMmThumbnail,
+    "q_mm_thumbnail_jpeg" -> qMmThumbnailJpeg,
     "q_mm_gif_frames" -> qMmGifFrames,
     "q_mm_gif_scene_cuts" -> qMmGifSceneCuts,
     "q_mm_gif_dhash" -> qMmGifDhash,

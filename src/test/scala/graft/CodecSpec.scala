@@ -88,6 +88,33 @@ class CodecSpec extends SparkSpec {
     assert(maxErr <= 40, s"JPEG pixel error $maxErr too large for smooth content")
   }
 
+  test("JPEG encode: quality-factor knob works — dims exact, bounded error, quality ladder") {
+    val (w, h) = (16, 12)
+    // textured but band-limited content: per-8x8-block gradients
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      (((px % w) * 8 + (px / w) * 4 + (i % 3) * 5) % 256).toByte
+    }
+    val hi = Codec.encodeJpeg(w, h, rgb, 0.95f)
+    val lo = Codec.encodeJpeg(w, h, rgb, 0.30f)
+    Seq(hi, lo).foreach { j =>
+      assert((j(0) & 0xFF) == 0xFF && (j(1) & 0xFF) == 0xD8) // SOI marker
+    }
+    def errs(bytes: Array[Byte]): (Int, Long) = {
+      val (dw, dh, out) = Codec.decodeImage(bytes)
+      assert((dw, dh) == (w, h))
+      val e = out.indices.map(i => math.abs((out(i) & 0xFF) - (rgb(i) & 0xFF)))
+      (e.max, e.map(_.toLong).sum)
+    }
+    val (hiMax, hiSum) = errs(hi)
+    val (loMax, loSum) = errs(lo)
+    assert(hiMax <= 40, s"q=0.95 max pixel error $hiMax")
+    // the quality knob is real: lower quality -> fewer bytes, more error
+    assert(lo.length < hi.length, s"q=0.30 ${lo.length}B !< q=0.95 ${hi.length}B")
+    assert(hiSum < loSum, s"q=0.95 total error $hiSum !< q=0.30 $loSum")
+    val _ = loMax
+  }
+
   test("WAV round-trip is lossless: PCM16 samples and rate survive the container") {
     val samples = Array.tabulate(300)(i => ((i * 1031) % 65536 - 32768).toShort)
     val wav = Codec.encodeWav(samples, 16000)

@@ -147,4 +147,29 @@ class MultimodalSpec extends SparkSpec {
     // the synthetic corpus has real cuts and real non-cuts
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
+
+  test("jpeg thumbnails: lossless-thumb agreement within JPEG error, real compression") {
+    val png = Multimodal.qMmThumbnail(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("thumb_sum")).toMap
+    val rows = Multimodal.qMmThumbnailJpeg(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length == png.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = 8 * 8 * 3
+      assert(r.getAs[Long]("jpeg_bytes") > 0L)
+      val maxE = r.getAs[Long]("max_abs_err")
+      val sumE = r.getAs[Long]("sum_abs_err")
+      // the synthetic pixels are hash noise — the hardest content for
+      // JPEG (q=0.85 uses 4:2:0 chroma subsampling, so isolated chroma
+      // errors reach ~200); the MEAN error is the meaningful bound
+      // (observed ~50/pixel on this corpus)
+      assert(maxE <= 230L, s"media $id max error $maxE")
+      assert(sumE <= 64L * n, s"media $id mean error ${sumE / n} too high")
+      assert(sumE <= maxE * n)
+      // the lossy fingerprint stays within the accumulated error of
+      // the lossless one (triangle inequality over the 192 pixels)
+      assert(math.abs(r.getAs[Long]("thumb_sum") - png(id)) <= sumE,
+        s"media $id jpeg sum drifted beyond its own error accounting")
+    }
+  }
 }
