@@ -63,12 +63,12 @@ object Pipeline {
     }
   }
 
-  private def boundedText(spark: SparkSession, watchDir: String,
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
-    val reader = spark.readStream
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.text(watchDir)
-  }
+  // The ingestion seam: every streaming entry point reads through an
+  // admission-bounded [[graft.sources.EventBusSource]]; the watchDir
+  // overloads below are the file-source convenience wrappers. A Kafka
+  // topic drops in as KafkaBusSource with maxOffsetsPerTrigger — same
+  // contract, no other change (BoundedTriggerSpec proves the seam with
+  // the file and rate sources).
 
   /** Derive and persist the reporting model from the event log. */
   def deriveTables(spark: SparkSession, logPath: String, outPath: String): Unit = {
@@ -93,8 +93,16 @@ object Pipeline {
   def startStreaming(spark: SparkSession, watchDir: String,
       checkpointDir: String, outPath: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
-    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery =
+    startStreaming(spark,
+      graft.sources.FileBusSource(watchDir, maxFilesPerTrigger),
+      checkpointDir, outPath, trigger)
+
+  /** [[startStreaming]] over any admission-bounded bus source. */
+  def startStreaming(spark: SparkSession, source: graft.sources.EventBusSource,
+      checkpointDir: String, outPath: String,
+      trigger: Trigger): StreamingQuery = {
+    val raw = source.open(spark)
     val changelog = StreamingPipeline.segmentsChangelog(spark,
       StreamingPipeline.parseStream(spark, raw))
     changelog.writeStream
@@ -123,8 +131,18 @@ object Pipeline {
       checkpointDir: String, outPath: String,
       stateTtlMs: Option[Long] = Some(24L * 3600 * 1000),
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
-    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery =
+    startStreamingMerged(spark,
+      graft.sources.FileBusSource(watchDir, maxFilesPerTrigger),
+      checkpointDir, outPath, stateTtlMs, trigger)
+
+  /** [[startStreamingMerged]] over any admission-bounded bus source. */
+  def startStreamingMerged(spark: SparkSession,
+      source: graft.sources.EventBusSource,
+      checkpointDir: String, outPath: String,
+      stateTtlMs: Option[Long],
+      trigger: Trigger): StreamingQuery = {
+    val raw = source.open(spark)
     val changelog = StreamingPipeline.segmentsChangelog(spark,
       StreamingPipeline.parseStream(spark, raw), stateTtlMs)
     graft.streaming.MergeSink.start(changelog,
@@ -141,8 +159,17 @@ object Pipeline {
   def startStreamingAgents(spark: SparkSession, watchDir: String,
       checkpointDir: String, outPath: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery = {
-    val raw = boundedText(spark, watchDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Option[Int] = Some(DefaultMaxFilesPerTrigger)): StreamingQuery =
+    startStreamingAgents(spark,
+      graft.sources.FileBusSource(watchDir, maxFilesPerTrigger),
+      checkpointDir, outPath, trigger)
+
+  /** [[startStreamingAgents]] over any admission-bounded bus source. */
+  def startStreamingAgents(spark: SparkSession,
+      source: graft.sources.EventBusSource,
+      checkpointDir: String, outPath: String,
+      trigger: Trigger): StreamingQuery = {
+    val raw = source.open(spark)
     graft.streaming.MergeSink.startAgents(
       StreamingPipeline.parseStream(spark, raw),
       s"$outPath/agents_latest", checkpointDir, trigger)

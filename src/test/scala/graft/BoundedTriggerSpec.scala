@@ -95,6 +95,63 @@ class BoundedTriggerSpec extends SparkSpec {
     assert(bounded == single)
   }
 
+  test("bus seam: rate source under rowsPerBatch admission converges to the file-source merged table") {
+    import spark.implicits._
+    // the same corpus a bus partition would deliver, in event-time
+    // order, fed through the SECOND EventBusSource implementation —
+    // proving the seam contract (one `value` column + bounded
+    // admission) is all the pipeline depends on
+    val lines = corpus.orderBy(col("ts")).select("value").as[String].collect().toSeq
+    val n = lines.length
+    val rowsPerBatch = math.max(1, n / 3) // 4 bounded batches
+    // toLine: literal line array + try_element_at (NULL past the
+    // corpus end under ANSI mode, so the infinite source tails off)
+    val arr = typedlit(lines)
+    val src = graft.sources.RateBusSource(rowsPerBatch,
+      v => org.apache.spark.sql.functions.try_element_at(arr, (v + lit(1)).cast("int")))
+
+    // file-source reference over the same lines (bounded, TTL off)
+    val in = tmp("graft-bus-in")
+    Pipeline.stageOrderedJson(corpus, col("ts"), col("value"), in, chunks = 4)
+    val fileOut = tmp("graft-bus-file-out")
+    Pipeline.startStreamingMerged(spark, in, tmp("graft-bus-file-ckpt"), fileOut,
+      stateTtlMs = None, maxFilesPerTrigger = Some(1)).awaitTermination(300000)
+    val want = Pipeline.mergedSegments(spark, fileOut)
+      .orderBy("uuid").collect().toSeq
+    assert(want.nonEmpty)
+
+    val recorder = new StreamMetrics.Recorder()
+    spark.streams.addListener(recorder)
+    val rateOut = tmp("graft-bus-rate-out")
+    val q = Pipeline.startStreamingMerged(spark, src,
+      tmp("graft-bus-rate-ckpt"), rateOut, stateTtlMs = None,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // reads race the sink's partition rewrites (FAILED_READ_FILE
+      // mid-merge) — Try + retry until convergence
+      def got() = scala.util.Try(
+        Pipeline.mergedSegments(spark, rateOut).orderBy("uuid").collect().toSeq
+      ).getOrElse(Seq.empty)
+      val deadline = System.currentTimeMillis() + 300000
+      var found = got()
+      while (found != want && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); found = got()
+      }
+      assert(found == want,
+        s"rate-source merged table never converged: got ${found.size} want ${want.size}")
+    } finally {
+      q.stop(); spark.streams.removeListener(recorder)
+    }
+    // admission boundedness: the source enforces rowsPerBatch exactly —
+    // no data batch ever admitted more source rows than the bound
+    val batches = recorder.drain().filter(_.numInputRows > 0)
+    assert(batches.nonEmpty)
+    batches.foreach(b => assert(b.numInputRows <= rowsPerBatch,
+      s"batch ${b.batchId} admitted ${b.numInputRows} > bound $rowsPerBatch"))
+    // and the corpus arrived across MULTIPLE bounded batches
+    assert(batches.count(_.numInputRows == rowsPerBatch) >= 3)
+  }
+
   test("ordered staging: chunk N+1 never starts behind chunk N (no late rows between batches)") {
     val in = tmp("graft-bt-ord")
     Pipeline.stageOrderedJson(corpus, col("ts"), col("value"), in, chunks = 4)
