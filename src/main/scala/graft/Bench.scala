@@ -32,7 +32,14 @@ object Bench {
     // bounded retrieval sides), and entity resolution (3 label rounds
     // over the blocked fuzzy graph)
     "q_text_trigram_loo", "q_mm_gif_dhash_pairs", "q_hybrid_rrf",
-    "q_entity_resolution")
+    "q_entity_resolution",
+    // r10 heavies: the 8-round staged BPE trainer (cost tracks the
+    // DISTINCT vocab, not the corpus), the learned-bigram langid (one
+    // (doc, bigram) shuffle + broadcast model), the composed IVFADC
+    // search (stored cell-code table + probes), and the lossy
+    // thumbnail codec pass (linear decode+encode per asset)
+    "q_bpe_train", "q_text_langid", "q_sim_ann_ivfadc",
+    "q_mm_thumbnail_jpeg")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

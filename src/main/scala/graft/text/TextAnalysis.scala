@@ -106,11 +106,12 @@ object TextAnalysis {
     * vocabulary-sized or 1-row broadcasts. At 100 TB training runs
     * offline on a sample and only the weight broadcast remains in the
     * scoring path. */
-  private[graft] def withLangId(df: DataFrame): DataFrame = {
+  /** Per-doc bigram counts — the one corpus-sized shuffle of the
+    * langid pipeline, shared by training and scoring. */
+  private def langIdBigrams(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val db = df
-      .select($"doc_id", $"lang",
+    df.select($"doc_id", $"lang",
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id", $"lang", explode(expr(
@@ -119,6 +120,19 @@ object TextAnalysis {
         .as("bigram"))
       .groupBy($"doc_id", $"lang", $"bigram")
       .agg(count(lit(1)).as("nb"))
+  }
+
+  private[graft] def withLangId(df: DataFrame): DataFrame = {
+    val db = langIdBigrams(df)
+    withLangIdScored(df, db, langIdWeights(db))
+  }
+
+  /** TRAINING: the (bigram → w_de..w_zh) weight table from a per-doc
+    * bigram-count frame. Vocabulary-sized output — the shipped model
+    * artifact ([[langIdWeightsFor]] stages it once per corpus). */
+  private def langIdWeights(db: DataFrame): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
     val cnt = db.groupBy($"lang", $"bigram").agg(sum($"nb").as("n"))
     val tot = cnt.groupBy($"lang").agg(sum($"n").as("tot"))
     val voc = cnt.select($"bigram").distinct()
@@ -130,8 +144,16 @@ object TextAnalysis {
         expr("((coalesce(n, 0L) + 1) * 1000000) div (tot + v)").as("ppm"))
     val wAggs = LangHeads.map(l =>
       sum(when($"lang" === l, $"w")).as(s"w_$l"))
-    val weights = ppm.withColumn("w", expr(ilog2x4096("ppm")))
+    ppm.withColumn("w", expr(ilog2x4096("ppm")))
       .groupBy($"bigram").agg(wAggs.head, wAggs.tail: _*)
+  }
+
+  /** SCORING: five broadcast-weighted sums per doc + tie-broken
+    * argmax, appended to `df`. */
+  private def withLangIdScored(df: DataFrame, db: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val sAggs = LangHeads.map(l =>
       sum($"nb" * col(s"w_$l")).as(s"s_$l"))
     val scores = db.join(broadcast(weights), Seq("bigram"))
@@ -150,9 +172,17 @@ object TextAnalysis {
         .otherwise("zh"))
   }
 
+  /** The weight table staged once per (session, corpus) — training
+    * runs once and both langid queries score against the stored
+    * model, the production train-once/score-many shape. */
+  private def langIdWeightsFor(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"langid_weights|$dir")(
+      langIdWeights(langIdBigrams(Tables.load(spark, dir, "documents"))))
+
   def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withLangId(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
+    withLangIdScored(docs, langIdBigrams(docs), langIdWeightsFor(spark, dir))
       .select($"doc_id", $"s_de", $"s_en", $"s_es", $"s_fr", $"s_zh",
         $"predicted_lang")
       .orderBy($"doc_id")
@@ -169,7 +199,9 @@ object TextAnalysis {
     * marginals broadcast back. */
   def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = withLangId(Tables.load(spark, dir, "documents"))
+    val docs = Tables.load(spark, dir, "documents")
+    val cells = withLangIdScored(docs, langIdBigrams(docs),
+        langIdWeightsFor(spark, dir))
       .groupBy($"lang", $"predicted_lang").agg(count(lit(1)).as("n"))
     val trueTot = cells.groupBy($"lang").agg(sum($"n").as("n_true"))
     val predTot = cells.groupBy($"predicted_lang").agg(sum($"n").as("n_pred"))
@@ -224,9 +256,11 @@ object TextAnalysis {
     * no shuffle beyond the rollup. */
   def qLangIdMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def cnt(marker: String): Column =
-      expr(s"(length(chunk) - length(replace(chunk, '$marker', ''))) div ${marker.length}")
-    Tables.load(spark, dir, "documents")
+    // the SAME stored weight table the doc-level classifier scores
+    // with (shared-definition rule — r10 upgraded this audit from the
+    // retired marker heads to the learned model)
+    val weights = langIdWeightsFor(spark, dir)
+    val chunks = Tables.load(spark, dir, "documents")
       .select($"doc_id",
         // greatest(1, …): a zero-length doc yields ONE empty chunk on
         // both engines. Without it Spark's sequence(0, -1) auto-
@@ -237,27 +271,58 @@ object TextAnalysis {
           "sequence(0, greatest(1, cast((length(text) + 255) div 256 as int)) - 1)")).as("ci"),
         $"text")
       .withColumn("chunk", expr("substring(text, ci * 256 + 1, 256)"))
-      .withColumn("c_en", cnt("the ") + cnt(" a "))
-      .withColumn("c_es", cnt("os ") + cnt("as "))
-      .withColumn("c_de", cnt("sch") + cnt("ein"))
+      .select($"doc_id", $"ci", $"chunk")
+    // per-chunk bigrams, the doc-level token convention; boundary-cut
+    // partial tokens form bigrams outside the trained vocabulary and
+    // drop in the weight join — identically in both engines
+    val cb = chunks
+      .select($"doc_id", $"ci",
+        expr("filter(split(chunk, ' '), t -> t <> '')").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", $"ci", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"ci", $"bigram")
+      .agg(count(lit(1)).as("nb"))
+    val sAggs = LangHeads.map(l =>
+      sum($"nb" * col(s"w_$l")).as(s"s_$l"))
+    val scored = cb.join(broadcast(weights), Seq("bigram"))
+      .groupBy($"doc_id", $"ci").agg(sAggs.head, sAggs.tail: _*)
+    val chunkLang = LangHeads.foldLeft(
+        chunks.join(scored, Seq("doc_id", "ci"), "left_outer")) {
+        case (d, l) => d.withColumn(s"s_$l", coalesce(col(s"s_$l"), lit(0L)))
+      }
       .withColumn("chunk_lang",
-        when($"c_en" >= $"c_es" && $"c_en" >= $"c_de", "en")
-          .when($"c_es" >= $"c_de", "es").otherwise("de"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"chunk_lang" === "en", 1L).otherwise(0L)).as("v_en"),
-        sum(when($"chunk_lang" === "es", 1L).otherwise(0L)).as("v_es"),
-        sum(when($"chunk_lang" === "de", 1L).otherwise(0L)).as("v_de"))
+        when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" &&
+          $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" &&
+            $"s_en" >= $"s_zh", "en")
+          .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_zh", "es")
+          .when($"s_fr" >= $"s_zh", "fr")
+          .otherwise("zh"))
+    val vAggs = LangHeads.map(l =>
+      sum(when($"chunk_lang" === l, 1L).otherwise(0L)).as(s"v_$l"))
+    chunkLang.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), vAggs: _*)
       .withColumn("dom_lang",
-        when($"v_en" >= $"v_es" && $"v_en" >= $"v_de", "en")
-          .when($"v_es" >= $"v_de", "es").otherwise("de"))
+        when($"v_de" >= $"v_en" && $"v_de" >= $"v_es" &&
+          $"v_de" >= $"v_fr" && $"v_de" >= $"v_zh", "de")
+          .when($"v_en" >= $"v_es" && $"v_en" >= $"v_fr" &&
+            $"v_en" >= $"v_zh", "en")
+          .when($"v_es" >= $"v_fr" && $"v_es" >= $"v_zh", "es")
+          .when($"v_fr" >= $"v_zh", "fr")
+          .otherwise("zh"))
       .withColumn("dom_votes",
-        when($"dom_lang" === "en", $"v_en")
-          .when($"dom_lang" === "es", $"v_es").otherwise($"v_de"))
+        when($"dom_lang" === "de", $"v_de")
+          .when($"dom_lang" === "en", $"v_en")
+          .when($"dom_lang" === "es", $"v_es")
+          .when($"dom_lang" === "fr", $"v_fr")
+          .otherwise($"v_zh"))
       .withColumn("mix_permille",
         expr("1000 - (dom_votes * 1000) div n_chunks"))
-      .select($"doc_id", $"n_chunks", $"v_en", $"v_es", $"v_de",
-        $"dom_lang", $"mix_permille",
+      .select($"doc_id", $"n_chunks", $"v_de", $"v_en", $"v_es",
+        $"v_fr", $"v_zh", $"dom_lang", $"mix_permille",
         when($"mix_permille" > 200, "Y").otherwise("N").as("is_mixed"))
       .orderBy($"doc_id")
   }
@@ -1345,12 +1410,20 @@ object TextAnalysis {
     "q_text_fingerprint" -> qTextFingerprint
   )
 
-  /** The learned-bigram language-ID replay as a DuckDB CTE chain
-    * ending in `p(doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-    * predicted_lang)` — shared by the prediction and evaluation
-    * oracles, mirroring [[withLangId]] step for step including the 12
+  /** The argmax CASE chain over five (already-coalesced) score
+    * columns — alphabetical priority on ties, shared by all langid
+    * oracles. */
+  private def duckLangArgmax: String =
+    """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END""".stripMargin
+
+  /** The langid TRAINING replay as DuckDB CTEs ending in
+    * `wt(bigram, w_de..w_zh)` — the weight table, shared by the
+    * prediction, evaluation, and chunk-mix oracles; includes the 12
     * integer log2 squaring rounds (generated, one small CTE each). */
-  private def duckLangIdCte: String = {
+  private def duckLangIdTrainCtes: String = {
     val logSteps = (0 until 12).map { i =>
       s"""l${i + 1} AS (SELECT lang, bigram,
          |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
@@ -1359,10 +1432,6 @@ object TextAnalysis {
     }.mkString(",\n")
     val wCols = LangHeads.map(l =>
       s"  sum(CASE WHEN lang='$l' THEN r END) AS w_$l").mkString(",\n")
-    val sCols = LangHeads.map(l =>
-      s"  CAST(sum(nb*w_$l) AS BIGINT) AS s_$l").mkString(",\n")
-    val cCols = LangHeads.map(l =>
-      s"    coalesce(sc.s_$l, 0) AS s_$l").mkString(",\n")
     s"""tk AS MATERIALIZED (
        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents),
@@ -1390,18 +1459,84 @@ object TextAnalysis {
        |$logSteps,
        |wt AS MATERIALIZED (SELECT bigram,
        |$wCols
-       |  FROM l12 GROUP BY bigram),
+       |  FROM l12 GROUP BY bigram)""".stripMargin
+  }
+
+  /** The doc-level langid replay: training CTEs + per-doc scoring,
+    * ending in `p(doc_id, lang, s_de..s_zh, predicted_lang)` — shared
+    * by the prediction and evaluation oracles, mirroring
+    * [[withLangId]] step for step. */
+  private def duckLangIdCte: String = {
+    val sCols = LangHeads.map(l =>
+      s"  CAST(sum(nb*w_$l) AS BIGINT) AS s_$l").mkString(",\n")
+    val cCols = LangHeads.map(l =>
+      s"    coalesce(sc.s_$l, 0) AS s_$l").mkString(",\n")
+    s"""$duckLangIdTrainCtes,
        |sc AS (SELECT doc_id,
        |$sCols
        |  FROM bgd JOIN wt USING(bigram) GROUP BY doc_id),
        |p AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang
+       |  $duckLangArgmax AS predicted_lang
        |  FROM (SELECT d.doc_id, d.lang,
        |$cCols
        |    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id) q)""".stripMargin
+  }
+
+  /** The chunk-mix oracle: the shared training CTEs, then per-chunk
+    * bigram scoring with the SAME weight table + argmax, per-doc
+    * votes/dominance/mix share — mirroring [[qLangIdMix]]. */
+  private def langIdMixOracle: String = {
+    val sCols = LangHeads.map(l =>
+      s"  CAST(sum(nb*w_$l) AS BIGINT) AS s_$l").mkString(",\n")
+    val cCols = LangHeads.map(l =>
+      s"    coalesce(csc.s_$l, 0) AS s_$l").mkString(",\n")
+    val vCols = LangHeads.map(l =>
+      s"    CAST(sum(CASE WHEN chunk_lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS v_$l")
+      .mkString(",\n")
+    s"""WITH $duckLangIdTrainCtes,
+       |ch AS MATERIALIZED (
+       |  SELECT d.doc_id, g.ci, substr(d.text, g.ci * 256 + 1, 256) AS chunk
+       |  FROM documents d
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0,
+       |    greatest(1, (length(d.text) + 255) // 256))) AS ci) g),
+       |cbd AS MATERIALIZED (
+       |  SELECT doc_id, ci, bigram, CAST(count(*) AS BIGINT) AS nb
+       |  FROM (SELECT doc_id, ci, toks[i] || ' ' || toks[i+1] AS bigram
+       |        FROM (SELECT doc_id, ci,
+       |                list_filter(string_split(chunk, ' '), t -> t <> '') AS toks
+       |              FROM ch) tq,
+       |             LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+       |        WHERE len(toks) >= 2) b
+       |  GROUP BY 1, 2, 3),
+       |csc AS (SELECT doc_id, ci,
+       |$sCols
+       |  FROM cbd JOIN wt USING(bigram) GROUP BY doc_id, ci),
+       |cl AS (SELECT doc_id, ci,
+       |  $duckLangArgmax AS chunk_lang
+       |  FROM (SELECT ch.doc_id, ch.ci,
+       |$cCols
+       |    FROM ch LEFT JOIN csc ON csc.doc_id = ch.doc_id AND csc.ci = ch.ci) q),
+       |v AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |$vCols
+       |  FROM cl GROUP BY doc_id),
+       |dv AS (
+       |  SELECT *,
+       |    CASE WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr AND v_de >= v_zh THEN 'de'
+       |         WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_zh THEN 'en'
+       |         WHEN v_es >= v_fr AND v_es >= v_zh THEN 'es'
+       |         WHEN v_fr >= v_zh THEN 'fr' ELSE 'zh' END AS dom_lang
+       |  FROM v),
+       |m AS (
+       |  SELECT *,
+       |    1000 - (CASE dom_lang WHEN 'de' THEN v_de WHEN 'en' THEN v_en
+       |            WHEN 'es' THEN v_es WHEN 'fr' THEN v_fr
+       |            ELSE v_zh END * 1000) // n_chunks AS mix_permille
+       |  FROM dv)
+       |SELECT doc_id, n_chunks, v_de, v_en, v_es, v_fr, v_zh, dom_lang,
+       |  mix_permille,
+       |  CASE WHEN mix_permille > 200 THEN 'Y' ELSE 'N' END AS is_mixed
+       |FROM m ORDER BY doc_id""".stripMargin
   }
 
   private def duckTaxonomyValues: String =
@@ -1980,44 +2115,7 @@ object TextAnalysis {
          |JOIN pt ON c.predicted_lang = pt.predicted_lang
          |ORDER BY c.lang, c.predicted_lang""".stripMargin,
 
-    "q_langid_mix" ->
-      """WITH ch AS (
-        |  SELECT d.doc_id, substr(d.text, g.ci * 256 + 1, 256) AS chunk
-        |  FROM documents d
-        |  CROSS JOIN LATERAL (SELECT unnest(range(0,
-        |    greatest(1, (length(d.text) + 255) // 256))) AS ci) g),
-        |sc AS (
-        |  SELECT doc_id,
-        |    (length(chunk) - length(replace(chunk, 'the ', ''))) // 4
-        |      + (length(chunk) - length(replace(chunk, ' a ', ''))) // 3 AS c_en,
-        |    (length(chunk) - length(replace(chunk, 'os ', ''))) // 3
-        |      + (length(chunk) - length(replace(chunk, 'as ', ''))) // 3 AS c_es,
-        |    (length(chunk) - length(replace(chunk, 'sch', ''))) // 3
-        |      + (length(chunk) - length(replace(chunk, 'ein', ''))) // 3 AS c_de
-        |  FROM ch),
-        |v AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |    CAST(sum(CASE WHEN c_en >= c_es AND c_en >= c_de THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS v_en,
-        |    CAST(sum(CASE WHEN NOT (c_en >= c_es AND c_en >= c_de)
-        |                   AND c_es >= c_de THEN 1 ELSE 0 END) AS BIGINT) AS v_es,
-        |    CAST(sum(CASE WHEN NOT (c_en >= c_es AND c_en >= c_de)
-        |                   AND NOT (c_es >= c_de) THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS v_de
-        |  FROM sc GROUP BY doc_id),
-        |dv AS (
-        |  SELECT *,
-        |    CASE WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
-        |         WHEN v_es >= v_de THEN 'es' ELSE 'de' END AS dom_lang
-        |  FROM v),
-        |m AS (
-        |  SELECT *,
-        |    1000 - (CASE dom_lang WHEN 'en' THEN v_en WHEN 'es' THEN v_es
-        |            ELSE v_de END * 1000) // n_chunks AS mix_permille
-        |  FROM dv)
-        |SELECT doc_id, n_chunks, v_en, v_es, v_de, dom_lang, mix_permille,
-        |  CASE WHEN mix_permille > 200 THEN 'Y' ELSE 'N' END AS is_mixed
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_langid_mix" -> langIdMixOracle,
 
     "q_text_bpe" ->
       """WITH p AS (

@@ -53,23 +53,21 @@ class R9OpsSpec extends SparkSpec {
   test("langid_mix: chunk votes sum to n_chunks; single-chunk docs are never mixed") {
     val rows = TextAnalysis.qLangIdMix(spark, sf0001).collect()
     assert(rows.nonEmpty)
+    val heads = Seq("de", "en", "es", "fr", "zh")
     rows.foreach { r =>
-      val (n, en, es, de) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("v_en"),
-        r.getAs[Long]("v_es"), r.getAs[Long]("v_de"))
-      assert(en + es + de == n, s"doc ${r.getAs[Long]("doc_id")} votes")
+      val n = r.getAs[Long]("n_chunks")
+      val votes = heads.map(l => l -> r.getAs[Long](s"v_$l"))
+      assert(votes.map(_._2).sum == n, s"doc ${r.getAs[Long]("doc_id")} votes")
       assert(r.getAs[Long]("mix_permille") >= 0 &&
         r.getAs[Long]("mix_permille") <= 1000)
       if (n == 1) {
         assert(r.getAs[Long]("mix_permille") == 0L)
-        assert(r.getString(7) == "N")
+        assert(r.getAs[String]("is_mixed") == "N")
       }
-      // dominant language holds a plurality
+      // dominant language holds a plurality (five learned heads, r10)
       val dom = r.getAs[String]("dom_lang")
-      val domV = dom match {
-        case "en" => en; case "es" => es; case _ => de
-      }
-      assert(domV >= en.max(es).max(de) - (if (domV == en.max(es).max(de)) 0 else 1)
-        && domV == en.max(es).max(de))
+      val domV = votes.find(_._1 == dom).get._2
+      assert(domV == votes.map(_._2).max)
     }
     // chunk count matches ceil(len/256) for every doc
     val lens = Tables.load(spark, sf0001, "documents")
