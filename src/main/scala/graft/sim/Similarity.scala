@@ -891,6 +891,55 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** BINARY (1-bit) QUANTIZATION ANN — the fourth rung of the
+    * quantization ladder (float32 → SQ8 int8 → PQ 4 B → 8 B sign code
+    * here, two BIGINT halves per vector, the dHash convention): bit k set iff component k > 0,
+    * Hamming distance `bit_count(xor)` as the candidate metric (the
+    * binary-quantization recipe modern vector stores ship — a
+    * candidate scan is ONE xor+popcount per pair, 32× less memory
+    * than float32), exact cosine rerank of the Hamming top-10 to
+    * top-3. Sign quantization of mean-centered-ish embeddings
+    * preserves angular order remarkably well (Charikar 2002: Hamming
+    * on sign codes estimates angle). Everything integer and
+    * deterministic, so — like SQ8 and unlike the recall-audited
+    * LSH/IVF — the WHOLE pipeline hash-checks end to end.
+    *
+    * Scale shape: the 5 query codes broadcast over the corpus CODE
+    * column (the vectors never join the candidate scan); only the 10
+    * rerank candidates per query touch full vectors. */
+  def qSimAnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // two 32-bit halves (the dHash convention) — bit 63 of a single
+    // BIGINT would overflow DuckDB's checked left shift
+    val half = Dim / 2
+    val coded = vectors(spark, dir)
+      .withColumn("code_lo", expr(
+        s"aggregate(sequence(0, ${half - 1}), 0L, " +
+          "(acc, k) -> acc + if(element_at(nv, k + 1) > 0D, shiftleft(1L, k), 0L))"))
+      .withColumn("code_hi", expr(
+        s"aggregate(sequence(0, ${half - 1}), 0L, " +
+          s"(acc, k) -> acc + if(element_at(nv, k + $half + 1) > 0D, shiftleft(1L, k), 0L))"))
+    val q = coded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"),
+        $"code_lo".as("qlo"), $"code_hi".as("qhi"))
+    val c = coded.select($"vec_id".as("cand_id"), $"nv".as("cv"),
+      $"code_lo".as("clo"), $"code_hi".as("chi"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"hamming", $"cand_id")
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"cand_id")
+    broadcast(q).join(c, $"query_id" =!= $"cand_id")
+      .withColumn("hamming", expr(
+        "cast(bit_count(qlo ^ clo) + bit_count(qhi ^ chi) as bigint)"))
+      .withColumn("hrank", row_number().over(wH)).filter($"hrank" <= 10)
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"cand_id".as("neighbor_id"),
+        $"hamming", $"cos_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (JL 1984; Achlioptas 2003
     * ±1 database-friendly variant, public papers): project 64-dim
     * embeddings to 16 dims through a FIXED ±1 sign matrix (the
@@ -988,6 +1037,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> qSimMmr,
     "q_sim_ann_sq8" -> qSimAnnSq8,
+    "q_sim_ann_binary" -> qSimAnnBinary,
     "q_sim_jl_project" -> qSimJlProject,
     "q_sim_rank_eval" -> qSimRankEval,
     "q_sim_ann_lsh_multiprobe" -> qSimAnnLshMultiprobe,
@@ -1637,7 +1687,37 @@ object Similarity {
        |LEFT JOIN vh ON q.query_id = vh.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  private lazy val binaryAnnOracle: String =
+    (duckNorm +
+      s""",
+        |code AS (SELECT vec_id, nv,
+        |  CAST(list_sum(list_transform(range(0, ${Dim / 2}),
+        |    k -> CASE WHEN nv[k + 1] > 0 THEN (1::BIGINT << k)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS code_lo,
+        |  CAST(list_sum(list_transform(range(0, ${Dim / 2}),
+        |    k -> CASE WHEN nv[k + ${Dim / 2} + 1] > 0 THEN (1::BIGINT << k)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS code_hi
+        |  FROM n),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(bit_count(xor(q.code_lo, c.code_lo))
+        |       + bit_count(xor(q.code_hi, c.code_hi)) AS BIGINT) AS hamming,
+        |    q.nv AS qv, c.nv AS cv
+        |  FROM code q JOIN code c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |h AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY hamming, cand_id) AS hrank FROM pairs),
+        |e AS (SELECT query_id, cand_id AS neighbor_id, hamming,
+        |        CAST(round($duckDot * 1e6) AS BIGINT) AS cos_e6
+        |      FROM h WHERE hrank <= 10),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM e)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |       hamming, cos_e6
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_sim_ann_binary" -> binaryAnnOracle,
     "q_sim_ann_ivfadc" -> ivfadcOracle,
     "q_sim_ivfadc_recall" -> ivfadcRecallOracle,
     "q_emb_pca_power" ->

@@ -1014,6 +1014,75 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** MAXIMAL DUPLICATED SPANS (the structure behind the substring-
+    * level dedup of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — public paper): where
+    * [[qTextSpanDup]] reports the dup-gram SHARE, this reports the
+    * RUN structure a span-removal pass needs: per doc, how many
+    * maximal cross-document duplicated spans, the longest one, and
+    * the exact token coverage of duplication. An 8-gram is duplicated
+    * when ≥ 2 DISTINCT docs contain it (cross-doc — within-doc
+    * repetition is [[graft.quality.Quality]]'s repetition signal);
+    * runs of CONSECUTIVE duplicated gram positions form spans (span
+    * tokens = run + 7); coverage is the exact interval union of the
+    * [p, p+7] token windows (positions merge while gaps ≤ 8), so
+    * overlapping near-adjacent spans never double-count.
+    *
+    * Scale shape: one (doc, gram) shuffle for document frequency, one
+    * semi-join back onto positions, then per-doc windows over the
+    * duplicated-position frame (bounded by doc length — never the
+    * corpus). The islands-and-gaps pass is two window functions over
+    * ONE (doc_id, p) exchange. */
+  def qTextDupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qTextDupSpans]] over any (doc_id, text) frame —
+    * separated so the planted-fixture spec can drive it. */
+  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"), $"toks")
+    val pos = base.filter(size($"toks") >= 8)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> concat_ws(' ', slice(toks, i, 8)))")))
+      .select($"doc_id", $"pos".cast("long").as("p"), xxhash64($"col").as("g"))
+    val docFreq = pos.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("nd"))
+    val dupPos = pos
+      .join(docFreq.filter($"nd" >= 2).select($"g"), Seq("g"), "left_semi")
+      .select($"doc_id", $"p")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val runs = dupPos
+      .withColumn("run_id", $"p" - row_number().over(w))
+      .withColumn("prev", lag($"p", 1).over(w))
+      .withColumn("new_cov",
+        when($"prev".isNull || $"p" - $"prev" > 8, 1L).otherwise(0L))
+      .withColumn("cov_id", sum($"new_cov").over(w))
+    val spanStats = runs.groupBy($"doc_id", $"run_id")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max($"len" + 7).as("longest_dup_span_tokens"),
+        sum($"len").as("n_dup_grams"))
+    val covStats = runs.groupBy($"doc_id", $"cov_id")
+      .agg((max($"p") - min($"p") + 8).as("cov"))
+      .groupBy($"doc_id").agg(sum($"cov").as("dup_coverage_tokens"))
+    base.select($"doc_id", $"n_tokens")
+      .join(spanStats, Seq("doc_id"), "left_outer")
+      .join(covStats, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"longest_dup_span_tokens", lit(0L)).as("longest_dup_span_tokens"),
+        coalesce($"dup_coverage_tokens", lit(0L)).as("dup_coverage_tokens"),
+        expr("(coalesce(dup_coverage_tokens, 0L) * 1000) div n_tokens")
+          .as("dup_coverage_permille"))
+      .orderBy($"doc_id")
+  }
+
   /** Fuzzy vocabulary pairs: near-identical token pairs (edit distance
     * ≤ 2) found by blocked candidate generation — the typo-clustering /
     * vocab-normalization step. Blocking: same LAST character + length
@@ -1399,6 +1468,7 @@ object TextAnalysis {
     "q_text_langid" -> qTextLangId,
     "q_langid_eval" -> qLangIdEval,
     "q_langid_mix" -> qLangIdMix,
+    "q_text_dup_spans" -> qTextDupSpans,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
@@ -2116,6 +2186,50 @@ object TextAnalysis {
          |ORDER BY c.lang, c.predicted_lang""".stripMargin,
 
     "q_langid_mix" -> langIdMixOracle,
+
+    "q_text_dup_spans" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
+        |    array_to_string(toks[g.i : g.i + 7], ' ') AS gs
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) g
+        |  WHERE len(toks) >= 8),
+        |dfq AS (SELECT gs, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |        FROM gr GROUP BY gs),
+        |dp AS (SELECT gr.doc_id, gr.p
+        |       FROM gr JOIN dfq USING (gs) WHERE nd >= 2),
+        |rr AS (SELECT doc_id, p,
+        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run_id,
+        |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |             OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |             THEN 1 ELSE 0 END AS new_cov
+        |       FROM dp),
+        |rc AS (SELECT *, sum(new_cov) OVER (PARTITION BY doc_id ORDER BY p) AS cov_id
+        |       FROM rr),
+        |sp AS (SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS len
+        |       FROM rc GROUP BY 1, 2),
+        |ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |        CAST(max(len + 7) AS BIGINT) AS longest_dup_span_tokens,
+        |        CAST(sum(len) AS BIGINT) AS n_dup_grams FROM sp GROUP BY 1),
+        |cv AS (SELECT doc_id, cov_id, max(p) - min(p) + 8 AS cov
+        |       FROM rc GROUP BY 1, 2),
+        |cs AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_coverage_tokens
+        |       FROM cv GROUP BY 1),
+        |nt AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  coalesce(ss.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(ss.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(ss.longest_dup_span_tokens, 0) AS longest_dup_span_tokens,
+        |  coalesce(cs.dup_coverage_tokens, 0) AS dup_coverage_tokens,
+        |  (coalesce(cs.dup_coverage_tokens, 0) * 1000) // nt.n_tokens
+        |    AS dup_coverage_permille
+        |FROM nt
+        |LEFT JOIN ss ON ss.doc_id = nt.doc_id
+        |LEFT JOIN cs ON cs.doc_id = nt.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
 
     "q_text_bpe" ->
       """WITH p AS (

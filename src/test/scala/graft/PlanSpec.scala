@@ -160,6 +160,9 @@ class PlanSpec extends SparkSpec {
       "q_tfidf_topk", "q_text_rarity", "q_ri_audit",
       "q_sim_ann_ivf", "q_sim_ann_pq", "q_sim_ann_recall",
       "q_sem_dedup", "q_sim_knn_brute", "q_sim_knn_agg", "q_bpe_train",
+      // binary ANN: the broadcast-query non-equi code scan (the brute
+      // kNN shape over 8-byte codes instead of vectors)
+      "q_sim_ann_binary",
       // encode applies the same 1-row learned-pair broadcasts as training
       "q_bpe_encode",
       // fertility is the encode rollup — same 1-row learned-pair

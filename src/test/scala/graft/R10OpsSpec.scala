@@ -86,6 +86,74 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup spans: planted shared span yields exact run and coverage accounting") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docA = s"a1 a2 a3 $shared a4 a5 a6 a7 a8" // shared at tokens 3..14
+    val docB = s"b1 b2 b3 b4 b5 b6 b7 $shared b8"
+    val df = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+    val rows = TextAnalysis.dupSpans(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 1L).foreach { id =>
+      val r = rows(id)
+      // 12 shared tokens → 5 fully-contained dup 8-grams, one run
+      assert(r.getAs[Long]("n_dup_grams") == 5L, s"doc $id grams")
+      assert(r.getAs[Long]("n_dup_spans") == 1L, s"doc $id spans")
+      assert(r.getAs[Long]("longest_dup_span_tokens") == 12L, s"doc $id longest")
+      assert(r.getAs[Long]("dup_coverage_tokens") == 12L, s"doc $id coverage")
+      assert(r.getAs[Long]("dup_coverage_permille") ==
+        12L * 1000 / r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("dup spans: a mid-span substitution splits the run and the coverage islands") {
+    // doc C and D share two 8-token spans with a single-token
+    // substitution between them — the 8 straddling grams differ, so
+    // the RUN splits at the substitution and the two surviving dup
+    // positions (0 and 9, gap 9 > 8) stay separate coverage islands
+    val left = (1 to 8).map(i => s"x$i").mkString(" ")
+    val right = (1 to 8).map(i => s"y$i").mkString(" ")
+    val docC = s"$left mid1 $right"
+    val docD = s"$left mid2 $right"
+    val df = Seq((0L, docC), (1L, docD)).toDF("doc_id", "text")
+    val rows = TextAnalysis.dupSpans(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 1L).foreach { id =>
+      val r = rows(id)
+      // only the two exact 8-grams (p=0 and p=9) are cross-doc dups
+      assert(r.getAs[Long]("n_dup_grams") == 2L, s"doc $id grams")
+      assert(r.getAs[Long]("n_dup_spans") == 2L, s"doc $id spans")
+      assert(r.getAs[Long]("longest_dup_span_tokens") == 8L, s"doc $id longest")
+      // positions 0 and 9: gap 9 > 8 → coverage islands do NOT merge
+      assert(r.getAs[Long]("dup_coverage_tokens") == 16L, s"doc $id coverage")
+    }
+  }
+
+  test("binary ann: sign-code Hamming candidates recall a usable share of brute truth") {
+    val truth = graft.sim.Similarity.qSimKnnBrute(spark, sf0001)
+      .filter($"rank" <= 3).select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = graft.sim.Similarity.qSimAnnBinary(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 1-bit codes keep angular order approximately (Charikar 2002):
+    // measured 8/15 at sf0.001 AND sf0.01 — pin a floor that a broken
+    // code layout (wrong bit order, sign flip) cannot reach
+    val hits = (truth & got).size
+    assert(hits * 3 >= truth.size,
+      s"binary recall $hits/${truth.size} below 1/3 floor")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") != qid)
+        val h = r.getAs[Long]("hamming")
+        assert(h >= 0L && h <= 64L)
+      }
+    }
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
