@@ -157,6 +157,52 @@ object Multimodal {
     }
   }
 
+  case class AudioMcr(media_id: Long, window_idx: Long,
+      mean_crossings: Long, dc_sum: Long, peak_dev_x32: Long)
+
+  /** Mean-crossing rate + DC level + peak deviation per 32-byte
+    * window — the DC-robust variant of the zero-crossing rate (the
+    * standard PCM companion to windowed energy for segmenting
+    * voiced/unvoiced/noise). Plain ZCR is degenerate on any signal
+    * with a DC offset — this corpus's stand-in payloads are ASCII
+    * bytes, all below 128, so the 128-centered sign never flips; MCR
+    * counts crossings of each WINDOW's own mean instead, which is the
+    * documented fix for offset signals. Exact integers: deviation
+    * dᵢ = 32·byteᵢ − S (S = window byte sum), crossing when adjacent
+    * deviations differ in sign (31 within-window pairs — windows stay
+    * independently computable), zero counting as non-negative. Same
+    * batched mapPartitions plumbing as every codec pass; payload
+    * bytes never shuffle. */
+  def audioMcr(media: Dataset[Media], windowLen: Int = 32): Dataset[AudioMcr] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val bytes = decodeStub(m)
+          Iterator.range(0, bytes.length / windowLen).map { w =>
+            val start = w * windowLen
+            var s = 0L
+            var i = start
+            while (i < start + windowLen) { s += (bytes(i) & 0xFF); i += 1 }
+            var mc = 0L
+            var peak = 0L
+            var prev = windowLen.toLong * (bytes(start) & 0xFF) - s
+            if (math.abs(prev) > peak) peak = math.abs(prev)
+            i = start + 1
+            while (i < start + windowLen) {
+              val d = windowLen.toLong * (bytes(i) & 0xFF) - s
+              if ((prev < 0) != (d < 0)) mc += 1
+              if (math.abs(d) > peak) peak = math.abs(d)
+              prev = d
+              i += 1
+            }
+            AudioMcr(m.media_id, w.toLong, mc, s, peak)
+          }
+        }
+      }
+    }
+  }
+
   case class DHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
 
   /** Perceptual difference hash (dHash) for image payloads: the
@@ -641,6 +687,12 @@ object Multimodal {
       .toDF().orderBy($"media_id", $"window_idx")
   }
 
+  def qMmAudioMcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioMcr(mediaFromDocuments(spark, dir))
+      .toDF().orderBy($"media_id", $"window_idx")
+  }
+
   def qMmDhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     dhashImages(mediaFromDocuments(spark, dir)).toDF().orderBy($"media_id")
@@ -689,6 +741,7 @@ object Multimodal {
     "q_mm_frames" -> qMmFrames,
     "q_mm_resize" -> qMmResize,
     "q_mm_audio_energy" -> qMmAudioEnergy,
+    "q_mm_audio_mcr" -> qMmAudioMcr,
     "q_mm_dhash" -> qMmDhash,
     "q_mm_dhash_pairs" -> qMmDhashPairs,
     "q_mm_scene_cuts" -> qMmSceneCuts,
@@ -856,6 +909,28 @@ object Multimodal {
         |    i -> (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128)
         |       * (ord(substr(text, CAST(w * 32 + i AS INT), 1)) - 128))) AS BIGINT) AS energy
         |FROM a
+        |ORDER BY media_id, window_idx""".stripMargin,
+
+    "q_mm_audio_mcr" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS w
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, text, w,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> ord(substr(text, CAST(w * 32 + i AS INT), 1)))) AS BIGINT) AS dc_sum
+        |  FROM a)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS window_idx,
+        |  CAST(list_sum(list_transform(range(1, 32),
+        |    i -> CASE WHEN
+        |      ((32 * ord(substr(text, CAST(w * 32 + i AS INT), 1)) - dc_sum < 0)
+        |       <> (32 * ord(substr(text, CAST(w * 32 + i + 1 AS INT), 1)) - dc_sum < 0))
+        |      THEN 1 ELSE 0 END)) AS BIGINT) AS mean_crossings,
+        |  dc_sum,
+        |  CAST(list_max(list_transform(range(1, 33),
+        |    i -> abs(32 * ord(substr(text, CAST(w * 32 + i AS INT), 1)) - dc_sum)))
+        |    AS BIGINT) AS peak_dev_x32
+        |FROM s
         |ORDER BY media_id, window_idx""".stripMargin,
 
     // Spark decodes REAL animated-GIF bytes frame by frame; the oracle

@@ -1038,22 +1038,31 @@ object TextAnalysis {
 
   /** Core of [[qTextDupSpans]] over any (doc_id, text) frame —
     * separated so the planted-fixture spec can drive it. */
-  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
+  /** Positions of cross-document duplicated 8-grams — shared by the
+    * span statistics and the span-payload extraction. */
+  private def dupPositions(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs
+    val pos = docs
       .withColumn("toks", tokens($"text"))
-      .select($"doc_id", size($"toks").cast("long").as("n_tokens"), $"toks")
-    val pos = base.filter(size($"toks") >= 8)
+      .filter(size($"toks") >= 8)
       .select($"doc_id", posexplode(expr(
         "transform(sequence(1, size(toks) - 7), " +
           "i -> concat_ws(' ', slice(toks, i, 8)))")))
       .select($"doc_id", $"pos".cast("long").as("p"), xxhash64($"col").as("g"))
     val docFreq = pos.select($"doc_id", $"g").distinct()
       .groupBy($"g").agg(count(lit(1)).as("nd"))
-    val dupPos = pos
-      .join(docFreq.filter($"nd" >= 2).select($"g"), Seq("g"), "left_semi")
+    pos.join(docFreq.filter($"nd" >= 2).select($"g"), Seq("g"), "left_semi")
       .select($"doc_id", $"p")
+  }
+
+  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"), $"toks")
+    val dupPos = dupPositions(docs)
     val w = Window.partitionBy($"doc_id").orderBy($"p")
     val runs = dupPos
       .withColumn("run_id", $"p" - row_number().over(w))
@@ -1080,6 +1089,38 @@ object TextAnalysis {
         coalesce($"dup_coverage_tokens", lit(0L)).as("dup_coverage_tokens"),
         expr("(coalesce(dup_coverage_tokens, 0L) * 1000) div n_tokens")
           .as("dup_coverage_permille"))
+      .orderBy($"doc_id")
+  }
+
+  /** LONGEST-DUPLICATED-SPAN PAYLOAD — the removal half of
+    * [[qTextDupSpans]]: per document carrying at least one duplicated
+    * span, the LONGEST span's start token index, token length, and
+    * the actual text (what a span-removal dedup pass would cut, per
+    * Lee et al. 2022). Tie-break: longest first, then earliest start.
+    * Same shuffles as the statistics query plus one join back onto
+    * the token arrays to slice the payload — only one span's tokens
+    * per doc ever re-materialize. */
+  def qTextDupSpanExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.withColumn("toks", tokens($"text"))
+      .select($"doc_id", $"toks")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val runs = dupPositions(docs)
+      .withColumn("run_id", $"p" - row_number().over(w))
+      .groupBy($"doc_id", $"run_id")
+      .agg(min($"p").as("span_start"),
+        (count(lit(1)) + 7).as("span_tokens"))
+    val top = runs.groupBy($"doc_id")
+      .agg(max_by(
+        struct($"span_start", $"span_tokens"),
+        struct($"span_tokens", (-$"span_start").as("ns"))).as("t"))
+      .select($"doc_id", $"t.span_start".as("span_start"),
+        $"t.span_tokens".as("span_tokens"))
+    top.join(base, Seq("doc_id"))
+      .select($"doc_id", $"span_start", $"span_tokens",
+        expr("concat_ws(' ', slice(toks, cast(span_start + 1 as int), " +
+          "cast(span_tokens as int)))").as("span_text"))
       .orderBy($"doc_id")
   }
 
@@ -1469,6 +1510,7 @@ object TextAnalysis {
     "q_langid_eval" -> qLangIdEval,
     "q_langid_mix" -> qLangIdMix,
     "q_text_dup_spans" -> qTextDupSpans,
+    "q_text_dup_span_extract" -> qTextDupSpanExtract,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
@@ -2186,6 +2228,34 @@ object TextAnalysis {
          |ORDER BY c.lang, c.predicted_lang""".stripMargin,
 
     "q_langid_mix" -> langIdMixOracle,
+
+    "q_text_dup_span_extract" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gr AS MATERIALIZED (
+        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
+        |    array_to_string(toks[g.i : g.i + 7], ' ') AS gs
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) g
+        |  WHERE len(toks) >= 8),
+        |dfq AS (SELECT gs, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |        FROM gr GROUP BY gs),
+        |dp AS (SELECT gr.doc_id, gr.p
+        |       FROM gr JOIN dfq USING (gs) WHERE nd >= 2),
+        |rr AS (SELECT doc_id, p,
+        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run_id
+        |       FROM dp),
+        |sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |        CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |       FROM rr GROUP BY doc_id, run_id),
+        |top AS (SELECT doc_id, span_start, span_tokens FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY span_tokens DESC, span_start) AS rn FROM sp)
+        |        WHERE rn = 1)
+        |SELECT t.doc_id, t.span_start, t.span_tokens,
+        |  array_to_string(tk.toks[CAST(t.span_start + 1 AS INT) :
+        |    CAST(t.span_start + t.span_tokens AS INT)], ' ') AS span_text
+        |FROM top t JOIN tk ON tk.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_dup_spans" ->
       """WITH tk AS MATERIALIZED (
