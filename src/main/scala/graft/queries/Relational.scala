@@ -2253,6 +2253,14 @@ object Relational {
     * pattern; nothing corpus-sized ever sorts in one partition. */
   def qTsDecompose(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    tsDecomposeFrame(spark, dir).orderBy($"event_type", $"hour")
+  }
+
+  /** The STL-lite decomposition frame (event_type, hour, n, trend,
+    * seasonal, remainder) — shared by the decompose query, the
+    * strength rollup, and the anomaly detector. */
+  private def tsDecomposeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val hourly = Tables.load(spark, dir, "events")
       .groupBy($"event_type",
         expr("unix_timestamp(ts) div 3600L").as("hour"))
@@ -2282,6 +2290,39 @@ object Relational {
         $"event_type" === $"s_type" && $"hour" % 24 === $"hod")
       .select($"event_type", $"hour", $"n", $"trend_x100",
         $"seas_x100", ($"dev_x100" - $"seas_x100").as("remainder_x100"))
+  }
+
+  /** TIME-SERIES ANOMALY FLAGS — the monitoring composition of two
+    * independently-verified pieces: the STL-lite decomposition's
+    * remainder (what survives after trend + daily seasonality) scored
+    * by the per-type exact median/MAD rule (robust — a contaminated
+    * hour cannot drag its own threshold the way mean/stddev would;
+    * same robustness argument as [[qOutlierMad]]). Anomaly:
+    * |remainder − med| > 3·MAD. This is the alerting query a volume
+    * monitor actually pages on — "this hour is off for THIS event
+    * type, after accounting for its trend and its daily shape".
+    * Everything after the hourly rollup runs on the hours frame; the
+    * two median passes are the exact value-count ranking pattern with
+    * per-type frames broadcast back. */
+  def qTsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dc = tsDecomposeFrame(spark, dir)
+    val med = valueCounts(dc, $"event_type", $"remainder_x100")
+      .groupBy($"__g")
+      .agg(((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
+        .as("med"))
+      .select($"__g".as("event_type"), $"med")
+    val withMed = dc.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs($"remainder_x100" - $"med"))
+    val mad = valueCounts(withMed, $"event_type", $"dev")
+      .groupBy($"__g")
+      .agg(((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
+        .as("mad"))
+      .select($"__g".as("event_type"), $"mad")
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .select($"event_type", $"hour", $"n", $"remainder_x100",
+        $"med", $"mad",
+        when($"dev" > $"mad" * 3, "Y").otherwise("N").as("is_anomaly"))
       .orderBy($"event_type", $"hour")
   }
 
@@ -2893,6 +2934,7 @@ object Relational {
     "q_trend_theilsen" -> qTrendTheilsen,
     "q_ts_holt" -> qTsHolt,
     "q_ts_strength" -> qTsStrength,
+    "q_ts_anomaly" -> qTsAnomaly,
     "q_burstiness" -> qBurstiness,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
@@ -3224,6 +3266,26 @@ object Relational {
         |ORDER BY s.event_type""".stripMargin,
 
     "q_ts_decompose" -> tsDecomposeOracle,
+
+    // anomaly = median/MAD flags over the decompose remainder; the
+    // subquery is the VERBATIM decompose oracle (concatenated after
+    // stripMargin — the bpeEncodeOracle lesson)
+    "q_ts_anomaly" ->
+      ("""WITH dc AS (
+         |""".stripMargin + tsDecomposeOracle + """
+         |),
+         |med AS (
+         |  SELECT event_type, median(remainder_x100) AS med
+         |  FROM dc GROUP BY event_type),
+         |d AS (
+         |  SELECT dc.event_type, dc.hour, dc.n, dc.remainder_x100, m.med,
+         |         abs(dc.remainder_x100 - m.med) AS dev
+         |  FROM dc JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+         |SELECT d.event_type, d.hour, d.n, d.remainder_x100, d.med, mad.mad,
+         |  CASE WHEN d.dev > mad.mad * 3 THEN 'Y' ELSE 'N' END AS is_anomaly
+         |FROM d JOIN mad USING (event_type)
+         |ORDER BY d.event_type, d.hour""".stripMargin),
 
     // strength = variance-ratio rollup of the decompose output; the
     // subquery is the VERBATIM decompose oracle (concatenated after

@@ -154,6 +154,24 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("ts anomaly: flags consistent with their own med/mad columns and discriminative") {
+    val rows = Relational.qTsAnomaly(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("remainder_x100") - r.getAs[Double]("med"))
+      val want = if (dev > r.getAs[Double]("mad") * 3) "Y" else "N"
+      assert(r.getAs[String]("is_anomaly") == want,
+        s"${r.getAs[String]("event_type")}@${r.getAs[Long]("hour")}")
+    }
+    val flagged = rows.count(_.getAs[String]("is_anomaly") == "Y")
+    // a robust threshold flags a real tail — never nothing, never a
+    // majority. (At sf0.001 the hourly counts are sparse and MAD is
+    // near-degenerate, so ~24% flag; at sf0.01 it is 4.2% — the
+    // threshold sharpens with data, this pins only the sane envelope.)
+    assert(flagged > 0, "no anomalies flagged")
+    assert(flagged * 2 < rows.length, s"$flagged/${rows.length} flagged — threshold degenerate")
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
