@@ -1346,6 +1346,142 @@ object Quality {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** POPULATION STABILITY INDEX — the model-monitoring drift metric
+    * that completes the trio with the per-bin histogram deltas
+    * ([[qQualityDrift]]) and the bin-free KS statistic
+    * ([[graft.quality.Quality.qKsSources]]-style): PSI = Σ (p−q)·log(p/q)
+    * over the 10 value bins, same ref/current period split as the
+    * drift monitor and the SAME [[valueBin]] expression (shared-
+    * definition rule). Exact integers end to end: shares in add-one-
+    * smoothed ppm over the full 10-bin grid (zero bins participate —
+    * that is where PSI blows up, by design), and the log ratio runs
+    * through the bit-by-bit integer log2
+    * ([[graft.text.TextAnalysis.ilog2x4096]] — the langid machinery,
+    * no float ln anywhere), so the statistic is in micro-log2 units.
+    * Monotonicity of the integer log makes every per-bin contribution
+    * (p−q)·(log p − log q) ≥ 0, like the real PSI. Verdict thresholds
+    * are the conventional 0.1 / 0.25 (ln units) converted to
+    * micro-log2 literals (×1/ln2): 144269 / 360673.
+    *
+    * Scale shape: identical to the drift monitor — one map-side-
+    * combined (type, bin) shuffle with the period split folded into
+    * conditional sums, a |types|-row totals broadcast, a 10-row-per-
+    * type grid; the log arithmetic is a per-row fold expression. */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qPsiDrift]] over any frame with (event_type, value,
+    * ts) — separated so the planted-shift spec can drive it. */
+  private[graft] def psiDrift(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("vbin", valueBin)
+      .withColumn("is_ref", col("ts") < lit("2024-01-16").cast("timestamp"))
+    val counts = ev.groupBy(col("event_type"), col("vbin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("ref_n")).as("ref_total"), sum(col("cur_n")).as("cur_total"))
+    // full 10-bin grid: a bin empty in one period is exactly where
+    // PSI must register, so it cannot silently drop from the frame
+    val grid = totals.select(col("event_type"), col("ref_total"), col("cur_total"),
+        explode(expr("sequence(0L, 9L)")).as("vbin"))
+      .join(counts, Seq("event_type", "vbin"), "left_outer")
+      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
+      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+      .withColumn("ref_ppm", expr("((ref_n + 1) * 1000000) div (ref_total + 10)"))
+      .withColumn("cur_ppm", expr("((cur_n + 1) * 1000000) div (cur_total + 10)"))
+    val contrib = grid
+      .withColumn("lr", expr(graft.text.TextAnalysis.ilog2x4096("ref_ppm"))
+        - expr(graft.text.TextAnalysis.ilog2x4096("cur_ppm")))
+      .withColumn("c_micro", expr("((ref_ppm - cur_ppm) * lr) div 4096"))
+    contrib.groupBy(col("event_type"))
+      .agg(max(col("ref_total")).as("ref_total"),
+        max(col("cur_total")).as("cur_total"),
+        sum(col("c_micro")).as("psi_micro_log2"),
+        max_by(col("vbin"), struct(col("c_micro"), -col("vbin"))).as("top_bin"),
+        max(col("c_micro")).as("top_contrib_micro"))
+      .withColumn("verdict",
+        when(col("psi_micro_log2") < 144269L, "stable")
+          .when(col("psi_micro_log2") < 360673L, "moderate")
+          .otherwise("shifted"))
+      .select(col("event_type"), col("ref_total"), col("cur_total"),
+        col("psi_micro_log2"), col("top_bin"), col("top_contrib_micro"),
+        col("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The PSI oracle: the drift split + full grid + smoothed shares,
+    * both sides' log2 through the generated 12-step integer chain
+    * (the langid oracle's machinery, keyed here on (type, bin, side)),
+    * then the (p−q)·Δlog2 rollup. */
+  private def psiDriftOracle: String = {
+    val logSteps = (0 until 12).map { i =>
+      s"""l${i + 1} AS (SELECT event_type, vbin, side,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS vbin,
+       |    (ts < TIMESTAMP '2024-01-16') AS is_ref
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type, vbin,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+       |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+       |  FROM b GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type,
+       |    CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+       |    CAST(SUM(cur_n) AS BIGINT) AS cur_total
+       |  FROM c GROUP BY 1),
+       |grid AS (
+       |  SELECT t.event_type, t.ref_total, t.cur_total, g.vbin,
+       |    coalesce(c.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS vbin) g
+       |  LEFT JOIN c ON c.event_type = t.event_type AND c.vbin = g.vbin),
+       |sm AS MATERIALIZED (
+       |  SELECT event_type, vbin, ref_total, cur_total, ref_n, cur_n,
+       |    ((ref_n + 1) * 1000000) // (ref_total + 10) AS ref_ppm,
+       |    ((cur_n + 1) * 1000000) // (cur_total + 10) AS cur_ppm
+       |  FROM grid),
+       |u AS (
+       |  SELECT event_type, vbin, 'ref' AS side, ref_ppm AS ppm FROM sm
+       |  UNION ALL
+       |  SELECT event_type, vbin, 'cur' AS side, cur_ppm AS ppm FROM sm),
+       |l0 AS (SELECT event_type, vbin, side,
+       |  (ppm * 4096) >> (length(bin(ppm)) - 1) AS m,
+       |  (length(bin(ppm)) - 1) * 4096 AS r FROM u),
+       |$logSteps,
+       |lg AS (SELECT event_type, vbin,
+       |  sum(CASE WHEN side = 'ref' THEN r END) AS log_ref,
+       |  sum(CASE WHEN side = 'cur' THEN r END) AS log_cur
+       |  FROM l12 GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT sm.event_type, sm.vbin, sm.ref_total, sm.cur_total,
+       |    ((sm.ref_ppm - sm.cur_ppm) * (lg.log_ref - lg.log_cur)) // 4096 AS c_micro
+       |  FROM sm JOIN lg ON lg.event_type = sm.event_type AND lg.vbin = sm.vbin),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(max(ref_total) AS BIGINT) AS ref_total,
+       |    CAST(max(cur_total) AS BIGINT) AS cur_total,
+       |    CAST(sum(c_micro) AS BIGINT) AS psi_micro_log2,
+       |    CAST(max(c_micro) AS BIGINT) AS top_contrib_micro
+       |  FROM cb GROUP BY 1),
+       |top AS (
+       |  SELECT event_type, vbin AS top_bin FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY c_micro DESC, vbin) AS rn FROM cb) WHERE rn = 1)
+       |SELECT a.event_type, a.ref_total, a.cur_total, a.psi_micro_log2,
+       |  CAST(top.top_bin AS BIGINT) AS top_bin, a.top_contrib_micro,
+       |  CASE WHEN a.psi_micro_log2 < 144269 THEN 'stable'
+       |       WHEN a.psi_micro_log2 < 360673 THEN 'moderate'
+       |       ELSE 'shifted' END AS verdict
+       |FROM agg a JOIN top ON top.event_type = a.event_type
+       |ORDER BY a.event_type""".stripMargin
+  }
+
   /** Hex-bucket SQL for the hashed-token feature space of
     * [[qImportanceDsir]]: first 2 hex chars of md5("imp|" + operand)
     * → 0..255, written so the identical expression runs in Spark and
@@ -1497,6 +1633,7 @@ object Quality {
     "q_pii_scrub" -> qPiiScrub,
     "q_code_detect" -> qCodeDetect,
     "q_quality_drift" -> qQualityDrift,
+    "q_psi_drift" -> qPsiDrift,
     "q_pipeline_curation" -> qPipelineCuration,
     "q_mix_divergence" -> qMixDivergence,
     "q_pipeline_funnel" -> qPipelineFunnel
@@ -2464,6 +2601,9 @@ object Quality {
         |      (c.cur_n * 1000000) // t.cur_total) AS drift_ppm
         |FROM c JOIN t ON c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_psi_drift" -> psiDriftOracle,
+
 
     "q_mix_divergence" ->
       (duckPipelineCte +

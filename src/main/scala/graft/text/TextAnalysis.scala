@@ -78,7 +78,7 @@ object TextAnalysis {
     * integer steps, so no ln() last-ulp divergence can enter the
     * hash. Error vs the true floor is within −3..0 units (≈0.07%),
     * identical in both engines. */
-  private def ilog2x4096(x: String): String =
+  private[graft] def ilog2x4096(x: String): String =
     s"""aggregate(sequence(0, 11),
        |  struct(cast(shiftright($x * 4096, length(bin($x)) - 1) as bigint) AS m,
        |         cast((length(bin($x)) - 1) * 4096 as bigint) AS r),

@@ -172,6 +172,33 @@ class R10OpsSpec extends SparkSpec {
     assert(flagged * 2 < rows.length, s"$flagged/${rows.length} flagged — threshold degenerate")
   }
 
+  test("psi drift: planted distribution shift flags 'shifted'; identical periods stay 'stable'") {
+    import java.sql.Timestamp
+    val ref = Timestamp.valueOf("2024-01-10 00:00:00")
+    val cur = Timestamp.valueOf("2024-01-20 00:00:00")
+    // 'moved': uniform over bins 0..9 in ref, all mass in bin 9 after.
+    // 'same': identical uniform mix in both periods.
+    val rows =
+      (0 until 200).map(i => ("moved", (i % 10) * 50.0 + 1, ref)) ++
+        (0 until 200).map(_ => ("moved", 9 * 50.0 + 1, cur)) ++
+        (0 until 200).map(i => ("same", (i % 10) * 50.0 + 1, ref)) ++
+        (0 until 200).map(i => ("same", (i % 10) * 50.0 + 1, cur))
+    val df = rows.toDF("event_type", "value", "ts")
+    val got = graft.quality.Quality.psiDrift(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("moved").getAs[String]("verdict") == "shifted",
+      s"moved psi=${got("moved").getAs[Long]("psi_micro_log2")}")
+    assert(got("same").getAs[String]("verdict") == "stable",
+      s"same psi=${got("same").getAs[Long]("psi_micro_log2")}")
+    // the mass collapsed INTO bin 9 — it must be the top contributor
+    assert(got("moved").getAs[Long]("top_bin") == 9L)
+    // identical periods: smoothing-only PSI is (near) zero
+    assert(got("same").getAs[Long]("psi_micro_log2") <= 1000L)
+    // every PSI is non-negative (monotone integer log preserves the
+    // (p-q) and (log p - log q) sign agreement)
+    got.values.foreach(r => assert(r.getAs[Long]("psi_micro_log2") >= 0L))
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
