@@ -621,6 +621,47 @@ object Quality {
       .orderBy($"level", $"key1", $"key2")
   }
 
+  /** L-DIVERSITY AUDIT — k-anonymity's necessary companion (Machanavajjhala
+    * 2007, public): a quasi-identifier group can be k-large yet leak
+    * everything if all its members share one sensitive value. Same two
+    * generalization levels as [[qKanonAudit]] (nation×segment,
+    * region×segment — shared grouping definition), sensitive attribute
+    * = the customer's order-priority profile: per group, group size,
+    * number of DISTINCT sensitive values (l), the dominant value's
+    * share in ppm, and the l ≥ 3 verdict. One join to attach the
+    * sensitive value, one (level, group, sensitive) combine, one group
+    * rollup — the k-anon plan plus one aggregation stage. */
+  def qLdiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // sensitive value: the customer's modal order priority (their
+    // behavioral profile — what a linker would learn)
+    val sens = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_custkey")
+      .agg(max_by($"o_orderpriority", struct($"cnt", $"o_orderpriority"))
+        .as("sensitive"))
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(sens, $"c_custkey" === $"o_custkey")
+    def audit(level: String, k1: Column, k2: Column): DataFrame = {
+      val cell = c.groupBy(k1.as("key1"), k2.as("key2"), $"sensitive")
+        .agg(count(lit(1)).as("ns"))
+      cell.groupBy($"key1", $"key2")
+        .agg(sum($"ns").as("n"), count(lit(1)).as("l_distinct"),
+          max($"ns").as("dom_n"))
+        .select(lit(level).as("level"), $"key1", $"key2", $"n",
+          $"l_distinct", expr("(dom_n * 1000000) div n").as("dom_share_ppm"),
+          when($"l_distinct" >= 3, "Y").otherwise("N").as("l_ok"))
+    }
+    audit("nation_segment", $"n_name", $"c_mktsegment")
+      .unionByName(audit("region_segment",
+        $"n_regionkey".cast("string"), $"c_mktsegment"))
+      .orderBy($"level", $"key1", $"key2")
+  }
+
   /** Corpus datasheet — the "datasheets for datasets" summary every
     * released training corpus ships with, as ONE composed rollup per
     * (source, lang): document and token counts, quality-gate pass rate,
@@ -1620,6 +1661,7 @@ object Quality {
     "q_sample_bottomk" -> qSampleBottomK,
     "q_curriculum" -> qCurriculum,
     "q_kanon_audit" -> qKanonAudit,
+    "q_ldiversity_audit" -> qLdiversityAudit,
     "q_classifier_auc" -> qClassifierAuc,
     "q_calibration" -> qCalibration,
     "q_expectations" -> ((sp, d) => Expectations.standardSuite(sp, d)),
@@ -2256,6 +2298,45 @@ object Quality {
         |  FROM c GROUP BY n_regionkey, c_mktsegment)
         |SELECT level, key1, key2, n, n >= 10 AS k_ok
         |FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+        |ORDER BY level, key1, key2""".stripMargin,
+
+    "q_ldiversity_audit" ->
+      """WITH sens AS (
+        |  SELECT o_custkey, o_orderpriority AS sensitive FROM (
+        |    SELECT o_custkey, o_orderpriority,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY count(*) DESC, o_orderpriority DESC) AS rn
+        |    FROM orders GROUP BY o_custkey, o_orderpriority) q
+        |  WHERE rn = 1),
+        |c AS (
+        |  SELECT n.n_name, n.n_regionkey, cu.c_mktsegment, s.sensitive
+        |  FROM customer cu
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  JOIN sens s ON s.o_custkey = cu.c_custkey),
+        |cell1 AS (
+        |  SELECT n_name AS key1, c_mktsegment AS key2, sensitive,
+        |         CAST(count(*) AS BIGINT) AS ns
+        |  FROM c GROUP BY 1, 2, 3),
+        |g1 AS (
+        |  SELECT 'nation_segment' AS level, key1, key2,
+        |    CAST(sum(ns) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    CAST(max(ns) AS BIGINT) AS dom_n
+        |  FROM cell1 GROUP BY key1, key2),
+        |cell2 AS (
+        |  SELECT CAST(n_regionkey AS VARCHAR) AS key1, c_mktsegment AS key2,
+        |         sensitive, CAST(count(*) AS BIGINT) AS ns
+        |  FROM c GROUP BY 1, 2, 3),
+        |g2 AS (
+        |  SELECT 'region_segment' AS level, key1, key2,
+        |    CAST(sum(ns) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    CAST(max(ns) AS BIGINT) AS dom_n
+        |  FROM cell2 GROUP BY key1, key2)
+        |SELECT level, key1, key2, n, l_distinct,
+        |  (dom_n * 1000000) // n AS dom_share_ppm,
+        |  CASE WHEN l_distinct >= 3 THEN 'Y' ELSE 'N' END AS l_ok
+        |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) u
         |ORDER BY level, key1, key2""".stripMargin,
 
     "q_corpus_datasheet" -> {

@@ -1014,6 +1014,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary size for the OOV audit — sized so the audit
+    * discriminates on THIS corpus (~31 token types; a production
+    * corpus uses 32k–256k and the same plan). */
+  private[graft] val OovVocabK = 16
+
+  /** VOCABULARY OOV AUDIT — the tokenizer-coverage metric a
+    * fixed-vocab deployment tracks: encode the corpus against the
+    * stored top-[[OovVocabK]] vocabulary (by corpus tf, token-asc
+    * tiebreak) and report per language: docs, tokens, OOV tokens, OOV
+    * rate in ppm, and distinct OOV types. The fertility audit's
+    * sibling: fertility prices in-vocab efficiency, OOV prices what
+    * falls off the edge entirely — the signal that a vocab refresh is
+    * due or a language is under-served.
+    *
+    * Scale shape: one token combine for tf, the vocab is a bounded
+    * top-K (TakeOrdered — never a global sort), broadcast into a
+    * left join flag, one (lang) rollup. At 100 TB the vocab is the
+    * stored tokenizer artifact and only the flag join remains. */
+  def qVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"token").limit(OovVocabK)
+      .select($"token", lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .withColumn("oov", when($"in_vocab".isNull, 1L).otherwise(0L))
+      .groupBy($"lang")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum($"oov").as("n_oov"),
+        count_distinct(when($"oov" === 1L, $"token")).as("oov_types"))
+      .select($"lang", $"n_docs", $"n_tokens", $"n_oov",
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"),
+        $"oov_types")
+      .orderBy($"lang")
+  }
+
   /** MAXIMAL DUPLICATED SPANS (the structure behind the substring-
     * level dedup of Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better" — public paper): where
@@ -1511,6 +1550,7 @@ object TextAnalysis {
     "q_langid_mix" -> qLangIdMix,
     "q_text_dup_spans" -> qTextDupSpans,
     "q_text_dup_span_extract" -> qTextDupSpanExtract,
+    "q_vocab_oov" -> qVocabOov,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
@@ -2228,6 +2268,29 @@ object TextAnalysis {
          |ORDER BY c.lang, c.predicted_lang""".stripMargin,
 
     "q_langid_mix" -> langIdMixOracle,
+
+    "q_vocab_oov" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, lang, token
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  WHERE len(token) > 0),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tt GROUP BY token),
+         |voc AS (SELECT token FROM (
+         |          SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rn
+         |          FROM tf) WHERE rn <= $OovVocabK),
+         |fl AS (SELECT tt.lang, tt.doc_id, tt.token,
+         |         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+         |       FROM tt LEFT JOIN voc v ON v.token = tt.token)
+         |SELECT lang,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm,
+         |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+         |    AS oov_types
+         |FROM fl GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_dup_span_extract" ->
       """WITH tk AS MATERIALIZED (

@@ -199,6 +199,33 @@ class R10OpsSpec extends SparkSpec {
     got.values.foreach(r => assert(r.getAs[Long]("psi_micro_log2") >= 0L))
   }
 
+  test("vocab oov: accounting identities and the audit discriminates") {
+    val rows = TextAnalysis.qVocabOov(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_ppm") ==
+        r.getAs[Long]("n_oov") * 1000000 / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("oov_types") >= 0L)
+    }
+    // a 16-type vocab over a ~31-type corpus: OOV is real, not total
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0L))
+    rows.foreach(r => assert(r.getAs[Long]("n_oov") < r.getAs[Long]("n_tokens")))
+  }
+
+  test("l-diversity: k-anon group sizes agree; dominance and l are consistent") {
+    val lrows = graft.quality.Quality.qLdiversityAudit(spark, sf0001).collect()
+    assert(lrows.nonEmpty)
+    lrows.foreach { r =>
+      val n = r.getAs[Long]("n"); val l = r.getAs[Long]("l_distinct")
+      assert(l >= 1L && l <= n)
+      val dom = r.getAs[Long]("dom_share_ppm")
+      // dominant share at least the uniform share, at most everything
+      assert(dom * l >= 1000000L - l && dom <= 1000000L)
+      assert((r.getAs[String]("l_ok") == "Y") == (l >= 3L))
+    }
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
