@@ -82,6 +82,40 @@ class HttpIngressSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("500 pages carry the stack only in dev mode — production leaks nothing") {
+    // the r9 ADVICE gap: the reference gates the stack behind
+    // Express's env check; the port now does too (r10). Force a 500
+    // by pointing the log at an unwritable path.
+    val token = "test-auth-token"
+    val url = "https://example.test/events"
+    val envelopes = Synth.cloudEvents(spark, sf0001).limit(2)
+    val body = envelopes
+      .select(to_json(struct($"id", $"type", $"data"))).as[String]
+      .collect().mkString("[", ",", "]")
+    val sig = Signature.hmacSha1Base64(token)(url, body)
+    def errBody(dev: Boolean): String = {
+      val srv = HttpIngress.start(spark, token, url,
+        "/proc/graft-no-such-dir/log", dev = dev)
+      try {
+        val client = HttpClient.newHttpClient()
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/"))
+            .header("X-Twilio-Signature", sig)
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 500, s"expected 500, got ${resp.statusCode()}")
+        resp.body()
+      } finally srv.stop()
+    }
+    val devB = errBody(dev = true)
+    val prodB = errBody(dev = false)
+    // dev: the error view shows the trace (the NODE_ENV-unset default)
+    assert(devB.contains("    at "), devB.take(400))
+    // prod: message yes, stack frames never
+    assert(prodB.contains("ingest error"), prodB.take(400))
+    assert(!prodB.contains("    at "), prodB.take(400))
+  }
+
   test("socket to report: POSTed corpus derives the same segments as batch") {
     val logPath = "target/graft-test/http-ingress-spec/e2e-log"
     rm(logPath)

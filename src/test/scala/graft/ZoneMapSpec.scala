@@ -131,6 +131,27 @@ class ZoneMapSpec extends SparkSpec {
     } finally { hidden.renameTo(f); () }
   }
 
+  test("torn staging heals: a table dir without its manifest is rebuilt, not wedged") {
+    // the r9 ADVICE hazard: parquet write and manifest write are two
+    // non-atomic steps — a crash between them used to leave a dir that
+    // forever skipped the rebuild while prunedReadFlat threw. The r10
+    // guard checks BOTH artifacts.
+    val path = ZoneMap.clusteredOrders(spark, sf0001)
+    val manifestDir = new java.io.File(ZoneMap.flatManifestDir(path))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(manifestDir) // simulate the crash window
+    assert(!manifestDir.exists())
+    val healed = ZoneMap.clusteredOrders(spark, sf0001) // must rebuild
+    assert(healed == path)
+    assert(manifestDir.exists(), "manifest not rebuilt after torn state")
+    val (df, read, total) = ZoneMap.prunedReadFlat(
+      spark, path, "o_orderdate", "1995-01-01", "1995-03-31")
+    assert(read <= total && df.count() > 0)
+  }
+
   test("a coarse (single-file) layout degrades to a full read, never wrong rows") {
     val path = SessionCache.scratchDir(spark, "zonemap-spec-coarse")
     Tables.load(spark, sf0001, "orders").coalesce(1)

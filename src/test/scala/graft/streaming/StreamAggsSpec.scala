@@ -186,5 +186,10 @@ class StreamAggsSpec extends SparkSpec {
     val hotEst = spark.table("hhsink").filter($"token" === "hot")
       .agg(org.apache.spark.sql.functions.max($"est")).head().getLong(0)
     assert(hotEst >= exact("hot"), s"hot est $hotEst < true ${exact("hot")}")
+    // documented bucket domain holds: pmod keeps every id in
+    // [0, buckets) (abs(hash) % n could emit a negative id — r10 fix)
+    val bucketIds = spark.table("hhsink").select($"bucket").as[Int]
+      .collect().toSet
+    assert(bucketIds.forall(b => b >= 0 && b < 4), bucketIds.toString)
   }
 }
