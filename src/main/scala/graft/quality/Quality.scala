@@ -1420,15 +1420,29 @@ object Quality {
     val counts = ev.groupBy(col("event_type"), col("vbin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
-    val totals = counts.groupBy(col("event_type"))
-      .agg(sum(col("ref_n")).as("ref_total"), sum(col("cur_n")).as("cur_total"))
-    // full 10-bin grid: a bin empty in one period is exactly where
-    // PSI must register, so it cannot silently drop from the frame
-    val grid = totals.select(col("event_type"), col("ref_total"), col("cur_total"),
-        explode(expr("sequence(0L, 9L)")).as("vbin"))
-      .join(counts, Seq("event_type", "vbin"), "left_outer")
-      .withColumn("ref_n", coalesce(col("ref_n"), lit(0L)))
-      .withColumn("cur_n", coalesce(col("cur_n"), lit(0L)))
+    psiFromCounts(counts)
+  }
+
+  /** PSI from a pre-aggregated (event_type, vbin, ref_n, cur_n) count
+    * frame — the same statistic over counts that arrived some OTHER
+    * way, e.g. the streaming drift-histogram sink's finalized windows
+    * rolled into the two periods (StreamAggsSpec proves stream-fed ==
+    * batch-computed over one corpus). Shares every downstream step
+    * with [[psiDrift]] by construction. */
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
+    // ONE aggregation builds totals AND the full 10-bin grid (bins as
+    // 10-entry maps exploded back out — a bin empty in one period is
+    // exactly where PSI must register, so it cannot silently drop);
+    // no totals-vs-counts self-join, one pass over the count frame
+    val grid = counts.groupBy(col("event_type"))
+      .agg(sum(col("ref_n")).as("ref_total"), sum(col("cur_n")).as("cur_total"),
+        map_from_arrays(collect_list(col("vbin")), collect_list(col("ref_n"))).as("rm"),
+        map_from_arrays(collect_list(col("vbin")), collect_list(col("cur_n"))).as("cm"))
+      .select(col("event_type"), col("ref_total"), col("cur_total"),
+        explode(expr("sequence(0L, 9L)")).as("vbin"), col("rm"), col("cm"))
+      .withColumn("ref_n", coalesce(expr("rm[vbin]"), lit(0L)))
+      .withColumn("cur_n", coalesce(expr("cm[vbin]"), lit(0L)))
+      .drop("rm", "cm")
       .withColumn("ref_ppm", expr("((ref_n + 1) * 1000000) div (ref_total + 10)"))
       .withColumn("cur_ppm", expr("((cur_n + 1) * 1000000) div (cur_total + 10)"))
     val contrib = grid

@@ -140,6 +140,51 @@ class StreamAggsSpec extends SparkSpec {
     assert(trends.contains(("spark", ts("2026-08-12 10:00:00"), None)))
   }
 
+  test("stream-fed PSI equals the batch statistic over the same corpus") {
+    // the monitoring composition end to end: events stream through the
+    // drift-histogram sink (watermarked, finalized windows), the landed
+    // table rolls into (type, bin, ref_n, cur_n), and psiFromCounts —
+    // shared verbatim with the batch query past the count frame —
+    // produces the identical statistic the batch psiDrift computes
+    // directly from the raw events.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val hist = StreamAggs.driftHistogram(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermark = "0 seconds", period = "1 hour")
+    val data =
+      (0 until 60).map(i => (ts(f"2024-01-10 ${i % 24}%02d:01:00"), "click", (i % 10) * 50.0 + 1)) ++
+        (0 until 60).map(i => (ts(f"2024-01-20 ${i % 24}%02d:02:00"), "click", 451.0)) ++
+        (0 until 40).map(i => (ts(f"2024-01-10 ${i % 24}%02d:03:00"), "view", (i % 5) * 100.0 + 1)) ++
+        (0 until 40).map(i => (ts(f"2024-01-20 ${i % 24}%02d:04:00"), "view", (i % 5) * 100.0 + 1))
+    val q = hist.writeStream.format("memory").queryName("psi_hist")
+      .outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-02-01 00:00:00"), "view", 1.0)) // flush watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions._
+    val boundary = lit("2024-01-16").cast("timestamp")
+    val streamedCounts = spark.table("psi_hist")
+      .filter($"period_start" < lit("2024-02-01").cast("timestamp")) // drop the flush row's window
+      .groupBy($"event_type", $"bin".as("vbin"))
+      .agg(sum(when($"period_start" < boundary, $"n").otherwise(0L)).as("ref_n"),
+        sum(when($"period_start" < boundary, 0L).otherwise($"n")).as("cur_n"))
+    val streamed = graft.quality.Quality.psiFromCounts(streamedCounts)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("psi_micro_log2"), r.getAs[String]("verdict"))).toMap
+    val batch = graft.quality.Quality.psiDrift(
+        data.toDF("ts", "event_type", "value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("psi_micro_log2"), r.getAs[String]("verdict"))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // and the planted shift is visible through the streamed path too
+    assert(streamed("click")._2 == "shifted" && streamed("view")._2 == "stable",
+      streamed.toString)
+  }
+
   test("streaming heavy hitters: state-held summaries stay a superset of the true heavies across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
