@@ -448,6 +448,56 @@ object Similarity {
     (asg, cents)
   }
 
+  /** CLUSTERING EVALUATION — purity + mutual information of the
+    * trained k-means assignment against the corpus labels (the
+    * standard external cluster-validity pair; purity prices the
+    * majority vote, MI prices the full contingency structure a
+    * majority can hide). All integers: purity in exact ppm; MI terms
+    * n_cl·(log2(n_cl·N) − log2(n_c·n_l)) through the bit-by-bit
+    * integer log2 ([[graft.text.TextAnalysis.ilog2x4096]]), summed
+    * and reported in micro-log2 units. True MI is ≥ 0; the ±0.07%
+    * per-log approximation can leave microscopic negative dust on
+    * near-independent tables, clamped at 0 identically in both
+    * engines (a negative numerator would also split truncate-vs-floor
+    * division semantics).
+    *
+    * Scale shape: the contingency table is ≤ clusters×labels rows —
+    * everything after the one assignment-join combine is
+    * broadcast-sized; the fit itself is the stored staged assignment
+    * ([[kmeansFit]]), never re-run. */
+  def qKmeansPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (asg, _) = kmeansFit(spark, dir)
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label")
+    val cells = asg.join(labels, Seq("vec_id"))
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("n_cl"))
+    val byC = cells.groupBy($"cluster")
+      .agg(sum($"n_cl").as("n_c"),
+        max_by($"label", struct($"n_cl", -$"label")).as("top_label"),
+        max($"n_cl").as("top_n"))
+    val byL = cells.groupBy($"label").agg(sum($"n_cl").as("n_l"))
+    val tot = cells.agg(sum($"n_cl").as("n_total"))
+    val enriched = cells
+      .join(broadcast(byC.select($"cluster", $"n_c")), Seq("cluster"))
+      .join(broadcast(byL), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        expr(graft.text.TextAnalysis.ilog2x4096("(n_cl * n_total)"))
+          - expr(graft.text.TextAnalysis.ilog2x4096("(n_c * n_l)")))
+    val glob = enriched.agg(
+      sum(expr("n_cl * lr")).as("mi_sum"),
+      max($"n_total").as("n_total"))
+    val overall = byC.agg(sum($"top_n").as("top_sum"))
+    byC.crossJoin(broadcast(glob)).crossJoin(broadcast(overall))
+      .select($"cluster", $"n_c".as("n_vectors"), $"top_label", $"top_n",
+        expr("(top_n * 1000000) div n_c").as("purity_ppm"),
+        expr("(top_sum * 1000000) div n_total").as("overall_purity_ppm"),
+        expr("(greatest(0L, mi_sum) * 1000000) div (n_total * 4096)")
+          .as("mi_micro_log2"))
+      .orderBy($"cluster")
+  }
+
   def qKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     kmeansFit(spark, dir)._1
@@ -1058,6 +1108,7 @@ object Similarity {
     "q_emb_drift" -> qEmbDrift,
     "q_emb_qa" -> qEmbQa,
     "q_kmeans" -> qKmeans,
+    "q_kmeans_purity" -> qKmeansPurity,
     "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
   )
 
@@ -1716,7 +1767,61 @@ object Similarity {
         |       hamming, cos_e6
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
+  /** Purity/MI oracle: the Lloyd chain's final assignment + labels →
+    * contingency table; both MI log operands run through the generated
+    * 12-step integer log2 chain, keyed (cluster, label, side). */
+  private lazy val kmeansPurityOracle: String = {
+    val logSteps = (0 until 12).map { i =>
+      s"""kl${i + 1} AS (SELECT cluster, label, side,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM kl$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmChain,
+       |cj AS (SELECT a2.vec_id, a2.cluster, e.label
+       |       FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id),
+       |cells AS MATERIALIZED (
+       |  SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_cl
+       |  FROM cj GROUP BY 1, 2),
+       |bc AS (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_c
+       |       FROM cells GROUP BY 1),
+       |tlb AS (SELECT cluster, label AS top_label, n_cl AS top_n FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY cluster
+       |          ORDER BY n_cl DESC, label) AS rn FROM cells) q WHERE rn = 1),
+       |bl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l
+       |       FROM cells GROUP BY 1),
+       |nt AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n_total FROM cells),
+       |en AS MATERIALIZED (
+       |  SELECT c.cluster, c.label, c.n_cl,
+       |    c.n_cl * nt.n_total AS qa, bc.n_c * bl.n_l AS qb
+       |  FROM cells c JOIN bc USING (cluster) JOIN bl USING (label)
+       |  CROSS JOIN nt),
+       |ku AS (
+       |  SELECT cluster, label, 'a' AS side, qa AS q FROM en
+       |  UNION ALL
+       |  SELECT cluster, label, 'b' AS side, qb AS q FROM en),
+       |kl0 AS (SELECT cluster, label, side,
+       |  (q * 4096) >> (length(bin(q)) - 1) AS m,
+       |  (length(bin(q)) - 1) * 4096 AS r FROM ku),
+       |$logSteps,
+       |lg AS (SELECT cluster, label,
+       |  sum(CASE WHEN side = 'a' THEN r END)
+       |    - sum(CASE WHEN side = 'b' THEN r END) AS lr
+       |  FROM kl12 GROUP BY 1, 2),
+       |mi AS (SELECT CAST(sum(en.n_cl * lg.lr) AS BIGINT) AS mi_sum
+       |       FROM en JOIN lg USING (cluster, label)),
+       |ov AS (SELECT CAST(sum(top_n) AS BIGINT) AS top_sum FROM tlb)
+       |SELECT bc.cluster, bc.n_c AS n_vectors, tlb.top_label, tlb.top_n,
+       |  (tlb.top_n * 1000000) // bc.n_c AS purity_ppm,
+       |  (ov.top_sum * 1000000) // nt.n_total AS overall_purity_ppm,
+       |  (greatest(0, mi.mi_sum) * 1000000) // (nt.n_total * 4096) AS mi_micro_log2
+       |FROM bc JOIN tlb USING (cluster)
+       |CROSS JOIN nt CROSS JOIN ov CROSS JOIN mi
+       |ORDER BY bc.cluster""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_kmeans_purity" -> kmeansPurityOracle,
     "q_sim_ann_binary" -> binaryAnnOracle,
     "q_sim_ann_ivfadc" -> ivfadcOracle,
     "q_sim_ivfadc_recall" -> ivfadcRecallOracle,

@@ -219,7 +219,8 @@ class PlanSpec extends SparkSpec {
     // execute them; their plan shapes are pinned by their own specs
     // and they use only the intended broadcast fan-outs
     val executesOnConstruct = Set(
-      "q_dedup_components", "q_kmeans", "q_sim_ann_ivf_trained",
+      "q_dedup_components", "q_kmeans", "q_kmeans_purity",
+      "q_sim_ann_ivf_trained",
       "q_sim_ann_pq", // pq now writes its stored code table on construct
       // r7: graph queries stage the edge table on construct; the
       // incremental IVF query builds its partitioned index (rebuild +

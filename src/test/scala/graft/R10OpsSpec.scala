@@ -226,6 +226,22 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans purity: accounting identities across the contingency rollups") {
+    val rows = graft.sim.Similarity.qKmeansPurity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_vectors")).sum
+    val topSum = rows.map(_.getAs[Long]("top_n")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Long]("purity_ppm") ==
+        r.getAs[Long]("top_n") * 1000000 / r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Long]("overall_purity_ppm") == topSum * 1000000 / n)
+      assert(r.getAs[Long]("mi_micro_log2") >= 0L)
+    }
+    // purity can never undercut the best single-label share
+    assert(rows.head.getAs[Long]("overall_purity_ppm") >= 1000000L / 10 - 1)
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
