@@ -717,6 +717,122 @@ object Quality {
     * inter-purchase activity, never by corpus size. At 100 TB the
     * microcent sums outgrow BIGINT, so the value aggregate is carried
     * in DECIMAL(38,0). */
+  /** The touch channels of the Markov attribution model — the event
+    * types that can precede a first purchase. Shared literal with the
+    * oracle generator. */
+  private[graft] val MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** Horizon of the K-touch absorption iteration — conversion
+    * probability within K further touches. A bounded horizon (instead
+    * of solving the absorbing chain to fixed point) keeps the
+    * arithmetic exactly replayable and is itself a standard, honest
+    * readout ("how likely to convert within 8 touches"). */
+  private[graft] val MarkovSteps = 8
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014, public —
+    * the data-driven alternative to position rules): model journeys as
+    * a first-order chain over touch channels, estimate K-touch
+    * conversion probability from 'start', then re-estimate with each
+    * channel REMOVED (its incoming transitions redirected to the null
+    * absorber, its outgoing dropped); a channel's credit is its share
+    * of total removal effect. Complements [[qAttribution]] (last-touch)
+    * and [[qAttrMultitouch]] (position rules) with the model-based
+    * member of the family.
+    *
+    * Journey: each user's events strictly before their FIRST purchase
+    * ((ts, event_id) struct order — engine-identical), ending in
+    * `conv` if a purchase exists, else `null`. All probabilities in
+    * exact integer ppm; the K iterations are broadcast joins over the
+    * ≤ |channels|+3-state frames, so everything after the one
+    * transition-count shuffle is constant-sized regardless of corpus.
+    * The transition table is localCheckpoint-materialized (bounded
+    * ephemeral, ≤ 36 rows — SCALE.md policy): the 5 variants × 8
+    * iterations would otherwise re-derive the corpus aggregation ~40×
+    * through the lazy plan. */
+  def qAttrMarkov(spark: SparkSession, dir: String): DataFrame =
+    attrMarkov(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qAttrMarkov]] over any (user_id, event_type, ts,
+    * event_id) frame — separated so the planted-journey spec can
+    * drive it. */
+  private[graft] def attrMarkov(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("k", struct($"ts", $"event_id"))
+    val firstP = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"k").as("pk"))
+    val touches = ev.join(firstP, Seq("user_id"), "left_outer")
+      .filter($"event_type" =!= "purchase")
+      .filter($"pk".isNull || $"k" < $"pk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = touches
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .select(coalesce($"prev", lit("start")).as("s"),
+        $"event_type".as("t"))
+    val lastTouch = touches.groupBy($"user_id")
+      .agg(max_by($"event_type", $"k").as("last_t"))
+    val userEnd = ev.select($"user_id").distinct()
+      .join(firstP, Seq("user_id"), "left_outer")
+      .join(lastTouch, Seq("user_id"), "left_outer")
+      .select(coalesce($"last_t", lit("start")).as("s"),
+        when($"pk".isNotNull, "conv").otherwise("null").as("t"))
+    val trans = steps.unionByName(userEnd)
+      .groupBy($"s", $"t").agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy($"s").agg(sum($"n").as("tn"))
+    val bigT = trans.join(broadcast(tot), Seq("s"))
+      .select($"s", $"t", expr("(n * 1000000) div tn").as("tp_ppm"))
+      .localCheckpoint() // ≤ (channels+1)·(channels+2) rows
+    val states = bigT.select($"s".as("state"))
+      .union(bigT.select($"t".as("state"))).distinct().localCheckpoint()
+    def variantT(removed: Option[String]): DataFrame = removed match {
+      case None => bigT
+      case Some(c) => bigT.filter($"s" =!= c)
+        .withColumn("t", when($"t" === c, "null").otherwise($"t"))
+        .groupBy($"s", $"t").agg(sum($"tp_ppm").as("tp_ppm"))
+    }
+    def kStep(tv: DataFrame): DataFrame = {
+      var p = states.withColumn("p_ppm",
+        when($"state" === "conv", 1000000L).otherwise(0L))
+      for (_ <- 1 to MarkovSteps) {
+        val stepped = tv
+          .join(broadcast(p.select($"state".as("t"), $"p_ppm".as("pv"))),
+            Seq("t"))
+          .groupBy($"s")
+          .agg(expr("sum(tp_ppm * pv) div 1000000").as("p_new"))
+        p = states
+          .join(broadcast(stepped.select($"s".as("state"), $"p_new")),
+            Seq("state"), "left_outer")
+          .select($"state",
+            when($"state" === "conv", 1000000L)
+              .when($"state" === "null", 0L)
+              .otherwise(coalesce($"p_new", lit(0L))).as("p_ppm"))
+      }
+      p
+    }
+    val pFull = kStep(variantT(None)).filter($"state" === "start")
+      .select($"p_ppm".as("p_full_ppm"))
+    val removed = MarkovChannels.map { c =>
+      kStep(variantT(Some(c))).filter($"state" === "start")
+        .select(lit(c).as("channel"), $"p_ppm".as("p_removed_ppm"))
+    }.reduce(_.unionByName(_))
+    // clamp BEFORE the division: removal can only lower conversion in
+    // exact math, but ppm rounding can leave a tiny negative whose
+    // truncate-vs-floor division would split the engines
+    val re = removed.crossJoin(broadcast(pFull))
+      .withColumn("removal_effect_ppm",
+        expr("(greatest(0L, p_full_ppm - p_removed_ppm) * 1000000) div p_full_ppm"))
+    val reTot = re.agg(sum($"removal_effect_ppm").as("re_total"))
+    re.crossJoin(broadcast(reTot))
+      .select($"channel", $"p_full_ppm", $"p_removed_ppm",
+        $"removal_effect_ppm",
+        expr("CASE WHEN re_total > 0 THEN (removal_effect_ppm * 1000) div re_total ELSE 0L END")
+          .as("credit_permille"))
+      .orderBy($"channel")
+  }
+
   def qAttrMultitouch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -1465,6 +1581,97 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** The Markov-attribution oracle: journey truncation, transition
+    * counts, then 1 + |channels| chain variants × [[MarkovSteps]]
+    * absorption iterations as generated CTEs over the tiny state
+    * frames. */
+  private def attrMarkovOracle: String = {
+    val k = MarkovSteps
+    val variants: Seq[(String, Option[String])] =
+      ("full", None) +: MarkovChannels.map(c => (c, Some(c)))
+    val variantCtes = variants.map {
+      case (name, None) =>
+        s"tv_$name AS MATERIALIZED (SELECT s, t, tp FROM bigt)"
+      case (name, Some(c)) =>
+        s"""tv_$name AS MATERIALIZED (
+           |  SELECT s, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t,
+           |         CAST(sum(tp) AS BIGINT) AS tp
+           |  FROM bigt WHERE s <> '$c' GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val iterCtes = variants.map { case (name, _) =>
+      (s"""p_${name}_0 AS (SELECT state,
+          |  CAST(CASE WHEN state = 'conv' THEN 1000000 ELSE 0 END AS BIGINT) AS p
+          |  FROM states)""".stripMargin +:
+        (1 to k).map { i =>
+          s"""p_${name}_$i AS (
+             |  SELECT st.state,
+             |    CAST(CASE WHEN st.state = 'conv' THEN 1000000
+             |         WHEN st.state = 'null' THEN 0
+             |         ELSE coalesce(x.pn, 0) END AS BIGINT) AS p
+             |  FROM states st LEFT JOIN (
+             |    SELECT tv.s AS state,
+             |           CAST(sum(tv.tp * pp.p) // 1000000 AS BIGINT) AS pn
+             |    FROM tv_$name tv JOIN p_${name}_${i - 1} pp ON pp.state = tv.t
+             |    GROUP BY tv.s) x ON x.state = st.state)""".stripMargin
+        }).mkString(",\n")
+    }.mkString(",\n")
+    val rowSelects = MarkovChannels.map { c =>
+      s"""  SELECT '$c' AS channel,
+         |    (SELECT p FROM p_full_$k WHERE state = 'start') AS p_full_ppm,
+         |    (SELECT p FROM p_${c}_$k WHERE state = 'start') AS p_removed_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fp AS MATERIALIZED (
+       |  SELECT user_id, ts AS pts, event_id AS pid FROM (
+       |    SELECT user_id, ts, event_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |    FROM events WHERE event_type = 'purchase') q WHERE rn = 1),
+       |tch AS MATERIALIZED (
+       |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+       |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (fp.user_id IS NULL OR (e.ts, e.event_id) < (fp.pts, fp.pid))),
+       |stp AS (
+       |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id), 'start') AS s,
+       |         event_type AS t
+       |  FROM tch),
+       |lt AS (
+       |  SELECT user_id, event_type AS last_t FROM (
+       |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn FROM tch) q WHERE rn = 1),
+       |ue AS (
+       |  SELECT coalesce(lt.last_t, 'start') AS s,
+       |    CASE WHEN fp.user_id IS NOT NULL THEN 'conv' ELSE 'null' END AS t
+       |  FROM (SELECT DISTINCT user_id FROM events) u
+       |  LEFT JOIN fp ON fp.user_id = u.user_id
+       |  LEFT JOIN lt ON lt.user_id = u.user_id),
+       |tr AS (
+       |  SELECT s, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT s, t FROM stp UNION ALL SELECT s, t FROM ue) z
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT s, CAST(sum(n) AS BIGINT) AS tn FROM tr GROUP BY 1),
+       |bigt AS MATERIALIZED (
+       |  SELECT tr.s, tr.t, (tr.n * 1000000) // tt.tn AS tp
+       |  FROM tr JOIN tt ON tt.s = tr.s),
+       |states AS MATERIALIZED (
+       |  SELECT DISTINCT state FROM (
+       |    SELECT s AS state FROM bigt UNION SELECT t AS state FROM bigt) q),
+       |$variantCtes,
+       |$iterCtes,
+       |rows0 AS (
+       |$rowSelects),
+       |re AS (SELECT *,
+       |  (greatest(0, p_full_ppm - p_removed_ppm) * 1000000) // p_full_ppm
+       |    AS removal_effect_ppm FROM rows0),
+       |rt AS (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS re_total FROM re)
+       |SELECT re.channel, re.p_full_ppm, re.p_removed_ppm,
+       |  re.removal_effect_ppm,
+       |  CAST(CASE WHEN rt.re_total > 0
+       |    THEN (re.removal_effect_ppm * 1000) // rt.re_total
+       |    ELSE 0 END AS BIGINT) AS credit_permille
+       |FROM re CROSS JOIN rt ORDER BY re.channel""".stripMargin
+  }
+
   /** The PSI oracle: the drift split + full grid + smoothed shares,
     * both sides' log2 through the generated 12-step integer chain
     * (the langid oracle's machinery, keyed here on (type, bin, side)),
@@ -1665,6 +1872,7 @@ object Quality {
     "q_importance_dsir" -> qImportanceDsir,
     "q_attribution" -> qAttribution,
     "q_attr_multitouch" -> qAttrMultitouch,
+    "q_attr_markov" -> qAttrMarkov,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -2698,6 +2906,7 @@ object Quality {
         |ORDER BY 1, 2""".stripMargin,
 
     "q_psi_drift" -> psiDriftOracle,
+    "q_attr_markov" -> attrMarkovOracle,
 
 
     "q_mix_divergence" ->

@@ -246,6 +246,10 @@ class PlanSpec extends SparkSpec {
       // entity resolution runs its 3 label-propagation rounds
       // (localCheckpoint each) on construct
       "q_entity_resolution",
+      // markov attribution materializes its <=36-row transition table
+      // (localCheckpoint) on construct; 1-row broadcasts for the
+      // full-model scalar and removal-effect total are intended
+      "q_attr_markov",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time

@@ -242,6 +242,39 @@ class R10OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("overall_purity_ppm") >= 1000000L / 10 - 1)
   }
 
+  test("markov attribution: a channel on every converting path takes all the credit") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // 10 users: every conversion goes view -> click -> purchase; three
+    // pure-view users never convert; 'signup' appears only on a
+    // non-converting dead end. Removing 'click' kills EVERY conversion;
+    // removing 'signup' changes nothing.
+    val rows =
+      (0 until 7).flatMap(u => Seq(
+        (u.toLong, "view", t(1), u * 10L + 1),
+        (u.toLong, "click", t(2), u * 10L + 2),
+        (u.toLong, "purchase", t(3), u * 10L + 3))) ++
+        (7 until 9).map(u => (u.toLong, "view", t(1), u * 10L + 1)) ++
+        Seq((9L, "signup", t(1), 91L))
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.quality.Quality.attrMarkov(df).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // click sits on every converting path: removing it zeroes
+    // conversion, so its removal effect is total
+    assert(got("click").getAs[Long]("p_removed_ppm") == 0L)
+    assert(got("click").getAs[Long]("removal_effect_ppm") == 1000000L)
+    // signup never reaches a conversion: zero effect, zero credit
+    assert(got("signup").getAs[Long]("removal_effect_ppm") == 0L)
+    assert(got("signup").getAs[Long]("credit_permille") == 0L)
+    // view also gates every conversion here
+    assert(got("view").getAs[Long]("removal_effect_ppm") == 1000000L)
+    // credits sum to ~1000 (floor division loses at most |channels|-1)
+    val credits = got.values.map(_.getAs[Long]("credit_permille")).sum
+    assert(credits > 1000L - 4 && credits <= 1000L, credits.toString)
+    // full-model probability: 7 of 10 users convert, chain estimate in ppm
+    assert(got("click").getAs[Long]("p_full_ppm") > 0L)
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
