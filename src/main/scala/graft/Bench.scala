@@ -39,7 +39,11 @@ object Bench {
     // search (stored cell-code table + probes), and the lossy
     // thumbnail codec pass (linear decode+encode per asset)
     "q_bpe_train", "q_text_langid", "q_sim_ann_ivfadc",
-    "q_mm_thumbnail_jpeg")
+    "q_mm_thumbnail_jpeg",
+    // markov attribution: 40 tiny chain-iteration stages — the cost is
+    // scheduling overhead, so the ratio should sit near 1.0 (only the
+    // transition-count shuffle sees the corpus)
+    "q_attr_markov")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
