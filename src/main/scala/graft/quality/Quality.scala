@@ -820,10 +820,14 @@ object Quality {
     }.reduce(_.unionByName(_))
     // clamp BEFORE the division: removal can only lower conversion in
     // exact math, but ppm rounding can leave a tiny negative whose
-    // truncate-vs-floor division would split the engines
+    // truncate-vs-floor division would split the engines. The zero
+    // guard keeps a purchase-free corpus (p_full = 0) a valid
+    // all-zeros readout instead of an ANSI divide-by-zero.
     val re = removed.crossJoin(broadcast(pFull))
       .withColumn("removal_effect_ppm",
-        expr("(greatest(0L, p_full_ppm - p_removed_ppm) * 1000000) div p_full_ppm"))
+        expr("CASE WHEN p_full_ppm > 0 THEN " +
+          "(greatest(0L, p_full_ppm - p_removed_ppm) * 1000000) div p_full_ppm " +
+          "ELSE 0L END"))
     val reTot = re.agg(sum($"removal_effect_ppm").as("re_total"))
     re.crossJoin(broadcast(reTot))
       .select($"channel", $"p_full_ppm", $"p_removed_ppm",
@@ -1661,8 +1665,9 @@ object Quality {
        |rows0 AS (
        |$rowSelects),
        |re AS (SELECT *,
-       |  (greatest(0, p_full_ppm - p_removed_ppm) * 1000000) // p_full_ppm
-       |    AS removal_effect_ppm FROM rows0),
+       |  CASE WHEN p_full_ppm > 0
+       |    THEN (greatest(0, p_full_ppm - p_removed_ppm) * 1000000) // p_full_ppm
+       |    ELSE 0 END AS removal_effect_ppm FROM rows0),
        |rt AS (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS re_total FROM re)
        |SELECT re.channel, re.p_full_ppm, re.p_removed_ppm,
        |  re.removal_effect_ppm,

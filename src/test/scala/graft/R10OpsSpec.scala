@@ -273,6 +273,18 @@ class R10OpsSpec extends SparkSpec {
     assert(credits > 1000L - 4 && credits <= 1000L, credits.toString)
     // full-model probability: 7 of 10 users convert, chain estimate in ppm
     assert(got("click").getAs[Long]("p_full_ppm") > 0L)
+
+    // degenerate corpus: no purchases anywhere → a valid all-zeros
+    // readout, never a divide-by-zero (ANSI mode would error)
+    val noConv = Seq((0L, "view", t(1), 1L), (1L, "click", t(1), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val zeros = graft.quality.Quality.attrMarkov(noConv).collect()
+    assert(zeros.nonEmpty)
+    zeros.foreach { r =>
+      assert(r.getAs[Long]("p_full_ppm") == 0L)
+      assert(r.getAs[Long]("removal_effect_ppm") == 0L)
+      assert(r.getAs[Long]("credit_permille") == 0L)
+    }
   }
 
   test("langid: five-head scores are deterministic and bounded sane") {
