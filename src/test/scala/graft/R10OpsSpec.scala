@@ -287,6 +287,19 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("langid holdout: test half fully accounted, shares consistent") {
+    val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val testDocs = Tables.load(spark, sf0001, "documents")
+      .filter($"doc_id" % 2 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == testDocs)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, cs) =>
+      assert(cs.map(_.getAs[Long]("n")).sum == cs.head.getAs[Long]("n_true"))
+      cs.foreach(r => assert(r.getAs[Long]("true_share_ppm") ==
+        r.getAs[Long]("n") * 1000000 / r.getAs[Long]("n_true")))
+    }
+  }
+
   test("langid: five-head scores are deterministic and bounded sane") {
     val rows = TextAnalysis.qTextLangId(spark, sf0001).collect()
     assert(rows.nonEmpty)
