@@ -837,6 +837,104 @@ object Quality {
       .orderBy($"channel")
   }
 
+  /** EXACT SHAPLEY-VALUE ATTRIBUTION (Shapley 1953; Zhao et al. 2018,
+    * "Shapley Value Methods for Attribution Modeling in Online
+    * Advertising" — public recipe): the fourth member of the
+    * attribution family, next to [[qAttribution]] (last-touch),
+    * [[qAttrMultitouch]] (position rules) and [[qAttrMarkov]]
+    * (removal effect). The characteristic function v(S) is the
+    * OBSERVED conversion rate (ppm) of journeys whose touched-channel
+    * set is exactly S; coalitions never observed read v = 0 (the
+    * standard simplification when the coalition data IS the journey
+    * log). A channel's Shapley value is the factorial-weighted sum of
+    * its marginal contributions v(S∪{c}) − v(S) over the 2^(|C|−1)
+    * coalitions excluding it, divided by |C|! — with |C| = 4 the
+    * weights |S|!·(3−|S|)! are 6/2/2/6 and sum to 4! = 24 per channel.
+    *
+    * Journeys share [[qAttrMarkov]]'s definition EXACTLY (shared-
+    * definition rule): touches are a user's non-purchase events
+    * strictly before the FIRST purchase in (ts, event_id) struct
+    * order; conversion = that purchase existing. Shape: ONE user-keyed
+    * shuffle builds the per-user (channel-bitmask, converted) frame;
+    * the 16-mask v(S) table, the 32-row (channel, coalition) marginal
+    * lattice (a literal LocalRelation) and the 1-row credit total are
+    * all constant-sized broadcasts, so the tail is corpus-independent.
+    * Shapley values can be legitimately negative (a channel that
+    * correlates with non-conversion), so the div-24 is sign-split
+    * (Spark div truncates, DuckDB // floors — they only agree on
+    * non-negatives) and credit shares floor negatives at zero. */
+  def qAttrShapley(spark: SparkSession, dir: String): DataFrame =
+    attrShapley(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qAttrShapley]] over any (user_id, event_type, ts,
+    * event_id) frame — separated so the brute-force reference spec
+    * can drive it on planted journeys. */
+  private[graft] def attrShapley(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nCh = MarkovChannels.length
+    val bitCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1L << i}L" }
+      .mkString("CASE event_type ", " ", " ELSE 0L END")
+    val ev = events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("k", struct($"ts", $"event_id"))
+    val firstP = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"k").as("pk"))
+    val touches = ev.join(firstP, Seq("user_id"), "left_outer")
+      .filter($"event_type" =!= "purchase")
+      .filter($"pk".isNull || $"k" < $"pk")
+    // distinct channel bits per user, then OR-fold as a sum (bits are
+    // distinct powers of two, so sum == bitwise or)
+    val userMask = touches
+      .select($"user_id", expr(bitCase).as("bit"))
+      .filter($"bit" > 0L)
+      .distinct()
+      .groupBy($"user_id").agg(sum($"bit").as("mask"))
+    val users = ev.select($"user_id").distinct()
+      .join(firstP, Seq("user_id"), "left_outer")
+      .join(userMask, Seq("user_id"), "left_outer")
+      .select(coalesce($"mask", lit(0L)).as("mask"),
+        when($"pk".isNotNull, 1L).otherwise(0L).as("conv"))
+    val vObs = users.groupBy($"mask")
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+    val vAll = spark.range(1L << nCh).select($"id".as("mask"))
+      .join(broadcast(vObs), Seq("mask"), "left_outer")
+      .select($"mask", coalesce($"n_users", lit(0L)).as("n_users"),
+        expr("CASE WHEN n_users > 0 THEN (n_conv * 1000000) div n_users ELSE 0L END")
+          .as("v_ppm"))
+      // joined twice below (coalition and coalition∪{c} sides) — the
+      // bounded-ephemeral materialization (≤ 2^|C| = 16 rows, SCALE.md
+      // policy) keeps the user aggregation a single derivation
+      .localCheckpoint()
+    // the marginal lattice: channel c x coalition m with c not in m;
+    // coef = |m|! * (nCh - 1 - |m|)!  (a pure literal — no Spark job)
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val lattice = MarkovChannels.zipWithIndex.flatMap { case (c, i) =>
+      (0 until (1 << nCh)).filter(m => (m & (1 << i)) == 0).map { m =>
+        val sz = Integer.bitCount(m)
+        (c, m.toLong, m.toLong + (1L << i), fact(sz) * fact(nCh - 1 - sz))
+      }
+    }.toDF("channel", "m0", "m1", "coef")
+    val joined = lattice
+      .join(broadcast(vAll.select($"mask".as("m0"), $"v_ppm".as("v0"))), Seq("m0"))
+      .join(broadcast(vAll.select($"mask".as("m1"), $"v_ppm".as("v1"),
+        $"n_users".as("n_with"))), Seq("m1"))
+    val phi = joined.groupBy($"channel")
+      .agg(sum($"n_with").as("touched_users"),
+        sum($"coef" * ($"v1" - $"v0")).as("phi_scaled"))
+      .withColumn("shapley_ppm", expr(
+        s"CASE WHEN phi_scaled < 0 THEN -((-phi_scaled) div ${fact(nCh)}L) " +
+          s"ELSE phi_scaled div ${fact(nCh)}L END"))
+    val tot = phi.agg(sum(greatest($"phi_scaled", lit(0L))).as("pos_total"))
+    phi.crossJoin(broadcast(tot))
+      .select($"channel", $"touched_users", $"shapley_ppm",
+        expr("CASE WHEN pos_total > 0 THEN " +
+          "(greatest(0L, phi_scaled) * 1000) div pos_total ELSE 0L END")
+          .as("credit_permille"))
+      .orderBy($"channel")
+  }
+
   def qAttrMultitouch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -1589,6 +1687,86 @@ object Quality {
     * counts, then 1 + |channels| chain variants × [[MarkovSteps]]
     * absorption iterations as generated CTEs over the tiny state
     * frames. */
+  /** Shared DuckDB prologue for the journey-based attribution oracles
+    * ([[qAttrMarkov]], [[qAttrShapley]]): `fp` = each user's FIRST
+    * purchase in (ts, event_id) order, `tch` = the non-purchase events
+    * strictly before it — the engine's struct-ordered journey
+    * definition, replayed once. */
+  private def journeyCtes: String =
+    """fp AS MATERIALIZED (
+      |  SELECT user_id, ts AS pts, event_id AS pid FROM (
+      |    SELECT user_id, ts, event_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM events WHERE event_type = 'purchase') q WHERE rn = 1),
+      |tch AS MATERIALIZED (
+      |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      |  WHERE e.event_type <> 'purchase'
+      |    AND (fp.user_id IS NULL OR (e.ts, e.event_id) < (fp.pts, fp.pid)))""".stripMargin
+
+  /** The Shapley oracle: journey prologue → per-user channel bitmask →
+    * observed v(S) over the full 2^|C| mask grid → the 32-row marginal
+    * lattice with factorial weights → sign-split div-|C|! values and
+    * positive-part credit shares. Pure integer arithmetic end to end. */
+  private def attrShapleyOracle: String = {
+    val n = MarkovChannels.length
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val bitCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1L << i}" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val chCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN '$c'" }
+      .mkString("CASE ch.i ", " ", " END")
+    val pop = (0 until n).map(b => s"((m.m >> $b) & 1)").mkString(" + ")
+    val coefCase = (0 until n)
+      .map(sz => s"WHEN $sz THEN ${fact(sz) * fact(n - 1 - sz)}")
+      .mkString(s"CASE ($pop) ", " ", " END")
+    s"""WITH $journeyCtes,
+       |um AS (
+       |  SELECT user_id, CAST(sum(bit) AS BIGINT) AS mask FROM (
+       |    SELECT DISTINCT user_id, $bitCase AS bit FROM tch) q
+       |  WHERE bit > 0 GROUP BY user_id),
+       |usr AS (
+       |  SELECT coalesce(um.mask, 0) AS mask,
+       |    CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+       |  FROM (SELECT DISTINCT user_id FROM events) u
+       |  LEFT JOIN fp ON fp.user_id = u.user_id
+       |  LEFT JOIN um ON um.user_id = u.user_id),
+       |vobs AS (
+       |  SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(sum(conv) AS BIGINT) AS n_conv
+       |  FROM usr GROUP BY mask),
+       |vall AS MATERIALIZED (
+       |  SELECT g.mask, coalesce(vobs.n_users, 0) AS n_users,
+       |    CASE WHEN coalesce(vobs.n_users, 0) > 0
+       |      THEN (vobs.n_conv * 1000000) // vobs.n_users ELSE 0 END AS v_ppm
+       |  FROM range(0, ${1 << n}) g(mask)
+       |  LEFT JOIN vobs ON vobs.mask = g.mask),
+       |lat AS (
+       |  SELECT $chCase AS channel, m.m AS m0, m.m + (1 << ch.i) AS m1,
+       |    $coefCase AS coef
+       |  FROM range(0, $n) ch(i), range(0, ${1 << n}) m(m)
+       |  WHERE ((m.m >> ch.i) & 1) = 0),
+       |j AS (
+       |  SELECT lat.channel, lat.coef, v0.v_ppm AS v0, v1.v_ppm AS v1,
+       |         v1.n_users AS n_with
+       |  FROM lat JOIN vall v0 ON v0.mask = lat.m0
+       |           JOIN vall v1 ON v1.mask = lat.m1),
+       |phi AS (
+       |  SELECT channel, CAST(sum(n_with) AS BIGINT) AS touched_users,
+       |         CAST(sum(coef * (v1 - v0)) AS BIGINT) AS phi_scaled
+       |  FROM j GROUP BY channel),
+       |tot AS (SELECT CAST(sum(greatest(phi_scaled, 0)) AS BIGINT) AS pos_total
+       |        FROM phi)
+       |SELECT phi.channel, phi.touched_users,
+       |  CAST(CASE WHEN phi_scaled < 0 THEN -((-phi_scaled) // ${fact(n)})
+       |       ELSE phi_scaled // ${fact(n)} END AS BIGINT) AS shapley_ppm,
+       |  CAST(CASE WHEN tot.pos_total > 0
+       |       THEN (greatest(phi_scaled, 0) * 1000) // tot.pos_total
+       |       ELSE 0 END AS BIGINT) AS credit_permille
+       |FROM phi CROSS JOIN tot ORDER BY phi.channel""".stripMargin
+  }
+
   private def attrMarkovOracle: String = {
     val k = MarkovSteps
     val variants: Seq[(String, Option[String])] =
@@ -1624,16 +1802,7 @@ object Quality {
          |    (SELECT p FROM p_full_$k WHERE state = 'start') AS p_full_ppm,
          |    (SELECT p FROM p_${c}_$k WHERE state = 'start') AS p_removed_ppm""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH fp AS MATERIALIZED (
-       |  SELECT user_id, ts AS pts, event_id AS pid FROM (
-       |    SELECT user_id, ts, event_id,
-       |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-       |    FROM events WHERE event_type = 'purchase') q WHERE rn = 1),
-       |tch AS MATERIALIZED (
-       |  SELECT e.user_id, e.event_type, e.ts, e.event_id
-       |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
-       |  WHERE e.event_type <> 'purchase'
-       |    AND (fp.user_id IS NULL OR (e.ts, e.event_id) < (fp.pts, fp.pid))),
+    s"""WITH $journeyCtes,
        |stp AS (
        |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
        |           ORDER BY ts, event_id), 'start') AS s,
@@ -1878,6 +2047,7 @@ object Quality {
     "q_attribution" -> qAttribution,
     "q_attr_multitouch" -> qAttrMultitouch,
     "q_attr_markov" -> qAttrMarkov,
+    "q_attr_shapley" -> qAttrShapley,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -2912,6 +3082,7 @@ object Quality {
 
     "q_psi_drift" -> psiDriftOracle,
     "q_attr_markov" -> attrMarkovOracle,
+    "q_attr_shapley" -> attrShapleyOracle,
 
 
     "q_mix_divergence" ->

@@ -720,6 +720,60 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** NELSON–AALEN SURVIVAL ANALYSIS (Nelson 1972, Aalen 1978 — the
+    * counting-process cumulative-hazard estimator): user churn modeled
+    * as right-censored lifetimes. A user's lifetime is the day span
+    * between their first and last event; the death (churn) is OBSERVED
+    * only when the last event falls more than 14 days before the
+    * corpus end — later last-events are censored (the user may still
+    * be alive past the observation window). Ĥ(t) = Σ_{s≤t} d_s / n_s
+    * with d_s = churn events at lifetime s and n_s = the at-risk count
+    * (everyone whose lifetime, observed or censored, is ≥ s); censored
+    * users leave the risk set but never count as deaths. The hazard
+    * steps are exact integer parts-per-billion, so Ĥ is a running
+    * BIGINT sum (the Kaplan–Meier survival curve is e^−Ĥ — a
+    * presentation-side transform, deliberately not baked into the
+    * hash). Complements [[qCohortRetention]]: retention reads raw
+    * activity shares, the estimator corrects them for censoring.
+    *
+    * Scale shape: ONE user-keyed aggregate builds (lifetime, churned),
+    * then everything lives on the per-lifetime-day frame (bounded by
+    * the calendar span, never corpus size) — the corpus-end scalar is
+    * a 1-row broadcast, the reverse-cumulative risk set and the
+    * running hazard are windows over that bounded frame. */
+  def qSurvivalHazard(spark: SparkSession, dir: String): DataFrame =
+    survivalHazard(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qSurvivalHazard]] over any (user_id, ts) frame —
+    * separated so the planted-censoring spec can drive it. */
+  private[graft] def survivalHazard(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select($"user_id",
+      expr("unix_timestamp(ts) div 86400").as("d"))
+    val spans = ev.groupBy($"user_id")
+      .agg(min($"d").as("first_d"), max($"d").as("last_d"))
+    val corpusEnd = ev.agg(max($"d").as("w_end"))
+    val lifetimes = spans.crossJoin(broadcast(corpusEnd))
+      .select(($"last_d" - $"first_d").as("t_day"),
+        when($"last_d" < $"w_end" - 14L, 1L).otherwise(0L).as("churned"))
+    val perDay = lifetimes.groupBy($"t_day")
+      .agg(sum($"churned").as("d_churn"),
+        (count(lit(1)) - sum($"churned")).as("n_censored"))
+    // bounded frame from here down: one row per distinct lifetime day
+    val wRisk = Window.orderBy($"t_day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"t_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("n_risk", sum($"d_churn" + $"n_censored").over(wRisk))
+      .withColumn("hazard_step_ppb", expr("(d_churn * 1000000000) div n_risk"))
+      .withColumn("cumhaz_ppb", sum($"hazard_step_ppb").over(wCum))
+      .select($"t_day", $"n_risk", $"d_churn", $"n_censored",
+        $"hazard_step_ppb", $"cumhaz_ppb")
+      .orderBy($"t_day")
+  }
+
   /** Time-series motif search via SAX (symbolic aggregate
     * approximation — the EDBT'19 streaming-similarity recipe): each
     * user's first 16 event values become a 4-segment PAA sketch,
@@ -1195,6 +1249,60 @@ object Relational {
       .select($"d".cast("long").as("d"), $"dot_est", $"exact_size", $"est_min",
         ($"dot_est" - $"exact_size").as("overcount"))
       .orderBy($"d")
+  }
+
+  /** The AMS tug-of-war sign: ±1 from bit 21 of a multiply-shift hash
+    * of (counter id j, key u). Shared between the Spark plan and the
+    * DuckDB oracle, modulo the engines' shift spelling (`shiftright`
+    * vs `>>`). The odd multiplier (2j+1)·1000003 stays ≤ 1.6·10⁸, so
+    * the product is ANSI-safe for key domains up to ~5·10¹⁰. */
+  private def amsSign(shift: (String, Int) => String): String = {
+    val h = "((2 * j + 1) * 1000003) * user_id + j * 97 + 13"
+    s"1 - 2 * (${shift(s"($h)", 21)} & 1)"
+  }
+
+  /** SECOND FREQUENCY MOMENT (F2) by AMS tug-of-war sketch (Alon,
+    * Matias & Szegedy 1996 — the original streaming-sketch paper): F2
+    * of the per-user event counts is exactly the self-join size on
+    * user_id, the other cardinality a cost-based optimizer consults
+    * (its sibling [[qJoinCardEst]] estimates the two-sided join by CMS
+    * dot product). The sketch is LINEAR: 80 signed counters
+    * c_j = Σ_rows sign_j(user) accumulate straight off the scan —
+    * map-side combined into 80 partials per task, NO key shuffle, and
+    * two sketches merge by addition (the 100 TB path: the exact audit
+    * column's user-keyed combine is what you stop computing). Estimate
+    * = median over 5 groups of the mean of 16 counter squares, the
+    * paper's median-of-means variance reduction; medians/means over
+    * the 5- and 16-row frames are bounded-dimension windows. All
+    * arithmetic integer, both engines replay the same multiply-shift
+    * signs bit-for-bit. */
+  def qAmsF2(spark: SparkSession, dir: String): DataFrame =
+    amsF2(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qAmsF2]] over any frame with a user_id column —
+    * separated so the linearity spec (sketch of a doubled corpus =
+    * 4× the estimate) can drive it. */
+  private[graft] def amsF2(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select($"user_id")
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .agg(sum($"cnt" * $"cnt").as("f2_exact"))
+    val counters = ev
+      .select($"user_id", explode(expr("sequence(0, 79)")).as("j"))
+      .withColumn("s",
+        expr(amsSign((x, b) => s"shiftright($x, $b)")).cast("long"))
+      .groupBy($"j").agg(sum($"s").as("c"))
+    val groups = counters
+      .groupBy(expr("j div 16").as("g"))
+      .agg(expr("sum(c * c) div 16").as("est"))
+    val wm = Window.orderBy($"est", $"g")
+    val med = groups.withColumn("rn", row_number().over(wm))
+      .filter($"rn" === 3).select($"est".as("f2_est"))
+    groups.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+      .select($"g", $"est", $"f2_est", $"f2_exact",
+        expr("(abs(f2_est - f2_exact) * 1000000) div f2_exact").as("err_ppm"))
+      .orderBy($"g")
   }
 
   /** Shuffle-key SKEW REPORT — the diagnosis you run before choosing
@@ -2903,6 +3011,7 @@ object Relational {
     "q_salted_agg" -> qSaltedAgg,
     "q_skew_report" -> qSkewReport,
     "q_join_card_est" -> qJoinCardEst,
+    "q_ams_f2" -> qAmsF2,
     "q_interval_merge" -> qIntervalMerge,
     "q_forecast_mase" -> qForecastMase,
     "q_cohort_ltv" -> qCohortLtv,
@@ -2915,6 +3024,7 @@ object Relational {
     "q_window_tumbling" -> qWindowTumbling,
     "q_approx_distinct" -> qApproxDistinct,
     "q_cohort_retention" -> qCohortRetention,
+    "q_survival_hazard" -> qSurvivalHazard,
     "q_event_transitions" -> qEventTransitions,
     "q_event_paths" -> qEventPaths,
     "q_basket_rules" -> qBasketRules,
@@ -4071,6 +4181,33 @@ object Relational {
         |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
         |ORDER BY cells.cohort_day, day_offset""".stripMargin,
 
+    "q_survival_hazard" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events),
+        |spans AS (SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        |          FROM ev GROUP BY user_id),
+        |w AS (SELECT max(d) AS w_end FROM ev),
+        |lt AS (
+        |  SELECT last_d - first_d AS t_day,
+        |    CASE WHEN last_d < w.w_end - 14 THEN 1 ELSE 0 END AS churned
+        |  FROM spans CROSS JOIN w),
+        |pd AS (
+        |  SELECT t_day, CAST(sum(churned) AS BIGINT) AS d_churn,
+        |         CAST(count(*) - sum(churned) AS BIGINT) AS n_censored
+        |  FROM lt GROUP BY t_day),
+        |rk AS (
+        |  SELECT *, CAST(sum(d_churn + n_censored) OVER (ORDER BY t_day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM pd),
+        |hz AS (SELECT *, (d_churn * 1000000000) // n_risk AS hazard_step_ppb
+        |       FROM rk)
+        |SELECT t_day, n_risk, d_churn, n_censored, hazard_step_ppb,
+        |  CAST(sum(hazard_step_ppb) OVER (ORDER BY t_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumhaz_ppb
+        |FROM hz ORDER BY t_day""".stripMargin,
+
     "q_event_transitions" ->
       """WITH o AS (
         |  SELECT user_id, event_type,
@@ -4382,6 +4519,24 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM isl GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+
+    "q_ams_f2" -> {
+      val sign = amsSign((x, b) => s"($x >> $b)")
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM (
+         |  SELECT count(*) AS cnt FROM ev GROUP BY user_id)),
+         |sg AS (
+         |  SELECT j, CAST(sum($sign) AS BIGINT) AS c
+         |  FROM ev, range(0, 80) t(j) GROUP BY j),
+         |gr AS (SELECT j // 16 AS g, CAST(sum(c * c) // 16 AS BIGINT) AS est
+         |       FROM sg GROUP BY 1),
+         |md AS (SELECT est AS f2_est FROM (
+         |  SELECT est, row_number() OVER (ORDER BY est, g) AS rn FROM gr)
+         |  WHERE rn = 3)
+         |SELECT g, est, f2_est, f2_exact,
+         |  (abs(f2_est - f2_exact) * 1000000) // f2_exact AS err_ppm
+         |FROM gr CROSS JOIN md CROSS JOIN ex ORDER BY g""".stripMargin
+    },
 
     "q_join_card_est" ->
       """WITH pu AS (

@@ -1008,6 +1008,71 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CCNET-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — public): the curation step that made Common Crawl
+    * trainable — language-ID every document, score it with a language
+    * model, and split each language's corpus into HEAD / MIDDLE /
+    * TAIL perplexity tertiles (head feeds pretraining, tail gets
+    * dropped or downweighted). Composes two shipped models under the
+    * shared-definition rule: the staged learned langid
+    * ([[qTextLangId]]'s weight table, trained once per corpus) and
+    * the corpus bigram LM ([[qTextBigramLm]]'s avg conditional
+    * probability — HIGH mean p = low perplexity = head; docs with no
+    * bigrams score 0 and sink to the tail).
+    *
+    * Tertile cuts use the value-count ranking pattern (per-language
+    * (score, count) frame + one cumulative window over distinct
+    * scores) — never a corpus-wide row_number: the bucketing is
+    * THRESHOLD semantics exactly as CCNet publishes its perplexity
+    * cutoffs, so score ties share a bucket. Output is one row per
+    * (language, bucket) with the doc count, share, and the actual
+    * score boundaries — the shippable cutoff table. */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pred = withLangIdScored(docs, langIdBigrams(docs),
+      langIdWeightsFor(spark, dir))
+      .select($"doc_id", $"predicted_lang")
+    val lm = bigramLm(docs).select($"doc_id",
+      coalesce($"avg_p_e6", lit(0L)).as("score_e6"))
+    val scored = pred.join(lm, Seq("doc_id"))
+    val vc = scored.groupBy($"predicted_lang", $"score_e6")
+      .agg(count(lit(1)).as("cnt"))
+      // the (lang, score) distribution frame feeds the cumulative
+      // window, the per-lang totals AND the final bucket rollup —
+      // bounded ephemeral (≤ distinct scores), so the langid + LM
+      // pipeline derives exactly once (SCALE.md policy)
+      .localCheckpoint()
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"predicted_lang").orderBy($"score_e6".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = vc.withColumn("cum", sum($"cnt").over(wCum))
+    val nl = vc.groupBy($"predicted_lang").agg(sum($"cnt").as("n_lang"))
+    // boundary scores: the first (highest) score whose cumulative
+    // count reaches ceil(n/3) / ceil(2n/3) — max over the qualifying
+    // (lower) scores IS that boundary
+    val cuts = cum.join(nl, Seq("predicted_lang"))
+      .groupBy($"predicted_lang")
+      .agg(max(when($"cum" >= expr("(n_lang + 2) div 3"), $"score_e6"))
+          .as("cut1"),
+        max(when($"cum" >= expr("(2 * n_lang + 2) div 3"), $"score_e6"))
+          .as("cut2"),
+        max($"n_lang").as("n_lang"))
+    cum.join(broadcast(cuts), Seq("predicted_lang"))
+      .withColumn("bucket", expr(
+        """CASE WHEN score_e6 >= cut1 THEN 'head'
+          |     WHEN score_e6 >= cut2 THEN 'middle'
+          |     ELSE 'tail' END""".stripMargin))
+      .groupBy($"predicted_lang", $"bucket")
+      .agg(sum($"cnt").as("n_docs"),
+        min($"score_e6").as("min_score_e6"),
+        max($"score_e6").as("max_score_e6"),
+        expr("(sum(cnt) * 1000) div max(n_lang)").as("share_permille"))
+      .orderBy($"predicted_lang", $"bucket")
+  }
+
   /** Span-level duplication coverage (the suffix-array "duplicated
     * span" signal, approximated at 8-word granularity): per document,
     * the fraction of its distinct word 8-grams that occur in at least
@@ -1587,6 +1652,7 @@ object TextAnalysis {
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
     "q_text_trigram_loo" -> qTextTrigramLoo,
+    "q_ccnet_buckets" -> qCcnetBuckets,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_text_compress_ratio" -> qTextCompressRatio,
     "q_text_bpe" -> qTextBpe,
@@ -2286,6 +2352,55 @@ object TextAnalysis {
       s"""WITH $duckLangIdCte
          |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, predicted_lang
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // langid replay (ending in p) + the bigram-LM replay (CTEs renamed
+    // lm* — the langid chain already owns `p`) + value-count tertiles
+    "q_ccnet_buckets" ->
+      s"""WITH $duckLangIdCte,
+         |lmt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |lmi AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i FROM lmt),
+         |lmp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM lmi),
+         |lmbc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |         FROM lmp GROUP BY w1, w2),
+         |lmuc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |         FROM lmp GROUP BY w1),
+         |lms AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(sum((c12 * 1000000) // c1) AS BIGINT) // count(*) AS BIGINT)
+         |      AS avg_p_e6
+         |  FROM lmp JOIN lmbc USING (w1, w2) JOIN lmuc USING (w1)
+         |  GROUP BY doc_id),
+         |sc2 AS (
+         |  SELECT p.doc_id, p.predicted_lang,
+         |         coalesce(lms.avg_p_e6, 0) AS score_e6
+         |  FROM p LEFT JOIN lms USING (doc_id)),
+         |vc AS (SELECT predicted_lang, score_e6, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM sc2 GROUP BY 1, 2),
+         |cm AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY predicted_lang
+         |         ORDER BY score_e6 DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum
+         |       FROM vc),
+         |nl AS (SELECT predicted_lang, CAST(sum(cnt) AS BIGINT) AS n_lang
+         |       FROM vc GROUP BY 1),
+         |cuts AS (
+         |  SELECT cm.predicted_lang,
+         |    max(CASE WHEN cum >= (n_lang + 2) // 3 THEN score_e6 END) AS cut1,
+         |    max(CASE WHEN cum >= (2 * n_lang + 2) // 3 THEN score_e6 END) AS cut2,
+         |    max(n_lang) AS n_lang
+         |  FROM cm JOIN nl USING (predicted_lang) GROUP BY cm.predicted_lang)
+         |SELECT cm.predicted_lang,
+         |  CASE WHEN score_e6 >= cut1 THEN 'head'
+         |       WHEN score_e6 >= cut2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  min(score_e6) AS min_score_e6,
+         |  max(score_e6) AS max_score_e6,
+         |  CAST((sum(cnt) * 1000) // max(cuts.n_lang) AS BIGINT)
+         |    AS share_permille
+         |FROM cm JOIN cuts USING (predicted_lang)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_langid_eval" ->
       s"""WITH $duckLangIdCte,

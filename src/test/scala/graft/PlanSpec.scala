@@ -213,7 +213,12 @@ class PlanSpec extends SparkSpec {
       "q_seq_patterns",
       // learned langid: the |langs|-row totals crossed onto the vocab
       // grid + the 1-row vocab-size broadcast (training-side smoothing)
-      "q_text_langid", "q_langid_eval")
+      "q_text_langid", "q_langid_eval",
+      // survival: the 1-row corpus-end broadcast onto the user spans
+      "q_survival_hazard",
+      // AMS F2: 1-row median-estimate + 1-row exact-audit broadcasts
+      // onto the 5 sketch-group rows
+      "q_ams_f2")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -250,6 +255,12 @@ class PlanSpec extends SparkSpec {
       // (localCheckpoint) on construct; 1-row broadcasts for the
       // full-model scalar and removal-effect total are intended
       "q_attr_markov",
+      // shapley attribution materializes its 16-row v(S) table
+      // (localCheckpoint) on construct — joined by both lattice sides
+      "q_attr_shapley",
+      // ccnet bucketing materializes its (lang, score) distribution
+      // frame on construct — cuts, totals and rollup all read it
+      "q_ccnet_buckets",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time

@@ -287,6 +287,169 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("shapley attribution matches the brute-force lattice reference") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val chans = Seq("click", "error", "signup", "view")
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    // brute-force reference over (mask, converted) users
+    def refPhi(users: Seq[(Int, Int)]): (Map[Int, Long], Map[String, Long]) = {
+      val v: Map[Int, Long] = (0 until 16).map { m =>
+        val grp = users.filter(_._1 == m)
+        m -> (if (grp.isEmpty) 0L
+              else grp.map(_._2.toLong).sum * 1000000L / grp.size)
+      }.toMap
+      val phi = chans.zipWithIndex.map { case (c, i) =>
+        c -> (0 until 16).filter(m => (m & (1 << i)) == 0).map { m =>
+          val sz = Integer.bitCount(m)
+          fact(sz) * fact(3 - sz) * (v(m + (1 << i)) - v(m))
+        }.sum
+      }.toMap
+      (v, phi)
+    }
+    def check(rows: Seq[(Long, String, Timestamp, Long)],
+        users: Seq[(Int, Int)]): Map[String, org.apache.spark.sql.Row] = {
+      val got = graft.quality.Quality
+        .attrShapley(rows.toDF("user_id", "event_type", "ts", "event_id"))
+        .collect().map(r => r.getAs[String]("channel") -> r).toMap
+      val (v, phi) = refPhi(users)
+      chans.foreach { c =>
+        val expect = { val p = phi(c); if (p < 0) -((-p) / 24) else p / 24 }
+        assert(got(c).getAs[Long]("shapley_ppm") == expect, c)
+      }
+      // efficiency axiom for the observed-v game, raw (×24) units
+      assert(phi.values.sum == 24L * (v(15) - v(0)))
+      got
+    }
+    def maskOf(ts: Seq[String]) = ts.map(c => 1 << chans.indexOf(c)).distinct.sum
+
+    val base = Seq(
+      // u0: click -> purchase; the post-purchase view must NOT join
+      // the coalition (journeys end at the FIRST purchase)
+      (0L, "click", t(1), 1L), (0L, "purchase", t(2), 2L), (0L, "view", t(3), 3L),
+      // u1: click, never converts
+      (1L, "click", t(1), 11L),
+      // u2: view -> signup -> purchase  ({view, signup})
+      (2L, "view", t(1), 21L), (2L, "signup", t(2), 22L), (2L, "purchase", t(3), 23L),
+      // u3: view only
+      (3L, "view", t(1), 31L),
+      // u5: error -> view, never converts
+      (5L, "error", t(1), 51L), (5L, "view", t(2), 52L),
+      // u6: view -> click -> purchase  ({view, click})
+      (6L, "view", t(1), 61L), (6L, "click", t(2), 62L), (6L, "purchase", t(3), 63L))
+    val baseUsers: Seq[(Int, Int)] = Seq(
+      (maskOf(Seq("click")), 1), (maskOf(Seq("click")), 0),
+      (maskOf(Seq("view", "signup")), 1), (maskOf(Seq("view")), 0),
+      (maskOf(Seq("error", "view")), 0), (maskOf(Seq("view", "click")), 1))
+    val got = check(base, baseUsers)
+    // touched_users counts users whose coalition contains the channel
+    assert(got("click").getAs[Long]("touched_users") == 3L)
+    assert(got("error").getAs[Long]("touched_users") == 1L)
+    // hand numbers: click/view carry +3e6 raw, error −5e6, signup −1e6
+    assert(got("click").getAs[Long]("shapley_ppm") == 125000L)
+    assert(got("error").getAs[Long]("shapley_ppm") == -208333L)
+    // credit: positive-part shares sum to ~1000 (floor loss < |C|)
+    val credits = got.values.map(_.getAs[Long]("credit_permille")).sum
+    assert(credits > 1000L - 4 && credits <= 1000L, credits.toString)
+
+    // adding a no-touch converter (empty coalition, mask 0) drags
+    // every marginal against v(∅) — reference must still agree
+    val withEmpty = base ++ Seq((4L, "purchase", t(1), 41L))
+    check(withEmpty, baseUsers :+ ((0, 1)))
+
+    // purchase-free corpus: valid all-zeros, never a divide-by-zero
+    val noConv = Seq((0L, "view", t(1), 1L), (1L, "click", t(1), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    graft.quality.Quality.attrShapley(noConv).collect().foreach { r =>
+      assert(r.getAs[Long]("shapley_ppm") == 0L)
+      assert(r.getAs[Long]("credit_permille") == 0L)
+    }
+  }
+
+  test("survival hazard: censoring, risk sets and the running estimator") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    // corpus end = day 30; churn is observed iff last event < day 16
+    val rows = Seq(
+      (0L, day(0)), (0L, day(10)),   // t=10, last 10  -> churned
+      (1L, day(0)), (1L, day(10)),   // t=10, last 10  -> churned
+      (2L, day(5)), (2L, day(15)),   // t=10, last 15  -> churned
+      (3L, day(20)), (3L, day(30)),  // t=10, last 30  -> censored
+      (4L, day(0)),                  // t=0,  last 0   -> churned
+      (5L, day(25)))                 // t=0,  last 25  -> censored
+    val df = rows.toDF("user_id", "ts")
+    val got = Relational.survivalHazard(df).collect()
+      .map(r => r.getAs[Long]("t_day") -> r).toMap
+    assert(got.keySet == Set(0L, 10L))
+    // t=0: 1 churn (u4), 1 censored (u5), everyone at risk
+    assert(got(0L).getAs[Long]("n_risk") == 6L)
+    assert(got(0L).getAs[Long]("d_churn") == 1L)
+    assert(got(0L).getAs[Long]("n_censored") == 1L)
+    assert(got(0L).getAs[Long]("hazard_step_ppb") == 1000000000L / 6)
+    // t=10: the two t=0 users (churned AND censored alike) have left
+    // the risk set; 3 churns over 4 at risk
+    assert(got(10L).getAs[Long]("n_risk") == 4L)
+    assert(got(10L).getAs[Long]("d_churn") == 3L)
+    assert(got(10L).getAs[Long]("hazard_step_ppb") == 750000000L)
+    assert(got(10L).getAs[Long]("cumhaz_ppb") ==
+      1000000000L / 6 + 750000000L)
+    // the estimator never counts a censored user as a death: total
+    // churn across rows is exactly the 4 planted deaths
+    assert(got.values.map(_.getAs[Long]("d_churn")).sum == 4L)
+  }
+
+  test("AMS F2 sketch: exact audit, linearity, and a sane estimate") {
+    // planted counts: user u appears u times, u = 1..12
+    // F2 = Σ u² = 650
+    val ev = (1 to 12).flatMap(u => Seq.fill(u)(u.toLong))
+      .toDF("user_id")
+    val rows = Relational.amsF2(ev).collect()
+    assert(rows.length == 5) // one row per median-of-means group
+    rows.foreach(r => assert(r.getAs[Long]("f2_exact") == 650L))
+    val est = rows.head.getAs[Long]("f2_est")
+    assert(rows.forall(_.getAs[Long]("f2_est") == est))
+    // deterministic signs → deterministic estimate; the guard is a
+    // loose envelope (median-of-means on 12 keys), not a tolerance
+    assert(est > 0L && est < 650L * 10, est.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_ppm") ==
+        math.abs(est - 650L) * 1000000L / 650L)
+    }
+    // LINEARITY — the property that makes the sketch mergeable at
+    // 100 TB: doubling the corpus doubles every counter, so each
+    // group estimate quadruples (up to the div-16 floor, < 4)
+    val doubled = Relational.amsF2(ev.union(ev)).collect()
+      .map(r => r.getAs[Long]("g") -> r.getAs[Long]("est")).toMap
+    Relational.amsF2(ev).collect().foreach { r =>
+      val q = doubled(r.getAs[Long]("g"))
+      val e4 = 4L * r.getAs[Long]("est")
+      assert(q >= e4 && q <= e4 + 3, s"group ${r.getAs[Long]("g")}")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("f2_exact") == 650L))
+  }
+
+  test("ccnet buckets: tertile accounting and ordered score boundaries") {
+    val rows = TextAnalysis.qCcnetBuckets(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("predicted_lang")).foreach { case (lang, bs) =>
+      val byB = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      // per-language shares account for every doc (floor loss < 3)
+      val share = bs.map(_.getAs[Long]("share_permille")).sum
+      assert(share > 1000L - 3 && share <= 1000L, s"$lang share=$share")
+      // threshold semantics: head scores ≥ middle scores ≥ tail scores
+      for (hi <- byB.get("head"); mid <- byB.get("middle"))
+        assert(hi.getAs[Long]("min_score_e6") >= mid.getAs[Long]("max_score_e6"), lang)
+      for (mid <- byB.get("middle"); lo <- byB.get("tail"))
+        assert(mid.getAs[Long]("min_score_e6") > lo.getAs[Long]("max_score_e6"), lang)
+      // head holds at least a third (ties can only grow it)
+      val nLang = bs.map(_.getAs[Long]("n_docs")).sum
+      byB.get("head").foreach(h =>
+        assert(3 * h.getAs[Long]("n_docs") >= nLang, lang))
+    }
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
