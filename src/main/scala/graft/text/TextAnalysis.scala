@@ -274,6 +274,38 @@ object TextAnalysis {
       .orderBy($"n".desc, $"token")
   }
 
+  /** PER-GROUP heavy hitters — [[qHeavyHitters]]'s native mergeable
+    * SpaceSaving aggregate composed with a GROUP BY: one summary per
+    * source, so per-domain frequent-token profiles come out of the
+    * same two-phase shape (candidates → exact recount → threshold).
+    * Capacity 200 per group guarantees every token above the 1%%
+    * emission threshold is a candidate (SpaceSaving admits any item
+    * with share > 1/capacity = 0.5%% — Metwally 2005), which is what
+    * makes the DuckDB exact-count oracle replay the OUTPUT exactly
+    * even though the sketch itself is not SQL-expressible.
+    *
+    * Scale: candidate state is O(groups × capacity) regardless of
+    * token cardinality; the exact recount semi-joins on (source,
+    * token) against the ≤ 200·|sources| candidate list — only
+    * candidate keys ever shuffle with their counts. */
+  def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val cands = toks.groupBy($"source")
+      .agg(expr("spacesaving_topk(token, 200)").as("cand"))
+      .select($"source", explode($"cand").as("token"))
+    val tot = toks.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    toks.join(broadcast(cands), Seq("source", "token"), "left_semi")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), Seq("source"))
+      .filter($"n" * 100 > $"n_src")
+      .select($"source", $"token", $"n",
+        expr("(n * 1000000) div n_src").as("share_ppm"))
+      .orderBy($"source", $"n".desc, $"token")
+  }
+
   /** CODE-SWITCHING / LANGUAGE-MIX AUDIT: the doc-level langid hides
     * documents that switch language mid-text (boilerplate headers,
     * quoted translations, scraped concatenations) — a curation hazard
@@ -542,6 +574,102 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), count_distinct($"doc_id").as("df"))
       .orderBy($"tf".desc, $"token")
       .limit(100)
+  }
+
+  /** CHARACTER-LEVEL SHANNON ENTROPY (Shannon 1948) — the classical
+    * randomness signal next to [[qTextCompressRatio]]'s zlib column,
+    * but SQL-replayable: H = Σ_c (k_c/n)·log2(n/k_c) carried as
+    * Σ k_c·(L(n) − L(k_c)) div n in 1/4096-bit units through the
+    * shared integer log ([[ilog2x4096]]). Low entropy flags repeated-
+    * character boilerplate; ~4.2 bits is ordinary English. Each term
+    * is clamped at 0 (exact math keeps them non-negative; the log
+    * chain's −3-unit floor error could otherwise push a k≈n term
+    * negative and split truncate-vs-floor division between engines).
+    *
+    * Scale: one map-side-combined (doc, char) shuffle — the per-doc
+    * char alphabet is bounded, so the window totals and the final doc
+    * combine ride tiny frames. */
+  def qTextEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropy(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qTextEntropy]] over any (doc_id, text) frame —
+    * separated so the exact-bit planted spec can drive it. */
+  private[graft] def textEntropy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cc = docs
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter(length($"ch") > 0)
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("k"))
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val agg = cc
+      .withColumn("nc", sum($"k").over(wD))
+      .withColumn("ndc", count(lit(1)).over(wD))
+      .withColumn("lk", expr(ilog2x4096("k")))
+      .withColumn("ln", expr(ilog2x4096("nc")))
+      .groupBy($"doc_id")
+      .agg(max($"nc").as("n_chars"), max($"ndc").as("n_distinct_chars"),
+        expr("sum(k * greatest(0L, ln - lk))").as("num"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars", $"n_distinct_chars",
+        expr("num div n_chars").as("entropy_x4096"))
+      .orderBy($"doc_id")
+  }
+
+  /** ZIPF-LAW FIT AUDIT (Zipf 1949; Theil 1950/Sen 1968 for the
+    * robust slope): how power-law-like is the corpus's rank-frequency
+    * curve? Natural language sits near slope −1 on the log-log plot;
+    * a much flatter slope flags synthetic/templated text, a steeper
+    * one a degenerate vocabulary — a cheap corpus-health signal next
+    * to the entropy and compression-ratio columns. Fit: the top-64
+    * tokens' (log2 rank, log2 freq) points in 1/4096 units through
+    * the shared integer-log chain ([[ilog2x4096]]); slope = the
+    * Theil–Sen MEDIAN of all pairwise slopes (sign-split millis —
+    * pairwise dy is never positive), intercept = median of
+    * y·1000 − slope·x (kept ×1000 so NO signed division ever runs).
+    *
+    * Scale: the vocabulary aggregate is the only corpus shuffle;
+    * top-64 via TakeOrdered (bounded heap), then every frame is ≤ 64
+    * points / ≤ 2016 pairs — the pair cross join and the median
+    * windows are constant-sized regardless of corpus. */
+  def qVocabZipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.load(spark, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val top = freq.orderBy($"n".desc, $"token").limit(64)
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"token") // 64-row frame
+    val pts = top
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .withColumn("x", expr(ilog2x4096("rnk")))
+      .withColumn("y", expr(ilog2x4096("n")))
+      .select($"rnk", $"x", $"y")
+    val slopes = pts.select($"rnk".as("ra"), $"x".as("xa"), $"y".as("ya"))
+      .crossJoin(pts.select($"rnk".as("rb"), $"x".as("xb"), $"y".as("yb")))
+      .filter($"ra" < $"rb" && $"xb" > $"xa") // ≤ 2016 bounded pairs
+      .select(expr(
+        """CASE WHEN yb >= ya THEN ((yb - ya) * 1000) div (xb - xa)
+          |     ELSE -(((ya - yb) * 1000) div (xb - xa)) END""".stripMargin)
+        .as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.orderBy($"s")
+    val slope = slopes
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter($"rk" === expr("(n_pairs + 1) div 2"))
+      .select($"n_pairs", $"s".as("zipf_slope_milli"))
+    val withT = pts.crossJoin(broadcast(slope))
+      .withColumn("t", $"y" * 1000L - $"zipf_slope_milli" * $"x")
+    val wT = org.apache.spark.sql.expressions.Window.orderBy($"t")
+    withT
+      .withColumn("rk", row_number().over(wT).cast("long"))
+      .withColumn("n_points", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter($"rk" === expr("(n_points + 1) div 2"))
+      .select($"n_points", $"n_pairs", $"zipf_slope_milli",
+        $"t".as("intercept_x4096e3"))
   }
 
   private val CmsDepth = 4  // independent hash rows
@@ -1649,6 +1777,9 @@ object TextAnalysis {
     "q_text_dup_span_extract" -> qTextDupSpanExtract,
     "q_vocab_oov" -> qVocabOov,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_heavy_hitters_grouped" -> qHeavyHittersGrouped,
+    "q_vocab_zipf" -> qVocabZipf,
+    "q_text_entropy" -> qTextEntropy,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
     "q_text_trigram_loo" -> qTextTrigramLoo,
@@ -1673,6 +1804,90 @@ object TextAnalysis {
     * `wt(bigram, w_de..w_zh)` — the weight table, shared by the
     * prediction, evaluation, and chunk-mix oracles; includes the 12
     * integer log2 squaring rounds (generated, one small CTE each). */
+  /** The entropy oracle: per-(doc, char) counts, the 12-step integer
+    * log chain run over k (keyed on doc+char) and over n (keyed on
+    * doc), clamped non-negative terms, one division per doc. */
+  private def textEntropyOracle: String = {
+    def steps(p: String, key: String) = (0 until 12).map { i =>
+      s"""$p${i + 1} AS (SELECT $key,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM $p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |           FROM documents),
+       |cf AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+       |       FROM ch WHERE len(ch) > 0 GROUP BY 1, 2),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS nc,
+       |         CAST(count(*) AS BIGINT) AS ndc
+       |  FROM cf GROUP BY 1),
+       |e0 AS (SELECT doc_id, ch,
+       |  (k * 4096) >> (length(bin(k)) - 1) AS m,
+       |  (length(bin(k)) - 1) * 4096 AS r FROM cf),
+       |${steps("e", "doc_id, ch")},
+       |f0 AS (SELECT doc_id,
+       |  (nc * 4096) >> (length(bin(nc)) - 1) AS m,
+       |  (length(bin(nc)) - 1) * 4096 AS r FROM pd),
+       |${steps("f", "doc_id")},
+       |ag AS (
+       |  SELECT cf.doc_id,
+       |    CAST(sum(cf.k * greatest(0, f.r - e.r)) AS BIGINT) AS num
+       |  FROM cf JOIN e12 e ON e.doc_id = cf.doc_id AND e.ch = cf.ch
+       |          JOIN f12 f ON f.doc_id = cf.doc_id
+       |  GROUP BY cf.doc_id)
+       |SELECT d.doc_id, pd.nc AS n_chars, pd.ndc AS n_distinct_chars,
+       |  CAST(ag.num // pd.nc AS BIGINT) AS entropy_x4096
+       |FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The Zipf oracle: vocabulary counts → top-64 ranks → BOTH log
+    * operands (rank and frequency) through the 12-step integer log2
+    * chain keyed on (rnk, wh) → pairwise sign-split slopes → lower
+    * medians for slope and the ×1000 intercept. */
+  private def vocabZipfOracle: String = {
+    val logSteps = (0 until 12).map { i =>
+      s"""zl${i + 1} AS (SELECT rnk, wh,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM zl$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tt AS (SELECT token FROM tok WHERE len(token) > 0),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tt GROUP BY token),
+       |top AS (SELECT rnk, n FROM (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM c) q
+       |  WHERE rnk <= 64),
+       |unp AS (SELECT rnk, 'x' AS wh, rnk AS v FROM top
+       |        UNION ALL SELECT rnk, 'y', n FROM top),
+       |zl0 AS (SELECT rnk, wh,
+       |  (v * 4096) >> (length(bin(v)) - 1) AS m,
+       |  (length(bin(v)) - 1) * 4096 AS r FROM unp),
+       |$logSteps,
+       |xy AS MATERIALIZED (SELECT rnk,
+       |  CAST(max(CASE WHEN wh = 'x' THEN r END) AS BIGINT) AS x,
+       |  CAST(max(CASE WHEN wh = 'y' THEN r END) AS BIGINT) AS y
+       |  FROM zl12 GROUP BY rnk),
+       |sl AS (
+       |  SELECT CASE WHEN b.y >= a.y THEN ((b.y - a.y) * 1000) // (b.x - a.x)
+       |              ELSE -(((a.y - b.y) * 1000) // (b.x - a.x)) END AS s
+       |  FROM xy a JOIN xy b ON a.rnk < b.rnk AND b.x > a.x),
+       |md AS MATERIALIZED (SELECT np AS n_pairs, s AS zipf_slope_milli FROM (
+       |  SELECT s, row_number() OVER (ORDER BY s) AS rk,
+       |         CAST(count(*) OVER () AS BIGINT) AS np FROM sl) q
+       |  WHERE rk = (np + 1) // 2),
+       |tv AS (SELECT xy.rnk, y * 1000 - md.zipf_slope_milli * x AS t,
+       |              md.n_pairs, md.zipf_slope_milli
+       |       FROM xy CROSS JOIN md)
+       |SELECT np2 AS n_points, n_pairs, zipf_slope_milli,
+       |       CAST(t AS BIGINT) AS intercept_x4096e3
+       |FROM (SELECT t, n_pairs, zipf_slope_milli,
+       |        row_number() OVER (ORDER BY t) AS rk,
+       |        CAST(count(*) OVER () AS BIGINT) AS np2 FROM tv) q
+       |WHERE rk = (np2 + 1) // 2""".stripMargin
+  }
+
   private def duckLangIdTrainCtes: String = duckLangIdTrainCtesWhere("")
 
   /** Same, restricted to a training subset (`where` like
@@ -2326,6 +2541,25 @@ object TextAnalysis {
         |SELECT c.token, c.n, (c.n * 1000000) // tot.n_total AS share_ppm
         |FROM c, tot WHERE c.n * 200 > tot.n_total
         |ORDER BY c.n DESC, c.token""".stripMargin,
+
+    "q_vocab_zipf" -> vocabZipfOracle,
+    "q_text_entropy" -> textEntropyOracle,
+
+    // per-source exact counts + the same 1% threshold: capacity 200
+    // guarantees the sketch's candidate set covers every emitted row
+    "q_heavy_hitters_grouped" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tt AS (SELECT source, token FROM t WHERE len(token) > 0),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |        FROM tt GROUP BY source),
+        |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tt GROUP BY source, token)
+        |SELECT c.source, c.token, c.n,
+        |  (c.n * 1000000) // tot.n_src AS share_ppm
+        |FROM c JOIN tot USING (source) WHERE c.n * 100 > tot.n_src
+        |ORDER BY c.source, c.n DESC, c.token""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_calc,

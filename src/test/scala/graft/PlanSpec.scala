@@ -218,7 +218,10 @@ class PlanSpec extends SparkSpec {
       "q_survival_hazard",
       // AMS F2: 1-row median-estimate + 1-row exact-audit broadcasts
       // onto the 5 sketch-group rows
-      "q_ams_f2")
+      "q_ams_f2",
+      // Zipf fit: the ≤64×64 point pair lattice + the 1-row slope
+      // broadcast — all bounded after the TakeOrdered top-64
+      "q_vocab_zipf")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

@@ -450,6 +450,69 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("grouped heavy hitters: sketch output equals the exact per-source truth") {
+    // the SpaceSaving guarantee (share > 1/capacity always admitted)
+    // with threshold 1% > 1/200 means the two-phase pipeline must
+    // emit EXACTLY the brute-force per-source answer
+    val got = TextAnalysis.qHeavyHittersGrouped(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_ppm"))).toMap
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+    val exact = toks.groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+    val tot = toks.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val expect = exact.join(tot, Seq("source"))
+      .filter($"n" * 100 > $"n_src")
+      .select($"source", $"token", $"n",
+        expr("(n * 1000000) div n_src").as("share_ppm"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_ppm"))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, share) => assert(share > 10000L) } // > 1%
+  }
+
+  test("zipf fit: full lattice accounted, negative slope, sane intercept") {
+    val r = TextAnalysis.qVocabZipf(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // the synthetic corpus vocabulary is smaller than the 64-point
+    // cap — every distinct token becomes a fit point
+    val vocab = Tables.load(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .filter(length($"t") > 0).select($"t").distinct().count()
+    val pts = math.min(64L, vocab)
+    assert(row.getAs[Long]("n_points") == pts)
+    assert(row.getAs[Long]("n_pairs") == pts * (pts - 1) / 2)
+    val slope = row.getAs[Long]("zipf_slope_milli")
+    // rank-frequency slope must be negative and in a plausible band
+    assert(slope < 0L && slope > -4000L, slope.toString)
+    // intercept (×1000, 1/4096 log2 units) ≈ log2 of the top
+    // frequency — positive for any non-trivial corpus
+    assert(row.getAs[Long]("intercept_x4096e3") > 0L)
+  }
+
+  test("text entropy: exact bits on planted alphabets") {
+    val docs = Seq(
+      (1L, "aaaa"),        // one symbol   -> 0 bits
+      (2L, "abab"),        // two equal    -> exactly 1 bit  (4096)
+      (3L, "abcdabcd"),    // four equal   -> exactly 2 bits (8192)
+      (4L, "aab"))         // 2/3-1/3 split -> H in (0.9, 0.95) bits
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("entropy_x4096") == 0L)
+    assert(got(2L).getAs[Long]("entropy_x4096") == 4096L)
+    assert(got(3L).getAs[Long]("entropy_x4096") == 8192L)
+    assert(got(1L).getAs[Long]("n_distinct_chars") == 1L)
+    assert(got(3L).getAs[Long]("n_chars") == 8L)
+    // H(1/3, 2/3) = 0.9183 bits = 3761 ×4096 (integer-log tolerance)
+    val h4 = got(4L).getAs[Long]("entropy_x4096")
+    assert(h4 > 3700L && h4 < 3800L, h4.toString)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
