@@ -406,14 +406,25 @@ object Quality {
     * priority makes the sample replay/shard/growth-stable like every
     * hash decision in this module. One rank window per language
     * partition over the doc-key frame. */
-  def qSampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+  /** The bottom-k sampling priority — ONE definition shared by the
+    * batch sampler and the streaming state variant
+    * (`StreamAggs.streamingBottomK`), so the two legs cannot draw
+    * different samples from the same corpus. */
+  private[graft] def bottomKPri =
+    expr("md5(cast(concat('bk|', cast(doc_id as string)) as binary))")
+
+  def qSampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    sampleBottomK(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qSampleBottomK]] over any (lang, doc_id) frame —
+    * separated so the streaming-equals-batch spec can drive it. */
+  private[graft] def sampleBottomK(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"lang")
       .orderBy($"pri", $"doc_id")
-    Tables.load(spark, dir, "documents")
-      .select($"lang", $"doc_id",
-        expr("md5(cast(concat('bk|', cast(doc_id as string)) as binary))")
-          .as("pri"))
+    docs
+      .select($"lang", $"doc_id", bottomKPri.as("pri"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .select($"lang", $"rank", $"doc_id", $"pri")

@@ -2777,6 +2777,59 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** SINGLE-CHANGEPOINT DETECTION by least-squares binary segmentation
+    * (Scott & Knott 1974; the first round of PELT/BinSeg): for every
+    * split position t of a per-type daily series, the between-segment
+    * variance explained is G(t) = (s₁·N − S·t)² / (t·(N−t)·N) — the
+    * exact mean-shift gain with no float means (s₁ = prefix sum, S =
+    * total, N = days). The argmax day is WHERE the level shifted;
+    * complements [[qCusum]] (which answers WHEN a monitor would have
+    * alarmed) and [[qTrendMk]] (whether a monotone trend exists).
+    * Deterministic argmax: rank on (gain DESC, day) in both engines.
+    *
+    * All arithmetic BIGINT with a loud assert on |s₁·N − S·t| ≤
+    * √Long.Max (the cap convention — daily volumes at this corpus sit
+    * ~10⁶ below it; a 100 TB deployment lifts the square to
+    * DECIMAL(38,0) like the multitouch value rollup). Windows run on
+    * the per-day frame only — calendar-bounded, never corpus-sized. */
+  def qTsChangepoint(spark: SparkSession, dir: String): DataFrame =
+    tsChangepoint(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qTsChangepoint]] over any (event_type, ts) frame —
+    * separated so the planted-shift spec can drive it. */
+  private[graft] def tsChangepoint(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("s1",
+        sum($"n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cp_day", lead($"day", 1).over(w))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum($"n").over(wAll))
+      .filter($"t" < $"nd")
+      .withColumn("num", $"s1" * $"nd" - $"tot" * $"t")
+      // the assert rides INSIDE the gain expression (a dropped guard
+      // column would be pruned away and never evaluate)
+      .withColumn("gain", expr(
+        """CASE WHEN assert_true(abs(num) <= 3037000499L,
+          |  'qTsChangepoint gain overflows BIGINT — lift to DECIMAL') IS NULL
+          |THEN (num * num) div (t * (nd - t) * nd) END""".stripMargin))
+    scored
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"gain".desc, $"day")))
+      .filter($"pick" === 1)
+      .select($"event_type", $"nd".as("n_days"), $"cp_day", $"gain",
+        expr("(s1 * 20) div t").as("mean_left_x20"),
+        expr("((tot - s1) * 20) div (nd - t)").as("mean_right_x20"))
+      .orderBy($"event_type")
+  }
+
   /** SEQUENTIAL PATTERN MINING (the 2-pattern core of PrefixSpan/GSP —
     * Agrawal & Srikant 1995, public): support of "a THEN b" = distinct
     * users whose event sequence contains some a-event strictly before
@@ -3048,6 +3101,7 @@ object Relational {
     "q_burstiness" -> qBurstiness,
     "q_active_users" -> qActiveUsers,
     "q_cusum" -> qCusum,
+    "q_ts_changepoint" -> qTsChangepoint,
     "q_seq_patterns" -> qSeqPatterns,
     "q_ts_acf" -> qTsAcf,
     "q_chi2_independence" -> qChi2Independence,
@@ -3271,6 +3325,34 @@ object Relational {
         |  f.l + f.b AS forecast_x100
         |FROM f JOIN nd ON nd.event_type = f.event_type AND f.i = nd.n_days
         |ORDER BY f.event_type""".stripMargin,
+
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+        |    lead(day) OVER (PARTITION BY event_type ORDER BY day) AS cp_day,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily),
+        |g AS (
+        |  SELECT *, s1 * nd - tot * t AS num,
+        |    ((s1 * nd - tot * t) * (s1 * nd - tot * t))
+        |      // (t * (nd - t) * nd) AS gain
+        |  FROM sc WHERE t < nd),
+        |pk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, day) AS pick
+        |  FROM g)
+        |SELECT event_type, nd AS n_days, cp_day, CAST(gain AS BIGINT) AS gain,
+        |  (s1 * 20) // t AS mean_left_x20,
+        |  ((tot - s1) * 20) // (nd - t) AS mean_right_x20
+        |FROM pk WHERE pick = 1 ORDER BY event_type""".stripMargin,
 
     "q_cusum" ->
       """WITH RECURSIVE daily AS (

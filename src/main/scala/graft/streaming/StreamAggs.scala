@@ -89,6 +89,42 @@ object StreamAggs {
       .toDF("bucket", "token", "est")
   }
 
+  /** STREAMING BOTTOM-K SAMPLE: the mergeable uniform sample
+    * (`Quality.qSampleBottomK`) maintained as keyed stream state —
+    * bottom-k of a union is the bottom-k of the parts' bottom-ks, so
+    * a per-language state of the k smallest (priority, doc_id) pairs
+    * absorbs each micro-batch in O(k) and IS at every moment the
+    * exact sample the batch query would draw from everything landed
+    * so far (the spec proves equality). Priorities come from the SAME
+    * shared expression as the batch leg; state is O(langs · k)
+    * forever. Each batch re-emits the refreshed sample in update mode
+    * with a monotone n_seen so a sink (or test) can pick the latest
+    * emission per language. */
+  def streamingBottomK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def flat(lang: String, it: Iterator[(String, Long, String)],
+        state: GroupState[(Seq[(String, Long)], Long)])
+        : Iterator[(String, Long, String, Long, Long)] = {
+      val (cur, seen) = state.getOption.getOrElse((Seq.empty, 0L))
+      val arrived = it.map { case (_, id, pri) => (pri, id) }.toSeq
+      val merged = (cur ++ arrived).distinct.sorted.take(k)
+      val nSeen = seen + arrived.size
+      state.update((merged, nSeen))
+      merged.iterator.zipWithIndex.map { case ((pri, id), i) =>
+        (lang, id, pri, i + 1L, nSeen)
+      }
+    }
+    docs.select(col("lang"), col("doc_id"),
+        graft.quality.Quality.bottomKPri.as("pri"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(flat)
+      .toDF("lang", "doc_id", "pri", "rank", "n_seen")
+  }
+
   /** Trending tokens: tumbling-window token counts over a stream of
     * timestamped documents — the "what is spiking right now" feed.
     * Tokens explode BEFORE the watermarked window aggregate (state is

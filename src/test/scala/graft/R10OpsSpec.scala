@@ -513,6 +513,26 @@ class R10OpsSpec extends SparkSpec {
     assert(h4 > 3700L && h4 < 3800L, h4.toString)
   }
 
+  test("changepoint: planted level shift found at the exact day") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 03:00:00")
+    // 10 days at 10 events/day, then 10 days at 30 events/day
+    val rows = (0 until 10).flatMap(d => Seq.fill(10)(("x", day(d)))) ++
+      (10 until 20).flatMap(d => Seq.fill(30)(("x", day(d))))
+    val got = Relational.tsChangepoint(rows.toDF("event_type", "ts")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_days") == 20L)
+    // cp_day = first day of the right segment = the planted shift day
+    val shiftDay = day(10).getTime / 1000L / 86400L
+    assert(r.getAs[Long]("cp_day") == shiftDay)
+    // hand numbers: s1=100, S=400, N=20, t=10 →
+    // num = −2000, gain = 2000², /(10·10·20) = 2000
+    assert(r.getAs[Long]("gain") == 2000L)
+    assert(r.getAs[Long]("mean_left_x20") == 200L)
+    assert(r.getAs[Long]("mean_right_x20") == 600L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)

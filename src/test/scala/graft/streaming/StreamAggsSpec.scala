@@ -237,4 +237,45 @@ class StreamAggsSpec extends SparkSpec {
       .collect().toSet
     assert(bucketIds.forall(b => b >= 0 && b < 4), bucketIds.toString)
   }
+
+  test("streaming bottom-k sample equals the batch sample over the landed corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val bk = StreamAggs.streamingBottomK(
+      input.toDF().toDF("lang", "doc_id"), k = 5)
+    val q = bk.writeStream.format("memory").queryName("bksink")
+      .outputMode("update").start()
+    // 3 batches, interleaved languages, out-of-order ids — the state
+    // must absorb each batch in O(k) and stay the exact global sample
+    val batches = Seq(
+      (0L until 20L).map(i => ("en", i)) ++ Seq(("de", 100L), ("de", 101L)),
+      (20L until 35L).map(i => ("en", i)) ++ (102L until 120L).map(i => ("de", i)),
+      Seq(("en", 999L), ("de", 7L), ("de", 8L), ("zh", 1L)))
+    val fed = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      batches.foreach { b =>
+        fed ++= b
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // latest emission per language = the rows carrying its max n_seen
+    val emitted = spark.table("bksink").collect()
+    val maxSeen = emitted.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n_seen")).max).toMap
+    val a = emitted
+      .filter(r => r.getAs[Long]("n_seen") == maxSeen(r.getAs[String]("lang")))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("pri")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val b = graft.quality.Quality.sampleBottomK(
+      fed.toSeq.toDF("lang", "doc_id")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("pri")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b, s"stream=$a\nbatch=$b")
+    // a language with fewer than k docs samples everything it has
+    assert(a.count(_._1 == "zh") == 1)
+  }
 }
