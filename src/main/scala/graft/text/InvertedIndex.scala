@@ -142,12 +142,24 @@ object InvertedIndex {
     * shared with the direct query. `excludeDoc` drops one doc_id from
     * the candidates (query-by-document convention). */
   def search(spark: SparkSession, qterms: DataFrame, path: String,
+      excludeDoc: DataFrame, k: Int): DataFrame =
+    // ×1000 weight on every term — (t·1000) div 1000 ≡ t, so the
+    // unweighted search IS the weighted one (shared-definition rule)
+    searchWeighted(spark,
+      qterms.select(col("token")).withColumn("wq", lit(1000L)),
+      path, excludeDoc, k)
+
+  /** Weighted-term BM25 over the stored index: `qtermsW` carries
+    * (token, wq) with wq in millis; a term's score contribution is
+    * (score_term · wq) div 1000. The RM3 round-2 primitive — original
+    * query terms ride at 1000, feedback expansions at 500. */
+  def searchWeighted(spark: SparkSession, qtermsW: DataFrame, path: String,
       excludeDoc: DataFrame, k: Int): DataFrame = {
     val post = spark.read.parquet(s"$path/postings")
     val dls = spark.read.parquet(s"$path/doclens")
     val stats = dls.agg(count(lit(1)).as("n_docs"),
       expr("(sum(dl) * 1000) div count(1)").as("avgdl_x1000"))
-    val qb = qterms.select(col("token")).distinct()
+    val qb = qtermsW.select(col("token"), col("wq")).distinct()
       .withColumn("bucket", tokenBucket(col("token")))
     val cand = post.join(broadcast(qb), Seq("bucket", "token"))
     // a term's df IS its posting count — the postings cover the corpus
@@ -156,12 +168,15 @@ object InvertedIndex {
       .orderBy(col("score_x1000").desc, col("doc_id"))
     TextAnalysis.withBm25Score(cand
       .join(dls, Seq("doc_id"))
-      .join(dfr, Seq("token"))
+      // ≤ |query terms| rows by construction — broadcast explicitly
+      // rather than trusting the post-aggregate size estimate
+      .join(broadcast(dfr), Seq("token"))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(excludeDoc))
       .filter(col("doc_id") =!= col("qid")))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_matched"), sum(col("score_term")).as("score_x1000"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(expr("(score_term * wq) div 1000")).as("score_x1000"))
       .orderBy(col("score_x1000").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -213,6 +228,54 @@ object InvertedIndex {
     * bucket-partitioned layout as the BM25 postings). One
     * tokenize+posexplode shuffle at build time; queries never
     * re-tokenize. */
+  /** RM3 PSEUDO-RELEVANCE-FEEDBACK retrieval (Lavrenko & Croft 2001
+    * relevance models; "RM3" = the query-interpolated variant, the
+    * standard strong lexical baseline in every TREC comparison):
+    * round 1 = BM25 over the stored index; the FEEDBACK MODEL weighs
+    * each term of the top-10 documents by Σ_d P(t|d)·score(d)
+    * (integer: (tf·10⁶ div dl)·score_x1000); the top-8 non-query terms
+    * join the query at half weight (λ = 0.5 → 500 millis vs 1000) and
+    * round 2 re-ranks with [[searchWeighted]]. Entirely in-plan — the
+    * feedback docs are a 10-row broadcast, never a driver loop.
+    *
+    * Materializations (SCALE.md policy, both bounded ephemeral):
+    * the query-doc vocabulary (read by round 1, the anti-join and the
+    * round-2 term set) and the 10-row round-1 result (read by the
+    * feedback scan) — without them the whole round-1 search would
+    * re-derive per consumer. Scale: feedback tf/dl frames cover 10
+    * documents; both search rounds scan only the query terms'
+    * postings buckets. */
+  def qTextRm3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val qdoc = docs.agg(min(col("doc_id")).as("qid"))
+    val path = indexPath(spark, dir)
+    val qterms = docs.join(broadcast(qdoc), col("doc_id") === col("qid"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token")).distinct()
+      .localCheckpoint() // one document's vocabulary, read 3×
+    val r1 = search(spark, qterms, path, qdoc, 10)
+      .select(col("doc_id"), col("score_x1000"))
+      .localCheckpoint() // 10 rows — the feedback set
+    val ftf = docs.join(broadcast(r1), Seq("doc_id"))
+      .select(col("doc_id"), col("score_x1000"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("score_x1000"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // ≤ 10 docs' term counts, read twice
+    val fdl = ftf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val fb = ftf.join(broadcast(fdl), Seq("doc_id"))
+      .groupBy(col("token"))
+      .agg(sum(expr("((tf * 1000000) div dl) * score_x1000")).as("fb_weight"))
+    val exp = fb.join(qterms, Seq("token"), "left_anti")
+      .orderBy(col("fb_weight").desc, col("token")).limit(8)
+    val t2 = qterms.withColumn("wq", lit(1000L))
+      .unionByName(exp.select(col("token"), lit(500L).as("wq")))
+    searchWeighted(spark, t2, path, qdoc, TextAnalysis.Bm25TopK)
+  }
+
   private def posIndex(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.checkpointed(spark, s"text.posindex|$dir") {
       graft.Tables.load(spark, dir, "documents")
@@ -258,11 +321,82 @@ object InvertedIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25_indexed" -> qTextBm25Indexed,
+    "q_text_rm3" -> qTextRm3,
     "q_text_phrase_search" -> qTextPhraseSearch)
+
+  /** The RM3 oracle: the direct BM25 replay (documents-derived tf/dl
+    * frames — the stored-index equivalence is q_text_bm25_indexed's
+    * proof), round-1 top-10, feedback weights Σ (tf·10⁶//dl)·score,
+    * top-8 non-query expansions at weight 500, weighted round 2. */
+  private def rm3Oracle: String = {
+    def scoreTerm(w: String) =
+      s"""CAST(sum((((f.tf * 2200 * ((s.n_docs * 1000) // d2.df))
+         |   // (f.tf * 1000
+         |       + (1200 * (250 + (750 * d.dl * 1000) // s.avgdl_x1000)) // 1000))
+         |   * $w) // 1000) AS BIGINT)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tt AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tt GROUP BY doc_id, token),
+       |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |                    FROM tf GROUP BY doc_id),
+       |dfr AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |                     FROM tf GROUP BY token),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 (sum(dl) * 1000) // count(*) AS avgdl_x1000 FROM dl),
+       |qdoc AS (SELECT min(doc_id) AS qid FROM documents),
+       |qterms AS MATERIALIZED (
+       |  SELECT DISTINCT token FROM tf, qdoc WHERE tf.doc_id = qdoc.qid),
+       |s1 AS (
+       |  SELECT f.doc_id, ${scoreTerm("1000")} AS score_x1000
+       |  FROM tf f
+       |  JOIN qterms q ON f.token = q.token
+       |  JOIN dl d ON f.doc_id = d.doc_id
+       |  JOIN dfr d2 ON f.token = d2.token
+       |  CROSS JOIN stats s CROSS JOIN qdoc
+       |  WHERE f.doc_id <> qdoc.qid
+       |  GROUP BY f.doc_id),
+       |r1 AS MATERIALIZED (
+       |  SELECT doc_id, score_x1000 FROM s1
+       |  ORDER BY score_x1000 DESC, doc_id LIMIT 10),
+       |ftf AS MATERIALIZED (
+       |  SELECT tf.doc_id, tf.token, tf.tf, r1.score_x1000
+       |  FROM tf JOIN r1 USING (doc_id)),
+       |fdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |        FROM ftf GROUP BY doc_id),
+       |fb AS (
+       |  SELECT token,
+       |    CAST(sum(((ftf.tf * 1000000) // fdl.dl) * ftf.score_x1000) AS BIGINT)
+       |      AS fb_weight
+       |  FROM ftf JOIN fdl USING (doc_id) GROUP BY token),
+       |ex AS MATERIALIZED (
+       |  SELECT token FROM fb
+       |  WHERE token NOT IN (SELECT token FROM qterms)
+       |  ORDER BY fb_weight DESC, token LIMIT 8),
+       |t2 AS (SELECT token, 1000 AS wq FROM qterms
+       |       UNION ALL SELECT token, 500 FROM ex),
+       |s2 AS (
+       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |    ${scoreTerm("q.wq")} AS score_x1000
+       |  FROM tf f
+       |  JOIN t2 q ON f.token = q.token
+       |  JOIN dl d ON f.doc_id = d.doc_id
+       |  JOIN dfr d2 ON f.token = d2.token
+       |  CROSS JOIN stats s CROSS JOIN qdoc
+       |  WHERE f.doc_id <> qdoc.qid
+       |  GROUP BY f.doc_id),
+       |r2 AS (SELECT *, CAST(row_number() OVER (ORDER BY score_x1000 DESC, doc_id)
+       |               AS BIGINT) AS rank FROM s2)
+       |SELECT rank, doc_id, n_matched, score_x1000
+       |FROM r2 WHERE rank <= 15 ORDER BY rank""".stripMargin
+  }
 
   // the whole point: the index path answers the direct query's oracle
   val oracles: Map[String, String] = Map(
     "q_text_bm25_indexed" -> TextAnalysis.oracles("q_text_bm25"),
+    "q_text_rm3" -> rm3Oracle,
     // direct text scan — proving the positional-index path finds
     // exactly the occurrences the raw corpus contains
     "q_text_phrase_search" ->

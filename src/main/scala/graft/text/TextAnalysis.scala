@@ -576,6 +576,39 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** READABILITY SCORING — Flesch Reading Ease (Flesch 1948) and the
+    * Flesch–Kincaid grade level (Kincaid 1975), both public formulas
+    * and standard corpus-quality columns (a pretraining mix report
+    * routinely buckets by grade level): FRE = 206.835 − 1.015·(w/s) −
+    * 84.6·(sy/w), FKGL = 0.39·(w/s) + 11.8·(sy/w) − 15.59, carried in
+    * millis with one integer division per ratio (all operands
+    * non-negative — no signed-division daylight). Syllables use the
+    * classical vowel-group heuristic (maximal [aeiouy]+ runs — the
+    * same regex in both engines); sentences count [.!?] with a
+    * floor of 1. Pure scan shape: zero shuffles, one row per doc. */
+  def qTextReadability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_words",
+        size(filter(tokens($"text"), t => length(t) > 0)).cast("long"))
+      .withColumn("n_sentences", expr(
+        "greatest(1L, cast(size(regexp_extract_all(text, '[.!?]', 0)) as long))"))
+      .withColumn("n_syllables", expr(
+        "cast(size(regexp_extract_all(text, '[aeiouy]+', 0)) as long)"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        expr(
+          """CASE WHEN n_words > 0 THEN
+            |  206835 - (1015 * n_words) div n_sentences
+            |         - (84600 * n_syllables) div n_words END""".stripMargin)
+          .as("flesch_milli"),
+        expr(
+          """CASE WHEN n_words > 0 THEN
+            |  (390 * n_words) div n_sentences
+            |  + (11800 * n_syllables) div n_words - 15590 END""".stripMargin)
+          .as("fk_grade_milli"))
+      .orderBy($"doc_id")
+  }
+
   /** CHARACTER-LEVEL SHANNON ENTROPY (Shannon 1948) — the classical
     * randomness signal next to [[qTextCompressRatio]]'s zlib column,
     * but SQL-replayable: H = Σ_c (k_c/n)·log2(n/k_c) carried as
@@ -1780,6 +1813,7 @@ object TextAnalysis {
     "q_heavy_hitters_grouped" -> qHeavyHittersGrouped,
     "q_vocab_zipf" -> qVocabZipf,
     "q_text_entropy" -> qTextEntropy,
+    "q_text_readability" -> qTextReadability,
     "q_entity_resolution" -> qEntityResolution,
     "q_bpe_fertility" -> qBpeFertility,
     "q_text_trigram_loo" -> qTextTrigramLoo,
@@ -2544,6 +2578,25 @@ object TextAnalysis {
 
     "q_vocab_zipf" -> vocabZipfOracle,
     "q_text_entropy" -> textEntropyOracle,
+
+    "q_text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206835 - (1015 * n_words) // n_sentences
+        |           - (84600 * n_syllables) // n_words END AS flesch_milli,
+        |  CASE WHEN n_words > 0 THEN
+        |    (390 * n_words) // n_sentences
+        |    + (11800 * n_syllables) // n_words - 15590 END AS fk_grade_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // per-source exact counts + the same 1% threshold: capacity 200
     // guarantees the sketch's candidate set covers every emitted row

@@ -125,6 +125,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("uniform 1000-milli weights make searchWeighted identical to search; RM3 re-ranks sanely") {
+    val path = base("rm3"); rm(path)
+    InvertedIndex.rebuild(docsDf(1L to 60L), path)
+    val plain = searchRows(path)
+    val weighted = InvertedIndex.searchWeighted(spark,
+      qterms.distinct().withColumn("wq", lit(1000L)), path, qdoc, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matched"), r.getAs[Long]("score_x1000"))).toSeq
+    assert(weighted == plain && plain.nonEmpty)
+
+    // RM3 on the real corpus: a full ranking with the BM25 contract
+    val rm3 = InvertedIndex.qTextRm3(spark, sf0001).collect()
+    assert(rm3.length == 15)
+    assert(rm3.map(_.getAs[Long]("rank")).toSeq == (1L to 15L))
+    val scores = rm3.map(_.getAs[Long]("score_x1000")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // the expanded query can only widen term coverage: the best doc
+    // matches at least as many terms as the original query round did
+    val bm = InvertedIndex.qTextBm25Indexed(spark, sf0001).collect()
+    assert(rm3.head.getAs[Long]("n_matched") >=
+      bm.find(_.getAs[Long]("doc_id") == rm3.head.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("n_matched")).getOrElse(0L))
+  }
+
   test("search plan scans the stored postings and never re-tokenizes") {
     // build once (cached per session+dir), then inspect the search plan
     graft.text.InvertedIndex.qTextBm25Indexed(spark, sf0001).collect()

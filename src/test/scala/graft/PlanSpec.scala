@@ -264,6 +264,10 @@ class PlanSpec extends SparkSpec {
       // ccnet bucketing materializes its (lang, score) distribution
       // frame on construct — cuts, totals and rollup all read it
       "q_ccnet_buckets",
+      // RM3 materializes the query vocabulary, the 10-row round-1
+      // result and the feedback term counts on construct; the search
+      // rounds reuse the stored-index broadcasts (stats + qid)
+      "q_text_rm3",
       // runs the components label-propagation rounds on construct
       "q_dedup_cluster_pick",
       // impact report reads the staged component labels (construct-time
