@@ -930,6 +930,31 @@ object GraphOps {
     * length(bin(degree))−1 (no floating log at bucket boundaries;
     * DuckDB replays it as length(printf('%b', d))−1). One count
     * aggregate over the degree frame — map-side combined, node-sized. */
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) — per node,
+    * the share of its neighbor pairs that are themselves connected:
+    * lcc = 2·T(v) / (d(v)·(d(v)−1)) in exact ppm, T(v) from the SAME
+    * oriented triangle counter the global query uses (shared
+    * definition), plus the network average clustering coefficient —
+    * the small-world readout — as a 1-row broadcast column. Nodes
+    * with degree < 2 have no neighbor pair and are excluded (the
+    * standard convention). Two scans of the STAGED edge table, the
+    * triangle join tier, one node-keyed combine. */
+  def qGraphLcc(spark: SparkSession, dir: String): DataFrame = {
+    val ce = canonicalEdges(spark, dir)
+    val deg = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val tri = trianglesOnEdges(ce)
+      .select(col("part").as("node"), col("n_triangles"))
+    val base = deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm",
+        expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+    val avg = base.agg(expr("sum(lcc_ppm) div count(1)").as("avg_lcc_ppm"))
+    base.crossJoin(broadcast(avg)).orderBy(col("node"))
+  }
+
   def qGraphDegreeHist(spark: SparkSession, dir: String): DataFrame =
     degreeHistOnEdges(symmetricEdges(spark, dir))
 
@@ -951,6 +976,7 @@ object GraphOps {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_pagerank_inc" -> qGraphPagerankInc,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_lcc" -> qGraphLcc,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_cc" -> qGraphCc,
     "q_graph_communities" -> qGraphCommunities,
@@ -1112,6 +1138,38 @@ object GraphOps {
          |      UNION ALL SELECT c FROM tri)
          |GROUP BY part
          |ORDER BY part""".stripMargin,
+    "q_graph_lcc" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |o AS (SELECT
+         |        CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.src < ce.dst)
+         |             THEN ce.src ELSE ce.dst END AS u,
+         |        CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.src < ce.dst)
+         |             THEN ce.dst ELSE ce.src END AS v
+         |      FROM ce
+         |      JOIN deg da ON da.node = ce.src
+         |      JOIN deg db ON db.node = ce.dst),
+         |od AS (SELECT o.u, o.v, dv.d AS vd FROM o JOIN deg dv ON dv.node = o.v),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |        FROM od e1 JOIN od e2 ON e1.u = e2.u
+         |        WHERE ((e1.vd < e2.vd) OR (e1.vd = e2.vd AND e1.v < e2.v))
+         |          AND EXISTS (SELECT 1 FROM o WHERE o.u = e1.v AND o.v = e2.v)),
+         |tn AS (SELECT part AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT a AS part FROM tri
+         |             UNION ALL SELECT b FROM tri
+         |             UNION ALL SELECT c FROM tri)
+         |       GROUP BY part),
+         |base AS (
+         |  SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+         |    coalesce(tn.n_triangles, 0) AS n_triangles,
+         |    (2 * coalesce(tn.n_triangles, 0) * 1000000)
+         |      // (deg.d * (deg.d - 1)) AS lcc_ppm
+         |  FROM deg LEFT JOIN tn USING (node) WHERE deg.d >= 2),
+         |av AS (SELECT CAST(sum(lcc_ppm) // count(*) AS BIGINT) AS avg_lcc_ppm
+         |       FROM base)
+         |SELECT base.node, base.degree, base.n_triangles,
+         |  CAST(base.lcc_ppm AS BIGINT) AS lcc_ppm, av.avg_lcc_ppm
+         |FROM base CROSS JOIN av ORDER BY base.node""".stripMargin,
     "q_graph_kcore" ->
       s"""WITH $edgesCte,
          |a1 AS (SELECT src AS node FROM edges GROUP BY src

@@ -406,6 +406,51 @@ object Quality {
     * priority makes the sample replay/shard/growth-stable like every
     * hash decision in this module. One rank window per language
     * partition over the doc-key frame. */
+  /** SOURCE-ABLATION REPORT — the "what does dropping this source do"
+    * table a curation decision actually reads (exact leave-one-
+    * source-out, the cheap member of the data-valuation family): for
+    * each source, the corpus mean document length and the exact-dup
+    * volume recomputed WITHOUT that source, next to the full-corpus
+    * baselines. The dup math avoids any |sources| × |fingerprints|
+    * grid: with contrib(x) = x·[x ≥ 2] (docs in a duplicate group of
+    * size x), dup_without(s) = dup_all − Σ_{fp touched by s}
+    * (contrib(cnt) − contrib(cnt − cnt_s)) — one fingerprint-keyed
+    * shuffle, one (fp, source) combine, 1-row baseline broadcasts.
+    * Fingerprints are `Dedup.headFingerprint` (shared definition). */
+  def qSourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"source",
+        graft.dedup.Dedup.headFingerprint($"text").as("fp"),
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_words"))
+    val perSrc = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("w_sum"))
+    val tot = perSrc.agg(sum($"n_docs").as("n_all"), sum($"w_sum").as("w_all"))
+    val fpSrc = docs.groupBy($"fp", $"source").agg(count(lit(1)).as("c_s"))
+    val fpCnt = fpSrc.groupBy($"fp").agg(sum($"c_s").as("cnt"))
+    val dupAll = fpCnt.agg(
+      sum(expr("if(cnt >= 2, cnt, 0L)")).as("dup_all"))
+    val deltas = fpSrc.join(fpCnt, Seq("fp"))
+      .groupBy($"source")
+      .agg(sum(expr(
+        "if(cnt >= 2, cnt, 0L) - if(cnt - c_s >= 2, cnt - c_s, 0L)"))
+        .as("dup_delta"))
+    perSrc.join(deltas, Seq("source"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(dupAll))
+      .select($"source", $"n_docs",
+        expr("(w_all * 1000) div n_all").as("mean_words_milli_all"),
+        expr("""CASE WHEN n_all > n_docs
+               |THEN ((w_all - w_sum) * 1000) div (n_all - n_docs) END"""
+          .stripMargin).as("mean_words_milli_without"),
+        expr("(dup_all * 1000) div n_all").as("dup_permille_all"),
+        ($"dup_all" - $"dup_delta").as("dup_docs_without"),
+        expr("""CASE WHEN n_all > n_docs
+               |THEN ((dup_all - dup_delta) * 1000) div (n_all - n_docs) END"""
+          .stripMargin).as("dup_permille_without"))
+      .orderBy($"source")
+  }
+
   /** The bottom-k sampling priority — ONE definition shared by the
     * batch sampler and the streaming state variant
     * (`StreamAggs.streamingBottomK`), so the two legs cannot draw
@@ -1488,6 +1533,14 @@ object Quality {
     * low-repeat docs fall below the threshold). */
   /** Adds the code-score columns to any frame with a text column `t` —
     * shared by the batch query and fixture specs. */
+  /** The planted-code augmented view — docs with doc_id % 20 == 0
+    * stay pure prose (the negatives), everyone else gets injected
+    * code. ONE expression shared by the detector, AUC, calibration
+    * and conformal audits, so every classifier evaluation grades the
+    * same ground truth. */
+  private val plantedCodeView =
+    "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))"
+
   private[graft] def withCodeScore(df: DataFrame): DataFrame = df
     .withColumn("n_chars", length(col("t")).cast("long"))
     .withColumn("n_sym",
@@ -1505,8 +1558,7 @@ object Quality {
 
   def qCodeDetect(spark: SparkSession, dir: String): DataFrame =
     withCodeScore(Tables.load(spark, dir, "documents")
-      .withColumn("t", expr(
-        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .withColumn("t", expr(plantedCodeView)))
       .select(col("doc_id"), col("n_sym"), col("kw_hits"), col("sym_ppm"),
         col("kw_ppm"), col("code_score_ppm"), col("is_code"))
       .orderBy(col("doc_id"))
@@ -1527,8 +1579,7 @@ object Quality {
   def qClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     aucOf(withCodeScore(Tables.load(spark, dir, "documents")
-      .withColumn("t", expr(
-        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .withColumn("t", expr(plantedCodeView)))
       .select($"code_score_ppm".as("score"),
         ($"doc_id" % 20 =!= 0).as("label")))
   }
@@ -1542,11 +1593,95 @@ object Quality {
     * versions), per bin: docs, mean score, positive rate in exact ppm.
     * One combine rollup onto ≤10 rows. Same augmented view + shared
     * [[withCodeScore]] as the AUC/detector. */
+  /** ONE-WAY ANOVA F ACROSS SOURCES (Fisher 1925) — the k-group
+    * extension of the A/B z-test: does document length differ across
+    * sources more than within them? Sums of squares via the
+    * computational identity in ×1000 fixed point — per group
+    * q_g = (S_g²·1000) div n_g (one truncation each), SSB = Σq_g −
+    * (S²·1000) div N, SSW = Q·1000 − Σq_g, both clamped at 0 (exact
+    * math keeps them non-negative; the per-group truncations can
+    * leave −(k−1) dust). F in millis plus the η² effect size in ppm
+    * (the number a mix report actually acts on — F says "significant",
+    * η² says "how much"). Loud √-scale assert on the global square;
+    * a corpus where Σwords exceeds 3·10⁷ lifts the squares to
+    * DECIMAL(38,0) like the multitouch rollup. ONE source-keyed
+    * combine, then a 1-row readout — no second scan, no cross join. */
+  def qAnovaF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.load(spark, dir, "documents")
+      .select($"source",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("x"))
+    val g = x.groupBy($"source")
+      .agg(count(lit(1)).as("n_g"), sum($"x").as("s_g"),
+        sum($"x" * $"x").as("q_g"))
+    g.agg(count(lit(1)).as("k_groups"), sum($"n_g").as("n_total"),
+        sum($"s_g").as("s_all"), sum($"q_g").as("q_all"),
+        sum(expr("(s_g * s_g * 1000) div n_g")).as("qq"))
+      .select($"k_groups", $"n_total",
+        expr("""CASE WHEN assert_true(s_all <= 30000000L,
+               |  'qAnovaF squares overflow BIGINT — lift to DECIMAL') IS NULL
+               |THEN greatest(0L, qq - (s_all * s_all * 1000) div n_total) END"""
+          .stripMargin).as("ssb_x1000"),
+        expr("greatest(0L, q_all * 1000 - qq)").as("ssw_x1000"))
+      .select($"k_groups", $"n_total", $"ssb_x1000", $"ssw_x1000",
+        expr("""CASE WHEN ssw_x1000 > 0 AND k_groups > 1 THEN
+               |  (ssb_x1000 * (n_total - k_groups) * 1000)
+               |    div (ssw_x1000 * (k_groups - 1)) END""".stripMargin)
+          .as("f_milli"),
+        expr("""CASE WHEN ssb_x1000 + ssw_x1000 > 0 THEN
+               |  (ssb_x1000 * 1000000) div (ssb_x1000 + ssw_x1000) END"""
+          .stripMargin).as("eta2_ppm"))
+  }
+
+  /** SPLIT-CONFORMAL COVERAGE AUDIT (Vovk et al. 2005; Angelopoulos &
+    * Bates 2021 tutorial — both public): the distribution-free
+    * guarantee a production classifier threshold should ship with.
+    * Calibration = the EVEN doc_ids' positive (code) examples; the
+    * threshold τ is the k-th smallest calibration score with
+    * k = ⌈α·(n_cal+1)⌉ at α = 0.1 — conformal theory then guarantees
+    * P(a fresh positive scores ≥ τ) ≥ 90% under exchangeability. The
+    * audit MEASURES it on the held-out odd half: empirical coverage
+    * of the positives and the operating false-positive rate of the
+    * negatives at the same τ — the two numbers a deployment reads.
+    * Scores/labels come from the SAME planted-code view as
+    * [[qClassifierAuc]] (shared definition); the quantile uses
+    * value-count ranking, and everything after the calibration
+    * combine is a 1-row broadcast. */
+  def qConformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = withCodeScore(Tables.load(spark, dir, "documents")
+      .withColumn("t", expr(plantedCodeView)))
+      .select($"doc_id", $"code_score_ppm".as("score"),
+        ($"doc_id" % 20 =!= 0).as("label"))
+    val cal = scored.filter($"label" && $"doc_id" % 2 === 0)
+    val nc = cal.agg(count(lit(1)).as("n_cal"))
+    val vc = cal.groupBy($"score").agg(count(lit(1)).as("c"))
+    val wC = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ta = vc.withColumn("cum", sum($"c").over(wC))
+      .crossJoin(broadcast(nc))
+      .agg(min(when($"cum" >= expr("(n_cal + 10) div 10"), $"score")).as("tau"),
+        max($"n_cal").as("n_cal"))
+    scored.filter($"doc_id" % 2 === 1)
+      .crossJoin(broadcast(ta))
+      .agg(max($"n_cal").as("n_cal"), max($"tau").as("tau"),
+        sum(when($"label", 1L).otherwise(0L)).as("n_test_pos"),
+        sum(when($"label" && $"score" >= $"tau", 1L).otherwise(0L)).as("covered"),
+        sum(when(!$"label", 1L).otherwise(0L)).as("n_test_neg"),
+        sum(when(!$"label" && $"score" >= $"tau", 1L).otherwise(0L)).as("false_pos"))
+      .select($"n_cal", $"tau", $"n_test_pos", $"covered",
+        expr("CASE WHEN n_test_pos > 0 THEN (covered * 1000000) div n_test_pos END")
+          .as("coverage_ppm"),
+        $"n_test_neg", $"false_pos",
+        expr("CASE WHEN n_test_neg > 0 THEN (false_pos * 1000000) div n_test_neg END")
+          .as("fp_ppm"))
+  }
+
   def qCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withCodeScore(Tables.load(spark, dir, "documents")
-      .withColumn("t", expr(
-        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .withColumn("t", expr(plantedCodeView)))
       .select($"code_score_ppm".as("score"),
         ($"doc_id" % 20 =!= 0).as("label"))
       .withColumn("bin", least(lit(9L), expr("score div 5000")))
@@ -2059,6 +2194,9 @@ object Quality {
     "q_attr_multitouch" -> qAttrMultitouch,
     "q_attr_markov" -> qAttrMarkov,
     "q_attr_shapley" -> qAttrShapley,
+    "q_source_ablation" -> qSourceAblation,
+    "q_conformal_coverage" -> qConformalCoverage,
+    "q_anova_f" -> qAnovaF,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -3040,6 +3178,84 @@ object Quality {
          |    '$PhoneRe', '[PHONE]', 'g') AS clean_text
          |FROM aug ORDER BY doc_id""".stripMargin,
 
+    "q_anova_f" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+        |      AS x
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+        |         CAST(sum(x) AS BIGINT) AS s_g, CAST(sum(x * x) AS BIGINT) AS q_g
+        |  FROM x GROUP BY source),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |         CAST(sum(n_g) AS BIGINT) AS n_total,
+        |         CAST(sum(s_g) AS BIGINT) AS s_all,
+        |         CAST(sum(q_g) AS BIGINT) AS q_all,
+        |         CAST(sum((s_g * s_g * 1000) // n_g) AS BIGINT) AS qq
+        |  FROM g),
+        |ss AS (
+        |  SELECT k_groups, n_total,
+        |    greatest(0, qq - (s_all * s_all * 1000) // n_total) AS ssb_x1000,
+        |    greatest(0, q_all * 1000 - qq) AS ssw_x1000
+        |  FROM a)
+        |SELECT k_groups, n_total, ssb_x1000, ssw_x1000,
+        |  CASE WHEN ssw_x1000 > 0 AND k_groups > 1 THEN
+        |    (ssb_x1000 * (n_total - k_groups) * 1000)
+        |      // (ssw_x1000 * (k_groups - 1)) END AS f_milli,
+        |  CASE WHEN ssb_x1000 + ssw_x1000 > 0 THEN
+        |    (ssb_x1000 * 1000000) // (ssb_x1000 + ssw_x1000) END AS eta2_ppm
+        |FROM ss""".stripMargin,
+
+    "q_conformal_coverage" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' ' || repeat('if (x) { y = x + 1; return y; } ',
+        |                          CAST(doc_id % 20 AS INT)) AS t
+        |  FROM documents),
+        |m0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_chars,
+        |    CAST(len(t) - len(regexp_replace(t, '[{}();=+<>\[\]]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'),
+        |      w -> w IN ('if','return','def','class','for','while','import','var','val')))
+        |      AS BIGINT) AS kw_hits,
+        |    CAST(len(list_filter(regexp_split_to_array(t, '\s+'), w -> w <> ''))
+        |      AS BIGINT) AS n_words
+        |  FROM aug),
+        |cs AS (
+        |  SELECT doc_id,
+        |    ((n_sym * 1000000) // n_chars + (kw_hits * 1000000) // n_words) // 2
+        |      AS score,
+        |    (doc_id % 20 <> 0) AS label
+        |  FROM m0),
+        |cal AS (SELECT score FROM cs WHERE label AND doc_id % 2 = 0),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |vc AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY score),
+        |cm AS (SELECT score, CAST(sum(c) OVER (ORDER BY score
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM vc),
+        |ta AS (SELECT min(CASE WHEN cum >= (nc.n_cal + 10) // 10 THEN score END) AS tau,
+        |              max(nc.n_cal) AS n_cal
+        |       FROM cm CROSS JOIN nc),
+        |te AS (SELECT score, label FROM cs WHERE doc_id % 2 = 1)
+        |SELECT ta.n_cal, ta.tau,
+        |  CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_test_pos,
+        |  CAST(count(*) FILTER (WHERE label AND score >= tau) AS BIGINT) AS covered,
+        |  CASE WHEN count(*) FILTER (WHERE label) > 0
+        |    THEN (count(*) FILTER (WHERE label AND score >= tau) * 1000000)
+        |         // count(*) FILTER (WHERE label) END AS coverage_ppm,
+        |  CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS n_test_neg,
+        |  CAST(count(*) FILTER (WHERE NOT label AND score >= tau) AS BIGINT)
+        |    AS false_pos,
+        |  CASE WHEN count(*) FILTER (WHERE NOT label) > 0
+        |    THEN (count(*) FILTER (WHERE NOT label AND score >= tau) * 1000000)
+        |         // count(*) FILTER (WHERE NOT label) END AS fp_ppm
+        |FROM te CROSS JOIN ta
+        |GROUP BY ta.n_cal, ta.tau""".stripMargin,
+
     "q_code_detect" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -3094,6 +3310,42 @@ object Quality {
     "q_psi_drift" -> psiDriftOracle,
     "q_attr_markov" -> attrMarkovOracle,
     "q_attr_shapley" -> attrShapleyOracle,
+
+    "q_source_ablation" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_words
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(n_words) AS BIGINT) AS w_sum
+        |       FROM d GROUP BY source),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+        |              CAST(sum(w_sum) AS BIGINT) AS w_all FROM ps),
+        |fs AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM d GROUP BY 1, 2),
+        |fc AS (SELECT fp, CAST(sum(c_s) AS BIGINT) AS cnt FROM fs GROUP BY fp),
+        |da AS (SELECT CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+        |         AS dup_all FROM fc),
+        |dl AS (
+        |  SELECT fs.source,
+        |    CAST(sum((CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) -
+        |             (CASE WHEN cnt - c_s >= 2 THEN cnt - c_s ELSE 0 END))
+        |      AS BIGINT) AS dup_delta
+        |  FROM fs JOIN fc USING (fp) GROUP BY fs.source)
+        |SELECT ps.source, ps.n_docs,
+        |  (tt.w_all * 1000) // tt.n_all AS mean_words_milli_all,
+        |  CASE WHEN tt.n_all > ps.n_docs
+        |    THEN ((tt.w_all - ps.w_sum) * 1000) // (tt.n_all - ps.n_docs) END
+        |    AS mean_words_milli_without,
+        |  (da.dup_all * 1000) // tt.n_all AS dup_permille_all,
+        |  da.dup_all - dl.dup_delta AS dup_docs_without,
+        |  CASE WHEN tt.n_all > ps.n_docs
+        |    THEN ((da.dup_all - dl.dup_delta) * 1000) // (tt.n_all - ps.n_docs) END
+        |    AS dup_permille_without
+        |FROM ps JOIN dl USING (source) CROSS JOIN tt CROSS JOIN da
+        |ORDER BY ps.source""".stripMargin,
 
 
     "q_mix_divergence" ->

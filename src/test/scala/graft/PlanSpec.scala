@@ -221,7 +221,13 @@ class PlanSpec extends SparkSpec {
       "q_ams_f2",
       // Zipf fit: the ≤64×64 point pair lattice + the 1-row slope
       // broadcast — all bounded after the TakeOrdered top-64
-      "q_vocab_zipf")
+      "q_vocab_zipf",
+      // source ablation: 1-row corpus-total + 1-row dup-total
+      // broadcasts onto the |sources| rows
+      "q_source_ablation",
+      // conformal: 1-row calibration-count + 1-row threshold
+      // broadcasts onto the value-count frame / test scan
+      "q_conformal_coverage")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
@@ -237,6 +243,8 @@ class PlanSpec extends SparkSpec {
       "q_graph_pagerank", "q_graph_triangles", "q_graph_kcore",
       "q_graph_communities", "q_graph_modularity", "q_graph_bfs", "q_graph_ppr",
       "q_graph_katz",
+      // LCC stages edges on construct; 1-row network-average broadcast
+      "q_graph_lcc",
       // HITS stages the bipartite edge table on construct; its 1-row
       // L1-total broadcasts are the intended fan-out (round-join pin
       // covers the plan shape)

@@ -533,6 +533,98 @@ class R10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_right_x20") == 600L)
   }
 
+  test("local clustering coefficient: bounds, average identity, triangle consistency") {
+    val rows = graft.graph.GraphOps.qGraphLcc(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lcc = r.getAs[Long]("lcc_ppm")
+      assert(lcc >= 0L && lcc <= 1000000L)
+      assert(r.getAs[Long]("degree") >= 2L)
+      assert(lcc == 2L * r.getAs[Long]("n_triangles") * 1000000L /
+        (r.getAs[Long]("degree") * (r.getAs[Long]("degree") - 1)))
+    }
+    val avg = rows.head.getAs[Long]("avg_lcc_ppm")
+    assert(avg == rows.map(_.getAs[Long]("lcc_ppm")).sum / rows.length)
+    // triangles imply clustering somewhere
+    assert(rows.exists(_.getAs[Long]("n_triangles") > 0L) ==
+      rows.exists(_.getAs[Long]("lcc_ppm") > 0L))
+  }
+
+  test("source ablation equals brute per-source recomputation") {
+    val got = graft.quality.Quality.qSourceAblation(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"source", graft.dedup.Dedup.headFingerprint($"text").as("fp"),
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("w"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("fp"),
+        r.getAs[Long]("w")))
+    got.keys.foreach { s =>
+      val rest = docs.filterNot(_._1 == s)
+      val meanExpected = rest.map(_._3).sum * 1000L / rest.length
+      assert(got(s).getAs[Long]("mean_words_milli_without") == meanExpected, s)
+      val dupExpected = rest.groupBy(_._2).values
+        .filter(_.size >= 2).map(_.size.toLong).sum
+      assert(got(s).getAs[Long]("dup_docs_without") == dupExpected, s)
+    }
+  }
+
+  test("conformal coverage: exact quantile threshold and the 90% guarantee") {
+    val r = graft.quality.Quality.qConformalCoverage(spark, sf0001)
+      .collect().head
+    // brute threshold: k-th smallest calibration-positive score
+    val scored = graft.quality.Quality.withCodeScore(
+      Tables.load(spark, sf0001, "documents").withColumn("t", expr(
+        "concat(text, ' ', repeat('if (x) { y = x + 1; return y; } ', cast(doc_id % 20 as int)))")))
+      .select($"doc_id", $"code_score_ppm").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("code_score_ppm"))
+    val cal = scored.filter(x => x._1 % 20 != 0 && x._1 % 2 == 0)
+      .map(_._2).sorted
+    val k = ((cal.length + 10) / 10).toInt
+    assert(r.getAs[Long]("n_cal") == cal.length.toLong)
+    assert(r.getAs[Long]("tau") == cal(k - 1))
+    // the guarantee is IN EXPECTATION over calibration draws; a single
+    // even/odd split fluctuates by ~±2σ of Binomial(n_test, 0.9)
+    // (≈±4% here — measured 84.8% at sf0.001), so the pin is a loose
+    // finite-sample band, not the asymptotic 90%
+    assert(r.getAs[Long]("coverage_ppm") >= 800000L,
+      r.getAs[Long]("coverage_ppm").toString)
+    assert(r.getAs[Long]("coverage_ppm") ==
+      r.getAs[Long]("covered") * 1000000L / r.getAs[Long]("n_test_pos"))
+    assert(r.getAs[Long]("covered") <= r.getAs[Long]("n_test_pos"))
+    // the negatives' operating FP rate is a real number in [0, 1e6]
+    val fp = r.getAs[Long]("fp_ppm")
+    assert(fp >= 0L && fp <= 1000000L)
+  }
+
+  test("ANOVA F matches double-precision math within fixed-point slack") {
+    val r = graft.quality.Quality.qAnovaF(spark, sf0001).collect().head
+    val xs = Tables.load(spark, sf0001, "documents")
+      .select($"source",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("x"))
+      .collect().map(x => (x.getAs[String]("source"), x.getAs[Long]("x")))
+    val n = xs.length.toDouble
+    val k = xs.map(_._1).distinct.length.toDouble
+    val mean = xs.map(_._2).sum / n
+    val ssb = xs.groupBy(_._1).values.map { g =>
+      val m = g.map(_._2).sum.toDouble / g.size
+      g.size * (m - mean) * (m - mean)
+    }.sum
+    val ssw = xs.groupBy(_._1).values.flatMap { g =>
+      val m = g.map(_._2).sum.toDouble / g.size
+      g.map(x => (x._2 - m) * (x._2 - m))
+    }.sum
+    val fExpect = (ssb / (k - 1)) / (ssw / (n - k))
+    val fGot = r.getAs[Long]("f_milli").toDouble / 1000.0
+    assert(math.abs(fGot - fExpect) <= 0.05 * math.max(1.0, fExpect),
+      s"got $fGot expect $fExpect")
+    assert(r.getAs[Long]("k_groups") == k.toLong)
+    val eta = r.getAs[Long]("eta2_ppm")
+    assert(eta >= 0L && eta <= 1000000L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
