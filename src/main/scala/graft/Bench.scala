@@ -43,7 +43,14 @@ object Bench {
     // markov attribution: 40 tiny chain-iteration stages — the cost is
     // scheduling overhead, so the ratio should sit near 1.0 (only the
     // transition-count shuffle sees the corpus)
-    "q_attr_markov")
+    "q_attr_markov",
+    // r10-session heavies: LCC (triangle-tier cost, must track E),
+    // the CCNet composition (langid broadcast + LM joins), RM3 (two
+    // postings-bucket search rounds + 10-doc feedback), char entropy
+    // (one (doc, char) combine), and Shapley (one user shuffle + a
+    // constant lattice — should sit near 1.0 like markov)
+    "q_graph_lcc", "q_ccnet_buckets", "q_text_rm3", "q_text_entropy",
+    "q_attr_shapley")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

@@ -951,6 +951,9 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("lcc_ppm",
         expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+      // read by the network-average AND the output — node-sized
+      // ephemeral, so the triangle tier derives exactly once
+      .localCheckpoint()
     val avg = base.agg(expr("sum(lcc_ppm) div count(1)").as("avg_lcc_ppm"))
     base.crossJoin(broadcast(avg)).orderBy(col("node"))
   }

@@ -609,6 +609,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** LEXICAL-DIVERSITY / VOCABULARY-GROWTH AUDIT per source — the
+    * Herdan's-law readout (Herdan 1960; a.k.a. Heaps' law) a corpus
+    * report puts next to the Zipf slope: per source the token count
+    * N, vocabulary V, hapax legomena (count-1 tokens — the OOV
+    * pressure estimate), type-token ratio, hapax share, and Herdan's
+    * C = log V / log N in millis through the shared integer log —
+    * natural text sits near C ≈ 0.7–0.9 and V ≈ K·N^C; a source with
+    * C near 1 is vocabulary-exploding (noisy/IDs), near 0 is
+    * template-collapsed. ONE (source, token) combine; everything
+    * after is |sources| rows. */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    cnt.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("v_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("lv", expr(ilog2x4096("v_types")))
+      .withColumn("ln", expr(ilog2x4096("n_tokens")))
+      .select($"source", $"n_tokens", $"v_types", $"hapax",
+        expr("(v_types * 1000) div n_tokens").as("ttr_milli"),
+        expr("(hapax * 1000) div v_types").as("hapax_share_milli"),
+        expr("CASE WHEN ln > 0 THEN (lv * 1000) div ln END")
+          .as("herdan_c_milli"))
+      .orderBy($"source")
+  }
+
   /** CHARACTER-LEVEL SHANNON ENTROPY (Shannon 1948) — the classical
     * randomness signal next to [[qTextCompressRatio]]'s zlib column,
     * but SQL-replayable: H = Σ_c (k_c/n)·log2(n/k_c) carried as
@@ -1812,6 +1841,7 @@ object TextAnalysis {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_heavy_hitters_grouped" -> qHeavyHittersGrouped,
     "q_vocab_zipf" -> qVocabZipf,
+    "q_vocab_growth" -> qVocabGrowth,
     "q_text_entropy" -> qTextEntropy,
     "q_text_readability" -> qTextReadability,
     "q_entity_resolution" -> qEntityResolution,
@@ -1920,6 +1950,42 @@ object TextAnalysis {
        |        row_number() OVER (ORDER BY t) AS rk,
        |        CAST(count(*) OVER () AS BIGINT) AS np2 FROM tv) q
        |WHERE rk = (np2 + 1) // 2""".stripMargin
+  }
+
+  /** The vocabulary-growth oracle: per-source (N, V, hapax), both log
+    * operands through the 12-step chain keyed (source, wh). */
+  private def vocabGrowthOracle: String = {
+    val logSteps = (0 until 12).map { i =>
+      s"""gl${i + 1} AS (SELECT source, wh,
+         |  CASE WHEN (m*m)>>12 >= 8192 THEN ((m*m)>>12)>>1 ELSE (m*m)>>12 END AS m,
+         |  r + CASE WHEN (m*m)>>12 >= 8192 THEN 1<<${11 - i} ELSE 0 END AS r
+         |  FROM gl$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tt AS (SELECT source, token FROM tok WHERE len(token) > 0),
+       |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |      FROM tt GROUP BY 1, 2),
+       |g AS MATERIALIZED (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS v_types,
+       |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+       |  FROM c GROUP BY source),
+       |unp AS (SELECT source, 'v' AS wh, v_types AS v FROM g
+       |        UNION ALL SELECT source, 'n', n_tokens FROM g),
+       |gl0 AS (SELECT source, wh,
+       |  (v * 4096) >> (length(bin(v)) - 1) AS m,
+       |  (length(bin(v)) - 1) * 4096 AS r FROM unp),
+       |$logSteps,
+       |xy AS (SELECT source,
+       |  CAST(max(CASE WHEN wh = 'v' THEN r END) AS BIGINT) AS lv,
+       |  CAST(max(CASE WHEN wh = 'n' THEN r END) AS BIGINT) AS ln
+       |  FROM gl12 GROUP BY source)
+       |SELECT g.source, g.n_tokens, g.v_types, g.hapax,
+       |  (g.v_types * 1000) // g.n_tokens AS ttr_milli,
+       |  (g.hapax * 1000) // g.v_types AS hapax_share_milli,
+       |  CASE WHEN xy.ln > 0 THEN (xy.lv * 1000) // xy.ln END AS herdan_c_milli
+       |FROM g JOIN xy USING (source) ORDER BY g.source""".stripMargin
   }
 
   private def duckLangIdTrainCtes: String = duckLangIdTrainCtesWhere("")
@@ -2577,6 +2643,7 @@ object TextAnalysis {
         |ORDER BY c.n DESC, c.token""".stripMargin,
 
     "q_vocab_zipf" -> vocabZipfOracle,
+    "q_vocab_growth" -> vocabGrowthOracle,
     "q_text_entropy" -> textEntropyOracle,
 
     "q_text_readability" ->

@@ -625,6 +625,20 @@ class R10OpsSpec extends SparkSpec {
     assert(eta >= 0L && eta <= 1000000L)
   }
 
+  test("vocabulary growth: ordering invariants and Herdan's C in range") {
+    val rows = TextAnalysis.qVocabGrowth(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val v = r.getAs[Long]("v_types")
+      assert(r.getAs[Long]("hapax") <= v && v <= n)
+      assert(r.getAs[Long]("ttr_milli") == v * 1000 / n)
+      // log V / log N ∈ (0, 1] for V ≤ N (up to the log chain's
+      // −3-unit floor error, < 1 milli here)
+      val c = r.getAs[Long]("herdan_c_milli")
+      assert(c > 0L && c <= 1001L, c.toString)
+    }
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
