@@ -2474,16 +2474,19 @@ object Relational {
     * sketch's count vector is what a monitoring pipeline stores).
     * Shape: one (type, bucket) map-side combine onto ≤|types|·64 rows,
     * windows over that tiny frame; audit reuses the shared ranking. */
-  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+  /** The power-of-two bucket id of a cents amount — ONE expression
+    * shared by the batch sketch and the streaming histogram leg
+    * (`StreamAggs.quantileHistogram`). */
+  private[graft] def sketchBucketExpr: String =
+    "CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END"
+
+  /** Quantile estimates off a merged (event_type, bucket, bc) count
+    * frame — the read side shared by [[qQuantileSketch]] and the
+    * streaming leg's finalized windows (sketch buckets merge by
+    * addition, so summing periods IS the whole-stream sketch). */
+  private[graft] def quantileEstFromBuckets(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
     import spark.implicits._
-    val ev = Tables.load(spark, dir, "events")
-      .withColumn("cents",
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
-    val buckets = ev
-      .withColumn("bucket",
-        expr("CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END"))
-      .groupBy($"event_type", $"bucket")
-      .agg(count(lit(1)).as("bc"))
     val wOrd = Window.partitionBy($"event_type").orderBy($"bucket")
     val wAll = Window.partitionBy($"event_type")
     val cum = buckets
@@ -2492,8 +2495,20 @@ object Relational {
     def estAt(permille: Int, label: String): Column =
       min(when($"cumc" * 1000 >= $"n" * permille,
         expr("shiftleft(1L, bucket) - 1L"))).as(label)
-    val est = cum.groupBy($"event_type")
+    cum.groupBy($"event_type")
       .agg(max($"n").as("n"), estAt(500, "p50_est"), estAt(990, "p99_est"))
+  }
+
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+    val buckets = ev
+      .withColumn("bucket", expr(sketchBucketExpr))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("bc"))
+    val est = quantileEstFromBuckets(buckets)
     val exact = valueCounts(ev, $"event_type", $"cents")
       .groupBy($"__g")
       .agg(rankValue(expr("(500 * n + 999) div 1000")).as("p50_exact"),

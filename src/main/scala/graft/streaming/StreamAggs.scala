@@ -125,6 +125,35 @@ object StreamAggs {
       .toDF("lang", "doc_id", "pri", "rank", "n_seen")
   }
 
+  /** STREAMING QUANTILE SKETCH: the power-of-two bucket histogram
+    * (`Relational.qQuantileSketch`'s sketch leg) as a watermarked
+    * tumbling-window aggregate — the quantile member of the
+    * mergeable-sketch streaming trio (heavy hitters, bottom-k,
+    * quantiles). Finalized (period, type, bucket) counts emit exactly
+    * once on watermark passage (append mode, state O(open windows ×
+    * types × buckets)); because bucket counts merge by ADDITION,
+    * summing the emitted periods is the whole-stream sketch, and
+    * `Relational.quantileEstFromBuckets` reads estimates off it with
+    * the SAME rank rule as the batch query (the spec proves
+    * equality). The bucket id is the shared expression. */
+  def quantileHistogram(events: DataFrame, tsCol: String, watermark: String,
+      period: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("bucket", expr(graft.queries.Relational.sketchBucketExpr))
+      .groupBy(window(col(tsCol), period), col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .select(col("window.start").as("period_start"),
+        col("event_type"), col("bucket"), col("bc"))
+
+  /** The batch read over the emitted histogram table: merge periods
+    * by addition, then the shared quantile-estimate read. */
+  def quantilesFromEmitted(emitted: DataFrame): DataFrame =
+    graft.queries.Relational.quantileEstFromBuckets(
+      emitted.groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("bc")).as("bc")))
+
   /** Trending tokens: tumbling-window token counts over a stream of
     * timestamped documents — the "what is spiking right now" feed.
     * Tokens explode BEFORE the watermarked window aggregate (state is

@@ -238,6 +238,52 @@ class StreamAggsSpec extends SparkSpec {
     assert(bucketIds.forall(b => b >= 0 && b < 4), bucketIds.toString)
   }
 
+  test("streaming quantile histogram merges to the batch sketch estimates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val hist = StreamAggs.quantileHistogram(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermark = "0 seconds", period = "1 hour")
+    val q = hist.writeStream.format("memory").queryName("qh_sink")
+      .outputMode("append").start()
+    // values chosen to straddle power-of-two buckets, across 2 hours
+    val data = Seq(
+      (ts("2026-08-12 10:01:00"), "click", 1.0),   // 100 cents
+      (ts("2026-08-12 10:02:00"), "click", 2.5),   // 250
+      (ts("2026-08-12 10:03:00"), "click", 40.0),  // 4000
+      (ts("2026-08-12 11:01:00"), "click", 41.0),  // 4100
+      (ts("2026-08-12 11:02:00"), "click", 0.5),   // 50
+      (ts("2026-08-12 11:03:00"), "view", 9.99))   // 999
+    try {
+      input.addData(data.take(3): _*); q.processAllAvailable()
+      input.addData(data.drop(3): _*); q.processAllAvailable()
+      input.addData((ts("2026-08-12 13:00:00"), "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val merged = StreamAggs.quantilesFromEmitted(spark.table("qh_sink"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50_est"), r.getAs[Long]("p99_est")))
+      .toMap
+    // batch leg over the SAME rows through the shared expressions
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val batch = graft.queries.Relational.quantileEstFromBuckets(
+      data.toDF("ts", "event_type", "value")
+        .withColumn("cents",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+        .withColumn("bucket",
+          expr(graft.queries.Relational.sketchBucketExpr))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("bc")))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50_est"), r.getAs[Long]("p99_est")))
+      .toMap
+    assert(merged == batch, s"stream=$merged batch=$batch")
+    assert(merged("click")._1 == 5L)
+    // sketch upper bounds hold: estimate >= true value per bucket rule
+    assert(merged("click")._2 >= 250L && merged("click")._3 >= 4100L)
+  }
+
   test("streaming bottom-k sample equals the batch sample over the landed corpus") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Long)]
