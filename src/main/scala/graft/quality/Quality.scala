@@ -1593,6 +1593,56 @@ object Quality {
     * versions), per bin: docs, mean score, positive rate in exact ppm.
     * One combine rollup onto ≤10 rows. Same augmented view + shared
     * [[withCodeScore]] as the AUC/detector. */
+  /** MANN–WHITNEY U TEST for the A/B split (Mann & Whitney 1947 —
+    * public): the nonparametric significance test the z-test family
+    * can't give when per-user revenue is heavy-tailed (rank-based, so
+    * one whale can't swing it). Variant A = even user_id (the repo's
+    * A/B convention). U comes from doubled midranks — the [[aucOf]]
+    * identity 2·midrank = 2c + g + 1, always integer — with the
+    * tie-corrected variance, and the 5% two-sided verdict by squaring
+    * both sides: (2U − n_An_B)²·3·N(N−1)·10⁴ ≥
+    * 38416·n_A·n_B·(N³−N−Σ(t³−t)) — the qTrendMk squaring convention,
+    * no square root, no floats; the cross terms ride DECIMAL(38,0)
+    * (≈10²⁴ at corpus scale — past BIGINT, far under 10³⁸). Effect
+    * size = U/(n_An_B) in ppm — numerically the AUC of variant A over
+    * B, P(a random A user out-spends a random B user). ONE user
+    * combine, then the value-count frame; 1-row readout. */
+  def qAbMannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qAbMannWhitney]] over any (user_id, value) frame —
+    * separated so the brute-force reference spec can drive it. */
+  private[graft] def mannWhitney(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val per = events
+      .select($"user_id",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("x"))
+      .withColumn("isa", $"user_id" % 2 === 0)
+    val groups = per.groupBy($"x")
+      .agg(count(lit(1)).as("g"),
+        sum(when($"isa", 1L).otherwise(0L)).as("ga"))
+    val w = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    groups
+      .withColumn("c", coalesce(sum($"g").over(w), lit(0L)))
+      .agg(sum($"ga").as("n_a"), sum($"g" - $"ga").as("n_b"),
+        sum($"ga" * (lit(2L) * $"c" + $"g" + 1L)).as("sum2r_a"),
+        sum($"g" * $"g" * $"g" - $"g").as("tie_sum"))
+      .select($"n_a", $"n_b", $"tie_sum",
+        expr("sum2r_a - n_a * (n_a + 1)").as("u_x2"),
+        expr("n_a + n_b").as("n"))
+      .select($"n_a", $"n_b", $"u_x2", $"tie_sum",
+        expr("(u_x2 * 500000) div (n_a * n_b)").as("auc_ppm"),
+        expr(
+          """CASE WHEN cast(abs(u_x2 - n_a * n_b) as decimal(38,0))
+            |       * abs(u_x2 - n_a * n_b) * 30000 * n * (n - 1)
+            |     >= cast(38416 as decimal(38,0))
+            |       * n_a * n_b * (n * n * n - n - tie_sum)
+            |THEN 'Y' ELSE 'N' END""".stripMargin).as("significant"))
+  }
+
   /** ONE-WAY ANOVA F ACROSS SOURCES (Fisher 1925) — the k-group
     * extension of the A/B z-test: does document length differ across
     * sources more than within them? Sums of squares via the
@@ -2197,6 +2247,7 @@ object Quality {
     "q_source_ablation" -> qSourceAblation,
     "q_conformal_coverage" -> qConformalCoverage,
     "q_anova_f" -> qAnovaF,
+    "q_ab_mannwhitney" -> qAbMannWhitney,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -3177,6 +3228,37 @@ object Quality {
          |    '$Ipv4Re', '[IP]', 'g'),
          |    '$PhoneRe', '[PHONE]', 'g') AS clean_text
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q_ab_mannwhitney" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    user_id % 2 = 0 AS isa
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS g,
+        |         CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ga
+        |  FROM per GROUP BY x),
+        |cq AS (
+        |  SELECT *, CAST(coalesce(sum(g) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(ga) AS BIGINT) AS n_a,
+        |         CAST(sum(g - ga) AS BIGINT) AS n_b,
+        |         CAST(sum(ga * (2 * c + g + 1)) AS BIGINT) AS sum2r_a,
+        |         CAST(sum(g * g * g - g) AS BIGINT) AS tie_sum
+        |  FROM cq),
+        |b AS (SELECT *, sum2r_a - n_a * (n_a + 1) AS u_x2, n_a + n_b AS n FROM a)
+        |SELECT n_a, n_b, u_x2, tie_sum,
+        |  (u_x2 * 500000) // (n_a * n_b) AS auc_ppm,
+        |  CASE WHEN CAST(abs(u_x2 - n_a * n_b) AS HUGEINT)
+        |         * abs(u_x2 - n_a * n_b) * 30000 * n * (n - 1)
+        |       >= CAST(38416 AS HUGEINT)
+        |         * n_a * n_b * (n * n * n - n - tie_sum)
+        |   THEN 'Y' ELSE 'N' END AS significant
+        |FROM b""".stripMargin,
 
     "q_anova_f" ->
       """WITH x AS (

@@ -639,6 +639,52 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("Mann-Whitney A/B: doubled-midrank U matches brute force; verdicts flip with the shift") {
+    // brute reference over per-user totals (variant A = even user_id)
+    def brute(vals: Seq[(Long, Double)]): (Long, Long, Long, Boolean) = {
+      val per = vals.groupBy(_._1).view
+        .mapValues(v => math.round(v.map(x => x._2 * 100).sum)).toMap
+      val xs = per.toSeq.map { case (u, x) => (x, u % 2 == 0) }
+      val sorted = xs.map(_._1).sorted
+      def midrank2(x: Long) = { // 2*midrank = 2c + g + 1
+        val c = sorted.count(_ < x); val g = sorted.count(_ == x)
+        2L * c + g + 1L
+      }
+      val nA = xs.count(_._2).toLong; val nB = xs.size - nA
+      val sum2rA = xs.filter(_._2).map(x => midrank2(x._1)).sum
+      val u2 = sum2rA - nA * (nA + 1)
+      val n = nA + nB
+      val ties = sorted.groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      val d = BigInt(u2 - nA * nB)
+      val sig = d * d * 30000 * n * (n - 1) >=
+        BigInt(38416) * nA * nB * (BigInt(n) * n * n - n - ties)
+      (nA, u2, (u2 * 500000) / (nA * nB), sig)
+    }
+    def run(vals: Seq[(Long, Double)]) = {
+      val r = graft.quality.Quality
+        .mannWhitney(vals.toDF("user_id", "value")).collect().head
+      val (nA, u2, auc, sig) = brute(vals)
+      assert(r.getAs[Long]("n_a") == nA)
+      assert(r.getAs[Long]("u_x2") == u2)
+      assert(r.getAs[Long]("auc_ppm") == auc)
+      assert((r.getAs[String]("significant") == "Y") == sig)
+      r
+    }
+    // strong planted shift: every even user out-spends every odd one
+    val shifted = (0L until 40L).map(u =>
+      (u, if (u % 2 == 0) 100.0 + u else 1.0 + u / 10.0))
+    val rs = run(shifted)
+    assert(rs.getAs[String]("significant") == "Y")
+    assert(rs.getAs[Long]("auc_ppm") == 1000000L) // total separation
+    // exchangeable variants (each even/odd pair shares a value, so A
+    // and B are identical multisets): U sits exactly at its mean
+    val flat = (0L until 40L).map(u => (u, 5.0 + (u / 2) % 4))
+    val rf = run(flat)
+    assert(rf.getAs[String]("significant") == "N")
+    assert(rf.getAs[Long]("auc_ppm") == 500000L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
