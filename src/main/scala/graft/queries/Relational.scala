@@ -2899,7 +2899,22 @@ object Relational {
     * the days frame. */
   def qTsAcf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.load(spark, dir, "events")
+    acfWithLen(spark, dir)
+      .select($"event_type", $"lag", $"acf_ppm")
+      .orderBy($"event_type", $"lag")
+  }
+
+  /** The ACF rows with the densified series length attached — shared
+    * by [[qTsAcf]] and the Ljung–Box rollup ([[qTsLjungBox]]), so the
+    * test statistic and the plotted correlogram can never disagree. */
+  private[graft] def acfWithLen(spark: SparkSession, dir: String): DataFrame =
+    acfWithLenOf(Tables.load(spark, dir, "events"))
+
+  /** Same over any (event_type, ts) frame — the spec fixtures' entry. */
+  private[graft] def acfWithLenOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
       .groupBy($"event_type", expr("unix_timestamp(ts) div 86400L").as("day"))
       .agg(count(lit(1)).as("n"))
     val grid = daily.groupBy($"event_type")
@@ -2922,12 +2937,44 @@ object Relational {
       .groupBy($"event_type", $"lag")
       .agg(sum(expr("cast(d as decimal(38,0)) * d_lead")).as("cl"))
       .join(broadcast(c0), Seq("event_type"))
-      .select($"event_type", $"lag",
+      .join(broadcast(stats.select($"event_type", $"nn")), Seq("event_type"))
+      .select($"event_type", $"lag", $"nn",
         expr("""cast(CASE WHEN c0 = 0 THEN 0
                |WHEN cl >= 0 THEN (cl * 1000000) div c0
                |ELSE -(((-cl) * 1000000) div c0) END as bigint)""".stripMargin)
           .as("acf_ppm"))
-      .orderBy($"event_type", $"lag")
+  }
+
+  /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978 — public): is the
+    * daily series white noise, or is the correlogram's structure
+    * real? Q = n(n+2)·Σ_{k≤h} ρ_k²/(n−k) over the SAME 7 ACF lags the
+    * correlogram query emits (shared [[acfWithLen]] — the verdict and
+    * the plot cannot disagree), carried in micro units with the
+    * per-lag division ρ_ppm² div (n−k) integral and the n(n+2)
+    * product in DECIMAL(38,0) (n²·Σρ² passes BIGINT on long
+    * calendars). Verdict vs the χ²₇ 5% critical value 14.067140
+    * (standard table) — squint-free: significant means "not white
+    * noise", the gate a forecasting pipeline checks before fitting
+    * seasonal models. Everything after the ACF's lag joins is a
+    * |types|-row rollup. */
+  def qTsLjungBox(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxOf(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qTsLjungBox]] over any (event_type, ts) frame —
+    * separated so the white-noise/periodic fixtures can drive it. */
+  private[graft] def ljungBoxOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    acfWithLenOf(events)
+      .groupBy($"event_type")
+      .agg(max($"nn").as("n_days"), count(lit(1)).as("h"),
+        sum(expr("(acf_ppm * acf_ppm) div (nn - lag)")).as("term_sum"))
+      .select($"event_type", $"n_days", $"h",
+        expr("""cast((cast(n_days as decimal(38,0)) * (n_days + 2) * term_sum)
+               |div 1000000 as bigint)""".stripMargin).as("q_micro"))
+      .withColumn("significant",
+        expr("CASE WHEN q_micro >= 14067140 THEN 'Y' ELSE 'N' END"))
+      .orderBy($"event_type")
   }
 
   /** CHI-SQUARE INDEPENDENCE TEST (nation × market segment): are the
@@ -3119,6 +3166,7 @@ object Relational {
     "q_ts_changepoint" -> qTsChangepoint,
     "q_seq_patterns" -> qSeqPatterns,
     "q_ts_acf" -> qTsAcf,
+    "q_ts_ljungbox" -> qTsLjungBox,
     "q_chi2_independence" -> qChi2Independence,
     "q_benford_audit" -> qBenfordAudit
   )
@@ -3177,46 +3225,69 @@ object Relational {
         |  ON s.event_type = tr.event_type AND s.hod = tr.hour % 24
         |ORDER BY tr.event_type, tr.hour""".stripMargin
 
+  /** The ACF CTE chain through the per-lag autocovariances — shared
+    * verbatim by the correlogram and Ljung–Box oracles. */
+  private val tsAcfCtes: String =
+    """daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT h.event_type, g.day
+      |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1) h
+      |  CROSS JOIN LATERAL (SELECT unnest(range(h.d0, h.d1 + 1)) AS day) g),
+      |dense AS (
+      |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.event_type = g.event_type AND d.day = g.day),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+      |    CAST(sum(x) AS BIGINT) AS sx
+      |  FROM dense GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, s.nn * d.x - s.sx AS dd
+      |  FROM dense d JOIN stats s ON s.event_type = d.event_type),
+      |c0 AS (
+      |  SELECT event_type, SUM(CAST(dd AS HUGEINT) * dd) AS c0
+      |  FROM dev GROUP BY 1),
+      |cl AS (
+      |  SELECT a.event_type, l.lag,
+      |    SUM(CAST(a.dd AS HUGEINT) * b.dd) AS cl
+      |  FROM dev a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN dev b ON b.event_type = a.event_type
+      |            AND b.day = a.day + l.lag
+      |  GROUP BY 1, 2),
+      |acfr AS (
+      |  SELECT cl.event_type, CAST(cl.lag AS BIGINT) AS lag, s.nn,
+      |    CAST(CASE WHEN c0.c0 = 0 THEN 0
+      |         WHEN cl.cl >= 0 THEN (cl.cl * 1000000) // c0.c0
+      |         ELSE -(((-cl.cl) * 1000000) // c0.c0) END AS BIGINT) AS acf_ppm
+      |  FROM cl JOIN c0 ON c0.event_type = cl.event_type
+      |  JOIN stats s ON s.event_type = cl.event_type)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ts_acf" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT h.event_type, g.day
-        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
-        |        FROM daily GROUP BY 1) h
-        |  CROSS JOIN LATERAL (SELECT unnest(range(h.d0, h.d1 + 1)) AS day) g),
-        |dense AS (
-        |  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS x
-        |  FROM grid g LEFT JOIN daily d
-        |    ON d.event_type = g.event_type AND d.day = g.day),
-        |stats AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
-        |    CAST(sum(x) AS BIGINT) AS sx
-        |  FROM dense GROUP BY 1),
-        |dev AS (
-        |  SELECT d.event_type, d.day, s.nn * d.x - s.sx AS dd
-        |  FROM dense d JOIN stats s ON s.event_type = d.event_type),
-        |c0 AS (
-        |  SELECT event_type, SUM(CAST(dd AS HUGEINT) * dd) AS c0
-        |  FROM dev GROUP BY 1),
-        |cl AS (
-        |  SELECT a.event_type, l.lag,
-        |    SUM(CAST(a.dd AS HUGEINT) * b.dd) AS cl
-        |  FROM dev a
-        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
-        |  JOIN dev b ON b.event_type = a.event_type
-        |            AND b.day = a.day + l.lag
-        |  GROUP BY 1, 2)
-        |SELECT cl.event_type, CAST(cl.lag AS BIGINT) AS lag,
-        |  CAST(CASE WHEN c0.c0 = 0 THEN 0
-        |       WHEN cl.cl >= 0 THEN (cl.cl * 1000000) // c0.c0
-        |       ELSE -(((-cl.cl) * 1000000) // c0.c0) END AS BIGINT) AS acf_ppm
-        |FROM cl JOIN c0 ON c0.event_type = cl.event_type
-        |ORDER BY cl.event_type, lag""".stripMargin,
+      s"""WITH $tsAcfCtes
+         |SELECT event_type, lag, acf_ppm
+         |FROM acfr ORDER BY event_type, lag""".stripMargin,
+
+    "q_ts_ljungbox" ->
+      s"""WITH $tsAcfCtes,
+         |lb AS (
+         |  SELECT event_type, max(nn) AS n_days,
+         |         CAST(count(*) AS BIGINT) AS h,
+         |         CAST(sum((acf_ppm * acf_ppm) // (nn - lag)) AS BIGINT)
+         |           AS term_sum
+         |  FROM acfr GROUP BY 1)
+         |SELECT event_type, n_days, h,
+         |  CAST((CAST(n_days AS HUGEINT) * (n_days + 2) * term_sum)
+         |    // 1000000 AS BIGINT) AS q_micro,
+         |  CASE WHEN (CAST(n_days AS HUGEINT) * (n_days + 2) * term_sum)
+         |    // 1000000 >= 14067140 THEN 'Y' ELSE 'N' END AS significant
+         |FROM lb ORDER BY event_type""".stripMargin,
 
     "q_chi2_independence" ->
       """WITH cells AS (

@@ -685,6 +685,28 @@ class R10OpsSpec extends SparkSpec {
     assert(rf.getAs[Long]("auc_ppm") == 500000L)
   }
 
+  test("Ljung-Box: periodic series flagged, constant series passes as noise") {
+    import java.sql.Timestamp
+    // consecutive epoch days (a calendar-formatted fixture left month
+    // gaps the dense grid filled with zeros — real autocorrelation)
+    val base = Timestamp.valueOf("2024-01-01 03:00:00").getTime
+    def day(d: Int) = new Timestamp(base + d * 86400000L)
+    // strong period-2 oscillation: 1 event on even days, 9 on odd
+    val periodic = (0 until 56).flatMap(d =>
+      Seq.fill(if (d % 2 == 0) 1 else 9)(("osc", day(d))))
+    // constant volume: zero autocorrelation everywhere
+    val flat = (0 until 56).flatMap(d => Seq.fill(5)(("flat", day(d))))
+    val got = Relational.ljungBoxOf(
+      (periodic ++ flat).toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("osc").getAs[String]("significant") == "Y")
+    assert(got("osc").getAs[Long]("q_micro") > 14067140L)
+    assert(got("flat").getAs[String]("significant") == "N")
+    assert(got("flat").getAs[Long]("q_micro") == 0L) // c0 = 0 → all ρ = 0
+    assert(got("osc").getAs[Long]("h") == 7L)
+    assert(got("osc").getAs[Long]("n_days") == 56L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
