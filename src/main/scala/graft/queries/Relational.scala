@@ -46,6 +46,23 @@ object Relational {
   private def rankValue(rank: Column): Column =
     max(when(col("cum") - col("c") < rank && rank <= col("cum"), col("__v")))
 
+  /** Floor integer square root of `m` (m < 2⁴⁰) as a 20-step
+    * bit-by-bit fold — the classical shift-and-subtract algorithm in
+    * bounded BIGINT arithmetic, engine-exact by construction (the
+    * oracle replays the identical 20 steps as generated CTEs; same
+    * playbook as the integer log2 chain). Start bit 2³⁸ is safely
+    * above any m in range; iterations where bit > x just halve res. */
+  private[graft] def isqrtFold(m: String): String =
+    s"""aggregate(sequence(0, 19),
+       |  struct(cast($m as bigint) AS x, 0L AS res, shiftleft(1L, 38) AS bit),
+       |  (a, i) -> if(a.x >= a.res + a.bit,
+       |    struct(a.x - (a.res + a.bit) AS x,
+       |           shiftright(a.res, 1) + a.bit AS res,
+       |           shiftright(a.bit, 2) AS bit),
+       |    struct(a.x AS x, shiftright(a.res, 1) AS res,
+       |           shiftright(a.bit, 2) AS bit)),
+       |  a -> a.res)""".stripMargin
+
   // ---------------------------------------------------------------
   // Aggregations (SURVEY §2.5)
   // ---------------------------------------------------------------
@@ -2945,6 +2962,45 @@ object Relational {
           .as("acf_ppm"))
   }
 
+  /** DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL (the order-statistic
+    * binomial method — Thompson 1936; the normal approximation to
+    * Bin(n, ½) for the rank offset): per event type, the exact median
+    * PLUS the ~95% interval [X₍ᵣ₎, X₍ₙ₊₁₋ᵣ₎] with r = (n − s) div 2 + 1
+    * and s = ⌈1.96·√n⌉ — error bars for every median the engine
+    * reports, valid for ANY value distribution. √n runs through the
+    * 20-step integer-sqrt fold ([[isqrtFold]] — no float sqrt whose
+    * ulp could split the engines at a rank boundary): s = (⌈√(38416·n)⌉
+    * + 99) div 100, since (100s)² ≥ 38416·n ⇔ s ≥ 1.96√n. Small-n
+    * degenerate case widens to the full range (r = 1). All three
+    * readouts come off ONE value-count frame (the repo's median
+    * pattern — never a corpus row_number); 38416·n stays far under
+    * the 2⁴⁰ fold domain at any per-type daily volume this side of a
+    * DECIMAL lift. */
+  def qMedianCi(spark: SparkSession, dir: String): DataFrame =
+    medianCi(Tables.load(spark, dir, "events"))
+
+  /** Core of [[qMedianCi]] over any (event_type, value) frame —
+    * separated so the known-quantile fixture spec can drive it. */
+  private[graft] def medianCi(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select($"event_type",
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val vc = valueCounts(ev, $"event_type", $"cents")
+      .withColumn("s0", expr(isqrtFold("38416 * n")))
+      .withColumn("s", expr(
+        "(s0 + if(s0 * s0 < 38416 * n, 1L, 0L) + 99) div 100"))
+      .withColumn("rlo", expr("if(n > s, (n - s) div 2 + 1L, 1L)"))
+    vc.groupBy($"__g")
+      .agg(max($"n").as("n"), max($"rlo").as("r_lo"),
+        rankValue(expr("(n + 1) div 2")).as("median"),
+        rankValue(col("rlo")).as("ci_lo"),
+        rankValue(expr("n + 1 - rlo")).as("ci_hi"))
+      .select($"__g".as("event_type"), $"n", $"r_lo",
+        $"median", $"ci_lo", $"ci_hi")
+      .orderBy($"event_type")
+  }
+
   /** LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978 — public): is the
     * daily series white noise, or is the correlogram's structure
     * real? Q = n(n+2)·Σ_{k≤h} ρ_k²/(n−k) over the SAME 7 ACF lags the
@@ -3167,6 +3223,7 @@ object Relational {
     "q_seq_patterns" -> qSeqPatterns,
     "q_ts_acf" -> qTsAcf,
     "q_ts_ljungbox" -> qTsLjungBox,
+    "q_median_ci" -> qMedianCi,
     "q_chi2_independence" -> qChi2Independence,
     "q_benford_audit" -> qBenfordAudit
   )
@@ -3268,7 +3325,51 @@ object Relational {
       |  FROM cl JOIN c0 ON c0.event_type = cl.event_type
       |  JOIN stats s ON s.event_type = cl.event_type)""".stripMargin
 
+  /** The median-CI oracle: value counts + the generated 20-step
+    * integer-sqrt chain keyed per event type + the three rank reads. */
+  private def medianCiOracle: String = {
+    val sqrtSteps = (0 until 20).map { k =>
+      s"""i${k + 1} AS (SELECT g, n,
+         |  CASE WHEN x >= res + bit THEN x - res - bit ELSE x END AS x,
+         |  CASE WHEN x >= res + bit THEN (res >> 1) + bit ELSE res >> 1 END AS res,
+         |  bit >> 2 AS bit
+         |  FROM i$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT event_type AS g,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events),
+       |vc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |cc AS MATERIALIZED (
+       |  SELECT *, CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+       |  FROM vc),
+       |ns AS (SELECT g, max(n) AS n FROM cc GROUP BY g),
+       |i0 AS (SELECT g, n, 38416 * n AS x, CAST(0 AS BIGINT) AS res,
+       |       CAST(1 AS BIGINT) << 38 AS bit FROM ns),
+       |$sqrtSteps,
+       |sv AS (
+       |  SELECT g, n,
+       |    (res + CASE WHEN res * res < 38416 * n THEN 1 ELSE 0 END + 99) // 100
+       |      AS s
+       |  FROM i20),
+       |rk AS MATERIALIZED (
+       |  SELECT g, n, CASE WHEN n > s THEN (n - s) // 2 + 1 ELSE 1 END AS rlo
+       |  FROM sv)
+       |SELECT cc.g AS event_type, max(cc.n) AS n, max(rk.rlo) AS r_lo,
+       |  max(CASE WHEN cum - c < (cc.n + 1) // 2 AND (cc.n + 1) // 2 <= cum
+       |      THEN v END) AS median,
+       |  max(CASE WHEN cum - c < rk.rlo AND rk.rlo <= cum THEN v END) AS ci_lo,
+       |  max(CASE WHEN cum - c < cc.n + 1 - rk.rlo AND cc.n + 1 - rk.rlo <= cum
+       |      THEN v END) AS ci_hi
+       |FROM cc JOIN rk ON rk.g = cc.g
+       |GROUP BY cc.g ORDER BY cc.g""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_median_ci" -> medianCiOracle,
+
     "q_ts_acf" ->
       s"""WITH $tsAcfCtes
          |SELECT event_type, lag, acf_ppm

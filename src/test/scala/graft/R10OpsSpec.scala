@@ -707,6 +707,26 @@ class R10OpsSpec extends SparkSpec {
     assert(got("osc").getAs[Long]("n_days") == 56L)
   }
 
+  test("median CI: textbook order-statistic ranks and small-n degeneracy") {
+    // n = 25: s = ceil(1.96·√25) = 10 (38416·25 = 980² exactly, so the
+    // isqrt fold must land on 980 with no ceil bump), r_lo = 8 — the
+    // classic (8, 18) 95% interval from the binomial table
+    val rows = (1 to 25).map(v => ("t", v.toDouble)) ++
+      Seq(("u", 1.0), ("u", 2.0), ("u", 3.0))
+    val got = Relational.medianCi(rows.toDF("event_type", "value"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("t").getAs[Long]("n") == 25L)
+    assert(got("t").getAs[Long]("r_lo") == 8L)
+    assert(got("t").getAs[Long]("median") == 1300L)
+    assert(got("t").getAs[Long]("ci_lo") == 800L)
+    assert(got("t").getAs[Long]("ci_hi") == 1800L)
+    // n = 3 < s: the interval degenerates to the full range
+    assert(got("u").getAs[Long]("r_lo") == 1L)
+    assert(got("u").getAs[Long]("ci_lo") == 100L)
+    assert(got("u").getAs[Long]("ci_hi") == 300L)
+    assert(got("u").getAs[Long]("median") == 200L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
