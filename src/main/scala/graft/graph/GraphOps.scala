@@ -888,8 +888,12 @@ object GraphOps {
     * [[BetweennessPivots]] for the rationale). */
   private[graft] val ClosenessPivots = 16
 
-  private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"closeness needs at least one hop, got $rounds")
+  /** The batched-pivot BFS levels (seed, node, level ∈ 1..rounds) —
+    * ONE protocol shared by harmonic closeness and the eccentricity /
+    * diameter audit; all pivots advance together per level, per-level
+    * frames localCheckpoint-materialized (bounded ephemeral). */
+  private[graft] def pivotLevels(sym: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"pivot BFS needs at least one hop, got $rounds")
     val seeds = sym.select(col("src").as("node")).distinct()
       .filter(col("node") % 500 === 0)
       .orderBy(col("node")).limit(ClosenessPivots)
@@ -907,9 +911,13 @@ object GraphOps {
       lvl += next.localCheckpoint()
       visited = visited.union(lvl(r).select(col("seed"), col("node")))
     }
+    lvl.drop(1).reduce(_ union _)
+  }
+
+  private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
     // level columns and the harmonic formula derive from `rounds` —
     // n1..n_rounds, closeness = Σ_r (1e6·n_r) div r
-    val levels = lvl.drop(1).reduce(_ union _)
+    val levels = pivotLevels(sym, rounds)
     val nCols = (1 to rounds).map(r =>
       sum(when(col("level") === r.toLong, 1L).otherwise(0L)).as(s"n$r"))
     val harmonic = (1 to rounds).map {
@@ -930,6 +938,25 @@ object GraphOps {
     * length(bin(degree))−1 (no floating log at bucket boundaries;
     * DuckDB replays it as length(printf('%b', d))−1). One count
     * aggregate over the degree frame — map-side combined, node-sized. */
+  /** PIVOT ECCENTRICITY / DIAMETER AUDIT (the iFUB/pivot-BFS family —
+    * Crescenzi et al. 2013 use exactly this "max distance from sampled
+    * pivots" as the diameter LOWER bound): over the SAME 16-pivot
+    * batched BFS levels as harmonic closeness (shared [[pivotLevels]]
+    * — the two reachability readouts cannot disagree), each pivot's
+    * k-hop capped eccentricity and reach, plus the global diameter
+    * and radius lower bounds as 1-row broadcast columns. Within the
+    * 3-hop horizon an ecc of 3 means "≥ 3"; a smaller value is EXACT
+    * for that pivot (its frontier emptied). Same cost envelope as
+    * closeness: rounds × (edge shuffle-hash join + anti-join). */
+  def qGraphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val per = pivotLevels(symmetricEdges(spark, dir), BfsRounds)
+      .groupBy(col("seed").as("part"))
+      .agg(count(lit(1)).as("n_reached"), max(col("level")).as("ecc_capped"))
+    val g = per.agg(max(col("ecc_capped")).as("diameter_lb"),
+      min(col("ecc_capped")).as("radius_lb"))
+    per.crossJoin(broadcast(g)).orderBy(col("part"))
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) — per node,
     * the share of its neighbor pairs that are themselves connected:
     * lcc = 2·T(v) / (d(v)·(d(v)−1)) in exact ppm, T(v) from the SAME
@@ -974,6 +1001,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_closeness" -> qGraphCloseness,
+    "q_graph_eccentricity" -> qGraphEccentricity,
     "q_graph_degree_hist" -> qGraphDegreeHist,
     "q_graph_betweenness" -> qGraphBetweenness,
     "q_graph_pagerank" -> qGraphPagerank,
@@ -998,6 +1026,33 @@ object GraphOps {
       |       FROM li a JOIN li b
       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce)""".stripMargin
+
+  /** The 3 unrolled pivot-BFS rounds ending in `cnt(part, n1, n2,
+    * n3)` — ONE definition shared by the closeness and eccentricity
+    * oracles (mirrors [[pivotLevels]]). */
+  private val pivotBfsCte =
+    """seeds AS (SELECT DISTINCT src AS seed FROM edges
+      |          WHERE src % 500 = 0 ORDER BY seed LIMIT 16),
+      |l1 AS (SELECT DISTINCT s.seed, e.dst AS node
+      |       FROM edges e JOIN seeds s ON e.src = s.seed
+      |       WHERE e.dst <> s.seed),
+      |l2 AS (SELECT DISTINCT l1.seed, e.dst AS node
+      |       FROM edges e JOIN l1 ON e.src = l1.node
+      |       WHERE e.dst <> l1.seed
+      |         AND NOT EXISTS (SELECT 1 FROM l1 p
+      |                         WHERE p.seed = l1.seed AND p.node = e.dst)),
+      |l3 AS (SELECT DISTINCT l2.seed, e.dst AS node
+      |       FROM edges e JOIN l2 ON e.src = l2.node
+      |       WHERE e.dst <> l2.seed
+      |         AND NOT EXISTS (SELECT 1 FROM l1 p
+      |                         WHERE p.seed = l2.seed AND p.node = e.dst)
+      |         AND NOT EXISTS (SELECT 1 FROM l2 p
+      |                         WHERE p.seed = l2.seed AND p.node = e.dst)),
+      |cnt AS (SELECT seeds.seed AS part,
+      |          (SELECT COUNT(*) FROM l1 WHERE l1.seed = seeds.seed) AS n1,
+      |          (SELECT COUNT(*) FROM l2 WHERE l2.seed = seeds.seed) AS n2,
+      |          (SELECT COUNT(*) FROM l3 WHERE l3.seed = seeds.seed) AS n3
+      |        FROM seeds)""".stripMargin
 
   /** The 3 unrolled LPA label rounds ending in `l3(node, lbl)` — ONE
     * definition shared by the communities and modularity oracles. */
@@ -1252,33 +1307,25 @@ object GraphOps {
          |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin,
     "q_graph_closeness" ->
       s"""WITH $edgesCte,
-         |seeds AS (SELECT DISTINCT src AS seed FROM edges
-         |          WHERE src % 500 = 0 ORDER BY seed LIMIT 16),
-         |l1 AS (SELECT DISTINCT s.seed, e.dst AS node
-         |       FROM edges e JOIN seeds s ON e.src = s.seed
-         |       WHERE e.dst <> s.seed),
-         |l2 AS (SELECT DISTINCT l1.seed, e.dst AS node
-         |       FROM edges e JOIN l1 ON e.src = l1.node
-         |       WHERE e.dst <> l1.seed
-         |         AND NOT EXISTS (SELECT 1 FROM l1 p
-         |                         WHERE p.seed = l1.seed AND p.node = e.dst)),
-         |l3 AS (SELECT DISTINCT l2.seed, e.dst AS node
-         |       FROM edges e JOIN l2 ON e.src = l2.node
-         |       WHERE e.dst <> l2.seed
-         |         AND NOT EXISTS (SELECT 1 FROM l1 p
-         |                         WHERE p.seed = l2.seed AND p.node = e.dst)
-         |         AND NOT EXISTS (SELECT 1 FROM l2 p
-         |                         WHERE p.seed = l2.seed AND p.node = e.dst)),
-         |cnt AS (SELECT seeds.seed AS part,
-         |          (SELECT COUNT(*) FROM l1 WHERE l1.seed = seeds.seed) AS n1,
-         |          (SELECT COUNT(*) FROM l2 WHERE l2.seed = seeds.seed) AS n2,
-         |          (SELECT COUNT(*) FROM l3 WHERE l3.seed = seeds.seed) AS n3
-         |        FROM seeds)
+         |$pivotBfsCte
          |SELECT part, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
          |  CAST(n3 AS BIGINT) AS n3,
          |  CAST(1000000 * n1 + (1000000 * n2) // 2 + (1000000 * n3) // 3 AS BIGINT)
          |    AS closeness_x1e6
          |FROM cnt ORDER BY part""".stripMargin,
+    "q_graph_eccentricity" ->
+      s"""WITH $edgesCte,
+         |$pivotBfsCte,
+         |per AS (
+         |  SELECT part, CAST(n1 + n2 + n3 AS BIGINT) AS n_reached,
+         |    CAST(CASE WHEN n3 > 0 THEN 3 WHEN n2 > 0 THEN 2 ELSE 1 END
+         |      AS BIGINT) AS ecc_capped
+         |  FROM cnt WHERE n1 + n2 + n3 > 0),
+         |g AS (SELECT CAST(max(ecc_capped) AS BIGINT) AS diameter_lb,
+         |             CAST(min(ecc_capped) AS BIGINT) AS radius_lb FROM per)
+         |SELECT per.part, per.n_reached, per.ecc_capped,
+         |       g.diameter_lb, g.radius_lb
+         |FROM per CROSS JOIN g ORDER BY per.part""".stripMargin,
     "q_graph_degree_hist" ->
       s"""WITH $edgesCte,
          |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),

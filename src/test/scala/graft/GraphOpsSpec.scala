@@ -806,6 +806,26 @@ class GraphOpsSpec extends SparkSpec {
       500L -> ((2L, 1L, 1L, 2833333L))))
   }
 
+  test("fixture eccentricity: capped ecc, reach, and the bound columns by hand") {
+    // same path graph as the closeness fixture: 0-1-2-500-3.
+    // From 0: levels {1},{2},{500} -> ecc capped at 3, reach 3
+    // From 500: {2,3},{1},{0}      -> ecc 3, reach 4
+    val ce = Seq((0L, 1L), (1L, 2L), (2L, 500L), (500L, 3L))
+    val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")
+    val levels = GraphOps.pivotLevels(sym, rounds = 3)
+    val per = levels.groupBy($"seed")
+      .agg(count(lit(1)).as("n"), max($"level").as("ecc"))
+      .collect().map(r => r.getAs[Long]("seed") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("ecc")))).toMap
+    assert(per == Map(0L -> ((3L, 3L)), 500L -> ((4L, 3L))))
+    // a short star from the pivot: ecc is EXACT (frontier empties)
+    val star = Seq((0L, 7L), (0L, 8L))
+    val ssym = (star ++ star.map(e => (e._2, e._1))).toDF("src", "dst")
+    val sPer = GraphOps.pivotLevels(ssym, rounds = 3)
+      .groupBy($"seed").agg(max($"level").as("ecc")).collect()
+    assert(sPer.length == 1 && sPer.head.getAs[Long]("ecc") == 1L)
+  }
+
   test("closeness: level columns and harmonic formula derive from rounds") {
     val ce = Seq((0L, 1L), (1L, 2L), (2L, 500L), (500L, 3L))
     val sym = (ce ++ ce.map(e => (e._2, e._1))).toDF("src", "dst")

@@ -227,7 +227,10 @@ class PlanSpec extends SparkSpec {
       "q_source_ablation",
       // conformal: 1-row calibration-count + 1-row threshold
       // broadcasts onto the value-count frame / test scan
-      "q_conformal_coverage")
+      "q_conformal_coverage",
+      // eccentricity: 1-row diameter/radius lower-bound broadcast
+      // onto the ≤16 pivot rows
+      "q_graph_eccentricity")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs
