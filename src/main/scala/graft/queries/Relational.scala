@@ -46,15 +46,17 @@ object Relational {
   private def rankValue(rank: Column): Column =
     max(when(col("cum") - col("c") < rank && rank <= col("cum"), col("__v")))
 
-  /** Floor integer square root of `m` (m < 2⁴⁰) as a 20-step
-    * bit-by-bit fold — the classical shift-and-subtract algorithm in
-    * bounded BIGINT arithmetic, engine-exact by construction (the
-    * oracle replays the identical 20 steps as generated CTEs; same
-    * playbook as the integer log2 chain). Start bit 2³⁸ is safely
-    * above any m in range; iterations where bit > x just halve res. */
-  private[graft] def isqrtFold(m: String): String =
-    s"""aggregate(sequence(0, 19),
-       |  struct(cast($m as bigint) AS x, 0L AS res, shiftleft(1L, 38) AS bit),
+  /** Floor integer square root of `m` (m < 2^(2·steps)) as a bit-by-
+    * bit fold — the classical shift-and-subtract algorithm in bounded
+    * BIGINT arithmetic, engine-exact by construction (the oracle
+    * replays the identical steps as generated CTEs; same playbook as
+    * the integer log2 chain). Start bit 2^(2(steps−1)) is safely
+    * above any m in range; iterations where bit > x just halve res.
+    * Default 20 steps cover 2⁴⁰; stylometry's variance sums use 26. */
+  private[graft] def isqrtFold(m: String, steps: Int = 20): String =
+    s"""aggregate(sequence(0, ${steps - 1}),
+       |  struct(cast($m as bigint) AS x, 0L AS res,
+       |         shiftleft(1L, ${2 * (steps - 1)}) AS bit),
        |  (a, i) -> if(a.x >= a.res + a.bit,
        |    struct(a.x - (a.res + a.bit) AS x,
        |           shiftright(a.res, 1) + a.bit AS res,

@@ -609,6 +609,65 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BURROWS' DELTA STYLOMETRY between sources (Burrows 2002, "Delta:
+    * a measure of stylistic difference" — the standard authorship-
+    * attribution metric): over the corpus's top-32 words (the
+    * function-word proxy), each source's relative frequencies are
+    * z-scored against the cross-source distribution and Delta(a, b) =
+    * mean |z_a − z_b| — sources writing in the same "voice" (two
+    * crawls of one site, templated mirrors) sit near 0 even when
+    * exact/MinHash dedup sees distinct documents. Integer end to end:
+    * deviations carried ×k (k = #sources) so the mean never divides,
+    * σ via the 26-step integer-sqrt fold (`Relational.isqrtFold` —
+    * variance sums reach ~10¹⁴, past the default 2⁴⁰ domain), z in
+    * sign-split millis, σ = 0 words (uniform across sources)
+    * contribute 0. Shape: one (source, token) combine against the
+    * broadcast top-32 list, then every frame is ≤ k·32 rows — the
+    * pairwise join is 32·k(k−1)/2 bounded. */
+  def qSourceStylometry(spark: SparkSession, dir: String): DataFrame =
+    sourceStylometry(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qSourceStylometry]] over any (source, text) frame —
+    * separated so the twin-source fixture spec can drive it. */
+  private[graft] def sourceStylometry(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val srcTot = tok.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val topW = tok.groupBy($"token").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"token").limit(32).select($"token")
+    val cnt = tok.join(broadcast(topW), Seq("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val grid = srcTot.crossJoin(broadcast(topW))
+      .join(cnt, Seq("source", "token"), "left_outer")
+      .select($"source", $"token",
+        expr("(coalesce(c, 0L) * 1000000) div n_s").as("f"))
+    val ws = grid.groupBy($"token")
+      .agg(count(lit(1)).as("k"), sum($"f").as("sf"))
+    val dev = grid.join(broadcast(ws), Seq("token"))
+      .withColumn("dnum", expr("k * f - sf"))
+    val sig = dev.groupBy($"token")
+      .agg(max($"k").as("k"), sum($"dnum" * $"dnum").as("ss"))
+      .withColumn("sigk", expr(
+        graft.queries.Relational.isqrtFold("ss div k", steps = 26)))
+    val z = dev.join(broadcast(sig.select($"token", $"sigk")), Seq("token"))
+      .select($"source", $"token", expr(
+        """CASE WHEN sigk = 0 THEN 0L
+          |     WHEN dnum >= 0 THEN (dnum * 1000) div sigk
+          |     ELSE -(((-dnum) * 1000) div sigk) END""".stripMargin)
+        .as("z_milli"))
+    val a = z.select($"token", $"source".as("source_a"), $"z_milli".as("za"))
+    val b = z.select($"token", $"source".as("source_b"), $"z_milli".as("zb"))
+    a.join(b, Seq("token"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_words"),
+        expr("sum(abs(za - zb)) div count(1)").as("delta_milli"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** LEXICAL-DIVERSITY / VOCABULARY-GROWTH AUDIT per source — the
     * Herdan's-law readout (Herdan 1960; a.k.a. Heaps' law) a corpus
     * report puts next to the Zipf slope: per source the token count
@@ -1842,6 +1901,7 @@ object TextAnalysis {
     "q_heavy_hitters_grouped" -> qHeavyHittersGrouped,
     "q_vocab_zipf" -> qVocabZipf,
     "q_vocab_growth" -> qVocabGrowth,
+    "q_source_stylometry" -> qSourceStylometry,
     "q_text_entropy" -> qTextEntropy,
     "q_text_readability" -> qTextReadability,
     "q_entity_resolution" -> qEntityResolution,
@@ -1950,6 +2010,56 @@ object TextAnalysis {
        |        row_number() OVER (ORDER BY t) AS rk,
        |        CAST(count(*) OVER () AS BIGINT) AS np2 FROM tv) q
        |WHERE rk = (np2 + 1) // 2""".stripMargin
+  }
+
+  /** The stylometry oracle: top-32 grid, ×k deviations, the 26-step
+    * integer-sqrt chain keyed per token, sign-split z, pairwise mean
+    * |Δz|. */
+  private def sourceStylometryOracle: String = {
+    val sqrtSteps = (0 until 26).map { kk =>
+      s"""y${kk + 1} AS (SELECT token, k,
+         |  CASE WHEN x >= res + bit THEN x - res - bit ELSE x END AS x,
+         |  CASE WHEN x >= res + bit THEN (res >> 1) + bit ELSE res >> 1 END AS res,
+         |  bit >> 2 AS bit
+         |  FROM y$kk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tt AS (SELECT source, token FROM tok WHERE len(token) > 0),
+       |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+       |       FROM tt GROUP BY source),
+       |topw AS MATERIALIZED (SELECT token FROM (
+       |  SELECT token, count(*) AS tf FROM tt GROUP BY token
+       |  ORDER BY tf DESC, token LIMIT 32)),
+       |cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |        FROM tt JOIN topw USING (token) GROUP BY 1, 2),
+       |grid AS MATERIALIZED (
+       |  SELECT st.source, topw.token,
+       |    (coalesce(cnt.c, 0) * 1000000) // st.n_s AS f
+       |  FROM st CROSS JOIN topw
+       |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.token = topw.token),
+       |ws AS (SELECT token, CAST(count(*) AS BIGINT) AS k,
+       |              CAST(sum(f) AS BIGINT) AS sf FROM grid GROUP BY token),
+       |dev AS MATERIALIZED (
+       |  SELECT grid.source, grid.token, ws.k, ws.k * grid.f - ws.sf AS dnum
+       |  FROM grid JOIN ws USING (token)),
+       |vv AS (SELECT token, max(k) AS k, CAST(sum(dnum * dnum) AS BIGINT) AS ss
+       |       FROM dev GROUP BY token),
+       |y0 AS (SELECT token, k, ss // k AS x, CAST(0 AS BIGINT) AS res,
+       |       CAST(1 AS BIGINT) << 50 AS bit FROM vv),
+       |$sqrtSteps,
+       |sg AS (SELECT token, res AS sigk FROM y26),
+       |z AS MATERIALIZED (SELECT dev.source, dev.token,
+       |  CASE WHEN sg.sigk = 0 THEN 0
+       |       WHEN dev.dnum >= 0 THEN (dev.dnum * 1000) // sg.sigk
+       |       ELSE -(((-dev.dnum) * 1000) // sg.sigk) END AS z_milli
+       |  FROM dev JOIN sg USING (token))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(abs(a.z_milli - b.z_milli)) // count(*) AS BIGINT)
+       |    AS delta_milli
+       |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** The vocabulary-growth oracle: per-source (N, V, hapax), both log
@@ -2644,6 +2754,7 @@ object TextAnalysis {
 
     "q_vocab_zipf" -> vocabZipfOracle,
     "q_vocab_growth" -> vocabGrowthOracle,
+    "q_source_stylometry" -> sourceStylometryOracle,
     "q_text_entropy" -> textEntropyOracle,
 
     "q_text_readability" ->

@@ -230,7 +230,10 @@ class PlanSpec extends SparkSpec {
       "q_conformal_coverage",
       // eccentricity: 1-row diameter/radius lower-bound broadcast
       // onto the ≤16 pivot rows
-      "q_graph_eccentricity")
+      "q_graph_eccentricity",
+      // stylometry: the k-sources × 32-word grid via the broadcast
+      // top-word list (bounded fan-out)
+      "q_source_stylometry")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

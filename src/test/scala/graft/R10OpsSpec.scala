@@ -727,6 +727,30 @@ class R10OpsSpec extends SparkSpec {
     assert(got("u").getAs[Long]("median") == 200L)
   }
 
+  test("stylometry: twin sources read delta 0, the odd voice stands out") {
+    // s1 and s2 write in the same "voice" (identical token mix in
+    // different document arrangements); s3 leans on different words
+    val docs = Seq(
+      ("s1", "the cat sat on the mat"), ("s1", "the dog sat on the log"),
+      ("s2", "the dog sat on the log"), ("s2", "the cat sat on the mat"),
+      ("s3", "quantum flux melts raw entropy"),
+      ("s3", "raw flux drives quantum decay"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceStylometry(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("delta_milli")).toMap
+    assert(got.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // identical frequency profiles → identical z rows → delta exactly 0
+    assert(got(("s1", "s2")) == 0L)
+    // the deviant source is far from both twins, and symmetrically so
+    assert(got(("s1", "s3")) > 0L)
+    assert(got(("s1", "s3")) == got(("s2", "s3")))
+    // all words fit under the 32-word cap here: full-vocab n_words
+    val nw = TextAnalysis.sourceStylometry(docs).collect()
+      .map(_.getAs[Long]("n_words")).toSet
+    assert(nw.size == 1 && nw.head > 0L && nw.head <= 32L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
