@@ -700,6 +700,45 @@ object Similarity {
     * partitionings), divide once per output cell. One shuffle on
     * (label, pos) with map-side combine; at 100 TB this is the same
     * linear histogram shape as word counting. */
+  /** EMBEDDING OUTLIER AUDIT — the mislabel/poison detector an
+    * embedding pipeline runs before trusting its labels: per label,
+    * vectors whose squared distance to their label centroid exceeds
+    * 4× the label mean (Chebyshev-style cutoff). Fully integral: each
+    * component is round(x·10⁶) (the q_emb_qa fixed-point convention,
+    * proven engine-identical), the deviation is carried ×n (n·xᵢ −
+    * Σxᵢ — the mean never divides) and squared in DECIMAL(38,0) /
+    * HUGEINT; the flag compares n·d² > 4·Σd² multiplied through, so
+    * no ratio is ever materialized. ONE (label, pos) centroid combine
+    * + one (label, vec) combine; the per-label totals broadcast. */
+  def qEmbOutliers(spark: SparkSession, dir: String): DataFrame =
+    embOutliers(Tables.load(spark, dir, "embeddings"))
+
+  /** Core of [[qEmbOutliers]] over any (vec_id, label, embedding)
+    * frame — separated so the planted-cluster spec can drive it. */
+  private[graft] def embOutliers(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb
+      .select($"vec_id", $"label", posexplode($"embedding"))
+      .select($"vec_id", $"label", $"pos",
+        expr("cast(round(cast(col as double) * 1000000) as bigint)").as("xi"))
+    val cen = e.groupBy($"label", $"pos")
+      .agg(sum($"xi").as("si"), count(lit(1)).as("n"))
+    val d2 = e.join(cen, Seq("label", "pos"))
+      .withColumn("t", expr("cast(n * xi - si as decimal(38,0))"))
+      .groupBy($"label", $"vec_id")
+      .agg(sum(expr("t * t")).as("d2"), max($"n").as("n"))
+    val per = d2.groupBy($"label")
+      .agg(max($"n").as("n_vectors"), sum($"d2").as("sd"))
+    d2.join(broadcast(per), Seq("label"))
+      .groupBy($"label")
+      .agg(max($"n_vectors").as("n_vectors"),
+        sum(when(expr("n_vectors * d2 > 4 * sd"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_vectors"))
+      .orderBy($"label")
+  }
+
   def qEmbCentroid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
@@ -1105,6 +1144,7 @@ object Similarity {
     "q_sim_neardup" -> qSimNearDup,
     "q_sem_dedup" -> qSemDedup,
     "q_emb_centroid" -> qEmbCentroid,
+    "q_emb_outliers" -> qEmbOutliers,
     "q_emb_drift" -> qEmbDrift,
     "q_emb_qa" -> qEmbQa,
     "q_kmeans" -> qKmeans,
@@ -1854,6 +1894,32 @@ object Similarity {
     "q_sim_pq_recall" -> pqRecallOracle,
     "q_sem_dedup" -> semDedupOracle,
     "q_emb_centroid" -> centroidOracle,
+    "q_emb_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, i + 1 AS idx,
+        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS xi
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t),
+        |cen AS (SELECT label, idx, CAST(sum(xi) AS BIGINT) AS si,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM e GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT e.label, e.vec_id,
+        |    sum(CAST(cen.n * e.xi - cen.si AS HUGEINT)
+        |        * (cen.n * e.xi - cen.si)) AS d2,
+        |    max(cen.n) AS n
+        |  FROM e JOIN cen ON cen.label = e.label AND cen.idx = e.idx
+        |  GROUP BY 1, 2),
+        |per AS (SELECT label, max(n) AS n_vectors, sum(d2) AS sd
+        |        FROM d2 GROUP BY label),
+        |fl AS (
+        |  SELECT per.label, per.n_vectors,
+        |    CAST(sum(CASE WHEN per.n_vectors * d2.d2 > 4 * per.sd
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM d2 JOIN per USING (label) GROUP BY 1, 2)
+        |SELECT label, n_vectors, n_flagged,
+        |  (n_flagged * 1000000) // n_vectors AS flagged_ppm
+        |FROM fl ORDER BY label""".stripMargin,
     "q_emb_qa" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

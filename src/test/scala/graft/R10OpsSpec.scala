@@ -751,6 +751,24 @@ class R10OpsSpec extends SparkSpec {
     assert(nw.size == 1 && nw.head > 0L && nw.head <= 32L)
   }
 
+  test("embedding outliers: the planted far vector is the only flag") {
+    // label 0: nine vectors at e1, one at -e1 (the poisoned point);
+    // label 1: a perfectly tight cluster (zero distances, no flags)
+    def vec(h: Float): Seq[Float] = h +: Seq.fill(63)(0.0f)
+    val rows = (0 until 9).map(i => (i.toLong, 0, vec(1.0f))) ++
+      Seq((9L, 0, vec(-1.0f))) ++
+      (10 until 14).map(i => (i.toLong, 1, vec(0.5f)))
+    val got = graft.sim.Similarity.embOutliers(
+      rows.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(0).getAs[Long]("n_vectors") == 10L)
+    // hand math: t_norm = 2e6 (d² 4e12), t_out = −18e6 (3.24e14),
+    // Σd² = 3.6e14 → only the far point passes n·d² > 4·Σd²
+    assert(got(0).getAs[Long]("n_flagged") == 1L)
+    assert(got(0).getAs[Long]("flagged_ppm") == 100000L)
+    assert(got(1).getAs[Long]("n_flagged") == 0L)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
