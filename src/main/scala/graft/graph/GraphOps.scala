@@ -882,7 +882,18 @@ object GraphOps {
     * seed — uncapped, the level frames are |flagged|·|V| (the same
     * ~80M-row blow-up the betweenness cap closed). */
   def qGraphCloseness(spark: SparkSession, dir: String): DataFrame =
-    closenessOnEdges(symmetricEdges(spark, dir), BfsRounds)
+    closenessFromLevels(stagedPivotLevels(spark, dir), BfsRounds)
+
+  /** The pivot-BFS level frame staged once per (session, corpus):
+    * TWO queries read it (harmonic closeness and the eccentricity
+    * audit) and it is O(pivots·V) — reused-across-queries and
+    * corpus-scaled, so per the SCALE.md materialization policy it
+    * goes to parquet, not localCheckpoint (the per-level frames
+    * INSIDE the BFS remain localCheckpoint — level-sized, single
+    * derivation). */
+  private def stagedPivotLevels(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.checkpointed(spark, s"graph.pivotlevels|$dir")(
+      pivotLevels(symmetricEdges(spark, dir), BfsRounds))
 
   /** Pivot cap, mirrored in the DuckDB oracle (see
     * [[BetweennessPivots]] for the rationale). */
@@ -914,10 +925,14 @@ object GraphOps {
     lvl.drop(1).reduce(_ union _)
   }
 
-  private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def closenessOnEdges(sym: DataFrame, rounds: Int): DataFrame =
+    closenessFromLevels(pivotLevels(sym, rounds), rounds)
+
+  private[graft] def closenessFromLevels(levels: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"closeness needs at least one hop, got $rounds")
     // level columns and the harmonic formula derive from `rounds` —
     // n1..n_rounds, closeness = Σ_r (1e6·n_r) div r
-    val levels = pivotLevels(sym, rounds)
     val nCols = (1 to rounds).map(r =>
       sum(when(col("level") === r.toLong, 1L).otherwise(0L)).as(s"n$r"))
     val harmonic = (1 to rounds).map {
@@ -946,10 +961,11 @@ object GraphOps {
     * k-hop capped eccentricity and reach, plus the global diameter
     * and radius lower bounds as 1-row broadcast columns. Within the
     * 3-hop horizon an ecc of 3 means "≥ 3"; a smaller value is EXACT
-    * for that pivot (its frontier emptied). Same cost envelope as
-    * closeness: rounds × (edge shuffle-hash join + anti-join). */
+    * for that pivot (its frontier emptied). The level frame is STAGED
+    * once per corpus — whichever of closeness/eccentricity runs first
+    * pays the BFS, the other reads parquet. */
   def qGraphEccentricity(spark: SparkSession, dir: String): DataFrame = {
-    val per = pivotLevels(symmetricEdges(spark, dir), BfsRounds)
+    val per = stagedPivotLevels(spark, dir)
       .groupBy(col("seed").as("part"))
       .agg(count(lit(1)).as("n_reached"), max(col("level")).as("ecc_capped"))
     val g = per.agg(max(col("ecc_capped")).as("diameter_lb"),
