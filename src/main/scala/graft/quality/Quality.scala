@@ -1219,6 +1219,60 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  /** The 5 interim-analysis cutoffs of the sequential test — weekly
+    * looks over the corpus's January span, shared with the oracle. */
+  private[graft] val ObfLooks =
+    Seq("2024-01-07", "2024-01-13", "2024-01-19", "2024-01-25", "2024-01-31")
+
+  /** GROUP-SEQUENTIAL A/B TEST with O'Brien–Fleming boundaries
+    * (O'Brien & Fleming 1979; Pocock 1977 frames the family — both
+    * public): the "when could we have stopped" readout modern
+    * experimentation runs instead of a single end-of-test z-test
+    * (peeking at a fixed 1.96 inflates false positives; OBF spends
+    * almost no α early). Five weekly looks; at look k the SAME
+    * two-proportion z² as [[qAbZtest]] (same conversion rule, same
+    * DECIMAL(38,0) identity) computed on events BEFORE that cutoff is
+    * compared against the OBF boundary z²_k = C²·K/k with C = 2.040
+    * for K = 5 at two-sided α = 0.05 — ×10⁶ that is EXACTLY
+    * 20808000 div k (integer for every k ≤ 5, no table needed).
+    * Shape: one 5-look fan-out over the scan (map-side combined into
+    * per-(look, type, user) partials), then |types|·5 readout rows. */
+  def qAbSequential(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val looks = ObfLooks.zipWithIndex.map { case (d, i) =>
+      struct(lit(i + 1L).as("look"), lit(d).cast("timestamp").as("cut"))
+    }
+    val conv = Tables.load(spark, dir, "events")
+      .select($"event_type", $"user_id", $"ts", $"value",
+        explode(array(looks: _*)).as("lk"))
+      .filter($"ts" < $"lk.cut")
+      .groupBy($"lk.look".as("look"), $"event_type", $"user_id")
+      .agg((sum($"value".cast("decimal(18,2)")) * 100 >
+        lit(AbMeanCutoffCents) * count(lit(1))).as("converted"))
+      .withColumn("variant", $"user_id" % 2)
+    conv.groupBy($"event_type", $"look")
+      .agg(
+        count(when($"variant" === 0, 1)).as("n_a"),
+        count(when($"variant" === 1, 1)).as("n_b"),
+        count(when($"variant" === 0 && $"converted", 1)).as("conv_a"),
+        count(when($"variant" === 1 && $"converted", 1)).as("conv_b"))
+      .withColumn("z2_x1e6", expr(
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+          |     THEN cast(0 as bigint)
+          |     ELSE cast((cast(conv_a * n_b - conv_b * n_a as decimal(38,0))
+          |                * cast(conv_a * n_b - conv_b * n_a as decimal(38,0))
+          |                * cast(n_a + n_b as decimal(38,0)) * 1000000)
+          |          div (cast(n_a as decimal(38,0))
+          |               * cast(n_b as decimal(38,0))
+          |               * cast(conv_a + conv_b as decimal(38,0))
+          |               * cast(n_a + n_b - conv_a - conv_b as decimal(38,0)))
+          |          as bigint) END""".stripMargin))
+      .withColumn("bound_z2_x1e6", expr("20808000 div look"))
+      .withColumn("crossed",
+        when($"z2_x1e6" >= $"bound_z2_x1e6", "Y").otherwise("N"))
+      .orderBy($"event_type", $"look")
+  }
+
   /** CUPED variance-reduced A/B readout (Deng–Xu–Kohavi–Walker 2013)
     * — the production companion to [[qAbZtest]]: each user's
     * post-period metric is adjusted by their PRE-period behavior
@@ -2248,6 +2302,7 @@ object Quality {
     "q_conformal_coverage" -> qConformalCoverage,
     "q_anova_f" -> qAnovaF,
     "q_ab_mannwhitney" -> qAbMannWhitney,
+    "q_ab_sequential" -> qAbSequential,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -3130,6 +3185,45 @@ object Quality {
         |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3840000
         |    AS srm_flag
         |FROM t""".stripMargin,
+
+    "q_ab_sequential" -> {
+      val lookRows = ObfLooks.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, TIMESTAMP '$d 00:00:00')" }
+        .mkString(", ")
+      s"""WITH looks(look, cut) AS (VALUES $lookRows),
+         |conv AS (
+         |  SELECT looks.look, e.event_type, e.user_id,
+         |    e.user_id % 2 AS variant,
+         |    (sum(CAST(e.value AS DECIMAL(18,2))) * 100
+         |       > $AbMeanCutoffCents * count(*)) AS converted
+         |  FROM events e JOIN looks ON e.ts < looks.cut
+         |  GROUP BY 1, 2, 3, 4),
+         |g AS (
+         |  SELECT event_type, look,
+         |    CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+         |    CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+         |    CAST(count(*) FILTER (WHERE variant = 0 AND converted) AS BIGINT)
+         |      AS conv_a,
+         |    CAST(count(*) FILTER (WHERE variant = 1 AND converted) AS BIGINT)
+         |      AS conv_b
+         |  FROM conv GROUP BY 1, 2),
+         |z AS (
+         |  SELECT *,
+         |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+         |         THEN CAST(0 AS BIGINT)
+         |         ELSE CAST((CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+         |                    * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+         |                    * (n_a + n_b) * 1000000)
+         |              // (CAST(n_a AS HUGEINT) * n_b
+         |                  * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b))
+         |              AS BIGINT) END AS z2_x1e6
+         |  FROM g)
+         |SELECT event_type, CAST(look AS BIGINT) AS look, n_a, n_b,
+         |  conv_a, conv_b, z2_x1e6,
+         |  20808000 // look AS bound_z2_x1e6,
+         |  CASE WHEN z2_x1e6 >= 20808000 // look THEN 'Y' ELSE 'N' END AS crossed
+         |FROM z ORDER BY event_type, look""".stripMargin
+    },
 
     "q_ab_ztest" ->
       """WITH conv AS (

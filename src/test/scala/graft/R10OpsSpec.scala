@@ -769,6 +769,29 @@ class R10OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_flagged") == 0L)
   }
 
+  test("sequential A/B: cumulative looks, OBF boundary shape, peeking discipline") {
+    val rows = graft.quality.Quality.qAbSequential(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, ls) =>
+      val byLook = ls.sortBy(_.getAs[Long]("look"))
+      assert(byLook.map(_.getAs[Long]("look")).toSeq == (1L to 5L), t)
+      // boundaries are exactly C²K/k micro and strictly decrease
+      assert(byLook.map(_.getAs[Long]("bound_z2_x1e6")).toSeq ==
+        Seq(20808000L, 10404000L, 6936000L, 5202000L, 4161600L), t)
+      // the user base only accumulates across looks
+      val nA = byLook.map(_.getAs[Long]("n_a"))
+      assert(nA.zip(nA.tail).forall { case (a, b) => a <= b }, t)
+      // peeking discipline: even the FINAL boundary (2.040²) is
+      // stricter than the fixed test's 1.96² = 3841600
+      assert(byLook.last.getAs[Long]("bound_z2_x1e6") > 3841600L)
+      // a crossed look really clears its boundary
+      byLook.foreach { r =>
+        assert((r.getAs[String]("crossed") == "Y") ==
+          (r.getAs[Long]("z2_x1e6") >= r.getAs[Long]("bound_z2_x1e6")), t)
+      }
+    }
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
