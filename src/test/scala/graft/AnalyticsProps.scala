@@ -72,4 +72,56 @@ object AnalyticsProps extends Properties("Analytics") {
 
       got == expected
     }
+
+  /** The integer-sqrt fold must be the exact floor square root over
+    * its whole advertised domain (random draws up to 2⁴⁰; the median
+    * CI and stylometry ride on it). */
+  property("isqrtFold is the exact floor sqrt on random BIGINTs") =
+    Prop.forAll(Gen.listOfN(24,
+      Gen.oneOf(Gen.chooseNum(0L, 4096L),
+        Gen.chooseNum(0L, (1L << 40) - 1)))) { ms =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.expr
+      val got = ms.toDF("m")
+        .select(expr(Relational.isqrtFold("m")).as("r"))
+        .collect().map(_.getAs[Long]("r")).toSeq
+      val expected = ms.map(m => math.sqrt(m.toDouble).toLong match {
+        // float sqrt can land one off at domain edges — settle exactly
+        case g if g * g > m => g - 1
+        case g if (g + 1) * (g + 1) <= m => g + 1
+        case g => g
+      })
+      got == expected
+    }
+
+  /** Mann–Whitney against a direct doubled-midrank replay on random
+    * per-user values — ties, empty variants avoided by construction,
+    * verdicts compared through the same BigInt inequality. */
+  property("mann-whitney equals the brute doubled-midrank reference") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(4, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(1L, 40L))
+    } yield vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }) { users =>
+      import spark.implicits._
+      val df = users.map { case (u, v) => (u, v.toDouble) }
+        .toDF("user_id", "value")
+      val r = graft.quality.Quality.mannWhitney(df).collect().head
+      val xs = users.map { case (u, v) => (v * 100L, u % 2 == 0) }
+      val sorted = xs.map(_._1).sorted
+      val nA = xs.count(_._2).toLong
+      val nB = xs.size - nA
+      val sum2rA = xs.filter(_._2).map { case (x, _) =>
+        2L * sorted.count(_ < x) + sorted.count(_ == x) + 1L
+      }.sum
+      val u2 = sum2rA - nA * (nA + 1)
+      val n = nA + nB
+      val ties = sorted.groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      val d = BigInt(u2 - nA * nB)
+      val sig = d * d * 30000 * n * (n - 1) >=
+        BigInt(38416) * nA * nB * (BigInt(n) * n * n - n - ties)
+      r.getAs[Long]("u_x2") == u2 &&
+        r.getAs[Long]("n_a") == nA &&
+        (r.getAs[String]("significant") == "Y") == sig
+    }
 }
