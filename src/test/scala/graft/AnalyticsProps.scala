@@ -94,6 +94,65 @@ object AnalyticsProps extends Properties("Analytics") {
       got == expected
     }
 
+  /** Survival hazard against a direct Scala replay on random user
+    * spans — censoring boundary, risk-set exits, and the running
+    * estimator all recomputed independently. */
+  property("survival hazard equals a direct Scala replay") =
+    Prop.forAll(for {
+      n <- Gen.chooseNum(3, 20)
+      spans <- Gen.listOfN(n, for {
+        first <- Gen.chooseNum(0, 20)
+        len <- Gen.chooseNum(0, 20)
+      } yield (first, first + len))
+    } yield spans.zipWithIndex) { spans =>
+      import spark.implicits._
+      val rows = spans.flatMap { case ((f, l), u) =>
+        Seq((u.toLong, new Timestamp(f * 86400000L)),
+          (u.toLong, new Timestamp(l * 86400000L)))
+      }
+      val got = Relational.survivalHazard(rows.toDF("user_id", "ts"))
+        .collect()
+        .map(r => (r.getAs[Long]("t_day"), r.getAs[Long]("n_risk"),
+          r.getAs[Long]("d_churn"), r.getAs[Long]("cumhaz_ppb"))).toSeq
+
+      val w = spans.map(_._1._2).max
+      val lt = spans.map { case ((f, l), _) => (l - f, l < w - 14) }
+      val days = lt.map(_._1.toLong).distinct.sorted
+      var cum = 0L
+      val expected = days.map { t =>
+        val risk = lt.count(_._1 >= t).toLong
+        val d = lt.count(x => x._1 == t && x._2).toLong
+        cum += d * 1000000000L / risk
+        (t, risk, d, cum)
+      }
+      got == expected
+    }
+
+  /** Changepoint against a brute argmax over every split of the dense
+    * daily grid (ties resolved the same way: gain DESC, day ASC). */
+  property("changepoint equals the brute best-split replay") =
+    Prop.forAll(for {
+      nd <- Gen.chooseNum(4, 16)
+      counts <- Gen.listOfN(nd, Gen.chooseNum(1, 9))
+    } yield counts) { counts =>
+      import spark.implicits._
+      val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(("x", new Timestamp(d * 86400000L)))
+      }
+      val r = Relational.tsChangepoint(rows.toDF("event_type", "ts"))
+        .collect().head
+      val xs = counts.map(_.toLong)
+      val nn = xs.length.toLong
+      val tot = xs.sum
+      val best = (1L until nn).map { t =>
+        val s1 = xs.take(t.toInt).sum
+        val num = s1 * nn - tot * t
+        (num * num / (t * (nn - t) * nn), t)
+      }.maxBy { case (g, t) => (g, -t) } // gain DESC, earliest day wins
+      r.getAs[Long]("gain") == best._1 &&
+        r.getAs[Long]("cp_day") == best._2
+    }
+
   /** Mann–Whitney against a direct doubled-midrank replay on random
     * per-user values — ties, empty variants avoided by construction,
     * verdicts compared through the same BigInt inequality. */
