@@ -406,6 +406,39 @@ object Quality {
     * priority makes the sample replay/shard/growth-stable like every
     * hash decision in this module. One rank window per language
     * partition over the doc-key frame. */
+  /** NEYMAN OPTIMAL ALLOCATION for stratified sampling (Neyman 1934 —
+    * the classical survey-design result): a fixed labeling/eval budget
+    * split across sources ∝ N_h·σ_h beats proportional allocation
+    * whenever strata variances differ — high-variance sources deserve
+    * more of the sample. Integral: N_h·σ_h = √(N_h·Σx² − S_h²) exactly
+    * (the ×N² variance identity), computed by the 26-step integer-sqrt
+    * fold (`Relational.isqrtFold` — D_h reaches ~10¹⁴ at corpus
+    * scale); allocations are budget·w_h div Σw with the 1-row total
+    * broadcast. Emitted next to the proportional split so the report
+    * shows exactly where the two designs disagree. One source-keyed
+    * combine; |sources| rows after. */
+  def qSampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000L
+    val g = Tables.load(spark, dir, "documents")
+      .select($"source",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("x"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_h"), sum($"x").as("s_h"),
+        sum($"x" * $"x").as("q_h"))
+      .withColumn("w_h", expr(
+        graft.queries.Relational.isqrtFold("n_h * q_h - s_h * s_h", steps = 26)))
+    val tot = g.agg(sum($"w_h").as("w_tot"), sum($"n_h").as("n_tot"))
+    g.crossJoin(broadcast(tot))
+      .select($"source", $"n_h", $"w_h",
+        expr(s"CASE WHEN w_tot > 0 THEN ($budget * w_h) div w_tot END")
+          .as("neyman_alloc"),
+        expr(s"($budget * n_h) div n_tot").as("proportional_alloc"))
+      .withColumn("shift", $"neyman_alloc" - $"proportional_alloc")
+      .orderBy($"source")
+  }
+
   /** SOURCE-ABLATION REPORT — the "what does dropping this source do"
     * table a curation decision actually reads (exact leave-one-
     * source-out, the cheap member of the data-valuation family): for
@@ -2303,6 +2336,7 @@ object Quality {
     "q_anova_f" -> qAnovaF,
     "q_ab_mannwhitney" -> qAbMannWhitney,
     "q_ab_sequential" -> qAbSequential,
+    "q_sample_neyman" -> qSampleNeyman,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -3185,6 +3219,41 @@ object Quality {
         |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3840000
         |    AS srm_flag
         |FROM t""".stripMargin,
+
+    "q_sample_neyman" -> {
+      val sqrtSteps = (0 until 26).map { k =>
+        s"""n${k + 1} AS (SELECT source, n_h, s_h, q_h,
+           |  CASE WHEN x >= res + bit THEN x - res - bit ELSE x END AS x,
+           |  CASE WHEN x >= res + bit THEN (res >> 1) + bit ELSE res >> 1 END AS res,
+           |  bit >> 2 AS bit
+           |  FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+         |      AS BIGINT) AS x
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         |         CAST(sum(x) AS BIGINT) AS s_h,
+         |         CAST(sum(x * x) AS BIGINT) AS q_h
+         |  FROM d GROUP BY source),
+         |n0 AS (SELECT source, n_h, s_h, q_h,
+         |       n_h * q_h - s_h * s_h AS x, CAST(0 AS BIGINT) AS res,
+         |       CAST(1 AS BIGINT) << 50 AS bit FROM g),
+         |$sqrtSteps,
+         |w AS MATERIALIZED (
+         |  SELECT source, n_h, res AS w_h FROM n26),
+         |t AS (SELECT CAST(sum(w_h) AS BIGINT) AS w_tot,
+         |             CAST(sum(n_h) AS BIGINT) AS n_tot FROM w)
+         |SELECT w.source, w.n_h, w.w_h,
+         |  CASE WHEN t.w_tot > 0 THEN (1000 * w.w_h) // t.w_tot END
+         |    AS neyman_alloc,
+         |  (1000 * w.n_h) // t.n_tot AS proportional_alloc,
+         |  CASE WHEN t.w_tot > 0 THEN (1000 * w.w_h) // t.w_tot END
+         |    - (1000 * w.n_h) // t.n_tot AS shift
+         |FROM w CROSS JOIN t ORDER BY w.source""".stripMargin
+    },
 
     "q_ab_sequential" -> {
       val lookRows = ObfLooks.zipWithIndex

@@ -233,7 +233,9 @@ class PlanSpec extends SparkSpec {
       "q_graph_eccentricity",
       // stylometry: the k-sources × 32-word grid via the broadcast
       // top-word list (bounded fan-out)
-      "q_source_stylometry")
+      "q_source_stylometry",
+      // Neyman: the 1-row (Σw, Σn) broadcast onto the |sources| rows
+      "q_sample_neyman")
     // these run jobs at DataFrame-construction time (driver-loop
     // propagation / staged k-means fit) — a plan-only sweep shouldn't
     // execute them; their plan shapes are pinned by their own specs

@@ -792,6 +792,38 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("neyman allocation: w_h is exactly N_h*sigma_h; budgets account") {
+    val got = graft.quality.Quality.qSampleNeyman(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"source",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("x"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("x")))
+    def isqrt(m: BigInt): Long = {
+      var g = BigInt(math.sqrt(m.toDouble).toLong)
+      while (g * g > m) g -= 1
+      while ((g + 1) * (g + 1) <= m) g += 1
+      g.toLong
+    }
+    docs.groupBy(_._1).foreach { case (s, grp) =>
+      val xs = grp.map(_._2)
+      val d = BigInt(xs.length) * xs.map(x => BigInt(x) * x).sum -
+        BigInt(xs.sum) * xs.sum
+      assert(got(s).getAs[Long]("w_h") == isqrt(d), s)
+      assert(got(s).getAs[Long]("n_h") == xs.length.toLong, s)
+    }
+    // both allocations account for the 1000 budget up to floor loss
+    val ney = got.values.map(_.getAs[Long]("neyman_alloc")).sum
+    val prop = got.values.map(_.getAs[Long]("proportional_alloc")).sum
+    val k = got.size
+    assert(ney > 1000L - k && ney <= 1000L, ney.toString)
+    assert(prop > 1000L - k && prop <= 1000L, prop.toString)
+    // shifts are zero-sum up to the same floor dust
+    val shift = got.values.map(_.getAs[Long]("shift")).sum
+    assert(math.abs(shift) < k, shift.toString)
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
