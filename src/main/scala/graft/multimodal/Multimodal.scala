@@ -11,12 +11,18 @@ import graft.Tables
   * partition, explicit micro-batches inside, constant memory per
   * batch).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` reads the raw bytes deterministically
-  * where a production build would call the codec. Everything around it
-  * — schemas, Dataset encoders, partition/batch shape, frame slicing,
-  * feature aggregation — is real and oracle-tested (byte histograms and
-  * frame digests are computable independently in SQL).
+  * Since r8 the module carries REAL codecs ([[Codec]]: PNG encode and
+  * decode, JPEG encode with quality via `javax.imageio`, WAV read and
+  * write, animated GIF assembly and frame extraction) and a real-bytes
+  * corpus built from them — thumbnails re-encode through real writers,
+  * scene cuts and dHash run on real decoded frames. Only the original
+  * plumbing queries (q_mm_byte_hist / frames / resize / audio_energy /
+  * audio_mcr / dhash / dhash_pairs / scene_cuts) still use the
+  * text-bytes corpus ([[mediaFromDocuments]], `decodeStub`) because
+  * THEIR point is the batch plumbing contract itself —
+  * schemas, Dataset encoders, partition/batch shape, frame slicing,
+  * feature aggregation — which is oracle-tested end to end (byte
+  * histograms and frame digests are computable independently in SQL).
   *
   * Scale notes: media rows never leave their partition (mapPartitions,
   * no shuffle); batch size bounds peak memory (`BatchSize` ≈ Arrow

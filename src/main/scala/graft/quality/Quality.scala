@@ -281,8 +281,11 @@ object Quality {
     * (first view → the funnel-ordered first purchase) in whole
     * seconds for every converted user, summarized as count / min /
     * exact median / exact p90 / max. Percentiles use the value-count
-    * ranking pattern (distinct-second frame with cumulative counts —
-    * no per-user sort at any scale); p90 is the value at integer rank
+    * ranking pattern (distinct-second frame with cumulative counts via
+    * [[graft.operators.BandedRank]] hour-bands — the distinct-second
+    * frame grows with the corpus time span, so the cum is the banded
+    * distributed prefix sum, never a global-order window); p90 is the
+    * value at integer rank
     * `ceil(9n/10) = (9n+9) div 10`, median averages ranks
     * `(n+1) div 2` and `n div 2 + 1` — both replayed verbatim in the
     * oracle CTE so no engine quantile-interpolation convention is
@@ -292,16 +295,14 @@ object Quality {
     val lat = funnelEpochs(Tables.load(spark, dir, "events"))
       .filter($"purchase_ep".isNotNull)
       .select(expr("(purchase_ep - view_ep) div 1000000").as("sec"))
-    val g = lat.groupBy(lit(1L).as("__g"), $"sec".as("__v"))
-      .agg(count(lit(1)).as("c"))
-    val vc = g
-      .withColumn("cum",
-        sum($"c").over(Window.partitionBy($"__g").orderBy($"__v")))
-      .withColumn("n", sum($"c").over(Window.partitionBy($"__g")))
+    val g = lat.groupBy($"sec".as("__v")).agg(count(lit(1)).as("c"))
+    val n = g.agg(sum($"c").as("n"))
+    val vc = graft.operators.BandedRank
+      .inclusiveCum(g, "__v", "c", 3600L, "cum")
+      .crossJoin(broadcast(n))
     def rankValue(rank: Column): Column =
       max(when($"cum" - $"c" < rank && rank <= $"cum", $"__v"))
-    vc.groupBy($"__g")
-      .agg(max($"n").as("n_converted"),
+    vc.agg(max($"n").as("n_converted"),
         min($"__v").as("min_sec"), max($"__v").as("max_sec"),
         ((rankValue(expr("(n + 1) div 2")) + rankValue(expr("n div 2 + 1"))) / 2)
           .as("median_sec"),
@@ -1724,7 +1725,9 @@ object Quality {
     * (≈10²⁴ at corpus scale — past BIGINT, far under 10³⁸). Effect
     * size = U/(n_An_B) in ppm — numerically the AUC of variant A over
     * B, P(a random A user out-spends a random B user). ONE user
-    * combine, then the value-count frame; 1-row readout. */
+    * combine, then the value-count frame ranked by the banded
+    * distributed prefix count (no global-order window — the distinct
+    * totals frame grows with users); 1-row readout. */
   def qAbMannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitney(Tables.load(spark, dir, "events"))
 
@@ -1741,10 +1744,13 @@ object Quality {
     val groups = per.groupBy($"x")
       .agg(count(lit(1)).as("g"),
         sum(when($"isa", 1L).otherwise(0L)).as("ga"))
-    val w = Window.orderBy($"x")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    groups
-      .withColumn("c", coalesce(sum($"g").over(w), lit(0L)))
+    // c = users with a strictly smaller total = inclusive banded cum
+    // minus own count ([[graft.operators.BandedRank]], $1000 bands).
+    // Distinct money totals grow ~linearly with users, so no stage may
+    // ever sort that frame on one task.
+    graft.operators.BandedRank
+      .inclusiveCum(groups, "x", "g", 100000L, "cumg")
+      .withColumn("c", $"cumg" - $"g")
       .agg(sum($"ga").as("n_a"), sum($"g" - $"ga").as("n_b"),
         sum($"ga" * (lit(2L) * $"c" + $"g" + 1L)).as("sum2r_a"),
         sum($"g" * $"g" * $"g" - $"g").as("tie_sum"))

@@ -1088,12 +1088,17 @@ object Relational {
     * SCALAR (q_gini_revenue) with the distribution itself: customers
     * ranked by order revenue (descending, custkey tiebreak) into ten
     * equal-count bands via `((rank−1)·10) div n`, per-decile revenue
-    * share and the cumulative share in exact ppm. The global rank
-    * reuses the banded distributed-rank machinery in spirit — here the
-    * rank window partitions by nothing but the frame has already
-    * shrunk to one row per customer with revenue (bounded by the
-    * customer dimension, not the fact table); the decile rollup is 10
-    * rows. All revenue exact DECIMAL→BIGINT cents. */
+    * share and the cumulative share in exact ppm. The global rank is
+    * the banded distributed rank (the qTokenBudget protocol): revenue
+    * totals band on floor(cents/10⁶) — band order equals revenue
+    * order — per-band customer counts are a tiny aggregate whose
+    * descending running offsets broadcast back, and each customer's
+    * global rank is its band offset plus a row_number WITHIN the band.
+    * The customer dim is 1.5M rows per sf, so a single-partition
+    * global-order window would be a 10⁸-row one-task sort at 100× —
+    * no stage here ever sees more than one band in one task; the
+    * decile rollup is 10 rows. All revenue exact DECIMAL→BIGINT
+    * cents. */
   def qParetoRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.load(spark, dir, "orders")
@@ -1101,9 +1106,17 @@ object Relational {
       .agg(expr("cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)")
         .as("cents"))
     val n = rev.agg(count(lit(1)).as("n"), sum($"cents").as("total"))
-    val w = Window.orderBy($"cents".desc, $"o_custkey")
-    val deciles = rev
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val banded = rev
+      .withColumn("band", expr("(cents - pmod(cents, 1000000L)) div 1000000L"))
+    val bandCounts = banded.groupBy($"band").agg(count(lit(1)).as("bn"))
+    val wBand = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bandCounts // one row per distinct $10k revenue band — tiny
+      .withColumn("off", coalesce(sum($"bn").over(wBand), lit(0L)))
+      .select($"band", $"off")
+    val wIn = Window.partitionBy($"band").orderBy($"cents".desc, $"o_custkey")
+    val deciles = banded.join(broadcast(offs), Seq("band"))
+      .withColumn("rank", ($"off" + row_number().over(wIn)).cast("long"))
       .crossJoin(broadcast(n))
       .withColumn("decile", expr("((rank - 1) * 10) div n"))
       .groupBy($"decile")
@@ -1405,9 +1418,12 @@ object Relational {
     * corpus-wide quintile cut values. The cuts come from the
     * value-count ranking machinery (the exact-median pattern): value
     * at integer rank `(k·n) div 5`, so no engine quantile convention
-    * is involved and no global sort runs — one (metric-value) combine
-    * per metric, 1-row cut frames broadcast back, scores are per-row
-    * comparisons. `segment` packs the three scores as r·100+f·10+m. */
+    * is involved — one (metric-value) combine per metric, cumulative
+    * counts via [[graft.operators.BandedRank]] (the distinct metric
+    * values grow with users, so the cum is the banded distributed
+    * prefix sum, never a global-order window), 1-row cut frames
+    * broadcast back, scores are per-row comparisons. `segment` packs
+    * the three scores as r·100+f·10+m. */
   def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
@@ -1415,25 +1431,25 @@ object Relational {
       .agg(max(ep($"ts")).as("recency_ep"),
         count(lit(1)).as("frequency"),
         (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("monetary_cents"))
-    def cuts(metric: String): DataFrame = {
-      val vc = per.groupBy(lit(1L).as("__g"), col(metric).as("__v"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum",
-          sum($"c").over(Window.partitionBy($"__g").orderBy($"__v")))
-        .withColumn("n", sum($"c").over(Window.partitionBy($"__g")))
+    def cuts(metric: String, bandWidth: Long): DataFrame = {
+      val vc = per.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("c"))
+      val n = vc.agg(sum($"c").as("n"))
+      val cum = graft.operators.BandedRank
+        .inclusiveCum(vc, "__v", "c", bandWidth, "cum")
+        .crossJoin(broadcast(n))
       val aggs = (1 to 4).map(k =>
         rankValue(expr(s"($k * n) div 5")).as(s"${metric}_t$k"))
-      vc.groupBy($"__g").agg(aggs.head, aggs.tail: _*).drop("__g")
+      cum.agg(aggs.head, aggs.tail: _*)
     }
     def score(metric: String): Column =
       (lit(1L) +
         (1 to 4).map(k =>
           when(col(metric) > col(s"${metric}_t$k"), 1L).otherwise(0L))
           .reduce(_ + _)).as(s"${metric}_score")
-    per
-      .crossJoin(broadcast(cuts("recency_ep")))
-      .crossJoin(broadcast(cuts("frequency")))
-      .crossJoin(broadcast(cuts("monetary_cents")))
+    per // bands: per-day epochs, 16-event counts, $1000 revenue steps
+      .crossJoin(broadcast(cuts("recency_ep", 86400L)))
+      .crossJoin(broadcast(cuts("frequency", 16L)))
+      .crossJoin(broadcast(cuts("monetary_cents", 100000L)))
       .select($"user_id", $"recency_ep", $"frequency", $"monetary_cents",
         score("recency_ep").as("r_score"),
         score("frequency").as("f_score"),
@@ -2234,19 +2250,23 @@ object Relational {
     * a plain sort) are exactly what makes min-max skipping prune on
     * either predicate. Exact integer bit math, oracle-identical.
     *
-    * The global row_number exists only to make the block boundaries
-    * oracle-checkable; the production write is repartitionByRange(z) +
+    * The global numbering exists only to make the block boundaries
+    * oracle-checkable, and even it is the banded distributed rank
+    * ([[graft.operators.BandedRank]]: z div 1024 gives ≤1024 bands over
+    * the 20-bit Morton domain — never a whole-table one-task sort);
+    * the production write is repartitionByRange(z) +
     * sortWithinPartitions(z) — per-file footer stats then emerge with
     * no global numbering at all. */
   def qZorder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val z = graft.operators.ZOrder.zValue("x", "y")
-    Tables.load(spark, dir, "events")
+    val zd = Tables.load(spark, dir, "events")
       .select($"event_id",
         ($"user_id" % 1024).as("x"),
         expr("(unix_timestamp(ts) div 3600) % 1024").as("y"))
       .withColumn("z", z)
-      .withColumn("block_id", expr("(row_number() OVER (ORDER BY z, event_id) - 1) div 1000"))
+    graft.operators.BandedRank.ascRank(zd, "z", "event_id", 1024L, "rn")
+      .withColumn("block_id", expr("(rn - 1) div 1000"))
       .groupBy($"block_id")
       .agg(count(lit(1)).as("n_rows"),
         min($"x").as("min_x"), max($"x").as("max_x"),

@@ -183,7 +183,12 @@ class PlanSpec extends SparkSpec {
       // deadline funnel: the 1-row entrants broadcast onto 4 stage rows
       "q_funnel_deadline",
       // RFM: three 1-row quintile-cut broadcasts onto the user frame
+      // (each cut internally crosses its 1-row total onto the banded
+      // value-count frame)
       "q_rfm_segments",
+      // funnel latency: the 1-row converted-count broadcast onto the
+      // banded distinct-latency frame
+      "q_funnel_latency",
       // sketch table: the 1-row exact-global audit column broadcast
       // onto the 1-row merged-sketch estimate
       "q_sketch_distinct",
@@ -236,11 +241,21 @@ class PlanSpec extends SparkSpec {
       "q_source_stylometry",
       // Neyman: the 1-row (Σw, Σn) broadcast onto the |sources| rows
       "q_sample_neyman")
-    // these run jobs at DataFrame-construction time (driver-loop
-    // propagation / staged k-means fit) — a plan-only sweep shouldn't
-    // execute them; their plan shapes are pinned by their own specs
-    // and they use only the intended broadcast fan-outs
-    val executesOnConstruct = Set(
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => executesOnConstruct.contains(name) }
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
+        if (p.contains("Join Cross") && !intended.contains(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unexpected cross joins in: $offenders")
+  }
+
+  // these run jobs at DataFrame-construction time (driver-loop
+  // propagation / staged k-means fit) — the whole-surface plan-only
+  // sweeps (cross-join and unpartitioned-window audits) shouldn't
+  // execute them; their plan shapes are pinned by their own specs and
+  // they use only the intended broadcast fan-outs / bounded windows
+  private val executesOnConstruct = Set(
       "q_dedup_components", "q_kmeans", "q_kmeans_purity",
       "q_sim_ann_ivf_trained",
       "q_sim_ann_pq", // pq now writes its stored code table on construct
@@ -326,13 +341,53 @@ class PlanSpec extends SparkSpec {
       // hybrid RRF: BM25 side's 1-row corpus stats broadcast + the
       // broadcast-query non-equi kNN side (both established patterns)
       "q_hybrid_rrf")
+
+  test("whole-surface audit: unpartitioned windows only over provably bounded frames") {
+    // A Window with no partitionSpec sorts its whole input on ONE task
+    // — a scale-killer unless the frame is provably bounded (bands,
+    // deciles, days/months, value-count frames on ppm-bounded or
+    // dimension-bounded domains). Corpus- or user-proportional frames
+    // must use the banded distributed prefix rank (qTokenBudget /
+    // qQuantileNorm / mannWhitney / qParetoRevenue). Every allowlist
+    // entry below names its bounded frame; anything else fails.
+    val bounded = Set(
+      // --- BandedRank users: the only unpartitioned window left is the
+      // --- one-row-per-band offsets frame (size = value-range/band,
+      // --- independent of row count)
+      "q_ab_mannwhitney", // $1000-band offsets over distinct user totals
+      "q_pareto_revenue", // $10k-band offsets + the 10-row decile cumsum
+      "q_token_budget", // band offsets: one row per stop_hits value
+      "q_quantile_norm", // band offsets (pooled side): |stop_hits| rows
+      "q_sample_pps", // band offsets: one row per 1000-doc id range
+      "q_curriculum", // band offsets over the |stop_hits| band frame
+      "q_rfm_segments", // per-metric band offsets (day/16-event/$1000)
+      "q_funnel_latency", // hour-band offsets over distinct latencies
+      "q_zorder", // ≤1024 z-band offsets over the 20-bit Morton domain
+      // --- genuinely bounded frames
+      "q_ams_f2", // median over the 5 sketch-group estimates
+      "q_skew_report", // counts-of-counts cumsum (distinct per-key
+      // counts — log-bounded) + rank over the 10 rows after limit(10)
+      "q_text_bm25", // rank over the ≤k-row frame after limit(k)
+      "q_text_bm25_indexed", // same post-limit(k) rank
+      "q_classifier_auc", // score value-count frame: ppm-bounded domain
+      "q_conformal_coverage", // calibration scores: ppm-bounded domain
+      "q_revenue_monthly", // one row per calendar month
+      "q_funnel_deadline", // 4-row stage frame
+      "q_survival_hazard", // one row per distinct whole-day duration
+      "q_vocab_zipf") // 64-row top-vocab frame after TakeOrdered
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
-        val p = fn(spark, sf0001).queryExecution.optimizedPlan.toString
-        if (p.contains("Join Cross") && !intended.contains(name)) Some(name) else None
+        val hasGlobal = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal && !bounded.contains(name)) Some(name) else None
       }
-    assert(offenders.isEmpty, s"unexpected cross joins in: $offenders")
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over a potentially unbounded frame in: $offenders — " +
+        "use the banded distributed prefix rank (qTokenBudget protocol) or " +
+        "allowlist with a bounded-frame justification")
   }
 
   test("tpch5: dims broadcast; the fact side shuffles only on orderkey + final agg") {
