@@ -230,6 +230,13 @@ object Bench {
     val batchesJson = streamBatches.sortBy(_.batchId).map { b =>
       f"""{"batch":${b.batchId},"rows":${b.numInputRows},"trigger_ms":${b.triggerDurationMs},"state_rows":${b.stateRows}}"""
     }.mkString("[", ",", "]")
+    // Per-batch trigger times ALSO ride the stdout tail (not just the
+    // file artifact): BENCH_r10's 43 s streaming leg hid a 17.7 s
+    // batch-2 load burst visible only in target/bench_summary.json —
+    // one short line makes the driver artifact self-explaining when a
+    // burst lands. Emitted BEFORE the summary so the totals line stays
+    // last in any tail-capture window.
+    println(s"""{"metric":"stream_batches","batches":$batchesJson}""")
     val summary =
       f"""{"metric":"bench_summary","total":$total%.3f,"staging":$stagingSec%.3f,"streaming":$streamingSec%.3f,"stream_trigger_sec":${streamBatches.map(_.triggerDurationMs).sum / 1000.0}%.3f,"n_queries":${selected.size},"unit":"sec","sf":"$sfDir"}"""
     println(summary)

@@ -612,6 +612,27 @@ object Multimodal {
     thumbnailsJpeg(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
   }
 
+  /** Hash-checked AUDIT of the JPEG thumbnail path: the lossy bytes
+    * themselves are not SQL-replayable (q_mm_thumbnail_jpeg stays
+    * rows-only by design), but the path's DETERMINISTIC surface is —
+    * source dims from the real PNG decode, and the error-accounting
+    * booleans at the bounds MultimodalSpec pins (jpeg bytes present
+    * and sane-sized; max per-channel error ≤ 230 under 4:2:0 chroma
+    * subsampling; mean error ≤ 64; Σerr ≤ 192·maxerr consistency). A
+    * codec swap that breaks dims or blows the error budget now fails
+    * the driver hash, not just the spec. */
+  def qMmThumbnailJpegAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 8 * 8 * 3 // thumbnail channels
+    thumbnailsJpeg(encodedMedia(spark, dir)).toDF()
+      .select($"media_id", $"src_w", $"src_h",
+        ($"jpeg_bytes" > 0L && $"jpeg_bytes" <= 5000L).as("bytes_bounded"),
+        ($"max_abs_err" <= 230L).as("max_err_bounded"),
+        ($"sum_abs_err" <= lit(64L * n)).as("mean_err_bounded"),
+        ($"sum_abs_err" <= $"max_abs_err" * n).as("err_consistent"))
+      .orderBy($"media_id")
+  }
+
   def qMmDecodeImage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeImages(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
@@ -755,6 +776,7 @@ object Multimodal {
     "q_mm_decode_audio" -> qMmDecodeAudio,
     "q_mm_thumbnail" -> qMmThumbnail,
     "q_mm_thumbnail_jpeg" -> qMmThumbnailJpeg,
+    "q_mm_thumbnail_jpeg_audit" -> qMmThumbnailJpegAudit,
     "q_mm_gif_frames" -> qMmGifFrames,
     "q_mm_gif_scene_cuts" -> qMmGifSceneCuts,
     "q_mm_gif_dhash" -> qMmGifDhash,

@@ -109,6 +109,25 @@ object Report {
        |  </table>""".stripMargin
   }
 
+  /** The reference's static stylesheet (public/stylesheets/style.css,
+    * served by `express.static` — app.js:39 — and linked from every
+    * page by views/layout.pug:5). Same three rules, verbatim
+    * presentation parity. */
+  val Stylesheet: String =
+    """body {
+      |  padding: 50px;
+      |  font: 14px "Lucida Grande", Helvetica, Arial, sans-serif;
+      |}
+      |
+      |a {
+      |  color: #00B7FF;
+      |}
+      |""".stripMargin
+
+  /** layout.pug:5 — every rendered page links the static stylesheet. */
+  private val StylesheetLink =
+    """<link rel="stylesheet" href="/stylesheets/style.css">"""
+
   /** The reference's index view (views/index.pug:9-83) as a static
     * HTML document: agent table + conversations table. `maxRows` caps
     * the per-table driver collect; over-cap tables render a visible
@@ -116,7 +135,7 @@ object Report {
   def renderHtml(agents: DataFrame, conversations: DataFrame,
       title: String = "Express", maxRows: Int = DefaultMaxRows): String =
     s"""<!DOCTYPE html>
-       |<html><head><title>${esc(title)}</title></head><body>
+       |<html><head><title>${esc(title)}</title>$StylesheetLink</head><body>
        |  <h1>${esc(title)}</h1>
        |  <h2>agent data</h2>
        |${htmlTable(agents, maxRows)}
@@ -134,7 +153,7 @@ object Report {
   def renderErrorHtml(status: Int, message: String,
       stack: String = ""): String =
     s"""<!DOCTYPE html>
-       |<html><head><title></title></head><body>
+       |<html><head><title></title>$StylesheetLink</head><body>
        |  <h1>${esc(message)}</h1>
        |  <h2>$status</h2>
        |  <pre>${esc(stack)}</pre>

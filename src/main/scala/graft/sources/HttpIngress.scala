@@ -50,7 +50,13 @@ object HttpIngress {
     http.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
-          if (ex.getRequestMethod == "GET") {
+          if (ex.getRequestMethod == "GET" &&
+              ex.getRequestURI.getPath == "/stylesheets/style.css") {
+            // express.static over public/ (app.js:39) — the one static
+            // asset, linked by every rendered page (layout.pug:5)
+            respond(ex, 200, graft.report.Report.Stylesheet,
+              contentType = "text/css; charset=utf-8")
+          } else if (ex.getRequestMethod == "GET") {
             // The reference's demo loop: POST events at the webhook,
             // then open the same server in a browser and read both
             // report tables (routes/index.js:5-31 renders index.pug

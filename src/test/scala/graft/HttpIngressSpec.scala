@@ -61,6 +61,19 @@ class HttpIngressSpec extends SparkSpec {
       assert(get.statusCode() == 200)
       assert(get.body().contains("agent data") &&
         get.body().contains("conversations data"), get.body())
+      // express.static parity (app.js:39 + layout.pug:5): the page
+      // links the stylesheet and the server serves it as text/css
+      assert(get.body().contains(
+        """<link rel="stylesheet" href="/stylesheets/style.css">"""), get.body())
+      val css = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${srv.port}/stylesheets/style.css")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(css.statusCode() == 200)
+      assert(css.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/css"), css.headers().toString)
+      assert(css.body().contains("padding: 50px") &&
+        css.body().contains("#00B7FF"), css.body())
       val del = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.port}/")).DELETE().build(),
         HttpResponse.BodyHandlers.ofString())
