@@ -33,6 +33,30 @@ object SessionCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Construct-time plan ledger: the optimized logical plan of every
+    * frame staged in this session, keyed by `appPrefix + stage key`.
+    * This is the audit hook that makes PlanSpec's
+    * `executesOnConstruct` exclusion honest (r12): a query whose
+    * windows/cross-joins execute inside a construct-time stage write
+    * is invisible to the whole-surface plan sweeps — the returned
+    * frame is just a parquet scan — so the sweep reads the staged
+    * plans from here instead. Recording costs nothing extra: the
+    * optimized plan is already computed for the write; one map entry
+    * per distinct stage key per session. */
+  private val stagedPlans = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+
+  /** All staged plans recorded for `spark`'s application, keyed by the
+    * raw stage key. */
+  def stagedPlanLedger(spark: SparkSession)
+      : Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    val prefix = appPrefix(spark)
+    stagedPlans.iterator
+      .filter { case (k, _) => k.startsWith(prefix) }
+      .map { case (k, p) => k.stripPrefix(prefix) -> p }
+      .toMap
+  }
+
   private val root: Path = Paths.get("target", "graft-stage")
 
   private def appPrefix(spark: SparkSession): String =
@@ -143,6 +167,7 @@ object SessionCache {
     * files (zero rows in every partition) falls back to the original
     * plan — correct, just unmaterialized. */
   def stage(spark: SparkSession, key: String)(df: DataFrame): DataFrame = {
+    stagedPlans.put(appPrefix(spark) + key, df.queryExecution.optimizedPlan)
     val dir = claimAppDir(spark).resolve(md5hex(key)).toString
     df.write.mode("overwrite").parquet(dir)
     Try(spark.read.parquet(dir)).getOrElse(df)
@@ -165,9 +190,11 @@ object SessionCache {
       buckets: Int)(build: => DataFrame): DataFrame = {
     purgeStale(spark)
     cache.getOrElseUpdate(fullKey(spark, key), {
+      val built = build
+      stagedPlans.put(appPrefix(spark) + key, built.queryExecution.optimizedPlan)
       val name = "graft_idx_" + md5hex(key)
       val dir = claimAppDir(spark).resolve(name).toString
-      graft.sources.Bucketed.write(build, name, dir, bucketKey, buckets)
+      graft.sources.Bucketed.write(built, name, dir, bucketKey, buckets)
       spark.table(name)
     })
   }

@@ -30,9 +30,13 @@ object BandedRank {
   /** `floor(v / bandWidth)` for any sign: pmod keeps the remainder
     * non-negative, so the division is exact and monotone in `v`
     * (Spark's `div` alone truncates toward zero and breaks band
-    * ordering for negatives). */
-  def bandOf(value: String, bandWidth: Long): Column =
-    expr(s"($value - pmod($value, ${bandWidth}L)) div ${bandWidth}L")
+    * ordering for negatives). The identifier is backtick-quoted so a
+    * column name carrying dots/spaces/reserved words parses as one
+    * attribute, not a field path. */
+  def bandOf(value: String, bandWidth: Long): Column = {
+    val v = "`" + value.replace("`", "``") + "`"
+    expr(s"($v - pmod($v, ${bandWidth}L)) div ${bandWidth}L")
+  }
 
   /** Adds `cumName` = inclusive running sum of `weight` by ascending
     * `value` (which must be unique per row — e.g. a value-count

@@ -289,7 +289,13 @@ object Quality {
     * `ceil(9n/10) = (9n+9) div 10`, median averages ranks
     * `(n+1) div 2` and `n div 2 + 1` — both replayed verbatim in the
     * oracle CTE so no engine quantile-interpolation convention is
-    * involved. */
+    * involved.
+    *
+    * Zero-conversion contract (r11 → banded rewrite): the global
+    * `.agg` returns ONE all-null row when no user converted (the old
+    * groupBy("__g") form returned zero rows). This matches ANSI — a
+    * grand aggregate over an empty input is one row of nulls — so the
+    * DuckDB oracle agrees by construction. */
   def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lat = funnelEpochs(Tables.load(spark, dir, "events"))

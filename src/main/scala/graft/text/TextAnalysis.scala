@@ -1740,9 +1740,14 @@ object TextAnalysis {
     for (r <- 0 until rounds) {
       val counts = graft.SessionCache.stage(spark, s"$key|c$r")(
         bpePairCounts(cur))
+      // Per-round top-5 report: TakeOrdered the <=5 rows FIRST (same
+      // shape as bpeBestMerge), THEN rank the bounded frame. Ranking
+      // before limiting was the r11 audit blind spot — an unpartitioned
+      // window sorting the whole distinct-pair frame (millions of rows
+      // on a 100 TB corpus) on one task.
       val w = Window.orderBy($"pair_count".desc, $"sym_a", $"sym_b")
-      tops += counts.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
+      tops += counts.orderBy($"pair_count".desc, $"sym_a", $"sym_b").limit(5)
+        .withColumn("rank", row_number().over(w))
         .select(lit(r.toLong).as("round"), $"rank".cast("long").as("rank"),
           $"sym_a", $"sym_b", $"pair_count")
       if (r < rounds - 1)

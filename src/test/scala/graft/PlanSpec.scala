@@ -390,6 +390,84 @@ class PlanSpec extends SparkSpec {
         "allowlist with a bounded-frame justification")
   }
 
+  test("construct-time staged plans: windows bounded, cross joins intended (exclusion audit)") {
+    // The two whole-surface sweeps above filterNot the
+    // executesOnConstruct queries — their windows/cross-joins execute
+    // inside SessionCache stage writes at DataFrame-construction time,
+    // where a plan-only sweep of the RETURNED frame (a parquet scan of
+    // the stage table) can never see them. This was the r11 blind spot:
+    // bpeTrain ranked the full distinct-pair frame with an
+    // unpartitioned window inside its staged rounds-table build.
+    // SessionCache now records the optimized plan of every staged
+    // frame; this test constructs every excluded query (plus the BPE
+    // family, whose checkpointed rounds table hid the r11 offender) and
+    // runs the same two audits over every recorded construct-time plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    (executesOnConstruct ++ Seq("q_bpe_train", "q_bpe_encode")).toSeq.sorted
+      .foreach(name => SparkEntry.queries(name)(spark, sf0001))
+    val ledger = graft.SessionCache.stagedPlanLedger(spark)
+    assert(ledger.size >= 15, s"staged-plan ledger unexpectedly small: ${ledger.keySet}")
+    // Normalize per-call counters so allowlists are shape- not run-keyed.
+    def family(key: String): String =
+      key.takeWhile(_ != '|').replaceAll("_\\d+$", "_N")
+    // A window is provably bounded when Catalyst can bound its input
+    // row count (a limit on the spine): the TakeOrdered-then-rank shape.
+    def unboundedGlobalWindows(p: LogicalPlan): Seq[LWindow] = p.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.maxRows.exists(_ <= 64) => w
+    }
+    // Stage families whose remaining unpartitioned windows are over
+    // one-row-per-band offsets frames or dimension-bounded grids — each
+    // entry names its bounded frame, same discipline as the main audit.
+    val boundedStageFamilies: Set[String] = Set(
+    )
+    // Stage families whose cross joins are intended 1-row / dim-bounded
+    // broadcast fan-outs.
+    val intendedCrossFamilies: Set[String] = Set(
+      // BPE round-r symbol tables: the 1-row learned-merge array
+      // broadcast folded over the vocab in one projection
+      "bpe_call_N",
+      // learned langid model: the 1-row vocab-size broadcast
+      // (training-side add-one smoothing) + |langs|-row totals grid
+      "langid_weights",
+      // stored ANN index builds: the broadcast k-row centroid /
+      // 256-row codebook fan-outs of the k-means assignment step
+      "sim.kmasg", "sim.ivfindex", "sim.ivfadc")
+    val windowOffenders = ledger.toSeq.sortBy(_._1).collect {
+      case (key, p) if unboundedGlobalWindows(p).nonEmpty &&
+        !boundedStageFamilies.contains(family(key)) => key
+    }
+    assert(windowOffenders.isEmpty,
+      s"construct-time staged plan has an unpartitioned Window over a potentially " +
+        s"unbounded frame: $windowOffenders — band it or allowlist its family " +
+        "with a bounded-frame justification")
+    val crossOffenders = ledger.toSeq.sortBy(_._1).collect {
+      case (key, p) if p.toString.contains("Join Cross") &&
+        !intendedCrossFamilies.contains(family(key)) => key
+    }
+    assert(crossOffenders.isEmpty,
+      s"construct-time staged plan has an unintended cross join: $crossOffenders")
+    // And the final plans the main sweeps skip: after construction the
+    // side effects are done, so auditing the returned plan is cheap.
+    val finalBounded: Set[String] = Set(
+      // 9-row leading-digit frame (Benford cumulative KS walk)
+      "q_benford_audit",
+      // <=125-row nation x segment margin frame (expected-count rank)
+      "q_chi2_independence",
+      // one row per calendar month (same frame as q_revenue_monthly in
+      // the main allowlist — the incremental variant reads the merged
+      // partial-aggregate table)
+      "q_revenue_monthly_inc")
+    val finalOffenders = executesOnConstruct.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+      if (unboundedGlobalWindows(p).nonEmpty && !finalBounded.contains(name)) Some(name)
+      else None
+    }
+    assert(finalOffenders.isEmpty,
+      s"excluded query's FINAL plan has an unpartitioned Window over a potentially " +
+        s"unbounded frame: $finalOffenders")
+  }
+
   test("tpch5: dims broadcast; the fact side shuffles only on orderkey + final agg") {
     val p = plan(Relational.qSqlTpch5(spark, sf0001))
     // supplier(+nation+region) and customer ride broadcasts; lineitem
