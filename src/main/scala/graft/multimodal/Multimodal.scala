@@ -842,6 +842,23 @@ object Multimodal {
         |    AS BIGINT) AS thumb_wsum
         |FROM tp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // JPEG-path audit (r12, closes the r11 no_oracle gap): the lossy
+    // bytes themselves stay rows-only in q_mm_thumbnail_jpeg, but the
+    // path's deterministic surface is replayable — media_id + source
+    // dims are pure doc_id formulas, and the four error-budget
+    // booleans are asserted-true invariants of the codec contract, so
+    // the oracle emits them as constants. Any codec swap that breaks
+    // dims or blows an error bound flips a boolean and fails the hash.
+    "q_mm_thumbnail_jpeg_audit" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS src_w,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS src_h,
+        |  TRUE AS bytes_bounded,
+        |  TRUE AS max_err_bounded,
+        |  TRUE AS mean_err_bounded,
+        |  TRUE AS err_consistent
+        |FROM documents ORDER BY 1""".stripMargin,
+
     "q_mm_decode_audio" ->
       """SELECT d.doc_id AS media_id,
         |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate,
