@@ -521,16 +521,23 @@ object TextAnalysis {
     * hash and the min over the deterministic mod-16 sample. Pure
     * integer arithmetic (sum of ascii·31^d, d<8, fits BIGINT) so both
     * engines compute bit-identical values. */
-  def qTextRollhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The [[RollK]]-char Rabin window hash at 1-based position `i` over
+    * a pre-split bigint `codes` array — ONE definition shared by the
+    * fingerprint sampler ([[qTextRollhash]]) and the char-dup-span
+    * selector ([[dupChars]]). Indexing the pre-split code array keeps
+    * the evaluation O(1) per position — substring(text, i, 1) inside
+    * a lambda is an O(i) UTF-8 seek that made the whole pass quadratic
+    * in document length (measured 25s at sf0.1). */
+  private def rollWindowHash: String = {
     val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
-    // index the char codes ONCE per document: substring(text, i, 1)
-    // inside the window lambda is an O(i) UTF-8 seek, which makes the
-    // whole computation quadratic in document length (measured 25s at
-    // sf0.1); element_at on the pre-split code array is O(1)
-    val windowHash = (1 to RollK).map { d =>
+    (1 to RollK).map { d =>
       s"element_at(codes, i + ${d - 1}) * ${powers(d - 1)}L"
     }.mkString("(", " + ", s") % ${RollP}L")
+  }
+
+  def qTextRollhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val windowHash = rollWindowHash
     Tables.load(spark, dir, "documents")
       .withColumn("codes", expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
       .withColumn("wh", expr(
@@ -1508,6 +1515,113 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Char-gram length (≈ the 50-token threshold of Lee et al. 2022
+    * scaled to characters at this corpus's short tokens). */
+  private[graft] val DupCharK = 50
+  /** Winnowing sample modulus — SAME deterministic mod-16 rule as
+    * [[qTextRollhash]]'s fp_sampled, so one selection convention
+    * serves both fingerprinting and span dedup. */
+  private val DupCharSampleMod = 16
+  /** Island gap (chars): selected positions of one real shared span
+    * arrive at ~[[DupCharSampleMod]]-char expected spacing, so two
+    * dup positions within gram-length + sampling slack belong to one
+    * span. */
+  private val DupCharGap = 64
+
+  /** CHAR-LEVEL duplicated spans — the cross-tokenization companion of
+    * [[qTextDupSpans]]: boilerplate that re-tokenizes differently
+    * (punctuation or casing drift, collapsed whitespace) produces
+    * different word 8-grams but the SAME normalized character stream,
+    * so the word-level pass misses it and this one catches it (the
+    * substring-granularity signal of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public paper).
+    *
+    * Shape: normalize (lowercase, non-alphanumeric runs → one space),
+    * then select [[DupCharK]]-char gram positions by the SHARED Rabin
+    * window rule ([[rollWindowHash]] mod 16 = 0 — winnowing-style
+    * CONTENT-DEFINED sampling, not a fixed stride: a fixed stride
+    * breaks on drift because deleting one punctuation char shifts
+    * every later position off the stride grid, while content-defined
+    * selection picks the same relative positions inside every copy of
+    * a span regardless of its offset). A selected gram duplicated in
+    * ≥ 2 distinct docs marks its position; positions within
+    * [[DupCharGap]] chars merge into spans.
+    *
+    * Scale shape: selection and gram construction are per-document
+    * map-side work over the pre-split code array (O(1) per position,
+    * ~1/16 of positions emit a gram); the shuffle carries (doc_id,
+    * pos, int64 xxhash) rows — never the 50-char strings; document
+    * frequency is one map-side-combined groupBy on the 8-byte gram
+    * key + a semi-join back; the island pass windows per doc_id. The
+    * oracle replays gram STRINGS (no xxhash64 in DuckDB) — identical
+    * modulo 64-bit collisions. */
+  def qTextDupChars(spark: SparkSession, dir: String): DataFrame =
+    dupChars(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qTextDupChars]] over any (doc_id, text) frame —
+    * separated so the planted cross-tokenization fixture spec can
+    * drive it. */
+  private[graft] def dupChars(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = docs
+      .withColumn("norm",
+        trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")))
+      .select($"doc_id", $"norm", length($"norm").cast("long").as("n_chars"))
+    // The (position, gram) structs are built INSIDE one per-document
+    // array expression and only the small struct array reaches the
+    // Generate, for two scale reasons: (a) a plain explode would let
+    // the optimizer infer `size(sel) > 0` and push it below the
+    // projections with `codes` SUBSTITUTED by its defining expression
+    // — every element_at in the interpreted lambda then re-splits and
+    // re-transforms the whole document per position (measured 200×
+    // slowdown at sf0.01); explode_outer infers no such filter and the
+    // per-doc arrays evaluate exactly once. (b) carrying the L-element
+    // chars array through the Generate would copy it once per emitted
+    // row — O(L²/16) bytes per document on long documents.
+    val pos = normed
+      .withColumn("chars", split($"norm", ""))
+      .withColumn("codes", expr("transform(chars, c -> cast(ascii(c) as bigint))"))
+      .withColumn("selg", expr(
+        s"CASE WHEN length(norm) < $DupCharK " +
+          s"THEN CAST(array() AS array<struct<p:int,gs:string>>) " +
+          s"ELSE transform(filter(sequence(1, length(norm) - ${DupCharK - 1}), " +
+          s"i -> $rollWindowHash % $DupCharSampleMod = 0), " +
+          s"p -> struct(p, concat_ws('', slice(chars, p, $DupCharK)) AS gs)) END"))
+      .select($"doc_id", explode_outer($"selg").as("sg"))
+      .filter($"sg".isNotNull)
+      .select($"doc_id", $"sg.p".cast("long").as("p"), xxhash64($"sg.gs").as("g"))
+    val docFreq = pos.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("nd"))
+    val dupPos = pos
+      .join(docFreq.filter($"nd" >= 2).select($"g"), Seq("g"), "left_semi")
+      .select($"doc_id", $"p")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = dupPos
+      .withColumn("prev", lag($"p", 1).over(w))
+      .withColumn("new_span",
+        when($"prev".isNull || $"p" - $"prev" > DupCharGap, 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(count(lit(1)).as("n_g"),
+        (max($"p") - min($"p") + DupCharK).as("span_chars"))
+    val stats = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max($"span_chars").as("longest_dup_span_chars"),
+        sum($"n_g").as("n_dup_grams"),
+        sum($"span_chars").as("dup_coverage_chars"))
+    normed.select($"doc_id", $"n_chars")
+      .join(stats, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_chars",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"longest_dup_span_chars", lit(0L)).as("longest_dup_span_chars"),
+        coalesce($"dup_coverage_chars", lit(0L)).as("dup_coverage_chars"),
+        expr("(coalesce(dup_coverage_chars, 0L) * 1000) div nullif(n_chars, 0L)")
+          .as("dup_coverage_permille"))
+      .orderBy($"doc_id")
+  }
+
   /** Fuzzy vocabulary pairs: near-identical token pairs (edit distance
     * ≤ 2) found by blocked candidate generation — the typo-clustering /
     * vocab-normalization step. Blocking: same LAST character + length
@@ -1901,6 +2015,7 @@ object TextAnalysis {
     "q_langid_mix" -> qLangIdMix,
     "q_text_dup_spans" -> qTextDupSpans,
     "q_text_dup_span_extract" -> qTextDupSpanExtract,
+    "q_text_dup_chars" -> qTextDupChars,
     "q_vocab_oov" -> qVocabOov,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_heavy_hitters_grouped" -> qHeavyHittersGrouped,
@@ -3020,6 +3135,58 @@ object TextAnalysis {
         |LEFT JOIN ss ON ss.doc_id = nt.doc_id
         |LEFT JOIN cs ON cs.doc_id = nt.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+
+    // char-level dup spans: the oracle replays the normalization, the
+    // shared Rabin mod-16 selector, the 50-char gram STRINGS (Spark
+    // ships xxhash64 of the same strings), the distinct-doc frequency
+    // and the gap-64 island merge. MATERIALIZED: nrm/pos are each read
+    // twice — inlining re-derives the lateral gram scan per reference.
+    "q_text_dup_chars" -> {
+      val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
+      val sel = (1 to RollK).map { d =>
+        s"CAST(ascii(substring(n.norm, g.p + ${d - 1}, 1)) AS BIGINT) * ${powers(d - 1)}"
+      }.mkString("(", " + ", s") % $RollP % $DupCharSampleMod = 0")
+      s"""WITH nrm AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT n.doc_id, g.p,
+         |    substring(n.norm, g.p, $DupCharK) AS gs
+         |  FROM nrm n
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1,
+         |    length(n.norm) - ${DupCharK - 2})) AS p) g
+         |  WHERE $sel),
+         |dfq AS (SELECT gs, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |        FROM pos GROUP BY gs),
+         |dp AS (SELECT pos.doc_id, pos.p
+         |       FROM pos JOIN dfq USING (gs) WHERE nd >= 2),
+         |sp AS (SELECT doc_id, p,
+         |        CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+         |             OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $DupCharGap
+         |             THEN 1 ELSE 0 END AS new_span
+         |       FROM dp),
+         |sp2 AS (SELECT doc_id, p,
+         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+         |        FROM sp),
+         |st AS (SELECT doc_id, span_id, CAST(count(*) AS BIGINT) AS n_g,
+         |        max(p) - min(p) + $DupCharK AS span_chars
+         |       FROM sp2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |         CAST(max(span_chars) AS BIGINT) AS longest_dup_span_chars,
+         |         CAST(sum(n_g) AS BIGINT) AS n_dup_grams,
+         |         CAST(sum(span_chars) AS BIGINT) AS dup_coverage_chars
+         |        FROM st GROUP BY 1)
+         |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS n_chars,
+         |  coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(a.longest_dup_span_chars, 0) AS longest_dup_span_chars,
+         |  coalesce(a.dup_coverage_chars, 0) AS dup_coverage_chars,
+         |  (coalesce(a.dup_coverage_chars, 0) * 1000)
+         |    // nullif(CAST(length(n.norm) AS BIGINT), 0) AS dup_coverage_permille
+         |FROM nrm n LEFT JOIN agg a ON a.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin
+    },
 
     "q_text_bpe" ->
       """WITH p AS (

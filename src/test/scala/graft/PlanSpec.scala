@@ -427,9 +427,10 @@ class PlanSpec extends SparkSpec {
       // BPE round-r symbol tables: the 1-row learned-merge array
       // broadcast folded over the vocab in one projection
       "bpe_call_N",
-      // learned langid model: the 1-row vocab-size broadcast
-      // (training-side add-one smoothing) + |langs|-row totals grid
-      "langid_weights",
+      // learned langid model (full + holdout-trained variant): the
+      // 1-row vocab-size broadcast (training-side add-one smoothing)
+      // + |langs|-row totals grid
+      "langid_weights", "langid_weights_holdout",
       // stored ANN index builds: the broadcast k-row centroid /
       // 256-row codebook fan-outs of the k-means assignment step
       "sim.kmasg", "sim.ivfindex", "sim.ivfadc")

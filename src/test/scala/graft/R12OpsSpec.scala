@@ -1,0 +1,71 @@
+package graft
+
+import graft.text.TextAnalysis
+
+/** Round-12 operator specs: char-level duplicated spans. */
+class R12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // One shared passage, three surface forms: clean, punctuation/casing
+  // drifted (re-tokenizes differently on every word), and offset by an
+  // unshared prefix (breaks any fixed-stride sampling grid).
+  private val passage = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu")
+  private val clean = passage.mkString(" ")
+  private val drifted = passage.map(_.capitalize).mkString(", ") + "!!"
+  private val shifted = "unshared preamble words here " + clean
+
+  test("char dup spans: punctuation/casing drift is caught at char level") {
+    val df = Seq((0L, clean), (1L, drifted), (2L, shifted))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.dupChars(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 3)
+    Seq(0L, 1L, 2L).foreach { id =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_dup_grams") > 0L, s"doc $id grams")
+      assert(r.getAs[Long]("n_dup_spans") >= 1L, s"doc $id spans")
+      assert(r.getAs[Long]("longest_dup_span_chars") >= 50L, s"doc $id longest")
+      assert(r.getAs[Long]("dup_coverage_chars") >= 50L, s"doc $id coverage")
+      assert(r.getAs[Long]("dup_coverage_chars") <= r.getAs[Long]("n_chars"),
+        s"doc $id coverage bound")
+    }
+    // drift normalizes away entirely: docs 0 and 1 have identical
+    // normalized streams, so their coverage accounting is identical
+    assert(rows(0L).getAs[Long]("n_dup_grams") ==
+      rows(1L).getAs[Long]("n_dup_grams"))
+    assert(rows(0L).getAs[Long]("dup_coverage_chars") ==
+      rows(1L).getAs[Long]("dup_coverage_chars"))
+  }
+
+  test("char dup spans: the word-8-gram pass misses the same drifted pair") {
+    // The r10/r11 documented gap this operator closes: pervasive
+    // punctuation drift changes EVERY whitespace token, so no word
+    // 8-gram survives — the word-level pass reports zero duplication
+    // on the exact pair the char-level pass catches above.
+    val df = Seq((0L, clean), (1L, drifted)).toDF("doc_id", "text")
+    val rows = TextAnalysis.dupSpans(df).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_grams") == 0L)
+      assert(r.getAs[Long]("n_dup_spans") == 0L)
+      assert(r.getAs[Long]("dup_coverage_tokens") == 0L)
+    }
+  }
+
+  test("char dup spans: disjoint documents report zero duplication") {
+    val df = Seq(
+      (0L, clean),
+      (1L, "entirely different content with no shared passage at all " * 3))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.dupChars(df).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_grams") == 0L)
+      assert(r.getAs[Long]("n_dup_spans") == 0L)
+      assert(r.getAs[Long]("dup_coverage_chars") == 0L)
+    }
+  }
+}
