@@ -1443,6 +1443,94 @@ object Quality {
       .orderBy($"source")
   }
 
+  // --- URL/domain-level curation (r12) -----------------------------
+
+  /** Deterministic per-document crawl URL with planted drift. The
+    * corpus ships no URL column, so (doc_id) synthesizes one the same
+    * way the multimodal corpus synthesizes media payloads: each
+    * 7-document block belongs to one of 5 sites, the first `site+1`
+    * docs of a block are re-crawls of ONE canonical page (so the
+    * per-domain duplicate rate varies site-by-site, 0‰ to ~571‰), and
+    * the raw form varies by doc_id % 4 — scheme case, `www.` prefix,
+    * trailing slash, tracking query, fragment — exactly the drift URL
+    * normalization must collapse. Normalization (the operator under
+    * test): lowercase, strip scheme, strip leading `www.`, drop query
+    * and fragment, drop the trailing slash. All of it is scan-speed
+    * string expressions, replayed verbatim by the DuckDB oracles. */
+  private[graft] def urlFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("site", expr("(doc_id div 7) % 5"))
+      .withColumn("canon", expr(
+        "CASE WHEN doc_id % 7 <= (doc_id div 7) % 5 " +
+          "THEN (doc_id div 7) * 7 ELSE doc_id END"))
+      .withColumn("host", expr(
+        "concat('site', cast(site as string), '.example.', " +
+          "CASE WHEN site % 2 = 0 THEN 'com' ELSE 'org' END)"))
+      .withColumn("raw_url", expr(
+        """CASE cast(doc_id % 4 as int)
+          |  WHEN 0 THEN concat('https://', host, '/page/', cast(canon as string))
+          |  WHEN 1 THEN concat('http://www.', host, '/page/', cast(canon as string), '/')
+          |  WHEN 2 THEN concat('HTTPS://', upper(host), '/page/', cast(canon as string),
+          |    '?utm_source=feed&utm_campaign=x')
+          |  ELSE concat('https://', host, '/page/', cast(canon as string), '#section-2')
+          |END""".stripMargin))
+      .withColumn("url",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower($"raw_url"), "^[a-z]+://", ""), "^www\\.", ""),
+          "[?#].*$", ""), "/$", ""))
+      .withColumn("domain", substring_index($"url", "/", 1))
+      .select($"doc_id", $"n_chars", $"raw_url", $"url", $"domain")
+  }
+
+  /** URL-LEVEL DEDUP — the first curation pass of a crawl-based
+    * corpus build (before any content hashing): normalize each
+    * document's URL and keep one document per canonical URL (min
+    * doc_id). Emits the per-doc audit a removal pass consumes: the
+    * raw and normalized URL, the registered domain, the group size
+    * and the keeper verdict.
+    *
+    * Scale shape: synthesis + normalization are scan-speed string
+    * expressions; the group accounting is ONE window over the url
+    * hash partition (groups are re-crawl-sized, never corpus-sized) —
+    * a single exchange at any corpus size. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"url")
+    urlFrame(Tables.load(spark, dir, "documents"))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("keeper", $"doc_id" === min($"doc_id").over(w))
+      .select($"doc_id", $"raw_url", $"url", $"domain", $"n_dups", $"keeper")
+      .orderBy($"doc_id")
+  }
+
+  /** DOMAIN-REPUTATION MIX — the source-domain filter step of a
+    * pretraining pipeline: per registered domain, documents, distinct
+    * pages (normalized URLs), exact bytes, the duplicate share, a
+    * reputation score (1000 minus the dup share — domains that
+    * re-serve the same page are boilerplate farms), and the mix
+    * keep-rate in the SAME 900/500/200‰ tiers as the per-source mix
+    * rule ([[qMixWeighted]]'s rate map), so domain- and source-level
+    * curation speak one weight language. One rollup over the
+    * [[urlFrame]] definition shared with [[qUrlDedup]] — the two
+    * views cannot disagree on what a page or a domain is. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    urlFrame(Tables.load(spark, dir, "documents"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"url").as("n_pages"),
+        sum($"n_chars").as("sum_chars"))
+      .withColumn("dup_permille", expr("((n_docs - n_pages) * 1000) div n_docs"))
+      .withColumn("rep_permille", expr("1000 - dup_permille"))
+      .withColumn("keep_permille", expr(
+        "CASE WHEN rep_permille >= 900 THEN 900L " +
+          "WHEN rep_permille >= 700 THEN 500L ELSE 200L END"))
+      .withColumn("kept_docs_budget", expr("(n_docs * keep_permille) div 1000"))
+      .orderBy($"domain")
+  }
+
   /** A doc whose shingle set overlaps the benchmark by at least this
     * many permille is dropped by the pipeline's decontamination stage. */
   private[graft] val PipelineContamThreshold = 100L
@@ -2366,6 +2454,8 @@ object Quality {
     "q_dedup_norm" -> qDedupNorm,
     "q_funnel" -> qFunnel,
     "q_funnel_latency" -> qFunnelLatency,
+    "q_url_dedup" -> qUrlDedup,
+    "q_domain_mix" -> qDomainMix,
     "q_funnel_deadline" -> qFunnelDeadline,
     "q_mix_weighted" -> qMixWeighted,
     "q_mix_temperature" -> qMixTemperature,
@@ -2492,7 +2582,72 @@ object Quality {
        |  FROM m)""".stripMargin
   }
 
+  /** The synthesized-raw-URL → normalized-URL CTE chain shared by the
+    * two URL-curation oracles — the exact DuckDB replay of
+    * [[urlFrame]] (// is DuckDB floor division = Spark div on
+    * non-negative doc_id). */
+  private val duckUrlCte: String =
+    """u AS MATERIALIZED (
+      |  SELECT doc_id, n_chars,
+      |    (doc_id // 7) % 5 AS site,
+      |    CASE WHEN doc_id % 7 <= (doc_id // 7) % 5
+      |         THEN (doc_id // 7) * 7 ELSE doc_id END AS canon
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, n_chars, canon,
+      |    concat('site', CAST(site AS VARCHAR), '.example.',
+      |      CASE WHEN site % 2 = 0 THEN 'com' ELSE 'org' END) AS host
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN concat('https://', host, '/page/', CAST(canon AS VARCHAR))
+      |      WHEN 1 THEN concat('http://www.', host, '/page/', CAST(canon AS VARCHAR), '/')
+      |      WHEN 2 THEN concat('HTTPS://', upper(host), '/page/', CAST(canon AS VARCHAR),
+      |        '?utm_source=feed&utm_campaign=x')
+      |      ELSE concat('https://', host, '/page/', CAST(canon AS VARCHAR), '#section-2')
+      |    END AS raw_url
+      |  FROM h),
+      |nu AS MATERIALIZED (
+      |  SELECT doc_id, n_chars, raw_url,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(raw_url), '^[a-z]+://', ''), '^www\.', ''),
+      |      '[?#].*$', ''), '/$', '') AS url
+      |  FROM r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_url_dedup" ->
+      s"""WITH $duckUrlCte,
+         |g AS (SELECT url, CAST(count(*) AS BIGINT) AS n_dups,
+         |       min(doc_id) AS keeper_id
+         |      FROM nu GROUP BY url)
+         |SELECT nu.doc_id, nu.raw_url, nu.url,
+         |  split_part(nu.url, '/', 1) AS domain,
+         |  g.n_dups, nu.doc_id = g.keeper_id AS keeper
+         |FROM nu JOIN g USING (url)
+         |ORDER BY nu.doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      s"""WITH $duckUrlCte,
+         |d AS (SELECT split_part(url, '/', 1) AS domain,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |      FROM nu GROUP BY 1),
+         |s AS (SELECT domain, n_docs, n_pages, sum_chars,
+         |       ((n_docs - n_pages) * 1000) // n_docs AS dup_permille
+         |      FROM d),
+         |s2 AS (SELECT *, 1000 - dup_permille AS rep_permille FROM s),
+         |s3 AS (SELECT *,
+         |        CASE WHEN rep_permille >= 900 THEN 900
+         |             WHEN rep_permille >= 700 THEN 500
+         |             ELSE 200 END AS keep_permille
+         |       FROM s2)
+         |SELECT domain, n_docs, n_pages, sum_chars, dup_permille,
+         |  rep_permille, CAST(keep_permille AS BIGINT) AS keep_permille,
+         |  (n_docs * keep_permille) // 1000 AS kept_docs_budget
+         |FROM s3 ORDER BY domain""".stripMargin,
+
     "q_profile_columns" ->
       """WITH a AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -56,6 +56,47 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  test("url dedup: drift variants collapse; exactly one keeper per page") {
+    val rows = graft.quality.Quality.qUrlDedup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val url = r.getAs[String]("url")
+      // normalization left no scheme/www/query/fragment/trailing slash
+      assert(!url.contains("://") && !url.startsWith("www."), url)
+      assert(!url.contains("?") && !url.contains("#") && !url.endsWith("/"), url)
+      assert(url == url.toLowerCase, url)
+      assert(r.getAs[String]("domain") == url.takeWhile(_ != '/'))
+    }
+    val byUrl = rows.groupBy(_.getAs[String]("url"))
+    byUrl.foreach { case (url, g) =>
+      assert(g.count(_.getAs[Boolean]("keeper")) == 1, s"keepers of $url")
+      assert(g.forall(_.getAs[Long]("n_dups") == g.length), s"n_dups of $url")
+      val keeper = g.find(_.getAs[Boolean]("keeper")).get
+      assert(keeper.getAs[Long]("doc_id") == g.map(_.getAs[Long]("doc_id")).min)
+    }
+    // the planted drift really exercises all four raw forms of one page
+    assert(byUrl.exists(_._2.length >= 2))
+  }
+
+  test("domain mix: dup share varies by site and drives the keep tier") {
+    val rows = graft.quality.Quality.qDomainMix(spark, sf0001).collect()
+      .map(r => r.getAs[String]("domain") -> r).toMap
+    assert(rows.size == 5) // 5 synthesized sites
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_pages") <= r.getAs[Long]("n_docs"))
+      val dup = r.getAs[Long]("dup_permille")
+      assert(r.getAs[Long]("rep_permille") == 1000L - dup)
+      val keep = r.getAs[Long]("keep_permille")
+      assert(Seq(900L, 500L, 200L).contains(keep))
+      assert(r.getAs[Long]("kept_docs_budget") ==
+        r.getAs[Long]("n_docs") * keep / 1000)
+    }
+    // site0 collapses nothing (rep 1000 → top tier), site4 collapses
+    // 5 of every 7 docs (rep ~429 → bottom tier)
+    assert(rows("site0.example.com").getAs[Long]("keep_permille") == 900L)
+    assert(rows("site4.example.com").getAs[Long]("keep_permille") == 200L)
+  }
+
   test("char dup spans: disjoint documents report zero duplication") {
     val df = Seq(
       (0L, clean),
