@@ -50,7 +50,15 @@ object Bench {
     // (one (doc, char) combine), and Shapley (one user shuffle + a
     // constant lattice — should sit near 1.0 like markov)
     "q_graph_lcc", "q_ccnet_buckets", "q_text_rm3", "q_text_entropy",
-    "q_attr_shapley")
+    "q_attr_shapley",
+    // r11→r12 banded-rank rewrites (VERDICT r11 task 3): the z-order
+    // block numbering and the RFM quintile cuts replaced global-order
+    // windows with the BandedRank protocol — locally a bit slower,
+    // scale-safe; the ratio row is the measured proof
+    "q_zorder", "q_rfm_segments",
+    // r12 heavy: char-level dup spans (winnowed char-gram selection +
+    // one (doc, gram-hash) shuffle — must track corpus chars linearly)
+    "q_text_dup_chars")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

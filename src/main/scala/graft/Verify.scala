@@ -3,12 +3,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val outDir = args(1)
-    // Optional extra args: run only the named queries (dev loop); the
-    // driver always passes exactly (sfDir, outDir) and gets the full dump.
-    val only = args.drop(2).toSet
-    val spark = GraftSession.build()
+  /** Dump every selected query's result to `outDir/<name>` — the loop
+    * shared by the driver-contract main and [[DeterminismSweep]]
+    * (which calls it twice on ONE session to compare a cold and a
+    * memoization-warm pass). */
+  private[graft] def dump(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -19,6 +19,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1)
+    // Optional extra args: run only the named queries (dev loop); the
+    // driver always passes exactly (sfDir, outDir) and gets the full dump.
+    val only = args.drop(2).toSet
+    val spark = GraftSession.build()
+    dump(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
