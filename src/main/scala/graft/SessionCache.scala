@@ -33,27 +33,33 @@ object SessionCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Construct-time plan ledger: the optimized logical plan of every
+  /** Construct-time plan ledger: the staged DataFrame of every
     * frame staged in this session, keyed by `appPrefix + stage key`.
     * This is the audit hook that makes PlanSpec's
     * `executesOnConstruct` exclusion honest (r12): a query whose
     * windows/cross-joins execute inside a construct-time stage write
     * is invisible to the whole-surface plan sweeps — the returned
     * frame is just a parquet scan — so the sweep reads the staged
-    * plans from here instead. Recording costs nothing extra: the
-    * optimized plan is already computed for the write; one map entry
-    * per distinct stage key per session. */
+    * plans from here instead. The pre-write DataFrame is stored, not
+    * its optimized plan: `queryExecution.optimizedPlan` runs a full
+    * Catalyst pass the write path does NOT share (the write optimizes
+    * its own command tree), so eager recording would re-optimize
+    * every staged plan at stage time — per ROUND for the iterative
+    * stagers (BPE, CC labels), and once over q_tr_staging's ~70-col
+    * fused tree. Deferring moves that cost into the audit spec; one
+    * map entry per distinct stage key per session. */
   private val stagedPlans = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    .empty[String, DataFrame]
 
   /** All staged plans recorded for `spark`'s application, keyed by the
-    * raw stage key. */
+    * raw stage key. Optimization runs HERE (audit time), memoized on
+    * each frame's own lazy QueryExecution. */
   def stagedPlanLedger(spark: SparkSession)
       : Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     val prefix = appPrefix(spark)
     stagedPlans.iterator
       .filter { case (k, _) => k.startsWith(prefix) }
-      .map { case (k, p) => k.stripPrefix(prefix) -> p }
+      .map { case (k, df) => k.stripPrefix(prefix) -> df.queryExecution.optimizedPlan }
       .toMap
   }
 
@@ -167,7 +173,7 @@ object SessionCache {
     * files (zero rows in every partition) falls back to the original
     * plan — correct, just unmaterialized. */
   def stage(spark: SparkSession, key: String)(df: DataFrame): DataFrame = {
-    stagedPlans.put(appPrefix(spark) + key, df.queryExecution.optimizedPlan)
+    stagedPlans.put(appPrefix(spark) + key, df)
     val dir = claimAppDir(spark).resolve(md5hex(key)).toString
     df.write.mode("overwrite").parquet(dir)
     Try(spark.read.parquet(dir)).getOrElse(df)
@@ -191,7 +197,7 @@ object SessionCache {
     purgeStale(spark)
     cache.getOrElseUpdate(fullKey(spark, key), {
       val built = build
-      stagedPlans.put(appPrefix(spark) + key, built.queryExecution.optimizedPlan)
+      stagedPlans.put(appPrefix(spark) + key, built)
       val name = "graft_idx_" + md5hex(key)
       val dir = claimAppDir(spark).resolve(name).toString
       graft.sources.Bucketed.write(built, name, dir, bucketKey, buckets)
