@@ -48,6 +48,25 @@ object CurationStream {
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Streaming URL-level dedup — the crawl-frontier half of
+    * [[Quality.qUrlDedup]]: normalize each arriving fetch's `raw_url`
+    * with the SAME [[Quality.normalizeUrl]] definition the batch
+    * queries apply, and pass only the FIRST fetch of each canonical
+    * URL within the watermark window; re-crawls (scheme/www/slash/
+    * tracking-query/fragment drift included) drop at ingest, before
+    * any content download or hashing. State is one entry per DISTINCT
+    * canonical URL seen inside the watermark, evicted as event time
+    * advances — re-crawls arriving later than the watermark are the
+    * batch layer's job (`qUrlDedup` over the landed table), exactly
+    * the [[curate]] contract at the URL level. The canonical `url`
+    * column stays in the output: the downstream content pipeline keys
+    * on it. */
+  def dedupByUrl(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("url", Quality.normalizeUrl(col("raw_url")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url")
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against the STORED bucket-weight table that the batch pass
     * ([[Quality.qImportanceDsir]] via [[Quality.importanceWeights]])

@@ -1476,13 +1476,21 @@ object Quality {
           |    '?utm_source=feed&utm_campaign=x')
           |  ELSE concat('https://', host, '/page/', cast(canon as string), '#section-2')
           |END""".stripMargin))
-      .withColumn("url",
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          lower($"raw_url"), "^[a-z]+://", ""), "^www\\.", ""),
-          "[?#].*$", ""), "/$", ""))
+      .withColumn("url", normalizeUrl($"raw_url"))
       .withColumn("domain", substring_index($"url", "/", 1))
       .select($"doc_id", $"n_chars", $"raw_url", $"url", $"domain")
   }
+
+  /** URL canonicalization — THE shared definition of "the same page":
+    * lowercase, strip scheme, strip leading `www.`, drop query and
+    * fragment, drop the trailing slash. [[urlFrame]] (both batch
+    * queries) and the streaming crawl-frontier leg
+    * ([[CurationStream.dedupByUrl]]) apply this verbatim, so batch
+    * and stream cannot disagree on which fetches are re-crawls. */
+  private[graft] def normalizeUrl(raw: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(raw), "^[a-z]+://", ""), "^www\\.", ""),
+      "[?#].*$", ""), "/$", "")
 
   /** URL-LEVEL DEDUP — the first curation pass of a crawl-based
     * corpus build (before any content hashing): normalize each

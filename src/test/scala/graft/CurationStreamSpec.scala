@@ -71,6 +71,54 @@ class CurationStreamSpec extends SparkSpec {
     assert(ids == Set(2L, 4L), ids)
   }
 
+  test("streaming URL dedup passes one fetch per canonical URL, matching batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+
+    // the batch view of the same crawl: every raw fetch with its
+    // canonical URL and the min-doc_id keeper verdict
+    val batch = Quality.qUrlDedup(spark, sf0001)
+    val fetches = batch.select($"doc_id", $"raw_url")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(fetches.length > 100)
+    val batchKeptUrls = batch.filter($"keeper").select($"url")
+      .as[String].collect().toSet
+    val urlOf = batch.select($"doc_id", $"url")
+      .as[(Long, String)].collect().toMap
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CurationStream.dedupByUrl(
+      input.toDF().toDF("doc_id", "raw_url", "ts"), "ts", "1 hour")
+      .select($"doc_id", $"url")
+    val q = out.writeStream.format("memory").queryName("url_deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(fetches.map { case (id, raw) =>
+        (id, raw, ts("2026-08-12 10:00:00")) }: _*)
+      q.processAllAvailable()
+      // a re-crawl of the whole frontier inside the watermark: all drop
+      input.addData(fetches.map { case (id, raw) =>
+        (id + 1000000L, raw, ts("2026-08-12 10:30:00")) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("url_deduped")
+      .as[(Long, String)].collect()
+    // exactly one survivor per canonical URL — the same URL SET the
+    // batch keeper verdict selects (the batch keeper is min doc_id;
+    // within one micro-batch any group member may win the stream race,
+    // so parity is on the canonical-URL set, not the keeper ids)
+    assert(got.map(_._2).toSet == batchKeptUrls)
+    assert(got.length == batchKeptUrls.size, "one row per canonical URL")
+    // every survivor's url must be ITS OWN normalization — the shared
+    // definition applied by the stream, not an arbitrary group label
+    got.foreach { case (id, url) =>
+      assert(id < 1000000L, s"second-wave re-crawl $id must not pass")
+      assert(urlOf(id) == url, s"$id normalized to $url")
+    }
+  }
+
   test("streaming importance scores == batch scores against the same stored weights") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
