@@ -67,6 +67,28 @@ object CurationStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("url")
 
+  /** Streaming per-domain distinct-page counts — the online half of
+    * [[Quality.qDomainMix]]'s `n_pages` metric, as CHAINED stateful
+    * operators: [[dedupByUrl]]'s watermarked URL dedup feeds an
+    * event-time-windowed per-domain count, so each emitted row is the
+    * number of DISTINCT canonical pages a domain served in the hour —
+    * the input a reputation scorer needs, computed without
+    * `count_distinct` (unsupported in streaming) because the dedup
+    * stage already made rows unique per (watermark window, URL).
+    * Domain extraction is the SAME `substring_index(url, '/', 1)`
+    * definition as the batch rollup. Append mode: a window's row
+    * emits once, when the watermark passes the window end — the
+    * downstream reputation table can merge-upsert it idempotently.
+    * State: dedup's per-URL entries plus one row per open
+    * (window, domain) — both frontier-sized, both evicted by the
+    * SAME watermark. */
+  def domainPagesHourly(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame =
+    dedupByUrl(docs, tsCol, watermark)
+      .withColumn("domain", substring_index(col("url"), "/", 1))
+      .groupBy(window(col(tsCol), "1 hour"), col("domain"))
+      .agg(count(lit(1)).as("n_pages"))
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against the STORED bucket-weight table that the batch pass
     * ([[Quality.qImportanceDsir]] via [[Quality.importanceWeights]])

@@ -119,6 +119,46 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("chained dedup->window agg: streaming per-domain pages == batch n_pages") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+
+    val fetches = Quality.qUrlDedup(spark, sf0001)
+      .select($"doc_id", $"raw_url")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batchPages = Quality.qDomainMix(spark, sf0001)
+      .select($"domain", $"n_pages")
+      .as[(String, Long)].collect().toMap
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CurationStream.domainPagesHourly(
+      input.toDF().toDF("doc_id", "raw_url", "ts"), "ts", "10 minutes")
+      .select($"window.start".as("ws"), $"domain", $"n_pages")
+    val q = out.writeStream.format("memory").queryName("domain_pages")
+      .outputMode("append").start()
+    try {
+      // the whole crawl lands inside the 10:00-11:00 window...
+      input.addData(fetches.map { case (id, raw) =>
+        (id, raw, ts("2026-08-12 10:00:00")) }: _*)
+      q.processAllAvailable()
+      // ...and a late heartbeat advances the watermark past 11:10,
+      // closing the window so append mode emits it
+      input.addData((-1L, "https://heartbeat.example.com/x",
+        ts("2026-08-12 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("domain_pages")
+      .filter($"ws" === ts("2026-08-12 10:00:00"))
+      .select($"domain", $"n_pages")
+      .as[(String, Long)].collect().toMap
+    // every domain's hourly distinct-page count equals the batch
+    // rollup's n_pages — the shared normalization + domain definitions
+    // make the two views agree exactly
+    assert(got == batchPages, s"got $got want $batchPages")
+  }
+
   test("streaming importance scores == batch scores against the same stored weights") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
