@@ -3,10 +3,13 @@
 graft.DeterminismSweep (dev-box tooling; python3 + duckdb are the
 driver-side stack, not library dependencies).
 
-Each dump dir holds one parquet dir per query. For every query present
-in the FIRST dump, all dumps are loaded, columns sorted by name, rows
-sorted by all columns, values compared as strings (the driver's hash
-convention). Exit 1 on any divergence or missing query.
+Each dump dir holds one parquet dir per query. Query names are the
+UNION across all dumps — a query that failed to dump in one pass (the
+Verify loop catches per-query failures) must surface as a divergence
+here, not silently shrink the compared surface. For every name, all
+dumps are loaded, columns sorted by name, rows sorted by all columns,
+values compared as strings (the driver's hash convention). Exit 1 on
+any divergence or missing query.
 """
 import sys, os, glob
 import duckdb
@@ -19,10 +22,11 @@ def load(d, name):
     return con.execute(
         f"SELECT * FROM read_parquet('{os.path.join(d, name)}/*.parquet')").df()
 
-names = sorted(
-    os.path.basename(p) for p in glob.glob(os.path.join(dirs[0], "*"))
-    if os.path.isdir(p))
-assert names, f"no query dumps under {dirs[0]}"
+names = sorted({
+    os.path.basename(p)
+    for d in dirs for p in glob.glob(os.path.join(d, "*"))
+    if os.path.isdir(p)})
+assert names, f"no query dumps under any of {dirs}"
 bad = []
 for name in names:
     frames = []

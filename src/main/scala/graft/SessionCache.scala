@@ -145,6 +145,10 @@ object SessionCache {
   private def purgeStale(spark: SparkSession): Unit = {
     val prefix = appPrefix(spark)
     cache.keys.filterNot(_.startsWith(prefix)).foreach(cache.remove)
+    // the plan ledger pins whole analyzed trees (and their sessions) —
+    // entries of dead applications must go with the cache entries
+    stagedPlans.keys.filterNot(_.startsWith(prefix))
+      .foreach(stagedPlans.remove)
     val live = spark.sparkContext.applicationId
     if (Files.isDirectory(root)) {
       val stale = Files.list(root)

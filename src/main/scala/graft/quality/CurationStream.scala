@@ -69,25 +69,56 @@ object CurationStream {
 
   /** Streaming per-domain distinct-page counts — the online half of
     * [[Quality.qDomainMix]]'s `n_pages` metric, as CHAINED stateful
-    * operators: [[dedupByUrl]]'s watermarked URL dedup feeds an
-    * event-time-windowed per-domain count, so each emitted row is the
-    * number of DISTINCT canonical pages a domain served in the hour —
-    * the input a reputation scorer needs, computed without
-    * `count_distinct` (unsupported in streaming) because the dedup
-    * stage already made rows unique per (watermark window, URL).
-    * Domain extraction is the SAME `substring_index(url, '/', 1)`
-    * definition as the batch rollup. Append mode: a window's row
-    * emits once, when the watermark passes the window end — the
-    * downstream reputation table can merge-upsert it idempotently.
-    * State: dedup's per-URL entries plus one row per open
-    * (window, domain) — both frontier-sized, both evicted by the
-    * SAME watermark. */
+    * operators: a watermarked dedup keyed on (hour window, canonical
+    * URL) feeds an event-time-windowed per-domain count, so each
+    * emitted row is the number of DISTINCT canonical pages a domain
+    * served in the hour — the input a reputation scorer needs,
+    * computed without `count_distinct` (unsupported in streaming)
+    * because the dedup stage made rows unique per (hour, URL). The
+    * dedup key must include the hour: [[dedupByUrl]]'s plain-URL
+    * key has frontier semantics (one fetch per URL per watermark
+    * LIFETIME), which both undercounts a page legitimately re-served
+    * in a later hour and overcounts when dedup state for an
+    * early-hour fetch is evicted while its window is still open. The
+    * hour key is a plain `date_trunc` bucket, NOT the `window()`
+    * struct: the windowing rule tags its output as the stream's
+    * event-time column, and a dedup whose event-time column is the
+    * window struct silently loses cross-batch state (measured: every
+    * re-fetch passed), while keeping BOTH columns is rejected as two
+    * event times — the raw ts must stay the one event-time column
+    * through the dedup, and the agg derives its window from it.
+    * The watermark delay must be AT LEAST the window length: two
+    * same-hour fetches are at most an hour apart, so a ≥ 1 h delay
+    * guarantees the first fetch's dedup state is still live when the
+    * duplicate arrives; a shorter delay would reopen the overcount.
+    * Enforced, since a silent overcount is a wrong reputation score.
+    * Domain extraction and URL normalization are the SAME definitions
+    * as the batch rollup. Append mode: a window's row emits once,
+    * when the watermark passes the window end — the downstream
+    * reputation table can merge-upsert it idempotently. State: one
+    * dedup entry per in-window (window, URL) plus one agg row per
+    * open (window, domain) — frontier-sized, evicted by one
+    * watermark. */
   def domainPagesHourly(docs: DataFrame, tsCol: String,
-      watermark: String): DataFrame =
-    dedupByUrl(docs, tsCol, watermark)
+      watermark: String): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(watermark))
+    // lower bound: count a month as its shortest calendar length
+    val delayMicros = iv.microseconds +
+      (iv.days + 28L * iv.months) * 86400L * 1000 * 1000
+    require(delayMicros >= 3600L * 1000 * 1000,
+      s"watermark '$watermark' shorter than the 1 hour window: " +
+        "same-hour re-fetches could outlive dedup state and overcount")
+    docs
+      .withColumn("url", Quality.normalizeUrl(col("raw_url")))
+      .withColumn("hour_key", date_trunc("hour", col(tsCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("hour_key", "url")
       .withColumn("domain", substring_index(col("url"), "/", 1))
       .groupBy(window(col(tsCol), "1 hour"), col("domain"))
       .agg(count(lit(1)).as("n_pages"))
+  }
 
   /** Streaming DSIR importance scoring: score arriving documents
     * against the STORED bucket-weight table that the batch pass

@@ -131,9 +131,18 @@ class CurationStreamSpec extends SparkSpec {
       .select($"domain", $"n_pages")
       .as[(String, Long)].collect().toMap
 
+    // a sub-window watermark would let same-hour re-fetches outlive
+    // dedup state and overcount — the operator must refuse it
+    intercept[IllegalArgumentException] {
+      CurationStream.domainPagesHourly(
+        spark.readStream.format("rate").load()
+          .selectExpr("value as doc_id", "'x' as raw_url",
+            "timestamp as ts"), "ts", "10 minutes")
+    }
+
     val input = MemoryStream[(Long, String, Timestamp)]
     val out = CurationStream.domainPagesHourly(
-      input.toDF().toDF("doc_id", "raw_url", "ts"), "ts", "10 minutes")
+      input.toDF().toDF("doc_id", "raw_url", "ts"), "ts", "1 hour")
       .select($"window.start".as("ws"), $"domain", $"n_pages")
     val q = out.writeStream.format("memory").queryName("domain_pages")
       .outputMode("append").start()
@@ -142,10 +151,14 @@ class CurationStreamSpec extends SparkSpec {
       input.addData(fetches.map { case (id, raw) =>
         (id, raw, ts("2026-08-12 10:00:00")) }: _*)
       q.processAllAvailable()
-      // ...and a late heartbeat advances the watermark past 11:10,
-      // closing the window so append mode emits it
+      // ...a same-hour whole-frontier re-crawl must dedup away...
+      input.addData(fetches.map { case (id, raw) =>
+        (id + 1000000L, raw, ts("2026-08-12 10:45:00")) }: _*)
+      q.processAllAvailable()
+      // ...and a late heartbeat advances the watermark past the
+      // window end, closing it so append mode emits it
       input.addData((-1L, "https://heartbeat.example.com/x",
-        ts("2026-08-12 12:00:00")))
+        ts("2026-08-12 13:00:00")))
       q.processAllAvailable()
     } finally q.stop()
 

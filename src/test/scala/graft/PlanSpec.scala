@@ -403,8 +403,12 @@ class PlanSpec extends SparkSpec {
     // family, whose checkpointed rounds table hid the r11 offender) and
     // runs the same two audits over every recorded construct-time plan.
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
-    (executesOnConstruct ++ Seq("q_bpe_train", "q_bpe_encode")).toSeq.sorted
-      .foreach(name => SparkEntry.queries(name)(spark, sf0001))
+    // Construct each excluded query ONCE and keep the frame — the
+    // final-plan audit below reuses it (a second construction would
+    // re-execute every non-memoized stage write).
+    val frames = (executesOnConstruct ++ Seq("q_bpe_train", "q_bpe_encode"))
+      .toSeq.sorted
+      .map(name => name -> SparkEntry.queries(name)(spark, sf0001)).toMap
     val ledger = graft.SessionCache.stagedPlanLedger(spark)
     assert(ledger.size >= 15, s"staged-plan ledger unexpectedly small: ${ledger.keySet}")
     // Normalize per-call counters so allowlists are shape- not run-keyed.
@@ -460,7 +464,7 @@ class PlanSpec extends SparkSpec {
       // partial-aggregate table)
       "q_revenue_monthly_inc")
     val finalOffenders = executesOnConstruct.toSeq.sorted.flatMap { name =>
-      val p = SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+      val p = frames(name).queryExecution.optimizedPlan
       if (unboundedGlobalWindows(p).nonEmpty && !finalBounded.contains(name)) Some(name)
       else None
     }
