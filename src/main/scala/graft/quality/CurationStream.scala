@@ -120,6 +120,25 @@ object CurationStream {
       .agg(count(lit(1)).as("n_pages"))
   }
 
+  /** [[domainPagesHourly]]'s constant-state sibling: hourly distinct
+    * pages per domain as an HLL sketch (`approx_count_distinct` runs
+    * fine in streaming — it is a mergeable partial aggregate, not a
+    * `count_distinct`), ONE stateful operator whose state is a
+    * fixed-size sketch per open (window, domain) — no per-URL entry
+    * anywhere. This is the 100 TB arm of the pair: the exact chained
+    * leg keeps one dedup entry per in-window canonical URL (fine
+    * while the hourly frontier fits state), the sketch leg keeps
+    * kilobytes per domain regardless of crawl rate, at the standard
+    * ~2% HLL error. Same normalization + domain definitions. */
+  def domainPagesHourlySketch(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("url", Quality.normalizeUrl(col("raw_url")))
+      .withColumn("domain", substring_index(col("url"), "/", 1))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("domain"))
+      .agg(approx_count_distinct(col("url")).as("n_pages_approx"))
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against the STORED bucket-weight table that the batch pass
     * ([[Quality.qImportanceDsir]] via [[Quality.importanceWeights]])

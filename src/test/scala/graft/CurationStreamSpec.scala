@@ -172,6 +172,51 @@ class CurationStreamSpec extends SparkSpec {
     assert(got == batchPages, s"got $got want $batchPages")
   }
 
+  test("sketch leg: hourly approx page counts within HLL error of batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+
+    val fetches = Quality.qUrlDedup(spark, sf0001)
+      .select($"doc_id", $"raw_url")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batchPages = Quality.qDomainMix(spark, sf0001)
+      .select($"domain", $"n_pages")
+      .as[(String, Long)].collect().toMap
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CurationStream.domainPagesHourlySketch(
+      input.toDF().toDF("doc_id", "raw_url", "ts"), "ts", "10 minutes")
+      .select($"window.start".as("ws"), $"domain", $"n_pages_approx")
+    val q = out.writeStream.format("memory").queryName("domain_sketch")
+      .outputMode("append").start()
+    try {
+      input.addData(fetches.map { case (id, raw) =>
+        (id, raw, ts("2026-08-12 10:00:00")) }: _*)
+      q.processAllAvailable()
+      // re-crawl wave: the sketch absorbs duplicates by construction
+      input.addData(fetches.map { case (id, raw) =>
+        (id + 1000000L, raw, ts("2026-08-12 10:45:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((-1L, "https://heartbeat.example.com/x",
+        ts("2026-08-12 13:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("domain_sketch")
+      .filter($"ws" === ts("2026-08-12 10:00:00"))
+      .select($"domain", $"n_pages_approx")
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == batchPages.keySet)
+    // HLL++ default rsd 5%: allow ±10% and catch both the off-by-2x
+    // dedup failure mode and a sketch that counted raw fetches
+    got.foreach { case (domain, approx) =>
+      val exact = batchPages(domain)
+      assert(math.abs(approx - exact) <= math.max(2L, exact / 10),
+        s"$domain approx $approx vs exact $exact")
+    }
+  }
+
   test("streaming importance scores == batch scores against the same stored weights") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
