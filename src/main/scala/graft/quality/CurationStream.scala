@@ -80,7 +80,7 @@ object CurationStream {
     * LIFETIME), which both undercounts a page legitimately re-served
     * in a later hour and overcounts when dedup state for an
     * early-hour fetch is evicted while its window is still open. The
-    * hour key is a plain `date_trunc` bucket, NOT the `window()`
+    * hour key is a plain epoch-aligned bucket, NOT the `window()`
     * struct: the windowing rule tags its output as the stream's
     * event-time column, and a dedup whose event-time column is the
     * window struct silently loses cross-batch state (measured: every
@@ -112,10 +112,17 @@ object CurationStream {
         "same-hour re-fetches could outlive dedup state and overcount")
     docs
       .withColumn("url", Quality.normalizeUrl(col("raw_url")))
-      .withColumn("hour_key", date_trunc("hour", col(tsCol)))
+      // epoch-aligned hour bucket, the SAME boundaries window() uses —
+      // date_trunc truncates in the SESSION timezone, so under a
+      // non-whole-hour UTC offset (e.g. +05:30) its buckets straddle
+      // the count windows: one window sees two dedup buckets
+      // (overcount) and one local hour straddles two windows
+      // (undercount across the boundary)
+      .withColumn("hour_key", timestamp_seconds(
+        expr(s"(unix_timestamp($tsCol) div 3600) * 3600")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("hour_key", "url")
-      .withColumn("domain", substring_index(col("url"), "/", 1))
+      .withColumn("domain", Quality.domainOf(col("url")))
       .groupBy(window(col(tsCol), "1 hour"), col("domain"))
       .agg(count(lit(1)).as("n_pages"))
   }
@@ -128,16 +135,17 @@ object CurationStream {
     * anywhere. This is the 100 TB arm of the pair: the exact chained
     * leg keeps one dedup entry per in-window canonical URL (fine
     * while the hourly frontier fits state), the sketch leg keeps
-    * kilobytes per domain regardless of crawl rate, at the standard
-    * ~2% HLL error. Same normalization + domain definitions. */
+    * kilobytes per domain regardless of crawl rate, at 2% relative
+    * standard deviation (passed explicitly — the HLL++ default is
+    * 5%). Same normalization + domain definitions. */
   def domainPagesHourlySketch(docs: DataFrame, tsCol: String,
       watermark: String): DataFrame =
     docs
       .withColumn("url", Quality.normalizeUrl(col("raw_url")))
-      .withColumn("domain", substring_index(col("url"), "/", 1))
+      .withColumn("domain", Quality.domainOf(col("url")))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour"), col("domain"))
-      .agg(approx_count_distinct(col("url")).as("n_pages_approx"))
+      .agg(approx_count_distinct(col("url"), 0.02).as("n_pages_approx"))
 
   /** Streaming DSIR importance scoring: score arriving documents
     * against the STORED bucket-weight table that the batch pass

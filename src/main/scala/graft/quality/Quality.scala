@@ -1477,7 +1477,7 @@ object Quality {
           |  ELSE concat('https://', host, '/page/', cast(canon as string), '#section-2')
           |END""".stripMargin))
       .withColumn("url", normalizeUrl($"raw_url"))
-      .withColumn("domain", substring_index($"url", "/", 1))
+      .withColumn("domain", domainOf($"url"))
       .select($"doc_id", $"n_chars", $"raw_url", $"url", $"domain")
   }
 
@@ -1491,6 +1491,12 @@ object Quality {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       lower(raw), "^[a-z]+://", ""), "^www\\.", ""),
       "[?#].*$", ""), "/$", "")
+
+  /** The registered domain of a normalized URL — shared by the batch
+    * rollup ([[urlFrame]] → [[qDomainMix]]) and both streaming legs,
+    * same rule as [[normalizeUrl]]: one definition of "a domain". */
+  private[graft] def domainOf(url: Column): Column =
+    substring_index(url, "/", 1)
 
   /** URL-LEVEL DEDUP — the first curation pass of a crawl-based
     * corpus build (before any content hashing): normalize each

@@ -208,13 +208,42 @@ class CurationStreamSpec extends SparkSpec {
       .select($"domain", $"n_pages_approx")
       .as[(String, Long)].collect().toMap
     assert(got.keySet == batchPages.keySet)
-    // HLL++ default rsd 5%: allow ±10% and catch both the off-by-2x
+    // rsd pinned at 2%: allow ±10% and catch both the off-by-2x
     // dedup failure mode and a sketch that counted raw fetches
     got.foreach { case (domain, approx) =>
       val exact = batchPages(domain)
       assert(math.abs(approx - exact) <= math.max(2L, exact / 10),
         s"$domain approx $approx vs exact $exact")
     }
+  }
+
+  test("dedup hour bucket stays window-aligned in a half-hour-offset timezone") {
+    // date_trunc('hour') buckets in SESSION-local time; window() buckets
+    // on the epoch — under +05:30 a local-hour key straddles two count
+    // windows and breaks the one-row-per-(window, URL) guarantee. The
+    // operator's epoch arithmetic must agree with window() boundaries
+    // in ANY session timezone.
+    import org.apache.spark.sql.functions._
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Kolkata")
+      val rows = spark.sql(
+        """SELECT ts,
+          |  timestamp_seconds((unix_timestamp(ts) div 3600) * 3600) AS k,
+          |  window(ts, '1 hour').start AS ws,
+          |  date_trunc('hour', ts) AS local_trunc
+          |FROM VALUES
+          |  (timestamp'2026-08-12 04:10:00'),
+          |  (timestamp'2026-08-12 04:50:00'),
+          |  (timestamp'2026-08-12 05:05:00') AS t(ts)""".stripMargin)
+        .collect()
+      // the operator's bucket == the count window's start, always
+      rows.foreach { r => assert(r.get(1) == r.get(2), r.toString) }
+      // and the naive date_trunc bucket really does diverge here —
+      // the regression this test pins would be invisible in UTC
+      assert(rows.exists(r => r.get(3) != r.get(2)))
+    } finally spark.conf.set(tzKey, prev)
   }
 
   test("streaming importance scores == batch scores against the same stored weights") {
