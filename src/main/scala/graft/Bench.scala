@@ -213,15 +213,27 @@ object Bench {
           s"${name}_build" -> (System.nanoTime() - t0) / 1e9
         }
 
+    // A failing query must NOT be silently timed: its wall is the time
+    // to the throw, not the query's cost, and a green-looking total
+    // would hide a red query (q_mix_divergence failed every sf0.1 bench
+    // for a while — divide-by-zero on the all-rejected corpus — while
+    // its 1.2 s "timing" sat inconspicuously in the map). Failures are
+    // omitted from the timings map and named in the summary.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = staging ++ streaming ++ graphStaging ++ incBuilds ++
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,
       // timing a row-count scan instead of the query
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        failed += name
+        None
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -245,8 +257,9 @@ object Bench {
     // burst lands. Emitted BEFORE the summary so the totals line stays
     // last in any tail-capture window.
     println(s"""{"metric":"stream_batches","batches":$batchesJson}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      f"""{"metric":"bench_summary","total":$total%.3f,"staging":$stagingSec%.3f,"streaming":$streamingSec%.3f,"stream_trigger_sec":${streamBatches.map(_.triggerDurationMs).sum / 1000.0}%.3f,"n_queries":${selected.size},"unit":"sec","sf":"$sfDir"}"""
+      f"""{"metric":"bench_summary","total":$total%.3f,"staging":$stagingSec%.3f,"streaming":$streamingSec%.3f,"stream_trigger_sec":${streamBatches.map(_.triggerDurationMs).sum / 1000.0}%.3f,"n_queries":${selected.size},"n_failed":${failed.size},"failed":$failedJson,"unit":"sec","sf":"$sfDir"}"""
     println(summary)
     // File artifact (VERDICT r7 task 3): the full per-query map plus the
     // summary, immune to any stdout tail-capture convention.

@@ -1639,7 +1639,12 @@ object Quality {
       sum($"n_docs" * $"rate_permille").as("tot_target"))
     val shares = kept.crossJoin(broadcast(tot))
       .select($"source", $"n_docs", $"n_kept",
-        expr("(n_kept * 1000000) div tot_kept").as("achieved_ppm"),
+        // a pipeline that rejects EVERYTHING is a legitimate (alarming)
+        // state the report must survive, not crash on: at sf0.1 the
+        // synthetic benchmark source saturates the 31-token shingle
+        // space and contaminates every gate-passer, so tot_kept = 0
+        expr("CASE WHEN tot_kept = 0 THEN 0L " +
+          "ELSE (n_kept * 1000000) div tot_kept END").as("achieved_ppm"),
         expr("cast((cast(n_docs as decimal(38,0)) * rate_permille * 1000000) div tot_target as bigint)")
           .as("target_ppm"))
       .withColumn("abs_gap_ppm",
@@ -3843,7 +3848,9 @@ object Quality {
         |        FROM kept),
         |sh AS (
         |  SELECT kept.source, kept.n_docs, kept.n_kept,
-        |    CAST((kept.n_kept * 1000000) // tot.tot_kept AS BIGINT) AS achieved_ppm,
+        |    CAST(CASE WHEN tot.tot_kept = 0 THEN 0
+        |      ELSE (kept.n_kept * 1000000) // tot.tot_kept END AS BIGINT)
+        |      AS achieved_ppm,
         |    CAST((CAST(kept.n_docs AS HUGEINT) * kept.rate * 1000000)
         |      // tot.tot_target AS BIGINT) AS target_ppm
         |  FROM kept CROSS JOIN tot),
