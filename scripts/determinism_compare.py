@@ -3,15 +3,17 @@
 graft.DeterminismSweep (dev-box tooling; python3 + duckdb are the
 driver-side stack, not library dependencies).
 
-Each dump dir holds one parquet dir per query. Query names are the
-UNION across all dumps — a query that failed to dump in one pass (the
-Verify loop catches per-query failures) must surface as a divergence
-here, not silently shrink the compared surface. For every name, all
-dumps are loaded, columns sorted by name, rows sorted by all columns,
-values compared as strings (the driver's hash convention). Exit 1 on
-any divergence or missing query.
+Each dump dir holds one parquet dir per query plus a _manifest.json of
+the queries the dump INTENDED to run. Query names are the union of all
+manifests and all result dirs — so a query that failed to dump in one
+pass, or threw in EVERY pass and left no result dir anywhere (the
+Verify loop catches per-query failures), surfaces as a divergence
+instead of silently shrinking the compared surface. For every name,
+all dumps are loaded, columns sorted by name, rows sorted by all
+columns, values compared as strings (the driver's hash convention).
+Exit 1 on any divergence or missing query.
 """
-import sys, os, glob
+import sys, os, glob, json
 import duckdb
 
 dirs = sys.argv[1:]
@@ -22,10 +24,15 @@ def load(d, name):
     return con.execute(
         f"SELECT * FROM read_parquet('{os.path.join(d, name)}/*.parquet')").df()
 
-names = sorted({
+names = {
     os.path.basename(p)
     for d in dirs for p in glob.glob(os.path.join(d, "*"))
-    if os.path.isdir(p)})
+    if os.path.isdir(p)}
+for d in dirs:
+    m = os.path.join(d, "_manifest.json")
+    if os.path.exists(m):
+        names |= set(json.load(open(m)))
+names = sorted(names)
 assert names, f"no query dumps under any of {dirs}"
 bad = []
 for name in names:

@@ -46,10 +46,22 @@ object SessionCache {
     * its own command tree), so eager recording would re-optimize
     * every staged plan at stage time — per ROUND for the iterative
     * stagers (BPE, CC labels), and once over q_tr_staging's ~70-col
-    * fused tree. Deferring moves that cost into the audit spec; one
-    * map entry per distinct stage key per session. */
+    * fused tree. Deferring moves that cost into the audit spec.
+    *
+    * Keys are digit-NORMALIZED ([[ledgerKey]]): stage keys are
+    * deliberately unique per invocation for the re-entrant stagers
+    * (BPE's per-call counter, per-corpus dirs in the CC labels), so a
+    * raw-keyed ledger would grow for the JVM's lifetime in property
+    * suites and bench loops, each entry pinning a full analyzed tree.
+    * Collapsing digit runs bounds the map by the number of distinct
+    * stage SHAPES — the latest DataFrame per shape is exactly what the
+    * plan audit needs, and gating recording behind a flag instead
+    * would miss stages memoized by earlier suites on the shared test
+    * session. */
   private val stagedPlans = scala.collection.concurrent.TrieMap
     .empty[String, DataFrame]
+
+  private def ledgerKey(key: String): String = key.replaceAll("[0-9]+", "N")
 
   /** All staged plans recorded for `spark`'s application, keyed by the
     * raw stage key. Optimization runs HERE (audit time), memoized on
@@ -177,7 +189,7 @@ object SessionCache {
     * files (zero rows in every partition) falls back to the original
     * plan — correct, just unmaterialized. */
   def stage(spark: SparkSession, key: String)(df: DataFrame): DataFrame = {
-    stagedPlans.put(appPrefix(spark) + key, df)
+    stagedPlans.put(appPrefix(spark) + ledgerKey(key), df)
     val dir = claimAppDir(spark).resolve(md5hex(key)).toString
     df.write.mode("overwrite").parquet(dir)
     Try(spark.read.parquet(dir)).getOrElse(df)
@@ -201,7 +213,7 @@ object SessionCache {
     purgeStale(spark)
     cache.getOrElseUpdate(fullKey(spark, key), {
       val built = build
-      stagedPlans.put(appPrefix(spark) + key, built)
+      stagedPlans.put(appPrefix(spark) + ledgerKey(key), built)
       val name = "graft_idx_" + md5hex(key)
       val dir = claimAppDir(spark).resolve(name).toString
       graft.sources.Bucketed.write(built, name, dir, bucketKey, buckets)

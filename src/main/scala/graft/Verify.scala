@@ -10,9 +10,16 @@ object Verify {
   private[graft] def dump(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, outDir: String, only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // Manifest of INTENDED queries, written before anything runs: the
+    // determinism compare checks every dump against it, so a query
+    // that throws in EVERY pass (and so has no result dir anywhere)
+    // still surfaces as missing instead of silently shrinking the
+    // compared surface — the q_mix_divergence failure mode.
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+      selected.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

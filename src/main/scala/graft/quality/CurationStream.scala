@@ -119,7 +119,9 @@ object CurationStream {
       // (overcount) and one local hour straddles two windows
       // (undercount across the boundary)
       .withColumn("hour_key", timestamp_seconds(
-        expr(s"(unix_timestamp($tsCol) div 3600) * 3600")))
+        // identifier backtick-quoted (the bandOf rule): a ts column
+        // named with a dot would otherwise parse as a field path
+        expr(s"(unix_timestamp(`$tsCol`) div 3600) * 3600")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("hour_key", "url")
       .withColumn("domain", Quality.domainOf(col("url")))

@@ -535,6 +535,19 @@ object TextAnalysis {
     }.mkString("(", " + ", s") % ${RollP}L")
   }
 
+  /** The DuckDB replay of [[rollWindowHash]]: the same Rabin window
+    * hash over `strExpr` at 1-based position `posExpr` — ONE oracle
+    * definition shared by the q_text_rollhash and q_text_dup_chars
+    * oracles, mirroring the Spark-side sharing, so a RollK/RollP/base
+    * change cannot update one query's oracle and silently break the
+    * other's hash. */
+  private def duckRollWindowHash(strExpr: String, posExpr: String): String = {
+    val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
+    (1 to RollK).map { d =>
+      s"CAST(ascii(substring($strExpr, $posExpr + ${d - 1}, 1)) AS BIGINT) * ${powers(d - 1)}"
+    }.mkString("(", " + ", s") % $RollP")
+  }
+
   def qTextRollhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val windowHash = rollWindowHash
@@ -3142,10 +3155,7 @@ object TextAnalysis {
     // and the gap-64 island merge. MATERIALIZED: nrm/pos are each read
     // twice — inlining re-derives the lateral gram scan per reference.
     "q_text_dup_chars" -> {
-      val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
-      val sel = (1 to RollK).map { d =>
-        s"CAST(ascii(substring(n.norm, g.p + ${d - 1}, 1)) AS BIGINT) * ${powers(d - 1)}"
-      }.mkString("(", " + ", s") % $RollP % $DupCharSampleMod = 0")
+      val sel = s"${duckRollWindowHash("n.norm", "g.p")} % $DupCharSampleMod = 0"
       s"""WITH nrm AS MATERIALIZED (
          |  SELECT doc_id,
          |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
@@ -3204,10 +3214,7 @@ object TextAnalysis {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_rollhash" -> {
-      val powers = (0 until RollK).map(d => math.pow(31.0, RollK - 1 - d).toLong)
-      val windowHash = (1 to RollK).map { d =>
-        s"CAST(ascii(substring(text, i + ${d - 1}, 1)) AS BIGINT) * ${powers(d - 1)}"
-      }.mkString("(", " + ", s") % $RollP")
+      val windowHash = duckRollWindowHash("text", "i")
       s"""WITH w AS (
          |  SELECT doc_id,
          |    CASE WHEN length(text) < $RollK THEN CAST([] AS BIGINT[])

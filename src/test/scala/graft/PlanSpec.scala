@@ -410,7 +410,10 @@ class PlanSpec extends SparkSpec {
       .toSeq.sorted
       .map(name => name -> SparkEntry.queries(name)(spark, sf0001)).toMap
     val ledger = graft.SessionCache.stagedPlanLedger(spark)
-    assert(ledger.size >= 15, s"staged-plan ledger unexpectedly small: ${ledger.keySet}")
+    // ledger keys are digit-normalized (one entry per stage SHAPE, so
+    // re-entrant stagers can't grow the map unboundedly) — the floor
+    // counts shapes, not stage invocations
+    assert(ledger.size >= 8, s"staged-plan ledger unexpectedly small: ${ledger.keySet}")
     // Normalize per-call counters so allowlists are shape- not run-keyed.
     def family(key: String): String =
       key.takeWhile(_ != '|').replaceAll("_\\d+$", "_N")
