@@ -58,7 +58,11 @@ object Bench {
     "q_zorder", "q_rfm_segments",
     // r12 heavy: char-level dup spans (winnowed char-gram selection +
     // one (doc, gram-hash) shuffle — must track corpus chars linearly)
-    "q_text_dup_chars")
+    "q_text_dup_chars",
+    // r12 continuation: the 32-replicate Poisson bootstrap's scan-side
+    // fan-out must scale linearly in events; split leakage's shuffled
+    // gram semi-join must track corpus grams linearly
+    "q_ab_bootstrap", "q_split_leakage")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

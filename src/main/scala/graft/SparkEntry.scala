@@ -24,6 +24,7 @@ object SparkEntry {
       (graft.sim.Similarity.queries, graft.sim.Similarity.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles),
       (graft.quality.Quality.queries, graft.quality.Quality.oracles),
+      (graft.quality.Labeling.queries, graft.quality.Labeling.oracles),
       (graft.graph.GraphOps.queries, graft.graph.GraphOps.oracles),
       (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles),
       (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles),

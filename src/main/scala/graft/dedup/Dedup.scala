@@ -611,14 +611,63 @@ object Dedup {
     * parallel). ~13/16 train, 2/16 val, 1/16 test. */
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    splitAssigned(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"fp", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** The ONE split-assignment definition — shared by [[qSplitAssign]]
+    * and the cross-split leakage audit ([[qSplitLeakage]]), so the
+    * audit can never measure leakage against a different split than
+    * the one the pipeline assigns. Adds `fp`, `bucket`, `split`. */
+  private[graft] def splitAssigned(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .withColumn("fp", md5($"text".cast("binary")))
       .withColumn("bucket", expr(
         "instr('0123456789abcdef', substring(md5(cast(concat('split|', fp) as binary)), 1, 1)) - 1")
         .cast("long"))
-      .select($"doc_id", $"fp", $"bucket",
+      .withColumn("split",
         when($"bucket" < 13, "train").when($"bucket" < 15, "val")
-          .otherwise("test").as("split"))
+          .otherwise("test"))
+  }
+
+  /** CROSS-SPLIT GRAM LEAKAGE — the memorization-risk audit the
+    * split assignment alone can't give: [[qSplitAssign]] guarantees
+    * byte-identical copies never straddle splits, but two DISTINCT
+    * documents sharing word 3-grams still can, and every shared gram
+    * is eval text the model saw in training. Per test-split document:
+    * how many of its distinct shingles also occur in ANY train-split
+    * document (the canary/contamination measurement of an eval set
+    * against its own training corpus — same shape as benchmark
+    * decontamination, but the "benchmark" is the test split itself).
+    *
+    * Scale shape: split assignment is scan-speed (salted-hash
+    * expressions); the audit is ONE shuffle on the 8-byte shingle
+    * hash joining test-side (doc, gram) rows against the train-side
+    * distinct gram set. The train side is ~13/16 of the corpus — it
+    * must NOT be broadcast (contrast [[qContamination]], whose bench
+    * side is tiny by construction); a plain shuffled semi-join is the
+    * 100 TB plan. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = withShingles(spark, dir)
+      .join(splitAssigned(Tables.load(spark, dir, "documents"))
+        .select($"doc_id", $"split"), Seq("doc_id"))
+    val testDocs = sh.filter($"split" === "test" && size($"shs") > 0)
+      .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"), $"shs")
+    val trainGrams = sh.filter($"split" === "train")
+      .select(explode($"shs").as("h")).distinct()
+    val leaked = testDocs
+      .select($"doc_id", explode($"shs").as("h"))
+      .join(trainGrams, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("leaked"))
+    testDocs.select($"doc_id", $"source", $"n_sh")
+      .join(leaked, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"source", $"n_sh",
+        coalesce($"leaked", lit(0L)).as("leaked"),
+        expr("(coalesce(leaked, 0) * 1000) div n_sh").as("leak_permille"))
       .orderBy($"doc_id")
   }
 
@@ -827,6 +876,7 @@ object Dedup {
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_cluster_pick" -> qDedupClusterPick,
     "q_split_assign" -> qSplitAssign,
+    "q_split_leakage" -> qSplitLeakage,
     "q_contamination" -> qContamination,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_source_overlap" -> qSourceOverlap,
@@ -1213,6 +1263,35 @@ object Dedup {
         |SELECT doc_id, fp, bucket,
         |  CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // cross-split leakage: replay the split rule on fp = md5(text),
+    // join it onto the shingle CTE, then the same distinct-gram
+    // semi-join as contamination with the train split as the corpus
+    // side (grams join as STRINGS — Spark ships xxhash64 of the same
+    // strings; identical modulo 64-bit collisions)
+    "q_split_leakage" ->
+      (s"""$duckShingleCte,
+        |sp AS (SELECT doc_id,
+        |        CASE WHEN CAST(strpos('0123456789abcdef',
+        |            substr(md5('split|' || md5(text)), 1, 1)) - 1 AS BIGINT) < 13
+        |          THEN 'train'
+        |          WHEN CAST(strpos('0123456789abcdef',
+        |            substr(md5('split|' || md5(text)), 1, 1)) - 1 AS BIGINT) < 15
+        |          THEN 'val' ELSE 'test' END AS split
+        |       FROM documents),
+        |ds AS MATERIALIZED (SELECT d.doc_id, d.source, d.sh, sp.split
+        |       FROM d JOIN sp USING (doc_id)),
+        |td AS (SELECT doc_id, source, CAST(len(sh) AS BIGINT) AS n_sh, sh
+        |       FROM ds WHERE split = 'test' AND len(sh) > 0),
+        |tg AS (SELECT DISTINCT unnest(sh) AS g FROM ds WHERE split = 'train'),
+        |tge AS (SELECT doc_id, unnest(sh) AS g FROM td),
+        |lk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS leaked
+        |       FROM tge WHERE g IN (SELECT g FROM tg) GROUP BY doc_id)
+        |SELECT td.doc_id, td.source, td.n_sh,
+        |  COALESCE(lk.leaked, 0) AS leaked,
+        |  CAST((COALESCE(lk.leaked, 0) * 1000) // td.n_sh AS BIGINT) AS leak_permille
+        |FROM td LEFT JOIN lk ON lk.doc_id = td.doc_id
+        |ORDER BY td.doc_id""".stripMargin),
 
     "q_contamination" ->
       (s"""$duckShingleCte,

@@ -1,0 +1,479 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Labeled-data / preference-data operators — the RLHF corner of a
+  * training-data pipeline: uncertainty for A/B metrics at corpus scale
+  * (Poisson bootstrap), preference-log ranking (Bradley–Terry), and
+  * annotation quality (Fleiss' kappa over multi-rater labels).
+  *
+  * Determinism: every "random" draw is a fixed-width hex slice of
+  * `md5(salt || key)` compared against constants embedded IDENTICALLY
+  * in the Spark expression and the DuckDB oracle (the q_sample_hash
+  * convention), and every ratio is integer/decimal arithmetic with
+  * truncating division (`div` ≡ DuckDB `//`, both toward zero), so
+  * both engines produce bit-identical rows.
+  *
+  * Scale notes (100 TB):
+  *  - the bootstrap is the Poisson bootstrap (Chamandy et al.,
+  *    "Estimating Uncertainty for Massive Data Streams", public
+  *    Google paper): resampling weights are computed per (unit,
+  *    replicate) at scan speed, so the whole R-replicate resample is
+  *    ONE map-side-combined shuffle into (metric, replicate, variant)
+  *    cells — no per-replicate pass, no sampling state;
+  *  - Bradley–Terry aggregates the preference log into a ≤ M²-row
+  *    win matrix in one shuffle (the only data-sized step), stages
+  *    it, and fits on the matrix — model count M is fixed by the
+  *    catalog, independent of log size;
+  *  - Fleiss' kappa is pure per-row expressions (rater labels and
+  *    per-item agreement pairs computed in one projection) plus one
+  *    groupBy(source) rollup.
+  */
+object Labeling {
+
+  /** Bootstrap replicate count. 32 replicates give a rank-2 / rank-31
+    * interval ≈ a 90% CI — the resolution/width trade documented with
+    * the query. */
+  private[graft] val BootReps = 32
+
+  /** Cumulative Poisson(1) CDF for k = 0..7, mapped to 6-hex-digit
+    * thresholds on the md5-slice domain [0, 16^6): a uniform hex
+    * slice `h` draws weight k where k = #{thresholds ≤ h} (capped at
+    * 8). Embedded verbatim in BOTH engines' SQL, so the float→hex
+    * rounding here is shared constant-folding, not a runtime
+    * divergence. */
+  private[graft] val PoissonCumHex: Seq[String] = {
+    val pdf = (0 to 7).map(k => math.exp(-1.0) / (1 to k).product)
+    pdf.scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.min((c * (1L << 24)).toLong, 0xffffffL)}%06x")
+  }
+
+  /** SQL CASE drawing a Poisson(1) weight from `hexExpr` (a 6-hex-char
+    * slice) — same text evaluates in Spark and DuckDB. */
+  private def poissonCaseSql(hexExpr: String): String =
+    PoissonCumHex.zipWithIndex
+      .map { case (t, k) => s"WHEN $hexExpr < '$t' THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 8L END")
+
+  /** The same CASE with DuckDB integer literals (no `L` suffix). */
+  private def poissonCaseDuck(hexExpr: String): String =
+    PoissonCumHex.zipWithIndex
+      .map { case (t, k) => s"WHEN $hexExpr < '$t' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** First 6 hex chars of md5 as a BIGINT in [0, 16^6) — one
+    * `instr`/`strpos` term per digit, the qSplitAssign single-digit
+    * rule widened to 6 digits. Both variants are the same arithmetic;
+    * only the position-function name differs per engine. */
+  private def hex6ToLongSpark(hexExpr: String): String =
+    (0 until 6).map { i =>
+      val w = 1L << (4 * (5 - i))
+      s"(instr('0123456789abcdef', substring($hexExpr, ${i + 1}, 1)) - 1) * ${w}L"
+    }.mkString("(", " + ", ")")
+
+  private def hex6ToLongDuck(hexExpr: String): String =
+    (0 until 6).map { i =>
+      val w = 1L << (4 * (5 - i))
+      s"(strpos('0123456789abcdef', substring($hexExpr, ${i + 1}, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
+  // --- Poisson bootstrap ---------------------------------------------
+
+  /** POISSON BOOTSTRAP CI — uncertainty for the A/B
+    * revenue-per-user difference without resampling passes: each
+    * (user, replicate) draws an independent Poisson(1) weight from
+    * `md5('boot|r|user_id')` (the at-scale bootstrap — with millions
+    * of units, multinomial resampling ≈ independent Poisson(1)
+    * weights, and the draw needs no global state). Replicate means
+    * are weighted means in micro-cents; the interval is the rank-2 /
+    * rank-(n−1) envelope of the 32 replicate diffs (≈ a 90%
+    * percentile-bootstrap CI at this R). A replicate whose variant
+    * side draws all-zero weights has no mean and is excluded — at
+    * small scale factors this genuinely happens, and both engines
+    * exclude it identically (`n_reps_valid` says how many survived).
+    *
+    * Shape: per-user totals (one shuffle), a 32× scan-side replicate
+    * fan-out combined map-side into (event_type, replicate, variant)
+    * cells — ≤ |types|·R·2 rows — then a ≤ R-row window per type. */
+  def qAbBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.load(spark, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+        .as("cents"))
+      .withColumn("variant", $"user_id" % 2)
+    val wExpr = poissonCaseSql(
+      "substring(md5(cast(concat('boot|', cast(r as string), '|', " +
+        "cast(user_id as string)) as binary)), 1, 6)")
+    val cells = users
+      .withColumn("r", explode(expr(s"sequence(0L, ${BootReps - 1}L)")))
+      .withColumn("w", expr(wExpr))
+      .groupBy($"event_type", $"r")
+      .agg(
+        sum(when($"variant" === 0, $"w").otherwise(0L)).as("n_a"),
+        sum(when($"variant" === 1, $"w").otherwise(0L)).as("n_b"),
+        sum(when($"variant" === 0, $"w" * $"cents").otherwise(0L)).as("wc_a"),
+        sum(when($"variant" === 1, $"w" * $"cents").otherwise(0L)).as("wc_b"))
+      .withColumn("diff", expr(
+        """(cast(wc_b as decimal(38,0)) * 1000000) div nullif(n_b, 0L)
+          | - (cast(wc_a as decimal(38,0)) * 1000000) div nullif(n_a, 0L)"""
+          .stripMargin).cast("long"))
+      .filter($"diff".isNotNull)
+    val w = Window.partitionBy($"event_type").orderBy($"diff", $"r")
+    val ci = cells
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max(when($"rn" === 2, $"diff")).as("boot_lo_ucents"),
+        max(when($"rn" === $"cnt" - 1, $"diff")).as("boot_hi_ucents"),
+        max($"cnt").as("n_reps_valid"))
+    val point = users.groupBy($"event_type")
+      .agg(
+        count(when($"variant" === 0, 1)).as("n_a"),
+        count(when($"variant" === 1, 1)).as("n_b"),
+        sum(when($"variant" === 0, $"cents").otherwise(0L)).as("c_a"),
+        sum(when($"variant" === 1, $"cents").otherwise(0L)).as("c_b"))
+      .withColumn("diff_ucents", expr(
+        """(cast(c_b as decimal(38,0)) * 1000000) div nullif(n_b, 0L)
+          | - (cast(c_a as decimal(38,0)) * 1000000) div nullif(n_a, 0L)"""
+          .stripMargin).cast("long"))
+      .select($"event_type", ($"n_a" + $"n_b").as("n_users"), $"diff_ucents")
+    point.join(ci, Seq("event_type"), "left_outer")
+      .select($"event_type", $"n_users", $"diff_ucents",
+        $"boot_lo_ucents", $"boot_hi_ucents",
+        coalesce($"n_reps_valid", lit(0L)).as("n_reps_valid"))
+      .orderBy($"event_type")
+  }
+
+  // --- Bradley–Terry -------------------------------------------------
+
+  /** Model count of the synthetic preference log (event_id % 5). */
+  private[graft] val BtModels = 5
+  /** MM iterations — fixed, so the fit is a deterministic function of
+    * the win matrix in both engines. */
+  private[graft] val BtIters = 8
+  private val BtScale = 1000000L
+
+  /** The synthetic pairwise-preference log: each event is one
+    * comparison between model a = event_id % 5 and
+    * b = (event_id div 5) % 5 (self-pairs dropped); the lower-indexed
+    * model wins with true probability (lo+1)/(lo+hi+2) — i.e. true
+    * strength of model i is (i+1) — decided by an md5 slice compared
+    * WITHOUT division: u·(lo+hi+2) < 16^6·(lo+1). Returns the directed
+    * win matrix: (i, j, n_ij, w_ij) for every ordered pair that
+    * occurred. */
+  /** Per-comparison projection (lo, hi, lo_wins) — THE shared
+    * synthesis + outcome definition: [[btMatrix]] (batch) and
+    * [[prefMatrixStream]] (incremental) both aggregate exactly this,
+    * so the two legs cannot disagree on who won a game. Stateless
+    * scan expressions, streaming-legal. */
+  private[graft] def prefGames(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val u = hex6ToLongSpark(
+      "substring(md5(cast(concat('pref|', cast(event_id as string)) as binary)), 1, 6)")
+    events
+      .withColumn("a", expr("event_id % 5"))
+      .withColumn("b", expr("(event_id div 5) % 5"))
+      .filter($"a" =!= $"b")
+      .withColumn("lo", least($"a", $"b"))
+      .withColumn("hi", greatest($"a", $"b"))
+      .withColumn("lo_wins",
+        expr(s"$u * (lo + hi + 2) < ${1L << 24} * (lo + 1)"))
+      .select($"lo", $"hi", $"lo_wins")
+  }
+
+  private[graft] def btMatrix(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val games = prefGames(events)
+      .groupBy($"lo", $"hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"lo_wins", 1L).otherwise(0L)).as("w_lo"))
+    games.select($"lo".as("i"), $"hi".as("j"), $"n", $"w_lo".as("w"))
+      .union(games.select($"hi".as("i"), $"lo".as("j"), $"n",
+        ($"n" - $"w_lo").as("w")))
+  }
+
+  /** STREAMING WIN-MATRIX MAINTENANCE — the online half of
+    * [[qPrefBradleyTerry]]: preference events arrive as a stream and
+    * the UNDIRECTED win matrix (lo, hi, n, w_lo) is maintained as a
+    * running keyed aggregate in update mode, each batch re-emitting
+    * the pairs it touched (a last-write-wins sink keeps the current
+    * matrix; the fit reads it whenever it wants fresh strengths —
+    * rebuild ≡ maintained, the merge≡rebuild contract of the stored
+    * index sinks). The outcome projection is the SHARED [[prefGames]]
+    * definition. State is ONE row per (lo, hi) pair — M²-bounded by
+    * the model catalog FOREVER, independent of stream length, so no
+    * watermark is needed or wanted: a preference log never stops
+    * counting. The directed expansion is stateless and happens at
+    * read time ([[btMatrix]]'s union shape). */
+  def prefMatrixStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    prefGames(events)
+      .groupBy($"lo", $"hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"lo_wins", 1L).otherwise(0L)).as("w_lo"))
+  }
+
+  /** BRADLEY–TERRY RANKING from a pairwise preference log — the
+    * RLHF-side "which model do raters prefer" fit. The log collapses
+    * to a ≤ M²-row directed win matrix in ONE shuffle (staged — the
+    * only data-proportional step at any corpus size); the strengths
+    * are [[BtIters]] fixed-point iterations of the Zermelo/MM update
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), run on the collected matrix
+    * (bounded metadata: M² rows for a fixed model catalog, the
+    * zone-map-manifest collect pattern) in integer arithmetic at
+    * scale 1e6, normalized to Σs = M·1e6 and clamped ≥ 1 each round —
+    * the exact sequence the oracle replays as unrolled CTEs.
+    * Output: model, games, wins, win_permille, strength_x1e6. */
+  def qPrefBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mat = graft.SessionCache.stage(spark, s"labeling.btmat|$dir")(
+      btMatrix(Tables.load(spark, dir, "events")))
+    val rows = mat.select($"i", $"j", $"n", $"w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val models = rows.map(_._1).distinct.sorted
+    val wins = models.map(i => i -> rows.filter(_._1 == i).map(_._4).sum).toMap
+    var s = models.map(_ -> BtScale).toMap
+    for (_ <- 0 until BtIters) {
+      val raw = models.map { i =>
+        val d = rows.filter(_._1 == i)
+          .map { case (_, j, n, _) => n * BtScale * BtScale / (s(i) + s(j)) }
+          .sum
+        i -> (if (d == 0) 1L
+              else math.max(1L, wins(i) * BtScale * BtScale / d))
+      }.toMap
+      val tot = raw.values.sum
+      s = raw.map { case (i, v) =>
+        i -> math.max(1L, v * (models.length * BtScale) / tot)
+      }
+    }
+    val strengths = models
+      .map(i => (i, s(i))).toSeq.toDF("model", "strength_x1e6")
+    mat.groupBy($"i".as("model"))
+      .agg(sum($"n").as("games"), sum($"w").as("wins"))
+      .withColumn("win_permille", expr("(wins * 1000) div games"))
+      .join(broadcast(strengths), Seq("model"))
+      .select($"model", $"games", $"wins", $"win_permille", $"strength_x1e6")
+      .orderBy($"model")
+  }
+
+  // --- Fleiss' kappa --------------------------------------------------
+
+  /** Per-rater flip rates (permille) of the 3 synthetic annotators —
+    * rater 2 is the noisy one, which is what drags kappa visibly
+    * below 1. */
+  private[graft] val KappaNoisePermille = Seq(50L, 150L, 300L)
+  private[graft] val KappaNoiseHex: Seq[String] =
+    KappaNoisePermille.map(p => f"${p * (1L << 24) / 1000}%06x")
+
+  /** Rater k's label for a doc, as SQL shared by both engines: true
+    * label = doc_id % 3; with probability noise(k) (md5 slice below
+    * the rater's threshold) the rater reports the systematically
+    * biased label (true + 1 + k%2) % 3 — never the true one, so a
+    * "flip" is always a disagreement. `engine` picks the md5-argument
+    * spelling ("spark": binary cast; "duck": varchar concat) — the
+    * hash input bytes are identical. */
+  private def raterLabelSql(k: Int, engine: String): String = {
+    val h = s"substring(md5(${if (engine == "spark") s"cast(concat('lab|$k|', cast(doc_id as string)) as binary)" else s"'lab|$k|' || CAST(doc_id AS VARCHAR)"}), 1, 6)"
+    s"CASE WHEN $h < '${KappaNoiseHex(k)}' " +
+      s"THEN (doc_id % 3 + ${1 + k % 2}) % 3 ELSE doc_id % 3 END"
+  }
+
+  /** FLEISS' KAPPA — chance-corrected agreement of 3 synthetic raters
+    * over the document corpus, per source (the labeled-data QA gate:
+    * a source whose annotations don't beat chance shouldn't train a
+    * reward model). Labels are per-row expressions; per-doc agreeing
+    * pairs = (Σ_c n_c² − 3) / 2 of 3 rater pairs; one groupBy(source)
+    * produces P_o, P_e and kappa in ppm with truncating division —
+    * all integer, oracle-replayed verbatim. */
+  def qLabelKappa(spark: SparkSession, dir: String): DataFrame =
+    kappaOf(Tables.load(spark, dir, "documents"))
+
+  /** Core of [[qLabelKappa]] over any (doc_id, source) frame —
+    * separated so the perfect-agreement fixture spec can drive it
+    * with doc_ids chosen to draw no flips. */
+  private[graft] def kappaOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs
+      .withColumn("l0", expr(raterLabelSql(0, "spark")))
+      .withColumn("l1", expr(raterLabelSql(1, "spark")))
+      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+    val withCounts = labeled
+      .withColumn("n0", expr("cast(l0 = 0 as bigint) + cast(l1 = 0 as bigint) + cast(l2 = 0 as bigint)"))
+      .withColumn("n1", expr("cast(l0 = 1 as bigint) + cast(l1 = 1 as bigint) + cast(l2 = 1 as bigint)"))
+      .withColumn("n2", expr("cast(l0 = 2 as bigint) + cast(l1 = 2 as bigint) + cast(l2 = 2 as bigint)"))
+      .withColumn("pairs", expr("(n0*n0 + n1*n1 + n2*n2 - 3) div 2"))
+    withCounts.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"pairs").as("sum_pairs"),
+        sum($"n0").as("c0"), sum($"n1").as("c1"), sum($"n2").as("c2"))
+      .withColumn("po_ppm", expr("(sum_pairs * 1000000) div (3 * n_docs)"))
+      .withColumn("pe_ppm", expr(
+        """cast((cast(c0 as decimal(38,0)) * c0 + cast(c1 as decimal(38,0)) * c1
+          |  + cast(c2 as decimal(38,0)) * c2) * 1000000
+          |  div (cast(n_docs as decimal(38,0)) * n_docs * 9) as bigint)"""
+          .stripMargin))
+      .withColumn("kappa_ppm", expr(
+        "((po_ppm - pe_ppm) * 1000000) div nullif(1000000 - pe_ppm, 0L)"))
+      .select($"source", $"n_docs", $"po_ppm", $"pe_ppm", $"kappa_ppm")
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_bootstrap" -> qAbBootstrap,
+    "q_pref_bradley_terry" -> qPrefBradleyTerry,
+    "q_label_kappa" -> qLabelKappa)
+
+  /** The unrolled-CTE DuckDB replay of the driver-side MM loop —
+    * generated by the same iteration count and the same integer ops,
+    * so a BtIters/BtScale change updates both engines together. */
+  private def btOracle: String = {
+    val u = hex6ToLongDuck("substring(md5('pref|' || CAST(event_id AS VARCHAR)), 1, 6)")
+    // every per-iteration CTE is MATERIALIZED: it$k is referenced
+    // twice (both join sides) and raw$k three times (rows + the two
+    // scalar subqueries), so inlining would re-derive the whole
+    // upstream chain ~4× per iteration — 4^BtIters re-evaluations of
+    // the event scan
+    val iters = (0 until BtIters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT m.i AS model,
+         |    sum((m.n * ${BtScale * BtScale}) // (si.s + sj.s)) AS d
+         |  FROM mat m
+         |  JOIN it$k si ON si.model = m.i
+         |  JOIN it$k sj ON sj.model = m.j
+         |  GROUP BY 1),
+         |raw$k AS MATERIALIZED (
+         |  SELECT w.model,
+         |    CASE WHEN d.d = 0 THEN 1
+         |         ELSE greatest(1, (w.wins * ${BtScale * BtScale}) // d.d)
+         |    END AS s
+         |  FROM wins w JOIN d$k d USING (model)),
+         |it${k + 1} AS MATERIALIZED (
+         |  SELECT model,
+         |    greatest(1, (s * (SELECT count(*) * $BtScale FROM raw$k))
+         |      // (SELECT sum(s) FROM raw$k)) AS s
+         |  FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT least(event_id % 5, (event_id // 5) % 5) AS lo,
+       |    greatest(event_id % 5, (event_id // 5) % 5) AS hi,
+       |    CASE WHEN $u * (least(event_id % 5, (event_id // 5) % 5)
+       |        + greatest(event_id % 5, (event_id // 5) % 5) + 2)
+       |      < ${1L << 24} * (least(event_id % 5, (event_id // 5) % 5) + 1)
+       |      THEN 1 ELSE 0 END AS lo_wins
+       |  FROM events
+       |  WHERE event_id % 5 <> (event_id // 5) % 5),
+       |pg AS MATERIALIZED (
+       |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lo_wins) AS BIGINT) AS w_lo
+       |  FROM g GROUP BY 1, 2),
+       |mat AS MATERIALIZED (
+       |  SELECT lo AS i, hi AS j, n, w_lo AS w FROM pg
+       |  UNION ALL
+       |  SELECT hi AS i, lo AS j, n, n - w_lo AS w FROM pg),
+       |wins AS MATERIALIZED (
+       |  SELECT i AS model, sum(n) AS games, sum(w) AS wins
+       |  FROM mat GROUP BY 1),
+       |it0 AS (SELECT model, $BtScale AS s FROM wins),
+       |$iters
+       |SELECT w.model, CAST(w.games AS BIGINT) AS games,
+       |  CAST(w.wins AS BIGINT) AS wins,
+       |  CAST((w.wins * 1000) // w.games AS BIGINT) AS win_permille,
+       |  CAST(f.s AS BIGINT) AS strength_x1e6
+       |FROM wins w JOIN it$BtIters f USING (model)
+       |ORDER BY w.model""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_ab_bootstrap" -> {
+      val w = poissonCaseDuck(
+        "substring(md5('boot|' || CAST(t.r AS VARCHAR) || '|' " +
+          "|| CAST(u.user_id AS VARCHAR)), 1, 6)")
+      s"""WITH u AS (
+         |  SELECT event_type, user_id,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         |    user_id % 2 AS variant
+         |  FROM events GROUP BY event_type, user_id),
+         |reps AS (
+         |  SELECT u.event_type, t.r, u.variant, u.cents, $w AS w
+         |  FROM u CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS r) t),
+         |cells AS (
+         |  SELECT event_type, r,
+         |    sum(CASE WHEN variant = 0 THEN w ELSE 0 END) AS n_a,
+         |    sum(CASE WHEN variant = 1 THEN w ELSE 0 END) AS n_b,
+         |    sum(CASE WHEN variant = 0 THEN w * cents ELSE 0 END) AS wc_a,
+         |    sum(CASE WHEN variant = 1 THEN w * cents ELSE 0 END) AS wc_b
+         |  FROM reps GROUP BY 1, 2),
+         |diffs AS (
+         |  SELECT event_type, r,
+         |    CAST((CAST(wc_b AS HUGEINT) * 1000000) // nullif(n_b, 0)
+         |      - (CAST(wc_a AS HUGEINT) * 1000000) // nullif(n_a, 0) AS BIGINT) AS diff
+         |  FROM cells),
+         |v AS (SELECT * FROM diffs WHERE diff IS NOT NULL),
+         |rk AS (
+         |  SELECT event_type, diff,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY diff, r) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM v),
+         |ci AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = 2 THEN diff END) AS boot_lo_ucents,
+         |    max(CASE WHEN rn = cnt - 1 THEN diff END) AS boot_hi_ucents,
+         |    max(cnt) AS n_reps_valid
+         |  FROM rk GROUP BY 1),
+         |pt AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST((CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
+         |        // nullif(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0)
+         |      - (CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
+         |        // nullif(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS diff_ucents
+         |  FROM u GROUP BY 1)
+         |SELECT pt.event_type, pt.n_users, pt.diff_ucents,
+         |  ci.boot_lo_ucents, ci.boot_hi_ucents,
+         |  CAST(coalesce(ci.n_reps_valid, 0) AS BIGINT) AS n_reps_valid
+         |FROM pt LEFT JOIN ci USING (event_type)
+         |ORDER BY pt.event_type""".stripMargin
+    },
+
+    "q_pref_bradley_terry" -> btOracle,
+
+    "q_label_kappa" -> {
+      val ls = (0 to 2).map(k => s"${raterLabelSql(k, "duck")} AS l$k")
+        .mkString(",\n    ")
+      s"""WITH lab AS (
+         |  SELECT doc_id, source,
+         |    $ls
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT source,
+         |    CAST(l0 = 0 AS BIGINT) + CAST(l1 = 0 AS BIGINT) + CAST(l2 = 0 AS BIGINT) AS n0,
+         |    CAST(l0 = 1 AS BIGINT) + CAST(l1 = 1 AS BIGINT) + CAST(l2 = 1 AS BIGINT) AS n1,
+         |    CAST(l0 = 2 AS BIGINT) + CAST(l1 = 2 AS BIGINT) + CAST(l2 = 2 AS BIGINT) AS n2
+         |  FROM lab),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum((n0*n0 + n1*n1 + n2*n2 - 3) // 2) AS BIGINT) AS sum_pairs,
+         |    CAST(sum(n0) AS BIGINT) AS c0, CAST(sum(n1) AS BIGINT) AS c1,
+         |    CAST(sum(n2) AS BIGINT) AS c2
+         |  FROM cnt GROUP BY 1),
+         |pp AS (
+         |  SELECT source, n_docs,
+         |    (sum_pairs * 1000000) // (3 * n_docs) AS po_ppm,
+         |    CAST((CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+         |      + CAST(c2 AS HUGEINT) * c2) * 1000000
+         |      // (CAST(n_docs AS HUGEINT) * n_docs * 9) AS BIGINT) AS pe_ppm
+         |  FROM agg)
+         |SELECT source, n_docs, po_ppm, pe_ppm,
+         |  ((po_ppm - pe_ppm) * 1000000) // nullif(1000000 - pe_ppm, 0) AS kappa_ppm
+         |FROM pp ORDER BY source""".stripMargin
+    })
+}

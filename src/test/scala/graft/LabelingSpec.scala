@@ -1,0 +1,164 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.quality.Labeling
+
+/** Round-12 continuation specs: the labeled-/preference-data family —
+  * Poisson bootstrap, Bradley–Terry, Fleiss' kappa, cross-split gram
+  * leakage. The DuckDB oracles are the exactness check; these pin the
+  * semantic invariants and the planted fixtures. */
+class LabelingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("poisson thresholds: 8 strictly increasing cumulative cuts, e^-1 head") {
+    val t = Labeling.PoissonCumHex
+    assert(t.length == 8)
+    assert(t == t.sorted && t.distinct == t)
+    // first threshold = floor(e^-1 * 16^6) — the P(X=0) mass
+    assert(java.lang.Long.parseLong(t.head, 16) ==
+      (math.exp(-1.0) * (1L << 24)).toLong)
+    // by the 8th cut, >99.99% of the mass is below: the CASE's ELSE-8
+    // arm is a tail guard, not a real branch
+    assert(java.lang.Long.parseLong(t.last, 16) > ((1L << 24) * 9999L) / 10000L)
+  }
+
+  test("bootstrap: valid replicate envelope per event type, deterministic") {
+    val rows = Labeling.qAbBootstrap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_reps_valid")
+      assert(n >= 0L && n <= Labeling.BootReps)
+      if (n >= 4) {
+        val lo = r.getAs[Long]("boot_lo_ucents")
+        val hi = r.getAs[Long]("boot_hi_ucents")
+        assert(lo <= hi, s"${r.getAs[String]("event_type")}: lo $lo > hi $hi")
+      }
+    }
+    // the draw is a pure function of (replicate, user) — a second run
+    // must reproduce every row (the oracle depends on it)
+    val again = Labeling.qAbBootstrap(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("bradley-terry: win matrix is consistent and the fit recovers the planted order") {
+    val mat = Labeling.btMatrix(
+      Tables.load(spark, sf0001, "events")).collect()
+      .map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+        (r.getAs[Long]("n"), r.getAs[Long]("w")))).toMap
+    assert(mat.nonEmpty)
+    mat.foreach { case ((i, j), (n, w)) =>
+      assert(i != j && n > 0 && w >= 0 && w <= n)
+      val (nr, wr) = mat((j, i)) // the reverse-directed row
+      assert(nr == n && w + wr == n, s"pair ($i,$j) win split")
+    }
+    val fit = Labeling.qPrefBradleyTerry(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("model") ->
+        (r.getAs[Long]("strength_x1e6"), r.getAs[Long]("win_permille"))).toMap
+    assert(fit.keySet == (0L until Labeling.BtModels.toLong).toSet)
+    // normalization: sum pinned to M * 1e6 up to per-model truncation
+    val tot = fit.values.map(_._1).sum
+    assert(math.abs(tot - Labeling.BtModels * 1000000L) <= Labeling.BtModels,
+      s"strengths sum $tot")
+    // planted truth: strength of model i is (i+1) — the extremes are
+    // separated far beyond sampling noise at any sf
+    assert(fit(4L)._1 > fit(0L)._1 * 2, s"fit $fit")
+    assert(fit(4L)._2 > fit(0L)._2, "raw win rate must agree with the fit")
+  }
+
+  test("kappa: perfect-agreement fixture scores exactly 1e6; noise drags below") {
+    // doc_ids whose three rater draws ALL land above their flip
+    // thresholds — every rater reports the true label, so P_o = 1 and
+    // kappa = 1e6 exactly (pe < 1e6 because labels vary mod 3)
+    val clean = (0L until 2000L).filter { id =>
+      (0 to 2).forall { k =>
+        md5hex(s"lab|$k|$id").substring(0, 6) >= Labeling.KappaNoiseHex(k)
+      }
+    }.take(30)
+    assert(clean.size == 30, "fixture needs 30 flip-free doc_ids")
+    assert(clean.map(_ % 3).toSet.size == 3, "fixture must span all labels")
+    val df = clean.map(id => (id, "fix")).toDF("doc_id", "source")
+    val r = Labeling.kappaOf(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("po_ppm") == 1000000L)
+    assert(r.head.getAs[Long]("kappa_ppm") == 1000000L)
+    // real corpus: three noisy raters agree well above chance but
+    // below perfection (flip rates 50/150/300 permille → kappa ~0.5)
+    val corpus = Labeling.qLabelKappa(spark, sf0001).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { row =>
+      val k = row.getAs[Long]("kappa_ppm")
+      assert(k > 200000L && k < 950000L,
+        s"${row.getAs[String]("source")}: kappa $k outside the noisy band")
+    }
+  }
+
+  test("streaming win matrix: last-write-wins state equals the batch matrix") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ids = Tables.load(spark, sf0001, "events")
+      .select($"event_id").as[Long].collect().sorted
+    val input = MemoryStream[Long]
+    val out = Labeling.prefMatrixStream(input.toDF().toDF("event_id"))
+    val q = out.writeStream.format("memory").queryName("pref_matrix")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: the second must UPDATE the first's counts,
+      // not restart them — the running-total state contract
+      val (first, second) = ids.splitAt(ids.length / 2)
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // last write per pair wins; the running count n only grows, so the
+    // latest emission is the max-n row — order-independent extraction
+    val got = spark.table("pref_matrix").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("w_lo")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val batch = Labeling.btMatrix(Tables.load(spark, sf0001, "events"))
+      .filter($"i" < $"j").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("w"))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
+  test("split leakage: matches a brute-force shingle replay at sf0.001") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def split(text: String): String = {
+      val b = "0123456789abcdef".indexOf(
+        md5hex("split|" + md5hex(text)).charAt(0))
+      if (b < 13) "train" else if (b < 15) "val" else "test"
+    }
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val trainG = docs.collect { case (_, t) if split(t) == "train" => grams(t) }
+      .fold(Set.empty)(_ ++ _)
+    val expected = docs.collect {
+      case (id, t) if split(t) == "test" && grams(t).nonEmpty =>
+        val g = grams(t)
+        id -> (g.size.toLong, g.count(trainG.contains).toLong)
+    }
+    val got = graft.dedup.Dedup.qSplitLeakage(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("leaked"),
+          r.getAs[Long]("leak_permille"))).toMap
+    assert(got.keySet == expected.keySet, "test-split doc set")
+    expected.foreach { case (id, (nSh, leaked)) =>
+      val (gn, gl, gp) = got(id)
+      assert(gn == nSh, s"doc $id n_sh")
+      assert(gl == leaked, s"doc $id leaked")
+      assert(gp == leaked * 1000 / nSh, s"doc $id permille")
+    }
+    // the audit must measure something: real corpora leak
+    assert(got.values.exists(_._2 > 0L), "expected nonzero leakage at sf0.001")
+  }
+}

@@ -340,7 +340,13 @@ class PlanSpec extends SparkSpec {
       "q_feature_hash_audit",
       // hybrid RRF: BM25 side's 1-row corpus stats broadcast + the
       // broadcast-query non-equi kNN side (both established patterns)
-      "q_hybrid_rrf")
+      "q_hybrid_rrf",
+      // Bradley–Terry stages its ≤ M²-row win matrix on construct and
+      // collects it for the driver-side MM fit (bounded metadata: the
+      // model catalog is fixed, independent of log size); the staged
+      // plan (one groupBy + union) is audited by the ledger sweep and
+      // the returned plan is window- and cross-join-free
+      "q_pref_bradley_terry")
 
   test("whole-surface audit: unpartitioned windows only over provably bounded frames") {
     // A Window with no partitionSpec sorts its whole input on ONE task
