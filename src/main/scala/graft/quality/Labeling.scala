@@ -327,10 +327,88 @@ object Labeling {
       .orderBy($"source")
   }
 
+  /** MAJORITY-VOTE LABEL AGGREGATION — the step after kappa: collapse
+    * the 3 raters' labels to one training label per doc and audit the
+    * result per source against the known true label (majority = the
+    * label ≥ 2 raters chose; a 1/1/1 three-way tie aggregates to the
+    * −1 sentinel and can never be correct). Kappa says whether raters
+    * agree; this says whether the AGGREGATED labels are accurate
+    * enough to train on. Same per-row label expressions, one
+    * groupBy(source). */
+  def qLabelMajority(spark: SparkSession, dir: String): DataFrame =
+    majorityOf(Tables.load(spark, dir, "documents"))
+
+  private[graft] def majorityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("l0", expr(raterLabelSql(0, "spark")))
+      .withColumn("l1", expr(raterLabelSql(1, "spark")))
+      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+      .withColumn("majority", expr(
+        """CASE WHEN l0 = l1 OR l0 = l2 THEN l0
+          |     WHEN l1 = l2 THEN l1 ELSE -1L END""".stripMargin))
+      .withColumn("margin", expr(
+        """cast(l0 = l1 as bigint) + cast(l0 = l2 as bigint)
+          |  + cast(l1 = l2 as bigint)""".stripMargin))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("margin = 3"), 1L).otherwise(0L)).as("n_unanimous"),
+        sum(when(expr("margin = 1"), 1L).otherwise(0L)).as("n_split_2_1"),
+        sum(when(expr("margin = 0"), 1L).otherwise(0L)).as("n_tied"),
+        sum(when(expr("majority = doc_id % 3"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_docs"))
+      .select($"source", $"n_docs", $"n_unanimous", $"n_split_2_1",
+        $"n_tied", $"n_correct", $"acc_ppm")
+      .orderBy($"source")
+  }
+
+  /** TEMPORAL-SPLIT ENTITY LEAKAGE — the eval-hygiene audit for
+    * event-sequence models: split the event log at the 80% point of
+    * its time range (train before, test after — the standard temporal
+    * holdout) and measure, per event type, how many TEST-period users
+    * also act in the TRAIN period and what share of test events they
+    * produce. A user-level model evaluated on returning users is
+    * partially memorizing, not generalizing — this quantifies how
+    * much of the holdout that concern covers.
+    *
+    * Shape: the cutoff is a 1-row min/max broadcast (integer-µs
+    * arithmetic, engine-shared); sides are scan expressions; then one
+    * (type, user) combine and one type rollup. */
+  def qTimeSplitOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val bounds = events.agg(
+      min(unix_micros($"ts")).as("t_min"), max(unix_micros($"ts")).as("t_max"))
+    val sided = events.crossJoin(broadcast(bounds))
+      .withColumn("cut_us", expr("t_min + ((t_max - t_min) * 4) div 5"))
+      .withColumn("side",
+        when(unix_micros($"ts") < $"cut_us", "train").otherwise("test"))
+    val users = sided.groupBy($"event_type", $"user_id")
+      .agg(max(when($"side" === "train", 1L).otherwise(0L)).as("in_train"),
+        sum(when($"side" === "test", 1L).otherwise(0L)).as("test_events"))
+    users.groupBy($"event_type")
+      .agg(sum($"in_train").as("n_train_users"),
+        sum(when($"test_events" > 0, 1L).otherwise(0L)).as("n_test_users"),
+        sum(when($"test_events" > 0 && $"in_train" === 1L, 1L).otherwise(0L))
+          .as("n_overlap_users"),
+        sum($"test_events").as("n_test_events"),
+        sum(when($"in_train" === 1L, $"test_events").otherwise(0L))
+          .as("n_leaky_test_events"))
+      .withColumn("user_overlap_ppm", expr(
+        "(n_overlap_users * 1000000) div nullif(n_test_users, 0L)"))
+      .withColumn("event_overlap_ppm", expr(
+        "(n_leaky_test_events * 1000000) div nullif(n_test_events, 0L)"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_bootstrap" -> qAbBootstrap,
     "q_pref_bradley_terry" -> qPrefBradleyTerry,
-    "q_label_kappa" -> qLabelKappa)
+    "q_label_kappa" -> qLabelKappa,
+    "q_label_majority" -> qLabelMajority,
+    "q_time_split_overlap" -> qTimeSplitOverlap)
 
   /** The unrolled-CTE DuckDB replay of the driver-side MM loop —
     * generated by the same iteration count and the same integer ops,
@@ -445,6 +523,61 @@ object Labeling {
     },
 
     "q_pref_bradley_terry" -> btOracle,
+
+    "q_label_majority" -> {
+      val ls = (0 to 2).map(k => s"${raterLabelSql(k, "duck")} AS l$k")
+        .mkString(",\n    ")
+      s"""WITH lab AS (
+         |  SELECT doc_id, source,
+         |    $ls
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN l0 = l1 OR l0 = l2 THEN l0
+         |         WHEN l1 = l2 THEN l1 ELSE -1 END AS majority,
+         |    CAST(l0 = l1 AS BIGINT) + CAST(l0 = l2 AS BIGINT)
+         |      + CAST(l1 = l2 AS BIGINT) AS margin
+         |  FROM lab)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN margin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+         |  CAST(sum(CASE WHEN margin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_2_1,
+         |  CAST(sum(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+         |  CAST(sum(CASE WHEN majority = doc_id % 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST((sum(CASE WHEN majority = doc_id % 3 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS acc_ppm
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_time_split_overlap" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max
+        |  FROM events),
+        |sided AS (
+        |  SELECT e.event_type, e.user_id,
+        |    CASE WHEN epoch_us(e.ts)
+        |      < b.t_min + ((b.t_max - b.t_min) * 4) // 5
+        |      THEN 'train' ELSE 'test' END AS side
+        |  FROM events e CROSS JOIN b),
+        |u AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS in_train,
+        |    sum(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS test_events
+        |  FROM sided GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(in_train) AS BIGINT) AS n_train_users,
+        |    CAST(sum(CASE WHEN test_events > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_users,
+        |    CAST(sum(CASE WHEN test_events > 0 AND in_train = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overlap_users,
+        |    CAST(sum(test_events) AS BIGINT) AS n_test_events,
+        |    CAST(sum(CASE WHEN in_train = 1 THEN test_events ELSE 0 END) AS BIGINT)
+        |      AS n_leaky_test_events
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_train_users, n_test_users, n_overlap_users,
+        |  n_test_events, n_leaky_test_events,
+        |  (n_overlap_users * 1000000) // nullif(n_test_users, 0) AS user_overlap_ppm,
+        |  (n_leaky_test_events * 1000000) // nullif(n_test_events, 0) AS event_overlap_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "q_label_kappa" -> {
       val ls = (0 to 2).map(k => s"${raterLabelSql(k, "duck")} AS l$k")

@@ -2,6 +2,8 @@ package graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions._
+
 import graft.quality.Labeling
 
 /** Round-12 continuation specs: the labeled-/preference-data family —
@@ -95,6 +97,61 @@ class LabelingSpec extends SparkSpec {
       assert(k > 200000L && k < 950000L,
         s"${row.getAs[String]("source")}: kappa $k outside the noisy band")
     }
+  }
+
+  test("majority vote: flip-free fixture is unanimous and perfectly accurate") {
+    val clean = (0L until 2000L).filter { id =>
+      (0 to 2).forall { k =>
+        md5hex(s"lab|$k|$id").substring(0, 6) >= Labeling.KappaNoiseHex(k)
+      }
+    }.take(30)
+    val df = clean.map(id => (id, "fix")).toDF("doc_id", "source")
+    val r = Labeling.majorityOf(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_unanimous") == 30L)
+    assert(r.head.getAs[Long]("n_tied") == 0L)
+    assert(r.head.getAs[Long]("acc_ppm") == 1000000L)
+    // corpus: partition identity holds and majority beats any single
+    // noisy rater's expected floor
+    Labeling.qLabelMajority(spark, sf0001).collect().foreach { row =>
+      val n = row.getAs[Long]("n_docs")
+      assert(row.getAs[Long]("n_unanimous") + row.getAs[Long]("n_split_2_1") +
+        row.getAs[Long]("n_tied") == n, "margin partition")
+      assert(row.getAs[Long]("n_correct") <= n)
+      assert(row.getAs[Long]("acc_ppm") > 700000L,
+        s"${row.getAs[String]("source")}: majority accuracy too low")
+    }
+  }
+
+  test("temporal split overlap: matches a brute-force replay at sf0.001") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"user_id", unix_micros($"ts").as("us"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("us")))
+    val tMin = ev.map(_._3).min
+    val cut = tMin + ((ev.map(_._3).max - tMin) * 4) / 5
+    val expected = ev.groupBy(_._1).map { case (tpe, rows) =>
+      // .values.map to a Seq — mapping the Map itself would collapse
+      // users into the (Boolean, Long) tuple keyspace
+      val perUser = rows.groupBy(_._2).values.toSeq.map { es =>
+        (es.exists(_._3 < cut), es.count(_._3 >= cut).toLong)
+      }
+      val testU = perUser.count(_._2 > 0).toLong
+      val overlapU = perUser.count(p => p._2 > 0 && p._1).toLong
+      tpe -> (perUser.count(_._1).toLong, testU, overlapU,
+        perUser.map(_._2).sum,
+        perUser.collect { case (true, te) => te }.sum)
+    }
+    val got = Labeling.qTimeSplitOverlap(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_train_users"), r.getAs[Long]("n_test_users"),
+          r.getAs[Long]("n_overlap_users"), r.getAs[Long]("n_test_events"),
+          r.getAs[Long]("n_leaky_test_events"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the audit must bite: with 15 users over the whole span, returning
+    // users dominate the holdout
+    assert(got.values.exists(v => v._3 > 0), "expected overlap at sf0.001")
   }
 
   test("streaming win matrix: last-write-wins state equals the batch matrix") {

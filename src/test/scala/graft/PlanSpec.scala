@@ -240,7 +240,10 @@ class PlanSpec extends SparkSpec {
       // top-word list (bounded fan-out)
       "q_source_stylometry",
       // Neyman: the 1-row (Σw, Σn) broadcast onto the |sources| rows
-      "q_sample_neyman")
+      "q_sample_neyman",
+      // temporal split: the 1-row (t_min, t_max) broadcast onto the
+      // event scan (the 80%-point cutoff needs the range on every row)
+      "q_time_split_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => executesOnConstruct.contains(name) }
       .flatMap { case (name, fn) =>
