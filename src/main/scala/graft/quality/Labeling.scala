@@ -232,10 +232,15 @@ object Labeling {
     * scale 1e6, normalized to Σs = M·1e6 and clamped ≥ 1 each round —
     * the exact sequence the oracle replays as unrolled CTEs.
     * Output: model, games, wins, win_permille, strength_x1e6. */
+  /** The staged win matrix, memoized per (session, dir) — shared by
+    * the fit and the transitivity audit, one materialization. */
+  private def stagedMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"labeling.btmat|$dir")(
+      btMatrix(Tables.load(spark, dir, "events")))
+
   def qPrefBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mat = graft.SessionCache.stage(spark, s"labeling.btmat|$dir")(
-      btMatrix(Tables.load(spark, dir, "events")))
+    val mat = stagedMatrix(spark, dir)
     val rows = mat.select($"i", $"j", $"n", $"w").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val models = rows.map(_._1).distinct.sorted
@@ -403,18 +408,108 @@ object Labeling {
       .orderBy($"event_type")
   }
 
+  /** PREFERENCE TRANSITIVITY AUDIT — Bradley–Terry ASSUMES a total
+    * strength order; real preference logs contain cycles (judges that
+    * prefer A>B>C>A), and a fit over a cyclic log silently averages
+    * them away. Per model triple i<j<k: the majority direction of each
+    * pair (+1 lower-indexed wins, −1 loses, 0 exact tie) and whether
+    * the triple is CYCLIC (directions consistent with no linear
+    * order). The synthetic log's true strengths are linear, so cycles
+    * here are sampling noise — the audit quantifies how much the MM
+    * fit is smoothing over. Reads the SAME staged matrix as the fit
+    * (one materialization per session); the triple lattice is
+    * C(M,3) = 10 rows via two equi-joins on the tiny pair frame. */
+  def qPrefTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // undirected rows (i < j) with the majority direction
+    val pairs = stagedMatrix(spark, dir)
+      .filter($"i" < $"j")
+      .select($"i", $"j",
+        expr("CASE WHEN w * 2 > n THEN 1L WHEN w * 2 < n THEN -1L ELSE 0L END")
+          .as("dir"))
+    val ij = pairs.select($"i".as("ti"), $"j".as("tj"), $"dir".as("dir_ij"))
+    val jk = pairs.select($"i".as("tj2"), $"j".as("tk"), $"dir".as("dir_jk"))
+    val ik = pairs.select($"i".as("ti2"), $"j".as("tk2"), $"dir".as("dir_ik"))
+    ij.join(jk, $"tj" === $"tj2")
+      .join(ik, $"ti" === $"ti2" && $"tk" === $"tk2")
+      .select($"ti".as("i"), $"tj".as("j"), $"tk".as("k"),
+        $"dir_ij", $"dir_jk", $"dir_ik")
+      .withColumn("cyclic", expr(
+        """(dir_ij = 1 AND dir_jk = 1 AND dir_ik = -1)
+          | OR (dir_ij = -1 AND dir_jk = -1 AND dir_ik = 1)""".stripMargin))
+      .orderBy($"i", $"j", $"k")
+  }
+
+  /** ONE-STEP DAWID–SKENE RATER QUALITY — the crowdsourcing E-step
+    * readout: score each rater against the CONSENSUS (majority over
+    * non-tied docs) and against the known truth, side by side. The
+    * Dawid & Skene (1979) insight this demonstrates is that consensus
+    * agreement estimates true accuracy without gold labels — the two
+    * ppm columns land close, and their gap is the estimator's bias on
+    * a 3-rater panel. Ties (majority = −1) are excluded from scoring,
+    * reported per rater as `n_tied_excluded`. One scan (labels +
+    * majority as row expressions, 3-way posexplode) and one 3-row
+    * rollup. */
+  def qLabelRaterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = Tables.load(spark, dir, "documents")
+      .withColumn("l0", expr(raterLabelSql(0, "spark")))
+      .withColumn("l1", expr(raterLabelSql(1, "spark")))
+      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+      .withColumn("majority", expr(
+        """CASE WHEN l0 = l1 OR l0 = l2 THEN l0
+          |     WHEN l1 = l2 THEN l1 ELSE -1L END""".stripMargin))
+      .select($"doc_id", $"majority",
+        posexplode(array($"l0", $"l1", $"l2")).as(Seq("rater", "label")))
+    lab.groupBy($"rater".cast("long").as("rater"))
+      .agg(
+        sum(when($"majority" >= 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when($"majority" < 0, 1L).otherwise(0L)).as("n_tied_excluded"),
+        sum(when($"majority" >= 0 && $"label" === $"majority", 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when($"majority" >= 0 && $"label" === expr("doc_id % 3"), 1L)
+          .otherwise(0L)).as("n_true"))
+      .withColumn("acc_vs_consensus_ppm",
+        expr("(n_agree * 1000000) div nullif(n_scored, 0L)"))
+      .withColumn("acc_vs_truth_ppm",
+        expr("(n_true * 1000000) div nullif(n_scored, 0L)"))
+      .orderBy($"rater")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_bootstrap" -> qAbBootstrap,
     "q_pref_bradley_terry" -> qPrefBradleyTerry,
+    "q_pref_transitivity" -> qPrefTransitivity,
     "q_label_kappa" -> qLabelKappa,
     "q_label_majority" -> qLabelMajority,
+    "q_label_rater_quality" -> qLabelRaterQuality,
     "q_time_split_overlap" -> qTimeSplitOverlap)
+
+  /** The DuckDB replay of [[prefGames]] aggregated to undirected
+    * pairs — ONE oracle definition shared by the fit and the
+    * transitivity audit (mirrors the Spark-side [[stagedMatrix]]
+    * sharing). */
+  private def btPairsCte: String = {
+    val u = hex6ToLongDuck("substring(md5('pref|' || CAST(event_id AS VARCHAR)), 1, 6)")
+    s"""g AS MATERIALIZED (
+       |  SELECT least(event_id % 5, (event_id // 5) % 5) AS lo,
+       |    greatest(event_id % 5, (event_id // 5) % 5) AS hi,
+       |    CASE WHEN $u * (least(event_id % 5, (event_id // 5) % 5)
+       |        + greatest(event_id % 5, (event_id // 5) % 5) + 2)
+       |      < ${1L << 24} * (least(event_id % 5, (event_id // 5) % 5) + 1)
+       |      THEN 1 ELSE 0 END AS lo_wins
+       |  FROM events
+       |  WHERE event_id % 5 <> (event_id // 5) % 5),
+       |pg AS MATERIALIZED (
+       |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lo_wins) AS BIGINT) AS w_lo
+       |  FROM g GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The unrolled-CTE DuckDB replay of the driver-side MM loop —
     * generated by the same iteration count and the same integer ops,
     * so a BtIters/BtScale change updates both engines together. */
   private def btOracle: String = {
-    val u = hex6ToLongDuck("substring(md5('pref|' || CAST(event_id AS VARCHAR)), 1, 6)")
     // every per-iteration CTE is MATERIALIZED: it$k is referenced
     // twice (both join sides) and raw$k three times (rows + the two
     // scalar subqueries), so inlining would re-derive the whole
@@ -440,19 +535,7 @@ object Labeling {
          |      // (SELECT sum(s) FROM raw$k)) AS s
          |  FROM raw$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS MATERIALIZED (
-       |  SELECT least(event_id % 5, (event_id // 5) % 5) AS lo,
-       |    greatest(event_id % 5, (event_id // 5) % 5) AS hi,
-       |    CASE WHEN $u * (least(event_id % 5, (event_id // 5) % 5)
-       |        + greatest(event_id % 5, (event_id // 5) % 5) + 2)
-       |      < ${1L << 24} * (least(event_id % 5, (event_id // 5) % 5) + 1)
-       |      THEN 1 ELSE 0 END AS lo_wins
-       |  FROM events
-       |  WHERE event_id % 5 <> (event_id // 5) % 5),
-       |pg AS MATERIALIZED (
-       |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(lo_wins) AS BIGINT) AS w_lo
-       |  FROM g GROUP BY 1, 2),
+    s"""WITH $btPairsCte,
        |mat AS MATERIALIZED (
        |  SELECT lo AS i, hi AS j, n, w_lo AS w FROM pg
        |  UNION ALL
@@ -523,6 +606,56 @@ object Labeling {
     },
 
     "q_pref_bradley_terry" -> btOracle,
+
+    "q_pref_transitivity" ->
+      s"""WITH $btPairsCte,
+         |p AS MATERIALIZED (
+         |  SELECT lo AS i, hi AS j,
+         |    CAST(CASE WHEN w_lo * 2 > n THEN 1
+         |              WHEN w_lo * 2 < n THEN -1 ELSE 0 END AS BIGINT) AS dir
+         |  FROM pg)
+         |SELECT a.i, a.j, b.j AS k,
+         |  a.dir AS dir_ij, b.dir AS dir_jk, c.dir AS dir_ik,
+         |  ((a.dir = 1 AND b.dir = 1 AND c.dir = -1)
+         |    OR (a.dir = -1 AND b.dir = -1 AND c.dir = 1)) AS cyclic
+         |FROM p a
+         |JOIN p b ON b.i = a.j
+         |JOIN p c ON c.i = a.i AND c.j = b.j
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_label_rater_quality" -> {
+      val ls = (0 to 2).map(k => s"${raterLabelSql(k, "duck")} AS l$k")
+        .mkString(",\n    ")
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    $ls
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, l0, l1, l2,
+         |    CASE WHEN l0 = l1 OR l0 = l2 THEN l0
+         |         WHEN l1 = l2 THEN l1 ELSE -1 END AS majority
+         |  FROM lab),
+         |r AS (
+         |  SELECT doc_id, majority, 0 AS rater, l0 AS label FROM m
+         |  UNION ALL
+         |  SELECT doc_id, majority, 1 AS rater, l1 AS label FROM m
+         |  UNION ALL
+         |  SELECT doc_id, majority, 2 AS rater, l2 AS label FROM m),
+         |agg AS (
+         |  SELECT rater,
+         |    CAST(sum(CASE WHEN majority >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+         |    CAST(sum(CASE WHEN majority < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied_excluded,
+         |    CAST(sum(CASE WHEN majority >= 0 AND label = majority THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree,
+         |    CAST(sum(CASE WHEN majority >= 0 AND label = doc_id % 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true
+         |  FROM r GROUP BY 1)
+         |SELECT CAST(rater AS BIGINT) AS rater, n_scored, n_tied_excluded,
+         |  n_agree, n_true,
+         |  (n_agree * 1000000) // nullif(n_scored, 0) AS acc_vs_consensus_ppm,
+         |  (n_true * 1000000) // nullif(n_scored, 0) AS acc_vs_truth_ppm
+         |FROM agg ORDER BY rater""".stripMargin
+    },
 
     "q_label_majority" -> {
       val ls = (0 to 2).map(k => s"${raterLabelSql(k, "duck")} AS l$k")

@@ -99,6 +99,44 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("transitivity audit: full triple lattice, directions consistent, linear truth near-acyclic") {
+    val rows = Labeling.qPrefTransitivity(spark, sf0001).collect()
+    assert(rows.length == 10) // C(5,3) triples
+    var cycles = 0
+    rows.foreach { r =>
+      val (dij, djk, dik) = (r.getAs[Long]("dir_ij"),
+        r.getAs[Long]("dir_jk"), r.getAs[Long]("dir_ik"))
+      Seq(dij, djk, dik).foreach(d => assert(d >= -1 && d <= 1))
+      val expectCyclic = (dij == 1 && djk == 1 && dik == -1) ||
+        (dij == -1 && djk == -1 && dik == 1)
+      assert(r.getAs[Boolean]("cyclic") == expectCyclic)
+      if (expectCyclic) cycles += 1
+    }
+    // planted strengths are linear (i+1), so at most sampling-noise
+    // cycles survive the majority vote
+    assert(cycles <= 2, s"$cycles cycles on a linear-truth log")
+  }
+
+  test("rater quality: consensus agreement tracks true accuracy, noisiest rater last") {
+    val rows = Labeling.qLabelRaterQuality(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("rater") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    val nDocs = Tables.load(spark, sf0001, "documents").count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_scored") + r.getAs[Long]("n_tied_excluded") == nDocs)
+      val cons = r.getAs[Long]("acc_vs_consensus_ppm")
+      val truth = r.getAs[Long]("acc_vs_truth_ppm")
+      // the Dawid-Skene premise: consensus agreement estimates true
+      // accuracy without gold labels (3-rater panel: within ~6%)
+      assert(math.abs(cons - truth) < 60000L, s"rater ${r.getAs[Long]("rater")}: $cons vs $truth")
+    }
+    // flip rates 50/150/300 permille order the raters
+    assert(rows(0L).getAs[Long]("acc_vs_truth_ppm") >
+      rows(1L).getAs[Long]("acc_vs_truth_ppm"))
+    assert(rows(1L).getAs[Long]("acc_vs_truth_ppm") >
+      rows(2L).getAs[Long]("acc_vs_truth_ppm"))
+  }
+
   test("majority vote: flip-free fixture is unanimous and perfectly accurate") {
     val clean = (0L until 2000L).filter { id =>
       (0 to 2).forall { k =>

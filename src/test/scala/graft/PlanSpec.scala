@@ -349,7 +349,11 @@ class PlanSpec extends SparkSpec {
       // model catalog is fixed, independent of log size); the staged
       // plan (one groupBy + union) is audited by the ledger sweep and
       // the returned plan is window- and cross-join-free
-      "q_pref_bradley_terry")
+      "q_pref_bradley_terry",
+      // transitivity reads the SAME memoized win-matrix stage (written
+      // on first construction); final plan = two equi-joins on the
+      // ≤ M²-row pair frame
+      "q_pref_transitivity")
 
   test("whole-surface audit: unpartitioned windows only over provably bounded frames") {
     // A Window with no partitionSpec sorts its whole input on ONE task
