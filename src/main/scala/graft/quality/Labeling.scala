@@ -99,6 +99,15 @@ object Labeling {
     * Shape: per-user totals (one shuffle), a 32× scan-side replicate
     * fan-out combined map-side into (event_type, replicate, variant)
     * cells — ≤ |types|·R·2 rows — then a ≤ R-row window per type. */
+  /** The Poisson(1) weight of resampling unit `unitIdSql` in replicate
+    * `r` — the md5 salt + CASE chain shared by the batch (user-level)
+    * and streaming (event-level) bootstraps, so the two legs draw from
+    * one definition. */
+  private def bootWeightSql(unitIdSql: String): String =
+    poissonCaseSql(
+      "substring(md5(cast(concat('boot|', cast(r as string), '|', " +
+        s"cast($unitIdSql as string)) as binary)), 1, 6)")
+
   def qAbBootstrap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val users = Tables.load(spark, dir, "events")
@@ -106,9 +115,7 @@ object Labeling {
       .agg(sum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
         .as("cents"))
       .withColumn("variant", $"user_id" % 2)
-    val wExpr = poissonCaseSql(
-      "substring(md5(cast(concat('boot|', cast(r as string), '|', " +
-        "cast(user_id as string)) as binary)), 1, 6)")
+    val wExpr = bootWeightSql("user_id")
     val cells = users
       .withColumn("r", explode(expr(s"sequence(0L, ${BootReps - 1}L)")))
       .withColumn("w", expr(wExpr))
@@ -147,6 +154,56 @@ object Labeling {
         $"boot_lo_ucents", $"boot_hi_ucents",
         coalesce($"n_reps_valid", lit(0L)).as("n_reps_valid"))
       .orderBy($"event_type")
+  }
+
+  /** STREAMING BOOTSTRAP CELLS — the online arm of [[qAbBootstrap]]:
+    * per event-time hour window, the (event_type, replicate, variant)
+    * resample cells computed as ONE watermarked stateful aggregate, so
+    * a per-window A/B diff WITH a bootstrap CI is available the moment
+    * the watermark closes the window (append mode; the CI extraction —
+    * rank the ≤ R diffs — is a stateless read over the emitted cells).
+    * The resampling unit is the EVENT (weights drawn per (event_id,
+    * replicate) from the SHARED [[bootWeightSql]] salt), not the user:
+    * a user-unit bootstrap needs per-user totals first, and chaining a
+    * second stateful aggregate behind them in update mode is
+    * unsupported — the event-unit bootstrap is the standard streaming
+    * variant and is exact for per-window mean-of-events metrics. The
+    * 32× replicate fan-out happens scan-side BEFORE state: state is
+    * one row per (window, type, replicate, variant) — fixed
+    * cardinality per window, independent of event volume. */
+  def bootstrapCellsHourly(events: DataFrame, tsCol: String,
+      watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("variant", $"user_id" % 2)
+      .withColumn("r", explode(expr(s"sequence(0L, ${BootReps - 1}L)")))
+      .withColumn("w", expr(bootWeightSql("event_id")))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), $"event_type", $"r", $"variant")
+      .agg(sum($"w").as("n"), sum($"w" * $"cents").as("wc"))
+      .select($"window.start".as("window_start"), $"event_type", $"r",
+        $"variant", $"n", $"wc")
+  }
+
+  /** The batch replay of [[bootstrapCellsHourly]]'s cell definition —
+    * the spec pins stream == batch on one corpus. */
+  private[graft] def bootstrapCellsBatch(events: DataFrame,
+      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("cents",
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("variant", $"user_id" % 2)
+      .withColumn("r", explode(expr(s"sequence(0L, ${BootReps - 1}L)")))
+      .withColumn("w", expr(bootWeightSql("event_id")))
+      .groupBy(window(col(tsCol), "1 hour"), $"event_type", $"r", $"variant")
+      .agg(sum($"w").as("n"), sum($"w" * $"cents").as("wc"))
+      .select($"window.start".as("window_start"), $"event_type", $"r",
+        $"variant", $"n", $"wc")
   }
 
   // --- Bradley–Terry -------------------------------------------------

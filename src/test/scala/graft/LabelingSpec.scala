@@ -99,6 +99,44 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bootstrap cells: append-mode windows equal the batch replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fixture = Seq(
+      (0L, ts("2026-08-12 10:05:00"), 0L, "click", 10.50),
+      (1L, ts("2026-08-12 10:15:00"), 1L, "click", 20.00),
+      (2L, ts("2026-08-12 10:25:00"), 2L, "click", 5.25),
+      (3L, ts("2026-08-12 10:35:00"), 3L, "view", 1.00),
+      (4L, ts("2026-08-12 11:05:00"), 4L, "click", 7.75), // next window
+      (5L, ts("2026-08-12 12:30:00"), 5L, "view", 2.00))  // closes both
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Labeling.bootstrapCellsHourly(
+      input.toDF().toDF(cols: _*), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("boot_cells")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(4)); q.processAllAvailable()
+      input.addData(fixture.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("r"), r.getAs[Long]("variant")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("wc"))
+    val got = spark.table("boot_cells").collect().map(key).toMap
+    val batch = Labeling.bootstrapCellsBatch(
+      // the final watermark is 11:30 (12:30 − 1 h): the 10:00 window
+      // (end 11:00) closed and emitted; the 11:00 and 12:00 windows are
+      // still open — the batch replay covers the closed window's events
+      fixture.take(4).toDF(cols: _*), "ts").collect().map(key).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    // every closed (window, type) carries the full 32-replicate grid
+    // for the variants that had events
+    assert(got.keys.map(_._3).toSet == (0L until Labeling.BootReps.toLong).toSet)
+  }
+
   test("transitivity audit: full triple lattice, directions consistent, linear truth near-acyclic") {
     val rows = Labeling.qPrefTransitivity(spark, sf0001).collect()
     assert(rows.length == 10) // C(5,3) triples
