@@ -533,7 +533,41 @@ object Labeling {
       .orderBy($"rater")
   }
 
+  /** SFT PROMPT-CONFLICT AUDIT — the instruction-data hygiene check:
+    * documents sharing a prompt key (the SAME 8-token
+    * `Dedup.headFingerprint` the incremental-dedup layers key on)
+    * but diverging afterwards are "same instruction, different
+    * response" groups — exact duplicates merely waste tokens, but
+    * CONFLICTING responses to one prompt actively teach a reward
+    * model noise, so the two verdicts are separated. Per collided
+    * prompt: group size, distinct full responses, distinct sources
+    * (cross-source conflicts are usually scraper mirrors, not real
+    * disagreement), and the verdict. One groupBy on the 16-byte
+    * prompt digest — the exact-dedup shuffle shape. */
+  def qSftPromptConflicts(spark: SparkSession, dir: String): DataFrame =
+    sftPromptConflicts(Tables.load(spark, dir, "documents"))
+
+  private[graft] def sftPromptConflicts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("prompt_fp", graft.dedup.Dedup.headFingerprint($"text"))
+      .withColumn("resp_fp", md5($"text".cast("binary")))
+      .groupBy($"prompt_fp")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"resp_fp").as("n_responses"),
+        count_distinct($"source").as("n_sources"),
+        min($"doc_id").as("first_doc_id"))
+      .filter($"n_docs" >= 2)
+      .withColumn("verdict",
+        when($"n_responses" > 1, "conflict").otherwise("exact_dup"))
+      .select($"prompt_fp", $"n_docs", $"n_responses", $"n_sources",
+        $"first_doc_id", $"verdict")
+      .orderBy($"prompt_fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sft_prompt_conflicts" -> qSftPromptConflicts,
     "q_ab_bootstrap" -> qAbBootstrap,
     "q_pref_bradley_terry" -> qPrefBradleyTerry,
     "q_pref_transitivity" -> qPrefTransitivity,
@@ -611,6 +645,25 @@ object Labeling {
   }
 
   val oracles: Map[String, String] = Map(
+    // prompt key = md5 of the first 8 tokens — the headFingerprint
+    // definition (list slice clamps like Spark's slice)
+    "q_sft_prompt_conflicts" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prompt_fp,
+        |    md5(text) AS resp_fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT prompt_fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT resp_fp) AS BIGINT) AS n_responses,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    min(doc_id) AS first_doc_id
+        |  FROM h GROUP BY 1)
+        |SELECT prompt_fp, n_docs, n_responses, n_sources, first_doc_id,
+        |  CASE WHEN n_responses > 1 THEN 'conflict' ELSE 'exact_dup' END AS verdict
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY prompt_fp""".stripMargin,
+
     "q_ab_bootstrap" -> {
       val w = poissonCaseDuck(
         "substring(md5('boot|' || CAST(t.r AS VARCHAR) || '|' " +

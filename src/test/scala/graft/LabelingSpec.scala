@@ -99,6 +99,31 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("sft prompt conflicts: planted fixture separates conflict from exact-dup") {
+    val head = "please summarize the following support ticket for me"
+    val df = Seq(
+      (0L, s"$head thanks a lot", "src1"),          // conflict group...
+      (1L, s"$head with bullet points", "src2"),    // ...different tails
+      (2L, "identical doc body here one two three", "src1"), // exact dup...
+      (3L, "identical doc body here one two three", "src1"), // ...same text
+      (4L, "a unique document with no twin at all", "src3")) // no group
+      .toDF("doc_id", "text", "source")
+    val rows = Labeling.sftPromptConflicts(df).collect()
+    assert(rows.length == 2)
+    val byVerdict = rows.map(r => r.getAs[String]("verdict") -> r).toMap
+    assert(byVerdict("conflict").getAs[Long]("n_responses") == 2L)
+    assert(byVerdict("conflict").getAs[Long]("n_sources") == 2L)
+    assert(byVerdict("conflict").getAs[Long]("first_doc_id") == 0L)
+    assert(byVerdict("exact_dup").getAs[Long]("n_responses") == 1L)
+    // corpus: head-key collisions exist and every group's counts cohere
+    val corpus = Labeling.qSftPromptConflicts(spark, sf0001).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_responses") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_sources") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("streaming bootstrap cells: append-mode windows equal the batch replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
