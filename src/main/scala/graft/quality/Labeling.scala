@@ -358,16 +358,22 @@ object Labeling {
   def qLabelKappa(spark: SparkSession, dir: String): DataFrame =
     kappaOf(Tables.load(spark, dir, "documents"))
 
+  /** Adds the three raters' labels (`l0`..`l2`) to any frame with a
+    * `doc_id` — THE shared projection behind kappa, majority vote,
+    * rater quality and the streaming annotation monitor: every
+    * consumer of "what did the raters say" reads one definition. */
+  private[graft] def withRaterLabels(df: DataFrame): DataFrame =
+    df.withColumn("l0", expr(raterLabelSql(0, "spark")))
+      .withColumn("l1", expr(raterLabelSql(1, "spark")))
+      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+
   /** Core of [[qLabelKappa]] over any (doc_id, source) frame —
     * separated so the perfect-agreement fixture spec can drive it
     * with doc_ids chosen to draw no flips. */
   private[graft] def kappaOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val labeled = docs
-      .withColumn("l0", expr(raterLabelSql(0, "spark")))
-      .withColumn("l1", expr(raterLabelSql(1, "spark")))
-      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+    val labeled = withRaterLabels(docs)
     val withCounts = labeled
       .withColumn("n0", expr("cast(l0 = 0 as bigint) + cast(l1 = 0 as bigint) + cast(l2 = 0 as bigint)"))
       .withColumn("n1", expr("cast(l0 = 1 as bigint) + cast(l1 = 1 as bigint) + cast(l2 = 1 as bigint)"))
@@ -403,10 +409,7 @@ object Labeling {
   private[graft] def majorityOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .withColumn("l0", expr(raterLabelSql(0, "spark")))
-      .withColumn("l1", expr(raterLabelSql(1, "spark")))
-      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+    withRaterLabels(docs)
       .withColumn("majority", expr(
         """CASE WHEN l0 = l1 OR l0 = l2 THEN l0
           |     WHEN l1 = l2 THEN l1 ELSE -1L END""".stripMargin))
@@ -509,10 +512,7 @@ object Labeling {
     * rollup. */
   def qLabelRaterQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lab = Tables.load(spark, dir, "documents")
-      .withColumn("l0", expr(raterLabelSql(0, "spark")))
-      .withColumn("l1", expr(raterLabelSql(1, "spark")))
-      .withColumn("l2", expr(raterLabelSql(2, "spark")))
+    val lab = withRaterLabels(Tables.load(spark, dir, "documents"))
       .withColumn("majority", expr(
         """CASE WHEN l0 = l1 OR l0 = l2 THEN l0
           |     WHEN l1 = l2 THEN l1 ELSE -1L END""".stripMargin))
@@ -564,6 +564,43 @@ object Labeling {
       .select($"prompt_fp", $"n_docs", $"n_responses", $"n_sources",
         $"first_doc_id", $"verdict")
       .orderBy($"prompt_fp")
+  }
+
+  /** STREAMING ANNOTATION-QUALITY MONITOR — Fleiss' kappa per
+    * event-time window over a live labeling stream (one row per
+    * labeled doc carrying the panel's 3 labels via the SHARED
+    * [[withRaterLabels]] projection): per-doc agreement pairs are
+    * row expressions, so the whole window readout is ONE watermarked
+    * append-mode aggregate — state is one sum-tuple per open window —
+    * and P_o/P_e/κ derive statelessly from the emitted sums with the
+    * SAME ppm arithmetic as the batch query. The monitor a labeling
+    * vendor dashboard needs: a window whose κ drops is a rater (or
+    * instruction change) gone wrong, caught while the batch is still
+    * open for re-work. */
+  def kappaHourly(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withRaterLabels(docs)
+      .withColumn("n0", expr("cast(l0 = 0 as bigint) + cast(l1 = 0 as bigint) + cast(l2 = 0 as bigint)"))
+      .withColumn("n1", expr("cast(l0 = 1 as bigint) + cast(l1 = 1 as bigint) + cast(l2 = 1 as bigint)"))
+      .withColumn("n2", expr("cast(l0 = 2 as bigint) + cast(l1 = 2 as bigint) + cast(l2 = 2 as bigint)"))
+      .withColumn("pairs", expr("(n0*n0 + n1*n1 + n2*n2 - 3) div 2"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"pairs").as("sum_pairs"),
+        sum($"n0").as("c0"), sum($"n1").as("c1"), sum($"n2").as("c2"))
+      .withColumn("po_ppm", expr("(sum_pairs * 1000000) div (3 * n_docs)"))
+      .withColumn("pe_ppm", expr(
+        """cast((cast(c0 as decimal(38,0)) * c0 + cast(c1 as decimal(38,0)) * c1
+          |  + cast(c2 as decimal(38,0)) * c2) * 1000000
+          |  div (cast(n_docs as decimal(38,0)) * n_docs * 9) as bigint)"""
+          .stripMargin))
+      .withColumn("kappa_ppm", expr(
+        "((po_ppm - pe_ppm) * 1000000) div nullif(1000000 - pe_ppm, 0L)"))
+      .select($"window.start".as("window_start"), $"n_docs",
+        $"po_ppm", $"pe_ppm", $"kappa_ppm")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -99,6 +99,38 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("streaming kappa monitor: closed window equals the batch kappa on its docs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 40 docs labeled inside the 10:00 window, then a heartbeat far
+    // enough ahead to close it (watermark 1 h)
+    val inWindow = (0L until 40L)
+      .map(id => (id, ts(f"2026-08-12 10:${id % 60}%02d:00")))
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = Labeling.kappaHourly(
+      input.toDF().toDF("doc_id", "ts"), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("kappa_hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(inWindow); q.processAllAvailable()
+      input.addData(Seq((999L, ts("2026-08-12 12:30:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("kappa_hourly").collect()
+    assert(emitted.length == 1, "exactly the closed 10:00 window emits")
+    val got = emitted.head
+    assert(got.getAs[Timestamp]("window_start") == ts("2026-08-12 10:00:00"))
+    val batch = Labeling.kappaOf(
+      inWindow.map(_._1).toDF("doc_id")
+        .withColumn("source", lit("w"))).collect().head
+    assert(got.getAs[Long]("n_docs") == 40L)
+    Seq("po_ppm", "pe_ppm", "kappa_ppm").foreach { c =>
+      assert(got.getAs[Long](c) == batch.getAs[Long](c), c)
+    }
+  }
+
   test("sft prompt conflicts: planted fixture separates conflict from exact-dup") {
     val head = "please summarize the following support ticket for me"
     val df = Seq(
