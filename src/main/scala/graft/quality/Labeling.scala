@@ -83,6 +83,15 @@ object Labeling {
 
   // --- Poisson bootstrap ---------------------------------------------
 
+  /** The Poisson(1) weight of resampling unit `unitIdSql` in replicate
+    * `r` — the md5 salt + CASE chain shared by the batch (user-level)
+    * and streaming (event-level) bootstraps, so the two legs draw from
+    * one definition. */
+  private def bootWeightSql(unitIdSql: String): String =
+    poissonCaseSql(
+      "substring(md5(cast(concat('boot|', cast(r as string), '|', " +
+        s"cast($unitIdSql as string)) as binary)), 1, 6)")
+
   /** POISSON BOOTSTRAP CI — uncertainty for the A/B
     * revenue-per-user difference without resampling passes: each
     * (user, replicate) draws an independent Poisson(1) weight from
@@ -99,15 +108,6 @@ object Labeling {
     * Shape: per-user totals (one shuffle), a 32× scan-side replicate
     * fan-out combined map-side into (event_type, replicate, variant)
     * cells — ≤ |types|·R·2 rows — then a ≤ R-row window per type. */
-  /** The Poisson(1) weight of resampling unit `unitIdSql` in replicate
-    * `r` — the md5 salt + CASE chain shared by the batch (user-level)
-    * and streaming (event-level) bootstraps, so the two legs draw from
-    * one definition. */
-  private def bootWeightSql(unitIdSql: String): String =
-    poissonCaseSql(
-      "substring(md5(cast(concat('boot|', cast(r as string), '|', " +
-        s"cast($unitIdSql as string)) as binary)), 1, 6)")
-
   def qAbBootstrap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val users = Tables.load(spark, dir, "events")
@@ -215,19 +215,16 @@ object Labeling {
   private[graft] val BtIters = 8
   private val BtScale = 1000000L
 
-  /** The synthetic pairwise-preference log: each event is one
-    * comparison between model a = event_id % 5 and
-    * b = (event_id div 5) % 5 (self-pairs dropped); the lower-indexed
-    * model wins with true probability (lo+1)/(lo+hi+2) — i.e. true
-    * strength of model i is (i+1) — decided by an md5 slice compared
-    * WITHOUT division: u·(lo+hi+2) < 16^6·(lo+1). Returns the directed
-    * win matrix: (i, j, n_ij, w_ij) for every ordered pair that
-    * occurred. */
   /** Per-comparison projection (lo, hi, lo_wins) — THE shared
     * synthesis + outcome definition: [[btMatrix]] (batch) and
     * [[prefMatrixStream]] (incremental) both aggregate exactly this,
-    * so the two legs cannot disagree on who won a game. Stateless
-    * scan expressions, streaming-legal. */
+    * so the two legs cannot disagree on who won a game. The synthetic
+    * log: each event is one comparison between model a = event_id % 5
+    * and b = (event_id div 5) % 5 (self-pairs dropped); the
+    * lower-indexed model wins with true probability (lo+1)/(lo+hi+2)
+    * — i.e. true strength of model i is (i+1) — decided by an md5
+    * slice compared WITHOUT division: u·(lo+hi+2) < 16^6·(lo+1).
+    * Stateless scan expressions, streaming-legal. */
   private[graft] def prefGames(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -244,6 +241,9 @@ object Labeling {
       .select($"lo", $"hi", $"lo_wins")
   }
 
+  /** The directed win matrix (i, j, n_ij, w_ij) for every ordered
+    * pair that occurred — ONE groupBy over [[prefGames]] plus the
+    * stateless directed expansion. */
   private[graft] def btMatrix(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -278,6 +278,12 @@ object Labeling {
         sum(when($"lo_wins", 1L).otherwise(0L)).as("w_lo"))
   }
 
+  /** The staged win matrix, memoized per (session, dir) — shared by
+    * the fit and the transitivity audit, one materialization. */
+  private def stagedMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.checkpointed(spark, s"labeling.btmat|$dir")(
+      btMatrix(Tables.load(spark, dir, "events")))
+
   /** BRADLEY–TERRY RANKING from a pairwise preference log — the
     * RLHF-side "which model do raters prefer" fit. The log collapses
     * to a ≤ M²-row directed win matrix in ONE shuffle (staged — the
@@ -289,12 +295,6 @@ object Labeling {
     * scale 1e6, normalized to Σs = M·1e6 and clamped ≥ 1 each round —
     * the exact sequence the oracle replays as unrolled CTEs.
     * Output: model, games, wins, win_permille, strength_x1e6. */
-  /** The staged win matrix, memoized per (session, dir) — shared by
-    * the fit and the transitivity audit, one materialization. */
-  private def stagedMatrix(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.checkpointed(spark, s"labeling.btmat|$dir")(
-      btMatrix(Tables.load(spark, dir, "events")))
-
   def qPrefBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mat = stagedMatrix(spark, dir)
