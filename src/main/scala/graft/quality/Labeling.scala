@@ -224,7 +224,10 @@ object Labeling {
     * lower-indexed model wins with true probability (lo+1)/(lo+hi+2)
     * — i.e. true strength of model i is (i+1) — decided by an md5
     * slice compared WITHOUT division: u·(lo+hi+2) < 16^6·(lo+1).
-    * Stateless scan expressions, streaming-legal. */
+    * Stateless scan expressions, streaming-legal. Input columns ride
+    * through (only the synthesis intermediates are dropped) so
+    * downstream legs can key on `event_id` (the length-bias audit) or
+    * the event time (the streaming monitors). */
   private[graft] def prefGames(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -238,7 +241,7 @@ object Labeling {
       .withColumn("hi", greatest($"a", $"b"))
       .withColumn("lo_wins",
         expr(s"$u * (lo + hi + 2) < ${1L << 24} * (lo + 1)"))
-      .select($"lo", $"hi", $"lo_wins")
+      .drop("a", "b")
   }
 
   /** The directed win matrix (i, j, n_ij, w_ij) for every ordered
@@ -603,7 +606,226 @@ object Labeling {
         $"po_ppm", $"pe_ppm", $"kappa_ppm")
   }
 
+  // --- pass@k, length bias, token F1 ----------------------------------
+
+  /** Attempts per eval task. */
+  private[graft] val PassAttempts = 10
+  /** The k values reported — pass@1 / pass@5 / pass@10. */
+  private[graft] val PassKs = Seq(1, 5, 10)
+
+  /** Exact binomial coefficient — tiny arguments (≤ [[PassAttempts]]),
+    * shared by the Spark CASE, the DuckDB CASE and the spec replay so
+    * all three read one table. */
+  private[graft] def comb(m: Int, k: Int): Long =
+    if (k < 0 || k > m) 0L
+    else (1 to k).foldLeft(1L)((acc, i) => acc * (m - k + i) / i)
+
+  /** Indicator (as SQL shared by both engines up to the md5-argument
+    * spelling) that attempt `a` on task `doc_id` succeeded: success
+    * probability is (d+1)/8 for difficulty d = doc_id % 4, decided
+    * divisionlessly as u·8 < 16^6·(d+1). */
+  private def passIndicator(a: Int, engine: String): String = {
+    val md5Arg =
+      if (engine == "spark")
+        s"cast(concat('pass|$a|', cast(doc_id as string)) as binary)"
+      else s"'pass|$a|' || CAST(doc_id AS VARCHAR)"
+    val u =
+      if (engine == "spark") hex6ToLongSpark(s"substring(md5($md5Arg), 1, 6)")
+      else hex6ToLongDuck(s"substring(md5($md5Arg), 1, 6)")
+    val cast = if (engine == "spark") "bigint" else "BIGINT"
+    s"cast($u * 8 < ${1L << 24} * (doc_id % 4 + 1) as $cast)"
+  }
+
+  /** CASE mapping the per-task success count c to C(n−c, k) — the
+    * numerator of the unbiased pass@k estimator, generated from
+    * [[comb]] for both engines (the ELSE 0 arm is unreachable: c is a
+    * sum of n indicators). */
+  private def combCaseSql(k: Int, suffix: String): String =
+    (0 to PassAttempts)
+      .map(c => s"WHEN c = $c THEN ${comb(PassAttempts - c, k)}$suffix")
+      .mkString("CASE ", " ", s" ELSE 0$suffix END")
+
+  /** PASS@K EVAL SCORING — the unbiased estimator of Chen et al. 2021
+    * ("Evaluating Large Language Models Trained on Code", §2.1): with
+    * n attempts per task of which c succeed, pass@k per task is
+    * 1 − C(n−c, k)/C(n, k), and the corpus estimate is its mean over
+    * tasks. Every document is one synthetic eval task with difficulty
+    * d = doc_id % 4 (success probability (d+1)/8 per attempt); the
+    * n = 10 attempt outcomes are md5-slice draws computed as TEN row
+    * expressions — no explode, no shuffle until the per-source rollup.
+    * The mean needs no per-task truncation: C(n, k) is constant, so
+    * Σ_tasks C(n−c, k) is an integer and
+    * pass@k = ((N·C(n,k) − ΣC(n−c,k)) · 1e6) div (N·C(n,k)) exactly,
+    * identical in both engines. Output per source: task count and
+    * pass@1/5/10 in ppm (monotone in k by construction). */
+  def qEvalPassAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cExpr = (0 until PassAttempts)
+      .map(passIndicator(_, "spark")).mkString(" + ")
+    val withC = Tables.load(spark, dir, "documents")
+      .withColumn("c", expr(cExpr))
+    val aggs = PassKs.map(k =>
+      sum(expr(combCaseSql(k, "L"))).as(s"s$k"))
+    val rolled = withC.groupBy($"source")
+      .agg(count(lit(1)).as("n_tasks"), aggs: _*)
+    PassKs.foldLeft(rolled) { (df, k) =>
+      val cnk = comb(PassAttempts, k)
+      df.withColumn(s"pass${k}_ppm",
+        expr(s"((n_tasks * $cnk - s$k) * 1000000) div (n_tasks * $cnk)"))
+    }
+      .select($"source" +: $"n_tasks" +:
+        PassKs.map(k => col(s"pass${k}_ppm")): _*)
+      .orderBy($"source")
+  }
+
+  /** Per-game response lengths for both sides — the shared projection
+    * behind the batch length-bias audit and its streaming monitor.
+    * Lengths are md5 draws PLANTED with the real-world confound the
+    * audit exists to catch: stronger models are more verbose
+    * (len = 100 + model·50 + u mod 200, overlapping bands), and since
+    * strength drives wins, "longer response wins" shows up without any
+    * rater length preference in the generator — exactly the
+    * correlation a verbosity audit flags for a causal follow-up. */
+  private[graft] def withLengthBiasCols(events: DataFrame): DataFrame = {
+    def lenSql(side: String): String = {
+      val u = hex6ToLongSpark(
+        s"substring(md5(cast(concat('len|', cast($side as string), '|', " +
+          "cast(event_id as string)) as binary)), 1, 6)")
+      s"100L + $side * 50L + $u % 200L"
+    }
+    prefGames(events)
+      .withColumn("len_lo", expr(lenSql("lo")))
+      .withColumn("len_hi", expr(lenSql("hi")))
+      .withColumn("gap_bucket", expr("abs(len_lo - len_hi) div 50"))
+      .withColumn("is_len_tie", expr("len_lo = len_hi"))
+      .withColumn("longer_wins", expr(
+        "(len_lo > len_hi AND lo_wins) OR (len_hi > len_lo AND NOT lo_wins)"))
+  }
+
+  /** PREFERENCE LENGTH-BIAS AUDIT — the RLHF verbosity check: does the
+    * LONGER response win more often than chance, and does the effect
+    * grow with the length gap? A reward model fit on a length-biased
+    * log learns verbosity as a reward. Per length-gap bucket (50-char
+    * bands): games, exact-length ties, longer-side wins, and the
+    * longer-win rate in permille (ties excluded from the rate).
+    * Everything up to the ≤ 9-row bucket rollup is scan expressions
+    * over the shared [[prefGames]] outcome + [[withLengthBiasCols]]
+    * length draws — one shuffle at any log size. */
+  def qPrefLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withLengthBiasCols(Tables.load(spark, dir, "events"))
+      .groupBy($"gap_bucket")
+      .agg(count(lit(1)).as("n_games"),
+        sum(when($"is_len_tie", 1L).otherwise(0L)).as("n_len_ties"),
+        sum(when($"longer_wins", 1L).otherwise(0L)).as("n_longer_wins"))
+      .withColumn("longer_win_permille", expr(
+        "(n_longer_wins * 1000) div nullif(n_games - n_len_ties, 0L)"))
+      .orderBy($"gap_bucket")
+  }
+
+  /** STREAMING LENGTH-BIAS MONITOR — [[qPrefLengthBias]] folded to a
+    * per-event-time-hour dashboard row: games, ties, longer-side wins
+    * and the longer-win rate per window, as ONE watermarked
+    * append-mode aggregate over the SAME shared projection (state =
+    * one sum-tuple per open window; the permille derives statelessly
+    * from the emitted sums). The live view of the same verdict: a
+    * window whose longer-win rate jumps is a rater pool or generation
+    * config drifting toward verbosity preference, caught while the
+    * batch is still re-workable. */
+  def lengthBiasHourly(events: DataFrame, tsCol: String,
+      watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withLengthBiasCols(events)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when($"is_len_tie", 1L).otherwise(0L)).as("n_len_ties"),
+        sum(when($"longer_wins", 1L).otherwise(0L)).as("n_longer_wins"))
+      .select($"window.start".as("window_start"), $"n_games",
+        $"n_len_ties", $"n_longer_wins",
+        expr("(n_longer_wins * 1000) div nullif(n_games - n_len_ties, 0L)")
+          .as("longer_win_permille"))
+  }
+
+  /** The batch replay of [[lengthBiasHourly]]'s window readout — the
+    * spec pins stream == batch on one corpus. */
+  private[graft] def lengthBiasHourlyBatch(events: DataFrame,
+      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withLengthBiasCols(events)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when($"is_len_tie", 1L).otherwise(0L)).as("n_len_ties"),
+        sum(when($"longer_wins", 1L).otherwise(0L)).as("n_longer_wins"))
+      .select($"window.start".as("window_start"), $"n_games",
+        $"n_len_ties", $"n_longer_wins",
+        expr("(n_longer_wins * 1000) div nullif(n_games - n_len_ties, 0L)")
+          .as("longer_win_permille"))
+  }
+
+  /** Reference length (tokens) for the F1 scorer. */
+  private[graft] val F1RefTokens = 16
+
+  /** TOKEN-LEVEL F1 EVAL SCORING — the SQuAD-style reference-overlap
+    * metric run as a corpus job: per doc the reference is the first
+    * [[F1RefTokens]] whitespace tokens, the "model prediction" is a
+    * synthetic noisy copy (per position, an md5 hex digit drops the
+    * token on '0'/'1' — p = 1/8 — or substitutes a wrong token on
+    * '2' — p = 1/16), and F1 = 2·|multiset overlap| / (|pred| + |ref|).
+    * Per source both aggregations of the per-doc scores: micro
+    * (corpus-pooled counts — one exact integer ratio) and macro (mean
+    * of per-doc ppm scores; the per-doc truncation is the SHARED
+    * convention, applied identically by the oracle).
+    *
+    * Shape: tokens explode once; ref and pred rows stack into one
+    * (doc, token) combine (map-side) giving min(cnt_r, cnt_p) overlap
+    * terms; then a doc rollup and a source rollup. No joins — the
+    * multiset intersection is conditional counting on the stacked
+    * frame. */
+  def qEvalTokenF1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = "substring(md5(cast(concat('f1|', cast(doc_id as string), '|', " +
+      "cast(pos as string)) as binary)), 1, 1)"
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        posexplode(expr(s"slice(split(text, ' '), 1, $F1RefTokens)"))
+          .as(Seq("pos", "tok")))
+      .withColumn("pred", expr(
+        s"""CASE WHEN $h IN ('0', '1') THEN NULL
+           |     WHEN $h = '2' THEN 'xx' ELSE tok END""".stripMargin))
+    val stacked = toks.select($"doc_id", $"source",
+        explode(array(
+          struct($"tok".as("t"), lit("r").as("kind")),
+          struct($"pred".as("t"), lit("p").as("kind")))).as("e"))
+      .select($"doc_id", $"source", $"e.t".as("t"), $"e.kind".as("kind"))
+      .filter($"t".isNotNull)
+    val perDoc = stacked
+      .groupBy($"doc_id", $"source", $"t")
+      .agg(sum(when($"kind" === "r", 1L).otherwise(0L)).as("cnt_r"),
+        sum(when($"kind" === "p", 1L).otherwise(0L)).as("cnt_p"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum(least($"cnt_r", $"cnt_p")).as("overlap"),
+        sum($"cnt_r").as("len_r"), sum($"cnt_p").as("len_p"))
+      .withColumn("f1_ppm", expr(
+        "(2 * overlap * 1000000) div nullif(len_r + len_p, 0L)"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"overlap").as("sum_overlap"),
+        sum($"len_r").as("sum_len_r"), sum($"len_p").as("sum_len_p"),
+        sum($"f1_ppm").as("sum_f1"))
+      .withColumn("micro_f1_ppm", expr(
+        "(2 * sum_overlap * 1000000) div nullif(sum_len_r + sum_len_p, 0L)"))
+      .withColumn("macro_f1_ppm", expr("sum_f1 div n_docs"))
+      .select($"source", $"n_docs", $"micro_f1_ppm", $"macro_f1_ppm")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_pass_at_k" -> qEvalPassAtK,
+    "q_pref_length_bias" -> qPrefLengthBias,
+    "q_eval_token_f1" -> qEvalTokenF1,
     "q_sft_prompt_conflicts" -> qSftPromptConflicts,
     "q_ab_bootstrap" -> qAbBootstrap,
     "q_pref_bradley_terry" -> qPrefBradleyTerry,
@@ -682,6 +904,104 @@ object Labeling {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_eval_pass_at_k" -> {
+      val cExpr = (0 until PassAttempts)
+        .map(passIndicator(_, "duck")).mkString(" + ")
+      val sCols = PassKs.map(k =>
+        s"CAST(sum(${combCaseSql(k, "")}) AS BIGINT) AS s$k").mkString(",\n    ")
+      val ppmCols = PassKs.map { k =>
+        val cnk = comb(PassAttempts, k)
+        s"CAST(((n_tasks * $cnk - s$k) * 1000000) // (n_tasks * $cnk) AS BIGINT) AS pass${k}_ppm"
+      }.mkString(",\n  ")
+      s"""WITH cc AS (
+         |  SELECT source, $cExpr AS c
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tasks,
+         |    $sCols
+         |  FROM cc GROUP BY 1)
+         |SELECT source, n_tasks,
+         |  $ppmCols
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
+    "q_pref_length_bias" -> {
+      val uPref = hex6ToLongDuck(
+        "substring(md5('pref|' || CAST(event_id AS VARCHAR)), 1, 6)")
+      def uLen(side: String) = hex6ToLongDuck(
+        s"substring(md5('len|' || CAST($side AS VARCHAR) || '|' " +
+          "|| CAST(event_id AS VARCHAR)), 1, 6)")
+      s"""WITH g AS (
+         |  SELECT event_id,
+         |    least(event_id % 5, (event_id // 5) % 5) AS lo,
+         |    greatest(event_id % 5, (event_id // 5) % 5) AS hi
+         |  FROM events
+         |  WHERE event_id % 5 <> (event_id // 5) % 5),
+         |w AS (
+         |  SELECT lo, hi,
+         |    $uPref * (lo + hi + 2) < ${1L << 24} * (lo + 1) AS lo_wins,
+         |    100 + lo * 50 + ${uLen("lo")} % 200 AS len_lo,
+         |    100 + hi * 50 + ${uLen("hi")} % 200 AS len_hi
+         |  FROM g),
+         |b AS (
+         |  SELECT abs(len_lo - len_hi) // 50 AS gap_bucket,
+         |    CASE WHEN len_lo = len_hi THEN 1 ELSE 0 END AS tie,
+         |    CASE WHEN (len_lo > len_hi AND lo_wins)
+         |           OR (len_hi > len_lo AND NOT lo_wins)
+         |      THEN 1 ELSE 0 END AS lw
+         |  FROM w),
+         |agg AS (
+         |  SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_games,
+         |    CAST(sum(tie) AS BIGINT) AS n_len_ties,
+         |    CAST(sum(lw) AS BIGINT) AS n_longer_wins
+         |  FROM b GROUP BY 1)
+         |SELECT gap_bucket, n_games, n_len_ties, n_longer_wins,
+         |  (n_longer_wins * 1000) // nullif(n_games - n_len_ties, 0)
+         |    AS longer_win_permille
+         |FROM agg ORDER BY gap_bucket""".stripMargin
+    },
+
+    "q_eval_token_f1" -> {
+      val h = "substring(md5('f1|' || CAST(doc_id AS VARCHAR) || '|' " +
+        "|| CAST(pos AS VARCHAR)), 1, 1)"
+      s"""WITH base AS (
+         |  SELECT doc_id, source, string_split(text, ' ')[1:$F1RefTokens] AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, source, p.pos - 1 AS pos, toks[p.pos] AS tok
+         |  FROM base CROSS JOIN (SELECT unnest(range(1, ${F1RefTokens + 1})) AS pos) p
+         |  WHERE p.pos <= len(toks)),
+         |pt AS (
+         |  SELECT doc_id, source, tok,
+         |    CASE WHEN $h IN ('0', '1') THEN NULL
+         |         WHEN $h = '2' THEN 'xx' ELSE tok END AS pred
+         |  FROM tok),
+         |stacked AS (
+         |  SELECT doc_id, source, tok AS t, 'r' AS kind FROM pt
+         |  UNION ALL
+         |  SELECT doc_id, source, pred AS t, 'p' AS kind FROM pt
+         |  WHERE pred IS NOT NULL),
+         |cnt AS (
+         |  SELECT doc_id, source, t,
+         |    sum(CASE WHEN kind = 'r' THEN 1 ELSE 0 END) AS cnt_r,
+         |    sum(CASE WHEN kind = 'p' THEN 1 ELSE 0 END) AS cnt_p
+         |  FROM stacked GROUP BY 1, 2, 3),
+         |doc AS (
+         |  SELECT doc_id, source, sum(least(cnt_r, cnt_p)) AS overlap,
+         |    sum(cnt_r) AS len_r, sum(cnt_p) AS len_p
+         |  FROM cnt GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT source, overlap, len_r, len_p,
+         |    (2 * overlap * 1000000) // nullif(len_r + len_p, 0) AS f1_ppm
+         |  FROM doc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST((2 * sum(overlap) * 1000000)
+         |    // nullif(sum(len_r) + sum(len_p), 0) AS BIGINT) AS micro_f1_ppm,
+         |  CAST(sum(f1_ppm) // count(*) AS BIGINT) AS macro_f1_ppm
+         |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+    },
+
     // prompt key = md5 of the first 8 tokens — the headFingerprint
     // definition (list slice clamps like Spark's slice)
     "q_sft_prompt_conflicts" ->

@@ -351,4 +351,135 @@ class LabelingSpec extends SparkSpec {
     // the audit must measure something: real corpora leak
     assert(got.values.exists(_._2 > 0L), "expected nonzero leakage at sf0.001")
   }
+
+  private def hex6(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(6), 16)
+
+  test("pass@k: matches a brute-force replay at sf0.001 and is monotone in k") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val n = ds.size.toLong
+      val sums = Labeling.PassKs.map { k =>
+        k -> ds.map { case (id, _) =>
+          val c = (0 until Labeling.PassAttempts).count { a =>
+            hex6(s"pass|$a|$id") * 8 < (1L << 24) * (id % 4 + 1)
+          }
+          Labeling.comb(Labeling.PassAttempts - c, k)
+        }.sum
+      }.toMap
+      src -> (n, Labeling.PassKs.map { k =>
+        val cnk = Labeling.comb(Labeling.PassAttempts, k)
+        ((n * cnk - sums(k)) * 1000000L) / (n * cnk)
+      })
+    }
+    val got = Labeling.qEvalPassAtK(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_tasks"),
+        Labeling.PassKs.map(k => r.getAs[Long](s"pass${k}_ppm"))))
+    assert(got.toSeq.sortBy(_._1) == expected, s"got ${got.toSeq}")
+    // pass@k is monotone in k per task, hence per source
+    got.foreach { case (src, (_, Seq(p1, p5, p10))) =>
+      assert(p1 <= p5 && p5 <= p10, s"$src: $p1/$p5/$p10 not monotone")
+      assert(p1 >= 0L && p10 <= 1000000L, src)
+    }
+  }
+
+  test("length bias: matches a brute-force replay and detects the planted confound") {
+    val ids = Tables.load(spark, sf0001, "events")
+      .select($"event_id").as[Long].collect()
+    val games = ids.flatMap { id =>
+      val a = id % 5; val b = (id / 5) % 5
+      if (a == b) None
+      else {
+        val lo = math.min(a, b); val hi = math.max(a, b)
+        val loWins = hex6(s"pref|$id") * (lo + hi + 2) < (1L << 24) * (lo + 1)
+        def len(m: Long) = 100L + m * 50L + hex6(s"len|$m|$id") % 200L
+        val (ll, lh) = (len(lo), len(hi))
+        Some((math.abs(ll - lh) / 50, ll == lh,
+          (ll > lh && loWins) || (lh > ll && !loWins)))
+      }
+    }
+    val expected = games.groupBy(_._1).toSeq.sortBy(_._1).map { case (bk, gs) =>
+      (bk, gs.length.toLong, gs.count(_._2).toLong, gs.count(_._3).toLong)
+    }
+    val got = Labeling.qPrefLengthBias(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("gap_bucket"), r.getAs[Long]("n_games"),
+        r.getAs[Long]("n_len_ties"), r.getAs[Long]("n_longer_wins")))
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+    // planted confound: at gap >= 200 chars the longer response is
+    // always the higher-indexed (stronger) model, so the longer-win
+    // rate must sit well above the 500 null
+    val far = games.filter(g => g._1 >= 4 && !g._2)
+    assert(far.nonEmpty, "fixture needs far-gap games")
+    val rate = far.count(_._3).toLong * 1000 / far.length
+    assert(rate > 550, s"far-gap longer-win rate $rate should expose the confound")
+  }
+
+  test("token F1: matches a brute-force replay at sf0.001") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val perDoc = docs.map { case (id, src, text) =>
+      val ref = text.split(" ", -1).take(Labeling.F1RefTokens)
+      val pred = ref.zipWithIndex.flatMap { case (t, p) =>
+        md5hex(s"f1|$id|$p").charAt(0) match {
+          case '0' | '1' => None
+          case '2' => Some("xx")
+          case _ => Some(t)
+        }
+      }
+      val rc = ref.groupBy(identity).map { case (t, v) => t -> v.length }
+      val pc = pred.groupBy(identity).map { case (t, v) => t -> v.length }
+      val overlap = rc.map { case (t, n) => math.min(n, pc.getOrElse(t, 0)) }.sum
+      (src, overlap.toLong, ref.length.toLong, pred.length.toLong)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val (o, r, p) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      val macroSum = ds.map(d => 2L * d._2 * 1000000L / (d._3 + d._4)).sum
+      (src, ds.length.toLong, 2L * o * 1000000L / (r + p),
+        macroSum / ds.length)
+    }
+    val got = Labeling.qEvalTokenF1(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("micro_f1_ppm"), r.getAs[Long]("macro_f1_ppm")))
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+    // the noise model keeps ~13/16 of tokens: F1 must sit in a sane band
+    got.foreach { case (src, _, micro, _) =>
+      assert(micro > 700000L && micro < 980000L, s"$src micro $micro")
+    }
+  }
+
+  test("streaming length-bias monitor: closed window equals the batch replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 40 preference events inside the 10:00 window (self-pair ids drop
+    // identically in stream and batch), then a heartbeat closing it
+    val inWindow = (0L until 40L)
+      .map(id => (id, ts(f"2026-08-12 10:${id % 60}%02d:00")))
+    val cols = Seq("event_id", "ts")
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = Labeling.lengthBiasHourly(input.toDF().toDF(cols: _*), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("len_bias_hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(inWindow); q.processAllAvailable()
+      // heartbeat id must SURVIVE the self-pair filter (998 -> models
+      // 3 vs 4) — a filtered-out row never reaches the watermark node
+      // and would leave the 10:00 window open forever
+      input.addData(Seq((998L, ts("2026-08-12 12:30:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("len_bias_hourly").collect()
+    assert(emitted.length == 1, "exactly the closed 10:00 window emits")
+    val got = emitted.head
+    assert(got.getAs[Timestamp]("window_start") == ts("2026-08-12 10:00:00"))
+    val batch = Labeling.lengthBiasHourlyBatch(
+      inWindow.toDF(cols: _*), "ts").collect().head
+    Seq("n_games", "n_len_ties", "n_longer_wins", "longer_win_permille")
+      .foreach(c => assert(got.getAs[Long](c) == batch.getAs[Long](c), c))
+  }
 }
