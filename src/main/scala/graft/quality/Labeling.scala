@@ -822,7 +822,126 @@ object Labeling {
       .orderBy($"source")
   }
 
+  // --- Best-of-N, SFT turn audit ---------------------------------------
+
+  /** Reward samples per eval task. */
+  private[graft] val BonSamples = 10
+  /** The n values of the Best-of-N scaling curve. */
+  private[graft] val BonNs = Seq(1, 2, 4, 8)
+
+  /** Sample `a`'s reward on task `doc_id` — an md5 draw in [0, 999]
+    * whose floor rises with task "difficulty" (doc_id % 4), so the
+    * per-source curves separate. Same SQL both engines up to the
+    * md5-argument spelling. */
+  private def bonRewardSql(a: Int, engine: String): String = {
+    val md5Arg =
+      if (engine == "spark")
+        s"cast(concat('bon|$a|', cast(doc_id as string)) as binary)"
+      else s"'bon|$a|' || CAST(doc_id AS VARCHAR)"
+    val u =
+      if (engine == "spark") hex6ToLongSpark(s"substring(md5($md5Arg), 1, 6)")
+      else hex6ToLongDuck(s"substring(md5($md5Arg), 1, 6)")
+    s"($u % 600 + (doc_id % 4) * 100)"
+  }
+
+  /** BEST-OF-N REWARD SCALING CURVE — the order-statistics estimator
+    * (Nakano et al. 2021, WebGPT appendix; the pass@k construction
+    * applied to E[max]): from N observed rewards per task, the
+    * unbiased estimate of the expected best of a random n-subset is
+    * Σ_{i=n..N} r_(i)·C(i−1, n−1) / C(N, n) over the ascending order
+    * statistics r_(i) — how much reward best-of-n sampling buys at
+    * each n is THE capability-vs-inference-cost readout an RLHF
+    * pipeline tracks. The N = 10 rewards, the sort and every
+    * numerator are ONE row expression (`array_sort` of 10 md5 draws,
+    * no explode); Σ_i C(i−1, n−1) = C(N, n), so the per-source mean
+    * is one exact integer ratio — numerators summed, ONE division at
+    * the rollup, no per-task truncation, [[comb]] shared with pass@k
+    * and the oracle. Output per source: the curve in milli-reward
+    * units, monotone in n by construction. */
+  def qEvalBestOfN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rewards = (0 until BonSamples).map(bonRewardSql(_, "spark"))
+    val withNums = BonNs.foldLeft(
+      Tables.load(spark, dir, "documents")
+        .withColumn("rs", expr(s"array_sort(array(${rewards.mkString(", ")}))"))
+    ) { (df, n) =>
+      df.withColumn(s"num$n", expr(
+        (n to BonSamples)
+          .map(i => s"element_at(rs, $i) * ${comb(i - 1, n - 1)}L")
+          .mkString(" + ")))
+    }
+    val aggs = BonNs.map(n => sum(col(s"num$n")).as(s"s$n"))
+    val rolled = withNums.groupBy($"source")
+      .agg(count(lit(1)).as("n_tasks"), aggs: _*)
+    BonNs.foldLeft(rolled) { (df, n) =>
+      df.withColumn(s"bon${n}_milli", expr(
+        s"(s$n * 1000) div (n_tasks * ${comb(BonSamples, n)})"))
+    }
+      .select($"source" +: $"n_tasks" +:
+        BonNs.map(n => col(s"bon${n}_milli")): _*)
+      .orderBy($"source")
+  }
+
+  /** Session gap (µs) splitting a user's event stream into
+    * conversations — 30 minutes, the classic sessionization cut. */
+  private[graft] val TurnGapUs = 1800L * 1000000L
+
+  /** SFT TURN-STRUCTURE AUDIT — multi-turn conversation hygiene for
+    * instruction-tuning data: sessionize each user's event stream
+    * (30-min gaps) into conversations, assign each turn a role
+    * (user/assistant strictly alternating from user, flipped with
+    * p = 1/8 by an md5 draw — the planted defect rate), and audit the
+    * three SFT-breaking defects per conversation-length bucket:
+    * consecutive same-role turns (broken alternation), conversations
+    * STARTING with the assistant (no instruction to learn from), and
+    * conversations ENDING on a user turn (a dangling prompt that
+    * trains nothing). Every window is partitioned by (user) or
+    * (user, conversation) and ordered by the unique (ts, event_id)
+    * pair — scale-safe and deterministic in both engines; one
+    * conversation rollup + one ≤10-row bucket rollup. */
+  def qSftTurnAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+    val roleU = hex6ToLongSpark(
+      "substring(md5(cast(concat('role|', cast(event_id as string)) as binary)), 1, 6)")
+    val turns = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("new_conv", when(
+        $"prev_us".isNull || $"us" - $"prev_us" > TurnGapUs, 1L).otherwise(0L))
+      .withColumn("conv", sum($"new_conv").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byConv = Window.partitionBy($"user_id", $"conv")
+      .orderBy($"us", $"event_id")
+    val roled = turns
+      .withColumn("turn_idx", row_number().over(byConv))
+      .withColumn("role", expr(
+        s"CASE WHEN $roleU % 8 = 0 THEN turn_idx % 2 ELSE (turn_idx + 1) % 2 END"))
+      .withColumn("prev_role", lag($"role", 1).over(byConv))
+    val convs = roled.groupBy($"user_id", $"conv")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when($"role" === $"prev_role", 1L).otherwise(0L)).as("n_viol"),
+        max(when($"turn_idx" === 1, $"role")).as("first_role"),
+        max(struct($"turn_idx", $"role")).as("last").getField("role")
+          .as("last_role"))
+    convs
+      .withColumn("len_bucket", least($"n_turns", lit(10L)))
+      .groupBy($"len_bucket")
+      .agg(count(lit(1)).as("n_convs"),
+        sum($"n_viol").as("n_violations"),
+        sum(when($"first_role" === 1L, 1L).otherwise(0L))
+          .as("n_assistant_first"),
+        sum(when($"last_role" === 0L, 1L).otherwise(0L)).as("n_dangling_user"),
+        sum($"n_turns").as("n_turns_total"))
+      .withColumn("viol_permille", expr(
+        "(n_violations * 1000) div n_turns_total"))
+      .orderBy($"len_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_best_of_n" -> qEvalBestOfN,
+    "q_sft_turn_audit" -> qSftTurnAudit,
     "q_eval_pass_at_k" -> qEvalPassAtK,
     "q_pref_length_bias" -> qPrefLengthBias,
     "q_eval_token_f1" -> qEvalTokenF1,
@@ -904,6 +1023,79 @@ object Labeling {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_eval_best_of_n" -> {
+      val rewards = (0 until BonSamples).map(bonRewardSql(_, "duck"))
+      val numCols = BonNs.map { n =>
+        (n to BonSamples)
+          .map(i => s"rs[$i] * ${comb(i - 1, n - 1)}")
+          .mkString("(", " + ", s") AS num$n")
+      }.mkString(",\n    ")
+      val sCols = BonNs.map(n => s"sum(num$n) AS s$n").mkString(", ")
+      val outCols = BonNs.map { n =>
+        s"CAST((s$n * 1000) // (n_tasks * ${comb(BonSamples, n)}) AS BIGINT) AS bon${n}_milli"
+      }.mkString(",\n  ")
+      s"""WITH rs AS (
+         |  SELECT source,
+         |    list_sort([${rewards.mkString(",\n      ")}]) AS rs
+         |  FROM documents),
+         |nums AS (
+         |  SELECT source,
+         |    $numCols
+         |  FROM rs),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tasks, $sCols
+         |  FROM nums GROUP BY 1)
+         |SELECT source, n_tasks,
+         |  $outCols
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
+    "q_sft_turn_audit" -> {
+      val roleU = hex6ToLongDuck(
+        "substring(md5('role|' || CAST(event_id AS VARCHAR)), 1, 6)")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+         |l AS (
+         |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |    AS prev_us FROM e),
+         |c AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $TurnGapUs
+         |    THEN 1 ELSE 0 END AS new_conv FROM l),
+         |s AS (
+         |  SELECT *, sum(new_conv) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS conv FROM c),
+         |t AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, conv
+         |    ORDER BY us, event_id) AS turn_idx FROM s),
+         |r AS (
+         |  SELECT *, CASE WHEN $roleU % 8 = 0 THEN turn_idx % 2
+         |    ELSE (turn_idx + 1) % 2 END AS role FROM t),
+         |p AS (
+         |  SELECT *, lag(role) OVER (PARTITION BY user_id, conv
+         |    ORDER BY us, event_id) AS prev_role FROM r),
+         |conv AS (
+         |  SELECT user_id, conv, CAST(count(*) AS BIGINT) AS n_turns,
+         |    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_viol,
+         |    max(CASE WHEN turn_idx = 1 THEN role END) AS first_role,
+         |    max_by(role, turn_idx) AS last_role
+         |  FROM p GROUP BY 1, 2),
+         |b AS (
+         |  SELECT least(n_turns, 10) AS len_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_convs,
+         |    CAST(sum(n_viol) AS BIGINT) AS n_violations,
+         |    CAST(sum(CASE WHEN first_role = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_assistant_first,
+         |    CAST(sum(CASE WHEN last_role = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dangling_user,
+         |    CAST(sum(n_turns) AS BIGINT) AS n_turns_total
+         |  FROM conv GROUP BY 1)
+         |SELECT len_bucket, n_convs, n_violations, n_assistant_first,
+         |  n_dangling_user, n_turns_total,
+         |  (n_violations * 1000) // n_turns_total AS viol_permille
+         |FROM b ORDER BY len_bucket""".stripMargin
+    },
+
     "q_eval_pass_at_k" -> {
       val cExpr = (0 until PassAttempts)
         .map(passIndicator(_, "duck")).mkString(" + ")

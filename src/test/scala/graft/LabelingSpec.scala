@@ -451,6 +451,77 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("best-of-n: matches a brute-force replay; curve monotone, n=1 is the mean") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val n = ds.size.toLong
+      val sums = Labeling.BonNs.map { bn =>
+        bn -> ds.map { case (id, _) =>
+          val rs = (0 until Labeling.BonSamples)
+            .map(a => hex6(s"bon|$a|$id") % 600 + (id % 4) * 100).sorted
+          (bn to Labeling.BonSamples)
+            .map(i => rs(i - 1) * Labeling.comb(i - 1, bn - 1)).sum
+        }.sum
+      }.toMap
+      src -> (n, Labeling.BonNs.map(bn =>
+        sums(bn) * 1000L / (n * Labeling.comb(Labeling.BonSamples, bn))))
+    }
+    val got = Labeling.qEvalBestOfN(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_tasks"),
+        Labeling.BonNs.map(bn => r.getAs[Long](s"bon${bn}_milli"))))
+    assert(got.toSeq.sortBy(_._1) == expected, s"got ${got.toSeq}")
+    got.foreach { case (src, (_, curve)) =>
+      // E[max of n] is monotone in n — the whole point of the curve
+      assert(curve == curve.sorted, s"$src: $curve not monotone")
+      assert(curve.head >= 0L && curve.last <= 999000L, src)
+    }
+  }
+
+  test("sft turn audit: matches a brute-force sessionize/role replay at sf0.001") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("us")))
+    val convs = ev.groupBy(_._2).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      // fold into conversations on the 30-min gap
+      val groups = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long)]]) {
+        (acc, r) =>
+          if (acc.isEmpty || r._3 - acc.last.last._3 > Labeling.TurnGapUs)
+            acc :+ Vector(r)
+          else acc.init :+ (acc.last :+ r)
+      }
+      groups.map { g =>
+        val roles = g.zipWithIndex.map { case ((id, _, _), i) =>
+          val turn = i + 1
+          if (hex6(s"role|$id") % 8 == 0) turn % 2 else (turn + 1) % 2
+        }
+        (g.length.toLong,
+          roles.sliding(2).count(p => p.length == 2 && p(0) == p(1)).toLong,
+          roles.head, roles.last)
+      }
+    }.toSeq
+    val expected = convs.groupBy(c => math.min(c._1, 10L)).toSeq.sortBy(_._1)
+      .map { case (bk, cs) =>
+        (bk, cs.length.toLong, cs.map(_._2).sum,
+          cs.count(_._3 == 1).toLong, cs.count(_._4 == 0).toLong,
+          cs.map(_._1).sum)
+      }
+    val got = Labeling.qSftTurnAudit(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("len_bucket"), r.getAs[Long]("n_convs"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("n_assistant_first"),
+        r.getAs[Long]("n_dangling_user"), r.getAs[Long]("n_turns_total")))
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+    // planted flip rate 1/8 -> a non-first turn is a violation iff
+    // exactly one of the adjacent turns flipped: p = 2*(1/8)*(7/8)
+    val (viol, turns, nConvs) =
+      (convs.map(_._2).sum, convs.map(_._1).sum, convs.length.toLong)
+    val rate = viol * 1000 / (turns - nConvs)
+    assert(rate > 140 && rate < 300, s"violation rate $rate vs ~219 expected")
+  }
+
   test("streaming length-bias monitor: closed window equals the batch replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
