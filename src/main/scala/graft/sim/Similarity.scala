@@ -594,6 +594,48 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** Kept dimensions of the truncated-head recall audit. */
+  private val TruncDim = 16
+
+  /** TRUNCATED-EMBEDDING RECALL AUDIT — the Matryoshka-serving check
+    * (Kusupati et al. 2022: serve a prefix of the embedding as a
+    * cheap first-stage ranker): recall@3 of cosine top-3 computed on
+    * the FIRST [[TruncDim]] of [[Dim]] dimensions against the
+    * full-dimension brute-force truth, per query in integer permille.
+    * A 4× cheaper scan/index (quarter the bytes moved and compared)
+    * is only usable if this number holds up — and because the audit
+    * is a CORRECTNESS entry, an embedding or slicing change that
+    * craters the truncated head fails the driver hash, not just a
+    * quality dashboard. Same broadcast-query brute shape as
+    * [[qSimKnnBrute]] (the exhaustive baseline is the point here;
+    * the ladder's index paths cover the at-scale serving shape). */
+  def qSimTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qSimKnnBrute(spark, dir).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val n = vectors(spark, dir)
+      .withColumn("tv", expr(s"slice(nv, 1, $TruncDim)"))
+    val q = n.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"tv".as("qv"))
+    val c = n.select($"vec_id".as("neighbor_id"), $"tv".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    val truncTop = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e6", cosE6("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = truth.join(truncTop, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("trunc_hits"))
+    truth.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select($"query_id",
+        coalesce($"trunc_hits", lit(0L)).as("trunc_hits"),
+        expr("coalesce(trunc_hits, 0L) * 1000 div 3")
+          .as("trunc_recall_permille"))
+      .orderBy($"query_id")
+  }
+
   /** IVFADC — the FAISS production composition (Jégou et al. 2011
     * §IV: IVF coarse quantizer + PQ codes per inverted list): the
     * trained k-means codebook routes every vector to a cell; WITHIN
@@ -1149,7 +1191,8 @@ object Similarity {
     "q_emb_qa" -> qEmbQa,
     "q_kmeans" -> qKmeans,
     "q_kmeans_purity" -> qKmeansPurity,
-    "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained
+    "q_sim_ann_ivf_trained" -> qSimAnnIvfTrained,
+    "q_sim_trunc_recall" -> qSimTruncRecall
   )
 
   /** The PQ codebook/encode/query-distance-table CTEs (assume `n`
@@ -1432,6 +1475,42 @@ object Similarity {
           |  FROM s)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_e6
           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "q_sim_trunc_recall" ->
+      (duckNorm +
+        s""",
+          |q AS (SELECT vec_id AS query_id, nv, nv[1:$TruncDim] AS tq
+          |      FROM n WHERE vec_id % 100 = 0),
+          |p AS (
+          |  SELECT q.query_id, c.vec_id AS neighbor_id,
+          |         q.nv AS qv, c.nv AS cv,
+          |         q.tq AS qt, c.nv[1:$TruncDim] AS ct
+          |  FROM q JOIN n c ON q.query_id <> c.vec_id),
+          |s AS (
+          |  SELECT query_id, neighbor_id,
+          |         CAST(round($duckDot * 1e6) AS BIGINT) AS cos_full,
+          |         CAST(round(${duckCosN("qt", "ct", TruncDim)} * 1e6) AS BIGINT) AS cos_tr
+          |  FROM p),
+          |rf AS (
+          |  SELECT query_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+          |  FROM s),
+          |rt AS (
+          |  SELECT query_id, neighbor_id, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cos_tr DESC, neighbor_id) AS rank
+          |  FROM s),
+          |truth AS (SELECT query_id, neighbor_id FROM rf WHERE rank <= 3),
+          |tr AS (SELECT query_id, neighbor_id FROM rt WHERE rank <= 3),
+          |h AS (
+          |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS trunc_hits
+          |  FROM truth t JOIN tr USING (query_id, neighbor_id) GROUP BY 1)
+          |SELECT qq.query_id,
+          |  CAST(coalesce(h.trunc_hits, 0) AS BIGINT) AS trunc_hits,
+          |  CAST((coalesce(h.trunc_hits, 0) * 1000) // 3 AS BIGINT)
+          |    AS trunc_recall_permille
+          |FROM (SELECT DISTINCT query_id FROM truth) qq
+          |LEFT JOIN h USING (query_id)
+          |ORDER BY qq.query_id""".stripMargin),
 
     // identical semantics to the brute-force window formulation — the
     // aggregator must reproduce it exactly

@@ -97,6 +97,24 @@ class R12OpsSpec extends SparkSpec {
     assert(rows("site4.example.com").getAs[Long]("keep_permille") == 200L)
   }
 
+  test("truncated-head recall: one row per brute query, permille coherent") {
+    val truth = graft.sim.Similarity.qSimKnnBrute(spark, sf0001)
+      .select($"query_id").distinct().as[Long].collect().toSet
+    val rows = graft.sim.Similarity.qSimTruncRecall(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == truth,
+      "audit must cover exactly the brute query set")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("trunc_hits")
+      assert(h >= 0L && h <= 3L, s"hits $h out of range")
+      assert(r.getAs[Long]("trunc_recall_permille") == h * 1000 / 3,
+        "permille must derive from hits")
+    }
+    // determinism: the float cosine rounds to e6 before ranking, so a
+    // second run reproduces every row (the oracle depends on it)
+    val again = graft.sim.Similarity.qSimTruncRecall(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("char dup spans: disjoint documents report zero duplication") {
     val df = Seq(
       (0L, clean),
