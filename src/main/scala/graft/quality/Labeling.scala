@@ -678,6 +678,48 @@ object Labeling {
       .orderBy($"source")
   }
 
+  /** STREAMING PASS@K MONITOR — [[qEvalPassAtK]] per event-time hour
+    * window over a live eval-result stream (one row per finished task,
+    * the n = 10 attempt outcomes already computable from the task id):
+    * the per-task success count and the three C(n−c, k) numerators are
+    * the SAME row expressions as the batch query, so the window
+    * readout is ONE watermarked append-mode aggregate (state = one
+    * sum-tuple per open (window, source)) and the pass@k ppm derive
+    * statelessly from the emitted sums by the batch query's exact
+    * integer arithmetic. The eval dashboard a capability regression
+    * shows up on first: a window whose pass@k drops is a model or
+    * harness change, visible while the eval batch is still running. */
+  def passAtKHourly(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame =
+    passAtKWindowed(docs.withWatermark(tsCol, watermark), tsCol)
+
+  /** The batch replay of [[passAtKHourly]] — the spec pins
+    * stream == batch on one corpus. */
+  private[graft] def passAtKHourlyBatch(docs: DataFrame,
+      tsCol: String): DataFrame = passAtKWindowed(docs, tsCol)
+
+  /** One shared plan for the streaming monitor and its batch replay —
+    * the c/numerator expressions are [[qEvalPassAtK]]'s, the grouping
+    * is the event-time window instead of the source. */
+  private def passAtKWindowed(docs: DataFrame, tsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cExpr = (0 until PassAttempts)
+      .map(passIndicator(_, "spark")).mkString(" + ")
+    val aggs = PassKs.map(k => sum(expr(combCaseSql(k, "L"))).as(s"s$k"))
+    val rolled = docs
+      .withColumn("c", expr(cExpr))
+      .groupBy(window(col(tsCol), "1 hour"), $"source")
+      .agg(count(lit(1)).as("n_tasks"), aggs: _*)
+    PassKs.foldLeft(rolled) { (df, k) =>
+      val cnk = comb(PassAttempts, k)
+      df.withColumn(s"pass${k}_ppm",
+        expr(s"((n_tasks * $cnk - s$k) * 1000000) div (n_tasks * $cnk)"))
+    }
+      .select($"window.start".as("window_start") +: $"source" +:
+        $"n_tasks" +: PassKs.map(k => col(s"pass${k}_ppm")): _*)
+  }
+
   /** Per-game response lengths for both sides — the shared projection
     * behind the batch length-bias audit and its streaming monitor.
     * Lengths are md5 draws PLANTED with the real-world confound the

@@ -522,6 +522,38 @@ class LabelingSpec extends SparkSpec {
     assert(rate > 140 && rate < 300, s"violation rate $rate vs ~219 expected")
   }
 
+  test("streaming pass@k monitor: closed window equals the batch replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 40 finished eval tasks across two sources inside the 10:00
+    // window, then a heartbeat closing it (watermark 1 h)
+    val inWindow = (0L until 40L).map(id =>
+      (id, if (id % 2 == 0) "srcA" else "srcB",
+        ts(f"2026-08-12 10:${id % 60}%02d:00")))
+    val cols = Seq("doc_id", "source", "ts")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Labeling.passAtKHourly(input.toDF().toDF(cols: _*), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("pass_at_k_hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(inWindow); q.processAllAvailable()
+      input.addData(Seq((999L, "srcA", ts("2026-08-12 12:30:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("pass_at_k_hourly").collect()
+    assert(emitted.length == 2, "one row per source for the closed window")
+    val batch = Labeling.passAtKHourlyBatch(inWindow.toDF(cols: _*), "ts")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    emitted.foreach { got =>
+      assert(got.getAs[Timestamp]("window_start") == ts("2026-08-12 10:00:00"))
+      val b = batch(got.getAs[String]("source"))
+      (Seq("n_tasks") ++ Labeling.PassKs.map(k => s"pass${k}_ppm"))
+        .foreach(c => assert(got.getAs[Long](c) == b.getAs[Long](c), c))
+    }
+  }
+
   test("streaming length-bias monitor: closed window equals the batch replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
