@@ -924,6 +924,158 @@ object Labeling {
       .orderBy($"source")
   }
 
+  /** The k values of the self-consistency curve — odd, so majority
+    * vote never ties. */
+  private[graft] val ConsKs = Seq(1, 3, 5)
+
+  /** Numerator table of the unbiased cons@k estimator: with c of
+    * [[PassAttempts]] samples correct, the number of k-subsets whose
+    * majority is correct is Σ_{j>k/2} C(c, j)·C(n−c, k−j) — shared by
+    * Spark, DuckDB and the spec replay via [[comb]]. */
+  private[graft] def consNum(c: Int, k: Int): Long =
+    ((k / 2 + 1) to k)
+      .map(j => comb(c, j) * comb(PassAttempts - c, k - j)).sum
+
+  private def consCaseSql(k: Int, suffix: String): String =
+    (0 to PassAttempts)
+      .map(c => s"WHEN c = $c THEN ${consNum(c, k)}$suffix")
+      .mkString("CASE ", " ", s" ELSE 0$suffix END")
+
+  /** SELF-CONSISTENCY CONS@K — the majority-vote companion of pass@k
+    * (Wang et al. 2023, "Self-Consistency Improves Chain of Thought
+    * Reasoning"): the probability that the MAJORITY of k sampled
+    * answers is correct, estimated unbiasedly from the n = 10
+    * observed attempts as Σ_{j>k/2} C(c,j)·C(n−c,k−j) / C(n,k) per
+    * task (k odd — no ties). Unlike pass@k this is NOT monotone in k:
+    * sampling more helps exactly the tasks whose per-sample success
+    * rate clears ½ and hurts the rest, which is the decision the
+    * readout informs (is majority voting worth k× inference here?).
+    * Same shape as [[qEvalPassAtK]]: the same 10 md5 attempt draws,
+    * a different combinatorial CASE, one rollup, one exact division.
+    * cons@1 ≡ pass@1 by construction — the spec pins the identity. */
+  def qEvalConsAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cExpr = (0 until PassAttempts)
+      .map(passIndicator(_, "spark")).mkString(" + ")
+    val withC = Tables.load(spark, dir, "documents")
+      .withColumn("c", expr(cExpr))
+    val aggs = ConsKs.map(k => sum(expr(consCaseSql(k, "L"))).as(s"s$k"))
+    val rolled = withC.groupBy($"source")
+      .agg(count(lit(1)).as("n_tasks"), aggs: _*)
+    ConsKs.foldLeft(rolled) { (df, k) =>
+      val cnk = comb(PassAttempts, k)
+      df.withColumn(s"cons${k}_ppm",
+        expr(s"(s$k * 1000000) div (n_tasks * $cnk)"))
+    }
+      .select($"source" +: $"n_tasks" +:
+        ConsKs.map(k => col(s"cons${k}_ppm")): _*)
+      .orderBy($"source")
+  }
+
+  /** Per-game projection of the judged pairwise eval with PLANTED
+    * position bias — the shared definition behind the audit and the
+    * spec replay. Each event is one judged comparison: presentation
+    * order is an md5 coin, and the judge gives the FIRST-position
+    * response a +1 strength bonus (the documented LLM-judge failure
+    * mode, Zheng et al. 2023 §3.1), so P(first wins) =
+    * (first+2)/(lo+hi+3), decided divisionlessly. */
+  private[graft] def judgedGames(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val uPos = hex6ToLongSpark(
+      "substring(md5(cast(concat('pos|', cast(event_id as string)) as binary)), 1, 6)")
+    val uOut = hex6ToLongSpark(
+      "substring(md5(cast(concat('jout|', cast(event_id as string)) as binary)), 1, 6)")
+    events
+      .withColumn("a", expr("event_id % 5"))
+      .withColumn("b", expr("(event_id div 5) % 5"))
+      .filter($"a" =!= $"b")
+      .withColumn("lo", least($"a", $"b"))
+      .withColumn("hi", greatest($"a", $"b"))
+      .withColumn("lo_first", expr(s"$uPos % 2 = 0"))
+      .withColumn("first", expr("IF(lo_first, lo, hi)"))
+      .withColumn("second", expr("IF(lo_first, hi, lo)"))
+      .withColumn("first_wins",
+        expr(s"$uOut * (lo + hi + 3) < ${1L << 24} * (first + 2)"))
+      .withColumn("lo_wins", expr("lo_first = first_wins"))
+      .select($"event_id", $"lo", $"hi", $"lo_first", $"first_wins", $"lo_wins")
+  }
+
+  /** LLM-JUDGE POSITION-BIAS AUDIT — pairwise judged evals prefer the
+    * first-presented response (Zheng et al. 2023); a leaderboard read
+    * off raw judgments inherits that bias, and the standard mitigation
+    * is to swap presentation orders and average. Per model pair: games
+    * by presentation order, the lo-side win rate in EACH order, the
+    * raw first-position win rate (the bias readout — ~500‰ means no
+    * bias), and the swap-debiased lo-side rate ((rate_when_first +
+    * rate_when_second) div 2 — each model judged in each seat equally
+    * often, so the seat bonus cancels). Scan expressions over the
+    * shared [[judgedGames]] projection + one ≤ C(M,2)-row rollup. */
+  def qJudgePositionBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    judgedGames(Tables.load(spark, dir, "events"))
+      .groupBy($"lo", $"hi")
+      .agg(count(lit(1)).as("n_games"),
+        sum(when($"lo_first", 1L).otherwise(0L)).as("n_lo_first"),
+        sum(when($"first_wins", 1L).otherwise(0L)).as("n_first_wins"),
+        sum(when($"lo_first" && $"lo_wins", 1L).otherwise(0L))
+          .as("lo_wins_when_first"),
+        sum(when(!$"lo_first" && $"lo_wins", 1L).otherwise(0L))
+          .as("lo_wins_when_second"))
+      .withColumn("first_win_permille",
+        expr("(n_first_wins * 1000) div n_games"))
+      .withColumn("debiased_lo_permille", expr(
+        """((lo_wins_when_first * 1000) div nullif(n_lo_first, 0L)
+          | + (lo_wins_when_second * 1000)
+          |   div nullif(n_games - n_lo_first, 0L)) div 2""".stripMargin))
+      .orderBy($"lo", $"hi")
+  }
+
+  /** REWARD–QUALITY RANK CORRELATION — the reward-hacking smoke test:
+    * Spearman rank correlation (ppm) between a reward-model score and
+    * an independent quality proxy (token count), per source, side by
+    * side for a PLANTED-correlated reward (3·tokens + noise) and a
+    * pure-noise control. A reward that correlates with nothing a
+    * human would recognize as quality is measuring something else;
+    * the control column calibrates what "nothing" reads as at this n.
+    * Ranks are per-source `row_number` over the deterministic
+    * (value, doc_id) order (documented tie convention, identical in
+    * both engines), so ρ = 1 − 6·Σd²/(n(n²−1)) is exact integer
+    * arithmetic. One scan + two partitioned rank windows per reward +
+    * one rollup. */
+  def qRewardCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def u(salt: String) = hex6ToLongSpark(
+      s"substring(md5(cast(concat('$salt|', cast(doc_id as string)) as binary)), 1, 6)")
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("q", expr("size(split(text, ' '))").cast("long"))
+      .withColumn("r_corr", expr(s"q * 3 + ${u("rew")} % 200"))
+      .withColumn("r_noise", expr(s"${u("rnz")} % 1000"))
+    def rk(c: String) = row_number().over(
+      Window.partitionBy($"source").orderBy(col(c), $"doc_id")).cast("long")
+    val ranked = base
+      .withColumn("rank_q", rk("q"))
+      .withColumn("rank_c", rk("r_corr"))
+      .withColumn("rank_n", rk("r_noise"))
+    // Σd² and the ρ ratio in DECIMAL(38): at corpus scale n³ outruns
+    // BIGINT long before the per-source frame is large (n ≈ 2M), and
+    // the oracle's HUGEINT must see the same exact integers
+    def rho(d2: String) = expr(
+      s"""cast(1000000 - (cast($d2 as decimal(38,0)) * 6000000)
+         |  div (cast(n_docs as decimal(38,0)) * n_docs * n_docs - n_docs)
+         |  as bigint)""".stripMargin)
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(rank_q - rank_c as decimal(38,0))" +
+          " * (rank_q - rank_c)")).as("d2_corr"),
+        sum(expr("cast(rank_q - rank_n as decimal(38,0))" +
+          " * (rank_q - rank_n)")).as("d2_noise"))
+      .withColumn("rho_corr_ppm", rho("d2_corr"))
+      .withColumn("rho_noise_ppm", rho("d2_noise"))
+      .select($"source", $"n_docs", $"rho_corr_ppm", $"rho_noise_ppm")
+      .orderBy($"source")
+  }
+
   /** Session gap (µs) splitting a user's event stream into
     * conversations — 30 minutes, the classic sessionization cut. */
   private[graft] val TurnGapUs = 1800L * 1000000L
@@ -982,6 +1134,9 @@ object Labeling {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_cons_at_k" -> qEvalConsAtK,
+    "q_judge_position_bias" -> qJudgePositionBias,
+    "q_reward_correlation" -> qRewardCorrelation,
     "q_eval_best_of_n" -> qEvalBestOfN,
     "q_sft_turn_audit" -> qSftTurnAudit,
     "q_eval_pass_at_k" -> qEvalPassAtK,
@@ -1065,6 +1220,102 @@ object Labeling {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_eval_cons_at_k" -> {
+      val cExpr = (0 until PassAttempts)
+        .map(passIndicator(_, "duck")).mkString(" + ")
+      val sCols = ConsKs.map(k =>
+        s"CAST(sum(${consCaseSql(k, "")}) AS BIGINT) AS s$k").mkString(",\n    ")
+      val ppmCols = ConsKs.map { k =>
+        s"CAST((s$k * 1000000) // (n_tasks * ${comb(PassAttempts, k)}) AS BIGINT) AS cons${k}_ppm"
+      }.mkString(",\n  ")
+      s"""WITH cc AS (
+         |  SELECT source, $cExpr AS c
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tasks,
+         |    $sCols
+         |  FROM cc GROUP BY 1)
+         |SELECT source, n_tasks,
+         |  $ppmCols
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
+    "q_judge_position_bias" -> {
+      val uPos = hex6ToLongDuck(
+        "substring(md5('pos|' || CAST(event_id AS VARCHAR)), 1, 6)")
+      val uOut = hex6ToLongDuck(
+        "substring(md5('jout|' || CAST(event_id AS VARCHAR)), 1, 6)")
+      s"""WITH g AS (
+         |  SELECT event_id,
+         |    least(event_id % 5, (event_id // 5) % 5) AS lo,
+         |    greatest(event_id % 5, (event_id // 5) % 5) AS hi,
+         |    $uPos % 2 = 0 AS lo_first
+         |  FROM events
+         |  WHERE event_id % 5 <> (event_id // 5) % 5),
+         |w AS (
+         |  SELECT lo, hi, lo_first,
+         |    $uOut * (lo + hi + 3)
+         |      < ${1L << 24} * ((CASE WHEN lo_first THEN lo ELSE hi END) + 2)
+         |      AS first_wins
+         |  FROM g),
+         |agg AS (
+         |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_games,
+         |    CAST(sum(CASE WHEN lo_first THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_lo_first,
+         |    CAST(sum(CASE WHEN first_wins THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_first_wins,
+         |    CAST(sum(CASE WHEN lo_first AND first_wins THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS lo_wins_when_first,
+         |    CAST(sum(CASE WHEN NOT lo_first AND NOT first_wins THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS lo_wins_when_second
+         |  FROM w GROUP BY 1, 2)
+         |SELECT lo, hi, n_games, n_lo_first, n_first_wins,
+         |  lo_wins_when_first, lo_wins_when_second,
+         |  (n_first_wins * 1000) // n_games AS first_win_permille,
+         |  ((lo_wins_when_first * 1000) // nullif(n_lo_first, 0)
+         |    + (lo_wins_when_second * 1000) // nullif(n_games - n_lo_first, 0))
+         |    // 2 AS debiased_lo_permille
+         |FROM agg ORDER BY lo, hi""".stripMargin
+    },
+
+    "q_reward_correlation" -> {
+      def u(salt: String) = hex6ToLongDuck(
+        s"substring(md5('$salt|' || CAST(doc_id AS VARCHAR)), 1, 6)")
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+         |  FROM documents),
+         |rw AS (
+         |  SELECT doc_id, source, q,
+         |    q * 3 + ${u("rew")} % 200 AS r_corr,
+         |    ${u("rnz")} % 1000 AS r_noise
+         |  FROM base),
+         |rk AS (
+         |  SELECT source,
+         |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+         |      AS rank_q,
+         |    row_number() OVER (PARTITION BY source ORDER BY r_corr, doc_id)
+         |      AS rank_c,
+         |    row_number() OVER (PARTITION BY source ORDER BY r_noise, doc_id)
+         |      AS rank_n
+         |  FROM rw),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(CAST(rank_q - rank_c AS HUGEINT) * (rank_q - rank_c))
+         |      AS d2_corr,
+         |    sum(CAST(rank_q - rank_n AS HUGEINT) * (rank_q - rank_n))
+         |      AS d2_noise
+         |  FROM rk GROUP BY 1)
+         |SELECT source, n_docs,
+         |  CAST(1000000 - (d2_corr * 6000000)
+         |    // (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs) AS BIGINT)
+         |    AS rho_corr_ppm,
+         |  CAST(1000000 - (d2_noise * 6000000)
+         |    // (CAST(n_docs AS HUGEINT) * n_docs * n_docs - n_docs) AS BIGINT)
+         |    AS rho_noise_ppm
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
     "q_eval_best_of_n" -> {
       val rewards = (0 until BonSamples).map(bonRewardSql(_, "duck"))
       val numCols = BonNs.map { n =>

@@ -522,6 +522,116 @@ class LabelingSpec extends SparkSpec {
     assert(rate > 140 && rate < 300, s"violation rate $rate vs ~219 expected")
   }
 
+  test("cons@k: matches a brute-force replay; cons@1 is exactly pass@1") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val n = ds.size.toLong
+      val sums = Labeling.ConsKs.map { k =>
+        k -> ds.map { case (id, _) =>
+          val c = (0 until Labeling.PassAttempts).count { a =>
+            hex6(s"pass|$a|$id") * 8 < (1L << 24) * (id % 4 + 1)
+          }
+          Labeling.consNum(c, k)
+        }.sum
+      }.toMap
+      src -> (n, Labeling.ConsKs.map(k =>
+        sums(k) * 1000000L / (n * Labeling.comb(Labeling.PassAttempts, k))))
+    }
+    val got = Labeling.qEvalConsAtK(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_tasks"),
+        Labeling.ConsKs.map(k => r.getAs[Long](s"cons${k}_ppm"))))
+    assert(got.toSeq.sortBy(_._1) == expected, s"got ${got.toSeq}")
+    // with one sample, majority vote IS the sample: cons@1 = pass@1
+    val pass1 = Labeling.qEvalPassAtK(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("pass1_ppm")).toMap
+    got.foreach { case (src, (_, curve)) =>
+      assert(curve.head == pass1(src), s"$src: cons@1 != pass@1")
+    }
+  }
+
+  test("judge position bias: matches a brute-force replay; bias detected, debias identity holds") {
+    val ids = Tables.load(spark, sf0001, "events")
+      .select($"event_id").as[Long].collect()
+    val games = ids.flatMap { id =>
+      val a = id % 5; val b = (id / 5) % 5
+      if (a == b) None
+      else {
+        val lo = math.min(a, b); val hi = math.max(a, b)
+        val loFirst = hex6(s"pos|$id") % 2 == 0
+        val first = if (loFirst) lo else hi
+        val firstWins =
+          hex6(s"jout|$id") * (lo + hi + 3) < (1L << 24) * (first + 2)
+        Some((lo, hi, loFirst, firstWins))
+      }
+    }
+    val expected = games.groupBy(g => (g._1, g._2)).toSeq.sortBy(_._1)
+      .map { case ((lo, hi), gs) =>
+        (lo, hi, gs.length.toLong, gs.count(_._3).toLong,
+          gs.count(_._4).toLong,
+          gs.count(g => g._3 && g._4).toLong,
+          gs.count(g => !g._3 && !g._4).toLong)
+      }
+    val rows = Labeling.qJudgePositionBias(spark, sf0001).collect()
+    val got = rows.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+      r.getAs[Long]("n_games"), r.getAs[Long]("n_lo_first"),
+      r.getAs[Long]("n_first_wins"), r.getAs[Long]("lo_wins_when_first"),
+      r.getAs[Long]("lo_wins_when_second")))
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+    // the planted +1 seat bonus must read as a corpus-wide first-win
+    // rate well above the unbiased 500
+    val (fw, n) = (games.count(_._4).toLong, games.length.toLong)
+    assert(fw * 1000 / n > 520, s"first-win rate ${fw * 1000 / n}")
+    rows.foreach { r =>
+      val d = ((r.getAs[Long]("lo_wins_when_first") * 1000
+        / r.getAs[Long]("n_lo_first"))
+        + (r.getAs[Long]("lo_wins_when_second") * 1000
+          / (r.getAs[Long]("n_games") - r.getAs[Long]("n_lo_first")))) / 2
+      assert(r.getAs[Long]("debiased_lo_permille") == d, "debias identity")
+    }
+  }
+
+  test("reward correlation: matches a brute-force replay; planted signal vs noise control") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val scored = ds.map { case (id, _, text) =>
+        val q = text.split(" ", -1).length.toLong
+        (id, q, q * 3 + hex6(s"rew|$id") % 200, hex6(s"rnz|$id") % 1000)
+      }
+      def ranks(key: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+        scored.sortBy(d => (key(d), d._1)).zipWithIndex
+          .map { case (d, i) => d._1 -> (i + 1).toLong }.toMap
+      val (rq, rc, rn) = (ranks(_._2), ranks(_._3), ranks(_._4))
+      val n = scored.size.toLong
+      def rho(other: Map[Long, Long]): Long = {
+        val d2 = scored.map(d => {
+          val diff = rq(d._1) - other(d._1); diff * diff
+        }).sum
+        (BigInt(1000000) - BigInt(d2) * 6000000L / (BigInt(n) * n * n - n)).toLong
+      }
+      src -> (n, rho(rc), rho(rn))
+    }
+    val got = Labeling.qRewardCorrelation(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rho_corr_ppm"), r.getAs[Long]("rho_noise_ppm")))
+    assert(got.toSeq.sortBy(_._1) == expected, s"got ${got.toSeq}")
+    // planted 3x-token reward correlates strongly everywhere; the
+    // pure-noise control hovers near zero ON AVERAGE (per-source n is
+    // ~30 at sf0.001, so single sources legitimately wander ~2 sd)
+    got.foreach { case (src, (_, corr, noise)) =>
+      assert(corr > 600000L, s"$src: planted rho $corr too weak")
+      assert(math.abs(noise) < 650000L, s"$src: control rho $noise")
+    }
+    val meanNoise = got.map(_._2._3).sum / got.length
+    val meanCorr = got.map(_._2._2).sum / got.length
+    assert(math.abs(meanNoise) < 200000L, s"mean control rho $meanNoise")
+    assert(meanCorr - meanNoise > 400000L, "signal/control separation")
+  }
+
   test("streaming pass@k monitor: closed window equals the batch replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import java.sql.Timestamp
