@@ -3528,7 +3528,7 @@ object Quality {
          |  FROM g)
          |SELECT event_type, CAST(look AS BIGINT) AS look, n_a, n_b,
          |  conv_a, conv_b, z2_x1e6,
-         |  20808000 // look AS bound_z2_x1e6,
+         |  CAST(20808000 // look AS BIGINT) AS bound_z2_x1e6,
          |  CASE WHEN z2_x1e6 >= 20808000 // look THEN 'Y' ELSE 'N' END AS crossed
          |FROM z ORDER BY event_type, look""".stripMargin
     },
