@@ -542,6 +542,61 @@ object Quality {
       .orderBy($"lang")
   }
 
+  /** Multiplicative-weights iterations and learning rate (ppm) of the
+    * DoReMi-shaped mixture optimizer — fixed, so the fit is a
+    * deterministic function of the per-source losses in both
+    * engines. */
+  private[graft] val DoremiIters = 8
+  private[graft] val DoremiEtaPpm = 500000L
+
+  /** DOREMI-SHAPED MIXTURE REWEIGHTING — the iterative complement of
+    * the static mix family (weights/temperature/rebalance): following
+    * DoReMi's structure (Xie et al. 2023 — upweight domains with
+    * excess loss) with the linearized multiplicative-weights update
+    * (Arora–Hazan–Kale):
+    * w_i ← w_i · (1 + η·(loss_i − Σw·loss/Σw)), normalized to
+    * Σw = M·1e6 and clamped ≥ 1 each round. The per-source "excess
+    * loss" proxy is the type–token ratio in ppm (more novel token
+    * mass = the domain a compressed model underfits — the DSIR/rarity
+    * machinery's convention). The corpus-sized work is ONE
+    * (source, token) distinct rollup; the T = 8 iterations run
+    * driver-side on the collected ≤ |sources|-row frame (the
+    * bounded-metadata collect pattern of the Bradley–Terry fit) in
+    * pure integer arithmetic, replayed by the oracle as unrolled
+    * MATERIALIZED CTEs. */
+  def qMixDoremi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val loss = graft.SessionCache.checkpointed(spark, s"quality.doremi|$dir") {
+      Tables.load(spark, dir, "documents")
+        .select($"source", $"doc_id", explode(split($"text", " ")).as("t"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct($"t").as("n_types"),
+          count_distinct($"doc_id").as("n_docs"))
+        .withColumn("loss_ppm", expr("(n_types * 1000000) div n_tokens"))
+    }
+    val rows = loss.select($"source", $"loss_ppm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val m = rows.length
+    var w = rows.map(_._1 -> 1000000L).toMap
+    for (_ <- 0 until DoremiIters) {
+      val sumW = rows.map(r => w(r._1)).sum
+      val mean = rows.map(r => w(r._1) * r._2).sum / sumW
+      val raw = rows.map { case (s, l) =>
+        s -> math.max(1L,
+          w(s) * (1000000L + DoremiEtaPpm * (l - mean) / 1000000L) / 1000000L)
+      }.toMap
+      val tot = raw.values.sum
+      w = raw.map { case (s, v) => s -> math.max(1L, v * (m * 1000000L) / tot) }
+    }
+    val weights = rows.map { case (s, _) => (s, w(s)) }.toSeq
+      .toDF("source", "weight_x1e6")
+    loss.join(broadcast(weights), Seq("source"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_types", $"loss_ppm",
+        $"weight_x1e6")
+      .orderBy($"source")
+  }
+
   /** KOLMOGOROV–SMIRNOV divergence between sources over the
     * document-length distribution — "is source X drawing from a
     * different regime than source Y" with an exact statistic, no
@@ -2496,6 +2551,7 @@ object Quality {
     "q_template_detect" -> qTemplateDetect,
     "q_ks_sources" -> qKsSources,
     "q_mix_rebalance" -> qMixRebalance,
+    "q_mix_doremi" -> qMixDoremi,
     "q_feature_hash_audit" -> qFeatureHashAudit,
     "q_sample_bottomk" -> qSampleBottomK,
     "q_curriculum" -> qCurriculum,
@@ -3090,6 +3146,44 @@ object Quality {
         |  FROM p)
         |SELECT lang, rank, doc_id, pri FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    // the MW loop unrolled as MATERIALIZED CTEs (the Bradley-Terry
+    // oracle technique) — generated from the same iteration count and
+    // the same integer ops as the driver-side fit
+    "q_mix_doremi" -> {
+      val iters = (0 until DoremiIters).map { k =>
+        s"""m$k AS MATERIALIZED (
+           |  SELECT sum(CAST(i.w AS HUGEINT) * l.loss_ppm) // sum(i.w) AS mean_loss
+           |  FROM it$k i JOIN loss l USING (source)),
+           |raw$k AS MATERIALIZED (
+           |  SELECT l.source,
+           |    greatest(1, (i.w * (1000000
+           |      + ($DoremiEtaPpm * (l.loss_ppm - (SELECT mean_loss FROM m$k)))
+           |        // 1000000)) // 1000000) AS w
+           |  FROM it$k i JOIN loss l USING (source)),
+           |it${k + 1} AS MATERIALIZED (
+           |  SELECT source,
+           |    greatest(1, (w * (SELECT count(*) * 1000000 FROM raw$k))
+           |      // (SELECT sum(w) FROM raw$k)) AS w
+           |  FROM raw$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (
+         |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |loss AS MATERIALIZED (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    (CAST(count(DISTINCT t) AS BIGINT) * 1000000) // count(*)
+         |      AS loss_ppm
+         |  FROM tok GROUP BY 1),
+         |it0 AS (SELECT source, CAST(1000000 AS HUGEINT) AS w FROM loss),
+         |$iters
+         |SELECT l.source, l.n_docs, l.n_tokens, l.n_types, l.loss_ppm,
+         |  CAST(f.w AS BIGINT) AS weight_x1e6
+         |FROM loss l JOIN it$DoremiIters f USING (source)
+         |ORDER BY l.source""".stripMargin
+    },
 
     "q_mix_rebalance" ->
       """WITH a AS (

@@ -115,6 +115,46 @@ class R12OpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("doremi mix: matches a brute-force MW replay; weights ordered by loss") {
+    import graft.quality.Quality
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text")))
+    val loss = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._3.split(" ", -1))
+      src -> (toks.distinct.length.toLong * 1000000L / toks.length)
+    }
+    val rows = loss.toSeq.sortBy(_._1)
+    val m = rows.length
+    var w = rows.map(_._1 -> 1000000L).toMap
+    for (_ <- 0 until Quality.DoremiIters) {
+      val sumW = rows.map(r => w(r._1)).sum
+      val mean = rows.map(r => w(r._1) * r._2).sum / sumW
+      val raw = rows.map { case (s, l) =>
+        s -> math.max(1L, w(s) * (1000000L +
+          Quality.DoremiEtaPpm * (l - mean) / 1000000L) / 1000000L)
+      }.toMap
+      val tot = raw.values.sum
+      w = raw.map { case (s, v) => s -> math.max(1L, v * (m * 1000000L) / tot) }
+    }
+    val got = Quality.qMixDoremi(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("loss_ppm"), r.getAs[Long]("weight_x1e6"))).toMap
+    assert(got.keySet == loss.keySet)
+    got.foreach { case (s, (l, wt)) =>
+      assert(l == loss(s), s"$s loss")
+      assert(wt == w(s), s"$s weight ${wt} vs replay ${w(s)}")
+    }
+    // normalization pinned up to per-source truncation; the update is
+    // monotone in loss from a uniform start, so weight order == loss order
+    val tot = got.values.map(_._2).sum
+    assert(math.abs(tot - m * 1000000L) <= m, s"weight sum $tot")
+    val byLoss = got.toSeq.sortBy(_._2._1).map(_._2._2)
+    assert(byLoss == byLoss.sorted, "weights must be ordered by loss")
+    assert(byLoss.last > byLoss.head, "MW must separate the extremes")
+  }
+
   test("char dup spans: disjoint documents report zero duplication") {
     val df = Seq(
       (0L, clean),
