@@ -1807,6 +1807,53 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Secret-pattern regexes — simple RE2/Java-common syntax (character
+    * classes and bounded repeats only) so Spark `rlike` and DuckDB
+    * `regexp_matches` agree symbol-for-symbol. */
+  private[graft] val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  private[graft] val Hex32Re = "[0-9a-f]{32}"
+  private[graft] val KeyHeaderRe = "BEGIN [A-Z]+ PRIVATE KEY"
+
+  /** SECRET-LEAK CENSUS — the pretraining hygiene audit PII scrub does
+    * not cover: credentials in crawled text (cloud access keys, raw
+    * 32-hex digests/tokens, private-key headers) both leak real
+    * secrets and teach models to emit secret-shaped strings. The
+    * synthetic corpus carries none, so the census scans a
+    * deterministically augmented view (the qPiiScrub/plantedCodeView
+    * convention): doc_id % 7 == 0 gets an AKIA-prefixed upper-hex key
+    * (matching the real [0-9A-Z] pattern), % 11 == 3 a 32-hex token,
+    * % 13 == 5 a private-key header — known positives, while the raw
+    * text is still scanned end to end. Per source: docs flagged per
+    * class, any-secret docs, and the rate in permille. Pure scan
+    * expressions + one rollup. */
+  def qSecretCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = Tables.load(spark, dir, "documents")
+      .withColumn("t", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 7 = 0 THEN concat(' AKIA',
+          |    upper(substring(md5(cast(concat('ak|', cast(doc_id as string)) as binary)), 1, 16)))
+          |  ELSE '' END,
+          |  CASE WHEN doc_id % 11 = 3 THEN concat(' ',
+          |    md5(cast(concat('hx|', cast(doc_id as string)) as binary)))
+          |  ELSE '' END,
+          |  CASE WHEN doc_id % 13 = 5 THEN ' BEGIN RSA PRIVATE KEY'
+          |  ELSE '' END)""".stripMargin))
+    aug
+      .withColumn("has_aws", $"t".rlike(AwsKeyRe))
+      .withColumn("has_hex", $"t".rlike(Hex32Re))
+      .withColumn("has_keyhdr", $"t".rlike(KeyHeaderRe))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"has_aws", 1L).otherwise(0L)).as("n_aws_docs"),
+        sum(when($"has_hex", 1L).otherwise(0L)).as("n_hex_docs"),
+        sum(when($"has_keyhdr", 1L).otherwise(0L)).as("n_keyhdr_docs"),
+        sum(when($"has_aws" || $"has_hex" || $"has_keyhdr", 1L).otherwise(0L))
+          .as("n_secret_docs"))
+      .withColumn("secret_permille", expr("(n_secret_docs * 1000) div n_docs"))
+      .orderBy($"source")
+  }
+
   /** Code-vs-prose heuristic per document: symbol-character density and
     * programming-keyword density, combined into a fixed-point ppm score
     * with a hard threshold — the cheap first-pass classifier a training
@@ -2552,6 +2599,7 @@ object Quality {
     "q_ks_sources" -> qKsSources,
     "q_mix_rebalance" -> qMixRebalance,
     "q_mix_doremi" -> qMixDoremi,
+    "q_secret_census" -> qSecretCensus,
     "q_feature_hash_audit" -> qFeatureHashAudit,
     "q_sample_bottomk" -> qSampleBottomK,
     "q_curriculum" -> qCurriculum,
@@ -3146,6 +3194,37 @@ object Quality {
         |  FROM p)
         |SELECT lang, rank, doc_id, pri FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_secret_census" ->
+      s"""WITH aug AS (
+         |  SELECT source,
+         |    text
+         |      || CASE WHEN doc_id % 7 = 0 THEN ' AKIA'
+         |           || upper(substring(md5('ak|' || CAST(doc_id AS VARCHAR)), 1, 16))
+         |         ELSE '' END
+         |      || CASE WHEN doc_id % 11 = 3 THEN ' '
+         |           || md5('hx|' || CAST(doc_id AS VARCHAR))
+         |         ELSE '' END
+         |      || CASE WHEN doc_id % 13 = 5 THEN ' BEGIN RSA PRIVATE KEY'
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |    regexp_matches(t, '$AwsKeyRe') AS has_aws,
+         |    regexp_matches(t, '$Hex32Re') AS has_hex,
+         |    regexp_matches(t, '$KeyHeaderRe') AS has_keyhdr
+         |  FROM aug),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN has_aws THEN 1 ELSE 0 END) AS BIGINT) AS n_aws_docs,
+         |    CAST(sum(CASE WHEN has_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_hex_docs,
+         |    CAST(sum(CASE WHEN has_keyhdr THEN 1 ELSE 0 END) AS BIGINT) AS n_keyhdr_docs,
+         |    CAST(sum(CASE WHEN has_aws OR has_hex OR has_keyhdr THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_secret_docs
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_docs, n_aws_docs, n_hex_docs, n_keyhdr_docs,
+         |  n_secret_docs, (n_secret_docs * 1000) // n_docs AS secret_permille
+         |FROM agg ORDER BY source""".stripMargin,
 
     // the MW loop unrolled as MATERIALIZED CTEs (the Bradley-Terry
     // oracle technique) — generated from the same iteration count and

@@ -155,6 +155,45 @@ class R12OpsSpec extends SparkSpec {
     assert(byLoss.last > byLoss.head, "MW must separate the extremes")
   }
 
+  test("secret census: matches a brute-force regex replay; plants fully covered") {
+    import graft.quality.Quality
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val aws = Quality.AwsKeyRe.r
+    val hex = Quality.Hex32Re.r
+    val hdr = Quality.KeyHeaderRe.r
+    val flagged = docs.map { case (id, src, text) =>
+      val t = text +
+        (if (id % 7 == 0) " AKIA" + md5hex(s"ak|$id").take(16).toUpperCase else "") +
+        (if (id % 11 == 3) " " + md5hex(s"hx|$id") else "") +
+        (if (id % 13 == 5) " BEGIN RSA PRIVATE KEY" else "")
+      (src, aws.findFirstIn(t).isDefined, hex.findFirstIn(t).isDefined,
+        hdr.findFirstIn(t).isDefined, id)
+    }
+    val expected = flagged.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, fs) =>
+      (src, fs.length.toLong, fs.count(_._2).toLong, fs.count(_._3).toLong,
+        fs.count(_._4).toLong, fs.count(f => f._2 || f._3 || f._4).toLong)
+    }
+    val got = Quality.qSecretCensus(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_aws_docs"), r.getAs[Long]("n_hex_docs"),
+        r.getAs[Long]("n_keyhdr_docs"), r.getAs[Long]("n_secret_docs")))
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+    // every planted doc must be caught by its own class — the plant
+    // matches the REAL pattern (AKIA upper-hex is inside [0-9A-Z])
+    flagged.foreach { case (_, a, h, k, id) =>
+      if (id % 7 == 0) assert(a, s"doc $id aws plant missed")
+      if (id % 11 == 3) assert(h, s"doc $id hex plant missed")
+      if (id % 13 == 5) assert(k, s"doc $id key-header plant missed")
+    }
+  }
+
   test("char dup spans: disjoint documents report zero duplication") {
     val df = Seq(
       (0L, clean),
