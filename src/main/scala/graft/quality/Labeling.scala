@@ -231,12 +231,26 @@ object Labeling {
   private[graft] def prefGames(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    prefGameCols(events).filter($"lo" =!= $"hi")
+  }
+
+  /** [[prefGames]] WITHOUT the self-pair filter — every input row
+    * survives with its (lo, hi, lo_wins) columns (meaningless when
+    * lo = hi). The streaming monitors aggregate over THIS stage with
+    * a `lo <> hi` predicate inside the aggregate instead of a filter
+    * operator: Catalyst pushes deterministic filters below the
+    * `EventTimeWatermark` node, so a filter-shaped exclusion would
+    * drop rows before they advance the watermark and a self-pair-only
+    * micro-batch could never close a window (measured — the monitor
+    * spec pins the fixed behavior). */
+  private[graft] def prefGameCols(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val u = hex6ToLongSpark(
       "substring(md5(cast(concat('pref|', cast(event_id as string)) as binary)), 1, 6)")
     events
       .withColumn("a", expr("event_id % 5"))
       .withColumn("b", expr("(event_id div 5) % 5"))
-      .filter($"a" =!= $"b")
       .withColumn("lo", least($"a", $"b"))
       .withColumn("hi", greatest($"a", $"b"))
       .withColumn("lo_wins",
@@ -728,14 +742,20 @@ object Labeling {
     * strength drives wins, "longer response wins" shows up without any
     * rater length preference in the generator — exactly the
     * correlation a verbosity audit flags for a causal follow-up. */
-  private[graft] def withLengthBiasCols(events: DataFrame): DataFrame = {
+  private[graft] def withLengthBiasCols(events: DataFrame): DataFrame =
+    lengthBiasCols(prefGames(events))
+
+  /** The length/verdict columns over an already-projected game frame —
+    * shared by the filtered batch path and the unfiltered monitor
+    * path. */
+  private def lengthBiasCols(games: DataFrame): DataFrame = {
     def lenSql(side: String): String = {
       val u = hex6ToLongSpark(
         s"substring(md5(cast(concat('len|', cast($side as string), '|', " +
           "cast(event_id as string)) as binary)), 1, 6)")
       s"100L + $side * 50L + $u % 200L"
     }
-    prefGames(events)
+    games
       .withColumn("len_lo", expr(lenSql("lo")))
       .withColumn("len_hi", expr(lenSql("hi")))
       .withColumn("gap_bucket", expr("abs(len_lo - len_hi) div 50"))
@@ -775,32 +795,34 @@ object Labeling {
     * config drifting toward verbosity preference, caught while the
     * batch is still re-workable. */
   def lengthBiasHourly(events: DataFrame, tsCol: String,
-      watermark: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    withLengthBiasCols(events)
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), "1 hour"))
-      .agg(count(lit(1)).as("n_games"),
-        sum(when($"is_len_tie", 1L).otherwise(0L)).as("n_len_ties"),
-        sum(when($"longer_wins", 1L).otherwise(0L)).as("n_longer_wins"))
-      .select($"window.start".as("window_start"), $"n_games",
-        $"n_len_ties", $"n_longer_wins",
-        expr("(n_longer_wins * 1000) div nullif(n_games - n_len_ties, 0L)")
-          .as("longer_win_permille"))
-  }
+      watermark: String): DataFrame =
+    lengthBiasWindowed(events.withWatermark(tsCol, watermark), tsCol)
 
   /** The batch replay of [[lengthBiasHourly]]'s window readout — the
     * spec pins stream == batch on one corpus. */
   private[graft] def lengthBiasHourlyBatch(events: DataFrame,
+      tsCol: String): DataFrame = lengthBiasWindowed(events, tsCol)
+
+  /** One shared plan for the streaming monitor and its batch replay
+    * (the [[passAtKWindowed]] pattern). Self-pairs are excluded by a
+    * PREDICATE inside the aggregate, never a filter operator — a
+    * pushed-down filter would drop rows below the watermark node and
+    * a micro-batch of only non-game events could then never advance
+    * event time (see [[prefGameCols]]); this way every ingested event
+    * is a watermark heartbeat, and a window with zero games still
+    * reports its zero row. */
+  private def lengthBiasWindowed(events: DataFrame,
       tsCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    withLengthBiasCols(events)
+    lengthBiasCols(prefGameCols(events))
+      .withColumn("is_game", $"lo" =!= $"hi")
       .groupBy(window(col(tsCol), "1 hour"))
-      .agg(count(lit(1)).as("n_games"),
-        sum(when($"is_len_tie", 1L).otherwise(0L)).as("n_len_ties"),
-        sum(when($"longer_wins", 1L).otherwise(0L)).as("n_longer_wins"))
+      .agg(sum(when($"is_game", 1L).otherwise(0L)).as("n_games"),
+        sum(when($"is_game" && $"is_len_tie", 1L).otherwise(0L))
+          .as("n_len_ties"),
+        sum(when($"is_game" && $"longer_wins", 1L).otherwise(0L))
+          .as("n_longer_wins"))
       .select($"window.start".as("window_start"), $"n_games",
         $"n_len_ties", $"n_longer_wins",
         expr("(n_longer_wins * 1000) div nullif(n_games - n_len_ties, 0L)")

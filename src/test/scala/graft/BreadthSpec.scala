@@ -789,9 +789,6 @@ class BreadthSpec extends SparkSpec {
   }
 
   test("join-size CMS estimate: engine == MD5 replay; never undercounts") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val ev = Tables.load(spark, sf0001, "events")
       .select($"user_id", $"event_type").as[(Long, String)].collect()
     val perUser = ev.groupBy(_._1).map { case (u, xs) =>

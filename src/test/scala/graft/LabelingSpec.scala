@@ -1,7 +1,5 @@
 package graft
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.functions._
 
 import graft.quality.Labeling
@@ -12,10 +10,6 @@ import graft.quality.Labeling
   * semantic invariants and the planted fixtures. */
 class LabelingSpec extends SparkSpec {
   import spark.implicits._
-
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
 
   test("poisson thresholds: 8 strictly increasing cumulative cuts, e^-1 head") {
     val t = Labeling.PoissonCumHex
@@ -680,10 +674,13 @@ class LabelingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       input.addData(inWindow); q.processAllAvailable()
-      // heartbeat id must SURVIVE the self-pair filter (998 -> models
-      // 3 vs 4) — a filtered-out row never reaches the watermark node
-      // and would leave the 10:00 window open forever
-      input.addData(Seq((998L, ts("2026-08-12 12:30:00"))))
+      // heartbeat id 999 is a SELF-PAIR (models 4 vs 4): the monitor
+      // excludes non-games with an aggregate predicate instead of a
+      // filter operator (a pushed-down filter would drop the row
+      // below the watermark node), so a micro-batch of only non-game
+      // events still advances event time and closes the 10:00 window
+      // — the review-found stall this pins
+      input.addData(Seq((999L, ts("2026-08-12 12:30:00"))))
       q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("len_bias_hourly").collect()

@@ -685,9 +685,6 @@ class QualitySpec extends SparkSpec {
   }
 
   test("epoch shuffle: engine == MD5 replay; partition exact, permutations differ") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def shard(epoch: Long, docId: Long): Long = {
       val h = md5hex(s"ep$epoch|$docId").substring(0, 2)
       java.lang.Long.parseLong(h, 16) % 32

@@ -157,10 +157,6 @@ class R12OpsSpec extends SparkSpec {
 
   test("secret census: matches a brute-force regex replay; plants fully covered") {
     import graft.quality.Quality
-    import java.security.MessageDigest
-    def md5hex(s: String): String =
-      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"source", $"text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

@@ -30,4 +30,12 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf0001: String = TestSpark.sf0001
+
+  /** MD5 hex digest of a UTF-8 string — THE replay primitive behind
+    * every brute-force md5-draw spec (one definition; the engines'
+    * `md5(...)` salts are replayed against exactly this). */
+  protected def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }
