@@ -21,7 +21,17 @@ object CurationStream {
 
   /** Gate + watermarked digest-dedup over a streaming frame with
     * `text` and an event-time column. Emits passing, first-seen
-    * documents with their gate metrics and content fingerprint. */
+    * documents with their gate metrics and content fingerprint.
+    *
+    * The gate filter sits upstream of the watermark ON PURPOSE:
+    * rejected docs must never occupy dedup state (a failing doc's
+    * fingerprint would otherwise swallow a later identical passing
+    * doc). The priced-in consequence is that an all-rejected
+    * micro-batch does not advance the watermark, so state EVICTION
+    * (never emission — dedup emits immediately) lags until the next
+    * passing doc; where every event must tick the clock, the
+    * length-bias monitor's predicate-inside-aggregate shape is the
+    * pattern (`Labeling.lengthBiasWindowed`). */
   def curate(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
     Quality.withQualityGate(docs)
       .filter(col("quality_pass"))
