@@ -1811,6 +1811,12 @@ object Quality {
     * classes and bounded repeats only) so Spark `rlike` and DuckDB
     * `regexp_matches` agree symbol-for-symbol. */
   private[graft] val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  /** DELIBERATELY over-broad: matches any run of ≥32 lowercase hex, so
+    * legitimate hex (sha256 sums, git commit ids, fingerprints) counts
+    * too. Acceptable for a CENSUS metric (an upper bound on exposure);
+    * do NOT reuse as a scrub/drop gate without boundary anchors (e.g.
+    * `(^|[^0-9a-f])[0-9a-f]{32}([^0-9a-f]|$)`) and an exact-length
+    * check — unanchored it would drop every doc mentioning a digest. */
   private[graft] val Hex32Re = "[0-9a-f]{32}"
   private[graft] val KeyHeaderRe = "BEGIN [A-Z]+ PRIVATE KEY"
 

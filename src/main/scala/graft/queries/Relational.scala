@@ -1504,6 +1504,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** AUDIT TWIN of [[qApproxDistinct]] (the q_mm_thumbnail_jpeg_audit
+    * r12 pattern): the HLL estimate itself is engine-specific, but its
+    * DETERMINISTIC surface — the exact distinct count plus the
+    * asserted-true bounded-error invariant |approx − exact| ≤ 5%·exact
+    * (the PipelineOpsSpec bound; HLL++ rsd 0.05 on this deterministic
+    * corpus) — replays in DuckDB as exact columns + constant TRUE. A
+    * sketch regression past the band flips the boolean and fails the
+    * driver hash. Same one map-side-combined shuffle as the original. */
+  def qApproxDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") * 100 <= $"exact_parts" * 5)
+          .as("approx_within_5pct"))
+      .orderBy($"l_returnflag")
+  }
+
   /** spark.sql(...) surface: TPC-H Q3 shape over registered temp views
     * (the engine's SQL entry point; Catalyst plans it like the
     * DataFrame variants — join reorder, pushdown, broadcast). */
@@ -2209,6 +2229,44 @@ object Relational {
         when($"value" < $"p05", "LO").when($"value" > $"p95", "HI")
           .otherwise("IN").as("clip_flag"))
       .orderBy($"event_id")
+  }
+
+  /** AUDIT TWIN of [[qWinsorizeApprox]]: the sketch thresholds are
+    * implementation-defined, but percentile_approx's CONTRACT is not —
+    * the returned value is an actual datum of the group whose rank is
+    * within n/accuracy of the target rank (BreadthSpec's n/10000 + 1
+    * band). This query re-derives both guarantees as exact counting
+    * invariants per group — rank-in-band and threshold-is-a-datum for
+    * both tails — so DuckDB replays exact n + four constant-TRUE
+    * booleans. All ×10000 integer arithmetic (lt·10⁴ vs 500·n ± (n +
+    * 10⁴)); the datum check is bitwise double equality, exact because
+    * the sketch returns stored values verbatim. One broadcast of the
+    * ~21-row threshold frame + one map-side-combined rollup. */
+  def qWinsorizeApproxAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pcts = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value",
+        array(lit(0.05), lit(0.95)), lit(10000)).as("p"))
+      .select($"event_type", $"p"(0).as("p05"), $"p"(1).as("p95"))
+    Tables.load(spark, dir, "events")
+      .join(broadcast(pcts), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" < $"p05", 1L).otherwise(0L)).as("lt05"),
+        sum(when($"value" <= $"p05", 1L).otherwise(0L)).as("le05"),
+        sum(when($"value" < $"p95", 1L).otherwise(0L)).as("lt95"),
+        sum(when($"value" <= $"p95", 1L).otherwise(0L)).as("le95"),
+        max(when($"value" === $"p05", 1L).otherwise(0L)).as("d05"),
+        max(when($"value" === $"p95", 1L).otherwise(0L)).as("d95"))
+      .select($"event_type", $"n",
+        ($"lt05" * 10000 <= $"n" * 500 + $"n" + 10000 &&
+          $"le05" * 10000 >= $"n" * 500 - $"n" - 10000).as("p05_rank_ok"),
+        ($"lt95" * 10000 <= $"n" * 9500 + $"n" + 10000 &&
+          $"le95" * 10000 >= $"n" * 9500 - $"n" - 10000).as("p95_rank_ok"),
+        ($"d05" === 1L).as("p05_is_datum"),
+        ($"d95" === 1L).as("p95_is_datum"))
+      .orderBy($"event_type")
   }
 
   /** Robust outlier detection via MAD (median absolute deviation) —
@@ -3183,6 +3241,7 @@ object Relational {
     "q_winsorize" -> qWinsorize,
     "q_outlier_mad" -> qOutlierMad,
     "q_winsorize_approx" -> qWinsorizeApprox,
+    "q_winsorize_approx_audit" -> qWinsorizeApproxAudit,
     "q_cep_pattern" -> qCepPattern,
     "q_ri_audit" -> qRiAudit,
     "q_window_sliding" -> qWindowSliding,
@@ -3216,6 +3275,7 @@ object Relational {
     "q_explode_tokens" -> qExplodeTokens,
     "q_window_tumbling" -> qWindowTumbling,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_distinct_audit" -> qApproxDistinctAudit,
     "q_cohort_retention" -> qCohortRetention,
     "q_survival_hazard" -> qSurvivalHazard,
     "q_event_transitions" -> qEventTransitions,
@@ -3844,6 +3904,21 @@ object Relational {
         |FROM md JOIN rec ON md.user_id = rec.user_id
         |GROUP BY md.user_id, md.n_points, md.ema_last, md.mean_dev
         |ORDER BY md.user_id""".stripMargin,
+
+    // Audit twins: the sketch-specific estimates stay rows-only on the
+    // original entries; these replay the DETERMINISTIC surface — exact
+    // companions + asserted-true bounded-error invariants.
+    "q_approx_distinct_audit" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_winsorize_approx_audit" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p05_rank_ok, TRUE AS p95_rank_ok,
+        |  TRUE AS p05_is_datum, TRUE AS p95_is_datum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH med AS (

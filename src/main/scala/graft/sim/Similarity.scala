@@ -1229,10 +1229,15 @@ object Similarity {
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
       |  FROM embeddings)""".stripMargin
 
+  /** The norm product is wrapped in nullif so a zero-norm vector (a
+    * truncated head can be all-zero even when the full vector isn't)
+    * yields NULL by construction — matching the Spark side's NaN→NULL
+    * mapping regardless of DuckDB's ieee_floating_point_ops setting
+    * (>=1.1 defaults 0/0 to NaN instead of NULL). */
   private def duckCosN(a: String, b: String, n: Int): String =
     (s"list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i]))" +
-      s" / (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i])))" +
-      s" * sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i]))))")
+      s" / nullif(sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i]))), 0.0)")
 
   private def duckCos(a: String, b: String): String = duckCosN(a, b, Dim)
 

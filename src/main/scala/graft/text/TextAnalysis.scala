@@ -421,6 +421,58 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** AUDIT TWIN of [[qTextCompressRatio]]: zlib's output bytes aren't
+    * SQL-replayable, but four invariants of them are — the stream is
+    * non-empty; bounded by the DEFLATE worst case (stored blocks: 5
+    * bytes per 64 KiB + 6-byte zlib wrapper, asserted as ≤ n_bytes +
+    * 64); an INDEPENDENT fresh-Deflater recompression reproduces the
+    * main query's published n_deflate and its ratio arithmetic exactly
+    * (level-6 determinism — the property that makes the ratio a stable
+    * quality signal across reruns and executors, checked by JOINING
+    * the main query's output, not by recomputing in-process); and a
+    * second fresh instance within this scan reproduces the bytes
+    * bit-for-bit. DuckDB replays exact UTF-8 byte length (strlen) +
+    * constant-TRUE booleans. The recompression scan is zero-shuffle;
+    * the cross-check join shuffles only (doc_id, 2 longs) rows. */
+  def qTextCompressAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audit = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](1 << 16)
+        def deflate(in: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater(6) // fresh per run: rerun claim
+          d.setInput(in); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          while (!d.finished()) {
+            val k = d.deflate(buf)
+            out.write(buf, 0, k)
+          }
+          d.end()
+          out.toByteArray
+        }
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          val c1 = deflate(in)
+          val c2 = deflate(in)
+          (id, in.length.toLong, c1.length.toLong,
+            java.util.Arrays.equals(c1, c2))
+        }
+      }
+      .toDF("doc_id", "a_bytes", "a_deflate", "rerun_deterministic")
+    qTextCompressRatio(spark, dir)
+      .join(audit, Seq("doc_id"))
+      .select($"doc_id", $"n_bytes",
+        ($"n_deflate" > 0L).as("deflate_positive"),
+        ($"n_deflate" <= $"n_bytes" + 64L).as("deflate_bounded"),
+        ($"a_bytes" === $"n_bytes" && $"a_deflate" === $"n_deflate" &&
+          $"ratio_permille" === when($"n_bytes" > 0L,
+            expr("n_deflate * 1000 div n_bytes")).otherwise(lit(0L)))
+          .as("published_reproducible"),
+        $"rerun_deterministic")
+      .orderBy($"doc_id")
+  }
+
   /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (Cormack et al. 2009,
     * public paper): the standard way to combine a lexical and a dense
     * ranking without tuning score scales — fused(d) = Σ 1/(60 + rank)
@@ -906,6 +958,38 @@ object TextAnalysis {
         tok.agg(count_distinct($"token").as("exact_distinct"))))
       .select(lit("ALL").as("source"), $"exact_distinct", $"est_distinct")
     perSource.unionByName(global).orderBy($"source")
+  }
+
+  /** AUDIT TWIN of [[qSketchDistinct]] (the q_mm_thumbnail_jpeg_audit
+    * r12 pattern): Datasketches HLL estimates are engine-specific, but
+    * the exact per-source/global distinct counts and the ≤5% relative
+    * error band (the PipelineOpsSpec bound) are not — so this twin
+    * re-runs the SAME sketch pipeline (per-source hll_sketch_agg, ALL
+    * row from hll_union_agg merges only) and emits the deterministic
+    * surface: exact_distinct + |est − exact|·100 ≤ 5·exact as a
+    * constant-TRUE boolean DuckDB replays from the token rollup. A
+    * sketch or merge regression flips the boolean → driver hash fail. */
+  def qSketchDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+    val sketches = tok.groupBy($"source")
+      .agg(expr("hll_sketch_agg(token)").as("sk"),
+        count_distinct($"token").as("exact_distinct"))
+    val perSource = sketches
+      .select($"source", $"exact_distinct",
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+    val global = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .crossJoin(broadcast(
+        tok.agg(count_distinct($"token").as("exact_distinct"))))
+      .select(lit("ALL").as("source"), $"exact_distinct", $"est_distinct")
+    perSource.unionByName(global)
+      .select($"source", $"exact_distinct",
+        (abs($"est_distinct" - $"exact_distinct") * 100 <=
+          $"exact_distinct" * 5).as("est_within_5pct"))
+      .orderBy($"source")
   }
 
   /** Length-bucketed batching prep — the dynamic-padding step every
@@ -2006,6 +2090,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tagging" -> qTextTagging,
     "q_sketch_distinct" -> qSketchDistinct, // rows-only: engine-specific HLL
+    "q_sketch_distinct_audit" -> qSketchDistinctAudit, // its hash-checked twin
     "q_length_buckets" -> qLengthBuckets,
     "q_text_bigram_lm" -> qTextBigramLm,
     "q_bpe_train" -> qBpeTrain,
@@ -2043,6 +2128,7 @@ object TextAnalysis {
     "q_ccnet_buckets" -> qCcnetBuckets,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_text_compress_ratio" -> qTextCompressRatio,
+    "q_text_compress_audit" -> qTextCompressAudit,
     "q_text_bpe" -> qTextBpe,
     "q_text_rollhash" -> qTextRollhash,
     "q_text_fingerprint" -> qTextFingerprint
@@ -2887,6 +2973,27 @@ object TextAnalysis {
 
     "q_vocab_zipf" -> vocabZipfOracle,
     "q_vocab_growth" -> vocabGrowthOracle,
+
+    // Audit twins of the rows-only sketch/zlib entries: DuckDB replays
+    // the deterministic surface (exact companions + constant-TRUE
+    // bounded-error invariants); the estimates stay engine-side.
+    "q_sketch_distinct_audit" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT source, token FROM tok WHERE len(token) > 0),
+        |per AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+        |        FROM tt GROUP BY 1),
+        |g AS (SELECT 'ALL' AS source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+        |      FROM tt)
+        |SELECT source, exact_distinct, TRUE AS est_within_5pct
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM g)
+        |ORDER BY source""".stripMargin,
+
+    "q_text_compress_audit" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  TRUE AS deflate_positive, TRUE AS deflate_bounded,
+        |  TRUE AS published_reproducible, TRUE AS rerun_deterministic
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_stylometry" -> sourceStylometryOracle,
     "q_text_entropy" -> textEntropyOracle,
 
