@@ -28,6 +28,7 @@ object SparkEntry {
       (graft.graph.GraphOps.queries, graft.graph.GraphOps.oracles),
       (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles),
       (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles),
+      (graft.text.HtmlExtract.queries, graft.text.HtmlExtract.oracles),
       (graft.operators.ZoneMap.queries, graft.operators.ZoneMap.oracles)
     )
 

@@ -46,7 +46,14 @@ final case class FileBusSource(watchDir: String,
   * the classpath (no broker exists in this test container — the seam
   * contract is proven by the other two sources in BoundedTriggerSpec;
   * this class is the drop-in, not a stub: full reader wiring, value
-  * decode, nothing left to fill in). */
+  * decode, nothing left to fill in).
+  *
+  * TESTED BOUNDARY (r13, see SCALE.md): the contract this class
+  * implements is covered by the file/rate cross-source equality in
+  * BoundedTriggerSpec; the Kafka-specific option plumbing and the
+  * connector CAST path are NOT testable in this sandbox (no broker,
+  * no kafka jar, no egress) — smoke-test one bounded micro-batch
+  * against a real topic on deploy. */
 final case class KafkaBusSource(bootstrapServers: String, topic: String,
     maxOffsetsPerTrigger: Option[Long],
     startingOffsets: String = "earliest") extends EventBusSource {

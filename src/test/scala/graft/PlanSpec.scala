@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("html extraction is a zero-shuffle scan (synthesis + strip + density + md5 per row)") {
+    val p = plan(graft.text.HtmlExtract.qHtmlExtract(spark, sf0001))
+    // only the presentation ORDER BY may exchange (range partitioning)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("knn brute force broadcasts the query side") {
     val p = plan(graft.sim.Similarity.qSimKnnBrute(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
@@ -190,8 +196,9 @@ class PlanSpec extends SparkSpec {
       // banded distinct-latency frame
       "q_funnel_latency",
       // sketch table: the 1-row exact-global audit column broadcast
-      // onto the 1-row merged-sketch estimate
-      "q_sketch_distinct",
+      // onto the 1-row merged-sketch estimate (same shape in the
+      // hash-checked audit twin)
+      "q_sketch_distinct", "q_sketch_distinct_audit",
       // skew report: 1-row stats + 1-row percentile broadcasts onto
       // the 10 surviving top-key rows
       "q_skew_report",
