@@ -374,6 +374,58 @@ object Multimodal {
     }
   }
 
+  case class AudioGoertzel(media_id: Long, n_samples: Long, e_dc: Long,
+      e_pi3: Long, e_pi2: Long, e_2pi3: Long, e_nyq: Long)
+
+  /** GOERTZEL FILTERBANK over the real WAV corpus (Goertzel 1958 — the
+    * single-bin DFT recurrence behind DTMF tone detection): energy at
+    * five normalized frequencies whose coefficient 2·cos(ω) is a small
+    * INTEGER, so the whole filterbank is exact in BIGINT and the
+    * oracle replays the folds as a recursive CTE (the qTsHolt
+    * playbook) — no float cos, no ulp divergence:
+    *
+    *   ω = 0    c = 2  → |X|² = (Σ xᵢ)²            (DC)
+    *   ω = π/3  c = 1  → s ← x + s₁ − s₂, |X|² = s₁²+s₂²−s₁s₂
+    *   ω = π/2  c = 0  → s ← x − s₂,      |X|² = s₁²+s₂²
+    *   ω = 2π/3 c = −1 → s ← x − s₁ − s₂, |X|² = s₁²+s₂²+s₁s₂
+    *   ω = π    c = −2 → |X|² = (Σ (−1)ⁱxᵢ)²       (Nyquist)
+    *
+    * These are energies at FIXED normalized frequencies (a filterbank,
+    * not per-doc DFT bins — N varies per clip and the recurrence never
+    * needs it), which is exactly how Goertzel is deployed for tone
+    * detection. Bounds: |s| ≤ N·32768 ≈ 2²², energies ≤ 2⁴⁵ — BIGINT
+    * territory. Decodes REAL RIFF bytes per clip; same batched
+    * mapPartitions contract as every codec pass (payloads never
+    * shuffle). */
+  def audioGoertzel(media: Dataset[EncodedMedia]): Dataset[AudioGoertzel] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio/wav").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (_, samples) = Codec.decodeWav(m.content)
+          var sdc = 0L; var salt = 0L
+          var t1 = 0L; var t2 = 0L // ω=π/3  (c=1)
+          var q1 = 0L; var q2 = 0L // ω=π/2  (c=0)
+          var n1 = 0L; var n2 = 0L // ω=2π/3 (c=−1)
+          var i = 0
+          while (i < samples.length) {
+            val x = samples(i).toLong
+            sdc += x
+            salt += (if (i % 2 == 0) x else -x)
+            val t = x + t1 - t2; t2 = t1; t1 = t
+            val q = x - q2; q2 = q1; q1 = q
+            val n = x - n1 - n2; n2 = n1; n1 = n
+            i += 1
+          }
+          AudioGoertzel(m.media_id, samples.length.toLong,
+            sdc * sdc, t1 * t1 + t2 * t2 - t1 * t2,
+            q1 * q1 + q2 * q2, n1 * n1 + n2 * n2 + n1 * n2,
+            salt * salt)
+        }
+      }
+    }
+  }
+
   case class Thumbnail(media_id: Long, src_w: Long, src_h: Long,
       thumb_sum: Long, thumb_wsum: Long)
 
@@ -643,6 +695,11 @@ object Multimodal {
     decodeAudio(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
   }
 
+  def qMmAudioGoertzel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioGoertzel(encodedMedia(spark, dir)).toDF().orderBy($"media_id")
+  }
+
   def qMmGifFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     gifFrames(encodedVideos(spark, dir)).toDF()
@@ -774,6 +831,7 @@ object Multimodal {
     "q_mm_scene_cuts" -> qMmSceneCuts,
     "q_mm_decode_image" -> qMmDecodeImage,
     "q_mm_decode_audio" -> qMmDecodeAudio,
+    "q_mm_audio_goertzel" -> qMmAudioGoertzel,
     "q_mm_thumbnail" -> qMmThumbnail,
     "q_mm_thumbnail_jpeg" -> qMmThumbnailJpeg,
     "q_mm_thumbnail_jpeg_audit" -> qMmThumbnailJpegAudit,
@@ -869,6 +927,36 @@ object Multimodal {
         |FROM documents d
         |CROSS JOIN LATERAL (SELECT unnest(range(0, 64 + d.doc_id % 65)) AS i) g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Spark round-trips the real RIFF bytes; the oracle replays the
+    // five integer-coefficient Goertzel folds over the sample formula
+    // as ONE recursive CTE (the qTsHolt fold-replay playbook).
+    "q_mm_audio_goertzel" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id AS media_id, CAST(64 + doc_id % 65 AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_id, n, CAST(0 AS BIGINT) AS i,
+        |         CAST(0 AS BIGINT) AS sdc, CAST(0 AS BIGINT) AS salt,
+        |         CAST(0 AS BIGINT) AS t1, CAST(0 AS BIGINT) AS t2,
+        |         CAST(0 AS BIGINT) AS q1, CAST(0 AS BIGINT) AS q2,
+        |         CAST(0 AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2
+        |  FROM d
+        |  UNION ALL
+        |  SELECT media_id, n, i + 1,
+        |         sdc + x, salt + CASE WHEN i % 2 = 0 THEN x ELSE -x END,
+        |         x + t1 - t2, t1,
+        |         x - q2, q1,
+        |         x - m1 - m2, m1
+        |  FROM (SELECT g.*, CAST((media_id * 7919 + i * 104729) % 65536 - 32768 AS BIGINT) AS x
+        |        FROM g WHERE i < n) s)
+        |SELECT media_id, n AS n_samples,
+        |  sdc * sdc AS e_dc,
+        |  t1 * t1 + t2 * t2 - t1 * t2 AS e_pi3,
+        |  q1 * q1 + q2 * q2 AS e_pi2,
+        |  m1 * m1 + m2 * m2 + m1 * m2 AS e_2pi3,
+        |  salt * salt AS e_nyq
+        |FROM g WHERE i = n ORDER BY media_id""".stripMargin,
 
     "q_mm_scene_cuts" ->
       """WITH pos AS (

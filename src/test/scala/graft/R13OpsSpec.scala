@@ -194,6 +194,69 @@ class R13OpsSpec extends SparkSpec {
     }
   }
 
+  // --- Goertzel filterbank --------------------------------------------
+
+  /** The five integer-coefficient folds, independently. */
+  private def goertzelScala(samples: Seq[Long]): (Long, Long, Long, Long, Long) = {
+    var sdc = 0L; var salt = 0L
+    var t1 = 0L; var t2 = 0L; var q1 = 0L; var q2 = 0L
+    var m1 = 0L; var m2 = 0L
+    samples.zipWithIndex.foreach { case (x, i) =>
+      sdc += x; salt += (if (i % 2 == 0) x else -x)
+      val t = x + t1 - t2; t2 = t1; t1 = t
+      val q = x - q2; q2 = q1; q1 = q
+      val m = x - m1 - m2; m2 = m1; m1 = m
+    }
+    (sdc * sdc, t1 * t1 + t2 * t2 - t1 * t2, q1 * q1 + q2 * q2,
+      m1 * m1 + m2 * m2 + m1 * m2, salt * salt)
+  }
+
+  private def goertzelOf(mediaId: Long, samples: Array[Short]) = {
+    val media = Seq(graft.multimodal.Multimodal.EncodedMedia(
+      mediaId, "audio/wav",
+      graft.multimodal.Codec.encodeWav(samples, 8000))).toDS()
+    graft.multimodal.Multimodal.audioGoertzel(media).collect().head
+  }
+
+  test("goertzel: pure tones concentrate energy in their own bin (DTMF shape)") {
+    val a = 10000
+    // ω=π/2 tone: A, 0, −A, 0, … — everything else must read ~zero
+    val tonePi2 = Array.tabulate[Short](64)(i =>
+      (Seq(a, 0, -a, 0)(i % 4)).toShort)
+    val r2 = goertzelOf(1L, tonePi2)
+    assert(r2.e_dc == 0L && r2.e_nyq == 0L)
+    assert(r2.e_pi2 > 100L * math.max(r2.e_pi3, r2.e_2pi3), r2.toString)
+    // ω=π/3 tone: A, A/2, −A/2, −A, −A/2, A/2, … (period 6, exact ints)
+    val tonePi3 = Array.tabulate[Short](60)(i =>
+      (Seq(a, a / 2, -a / 2, -a, -a / 2, a / 2)(i % 6)).toShort)
+    val r3 = goertzelOf(2L, tonePi3)
+    assert(r3.e_dc == 0L && r3.e_nyq == 0L)
+    assert(r3.e_pi3 > 100L * math.max(r3.e_pi2, r3.e_2pi3), r3.toString)
+    // DC-only signal: constant A — all AC bins after full periods stay
+    // small relative to the DC spike
+    val dc = Array.fill[Short](64)(a.toShort)
+    val rd = goertzelOf(3L, dc)
+    assert(rd.e_dc > 100L * Seq(rd.e_pi3, rd.e_pi2, rd.e_2pi3, rd.e_nyq).max)
+  }
+
+  test("goertzel: whole-corpus brute replay through the real WAV codec (sf0.001)") {
+    val got = graft.multimodal.Multimodal.qMmAudioGoertzel(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("e_dc"),
+          r.getAs[Long]("e_pi3"), r.getAs[Long]("e_pi2"),
+          r.getAs[Long]("e_2pi3"), r.getAs[Long]("e_nyq")))).toMap
+    val ids = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id").as[Long].collect()
+    assert(got.size == ids.length)
+    ids.foreach { id =>
+      val n = (64 + id % 65).toInt
+      val samples = Seq.tabulate(n)(i =>
+        (id * 7919L + i * 104729L) % 65536L - 32768L)
+      val (edc, e3, e2, e23, eny) = goertzelScala(samples)
+      assert(got(id) == ((n.toLong, edc, e3, e2, e23, eny)), s"media $id")
+    }
+  }
+
   test("compress audit: deflate invariants + published-output cross-check") {
     val df = TextAnalysis.qTextCompressAudit(spark, sf0001)
     val rows = df.collect()
