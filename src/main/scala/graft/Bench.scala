@@ -126,7 +126,13 @@ object Bench {
     // r12 continuation: the 32-replicate Poisson bootstrap's scan-side
     // fan-out must scale linearly in events; split leakage's shuffled
     // gram semi-join must track corpus grams linearly
-    "q_ab_bootstrap", "q_split_leakage")
+    "q_ab_bootstrap", "q_split_leakage",
+    // r13: the extraction scan (synthesis + strip + density per row),
+    // the container round trip (one linear parse per container file),
+    // and the Goertzel folds (linear decode work per clip; its big-sf
+    // cell also pays the one-time encodedMedia stage, like
+    // q_mm_thumbnail before it)
+    "q_html_extract", "q_warc_extract", "q_mm_audio_goertzel")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

@@ -29,6 +29,7 @@ object SparkEntry {
       (graft.sim.IvfIndex.queries, graft.sim.IvfIndex.oracles),
       (graft.text.InvertedIndex.queries, graft.text.InvertedIndex.oracles),
       (graft.text.HtmlExtract.queries, graft.text.HtmlExtract.oracles),
+      (graft.multimodal.PdfLite.queries, graft.multimodal.PdfLite.oracles),
       (graft.operators.ZoneMap.queries, graft.operators.ZoneMap.oracles)
     )
 
