@@ -34,6 +34,10 @@ def main() -> None:
             out.append(ln.rstrip() + f" {col} |")
         elif header_i is not None and i == header_i + 1 and set(ln) <= set("|- "):
             out.append(ln.rstrip() + "---|")
+        elif ln.startswith("| **total** |"):
+            with open(artifact) as f:
+                total = json.load(f)["summary"]["total"]
+            out.append(ln.rstrip() + f" **{total:.2f}** |")
         elif ln.startswith("| q"):
             name = ln.split("|")[1].strip()
             seen.add(name)
