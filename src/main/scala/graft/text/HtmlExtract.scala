@@ -62,12 +62,13 @@ object HtmlExtract {
       |  '<footer><a href="/tos">terms</a> <a href="/privacy">privacy</a> (c) example.org</footer></body></html>')"""
       .stripMargin
 
-  /** Extraction columns over a page-string column: line count, kept
-    * count, visible-char accounting, boilerplate share (exact ppm) and
-    * the kept-content md5 fingerprint downstream dedup would key on.
-    * `keep` carries one `(id, page)` → `(id, …)` projection; all work
-    * is per-row HOFs over the split-line array. */
-  private[graft] def extract(df: DataFrame, idCol: String,
+  /** Adds the per-row extraction accounting columns (n_lines, n_kept,
+    * total_chars, kept_chars + the internal __p/__k line arrays) to
+    * any frame with a page-string column — ONE definition shared by
+    * the batch query and the streaming monitor, so the dashboard and
+    * the corpus job can never disagree on what "boilerplate" means.
+    * All work is per-row HOFs over the split-line array. */
+  private[graft] def withExtractCols(df: DataFrame,
       pageCol: String): DataFrame = {
     df.withColumn("__p", expr(
         s"""transform(split($pageCol, '\\n'), l -> named_struct(
@@ -76,19 +77,54 @@ object HtmlExtract {
           .stripMargin))
       .withColumn("__k", expr(
         s"filter(__p, s -> length(s.txt) >= $MinChars AND s.n_links * $CharsPerLink <= length(s.txt))"))
+      .withColumn("n_lines", size(col("__p")).cast("long"))
+      .withColumn("n_kept", size(col("__k")).cast("long"))
       .withColumn("total_chars",
         expr("aggregate(__p, bigint(0), (a, s) -> a + length(s.txt))"))
       .withColumn("kept_chars",
         expr("aggregate(__k, bigint(0), (a, s) -> a + length(s.txt))"))
+  }
+
+  /** Extraction columns over a page-string column: line count, kept
+    * count, visible-char accounting, boilerplate share (exact ppm) and
+    * the kept-content md5 fingerprint downstream dedup would key on. */
+  private[graft] def extract(df: DataFrame, idCol: String,
+      pageCol: String): DataFrame = {
+    withExtractCols(df, pageCol)
       .select(col(idCol),
-        size(col("__p")).cast("long").as("n_lines"),
-        size(col("__k")).cast("long").as("n_kept"),
+        col("n_lines"), col("n_kept"),
         col("total_chars"), col("kept_chars"),
         expr("""case when total_chars > 0
                | then (total_chars - kept_chars) * 1000000 div total_chars
                | else bigint(0) end""".stripMargin).as("boilerplate_ppm"),
         md5(expr("array_join(transform(__k, s -> s.txt), ' ')"))
           .as("content_md5"))
+  }
+
+  /** STREAMING extraction-share monitor — the online arm of
+    * [[qHtmlExtract]]: per event-time hour window, arriving documents'
+    * extraction accounting (the SAME [[withExtractCols]] row
+    * expressions as the batch query — synthesis included, so the
+    * monitor watches the full stage) rolled into doc count, visible /
+    * kept char sums, empty-extraction count, and the exact ppm
+    * boilerplate share derived statelessly from the emitted sums. A
+    * template rollout or extractor regression moves this dashboard
+    * within the hour, while the corpus job is still queued. Append
+    * mode, ONE watermarked aggregate: state is a single sum-tuple per
+    * open window, evicted by the watermark. */
+  def extractionShareHourly(docs: DataFrame, tsCol: String,
+      watermark: String): DataFrame = {
+    withExtractCols(docs.withColumn("page", expr(htmlView)), "page")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"),
+        sum(col("kept_chars")).as("kept_chars"),
+        sum(when(col("n_kept") === 0L, 1L).otherwise(0L)).as("n_empty"))
+      .withColumn("boilerplate_ppm",
+        expr("""case when total_chars > 0
+               | then (total_chars - kept_chars) * 1000000 div total_chars
+               | else bigint(0) end""".stripMargin))
   }
 
   /** The synthesized-page frame: (doc_id, page). Shared by the direct

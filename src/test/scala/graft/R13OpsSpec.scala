@@ -148,6 +148,55 @@ class R13OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --- streaming extraction-share monitor ------------------------------
+
+  test("extraction monitor: closed hourly windows == batch replay on all sums") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // split the corpus across two event-time hours
+    def hourOf(id: Long): String =
+      if (id % 2 == 0) "2026-08-12 10:15:00" else "2026-08-12 11:15:00"
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.text.HtmlExtract.extractionShareHourly(
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "1 hour")
+      .select($"window.start".as("ws"), $"n_docs", $"total_chars",
+        $"kept_chars", $"n_empty", $"boilerplate_ppm")
+    val q = out.writeStream.format("memory").queryName("extract_hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.map { case (id, t) => (id, t, ts(hourOf(id))) }: _*)
+      q.processAllAvailable()
+      // heartbeat far past both windows closes them for append emission
+      input.addData((-1L, "x", ts("2026-08-12 15:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("extract_hourly")
+      .as[(Timestamp, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // batch replay: the SAME batch query's per-doc accounting, grouped
+    // by the planted hour
+    val batch = graft.text.HtmlExtract.qHtmlExtract(spark, sf0001)
+      .select($"doc_id", $"total_chars", $"kept_chars", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+    val want = batch.groupBy { case (id, _, _, _) =>
+      hourOf(id).substring(0, 13) + ":00:00.0"
+    }.map { case (h, rs) =>
+      val tot = rs.map(_._2).sum; val kept = rs.map(_._3).sum
+      h -> ((rs.length.toLong, tot, kept,
+        rs.count(_._4 == 0L).toLong,
+        if (tot > 0) (tot - kept) * 1000000L / tot else 0L))
+    }
+    assert(got.size == 2, got.keySet)
+    assert(got == want)
+  }
+
   // --- PDF-lite container ----------------------------------------------
 
   test("pdf-lite: build → extract round trip, escapes, pagination, empty doc") {
