@@ -31,7 +31,10 @@ object Bench {
         val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
         Cpu(f.sum, f(3) + (if (f.length > 4) f(4) else 0L),
           if (f.length > 7) f(7) else 0L)
-      } catch { case _: Throwable => Cpu(0L, 0L, 0L) }
+      // sentinel, NOT Cpu(0,0,0): a zero sample would make deltaFields
+      // report busy_pct=100/steal_pct=0 — "fully loaded box" — when the
+      // truth is "no /proc data" (non-Linux or restricted runtime)
+      } catch { case _: Throwable => Cpu(-1L, -1L, -1L) }
 
     def load1(): Double =
       try {
@@ -42,8 +45,11 @@ object Bench {
 
     /** busy/steal CPU shares over the [a, b) interval, as JSON fields
       * (no surrounding braces, so callers can append leg-specific
-      * fields). */
+      * fields). A failed /proc sample (sentinel Cpu(-1,-1,-1)) emits
+      * -1 for both shares — absent evidence, not a saturated box. */
     def deltaFields(a: Cpu, b: Cpu): String = {
+      if (a.total < 0L || b.total < 0L)
+        return """"busy_pct":-1.0,"steal_pct":-1.0"""
       val dt = math.max(b.total - a.total, 1L)
       val busy = (dt - (b.idleAll - a.idleAll)) * 100.0 / dt
       val steal = (b.steal - a.steal) * 100.0 / dt
@@ -132,7 +138,11 @@ object Bench {
     // and the Goertzel folds (linear decode work per clip; its big-sf
     // cell also pays the one-time encodedMedia stage, like
     // q_mm_thumbnail before it)
-    "q_html_extract", "q_warc_extract", "q_mm_audio_goertzel")
+    "q_html_extract", "q_warc_extract", "q_mm_audio_goertzel",
+    // r14: the compressed-container twins — per-record gzip members and
+    // FlateDecode content streams add linear inflate work per record,
+    // so both must track corpus bytes, never worse
+    "q_warc_extract_gz", "q_pdf_extract_flate")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
@@ -305,21 +315,50 @@ object Bench {
     // its 1.2 s "timing" sat inconspicuously in the map). Failures are
     // omitted from the timings map and named in the summary.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per-query-window load attribution (VERDICT r13 task 5): the
+    // per-leg samples can say "the 300-query leg ran loaded" but can't
+    // pin a burst to a query. A /proc sample every [[WinEvery]] queries
+    // emits a load_windows array — each row names the window's first
+    // and last query + its busy/steal/load1 — so a single slow cell in
+    // the per-query map can be read against the load it ran under.
+    val WinEvery = 25
+    val loadWindows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var winBegin = Load.cpu()
+    var winWall = System.nanoTime()
+    var winFirst: String = null
+    var winCount = 0
+    def closeWindow(last: String): Unit = if (winFirst != null) {
+      val end = Load.cpu()
+      val wall = (System.nanoTime() - winWall) / 1e9
+      loadWindows += (f"""{"from":"$winFirst","to":"$last","n":$winCount,""" +
+        f""""wall_sec":$wall%.3f,${Load.deltaFields(winBegin, end)},""" +
+        f""""load1":${Load.load1()}%.2f}""")
+      winBegin = end; winWall = System.nanoTime(); winFirst = null; winCount = 0
+    }
+    var lastName: String = null
     val results = staging ++ streaming ++ graphStaging ++ incBuilds ++
       selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (winFirst == null) winFirst = name
+      lastName = name
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,
       // timing a row-count scan instead of the query
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        winCount += 1
+        if (winCount >= WinEvery) closeWindow(name)
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e")
         failed += name
+        winCount += 1
+        if (winCount >= WinEvery) closeWindow(name)
         None
       }
     }
+    if (lastName != null) closeWindow(lastName)
+    val loadWindowsJson = loadWindows.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -353,6 +392,9 @@ object Bench {
     // burst lands. Emitted BEFORE the summary so the totals line stays
     // last in any tail-capture window.
     println(s"""{"metric":"stream_batches","batches":$batchesJson}""")
+    // Query-leg load windows (one row per ~25 queries): lets a burst be
+    // pinned to a window of named queries, not just to "the leg".
+    println(s"""{"metric":"load_windows","every":$WinEvery,"windows":$loadWindowsJson}""")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-leg load evidence: busy/steal CPU shares across each bench
     // phase plus start/end 1-min loadavg — the driver artifact now
@@ -371,7 +413,7 @@ object Bench {
     // File artifact (VERDICT r7 task 3): the full per-query map plus the
     // summary, immune to any stdout tail-capture convention.
     val artifact =
-      s"""{"summary":$summary,"queries":$qs,"stream_batches":$batchesJson}"""
+      s"""{"summary":$summary,"queries":$qs,"stream_batches":$batchesJson,"load_windows":$loadWindowsJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target", "bench_summary.json"),
       artifact.getBytes("UTF-8"))

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,21 +10,30 @@ import graft.Tables
 /** PDF-LITE — real (if minimal) PDF 1.4 documents and the text
   * extraction a pretraining pipeline runs over PDF corpora. The writer
   * emits genuinely conformant single-generation PDFs: catalog → pages
-  * → page → uncompressed content stream + Type1 font objects, a
-  * byte-exact xref table, and a trailer — a spec-following PDF reader
-  * opens these. The extractor is the pdftotext-lite path: locate
-  * `N 0 obj`, read streams by their /Length (length-prefixed, the
-  * WarcLite discipline — stream bytes are never scanned for
-  * delimiters), tokenize `(string) Tj` show-text operators inside
-  * content streams with full escape handling, and validate every xref
-  * offset against the object header it points at — so the query
+  * → page → content stream + Type1 font objects, a byte-exact xref
+  * table, and a trailer — a spec-following PDF reader opens these. The
+  * extractor is the pdftotext-lite path: locate `N 0 obj`, read
+  * streams by their /Length (length-prefixed, the WarcLite discipline
+  * — stream bytes are never scanned for delimiters), FlateDecode them
+  * when the stream dict declares the filter, tokenize `(string) Tj`
+  * show-text operators with full escape handling, and validate every
+  * xref offset against the object header it points at — so the query
   * round-trips REAL container bytes and any writer/parser/offset
   * defect flips the driver hash.
   *
-  * Text placement: the doc text is chunked into fixed 64-char show ops
-  * (40 per page), PDF-escaped on write and unescaped on read — the
-  * extraction must reproduce the document text BYTE-EXACTLY, which is
-  * what the oracle (md5 of the original text) checks.
+  * Text encoding: document text is chunked into fixed 64-CODE-POINT
+  * show ops (40 per page); each chunk's UTF-8 bytes become a PDF
+  * string with `\(`/`\)`/`\\` escapes and 3-digit `\ooo` octal escapes
+  * for every byte outside printable ASCII — so the container is pure
+  * ASCII bytes regardless of the document's script (PDF 1.4 string
+  * syntax, public spec §3.2.3), and ANY Unicode text round-trips
+  * byte-exactly. The extraction must reproduce the text's UTF-8 bytes
+  * EXACTLY, which is what the oracle (md5 of the original text) checks.
+  *
+  * Compression: real PDFs FlateDecode their content streams; [[build]]
+  * takes a `flate` flag that zlib-compresses the page body
+  * (`/Filter /FlateDecode`, /Length = compressed byte count) and the
+  * extractor inflates — loud on truncated or damaged deflate data.
   *
   * Scale shape: PDFs are born in batched mapPartitions from the
   * documents scan and parsed the same way — payload bytes never
@@ -34,21 +43,69 @@ object PdfLite {
   private val ChunkLen = 64
   private val OpsPerPage = 40
 
-  private def md5hex(s: String): String =
+  private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(b).map("%02x".format(_)).mkString
 
-  private def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+  /** 64-code-point chunks, never splitting a surrogate pair — the
+    * count a code-point-aware length() (the oracle's) predicts. */
+  private[graft] def chunksOf(text: String): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < text.length) {
+      val start = i
+      var cps = 0
+      while (i < text.length && cps < ChunkLen) {
+        i = text.offsetByCodePoints(i, 1); cps += 1
+      }
+      buf += text.substring(start, i)
+    }
+    buf.toSeq
+  }
+
+  /** One chunk's UTF-8 bytes as a PDF string body: printable ASCII
+    * verbatim (with the three delimiter escapes), everything else as a
+    * fixed-width 3-digit octal escape — the resulting body is pure
+    * ASCII whatever the input script. */
+  private[graft] def escape(chunk: String): String = {
+    val sb = new StringBuilder(chunk.length + 8)
+    chunk.getBytes(UTF_8).foreach { x =>
+      val c = x & 0xff
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case _ if c >= 0x20 && c < 0x7f => sb.append(c.toChar)
+        case _ =>
+          // always 3 octal digits so a following literal digit can't
+          // extend the escape (PDF 1.4 §3.2.3 allows 1–3; 3 is exact)
+          sb.append('\\').append(f"${Integer.toOctalString(c)}%3s".replace(' ', '0'))
+      }
+    }
+    sb.toString
+  }
+
+  /** zlib-compress (RFC 1950 — PDF's FlateDecode) a body's bytes. */
+  private def flateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](1 << 16)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      out.write(buf, 0, k)
+    }
+    d.end()
+    out.toByteArray
+  }
 
   /** Build one PDF's bytes: `nPages` pages of ≤ [[OpsPerPage]] show
-    * ops each over the 64-char chunks of `text`. Object layout:
-    * 1 catalog, 2 pages, 3..(2+n) page, (3+n)..(2+2n) content,
-    * (3+2n) font. */
-  private[graft] def build(text: String): Array[Byte] = {
-    val chunks =
-      if (text.isEmpty) Seq.empty
-      else text.grouped(ChunkLen).toSeq
+    * ops each over the 64-code-point chunks of `text`; content streams
+    * zlib-compressed (`/Filter /FlateDecode`) when `flate` is set.
+    * Object layout: 1 catalog, 2 pages, 3..(2+n) page,
+    * (3+n)..(2+2n) content, (3+2n) font. */
+  private[graft] def build(text: String, flate: Boolean = false): Array[Byte] = {
+    val chunks = chunksOf(text)
     val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
       else chunks.grouped(OpsPerPage).toSeq
     val n = pagesOps.length
@@ -68,9 +125,13 @@ object PdfLite {
         body.append('(').append(escape(c)).append(") Tj 0 -12 Td\n")
       }
       body.append("ET\n")
-      val b = body.toString
-      objs += (s"${3 + n + i} 0 obj << /Length ${b.getBytes(ISO_8859_1).length} >> " +
-        s"stream\n$b" + "endstream endobj\n")
+      // the escaped body is pure ASCII; ISO_8859_1 is the byte-
+      // transparent carrier for the (possibly binary) stream content
+      val raw = body.toString.getBytes(ISO_8859_1)
+      val (streamBytes, filter) =
+        if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
+      objs += (s"${3 + n + i} 0 obj << /Length ${streamBytes.length}$filter >> " +
+        s"stream\n" + new String(streamBytes, ISO_8859_1) + "endstream endobj\n")
     }
     objs += s"$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
     val head = "%PDF-1.4\n"
@@ -92,9 +153,32 @@ object PdfLite {
   private def fail(id: Long, why: String): Nothing =
     throw new IllegalArgumentException(s"pdf $id: $why")
 
+  /** Inflate a FlateDecode stream's bytes — loud on truncation or
+    * damaged data (zlib's adler32 makes in-place corruption fail). */
+  private def inflateBytes(id: Long, in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(in)
+      val out = new java.io.ByteArrayOutputStream(in.length * 3 + 64)
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val k =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(id, s"corrupt FlateDecode stream: ${e.getMessage}")
+          }
+        if (k == 0 && !inf.finished())
+          fail(id, "truncated FlateDecode stream")
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
   /** Parse one PDF-lite's bytes: xref-driven object walk (every offset
     * validated against the `N 0 obj` header it addresses), streams
-    * read by /Length, `(…) Tj` tokens unescaped and concatenated in
+    * read by /Length and inflated when /Filter /FlateDecode is
+    * declared, `(…) Tj` string bytes unescaped and concatenated in
     * page order. Loud on any structural corruption. */
   private[graft] def extract(id: Long, bytes: Array[Byte]): PdfExtract = {
     val s = new String(bytes, ISO_8859_1)
@@ -119,7 +203,7 @@ object PdfLite {
     // text extraction: walk content streams by /Length, in object order
     var nPages = 0L
     var nOps = 0L
-    val out = new StringBuilder
+    val out = new java.io.ByteArrayOutputStream()
     offsets.foreach { off =>
       val hdrEnd = s.indexOf(">>", off)
       val hdr = s.substring(off, if (hdrEnd < 0) off else hdrEnd + 2)
@@ -128,32 +212,46 @@ object PdfLite {
         val len = m.group(1).toInt
         val streamAt = s.indexOf("stream\n", off)
         if (streamAt < 0) fail(id, s"object at $off declares /Length but has no stream")
-        val body = s.substring(streamAt + 7, streamAt + 7 + len)
         if (!s.startsWith("endstream", streamAt + 7 + len))
           fail(id, s"stream at $streamAt overruns its /Length")
-        // tokenize (…) Tj with escape handling
+        val streamRaw = s.substring(streamAt + 7, streamAt + 7 + len)
+          .getBytes(ISO_8859_1)
+        val body = new String(
+          if (hdr.contains("/Filter /FlateDecode")) inflateBytes(id, streamRaw)
+          else streamRaw, ISO_8859_1)
+        // tokenize (…) Tj with escape handling — string content is the
+        // escaped UTF-8 BYTES of a chunk, decoded back to bytes here
         var i = 0
         while (i < body.length) {
           if (body.charAt(i) == '(') {
-            val sb = new StringBuilder
+            val sb = new java.io.ByteArrayOutputStream()
             i += 1
             var done = false
             while (!done) {
               if (i >= body.length) fail(id, "unterminated string")
               body.charAt(i) match {
                 case '\\' =>
-                  sb.append(body.charAt(i + 1)); i += 2
+                  if (i + 1 >= body.length) fail(id, "unterminated escape")
+                  val c1 = body.charAt(i + 1)
+                  if (c1 >= '0' && c1 <= '7') {
+                    var v = 0; var j = i + 1; var n = 0
+                    while (j < body.length && n < 3 &&
+                        body.charAt(j) >= '0' && body.charAt(j) <= '7') {
+                      v = v * 8 + (body.charAt(j) - '0'); j += 1; n += 1
+                    }
+                    sb.write(v); i = j
+                  } else { sb.write(c1.toInt); i += 2 }
                 case ')' => done = true; i += 1
-                case c => sb.append(c); i += 1
+                case c => sb.write(c.toInt); i += 1
               }
             }
-            if (body.startsWith(" Tj", i)) { out.append(sb); nOps += 1 }
+            if (body.startsWith(" Tj", i)) { sb.writeTo(out); nOps += 1 }
           } else i += 1
         }
       }
     }
     PdfExtract(id, nObjs.toLong, nPages, nOps, xrefValid,
-      md5hex(out.toString))
+      md5hex(out.toByteArray))
   }
 
   /** Documents → real PDF bytes → xref-validated parse → text
@@ -170,34 +268,58 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
+  /** The FLATE twin: a mixed corpus where doc_id parity picks the
+    * filter — even docs get `/Filter /FlateDecode` content streams
+    * (the way real PDFs ship), odd docs stay uncompressed — so one
+    * query exercises compression, inflation, AND the extractor's
+    * per-object filter dispatch. The deterministic surface (counters,
+    * xref validity, text md5) is filter-independent, so the SAME
+    * oracle hash-checks both paths. */
+  def qPdfExtractFlate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        extract(id, build(text, flate = id % 2 == 0))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pdf_extract" -> qPdfExtract
+    "q_pdf_extract" -> qPdfExtract,
+    "q_pdf_extract_flate" -> qPdfExtractFlate
   )
 
   /** The oracle derives every structural counter from the text length
-    * (chunks of 64 chars, 40 show ops per page, 3 + 2·pages objects)
-    * and demands the extraction reproduce the text byte-exactly
-    * (md5(text)) with a valid xref — the deterministic surface of a
-    * container round trip whose bytes the oracle does not rebuild. */
+    * (chunks of 64 code points, 40 show ops per page, 3 + 2·pages
+    * objects — DuckDB length() counts code points, matching
+    * [[chunksOf]]) and demands the extraction reproduce the text
+    * byte-exactly (md5(text)) with a valid xref — the deterministic
+    * surface of a container round trip whose bytes the oracle does not
+    * rebuild. Filter-independent: the flate twin shares it. */
+  private val extractOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) = 0 THEN 1
+      |         ELSE (length(text) + 63) // 64 END AS n_chunks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE (length(text) + 63) // 64 END AS n_ops,
+      |    (n_chunks + 39) // 40 AS n_pages
+      |  FROM m)
+      |SELECT doc_id,
+      |  CAST(3 + 2 * n_pages AS BIGINT) AS n_objects,
+      |  CAST(n_pages AS BIGINT) AS n_pages,
+      |  CAST(n_ops AS BIGINT) AS n_text_ops,
+      |  TRUE AS xref_valid,
+      |  md5(text) AS extract_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_pdf_extract" ->
-      """WITH m AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(text) = 0 THEN 1
-        |         ELSE (length(text) + 63) // 64 END AS n_chunks
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(text) = 0 THEN 0
-        |         ELSE (length(text) + 63) // 64 END AS n_ops,
-        |    (n_chunks + 39) // 40 AS n_pages
-        |  FROM m)
-        |SELECT doc_id,
-        |  CAST(3 + 2 * n_pages AS BIGINT) AS n_objects,
-        |  CAST(n_pages AS BIGINT) AS n_pages,
-        |  CAST(n_ops AS BIGINT) AS n_text_ops,
-        |  TRUE AS xref_valid,
-        |  md5(text) AS extract_md5
-        |FROM p ORDER BY doc_id""".stripMargin
+    "q_pdf_extract" -> extractOracle,
+    "q_pdf_extract_flate" -> extractOracle
   )
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -24,6 +25,10 @@ import org.apache.spark.sql.functions._
   * file count (crawl archives are ~1 GB per container by convention),
   * each task a single linear pass, payload bytes never shuffled until
   * a downstream projection asks for them.
+  *
+  * Compressed path: real crawl archives are per-record gzip members
+  * (ISO 28500 §6) — [[writeGz]]/[[readGz]] add that layer, one RFC 1952
+  * member per record, member-aligned so any record decompresses alone.
   *
   * Local java.io is the sandbox's filesystem seam; a cluster deploy
   * swaps the two file touchpoints for the Hadoop FS API (same framing
@@ -82,18 +87,23 @@ object WarcLite {
       val magic = readLine()
       require(magic == Magic, s"$where: bad magic '$magic' at record start")
       var id = -1L; var url = ""; var len = -1
+      var seenId = false; var seenUrl = false
       var line = readLine()
       while (line.nonEmpty) {
         val i = line.indexOf(": ")
         require(i > 0, s"$where: malformed header line '$line'")
         (line.substring(0, i), line.substring(i + 2)) match {
-          case ("doc-id", v) => id = v.toLong
-          case ("url", v) => url = v
+          case ("doc-id", v) => id = v.toLong; seenId = true
+          case ("url", v) => url = v; seenUrl = true
           case ("content-length", v) => len = v.toInt
           case _ => // forward-compatible: unknown headers are skipped
         }
         line = readLine()
       }
+      // a record missing its identity headers is framing corruption, not
+      // a sentinel row — same loud contract as a bad length
+      require(seenId, s"$where: record at byte $pos missing doc-id header")
+      require(seenUrl, s"$where: record at byte $pos missing url header")
       require(len >= 0 && pos + len <= bytes.length,
         s"$where: bad content-length $len at byte $pos")
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
@@ -114,5 +124,129 @@ object WarcLite {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) => parse(bytes, path) })
+  }
+
+  // --- gzip-member containers (the shape real crawl archives ship in) --
+  //
+  // ISO 28500 §6 (public): a .warc.gz is a plain concatenation of
+  // independent gzip members, ONE record per member — that alignment is
+  // what lets a reader seek to any member boundary and decompress one
+  // record without touching the rest of a multi-GB container. The
+  // writer below emits RFC 1952 members byte-for-byte (fixed header,
+  // raw-deflate body, CRC32 + ISIZE trailer); the reader walks members
+  // by the deflate stream's own end, verifies both trailer fields, and
+  // requires each member to inflate to exactly one framed record.
+
+  /** One RFC 1952 gzip member around `raw`: 10-byte fixed header
+    * (magic, CM=8, FLG=0, MTIME=0, XFL=0, OS=0 — fully deterministic),
+    * raw-deflate body, CRC32 + ISIZE little-endian trailer. */
+  private[graft] def gzWrap(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      out.write(buf, 0, k)
+    }
+    d.end()
+    val crc = new CRC32(); crc.update(raw)
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xffL).toInt))
+    le32(crc.getValue); le32(raw.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Walk the gzip members of a container — one inflate per member,
+    * member boundary found from the deflate stream's own final block
+    * (getBytesRead), CRC32 and ISIZE both verified. Loud on any
+    * corruption: bad magic, unsupported header bits, truncated or
+    * damaged deflate data, trailer mismatch. */
+  private[graft] def gzMembers(bytes: Array[Byte],
+      where: String): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private var pos = 0
+    override def hasNext: Boolean = pos < bytes.length
+    override def next(): Array[Byte] = {
+      require(pos + 18 <= bytes.length,
+        s"$where: truncated gzip member at byte $pos")
+      require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"$where: bad gzip magic at byte $pos")
+      require(bytes(pos + 2) == 8,
+        s"$where: unsupported gzip compression method ${bytes(pos + 2)}")
+      // the writer emits FLG=0; FEXTRA/FNAME/FCOMMENT/FHCRC members are
+      // not ours and are rejected rather than guessed at
+      require(bytes(pos + 3) == 0,
+        s"$where: unsupported gzip FLG ${bytes(pos + 3)} at byte $pos")
+      val inf = new Inflater(true)
+      try {
+        inf.setInput(bytes, pos + 10, bytes.length - pos - 10)
+        val out = new ByteArrayOutputStream(1 << 12)
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          val k =
+            try inf.inflate(buf)
+            catch { case e: DataFormatException =>
+              throw new IllegalArgumentException(
+                s"$where: corrupt deflate data in member at byte $pos: ${e.getMessage}")
+            }
+          require(k > 0 || inf.finished(),
+            s"$where: truncated deflate stream in member at byte $pos")
+          out.write(buf, 0, k)
+        }
+        val trailerAt = pos + 10 + inf.getBytesRead.toInt
+        require(trailerAt + 8 <= bytes.length,
+          s"$where: truncated gzip trailer at byte $trailerAt")
+        def le32(o: Int): Long =
+          (0 until 4).map(i => (bytes(o + i).toLong & 0xffL) << (8 * i)).sum
+        val raw = out.toByteArray
+        val crc = new CRC32(); crc.update(raw)
+        require(le32(trailerAt) == crc.getValue,
+          s"$where: gzip CRC mismatch in member at byte $pos")
+        require(le32(trailerAt + 4) == (raw.length.toLong & 0xffffffffL),
+          s"$where: gzip ISIZE mismatch in member at byte $pos")
+        pos = trailerAt + 8
+        raw
+      } finally inf.end()
+    }
+  }
+
+  /** Write a gzip-member container dir: one `part-NNNNN.warc.gz` per
+    * non-empty input partition, each record its own gzip member — the
+    * per-record-member layout of real crawl archives. */
+  def writeGz(records: Dataset[WarcRecord], outDir: String): Unit = {
+    new File(outDir).mkdirs()
+    records.foreachPartition { (it: Iterator[WarcRecord]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.get().partitionId()
+        val f = new File(outDir, f"part-$pid%05d.warc.gz")
+        val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 16)
+        try it.foreach { r =>
+          val frame0 = new ByteArrayOutputStream(r.payload.length + 128)
+          frame(frame0, r)
+          out.write(gzWrap(frame0.toByteArray))
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Read a gzip-member container dir: one task per container file,
+    * members walked in order, each required to hold exactly one record
+    * (the ISO 28500 §6 alignment invariant — a member holding 0 or 2
+    * records would break per-record random access downstream). */
+  def readGz(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        gzMembers(bytes, path).map { member =>
+          val it = parse(member, path)
+          val r = it.next()
+          require(!it.hasNext, s"$path: gzip member holds more than one record")
+          r
+        }
+      })
   }
 }

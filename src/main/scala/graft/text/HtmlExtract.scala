@@ -174,9 +174,44 @@ object HtmlExtract {
     extract(recs, "doc_id", "page").orderBy(col("doc_id"))
   }
 
+  /** Build-once GZIP-member container staging — the same records as
+    * [[stagedWarc]] framed through the compressed path (one RFC 1952
+    * member per record, the layout real .warc.gz archives ship in). */
+  private def stagedWarcGz(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val out = graft.SessionCache.scratchDir(spark, s"warclite-gz-$key")
+    this.synchronized {
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        graft.sources.WarcLite.writeGz(
+          pages(spark, dir).select(col("doc_id"),
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
+            encode(col("page"), "UTF-8").as("payload"))
+            .as[graft.sources.WarcLite.WarcRecord], out)
+        marker.createNewFile()
+      }
+    }
+    out
+  }
+
+  /** The COMPRESSED-container twin of [[qWarcExtract]]: pages framed
+    * into per-record gzip members (ISO 28500 §6 — the shape a crawl
+    * corpus from the wild actually arrives in), inflated + CRC-checked
+    * member by member, parsed, THEN extracted — same hash-exact oracle
+    * as the direct query, so a defect anywhere in the compression,
+    * member framing, or parse flips the driver hash. */
+  def qWarcExtractGz(spark: SparkSession, dir: String): DataFrame = {
+    val recs = graft.sources.WarcLite.readGz(spark, stagedWarcGz(spark, dir))
+      .toDF()
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("page"))
+    extract(recs, "doc_id", "page").orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
-    "q_warc_extract" -> qWarcExtract
+    "q_warc_extract" -> qWarcExtract,
+    "q_warc_extract_gz" -> qWarcExtractGz
   )
 
   /** Dialect notes: DuckDB regexp_replace needs the 'g' flag (Spark's
@@ -225,7 +260,8 @@ object HtmlExtract {
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> extractOracle,
     // identical deterministic surface: the container round trip must
-    // reproduce the direct extraction bit-for-bit
-    "q_warc_extract" -> extractOracle
+    // reproduce the direct extraction bit-for-bit — compressed or not
+    "q_warc_extract" -> extractOracle,
+    "q_warc_extract_gz" -> extractOracle
   )
 }

@@ -423,9 +423,11 @@ object TextAnalysis {
 
   /** AUDIT TWIN of [[qTextCompressRatio]]: zlib's output bytes aren't
     * SQL-replayable, but four invariants of them are — the stream is
-    * non-empty; bounded by the DEFLATE worst case (stored blocks: 5
-    * bytes per 64 KiB + 6-byte zlib wrapper, asserted as ≤ n_bytes +
-    * 64); an INDEPENDENT fresh-Deflater recompression reproduces the
+    * non-empty; bounded by the SIZE-PROPORTIONAL deflate worst case
+    * (zlib's own public compressBound: n + n/4096 + n/16384 + 13 —
+    * stored-block overhead at the ~16 KiB blocks zlib actually emits;
+    * a flat "+64" would falsely flag an incompressible document past
+    * ~250 KiB); an INDEPENDENT fresh-Deflater recompression reproduces the
     * main query's published n_deflate and its ratio arithmetic exactly
     * (level-6 determinism — the property that makes the ratio a stable
     * quality signal across reruns and executors, checked by JOINING
@@ -464,7 +466,8 @@ object TextAnalysis {
       .join(audit, Seq("doc_id"))
       .select($"doc_id", $"n_bytes",
         ($"n_deflate" > 0L).as("deflate_positive"),
-        ($"n_deflate" <= $"n_bytes" + 64L).as("deflate_bounded"),
+        expr("n_deflate <= n_bytes + (n_bytes div 4096) + (n_bytes div 16384) + 64")
+          .as("deflate_bounded"),
         ($"a_bytes" === $"n_bytes" && $"a_deflate" === $"n_deflate" &&
           $"ratio_permille" === when($"n_bytes" > 0L,
             expr("n_deflate * 1000 div n_bytes")).otherwise(lit(0L)))
