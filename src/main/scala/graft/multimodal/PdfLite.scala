@@ -15,8 +15,10 @@ import graft.Tables
   * extractor is the pdftotext-lite path: locate `N 0 obj`, read
   * streams by their /Length (length-prefixed, the WarcLite discipline
   * — stream bytes are never scanned for delimiters), FlateDecode them
-  * when the stream dict declares the filter, tokenize `(string) Tj`
-  * show-text operators with full escape handling, and validate every
+  * when the stream dict declares the filter, tokenize both PDF string
+  * forms' `Tj` show-text operators (literal with the full §3.2.3
+  * escape table, hex with whitespace/odd-digit tolerance — wild PDFs
+  * use both), and validate every
   * xref offset against the object header it points at — so the query
   * round-trips REAL container bytes and any writer/parser/offset
   * defect flips the driver hash.
@@ -219,8 +221,12 @@ object PdfLite {
         val body = new String(
           if (hdr.contains("/Filter /FlateDecode")) inflateBytes(id, streamRaw)
           else streamRaw, ISO_8859_1)
-        // tokenize (…) Tj with escape handling — string content is the
-        // escaped UTF-8 BYTES of a chunk, decoded back to bytes here
+        // tokenize string Tj show ops — both PDF 1.4 string forms
+        // (§3.2.3): literal `(…)` with the FULL escape table (octal,
+        // \n\r\t\b\f, line continuation, backslash-ignored), and hex
+        // `<…>` (whitespace-tolerant, odd trailing digit padded) — so
+        // the extractor reads wild PDFs' show ops, not just ours (our
+        // writer emits only literal strings with octal escapes)
         var i = 0
         while (i < body.length) {
           if (body.charAt(i) == '(') {
@@ -240,9 +246,45 @@ object PdfLite {
                       v = v * 8 + (body.charAt(j) - '0'); j += 1; n += 1
                     }
                     sb.write(v); i = j
-                  } else { sb.write(c1.toInt); i += 2 }
+                  } else c1 match {
+                    case 'n' => sb.write('\n'); i += 2
+                    case 'r' => sb.write('\r'); i += 2
+                    case 't' => sb.write('\t'); i += 2
+                    case 'b' => sb.write('\b'); i += 2
+                    case 'f' => sb.write('\f'); i += 2
+                    case '\r' => // \<EOL> line continuation: CR or CRLF
+                      i += 2
+                      if (i < body.length && body.charAt(i) == '\n') i += 1
+                    case '\n' => i += 2
+                    // any other escaped char: the backslash is ignored
+                    case c => sb.write(c.toInt); i += 2
+                  }
                 case ')' => done = true; i += 1
                 case c => sb.write(c.toInt); i += 1
+              }
+            }
+            if (body.startsWith(" Tj", i)) { sb.writeTo(out); nOps += 1 }
+          } else if (body.charAt(i) == '<' &&
+              i + 1 < body.length && body.charAt(i + 1) == '<') {
+            i += 2 // dict open inside a content stream — not a string
+          } else if (body.charAt(i) == '<') {
+            val sb = new java.io.ByteArrayOutputStream()
+            i += 1
+            var hi = -1
+            var done = false
+            while (!done) {
+              if (i >= body.length) fail(id, "unterminated hex string")
+              val c = body.charAt(i)
+              if (c == '>') {
+                if (hi >= 0) sb.write(hi << 4) // odd digit: low nibble 0
+                done = true; i += 1
+              } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') {
+                i += 1
+              } else {
+                val v = Character.digit(c, 16)
+                if (v < 0) fail(id, s"bad hex digit '$c' in hex string")
+                if (hi < 0) hi = v else { sb.write((hi << 4) | v); hi = -1 }
+                i += 1
               }
             }
             if (body.startsWith(" Tj", i)) { sb.writeTo(out); nOps += 1 }

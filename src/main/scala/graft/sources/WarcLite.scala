@@ -160,9 +160,11 @@ object WarcLite {
 
   /** Walk the gzip members of a container — one inflate per member,
     * member boundary found from the deflate stream's own final block
-    * (getBytesRead), CRC32 and ISIZE both verified. Loud on any
-    * corruption: bad magic, unsupported header bits, truncated or
-    * damaged deflate data, trailer mismatch. */
+    * (getBytesRead), CRC32 and ISIZE both verified. Reads FOREIGN
+    * writers' members too: RFC 1952 optional header fields
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC) are skipped per spec. Loud on any
+    * corruption: bad magic, reserved header bits, truncated fields or
+    * deflate data, trailer mismatch. */
   private[graft] def gzMembers(bytes: Array[Byte],
       where: String): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
     private var pos = 0
@@ -174,13 +176,35 @@ object WarcLite {
         s"$where: bad gzip magic at byte $pos")
       require(bytes(pos + 2) == 8,
         s"$where: unsupported gzip compression method ${bytes(pos + 2)}")
-      // the writer emits FLG=0; FEXTRA/FNAME/FCOMMENT/FHCRC members are
-      // not ours and are rejected rather than guessed at
-      require(bytes(pos + 3) == 0,
-        s"$where: unsupported gzip FLG ${bytes(pos + 3)} at byte $pos")
+      // RFC 1952 §2.3.1 optional header fields: our writer emits FLG=0,
+      // but archives from other writers routinely carry FNAME/FEXTRA —
+      // skip each declared field (loud on truncation); reserved bits
+      // (5–7) mean a format we don't know and are rejected
+      val flg = bytes(pos + 3) & 0xff
+      require((flg & 0xe0) == 0,
+        s"$where: reserved gzip FLG bits set ($flg) at byte $pos")
+      var dataAt = pos + 10
+      def need(n: Int, what: String): Unit =
+        require(dataAt + n <= bytes.length,
+          s"$where: truncated gzip $what at byte $dataAt")
+      if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
+        need(2, "FEXTRA length")
+        val xlen = (bytes(dataAt) & 0xff) | ((bytes(dataAt + 1) & 0xff) << 8)
+        dataAt += 2; need(xlen, "FEXTRA field"); dataAt += xlen
+      }
+      if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+        while ({ need(1, "FNAME"); bytes(dataAt) != 0 }) dataAt += 1
+        dataAt += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+        while ({ need(1, "FCOMMENT"); bytes(dataAt) != 0 }) dataAt += 1
+        dataAt += 1
+      }
+      if ((flg & 0x02) != 0) { need(2, "FHCRC"); dataAt += 2 }
+      // FTEXT (bit 0) is a content hint — nothing to skip
       val inf = new Inflater(true)
       try {
-        inf.setInput(bytes, pos + 10, bytes.length - pos - 10)
+        inf.setInput(bytes, dataAt, bytes.length - dataAt)
         val out = new ByteArrayOutputStream(1 << 12)
         val buf = new Array[Byte](1 << 16)
         while (!inf.finished()) {
@@ -194,7 +218,7 @@ object WarcLite {
             s"$where: truncated deflate stream in member at byte $pos")
           out.write(buf, 0, k)
         }
-        val trailerAt = pos + 10 + inf.getBytesRead.toInt
+        val trailerAt = dataAt + inf.getBytesRead.toInt
         require(trailerAt + 8 <= bytes.length,
           s"$where: truncated gzip trailer at byte $trailerAt")
         def le32(o: Int): Long =
