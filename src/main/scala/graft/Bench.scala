@@ -141,8 +141,9 @@ object Bench {
     "q_html_extract", "q_warc_extract", "q_mm_audio_goertzel",
     // r14: the compressed-container twins — per-record gzip members and
     // FlateDecode content streams add linear inflate work per record,
-    // so both must track corpus bytes, never worse
-    "q_warc_extract_gz", "q_pdf_extract_flate")
+    // so both must track corpus bytes, never worse — and the CDX
+    // index-driven fan-out, whose cost is seek+inflate per member
+    "q_warc_extract_gz", "q_pdf_extract_flate", "q_warc_extract_cdx")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the

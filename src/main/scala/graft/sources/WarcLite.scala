@@ -237,7 +237,11 @@ object WarcLite {
 
   /** Write a gzip-member container dir: one `part-NNNNN.warc.gz` per
     * non-empty input partition, each record its own gzip member — the
-    * per-record-member layout of real crawl archives. */
+    * per-record-member layout of real crawl archives — plus a CDX-lite
+    * sidecar index per container (`part-NNNNN.cdx`: one
+    * `doc_id<TAB>offset<TAB>length<TAB>url` line per member, the
+    * Common Crawl convention that makes members individually
+    * addressable without decompressing the container). */
   def writeGz(records: Dataset[WarcRecord], outDir: String): Unit = {
     new File(outDir).mkdirs()
     records.foreachPartition { (it: Iterator[WarcRecord]) =>
@@ -245,14 +249,95 @@ object WarcLite {
         val pid = TaskContext.get().partitionId()
         val f = new File(outDir, f"part-$pid%05d.warc.gz")
         val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 16)
+        val cdx = new StringBuilder
+        var off = 0L
         try it.foreach { r =>
           val frame0 = new ByteArrayOutputStream(r.payload.length + 128)
           frame(frame0, r)
-          out.write(gzWrap(frame0.toByteArray))
+          val member = gzWrap(frame0.toByteArray)
+          out.write(member)
+          cdx.append(s"${r.doc_id}\t$off\t${member.length}\t${r.url}\n")
+          off += member.length
         } finally out.close()
+        val idx = new FileOutputStream(new File(outDir, f"part-$pid%05d.cdx"))
+        try idx.write(cdx.toString.getBytes(UTF_8)) finally idx.close()
       }
     }
   }
+
+  /** The CDX-lite index of a gz container dir as a DataFrame
+    * (container, doc_id, offset, length, url) — tiny text files, one
+    * row per member. This is the frame predicates push down to: filter
+    * it BEFORE [[fetchGz]] and only the selected members' bytes are
+    * ever read or inflated. */
+  def readCdx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(s"$dir/*.cdx")
+      .select(input_file_name().as("container"), col("value"))
+      .as[(String, String)]
+      .map { case (cdxPath, line) =>
+        val f = line.split("\t", 4)
+        require(f.length == 4, s"$cdxPath: malformed cdx line '$line'")
+        // the sidecar sits next to the container it indexes
+        val container = cdxPath.stripPrefix("file:")
+          .stripSuffix(".cdx") + ".warc.gz"
+        (container, f(0).toLong, f(1).toLong, f(2).toInt, f(3))
+      }
+      .toDF("container", "doc_id", "offset", "length", "url")
+  }
+
+  /** Fetch exactly the members an index frame selects: each row seeks
+    * to its member's byte range (RandomAccessFile — the local seam for
+    * a cluster FS's positioned read), inflates that ONE member, and
+    * requires it to hold the indexed record. Parallelism = index rows,
+    * NOT container files: one multi-GB container fans out across as
+    * many tasks as it has selected members. Rows are pre-sorted by
+    * (container, offset) within partitions so a task's reads advance
+    * sequentially through each container. */
+  def fetchGz(index: DataFrame): Dataset[WarcRecord] = {
+    import index.sparkSession.implicits._
+    index.select(col("container"), col("doc_id"), col("offset"),
+        col("length"), col("url"))
+      .as[(String, Long, Long, Int, String)]
+      .sortWithinPartitions(col("container"), col("offset"))
+      .mapPartitions { it =>
+        var cur: java.io.RandomAccessFile = null
+        var curPath: String = null
+        def open(path: String): java.io.RandomAccessFile = {
+          if (path != curPath) {
+            if (cur != null) cur.close()
+            cur = new java.io.RandomAccessFile(path, "r"); curPath = path
+          }
+          cur
+        }
+        new Iterator[WarcRecord] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && cur != null) { cur.close(); cur = null }
+            h
+          }
+          override def next(): WarcRecord = {
+            val (path, docId, off, len, _) = it.next()
+            val raf = open(path)
+            raf.seek(off)
+            val member = new Array[Byte](len)
+            raf.readFully(member)
+            val one = gzMembers(member, s"$path@$off")
+            val rec = parse(one.next(), s"$path@$off").next()
+            require(!one.hasNext && rec.doc_id == docId,
+              s"$path@$off: index points at record ${rec.doc_id}, expected $docId")
+            rec
+          }
+        }
+      }
+  }
+
+  /** Index-driven read of a gz container dir: the CDX fan-out path.
+    * Same records as [[readGz]], but parallelism = member count and
+    * any filter applied to [[readCdx]]'s frame first becomes a
+    * container-level pushdown (unselected members are never read). */
+  def readGzCdx(spark: SparkSession, dir: String): Dataset[WarcRecord] =
+    fetchGz(readCdx(spark, dir))
 
   /** Read a gzip-member container dir: one task per container file,
     * members walked in order, each required to hold exactly one record

@@ -208,10 +208,26 @@ object HtmlExtract {
     extract(recs, "doc_id", "page").orderBy(col("doc_id"))
   }
 
+  /** The INDEX-DRIVEN twin of [[qWarcExtractGz]]: members fetched
+    * through the CDX-lite sidecar (seek → read one member's byte range
+    * → inflate → parse), not by linear container scans — the Common
+    * Crawl access pattern, where parallelism is member count and a
+    * filtered index reads only the members it selects. Same hash-exact
+    * oracle: the fan-out path must reproduce the linear path
+    * bit-for-bit. */
+  def qWarcExtractCdx(spark: SparkSession, dir: String): DataFrame = {
+    val recs = graft.sources.WarcLite
+      .readGzCdx(spark, stagedWarcGz(spark, dir))
+      .toDF()
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("page"))
+    extract(recs, "doc_id", "page").orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_warc_extract" -> qWarcExtract,
-    "q_warc_extract_gz" -> qWarcExtractGz
+    "q_warc_extract_gz" -> qWarcExtractGz,
+    "q_warc_extract_cdx" -> qWarcExtractCdx
   )
 
   /** Dialect notes: DuckDB regexp_replace needs the 'g' flag (Spark's
@@ -262,6 +278,7 @@ object HtmlExtract {
     // identical deterministic surface: the container round trip must
     // reproduce the direct extraction bit-for-bit — compressed or not
     "q_warc_extract" -> extractOracle,
-    "q_warc_extract_gz" -> extractOracle
+    "q_warc_extract_gz" -> extractOracle,
+    "q_warc_extract_cdx" -> extractOracle
   )
 }

@@ -148,12 +148,44 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
-  test("warc-gz extract == plain warc extract == direct extract, bit for bit") {
+  test("warc-gz/cdx extract == plain warc extract == direct extract, bit for bit") {
     val a = HtmlExtract.qHtmlExtract(spark, sf0001).collect().toSeq
     val b = HtmlExtract.qWarcExtract(spark, sf0001).collect().toSeq
     val c = HtmlExtract.qWarcExtractGz(spark, sf0001).collect().toSeq
+    val d = HtmlExtract.qWarcExtractCdx(spark, sf0001).collect().toSeq
     assert(a == b)
     assert(a == c)
+    assert(a == d)
+  }
+
+  test("warc-cdx: index addresses every member; selective fetch reads only its rows") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-cdx").toString
+    WarcLite.writeGz(gzRecs.toDS().repartition(2), dir)
+    val idx = WarcLite.readCdx(spark, dir)
+    val rows = idx.collect()
+    assert(rows.length == 4, "one index row per member")
+    // every indexed (offset, length) range holds exactly its record
+    val all = WarcLite.fetchGz(idx).collect().sortBy(_.doc_id)
+    assert(all.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    all.zip(gzRecs).foreach { case (b, w) =>
+      assert(java.util.Arrays.equals(b.payload, w.payload), s"doc ${w.doc_id}")
+    }
+    // container-level pushdown: a filtered index fetches ONLY the
+    // selected members (here: one doc), bit-exact
+    val one = WarcLite.fetchGz(idx.filter($"doc_id" === 4L)).collect()
+    assert(one.length == 1 && one.head.doc_id == 4L)
+    assert(java.util.Arrays.equals(one.head.payload, gzRecs(3).payload))
+    // an index row pointing at the WRONG member is loud, not a wrong row
+    val lied = idx.withColumn("doc_id",
+      org.apache.spark.sql.functions.when($"doc_id" === 4L, 99L)
+        .otherwise($"doc_id"))
+    val e = intercept[Exception] { WarcLite.fetchGz(lied).collect() }
+    assert(e.getMessage != null)
+    // a corrupted offset lands mid-member and fails the gzip magic check
+    val skewed = idx.withColumn("offset",
+      org.apache.spark.sql.functions.when($"doc_id" === 1L, $"offset" + 3L)
+        .otherwise($"offset"))
+    intercept[Exception] { WarcLite.fetchGz(skewed).collect() }
   }
 
   // --- FlateDecode PDF content streams ----------------------------------
