@@ -88,18 +88,8 @@ object PdfLite {
   }
 
   /** zlib-compress (RFC 1950 — PDF's FlateDecode) a body's bytes. */
-  private def flateBytes(raw: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(6)
-    d.setInput(raw); d.finish()
-    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    val buf = new Array[Byte](1 << 16)
-    while (!d.finished()) {
-      val k = d.deflate(buf)
-      out.write(buf, 0, k)
-    }
-    d.end()
-    out.toByteArray
-  }
+  private def flateBytes(raw: Array[Byte]): Array[Byte] =
+    graft.Zlib.deflate(raw, 6, nowrap = false)
 
   /** Build one PDF's bytes: `nPages` pages of ≤ [[OpsPerPage]] show
     * ops each over the 64-code-point chunks of `text`; content streams
@@ -157,24 +147,28 @@ object PdfLite {
 
   /** Inflate a FlateDecode stream's bytes — loud on truncation or
     * damaged data (zlib's adler32 makes in-place corruption fail). */
-  private def inflateBytes(id: Long, in: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(in)
-      val out = new java.io.ByteArrayOutputStream(in.length * 3 + 64)
-      val buf = new Array[Byte](1 << 16)
-      while (!inf.finished()) {
-        val k =
-          try inf.inflate(buf)
-          catch { case e: java.util.zip.DataFormatException =>
-            fail(id, s"corrupt FlateDecode stream: ${e.getMessage}")
-          }
-        if (k == 0 && !inf.finished())
-          fail(id, "truncated FlateDecode stream")
-        out.write(buf, 0, k)
-      }
-      out.toByteArray
-    } finally inf.end()
+  private def inflateBytes(id: Long, in: Array[Byte]): Array[Byte] =
+    graft.Zlib.inflate(in, 0, in.length, nowrap = false,
+      s"pdf $id FlateDecode stream")._1
+
+  /** Wild writers spell the filter `/Filter /FlateDecode`,
+    * `/Filter/FlateDecode` (no space) or `/Filter [/FlateDecode]` —
+    * all three declare the same decode. */
+  private val FlateRe = "/Filter\\s*\\[?\\s*/FlateDecode".r
+
+  private def isPdfWs(c: Char): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+
+  /** PDF whitespace between a string operand and its operator is
+    * optional-and-variable (`(x) Tj`, `(x)Tj`, `(x)\nTj` are all the
+    * same show op — §3.1): skip it, then demand `Tj` followed by a
+    * delimiter/whitespace/EOF so `TJ`/`Tjx` never match. */
+  private def tjFollows(body: String, i0: Int): Boolean = {
+    var i = i0
+    while (i < body.length && isPdfWs(body.charAt(i))) i += 1
+    body.startsWith("Tj", i) && (i + 2 >= body.length ||
+      isPdfWs(body.charAt(i + 2)) ||
+      "()<>[]{}/%".indexOf(body.charAt(i + 2)) >= 0)
   }
 
   /** Parse one PDF-lite's bytes: xref-driven object walk (every offset
@@ -219,7 +213,7 @@ object PdfLite {
         val streamRaw = s.substring(streamAt + 7, streamAt + 7 + len)
           .getBytes(ISO_8859_1)
         val body = new String(
-          if (hdr.contains("/Filter /FlateDecode")) inflateBytes(id, streamRaw)
+          if (FlateRe.findFirstIn(hdr).isDefined) inflateBytes(id, streamRaw)
           else streamRaw, ISO_8859_1)
         // tokenize string Tj show ops — both PDF 1.4 string forms
         // (§3.2.3): literal `(…)` with the FULL escape table (octal,
@@ -232,6 +226,7 @@ object PdfLite {
           if (body.charAt(i) == '(') {
             val sb = new java.io.ByteArrayOutputStream()
             i += 1
+            var depth = 0 // §3.2.3: BALANCED unescaped parens are literal
             var done = false
             while (!done) {
               if (i >= body.length) fail(id, "unterminated string")
@@ -259,11 +254,14 @@ object PdfLite {
                     // any other escaped char: the backslash is ignored
                     case c => sb.write(c.toInt); i += 2
                   }
-                case ')' => done = true; i += 1
+                case '(' => depth += 1; sb.write('('); i += 1
+                case ')' =>
+                  if (depth == 0) { done = true; i += 1 }
+                  else { depth -= 1; sb.write(')'); i += 1 }
                 case c => sb.write(c.toInt); i += 1
               }
             }
-            if (body.startsWith(" Tj", i)) { sb.writeTo(out); nOps += 1 }
+            if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
           } else if (body.charAt(i) == '<' &&
               i + 1 < body.length && body.charAt(i + 1) == '<') {
             i += 2 // dict open inside a content stream — not a string
@@ -287,7 +285,7 @@ object PdfLite {
                 i += 1
               }
             }
-            if (body.startsWith(" Tj", i)) { sb.writeTo(out); nOps += 1 }
+            if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
           } else i += 1
         }
       }

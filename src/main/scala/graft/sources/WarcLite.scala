@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedOutputStream, ByteArrayOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
+import java.util.zip.{CRC32, Deflater}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -143,14 +143,8 @@ object WarcLite {
   private[graft] def gzWrap(raw: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)
     out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    d.setInput(raw); d.finish()
-    val buf = new Array[Byte](1 << 16)
-    while (!d.finished()) {
-      val k = d.deflate(buf)
-      out.write(buf, 0, k)
-    }
-    d.end()
+    out.write(graft.Zlib.deflate(raw, Deflater.DEFAULT_COMPRESSION,
+      nowrap = true))
     val crc = new CRC32(); crc.update(raw)
     def le32(v: Long): Unit =
       (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xffL).toInt))
@@ -202,36 +196,20 @@ object WarcLite {
       }
       if ((flg & 0x02) != 0) { need(2, "FHCRC"); dataAt += 2 }
       // FTEXT (bit 0) is a content hint — nothing to skip
-      val inf = new Inflater(true)
-      try {
-        inf.setInput(bytes, dataAt, bytes.length - dataAt)
-        val out = new ByteArrayOutputStream(1 << 12)
-        val buf = new Array[Byte](1 << 16)
-        while (!inf.finished()) {
-          val k =
-            try inf.inflate(buf)
-            catch { case e: DataFormatException =>
-              throw new IllegalArgumentException(
-                s"$where: corrupt deflate data in member at byte $pos: ${e.getMessage}")
-            }
-          require(k > 0 || inf.finished(),
-            s"$where: truncated deflate stream in member at byte $pos")
-          out.write(buf, 0, k)
-        }
-        val trailerAt = dataAt + inf.getBytesRead.toInt
-        require(trailerAt + 8 <= bytes.length,
-          s"$where: truncated gzip trailer at byte $trailerAt")
-        def le32(o: Int): Long =
-          (0 until 4).map(i => (bytes(o + i).toLong & 0xffL) << (8 * i)).sum
-        val raw = out.toByteArray
-        val crc = new CRC32(); crc.update(raw)
-        require(le32(trailerAt) == crc.getValue,
-          s"$where: gzip CRC mismatch in member at byte $pos")
-        require(le32(trailerAt + 4) == (raw.length.toLong & 0xffffffffL),
-          s"$where: gzip ISIZE mismatch in member at byte $pos")
-        pos = trailerAt + 8
-        raw
-      } finally inf.end()
+      val (raw, consumed) = graft.Zlib.inflate(bytes, dataAt,
+        bytes.length - dataAt, nowrap = true, s"$where member at byte $pos")
+      val trailerAt = dataAt + consumed
+      require(trailerAt + 8 <= bytes.length,
+        s"$where: truncated gzip trailer at byte $trailerAt")
+      def le32(o: Int): Long =
+        (0 until 4).map(i => (bytes(o + i).toLong & 0xffL) << (8 * i)).sum
+      val crc = new CRC32(); crc.update(raw)
+      require(le32(trailerAt) == crc.getValue,
+        s"$where: gzip CRC mismatch in member at byte $pos")
+      require(le32(trailerAt + 4) == (raw.length.toLong & 0xffffffffL),
+        s"$where: gzip ISIZE mismatch in member at byte $pos")
+      pos = trailerAt + 8
+      raw
     }
   }
 
@@ -275,12 +253,18 @@ object WarcLite {
     spark.read.textFile(s"$dir/*.cdx")
       .select(input_file_name().as("container"), col("value"))
       .as[(String, String)]
-      .map { case (cdxPath, line) =>
+      .map { case (cdxUri, line) =>
         val f = line.split("\t", 4)
-        require(f.length == 4, s"$cdxPath: malformed cdx line '$line'")
-        // the sidecar sits next to the container it indexes
-        val container = cdxPath.stripPrefix("file:")
-          .stripSuffix(".cdx") + ".warc.gz"
+        require(f.length == 4, s"$cdxUri: malformed cdx line '$line'")
+        // input_file_name() is a percent-encoded URI — decode it to a
+        // filesystem path (a space or non-ASCII char in the corpus dir
+        // must not 404 the container), then swap the sidecar suffix
+        // for the container it sits next to
+        val cdxPath =
+          if (cdxUri.startsWith("file:"))
+            java.nio.file.Paths.get(java.net.URI.create(cdxUri)).toString
+          else cdxUri
+        val container = cdxPath.stripSuffix(".cdx") + ".warc.gz"
         (container, f(0).toLong, f(1).toLong, f(2).toInt, f(3))
       }
       .toDF("container", "doc_id", "offset", "length", "url")
@@ -290,19 +274,29 @@ object WarcLite {
     * to its member's byte range (RandomAccessFile — the local seam for
     * a cluster FS's positioned read), inflates that ONE member, and
     * requires it to hold the indexed record. Parallelism = index rows,
-    * NOT container files: one multi-GB container fans out across as
-    * many tasks as it has selected members. Rows are pre-sorted by
-    * (container, offset) within partitions so a task's reads advance
-    * sequentially through each container. */
+    * NOT container files: the tiny cdx text files would otherwise
+    * coalesce into ~one scan partition, so the index is explicitly
+    * REPARTITIONED across the cluster's slots before the seek stage —
+    * one multi-GB container genuinely fans out across tasks (the
+    * shuffle moves only (path, 2 longs, int, url) rows, never payload
+    * bytes). Rows are then sorted by (container, offset) within
+    * partitions so each task's reads advance sequentially through each
+    * container; the open handle is closed on task completion, SUCCESS
+    * OR FAILURE (a corrupt-member throw must not leak a descriptor). */
   def fetchGz(index: DataFrame): Dataset[WarcRecord] = {
-    import index.sparkSession.implicits._
+    val spark = index.sparkSession
+    import spark.implicits._
     index.select(col("container"), col("doc_id"), col("offset"),
         col("length"), col("url"))
       .as[(String, Long, Long, Int, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
       .sortWithinPartitions(col("container"), col("offset"))
       .mapPartitions { it =>
         var cur: java.io.RandomAccessFile = null
         var curPath: String = null
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] {
+          _ => if (cur != null) { cur.close(); cur = null }
+        })
         def open(path: String): java.io.RandomAccessFile = {
           if (path != curPath) {
             if (cur != null) cur.close()
@@ -310,24 +304,16 @@ object WarcLite {
           }
           cur
         }
-        new Iterator[WarcRecord] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h && cur != null) { cur.close(); cur = null }
-            h
-          }
-          override def next(): WarcRecord = {
-            val (path, docId, off, len, _) = it.next()
-            val raf = open(path)
-            raf.seek(off)
-            val member = new Array[Byte](len)
-            raf.readFully(member)
-            val one = gzMembers(member, s"$path@$off")
-            val rec = parse(one.next(), s"$path@$off").next()
-            require(!one.hasNext && rec.doc_id == docId,
-              s"$path@$off: index points at record ${rec.doc_id}, expected $docId")
-            rec
-          }
+        it.map { case (path, docId, off, len, _) =>
+          val raf = open(path)
+          raf.seek(off)
+          val member = new Array[Byte](len)
+          raf.readFully(member)
+          val one = gzMembers(member, s"$path@$off")
+          val rec = parse(one.next(), s"$path@$off").next()
+          require(!one.hasNext && rec.doc_id == docId,
+            s"$path@$off: index points at record ${rec.doc_id}, expected $docId")
+          rec
         }
       }
   }

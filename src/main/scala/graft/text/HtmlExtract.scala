@@ -142,14 +142,21 @@ object HtmlExtract {
     * crawl pipeline actually starts from), one container per
     * partition under the session scratch dir. Marker-file protocol,
     * same once-per-(session, corpus) policy as SessionCache stages. */
-  private def stagedWarc(spark: SparkSession, dir: String): String = {
+  /** Once-per-(session, corpus) container staging shared by the plain
+    * and gzip paths: the synthesized pages framed as crawl records,
+    * written by `writeFn` under a keyed scratch dir with the marker-
+    * file protocol (the SessionCache stage convention). */
+  private def stageContainers(spark: SparkSession, dir: String,
+      keyPrefix: String,
+      writeFn: (org.apache.spark.sql.Dataset[graft.sources.WarcLite.WarcRecord], String) => Unit)
+      : String = {
     import spark.implicits._
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val out = graft.SessionCache.scratchDir(spark, s"warclite-$key")
+    val out = graft.SessionCache.scratchDir(spark, s"$keyPrefix-$key")
     this.synchronized {
       val marker = new java.io.File(out, "_SUCCESS")
       if (!marker.exists()) {
-        graft.sources.WarcLite.write(
+        writeFn(
           pages(spark, dir).select(col("doc_id"),
             concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
             encode(col("page"), "UTF-8").as("payload"))
@@ -159,6 +166,9 @@ object HtmlExtract {
     }
     out
   }
+
+  private def stagedWarc(spark: SparkSession, dir: String): String =
+    stageContainers(spark, dir, "warclite", graft.sources.WarcLite.write)
 
   /** The container-sourced twin of [[qHtmlExtract]]: pages framed into
     * WARC-lite containers (staged once per session), read back through
@@ -176,24 +186,10 @@ object HtmlExtract {
 
   /** Build-once GZIP-member container staging — the same records as
     * [[stagedWarc]] framed through the compressed path (one RFC 1952
-    * member per record, the layout real .warc.gz archives ship in). */
-  private def stagedWarcGz(spark: SparkSession, dir: String): String = {
-    import spark.implicits._
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val out = graft.SessionCache.scratchDir(spark, s"warclite-gz-$key")
-    this.synchronized {
-      val marker = new java.io.File(out, "_SUCCESS")
-      if (!marker.exists()) {
-        graft.sources.WarcLite.writeGz(
-          pages(spark, dir).select(col("doc_id"),
-            concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-            encode(col("page"), "UTF-8").as("payload"))
-            .as[graft.sources.WarcLite.WarcRecord], out)
-        marker.createNewFile()
-      }
-    }
-    out
-  }
+    * member per record + the CDX sidecar, the layout real .warc.gz
+    * archives ship in). */
+  private def stagedWarcGz(spark: SparkSession, dir: String): String =
+    stageContainers(spark, dir, "warclite-gz", graft.sources.WarcLite.writeGz)
 
   /** The COMPRESSED-container twin of [[qWarcExtract]]: pages framed
     * into per-record gzip members (ISO 28500 §6 — the shape a crawl

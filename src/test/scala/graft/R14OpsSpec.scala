@@ -170,6 +170,9 @@ class R14OpsSpec extends SparkSpec {
     all.zip(gzRecs).foreach { case (b, w) =>
       assert(java.util.Arrays.equals(b.payload, w.payload), s"doc ${w.doc_id}")
     }
+    // the fan-out is real: fetch runs on the repartitioned index, not
+    // on the ~1 coalesced partition the tiny cdx text files scan as
+    assert(WarcLite.fetchGz(idx).rdd.getNumPartitions > 1)
     // container-level pushdown: a filtered index fetches ONLY the
     // selected members (here: one doc), bit-exact
     val one = WarcLite.fetchGz(idx.filter($"doc_id" === 4L)).collect()
@@ -265,13 +268,13 @@ class R14OpsSpec extends SparkSpec {
   // a structurally-valid single-page PDF around an ARBITRARY content
   // stream body (pure ASCII) — the fixture for foreign-writer content
   // syntax our own build() never emits
-  private def miniPdf(body: String): Array[Byte] = {
+  private def miniPdf(body: String, filter: String = ""): Array[Byte] = {
     val objs = Seq(
       "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
       "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
-      s"4 0 obj << /Length ${body.length} >> stream\n$body" + "endstream endobj\n",
+      s"4 0 obj << /Length ${body.length}$filter >> stream\n$body" + "endstream endobj\n",
       "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
     val head = "%PDF-1.4\n"
     val offsets = objs.scanLeft(head.length)((o, s) => o + s.length)
@@ -307,6 +310,30 @@ class R14OpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       PdfLite.extract(5L, miniPdf("BT <48 Tj ET\n"))
+    }
+    // §3.2.3 balanced unescaped parens are literal string content
+    val bal = PdfLite.extract(6L, miniPdf("BT (a(b)c) Tj ((x)) Tj ET\n"))
+    assert(bal.n_text_ops == 2L)
+    assert(bal.extract_md5 == md5hex("a(b)c(x)"))
+    // whitespace between string and operator is optional-and-variable
+    val ws = PdfLite.extract(7L, miniPdf("BT (a)Tj (b)\nTj (c)  Tj <64>Tj ET\n"))
+    assert(ws.n_text_ops == 4L)
+    assert(ws.extract_md5 == md5hex("abcd"))
+    // ...but TJ (the array op) and Tj-prefixed names must NOT match
+    val notTj = PdfLite.extract(8L, miniPdf("BT [(a)] TJ (b) Tjx (c) Tj ET\n"))
+    assert(notTj.n_text_ops == 1L)
+    assert(notTj.extract_md5 == md5hex("c"))
+  }
+
+  test("pdf: wild-writer FlateDecode spellings all inflate") {
+    val plain = "BT (flated text content) Tj ET\n"
+    val comp = new String(
+      Zlib.deflate(plain.getBytes(ISO_8859_1), 6, nowrap = false), ISO_8859_1)
+    for (decl <- Seq(" /Filter /FlateDecode", " /Filter/FlateDecode",
+        " /Filter [/FlateDecode]", " /Filter [ /FlateDecode ]")) {
+      val r = PdfLite.extract(1L, miniPdf(comp, decl))
+      assert(r.n_text_ops == 1L, decl)
+      assert(r.extract_md5 == md5hex("flated text content"), decl)
     }
   }
 
