@@ -350,6 +350,82 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  // --- property sweeps (seeded, deterministic) --------------------------
+
+  test("pdf: 200 random unicode documents round-trip, plain and flate") {
+    val rnd = new scala.util.Random(4242)
+    // alphabet spanning every class the encoder must survive: ASCII,
+    // PDF delimiters, escapes, control chars, Latin-1, BMP CJK,
+    // astral (surrogate pairs), emoji
+    val alphabet = ("ab c(d)e\\f\n\t\r" + "é漢字ツ𝄞🎵").toCharArray
+    def randText(): String = {
+      val n = rnd.nextInt(300)
+      val sb = new StringBuilder
+      var k = 0
+      while (k < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // never emit a lone surrogate: pick pairs atomically
+        if (Character.isHighSurrogate(c)) ()
+        else if (Character.isLowSurrogate(c)) {
+          sb.append('\ud834').append(c) // the 𝄞 pair
+        } else sb.append(c)
+        k += 1
+      }
+      sb.toString
+    }
+    (1 to 200).foreach { t =>
+      val text = randText()
+      val r = PdfLite.extract(t.toLong, PdfLite.build(text))
+      assert(r.extract_md5 == md5hex(text), s"trial $t plain: ${text.take(40)}")
+      assert(r.xref_valid, s"trial $t xref")
+      val rf = PdfLite.extract(t.toLong,
+        PdfLite.build(text, flate = t % 2 == 0))
+      assert(rf.extract_md5 == md5hex(text), s"trial $t flate")
+      val cps = text.codePointCount(0, text.length)
+      val wantOps = if (cps == 0) 0L else ((cps + 63) / 64).toLong
+      assert(r.n_text_ops == wantOps, s"trial $t ops")
+    }
+  }
+
+  test("warc-gz: 100 random binary payloads round-trip through members + cdx math") {
+    val rnd = new scala.util.Random(777)
+    val recs = (1 to 100).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(payload)
+      WarcLite.WarcRecord(i.toLong, s"https://r/$i", payload)
+    }
+    // frame+wrap every record into one container byte stream by hand,
+    // tracking offsets the way the writer's cdx does
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = recs.map { r =>
+      val f = new java.io.ByteArrayOutputStream()
+      f.write((WarcLite.Magic + s"\ndoc-id: ${r.doc_id}\nurl: ${r.url}\n" +
+        s"content-length: ${r.payload.length}\n\n").getBytes(UTF_8))
+      f.write(r.payload); f.write('\n')
+      val member = WarcLite.gzWrap(f.toByteArray)
+      val off = out.size()
+      out.write(member)
+      (off, member.length)
+    }
+    val container = out.toByteArray
+    // linear walk reproduces every record
+    val walked = WarcLite.gzMembers(container, "prop").map(m =>
+      WarcLite.parse(m, "prop").next()).toSeq
+    assert(walked.map(_.doc_id) == recs.map(_.doc_id))
+    walked.zip(recs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.payload, b.payload), s"doc ${b.doc_id}")
+    }
+    // every tracked (offset, length) range is independently readable —
+    // the random-access property the cdx fetch path relies on
+    offsets.zip(recs).foreach { case ((off, len), want) =>
+      val slice = java.util.Arrays.copyOfRange(container, off, off + len)
+      val got = WarcLite.parse(
+        WarcLite.gzMembers(slice, "slice").next(), "slice").next()
+      assert(got.doc_id == want.doc_id &&
+        java.util.Arrays.equals(got.payload, want.payload))
+    }
+  }
+
   // --- audit-bound + load-sentinel invariants ---------------------------
 
   test("deflate bound is size-proportional: 1 MiB incompressible input") {
