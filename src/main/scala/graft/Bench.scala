@@ -6,6 +6,14 @@ package graft
   * total wall seconds. */
 object Bench {
 
+  /** Locale-pinned numeric JSON field (ADVICE r14): Scala's
+    * f-interpolator formats through the JVM DEFAULT locale, so under a
+    * comma-decimal locale (de_DE…) every double would emit `1,234` and
+    * the bench artifacts would stop being JSON. All numeric fields in
+    * Bench's emitters go through here. */
+  private[graft] def num(v: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + prec + "f", Double.box(v))
+
   /** Box-load evidence (VERDICT r12 watch item): the r12 driver
     * artifact's 61.7 s streaming leg vs the 32 s quiet envelope was
     * only adjudicable as "environmental" by a judge diffing per-batch
@@ -53,7 +61,7 @@ object Bench {
       val dt = math.max(b.total - a.total, 1L)
       val busy = (dt - (b.idleAll - a.idleAll)) * 100.0 / dt
       val steal = (b.steal - a.steal) * 100.0 / dt
-      f""""busy_pct":$busy%.1f,"steal_pct":$steal%.1f"""
+      s""""busy_pct":${num(busy, 1)},"steal_pct":${num(steal, 1)}"""
     }
   }
 
@@ -164,7 +172,7 @@ object Bench {
     val rows = ScalingQueries.map { q =>
       val s = time(q, small)
       val b = time(q, big)
-      f""""$q":{"small":$s%.3f,"big":$b%.3f,"ratio":${b / s}%.2f}"""
+      s""""$q":{"small":${num(s, 3)},"big":${num(b, 3)},"ratio":${num(b / s, 2)}}"""
     }
     println(s"""{"metric":"scaling","sf_small":"$small","sf_big":"$big","data_ratio":10,"queries":${rows.mkString("{", ",", "}")}}""")
   }
@@ -331,9 +339,9 @@ object Bench {
     def closeWindow(last: String): Unit = if (winFirst != null) {
       val end = Load.cpu()
       val wall = (System.nanoTime() - winWall) / 1e9
-      loadWindows += (f"""{"from":"$winFirst","to":"$last","n":$winCount,""" +
-        f""""wall_sec":$wall%.3f,${Load.deltaFields(winBegin, end)},""" +
-        f""""load1":${Load.load1()}%.2f}""")
+      loadWindows += (s"""{"from":"$winFirst","to":"$last","n":$winCount,""" +
+        s""""wall_sec":${num(wall, 3)},${Load.deltaFields(winBegin, end)},""" +
+        s""""load1":${num(Load.load1(), 2)}}""")
       winBegin = end; winWall = System.nanoTime(); winFirst = null; winCount = 0
     }
     var lastName: String = null
@@ -360,10 +368,10 @@ object Bench {
     }
     if (lastName != null) closeWindow(lastName)
     val loadWindowsJson = loadWindows.mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Compact trailing summary: the per-query line above can exceed the
     // driver's tail-capture window (BENCH_r05/r06 both parsed null), so
     // totals are re-emitted LAST on their own short line.
@@ -379,7 +387,7 @@ object Bench {
     val loadByBatch: Map[Long, String] = {
       val starts = cpuStreamStart +: batchLoads.map(_._2)
       batchLoads.zip(starts).map { case ((id, end, l1), begin) =>
-        id -> f"""${Load.deltaFields(begin, end)},"load1":$l1%.2f"""
+        id -> s"""${Load.deltaFields(begin, end)},"load1":${num(l1, 2)}"""
       }.toMap
     }
     val batchesJson = streamBatches.sortBy(_.batchId).map { b =>
@@ -403,13 +411,13 @@ object Bench {
     // CPU, steal≈0; a loaded box shows up here, not as a mystery).
     val cpuEnd = Load.cpu(); val load1End = Load.load1()
     val loadJson =
-      f"""{"warmup":{${Load.deltaFields(cpuStart, cpuWarm)}},""" +
-        f""""staging":{${Load.deltaFields(cpuWarm, cpuStaged)}},""" +
-        f""""streaming":{${Load.deltaFields(cpuStreamStart, cpuStreamed)}},""" +
-        f""""queries":{${Load.deltaFields(cpuStreamed, cpuEnd)}},""" +
-        f""""load1_start":$load1Start%.2f,"load1_end":$load1End%.2f}"""
+      s"""{"warmup":{${Load.deltaFields(cpuStart, cpuWarm)}},""" +
+        s""""staging":{${Load.deltaFields(cpuWarm, cpuStaged)}},""" +
+        s""""streaming":{${Load.deltaFields(cpuStreamStart, cpuStreamed)}},""" +
+        s""""queries":{${Load.deltaFields(cpuStreamed, cpuEnd)}},""" +
+        s""""load1_start":${num(load1Start, 2)},"load1_end":${num(load1End, 2)}}"""
     val summary =
-      f"""{"metric":"bench_summary","total":$total%.3f,"staging":$stagingSec%.3f,"streaming":$streamingSec%.3f,"stream_trigger_sec":${streamBatches.map(_.triggerDurationMs).sum / 1000.0}%.3f,"n_queries":${selected.size},"n_failed":${failed.size},"failed":$failedJson,"load":$loadJson,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"bench_summary","total":${num(total, 3)},"staging":${num(stagingSec, 3)},"streaming":${num(streamingSec, 3)},"stream_trigger_sec":${num(streamBatches.map(_.triggerDurationMs).sum / 1000.0, 3)},"n_queries":${selected.size},"n_failed":${failed.size},"failed":$failedJson,"load":$loadJson,"unit":"sec","sf":"$sfDir"}"""
     println(summary)
     // File artifact (VERDICT r7 task 3): the full per-query map plus the
     // summary, immune to any stdout tail-capture convention.

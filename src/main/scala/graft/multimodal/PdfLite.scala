@@ -171,6 +171,46 @@ object PdfLite {
       "()<>[]{}/%".indexOf(body.charAt(i + 2)) >= 0)
   }
 
+  /** End (exclusive) of the top-level dictionary of the object starting
+    * at `off` — a depth-tracked scan (wild dicts nest: /DecodeParms,
+    * /Resources…) that skips literal and hex strings, so a `>>` inside a
+    * string value can't truncate the dict (the first-`>>` cut hid a
+    * nested dict's trailing /Filter and tokenized compressed bytes as
+    * text — silent wrong md5). Returns -1 when the object has no
+    * dictionary (a bare number/name object — legal, nothing to read). */
+  private def dictEnd(id: Long, s: String, off: Int): Int = {
+    var i = off
+    // the dict (if any) opens before the object's body keyword
+    while (i < s.length && !s.startsWith("<<", i) &&
+        !s.startsWith("stream", i) && !s.startsWith("endobj", i)) i += 1
+    if (i >= s.length || !s.startsWith("<<", i)) return -1
+    var depth = 0
+    while (i < s.length) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else if (s.charAt(i) == '(') {
+        var d = 0; i += 1
+        var run = true
+        while (run) {
+          if (i >= s.length) fail(id, "unterminated string in object dict")
+          s.charAt(i) match {
+            case '\\' => i += 2
+            case '(' => d += 1; i += 1
+            case ')' => (if (d == 0) run = false else d -= 1); i += 1
+            case _ => i += 1
+          }
+        }
+      } else if (s.charAt(i) == '<') { // lone '<': hex string — skip it
+        val j = s.indexOf('>', i + 1)
+        if (j < 0) fail(id, "unterminated hex string in object dict")
+        i = j + 1
+      } else i += 1
+    }
+    fail(id, s"unbalanced dictionary in object at byte $off")
+  }
+
   /** Parse one PDF-lite's bytes: xref-driven object walk (every offset
     * validated against the `N 0 obj` header it addresses), streams
     * read by /Length and inflated when /Filter /FlateDecode is
@@ -201,8 +241,8 @@ object PdfLite {
     var nOps = 0L
     val out = new java.io.ByteArrayOutputStream()
     offsets.foreach { off =>
-      val hdrEnd = s.indexOf(">>", off)
-      val hdr = s.substring(off, if (hdrEnd < 0) off else hdrEnd + 2)
+      val hdrEnd = dictEnd(id, s, off)
+      val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
       if (hdr.contains("/Type /Page ")) nPages += 1
       "/Length (\\d+)".r.findFirstMatchIn(hdr).foreach { m =>
         val len = m.group(1).toInt
@@ -258,6 +298,12 @@ object PdfLite {
                 case ')' =>
                   if (depth == 0) { done = true; i += 1 }
                   else { depth -= 1; sb.write(')'); i += 1 }
+                case '\r' =>
+                  // §3.2.3: an unescaped end-of-line inside a literal
+                  // string is RECORDED as a single LF, whatever form the
+                  // writer used (CR or CRLF; bare LF is already LF)
+                  sb.write('\n'); i += 1
+                  if (i < body.length && body.charAt(i) == '\n') i += 1
                 case c => sb.write(c.toInt); i += 1
               }
             }

@@ -168,7 +168,8 @@ object HtmlExtract {
   }
 
   private def stagedWarc(spark: SparkSession, dir: String): String =
-    stageContainers(spark, dir, "warclite", graft.sources.WarcLite.write)
+    stageContainers(spark, dir, "warclite",
+      (ds, out) => graft.sources.WarcLite.write(ds, out))
 
   /** The container-sourced twin of [[qHtmlExtract]]: pages framed into
     * WARC-lite containers (staged once per session), read back through
@@ -189,7 +190,16 @@ object HtmlExtract {
     * member per record + the CDX sidecar, the layout real .warc.gz
     * archives ship in). */
   private def stagedWarcGz(spark: SparkSession, dir: String): String =
-    stageContainers(spark, dir, "warclite-gz", graft.sources.WarcLite.writeGz)
+    stageContainers(spark, dir, "warclite-gz",
+      (ds, out) => graft.sources.WarcLite.writeGz(ds, out))
+
+  /** Build-once REAL-SYNTAX container staging — the same records framed
+    * as genuine `WARC/1.0` response records (CRLF headers, HTTP
+    * response block, CRLF CRLF separators), one per gzip member: the
+    * closest shape to an actual Common Crawl archive. */
+  private def stagedWarcRealGz(spark: SparkSession, dir: String): String =
+    stageContainers(spark, dir, "warclite-real",
+      (ds, out) => graft.sources.WarcLite.writeRealGz(ds, out))
 
   /** The COMPRESSED-container twin of [[qWarcExtract]]: pages framed
     * into per-record gzip members (ISO 28500 §6 — the shape a crawl
@@ -219,11 +229,29 @@ object HtmlExtract {
     extract(recs, "doc_id", "page").orderBy(col("doc_id"))
   }
 
+  /** The REAL-RECORD-SYNTAX twin of [[qWarcExtractGz]] (VERDICT r14
+    * item 1): genuine `WARC/1.0` response records — CRLF header lines,
+    * mandatory `WARC-Record-ID`/`Content-Length` named fields, an
+    * `application/http` block whose HTTP response header the reader
+    * strips, CRLF CRLF separators — one per gzip member, the framing a
+    * real Common Crawl `.warc.gz` ships. Same hash-exact oracle as the
+    * direct extraction: a defect anywhere in the real-syntax framing,
+    * HTTP-header strip, or the urn→doc_id mapping flips the driver
+    * hash. */
+  def qWarcExtractReal(spark: SparkSession, dir: String): DataFrame = {
+    val recs = graft.sources.WarcLite
+      .readGz(spark, stagedWarcRealGz(spark, dir))
+      .toDF()
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("page"))
+    extract(recs, "doc_id", "page").orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> qHtmlExtract,
     "q_warc_extract" -> qWarcExtract,
     "q_warc_extract_gz" -> qWarcExtractGz,
-    "q_warc_extract_cdx" -> qWarcExtractCdx
+    "q_warc_extract_cdx" -> qWarcExtractCdx,
+    "q_warc_extract_real" -> qWarcExtractReal
   )
 
   /** Dialect notes: DuckDB regexp_replace needs the 'g' flag (Spark's
@@ -275,6 +303,7 @@ object HtmlExtract {
     // reproduce the direct extraction bit-for-bit — compressed or not
     "q_warc_extract" -> extractOracle,
     "q_warc_extract_gz" -> extractOracle,
-    "q_warc_extract_cdx" -> extractOracle
+    "q_warc_extract_cdx" -> extractOracle,
+    "q_warc_extract_real" -> extractOracle
   )
 }

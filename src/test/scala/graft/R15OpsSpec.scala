@@ -1,0 +1,340 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import graft.multimodal.PdfLite
+import graft.sources.{GraftFs, WarcLite}
+import graft.text.HtmlExtract
+
+/** Round-15 operators: real ISO 28500 `WARC/1.0` record syntax (CRLF
+  * headers, HTTP response blocks, record-id urns), the bounded-window
+  * streaming gzip member walk, the GraftFs storage seam, and the r14
+  * advice fixes (literal-string EOL normalization, depth-tracked
+  * object dicts). */
+class R15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- real WARC/1.0 record syntax --------------------------------------
+
+  private def realBytes(r: WarcLite.WarcRecord): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    WarcLite.frameReal(out, r)
+    out.toByteArray
+  }
+
+  test("warc-real: our writer's record round-trips; bytes are genuine WARC/1.0") {
+    val rec = WarcLite.WarcRecord(42L, "https://example.org/doc/42",
+      "<html>body text</html>".getBytes(UTF_8))
+    val bytes = realBytes(rec)
+    val s = new String(bytes, UTF_8)
+    // the on-disk form is the real thing: version line, CRLF line ends,
+    // mandatory named fields, an HTTP response block
+    assert(s.startsWith("WARC/1.0\r\n"))
+    assert(s.contains("WARC-Record-ID: <urn:graft:doc:42>\r\n"))
+    assert(s.contains("WARC-Target-URI: https://example.org/doc/42\r\n"))
+    assert(s.contains("\r\nHTTP/1.1 200 OK\r\n"))
+    val back = WarcLite.parse(bytes, "t").toSeq
+    assert(back.length == 1)
+    assert(back.head.doc_id == 42L)
+    assert(back.head.url == rec.url)
+    // the HTTP response header is stripped: payload is the body
+    assert(java.util.Arrays.equals(back.head.payload, rec.payload))
+  }
+
+  test("warc-real: length framing — payloads containing WARC/1.0 and CRLF runs") {
+    // the adversarial payload: a complete fake WARC record INSIDE the
+    // body, plus CRLF CRLF runs — a delimiter-scanning parser would
+    // split here; the length-framed one must not
+    val evil = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:doc:999>\r\nContent-Length: 0\r\n\r\n" +
+      "\r\n\r\n and some trailing text").getBytes(UTF_8)
+    val recs = Seq(
+      WarcLite.WarcRecord(1L, "https://x/1", evil),
+      WarcLite.WarcRecord(2L, "https://x/2", "after".getBytes(UTF_8)))
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach(WarcLite.frameReal(out, _))
+    val back = WarcLite.parse(out.toByteArray, "t").toSeq
+    assert(back.map(_.doc_id) == Seq(1L, 2L))
+    assert(java.util.Arrays.equals(back.head.payload, evil))
+    assert(new String(back(1).payload, UTF_8) == "after")
+  }
+
+  test("warc-real: foreign-writer tolerance — case, folding, unknown fields, no-colon-space") {
+    // headers as a wild writer might emit them: mixed case, value
+    // folded onto a continuation line, unknown fields, `name:value`
+    // without the space, a non-graft record id
+    val body = "HTTP/1.1 200 OK\r\nServer: x\r\n\r\npayload body"
+    val rec = ("WARC/1.0\r\n" +
+      "warc-type: RESPONSE\r\n" +
+      "WARC-RECORD-ID:<urn:uuid:9b1c5c7e-6bde-4f4a-8c9f-0123456789ab>\r\n" +
+      "WARC-Date: 2019-08-01T12:00:00Z\r\n" +
+      "WARC-Target-URI: https://foreign.example/page\r\n" +
+      "WARC-Payload-Digest: sha1:ABCDEF\r\n" +
+      "Content-Type: application/http;\r\n" +
+      "\tmsgtype=response\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n" + body + "\r\n\r\n").getBytes(UTF_8)
+    val back = WarcLite.parse(rec, "t").toSeq
+    assert(back.length == 1)
+    assert(back.head.url == "https://foreign.example/page")
+    assert(new String(back.head.payload, UTF_8) == "payload body")
+    // a foreign record id gets a deterministic positive surrogate
+    val sid = WarcLite.surrogateId("<urn:uuid:9b1c5c7e-6bde-4f4a-8c9f-0123456789ab>")
+    assert(back.head.doc_id == sid && sid > 0L)
+    // …and our own urn decodes verbatim, not through the hash
+    assert(WarcLite.surrogateId("<urn:graft:doc:7001>") == 7001L)
+  }
+
+  test("warc-real: non-response records keep their whole block as payload") {
+    val info = "software: graft\r\nformat: WARC/1.0"
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "WARC-Record-ID: <urn:graft:doc:5>\r\n" +
+      s"Content-Length: ${info.length}\r\n" +
+      "\r\n" + info + "\r\n\r\n").getBytes(UTF_8)
+    val back = WarcLite.parse(rec, "t").toSeq
+    assert(back.length == 1 && back.head.doc_id == 5L)
+    assert(new String(back.head.payload, UTF_8) == info)
+    assert(back.head.url == "") // warcinfo has no target URI
+  }
+
+  test("warc-real: corruption fails loudly — missing id, bad length, bad separator, headerless http") {
+    def parseAll(s: String): Seq[WarcLite.WarcRecord] =
+      WarcLite.parse(s.getBytes(UTF_8), "t").toSeq
+    // missing WARC-Record-ID (mandatory, ISO 28500 §5.2)
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nContent-Length: 2\r\n\r\nab\r\n\r\n")
+    }
+    // missing Content-Length
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Record-ID: <urn:graft:doc:1>\r\n\r\nab\r\n\r\n")
+    }
+    // overrunning Content-Length
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Record-ID: <urn:graft:doc:1>\r\nContent-Length: 99\r\n\r\nab\r\n\r\n")
+    }
+    // missing CRLF CRLF separator after the block
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Record-ID: <urn:graft:doc:1>\r\nContent-Length: 2\r\n\r\nab\r\n")
+    }
+    // a response record whose block has no HTTP header terminator
+    intercept[IllegalArgumentException] {
+      parseAll("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:graft:doc:1>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        "Content-Length: 7\r\n\r\nno-sep!\r\n\r\n")
+    }
+    // an unknown version line is still rejected
+    intercept[IllegalArgumentException] { parseAll("WARC/9.9\r\n\r\n\r\n\r\n") }
+  }
+
+  test("warc-real: gz container round trip + cdx fetch over real-syntax members") {
+    val recs = Seq(
+      WarcLite.WarcRecord(1L, "https://x/1", "first page".getBytes(UTF_8)),
+      WarcLite.WarcRecord(2L, "https://x/2", Array.emptyByteArray),
+      WarcLite.WarcRecord(3L, "https://x/3",
+        "body with\r\n\r\nCRLF runs and WARC/1.0 text".getBytes(UTF_8)))
+    val dir = java.nio.file.Files.createTempDirectory("warc-real-gz").toString
+    WarcLite.writeRealGz(recs.toDS().repartition(2), dir)
+    val back = WarcLite.readGz(spark, dir).collect().sortBy(_.doc_id)
+    assert(back.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    back.zip(recs).foreach { case (b, w) =>
+      assert(java.util.Arrays.equals(b.payload, w.payload), s"doc ${w.doc_id}")
+      assert(b.url == w.url)
+    }
+    // the CDX fan-out path reads the same real-syntax members
+    val viaCdx = WarcLite.readGzCdx(spark, dir).collect().sortBy(_.doc_id)
+    assert(viaCdx.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    viaCdx.zip(recs).foreach { case (b, w) =>
+      assert(java.util.Arrays.equals(b.payload, w.payload), s"doc ${w.doc_id}")
+    }
+  }
+
+  test("warc-real: whole-corpus query == direct extraction, bit for bit (sf0.001)") {
+    val a = HtmlExtract.qHtmlExtract(spark, sf0001).collect().toSeq
+    val b = HtmlExtract.qWarcExtractReal(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+
+  // --- streaming gzip member walk ---------------------------------------
+
+  /** A SeekableIn over in-memory bytes whose read() returns SMALL
+    * chunks — exercises refill/compaction paths a real file rarely
+    * hits. */
+  private final class ChunkyIn(bytes: Array[Byte], chunk: Int)
+      extends GraftFs.SeekableIn {
+    private var pos = 0
+    override def seek(off: Long): Unit = pos = off.toInt
+    override def readFully(buf: Array[Byte]): Unit = {
+      require(pos + buf.length <= bytes.length)
+      System.arraycopy(bytes, pos, buf, 0, buf.length); pos += buf.length
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= bytes.length) return -1
+      val k = math.min(math.min(len, chunk), bytes.length - pos)
+      System.arraycopy(bytes, pos, buf, off, k); pos += k; k
+    }
+    override def close(): Unit = ()
+  }
+
+  test("gz stream walk: identical to the in-memory walk at every buffer size") {
+    val rnd = new scala.util.Random(1515)
+    // 60 members with payloads from empty to ~3x the smallest window —
+    // member boundaries land everywhere relative to refills
+    val members = (1 to 60).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(3000))
+      rnd.nextBytes(payload)
+      val f = new java.io.ByteArrayOutputStream()
+      WarcLite.frame(f, WarcLite.WarcRecord(i.toLong, s"https://r/$i", payload))
+      WarcLite.gzWrap(f.toByteArray)
+    }
+    val container = members.reduce(_ ++ _)
+    val viaMem = WarcLite.gzMembers(container, "mem").toSeq
+    for (bufSize <- Seq(1024, 1031, 4096, 1 << 16);
+         chunk <- Seq(7, 997, 1 << 20)) {
+      val viaStream = WarcLite.gzMembersStream(
+        new ChunkyIn(container, chunk), "stream", bufSize).toSeq
+      assert(viaStream.length == viaMem.length, s"buf=$bufSize chunk=$chunk")
+      viaStream.zip(viaMem).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"buf=$bufSize chunk=$chunk")
+      }
+    }
+  }
+
+  test("gz stream walk: a record larger than the window still inflates (window bounds the container, not the record)") {
+    val big = new Array[Byte](64 * 1024) // payload 64x the 1 KiB window
+    new scala.util.Random(7).nextBytes(big)
+    val f = new java.io.ByteArrayOutputStream()
+    WarcLite.frame(f, WarcLite.WarcRecord(1L, "https://big/1", big))
+    val container = WarcLite.gzWrap(f.toByteArray)
+    val got = WarcLite.gzMembersStream(
+      new ChunkyIn(container, 1 << 20), "big", bufSize = 1024).toSeq
+    assert(got.length == 1)
+    val rec = WarcLite.parse(got.head, "big").next()
+    assert(java.util.Arrays.equals(rec.payload, big))
+  }
+
+  test("gz stream walk: foreign optional header fields spanning refills are skipped per RFC 1952") {
+    // FNAME longer than the whole window forces the zero-terminated
+    // skip across multiple refills
+    val frame0 = new java.io.ByteArrayOutputStream()
+    WarcLite.frame(frame0, WarcLite.WarcRecord(9L, "u", "hi".getBytes(UTF_8)))
+    val ours = WarcLite.gzWrap(frame0.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0x08, 0, 0, 0, 0, 0, 0))
+    out.write(("f" * 5000).getBytes(UTF_8)); out.write(0) // huge FNAME
+    out.write(java.util.Arrays.copyOfRange(ours, 10, ours.length))
+    val got = WarcLite.gzMembersStream(
+      new ChunkyIn(out.toByteArray, 333), "foreign", bufSize = 1024).toSeq
+    assert(got.length == 1)
+    assert(WarcLite.parse(got.head, "foreign").next().doc_id == 9L)
+  }
+
+  test("gz stream walk: corruption fails loudly — magic, truncation, CRC") {
+    def walk(bytes: Array[Byte]): Seq[Array[Byte]] =
+      WarcLite.gzMembersStream(new ChunkyIn(bytes, 97), "t", 1024).toSeq
+    val f = new java.io.ByteArrayOutputStream()
+    WarcLite.frame(f, WarcLite.WarcRecord(3L, "u", ("x" * 4000).getBytes(UTF_8)))
+    val good = WarcLite.gzWrap(f.toByteArray)
+    intercept[IllegalArgumentException] {
+      val b = good.clone(); b(0) = 0x1e; walk(b)
+    }
+    intercept[IllegalArgumentException] {
+      walk(java.util.Arrays.copyOf(good, good.length - 5)) // cut trailer
+    }
+    intercept[IllegalArgumentException] {
+      walk(java.util.Arrays.copyOf(good, good.length / 2)) // cut deflate
+    }
+    intercept[IllegalArgumentException] {
+      val b = good.clone()
+      b(b.length - 8) = (b(b.length - 8) ^ 0x01).toByte // flip CRC
+      walk(b)
+    }
+  }
+
+  test("gz paths: lite containers still read identically through the streaming readGz (sf0.001)") {
+    val a = HtmlExtract.qWarcExtractGz(spark, sf0001).collect().toSeq
+    val b = HtmlExtract.qHtmlExtract(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+
+  // --- GraftFs seam -----------------------------------------------------
+
+  test("GraftFs.Local: atomic create — nothing visible until close, then exact bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graftfs").toString
+    val out = GraftFs.Local.create(s"$dir/sub/data.bin")
+    out.write("hello ".getBytes(UTF_8))
+    // mid-write: target absent (temp sibling is dot-prefixed and
+    // filtered from list)
+    assert(!new java.io.File(s"$dir/sub/data.bin").exists())
+    assert(GraftFs.Local.list(s"$dir/sub", ".bin").isEmpty)
+    out.write("world".getBytes(UTF_8))
+    out.close()
+    assert(GraftFs.Local.list(s"$dir/sub", ".bin") == Seq(s"$dir/sub/data.bin"))
+    val in = GraftFs.Local.openSeekable(s"$dir/sub/data.bin")
+    try {
+      in.seek(6)
+      val buf = new Array[Byte](5)
+      in.readFully(buf)
+      assert(new String(buf, UTF_8) == "world")
+    } finally in.close()
+    // listing is sorted and suffix-filtered
+    GraftFs.Local.create(s"$dir/sub/a.bin").close()
+    GraftFs.Local.create(s"$dir/sub/z.txt").close()
+    assert(GraftFs.Local.list(s"$dir/sub", ".bin") ==
+      Seq(s"$dir/sub/a.bin", s"$dir/sub/data.bin"))
+    assert(GraftFs.Local.list(s"$dir/nope", ".bin").isEmpty)
+  }
+
+  // --- r14 advice fixes (PdfLite) ---------------------------------------
+
+  // a structurally-valid single-page PDF around an arbitrary content
+  // stream body (the R14OpsSpec fixture, kept in sync by hand)
+  private def miniPdf(body: String, filter: String = "",
+      extraDict: String = ""): Array[Byte] = {
+    val objs = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      s"4 0 obj << /Length ${body.length}$extraDict$filter >> stream\n$body" +
+        "endstream endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    val head = "%PDF-1.4\n"
+    val offsets = objs.scanLeft(head.length)((o, s) => o + s.length)
+    val xref = new StringBuilder("xref\n0 6\n0000000000 65535 f \n")
+    offsets.dropRight(1).foreach(o => xref.append(f"$o%010d 00000 n \n"))
+    (head + objs.mkString + xref +
+      s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n${offsets.last}\n%%EOF\n")
+      .getBytes(ISO_8859_1)
+  }
+
+  test("pdf: unescaped EOLs inside literal strings record as single LF (§3.2.3)") {
+    // CR, CRLF and LF inside (…) must all extract as \n
+    val r = PdfLite.extract(1L, miniPdf("BT (a\rb\r\nc\nd) Tj ET\n"))
+    assert(r.n_text_ops == 1L)
+    assert(r.extract_md5 == md5hex("a\nb\nc\nd"))
+    // …while ESCAPED \r stays a carriage return (the escape table wins)
+    val r2 = PdfLite.extract(2L, miniPdf("BT (x\\ry) Tj ET\n"))
+    assert(r2.extract_md5 == md5hex("x\ry"))
+  }
+
+  test("pdf: a nested dict before /Filter no longer hides the declaration") {
+    val plain = "BT (deep dict text) Tj ET\n"
+    val comp = new String(
+      Zlib.deflate(plain.getBytes(ISO_8859_1), 6, nowrap = false), ISO_8859_1)
+    // the ADVICE shape: /DecodeParms << … >> BEFORE /Filter — the old
+    // first-'>>' cut ended the header before the filter declaration and
+    // tokenized compressed bytes as text (silent wrong md5)
+    val r = PdfLite.extract(1L, miniPdf(comp,
+      filter = " /Filter /FlateDecode",
+      extraDict = " /DecodeParms << /Columns 1 /Predictor 1 >>"))
+    assert(r.n_text_ops == 1L)
+    assert(r.extract_md5 == md5hex("deep dict text"))
+    // a dict value STRING containing '>>' must not end the dict either
+    val r2 = PdfLite.extract(2L, miniPdf(comp,
+      filter = " /Filter /FlateDecode",
+      extraDict = " /GraftNote (contains >> inside a string)"))
+    assert(r2.extract_md5 == md5hex("deep dict text"))
+  }
+}
