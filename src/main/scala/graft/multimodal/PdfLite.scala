@@ -138,6 +138,96 @@ object PdfLite {
     (head + objs.mkString + xref.toString + trailer).getBytes(ISO_8859_1)
   }
 
+  /** Build one PDF 1.5 container for the same document: identical page
+    * content to [[build]], but the non-stream objects (catalog, pages
+    * tree, page dicts, font) live inside a compressed OBJECT STREAM
+    * (/Type /ObjStm) and the cross-reference is an XREF STREAM
+    * (/Type /XRef, /W [1 4 2], FlateDecode binary entries) — the
+    * layout the majority of wild PDFs have shipped since Acrobat 6
+    * (PDF 1.5 spec §3.4.6–3.4.7, public). Content streams stay direct
+    * FlateDecode'd objects (the spec forbids streams inside object
+    * streams). The deterministic surface (document-object count,
+    * pages, show ops, text md5) matches [[build]]'s exactly, so the
+    * same oracle hash-checks both generations. */
+  private[graft] def build15(text: String): Array[Byte] = {
+    val chunks = chunksOf(text)
+    val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
+      else chunks.grouped(OpsPerPage).toSeq
+    val n = pagesOps.length
+    val fontObj = 3 + 2 * n
+    val objStmNum = fontObj + 1
+    val xrefNum = fontObj + 2
+    // members of the object stream: objNum -> body (no obj wrapper)
+    val inStm = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    inStm += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    inStm += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>"
+    (0 until n).foreach { i =>
+      inStm += (3 + i) -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    }
+    inStm += fontObj ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    // ObjStm payload: "num off …\n" pair header, then bodies at
+    // /First + off (PDF 1.5 §3.4.6)
+    val bodyBuf = new StringBuilder
+    val pairs = inStm.map { case (num, body) =>
+      val off = bodyBuf.length
+      bodyBuf.append(body).append('\n')
+      (num, off)
+    }
+    val pairHeader = pairs.map { case (num, off) => s"$num $off" }
+      .mkString(" ") + "\n"
+    val stmComp = flateBytes((pairHeader + bodyBuf).getBytes(ISO_8859_1))
+
+    val head = "%PDF-1.5\n"
+    var off = head.length
+    val directs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def add(num: Int, body: String): Unit = {
+      offsets(num) = off; directs += body; off += body.length
+    }
+    (0 until n).foreach { i =>
+      val b = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
+      pagesOps(i).foreach(c =>
+        b.append('(').append(escape(c)).append(") Tj 0 -12 Td\n"))
+      b.append("ET\n")
+      val comp = flateBytes(b.toString.getBytes(ISO_8859_1))
+      add(3 + n + i,
+        s"${3 + n + i} 0 obj << /Length ${comp.length} /Filter /FlateDecode >> stream\n" +
+          new String(comp, ISO_8859_1) + "endstream endobj\n")
+    }
+    add(objStmNum,
+      s"$objStmNum 0 obj << /Type /ObjStm /N ${inStm.length} /First ${pairHeader.length} " +
+        s"/Length ${stmComp.length} /Filter /FlateDecode >> stream\n" +
+        new String(stmComp, ISO_8859_1) + "endstream endobj\n")
+    // xref stream: /W [1 4 2] entries for objects 0..xrefNum; its own
+    // offset is known before serialization (it is `off` right now)
+    val xrefOff = off
+    val size = xrefNum + 1
+    val stmIndex = pairs.zipWithIndex.map { case ((num, _), i) => num -> i }.toMap
+    val entryData = new java.io.ByteArrayOutputStream()
+    def ent(t: Int, a: Long, b: Int): Unit = {
+      entryData.write(t)
+      (3 to 0 by -1).foreach(i => entryData.write(((a >> (8 * i)) & 0xffL).toInt))
+      entryData.write((b >> 8) & 0xff); entryData.write(b & 0xff)
+    }
+    ent(0, 0L, 0xffff) // the free object 0
+    (1 until size).foreach { num =>
+      if (stmIndex.contains(num)) ent(2, objStmNum.toLong, stmIndex(num))
+      else if (num == xrefNum) ent(1, xrefOff.toLong, 0)
+      else ent(1, offsets(num).toLong, 0)
+    }
+    val xdata = flateBytes(entryData.toByteArray)
+    add(xrefNum,
+      s"$xrefNum 0 obj << /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+        s"/Length ${xdata.length} /Filter /FlateDecode >> stream\n" +
+        new String(xdata, ISO_8859_1) + "endstream endobj\n")
+    (head + directs.mkString + s"startxref\n$xrefOff\n%%EOF\n")
+      .getBytes(ISO_8859_1)
+  }
+
   final case class PdfExtract(doc_id: Long, n_objects: Long,
       n_pages: Long, n_text_ops: Long, xref_valid: Boolean,
       extract_md5: String)
@@ -211,132 +301,337 @@ object PdfLite {
     fail(id, s"unbalanced dictionary in object at byte $off")
   }
 
-  /** Parse one PDF-lite's bytes: xref-driven object walk (every offset
-    * validated against the `N 0 obj` header it addresses), streams
-    * read by /Length and inflated when /Filter /FlateDecode is
-    * declared, `(…) Tj` string bytes unescaped and concatenated in
-    * page order. Loud on any structural corruption. */
+  /** Tokenize one decoded content-stream body for string `Tj` show
+    * ops — both PDF string forms (§3.2.3): literal `(…)` with the FULL
+    * escape table (octal, \n\r\t\b\f, line continuation,
+    * backslash-ignored, unescaped EOLs recorded as LF), and hex `<…>`
+    * (whitespace-tolerant, odd trailing digit padded) — so the
+    * extractor reads wild PDFs' show ops, not just ours (our writer
+    * emits only literal strings with octal escapes). Shown bytes append
+    * to `out`; returns the show-op count. */
+  private def tokenizeTj(id: Long, body: String,
+      out: java.io.ByteArrayOutputStream): Long = {
+    var nOps = 0L
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '(') {
+        val sb = new java.io.ByteArrayOutputStream()
+        i += 1
+        var depth = 0 // §3.2.3: BALANCED unescaped parens are literal
+        var done = false
+        while (!done) {
+          if (i >= body.length) fail(id, "unterminated string")
+          body.charAt(i) match {
+            case '\\' =>
+              if (i + 1 >= body.length) fail(id, "unterminated escape")
+              val c1 = body.charAt(i + 1)
+              if (c1 >= '0' && c1 <= '7') {
+                var v = 0; var j = i + 1; var n = 0
+                while (j < body.length && n < 3 &&
+                    body.charAt(j) >= '0' && body.charAt(j) <= '7') {
+                  v = v * 8 + (body.charAt(j) - '0'); j += 1; n += 1
+                }
+                sb.write(v); i = j
+              } else c1 match {
+                case 'n' => sb.write('\n'); i += 2
+                case 'r' => sb.write('\r'); i += 2
+                case 't' => sb.write('\t'); i += 2
+                case 'b' => sb.write('\b'); i += 2
+                case 'f' => sb.write('\f'); i += 2
+                case '\r' => // \<EOL> line continuation: CR or CRLF
+                  i += 2
+                  if (i < body.length && body.charAt(i) == '\n') i += 1
+                case '\n' => i += 2
+                // any other escaped char: the backslash is ignored
+                case c => sb.write(c.toInt); i += 2
+              }
+            case '(' => depth += 1; sb.write('('); i += 1
+            case ')' =>
+              if (depth == 0) { done = true; i += 1 }
+              else { depth -= 1; sb.write(')'); i += 1 }
+            case '\r' =>
+              // §3.2.3: an unescaped end-of-line inside a literal
+              // string is RECORDED as a single LF, whatever form the
+              // writer used (CR or CRLF; bare LF is already LF)
+              sb.write('\n'); i += 1
+              if (i < body.length && body.charAt(i) == '\n') i += 1
+            case c => sb.write(c.toInt); i += 1
+          }
+        }
+        if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
+      } else if (body.charAt(i) == '<' &&
+          i + 1 < body.length && body.charAt(i + 1) == '<') {
+        i += 2 // dict open inside a content stream — not a string
+      } else if (body.charAt(i) == '<') {
+        val sb = new java.io.ByteArrayOutputStream()
+        i += 1
+        var hi = -1
+        var done = false
+        while (!done) {
+          if (i >= body.length) fail(id, "unterminated hex string")
+          val c = body.charAt(i)
+          if (c == '>') {
+            if (hi >= 0) sb.write(hi << 4) // odd digit: low nibble 0
+            done = true; i += 1
+          } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') {
+            i += 1
+          } else {
+            val v = Character.digit(c, 16)
+            if (v < 0) fail(id, s"bad hex digit '$c' in hex string")
+            if (hi < 0) hi = v else { sb.write((hi << 4) | v); hi = -1 }
+            i += 1
+          }
+        }
+        if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
+      } else i += 1
+    }
+    nOps
+  }
+
+  /** First integer after a dict `key` (e.g. `/Size 7`). */
+  private def dictInt(hdr: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").r
+      .findFirstMatchIn(hdr).map(_.group(1).toInt)
+
+  /** Reverse the PNG row predictor (RFC 2083 §6, public) that
+    * `/DecodeParms << /Predictor >= 10 /Columns n >>` declares — the
+    * form nearly every wild xref stream ships in: each row is one
+    * filter-type byte + `columns` data bytes (bpp = 1 for xref
+    * streams), filters None/Sub/Up/Average/Paeth reversed per spec. */
+  private def unpredictPng(id: Long, data: Array[Byte],
+      columns: Int): Array[Byte] = {
+    if (columns <= 0) fail(id, s"bad /Columns $columns")
+    val rowLen = columns + 1
+    if (data.length % rowLen != 0)
+      fail(id, s"predictor data ${data.length} not a multiple of row ${rowLen}")
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var prev = new Array[Byte](columns) // zero row above the first
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      val cur = new Array[Byte](columns)
+      var c = 0
+      while (c < columns) {
+        val x = data(r * rowLen + 1 + c) & 0xff
+        val a = if (c > 0) cur(c - 1) & 0xff else 0 // left
+        val b = prev(c) & 0xff // up
+        val ul = if (c > 0) prev(c - 1) & 0xff else 0 // upper-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else ul)
+          case _ => fail(id, s"unsupported PNG filter type $ft in stream")
+        }
+        cur(c) = (v & 0xff).toByte
+        c += 1
+      }
+      System.arraycopy(cur, 0, out, r * columns, columns)
+      prev = cur
+      r += 1
+    }
+    out
+  }
+
+  /** Decoded stream bytes of the object at `off` with dict `hdr`, when
+    * the dict declares /Length: length-framed (loud on overrun, with
+    * the spec's optional EOL before `endstream` tolerated), FlateDecode
+    * inflated when declared, PNG-row predictor reversed when
+    * /DecodeParms declares one. None when the object has no stream.
+    * An indirect `/Length N 0 R` is a documented fence (loud). */
+  private def decodedStream(id: Long, s: String, off: Int,
+      hdr: String): Option[Array[Byte]] = {
+    "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r.findFirstMatchIn(hdr).map { m =>
+      if (m.group(2) != null) fail(id, "indirect /Length is not supported")
+      val len = m.group(1).toInt
+      val kw = s.indexOf("stream", off)
+      if (kw < 0) fail(id, s"object at $off declares /Length but has no stream")
+      val dataAt =
+        if (s.startsWith("stream\r\n", kw)) kw + 8
+        else if (s.startsWith("stream\n", kw)) kw + 7
+        else fail(id, s"malformed stream keyword at byte $kw")
+      // spec: an EOL may precede `endstream` and is not stream data
+      var e = dataAt + len
+      if (e < s.length && s.charAt(e) == '\r') e += 1
+      if (e < s.length && s.charAt(e) == '\n') e += 1
+      if (!s.startsWith("endstream", e))
+        fail(id, s"stream at $dataAt overruns its /Length")
+      val raw = s.substring(dataAt, dataAt + len).getBytes(ISO_8859_1)
+      val inflated =
+        if (FlateRe.findFirstIn(hdr).isDefined) inflateBytes(id, raw) else raw
+      val pred = dictInt(hdr, "/Predictor").getOrElse(1)
+      if (pred >= 10)
+        unpredictPng(id, inflated, dictInt(hdr, "/Columns").getOrElse(1))
+      else if (pred != 1) fail(id, s"unsupported /Predictor $pred")
+      else inflated
+    }
+  }
+
+  /** One cross-reference entry: type 1 = direct object at byte offset
+    * `a`; type 2 = object number `b`-th member of object stream `a`. */
+  private final case class XEntry(tpe: Int, a: Long, b: Int)
+
+  /** Parse one PDF's bytes: xref-driven object walk (every reference
+    * validated against the object it addresses), streams read by
+    * /Length and decoded per their declared filters, `(…) Tj` string
+    * bytes unescaped and concatenated in object order. Handles BOTH
+    * cross-reference generations: the classic 1.4 xref TABLE, and the
+    * 1.5+ XREF STREAM (/W-array binary entries, optional /Index,
+    * FlateDecode + PNG predictors) with OBJECT STREAMS (/Type /ObjStm)
+    * holding the non-stream objects — the layout the majority of wild
+    * PDFs have shipped since ~2005. Incremental updates (/Prev chains)
+    * and encryption remain loud fences (SCALE.md). n_objects counts
+    * DOCUMENT objects — xref/objstm containers are format plumbing and
+    * are excluded, so 1.4 and 1.5 generations of the same document
+    * publish identical deterministic surfaces. Loud on any structural
+    * corruption. */
   private[graft] def extract(id: Long, bytes: Array[Byte]): PdfExtract = {
     val s = new String(bytes, ISO_8859_1)
-    if (!s.startsWith("%PDF-1.4\n")) fail(id, "bad header")
+    if (!s.startsWith("%PDF-1.") || s.length < 9 ||
+        s.charAt(7) < '4' || s.charAt(7) > '7' || s.charAt(8) != '\n')
+      fail(id, "bad header")
     val xrefAt = s.lastIndexOf("\nstartxref\n")
     if (xrefAt < 0) fail(id, "no startxref")
     val xrefOff = s.substring(xrefAt + 11, s.indexOf('\n', xrefAt + 11)).trim.toInt
-    if (!s.startsWith("xref", xrefOff)) fail(id, "startxref does not address xref")
-    // the trailer dict sits between the xref table and startxref
-    val sizeM = "/Size (\\d+)".r.findFirstMatchIn(s.substring(xrefOff, xrefAt))
-      .getOrElse(fail(id, "no /Size"))
-    val nObjs = sizeM.group(1).toInt - 1 // minus the free object 0
-    // xref entries: fixed 20-byte rows after "xref\n0 N\n"
-    val tableAt = s.indexOf('\n', s.indexOf('\n', xrefOff) + 1) + 1
+    // both generations land in one entry map: objNum -> where it lives
+    val entries = scala.collection.mutable.SortedMap.empty[Int, XEntry]
+    if (s.startsWith("xref", xrefOff)) {
+      // classic cross-reference TABLE: fixed 20-byte rows, trailer dict
+      // between the table and startxref
+      val trailer = s.substring(xrefOff, xrefAt)
+      if (trailer.contains("/Prev"))
+        fail(id, "incremental updates (/Prev) are not supported")
+      val sizeM = "/Size (\\d+)".r.findFirstMatchIn(trailer)
+        .getOrElse(fail(id, "no /Size"))
+      val nObjs = sizeM.group(1).toInt - 1 // minus the free object 0
+      val tableAt = s.indexOf('\n', s.indexOf('\n', xrefOff) + 1) + 1
+      (1 to nObjs).foreach { i =>
+        val row = s.substring(tableAt + 20 * i, tableAt + 20 * i + 20)
+        entries(i) = XEntry(1, row.substring(0, 10).toInt.toLong, 0)
+      }
+    } else if ("^\\d+ 0 obj".r.findFirstIn(
+        s.substring(xrefOff, math.min(s.length, xrefOff + 24))).isDefined) {
+      // 1.5+ XREF STREAM: startxref addresses an object whose stream
+      // holds binary entries, /W giving the three field widths
+      val hdrEnd = dictEnd(id, s, xrefOff)
+      val hdr = if (hdrEnd < 0) fail(id, "xref stream object has no dict")
+        else s.substring(xrefOff, hdrEnd)
+      if (!hdr.contains("/XRef"))
+        fail(id, "startxref addresses neither an xref table nor an XRef stream")
+      if (hdr.contains("/Prev"))
+        fail(id, "incremental updates (/Prev) are not supported")
+      val size = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
+      val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+        .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
+      val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
+      val w3 = wM.group(3).toInt
+      if (w1 > 4 || w2 > 8 || w3 > 4) fail(id, s"implausible /W [$w1 $w2 $w3]")
+      val index: Seq[(Int, Int)] =
+        "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(hdr) match {
+          case Some(m) =>
+            val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
+              .map(_.toInt).toSeq
+            if (ns.length % 2 != 0) fail(id, "odd /Index array")
+            ns.grouped(2).map(p => (p.head, p(1))).toSeq
+          case None => Seq((0, size))
+        }
+      val data = decodedStream(id, s, xrefOff, hdr)
+        .getOrElse(fail(id, "xref stream has no /Length"))
+      val entryLen = w1 + w2 + w3
+      if (data.length != index.map(_._2).sum * entryLen)
+        fail(id, s"xref stream data ${data.length} != ${index.map(_._2).sum} entries of $entryLen")
+      var p = 0
+      def field(w: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < w) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+        v
+      }
+      index.foreach { case (first, count) =>
+        (0 until count).foreach { k =>
+          val traw = field(w1)
+          val t = if (w1 == 0) 1L else traw // type defaults to 1 (spec)
+          val a = field(w2); val b = field(w3)
+          val objNum = first + k
+          if (objNum != 0 && t != 0L) { // skip the free list
+            if (t != 1L && t != 2L) fail(id, s"unknown xref entry type $t")
+            entries(objNum) = XEntry(t.toInt, a, b.toInt)
+          }
+        }
+      }
+    } else fail(id, "startxref does not address xref")
+
     var xrefValid = true
-    val offsets = (1 to nObjs).map { i =>
-      val row = s.substring(tableAt + 20 * i, tableAt + 20 * i + 20)
-      val off = row.substring(0, 10).toInt
-      if (!s.startsWith(s"$i 0 obj", off)) xrefValid = false
-      off
+    // pre-pass: decode each referenced OBJECT STREAM and index its
+    // member bodies (objNum -> body text; streams can't nest in an
+    // ObjStm per spec, so members are dict/array/primitive only)
+    val objstmBodies = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    entries.values.filter(_.tpe == 2).map(_.a.toInt).toSet[Int].foreach { sn =>
+      val e = entries.getOrElse(sn,
+        fail(id, s"object stream $sn is not in the xref"))
+      if (e.tpe != 1) fail(id, s"object stream $sn is itself indirect")
+      val off = e.a.toInt
+      if (!s.startsWith(s"$sn 0 obj", off))
+        fail(id, s"xref offset for object stream $sn is wrong")
+      val hdrEnd = dictEnd(id, s, off)
+      val hdr = if (hdrEnd < 0) fail(id, s"object stream $sn has no dict")
+        else s.substring(off, hdrEnd)
+      if (!hdr.contains("/ObjStm")) fail(id, s"object $sn is not an ObjStm")
+      val n = dictInt(hdr, "/N").getOrElse(fail(id, "ObjStm has no /N"))
+      val first = dictInt(hdr, "/First").getOrElse(fail(id, "ObjStm has no /First"))
+      val body = new String(decodedStream(id, s, off, hdr)
+        .getOrElse(fail(id, "ObjStm has no /Length")), ISO_8859_1)
+      if (first > body.length) fail(id, "ObjStm /First beyond stream end")
+      val nums = body.substring(0, first).trim.split("\\s+")
+        .filter(_.nonEmpty).map(_.toInt)
+      if (nums.length != 2 * n) fail(id, "ObjStm header pair count mismatch")
+      val pairs = nums.grouped(2).map(a => (a(0), a(1))).toSeq
+      objstmBodies(sn) = pairs.zipWithIndex.map { case ((objNum, rel), i) =>
+        val from = first + rel
+        val to = if (i + 1 < pairs.length) first + pairs(i + 1)._2
+          else body.length
+        if (from > to || to > body.length)
+          fail(id, s"ObjStm member $objNum range [$from,$to) out of bounds")
+        objNum -> body.substring(from, to)
+      }.toMap
     }
-    // text extraction: walk content streams by /Length, in object order
+
+    // object walk in object-number order: count document objects and
+    // pages, tokenize content streams for Tj show ops
+    var nDocObjs = 0L
     var nPages = 0L
     var nOps = 0L
     val out = new java.io.ByteArrayOutputStream()
-    offsets.foreach { off =>
-      val hdrEnd = dictEnd(id, s, off)
-      val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
-      if (hdr.contains("/Type /Page ")) nPages += 1
-      "/Length (\\d+)".r.findFirstMatchIn(hdr).foreach { m =>
-        val len = m.group(1).toInt
-        val streamAt = s.indexOf("stream\n", off)
-        if (streamAt < 0) fail(id, s"object at $off declares /Length but has no stream")
-        if (!s.startsWith("endstream", streamAt + 7 + len))
-          fail(id, s"stream at $streamAt overruns its /Length")
-        val streamRaw = s.substring(streamAt + 7, streamAt + 7 + len)
-          .getBytes(ISO_8859_1)
-        val body = new String(
-          if (FlateRe.findFirstIn(hdr).isDefined) inflateBytes(id, streamRaw)
-          else streamRaw, ISO_8859_1)
-        // tokenize string Tj show ops — both PDF 1.4 string forms
-        // (§3.2.3): literal `(…)` with the FULL escape table (octal,
-        // \n\r\t\b\f, line continuation, backslash-ignored), and hex
-        // `<…>` (whitespace-tolerant, odd trailing digit padded) — so
-        // the extractor reads wild PDFs' show ops, not just ours (our
-        // writer emits only literal strings with octal escapes)
-        var i = 0
-        while (i < body.length) {
-          if (body.charAt(i) == '(') {
-            val sb = new java.io.ByteArrayOutputStream()
-            i += 1
-            var depth = 0 // §3.2.3: BALANCED unescaped parens are literal
-            var done = false
-            while (!done) {
-              if (i >= body.length) fail(id, "unterminated string")
-              body.charAt(i) match {
-                case '\\' =>
-                  if (i + 1 >= body.length) fail(id, "unterminated escape")
-                  val c1 = body.charAt(i + 1)
-                  if (c1 >= '0' && c1 <= '7') {
-                    var v = 0; var j = i + 1; var n = 0
-                    while (j < body.length && n < 3 &&
-                        body.charAt(j) >= '0' && body.charAt(j) <= '7') {
-                      v = v * 8 + (body.charAt(j) - '0'); j += 1; n += 1
-                    }
-                    sb.write(v); i = j
-                  } else c1 match {
-                    case 'n' => sb.write('\n'); i += 2
-                    case 'r' => sb.write('\r'); i += 2
-                    case 't' => sb.write('\t'); i += 2
-                    case 'b' => sb.write('\b'); i += 2
-                    case 'f' => sb.write('\f'); i += 2
-                    case '\r' => // \<EOL> line continuation: CR or CRLF
-                      i += 2
-                      if (i < body.length && body.charAt(i) == '\n') i += 1
-                    case '\n' => i += 2
-                    // any other escaped char: the backslash is ignored
-                    case c => sb.write(c.toInt); i += 2
-                  }
-                case '(' => depth += 1; sb.write('('); i += 1
-                case ')' =>
-                  if (depth == 0) { done = true; i += 1 }
-                  else { depth -= 1; sb.write(')'); i += 1 }
-                case '\r' =>
-                  // §3.2.3: an unescaped end-of-line inside a literal
-                  // string is RECORDED as a single LF, whatever form the
-                  // writer used (CR or CRLF; bare LF is already LF)
-                  sb.write('\n'); i += 1
-                  if (i < body.length && body.charAt(i) == '\n') i += 1
-                case c => sb.write(c.toInt); i += 1
-              }
-            }
-            if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
-          } else if (body.charAt(i) == '<' &&
-              i + 1 < body.length && body.charAt(i + 1) == '<') {
-            i += 2 // dict open inside a content stream — not a string
-          } else if (body.charAt(i) == '<') {
-            val sb = new java.io.ByteArrayOutputStream()
-            i += 1
-            var hi = -1
-            var done = false
-            while (!done) {
-              if (i >= body.length) fail(id, "unterminated hex string")
-              val c = body.charAt(i)
-              if (c == '>') {
-                if (hi >= 0) sb.write(hi << 4) // odd digit: low nibble 0
-                done = true; i += 1
-              } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') {
-                i += 1
-              } else {
-                val v = Character.digit(c, 16)
-                if (v < 0) fail(id, s"bad hex digit '$c' in hex string")
-                if (hi < 0) hi = v else { sb.write((hi << 4) | v); hi = -1 }
-                i += 1
-              }
-            }
-            if (tjFollows(body, i)) { sb.writeTo(out); nOps += 1 }
-          } else i += 1
+    entries.foreach { case (objNum, e) =>
+      if (e.tpe == 1) {
+        val off = e.a.toInt
+        if (!s.startsWith(s"$objNum 0 obj", off)) xrefValid = false
+        val hdrEnd = dictEnd(id, s, off)
+        val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
+        // xref/objstm containers are format plumbing, not document
+        // objects: excluded from the count and never Tj-tokenized
+        // (their decoded bytes are binary, not content streams)
+        if (!hdr.contains("/ObjStm") && !hdr.contains("/XRef")) {
+          nDocObjs += 1
+          if (hdr.contains("/Type /Page ")) nPages += 1
+          decodedStream(id, s, off, hdr).foreach { raw =>
+            nOps += tokenizeTj(id, new String(raw, ISO_8859_1), out)
+          }
         }
+      } else objstmBodies(e.a.toInt).get(objNum) match {
+        case None => xrefValid = false
+        case Some(body) =>
+          nDocObjs += 1
+          if (body.contains("/Type /Page ")) nPages += 1
       }
     }
-    PdfExtract(id, nObjs.toLong, nPages, nOps, xrefValid,
+    PdfExtract(id, nDocObjs, nPages, nOps, xrefValid,
       md5hex(out.toByteArray))
   }
 
@@ -372,9 +667,29 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
+  /** The 1.5-GENERATION twin: doc_id parity picks the container
+    * generation — even docs are built as PDF 1.5 (xref stream + object
+    * stream, [[build15]]), odd as classic flate 1.4 — so one query
+    * exercises BOTH cross-reference machineries end to end. The
+    * deterministic surface is generation-independent, so the SAME
+    * oracle hash-checks both paths: an xref-stream decode, /W-field,
+    * or ObjStm-indexing defect flips the driver hash. */
+  def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        extract(id, if (id % 2 == 0) build15(text)
+          else build(text, flate = true))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pdf_extract" -> qPdfExtract,
-    "q_pdf_extract_flate" -> qPdfExtractFlate
+    "q_pdf_extract_flate" -> qPdfExtractFlate,
+    "q_pdf_extract_xref15" -> qPdfExtractXref15
   )
 
   /** The oracle derives every structural counter from the text length
@@ -406,6 +721,9 @@ object PdfLite {
 
   val oracles: Map[String, String] = Map(
     "q_pdf_extract" -> extractOracle,
-    "q_pdf_extract_flate" -> extractOracle
+    "q_pdf_extract_flate" -> extractOracle,
+    // generation-independent surface: 1.5 xref/object streams must
+    // publish exactly what the 1.4 table generation publishes
+    "q_pdf_extract_xref15" -> extractOracle
   )
 }

@@ -337,4 +337,108 @@ class R15OpsSpec extends SparkSpec {
       extraDict = " /GraftNote (contains >> inside a string)"))
     assert(r2.extract_md5 == md5hex("deep dict text"))
   }
+
+  // --- PDF 1.5: xref streams + object streams ---------------------------
+
+  test("pdf 1.5: build15 round-trips; surface identical to the 1.4 generation") {
+    val texts = Seq("", "short", "a(b)c\\d" + ("x" * 70) + "(()",
+      "héllo 日本語 𝄞 🎵 — unicode through an object stream",
+      "long multi-page " + ("paragraph text " * 400))
+    texts.zipWithIndex.foreach { case (text, k) =>
+      val r15 = PdfLite.extract(k.toLong, PdfLite.build15(text))
+      val r14 = PdfLite.extract(k.toLong, PdfLite.build(text))
+      assert(r15 == r14, s"text $k: 1.5 surface must equal 1.4's")
+      assert(r15.extract_md5 == md5hex(text), s"text $k md5")
+      assert(r15.xref_valid, s"text $k xref")
+    }
+    // the container genuinely is the 1.5 layout
+    val s = new String(PdfLite.build15("probe"), ISO_8859_1)
+    assert(s.startsWith("%PDF-1.5\n"))
+    assert(s.contains("/Type /XRef") && s.contains("/Type /ObjStm"))
+    assert(!s.contains("trailer")) // 1.5: the XRef dict IS the trailer
+    // …and the catalog/page objects are NOT direct objects
+    assert(!s.contains("1 0 obj << /Type /Catalog"))
+  }
+
+  test("pdf 1.5: hand-built xref stream with /Index subsections and PNG Up predictor") {
+    // a wild-shaped 1.5 file: direct objects, an xref STREAM whose
+    // entries are PNG-Up-filtered (/Predictor 12 — what Acrobat and
+    // pdflib actually emit), declared via a NESTED /DecodeParms dict,
+    // and a split /Index [0 4 4 3]
+    val body = "BT (predictor text) Tj ET\n"
+    val objs = scala.collection.mutable.ArrayBuffer.empty[String]
+    objs += "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    objs += "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+    objs += ("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    objs += s"4 0 obj << /Length ${body.length} >> stream\n${body}endstream endobj\n"
+    objs += "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+    val head = "%PDF-1.5\n"
+    val offs = objs.scanLeft(head.length)((o, s2) => o + s2.length)
+    val xrefOff = offs.last
+    // 7-byte raw rows for objects 0..6 (/W [1 4 2])
+    def row(t: Int, a: Int, b: Int): Array[Byte] =
+      Array(t.toByte, (a >> 24).toByte, (a >> 16).toByte, (a >> 8).toByte,
+        a.toByte, (b >> 8).toByte, b.toByte)
+    val raws = (row(0, 0, 0xffff) +: offs.dropRight(1).map(o => row(1, o, 0))) :+
+      row(1, xrefOff, 0)
+    // PNG Up filter: each stored row = 0x02 then raw - rawAbove (mod 256)
+    val filtered = new java.io.ByteArrayOutputStream()
+    raws.zipWithIndex.foreach { case (r, i) =>
+      filtered.write(2)
+      val above = if (i == 0) new Array[Byte](7) else raws(i - 1)
+      (0 until 7).foreach(c => filtered.write((r(c) - above(c)) & 0xff))
+    }
+    val xdata = Zlib.deflate(filtered.toByteArray, 6, nowrap = false)
+    val xrefObj =
+      s"6 0 obj << /Type /XRef /Size 7 /W [1 4 2] /Index [0 4 4 3] /Root 1 0 R " +
+        s"/DecodeParms << /Predictor 12 /Columns 7 >> /Filter /FlateDecode " +
+        s"/Length ${xdata.length} >> stream\n" +
+        new String(xdata, ISO_8859_1) + "\nendstream endobj\n"
+    val pdf = (head + objs.mkString + xrefObj +
+      s"startxref\n$xrefOff\n%%EOF\n").getBytes(ISO_8859_1)
+    val r = PdfLite.extract(1L, pdf)
+    assert(r.xref_valid, r.toString)
+    assert(r.n_objects == 5L && r.n_pages == 1L && r.n_text_ops == 1L)
+    assert(r.extract_md5 == md5hex("predictor text"))
+  }
+
+  test("pdf 1.5: corruption and fences fail loudly") {
+    val good = PdfLite.build15("fence probe text")
+    val s = new String(good, ISO_8859_1)
+    // /Prev (incremental update chain) is a documented loud fence —
+    // same-length patch: /Root becomes /Prev (keeps offsets valid)
+    val withPrev = s.replace("/Root 1 0 R", "/Prev 9 0 R ")
+    val e1 = intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, withPrev.getBytes(ISO_8859_1))
+    }
+    assert(e1.getMessage.contains("/Prev"))
+    // …and on the 1.4 table generation too
+    val t14 = new String(PdfLite.build("x"), ISO_8859_1)
+      .replace("/Root 1 0 R", "/Prev 9 0 R ")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(2L, t14.getBytes(ISO_8859_1))
+    }.getMessage.contains("/Prev"))
+    // a flipped byte inside the compressed xref stream is loud (zlib
+    // adler32 or entry-shape check), never a silently wrong walk
+    val xrefDataAt = s.lastIndexOf("stream\n") + 7
+    val corrupt = good.clone()
+    corrupt(xrefDataAt + 6) = (corrupt(xrefDataAt + 6) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PdfLite.extract(3L, corrupt) }
+    // an unknown /W shape is rejected
+    val badW = s.replace("/W [1 4 2]", "/W [9 9 9]")
+    intercept[IllegalArgumentException] {
+      PdfLite.extract(4L, badW.getBytes(ISO_8859_1))
+    }
+    // unsupported header versions stay loud
+    intercept[IllegalArgumentException] {
+      PdfLite.extract(5L, "%PDF-1.3\nxx".getBytes(ISO_8859_1))
+    }
+  }
+
+  test("pdf 1.5: whole-corpus mixed-generation query == plain query (sf0.001)") {
+    val a = PdfLite.qPdfExtract(spark, sf0001).collect().toSeq
+    val b = PdfLite.qPdfExtractXref15(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
 }
