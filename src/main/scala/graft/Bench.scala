@@ -14,6 +14,16 @@ object Bench {
   private[graft] def num(v: Double, prec: Int): String =
     String.format(java.util.Locale.ROOT, "%." + prec + "f", Double.box(v))
 
+  /** The per-query load-annotation rule: a cell is flagged when its
+    * wall exceeds 3x its BENCH_HISTORY median (floored at 1 s — sub-
+    * second cells jitter 3x on scheduler noise alone), or 2 s flat for
+    * a query with no history yet. */
+  private[graft] def slowCell(wall: Double, median: Option[Double]): Boolean =
+    median match {
+      case Some(m) => wall > math.max(1.0, 3.0 * m)
+      case None => wall > 2.0
+    }
+
   /** Box-load evidence (VERDICT r12 watch item): the r12 driver
     * artifact's 61.7 s streaming leg vs the 32 s quiet envelope was
     * only adjudicable as "environmental" by a judge diffing per-batch
@@ -151,7 +161,12 @@ object Bench {
     // FlateDecode content streams add linear inflate work per record,
     // so both must track corpus bytes, never worse — and the CDX
     // index-driven fan-out, whose cost is seek+inflate per member
-    "q_warc_extract_gz", "q_pdf_extract_flate", "q_warc_extract_cdx")
+    "q_warc_extract_gz", "q_pdf_extract_flate", "q_warc_extract_cdx",
+    // r15: real WARC/1.0 record syntax through the streaming member
+    // walk (linear in corpus bytes, now from a bounded window), and
+    // the mixed 1.4/1.5 PDF generation (xref/object-stream decode adds
+    // per-document inflate work — must track corpus bytes)
+    "q_warc_extract_real", "q_pdf_extract_xref15")
 
   /** `--scaling` mode (VERDICT r6 item 6): run [[ScalingQueries]] at
     * sf0.01 and sf0.1 and print measured per-query ratios — turns the
@@ -324,6 +339,34 @@ object Bench {
     // its 1.2 s "timing" sat inconspicuously in the map). Failures are
     // omitted from the timings map and named in the summary.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Threshold-triggered PER-QUERY load attribution (VERDICT r14 item
+    // 6): the 25-query load windows pin bursts to a window, but r14's
+    // q_text_langid showed a single slow cell can hide inside a QUIET
+    // window. A /proc sample brackets every query (two ~1 KB procfs
+    // reads — nothing measurable), and any cell slower than 3x its
+    // BENCH_HISTORY median (bench/medians.json, regenerated by
+    // scripts/gen_medians.py; 2 s flat for queries with no history)
+    // emits its own busy/steal/load1 row — so a mover is adjudicable
+    // from the artifact alone, per cell, not per window.
+    val medians: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench", "medians.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          """"([^"]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val queryLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    def noteSlow(name: String, wall: Double, begin: Load.Cpu): Unit = {
+      val med = medians.get(name)
+      if (slowCell(wall, med)) {
+        val end = Load.cpu()
+        queryLoads += (s"""{"q":"$name","wall_sec":${num(wall, 3)},""" +
+          med.map(m => s""""median":${num(m, 3)},""").getOrElse("") +
+          s"""${Load.deltaFields(begin, end)},"load1":${num(Load.load1(), 2)}}""")
+      }
+    }
     // Per-query-window load attribution (VERDICT r13 task 5): the
     // per-leg samples can say "the 300-query leg ran loaded" but can't
     // pin a burst to a query. A /proc sample every [[WinEvery]] queries
@@ -349,15 +392,18 @@ object Bench {
       selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (winFirst == null) winFirst = name
       lastName = name
+      val qBegin = Load.cpu()
       val t0 = System.nanoTime()
       // noop write forces every output column to be computed — count()
       // would let Catalyst prune the projections and eliminate sorts,
       // timing a row-count scan instead of the query
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        noteSlow(name, wall, qBegin)
         winCount += 1
         if (winCount >= WinEvery) closeWindow(name)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        Some(name -> wall)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e")
         failed += name
@@ -404,6 +450,10 @@ object Bench {
     // Query-leg load windows (one row per ~25 queries): lets a burst be
     // pinned to a window of named queries, not just to "the leg".
     println(s"""{"metric":"load_windows","every":$WinEvery,"windows":$loadWindowsJson}""")
+    // Per-query load rows for cells slower than 3x their history median
+    // (or 2 s with no history): the finest attribution grain.
+    val queryLoadsJson = queryLoads.mkString("[", ",", "]")
+    println(s"""{"metric":"query_loads","rule":"wall > max(1s, 3x bench/medians.json) or 2s unknown","flagged":$queryLoadsJson}""")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-leg load evidence: busy/steal CPU shares across each bench
     // phase plus start/end 1-min loadavg — the driver artifact now
@@ -422,7 +472,7 @@ object Bench {
     // File artifact (VERDICT r7 task 3): the full per-query map plus the
     // summary, immune to any stdout tail-capture convention.
     val artifact =
-      s"""{"summary":$summary,"queries":$qs,"stream_batches":$batchesJson,"load_windows":$loadWindowsJson}"""
+      s"""{"summary":$summary,"queries":$qs,"stream_batches":$batchesJson,"load_windows":$loadWindowsJson,"query_loads":$queryLoadsJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target", "bench_summary.json"),
       artifact.getBytes("UTF-8"))
