@@ -355,8 +355,17 @@ object Bench {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           """"([^"]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } else Map.empty
-      } catch { case _: Throwable => Map.empty }
+        } else {
+          System.err.println(
+            "[bench] bench/medians.json absent — per-query load rows fall back to the flat 2s rule")
+          Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // degrading to the flat rule is acceptable; doing it SILENTLY
+        // is not — the artifact would flag the wrong cells with no clue
+        System.err.println(s"[bench] failed to read bench/medians.json: $e")
+        Map.empty
+      }
     val queryLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     def noteSlow(name: String, wall: Double, begin: Load.Cpu): Unit = {
       val med = medians.get(name)

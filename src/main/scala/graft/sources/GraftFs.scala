@@ -32,6 +32,11 @@ trait GraftFs extends Serializable {
   /** Sorted flat listing of `dir`'s entries ending in `suffix`,
     * as full paths. Empty when `dir` does not exist. */
   def list(dir: String, suffix: String): Seq[String]
+
+  /** Ensure `dir` exists (writers call this once, driver-side, so an
+    * all-empty-partition write still leaves a readable empty dir —
+    * the pre-seam java.io behavior). */
+  def mkdirs(dir: String): Unit
 }
 
 object GraftFs {
@@ -90,5 +95,7 @@ object GraftFs {
       fs.filter(f => f.isFile && f.getName.endsWith(suffix))
         .map(_.getPath).sorted.toSeq
     }
+
+    override def mkdirs(dir: String): Unit = { new File(dir).mkdirs(); () }
   }
 }

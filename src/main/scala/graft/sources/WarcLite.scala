@@ -64,8 +64,17 @@ object WarcLite {
   final case class WarcRecord(doc_id: Long, url: String,
       payload: Array[Byte])
 
+  /** A url is interpolated into line-framed headers in BOTH syntaxes —
+    * an EOL inside it would inject header lines (and in the real form,
+    * silently change record semantics rather than fail). Loud at WRITE
+    * time, where the bad value is still attributable. */
+  private def requireCleanUrl(url: String): Unit =
+    require(url.indexOf('\n') < 0 && url.indexOf('\r') < 0,
+      s"url contains an EOL character: '$url'")
+
   /** Frame one record in LITE form into `out`. */
   private[graft] def frame(out: OutputStream, r: WarcRecord): Unit = {
+    requireCleanUrl(r.url)
     val header = (Magic + "\n" +
       s"doc-id: ${r.doc_id}\n" +
       s"url: ${r.url}\n" +
@@ -84,6 +93,12 @@ object WarcLite {
     * bytes non-deterministic); [[surrogateId]]'s graft urn carries the
     * doc id. */
   private[graft] def frameReal(out: OutputStream, r: WarcRecord): Unit = {
+    requireCleanUrl(r.url)
+    // the graft urn carries a non-negative id; a negative one would
+    // fail the \d+ match on read-back and silently re-id through the
+    // foreign-id surrogate hash — reject it where it's attributable
+    require(r.doc_id >= 0L,
+      s"real WARC framing requires a non-negative doc_id, got ${r.doc_id}")
     val http = ("HTTP/1.1 200 OK\r\n" +
       "Content-Type: text/html; charset=utf-8\r\n" +
       s"Content-Length: ${r.payload.length}\r\n" +
@@ -124,6 +139,7 @@ object WarcLite {
     * need deterministic FILES repartition deterministically first. */
   def write(records: Dataset[WarcRecord], outDir: String,
       fs: GraftFs = GraftFs.Local): Unit = {
+    fs.mkdirs(outDir) // an all-empty write still leaves a readable dir
     records.foreachPartition { (it: Iterator[WarcRecord]) =>
       if (it.hasNext) {
         val pid = TaskContext.get().partitionId()
@@ -299,67 +315,35 @@ object WarcLite {
     out.toByteArray
   }
 
-  /** Walk the gzip members of an IN-MEMORY byte range — one inflate per
-    * member, member boundary found from the deflate stream's own final
-    * block, CRC32 and ISIZE both verified. Reads FOREIGN writers'
-    * members too: RFC 1952 optional header fields
-    * (FEXTRA/FNAME/FCOMMENT/FHCRC) are skipped per spec. Loud on any
-    * corruption. Used where the bytes are already bounded (a CDX-fetched
-    * single member, specs); container-sized walks use
-    * [[gzMembersStream]]. */
-  private[graft] def gzMembers(bytes: Array[Byte],
-      where: String): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+  /** In-memory SeekableIn over a byte array — lets the ONE member-walk
+    * implementation ([[gzMembersStream]]) serve the in-memory callers
+    * (CDX-fetched member slices, specs) too. */
+  private final class BytesIn(bytes: Array[Byte]) extends GraftFs.SeekableIn {
     private var pos = 0
-    override def hasNext: Boolean = pos < bytes.length
-    override def next(): Array[Byte] = {
-      require(pos + 18 <= bytes.length,
-        s"$where: truncated gzip member at byte $pos")
-      require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
-        s"$where: bad gzip magic at byte $pos")
-      require(bytes(pos + 2) == 8,
-        s"$where: unsupported gzip compression method ${bytes(pos + 2)}")
-      // RFC 1952 §2.3.1 optional header fields: our writer emits FLG=0,
-      // but archives from other writers routinely carry FNAME/FEXTRA —
-      // skip each declared field (loud on truncation); reserved bits
-      // (5–7) mean a format we don't know and are rejected
-      val flg = bytes(pos + 3) & 0xff
-      require((flg & 0xe0) == 0,
-        s"$where: reserved gzip FLG bits set ($flg) at byte $pos")
-      var dataAt = pos + 10
-      def need(n: Int, what: String): Unit =
-        require(dataAt + n <= bytes.length,
-          s"$where: truncated gzip $what at byte $dataAt")
-      if ((flg & 0x04) != 0) { // FEXTRA: 2-byte LE length + payload
-        need(2, "FEXTRA length")
-        val xlen = (bytes(dataAt) & 0xff) | ((bytes(dataAt + 1) & 0xff) << 8)
-        dataAt += 2; need(xlen, "FEXTRA field"); dataAt += xlen
-      }
-      if ((flg & 0x08) != 0) { // FNAME: zero-terminated
-        while ({ need(1, "FNAME"); bytes(dataAt) != 0 }) dataAt += 1
-        dataAt += 1
-      }
-      if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
-        while ({ need(1, "FCOMMENT"); bytes(dataAt) != 0 }) dataAt += 1
-        dataAt += 1
-      }
-      if ((flg & 0x02) != 0) { need(2, "FHCRC"); dataAt += 2 }
-      // FTEXT (bit 0) is a content hint — nothing to skip
-      val (raw, consumed) = graft.Zlib.inflate(bytes, dataAt,
-        bytes.length - dataAt, nowrap = true, s"$where member at byte $pos")
-      val trailerAt = dataAt + consumed
-      require(trailerAt + 8 <= bytes.length,
-        s"$where: truncated gzip trailer at byte $trailerAt")
-      def le32(o: Int): Long =
-        (0 until 4).map(i => (bytes(o + i).toLong & 0xffL) << (8 * i)).sum
-      val crc = new CRC32(); crc.update(raw)
-      require(le32(trailerAt) == crc.getValue,
-        s"$where: gzip CRC mismatch in member at byte $pos")
-      require(le32(trailerAt + 4) == (raw.length.toLong & 0xffffffffL),
-        s"$where: gzip ISIZE mismatch in member at byte $pos")
-      pos = trailerAt + 8
-      raw
+    override def seek(off: Long): Unit = pos = off.toInt
+    override def readFully(buf: Array[Byte]): Unit = {
+      require(pos + buf.length <= bytes.length, "read past end of bytes")
+      System.arraycopy(bytes, pos, buf, 0, buf.length); pos += buf.length
     }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= bytes.length) -1
+      else {
+        val k = math.min(len, bytes.length - pos)
+        System.arraycopy(bytes, pos, buf, off, k); pos += k; k
+      }
+    }
+    override def close(): Unit = ()
   }
+
+  /** Walk the gzip members of an IN-MEMORY byte range — a delegation
+    * to [[gzMembersStream]], so the RFC 1952 member protocol (header +
+    * optional-field skip + inflate + CRC32/ISIZE trailer) has exactly
+    * ONE implementation (r15 review: a second copy could drift from
+    * the streaming one). Used where the bytes are already bounded. */
+  private[graft] def gzMembers(bytes: Array[Byte],
+      where: String): Iterator[Array[Byte]] =
+    gzMembersStream(new BytesIn(bytes), where,
+      bufSize = math.max(1024, math.min(bytes.length, 1 << 16)))
 
   /** Walk the gzip members of a container INCREMENTALLY from a
     * positioned reader (VERDICT r14 item 4): a fixed window buffer
@@ -499,6 +483,7 @@ object WarcLite {
   def writeGz(records: Dataset[WarcRecord], outDir: String,
       fs: GraftFs = GraftFs.Local,
       frameFn: (OutputStream, WarcRecord) => Unit = frame): Unit = {
+    fs.mkdirs(outDir) // an all-empty write still leaves a readable dir
     records.foreachPartition { (it: Iterator[WarcRecord]) =>
       if (it.hasNext) {
         val pid = TaskContext.get().partitionId()
@@ -622,6 +607,12 @@ object WarcLite {
       fs: GraftFs = GraftFs.Local): Dataset[WarcRecord] = {
     import spark.implicits._
     val paths = fs.list(dir, ".warc.gz")
+    // the old binaryFile source was loud on a missing dir; a listing
+    // can't tell missing from empty, so an empty listing is loud too —
+    // a gz corpus dir with nothing to read is an upstream data problem
+    // (the writers always leave >= 1 container for non-empty data)
+    require(paths.nonEmpty,
+      s"$dir: no .warc.gz containers found (missing dir or empty corpus)")
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(paths.length, 1))
     spark.createDataset(rdd).mapPartitions { pathIt =>

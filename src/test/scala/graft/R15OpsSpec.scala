@@ -458,6 +458,39 @@ class R15OpsSpec extends SparkSpec {
     assert(!Bench.slowCell(2.49, Some(1.47)))
   }
 
+  // --- r15 review fixes -------------------------------------------------
+
+  test("warc: framers reject urls with EOLs and real framing rejects negative ids") {
+    val out = new java.io.ByteArrayOutputStream()
+    // a CRLF inside a url would inject header lines — loud at write
+    intercept[IllegalArgumentException] {
+      WarcLite.frame(out, WarcLite.WarcRecord(1L,
+        "https://x/a\r\nWARC-Type: warcinfo", "b".getBytes(UTF_8)))
+    }
+    intercept[IllegalArgumentException] {
+      WarcLite.frameReal(out, WarcLite.WarcRecord(1L,
+        "https://x/a\nInjected: yes", "b".getBytes(UTF_8)))
+    }
+    // a negative id can't survive the graft urn's \d+ — loud at write,
+    // not a silent re-id through the foreign-surrogate hash
+    intercept[IllegalArgumentException] {
+      WarcLite.frameReal(out, WarcLite.WarcRecord(-5L, "https://x/a",
+        "b".getBytes(UTF_8)))
+    }
+  }
+
+  test("warc: readGz of a missing or container-less dir is loud; empty write leaves a dir") {
+    val e = intercept[IllegalArgumentException] {
+      WarcLite.readGz(spark, "/tmp/definitely-not-a-warc-dir-xyz")
+    }
+    assert(e.getMessage.contains("no .warc.gz containers"))
+    // an all-empty-partition write still creates the directory (the
+    // pre-seam java.io behavior restored by GraftFs.mkdirs)
+    val dir = java.nio.file.Files.createTempDirectory("warc-empty").toString + "/sub"
+    WarcLite.writeGz(spark.emptyDataset[WarcLite.WarcRecord], dir)
+    assert(new java.io.File(dir).isDirectory)
+  }
+
   test("bench: numeric JSON fields are locale-pinned (Locale.ROOT)") {
     val prev = java.util.Locale.getDefault
     try {
