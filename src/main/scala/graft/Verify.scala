@@ -19,14 +19,44 @@ object Verify {
     // compared surface — the q_mix_divergence failure mode.
     Files.writeString(Paths.get(s"$outDir/_manifest.json"),
       selected.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // One retry per query, both attempts logged AND recorded in the
+    // _failures.json artifact: a DETERMINISTIC defect fails twice and
+    // still zeroes the query (the gate is preserved), but a one-off
+    // environmental blip recovers with a visible record instead of
+    // silently costing the round a correctness cell. The artifact also
+    // makes "did anything fail?" answerable from the dump dir alone —
+    // in r15 an hour went to reconstructing exactly that from lost
+    // scrollback (the answer was no; a stale dump dir had been read
+    // mid-run).
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed (attempt 1): $e")
+        failures += s"""{"q":"$name","attempt":1,"error":${jsonStr(e.toString)}}"""
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed (attempt 2): $e2")
+          failures += s"""{"q":"$name","attempt":2,"error":${jsonStr(e2.toString)}}"""
+        }
       }
     }
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.mkString("[", ",", "]"))
   }
+
+  /** JSON string escape shared by the failure record and oracle dump. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
@@ -38,17 +68,8 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
