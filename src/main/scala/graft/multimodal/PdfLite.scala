@@ -95,14 +95,20 @@ object PdfLite {
     * ops each over the 64-code-point chunks of `text`; content streams
     * zlib-compressed (`/Filter /FlateDecode`) when `flate` is set.
     * Object layout: 1 catalog, 2 pages, 3..(2+n) page,
-    * (3+n)..(2+2n) content, (3+2n) font. */
-  private[graft] def build(text: String, flate: Boolean = false): Array[Byte] = {
+    * (3+n)..(2+2n) content, (3+2n) font. With `indirectLen` each
+    * content stream declares `/Length L 0 R` and the integer lives in
+    * its own object after the font (L = 3+2n+1+i) — the form writers
+    * that stream their output emit, since the byte count isn't known
+    * until the stream is written (PDF 1.4 §3.2.7). */
+  private[graft] def build(text: String, flate: Boolean = false,
+      indirectLen: Boolean = false): Array[Byte] = {
     val chunks = chunksOf(text)
     val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
       else chunks.grouped(OpsPerPage).toSeq
     val n = pagesOps.length
     val fontObj = 3 + 2 * n
     val objs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lengths = scala.collection.mutable.ArrayBuffer.empty[Int]
     objs += s"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
     val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
     objs += s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n"
@@ -122,10 +128,16 @@ object PdfLite {
       val raw = body.toString.getBytes(ISO_8859_1)
       val (streamBytes, filter) =
         if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
-      objs += (s"${3 + n + i} 0 obj << /Length ${streamBytes.length}$filter >> " +
+      val lenDecl =
+        if (indirectLen) s"${fontObj + 1 + i} 0 R" else s"${streamBytes.length}"
+      objs += (s"${3 + n + i} 0 obj << /Length $lenDecl$filter >> " +
         s"stream\n" + new String(streamBytes, ISO_8859_1) + "endstream endobj\n")
+      if (indirectLen) lengths += streamBytes.length
     }
     objs += s"$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+    lengths.zipWithIndex.foreach { case (len, i) =>
+      objs += s"${fontObj + 1 + i} 0 obj $len endobj\n"
+    }
     val head = "%PDF-1.4\n"
     val offsets = objs.scanLeft(head.getBytes(ISO_8859_1).length)(
       (off, o) => off + o.getBytes(ISO_8859_1).length)
@@ -136,6 +148,83 @@ object PdfLite {
     val trailer = (s"trailer << /Size ${objs.length + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefOff\n%%EOF\n")
     (head + objs.mkString + xref.toString + trailer).getBytes(ISO_8859_1)
+  }
+
+  /** Build an INCREMENTALLY-UPDATED PDF (PDF 1.4 §3.4.5: a save
+    * appends new objects plus a new xref section whose trailer /Prev
+    * links the previous one — the original bytes are never touched):
+    * the base document is `build(draft)`, and the update REPLACES its
+    * page tree with `text`'s — the pages object (2) is rewritten, the
+    * draft's page/content objects are marked FREE in the update's
+    * xref (deleted objects must shadow the originals), and fresh
+    * page/content objects are appended. The final document surface
+    * (objects, pages, ops, text md5) is therefore IDENTICAL to
+    * `build(text)`'s, so the same oracle hash-checks the /Prev
+    * chain-walking read path: a reader that misses the update, walks
+    * sections oldest-first, or resurrects the deleted draft flips the
+    * hash or the counters. */
+  private[graft] def buildIncremental(text: String,
+      draft: String = "DRAFT — superseded by the incremental update",
+      flate: Boolean = false): Array[Byte] = {
+    val baseBytes = build(draft, flate)
+    val baseStr = new String(baseBytes, ISO_8859_1)
+    val prevAt = baseStr.lastIndexOf("\nstartxref\n")
+    val prevXref = baseStr.substring(prevAt + 11,
+      baseStr.indexOf('\n', prevAt + 11)).trim.toInt
+    val n1 = {
+      val c = chunksOf(draft)
+      if (c.isEmpty) 1 else c.grouped(OpsPerPage).length
+    }
+    val fontObj = 3 + 2 * n1 // the base's font object is REUSED
+    val chunks = chunksOf(text)
+    val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
+      else chunks.grouped(OpsPerPage).toSeq
+    val n2 = pagesOps.length
+    val firstNew = fontObj + 1
+    // update body: rewritten pages tree + n2 new page + content objects
+    val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val kids = (0 until n2).map(i => s"${firstNew + i} 0 R").mkString(" ")
+    objs += 2 ->
+      s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n2 >> endobj\n"
+    (0 until n2).foreach { i =>
+      objs += (firstNew + i) -> (s"${firstNew + i} 0 obj << /Type /Page " +
+        s"/Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${firstNew + n2 + i} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >> endobj\n")
+    }
+    (0 until n2).foreach { i =>
+      val body = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
+      pagesOps(i).foreach { c =>
+        body.append('(').append(escape(c)).append(") Tj 0 -12 Td\n")
+      }
+      body.append("ET\n")
+      val raw = body.toString.getBytes(ISO_8859_1)
+      val (streamBytes, filter) =
+        if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
+      objs += (firstNew + n2 + i) -> (s"${firstNew + n2 + i} 0 obj " +
+        s"<< /Length ${streamBytes.length}$filter >> stream\n" +
+        new String(streamBytes, ISO_8859_1) + "endstream endobj\n")
+    }
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    var off = baseBytes.length
+    objs.foreach { case (num, body) =>
+      offsets(num) = off
+      off += body.getBytes(ISO_8859_1).length
+    }
+    val xrefOff = off
+    // three subsections: the rewritten pages tree, the draft's freed
+    // page/content range, and the appended objects
+    val x = new StringBuilder("xref\n")
+    x.append("2 1\n").append(f"${offsets(2)}%010d 00000 n \n")
+    x.append(s"3 ${2 * n1}\n")
+    (0 until 2 * n1).foreach(_ => x.append("0000000000 65535 f \n"))
+    x.append(s"$firstNew ${2 * n2}\n")
+    (0 until 2 * n2).foreach(i =>
+      x.append(f"${offsets(firstNew + i)}%010d 00000 n \n"))
+    val trailer = (s"trailer << /Size ${firstNew + 2 * n2} /Root 1 0 R " +
+      s"/Prev $prevXref >>\nstartxref\n$xrefOff\n%%EOF\n")
+    baseBytes ++ (objs.map(_._2).mkString + x.toString + trailer)
+      .getBytes(ISO_8859_1)
   }
 
   /** Build one PDF 1.5 container for the same document: identical page
@@ -444,12 +533,22 @@ object PdfLite {
     * the spec's optional EOL before `endstream` tolerated), FlateDecode
     * inflated when declared, PNG-row predictor reversed when
     * /DecodeParms declares one. None when the object has no stream.
-    * An indirect `/Length N 0 R` is a documented fence (loud). */
+    * An indirect `/Length N 0 R` (the form writers that stream their
+    * output emit — the length isn't known until the stream is written)
+    * is resolved through `resolveLen`; callers where the spec REQUIRES
+    * a direct value (the xref stream's own dict, §7.5.8.2) pass a
+    * resolver that fails loudly. */
   private def decodedStream(id: Long, s: String, off: Int,
-      hdr: String): Option[Array[Byte]] = {
+      hdr: String, resolveLen: Int => Long): Option[Array[Byte]] = {
     "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r.findFirstMatchIn(hdr).map { m =>
-      if (m.group(2) != null) fail(id, "indirect /Length is not supported")
-      val len = m.group(1).toInt
+      val len =
+        if (m.group(2) == null) m.group(1).toInt
+        else {
+          val v = resolveLen(m.group(1).toInt)
+          if (v < 0L || v > Int.MaxValue.toLong)
+            fail(id, s"implausible indirect /Length $v")
+          v.toInt
+        }
       val kw = s.indexOf("stream", off)
       if (kw < 0) fail(id, s"object at $off declares /Length but has no stream")
       val dataAt =
@@ -499,81 +598,168 @@ object PdfLite {
     val xrefAt = s.lastIndexOf("\nstartxref\n")
     if (xrefAt < 0) fail(id, "no startxref")
     val xrefOff = s.substring(xrefAt + 11, s.indexOf('\n', xrefAt + 11)).trim.toInt
-    // both generations land in one entry map: objNum -> where it lives
-    val entries = scala.collection.mutable.SortedMap.empty[Int, XEntry]
-    if (s.startsWith("xref", xrefOff)) {
-      // classic cross-reference TABLE: fixed 20-byte rows, trailer dict
-      // between the table and startxref
-      val trailer = s.substring(xrefOff, xrefAt)
-      if (trailer.contains("/Prev"))
-        fail(id, "incremental updates (/Prev) are not supported")
-      val sizeM = "/Size (\\d+)".r.findFirstMatchIn(trailer)
-        .getOrElse(fail(id, "no /Size"))
-      val nObjs = sizeM.group(1).toInt - 1 // minus the free object 0
-      val tableAt = s.indexOf('\n', s.indexOf('\n', xrefOff) + 1) + 1
-      (1 to nObjs).foreach { i =>
-        val row = s.substring(tableAt + 20 * i, tableAt + 20 * i + 20)
-        entries(i) = XEntry(1, row.substring(0, 10).toInt.toLong, 0)
-      }
-    } else if ("^\\d+ 0 obj".r.findFirstIn(
-        s.substring(xrefOff, math.min(s.length, xrefOff + 24))).isDefined) {
-      // 1.5+ XREF STREAM: startxref addresses an object whose stream
-      // holds binary entries, /W giving the three field widths
-      val hdrEnd = dictEnd(id, s, xrefOff)
-      val hdr = if (hdrEnd < 0) fail(id, "xref stream object has no dict")
-        else s.substring(xrefOff, hdrEnd)
-      if (!hdr.contains("/XRef"))
-        fail(id, "startxref addresses neither an xref table nor an XRef stream")
-      if (hdr.contains("/Prev"))
-        fail(id, "incremental updates (/Prev) are not supported")
-      val size = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
-      val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
-        .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
-      val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
-      val w3 = wM.group(3).toInt
-      if (w1 > 4 || w2 > 8 || w3 > 4) fail(id, s"implausible /W [$w1 $w2 $w3]")
-      val index: Seq[(Int, Int)] =
-        "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(hdr) match {
-          case Some(m) =>
-            val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
-              .map(_.toInt).toSeq
-            if (ns.length % 2 != 0) fail(id, "odd /Index array")
-            ns.grouped(2).map(p => (p.head, p(1))).toSeq
-          case None => Seq((0, size))
-        }
-      val data = decodedStream(id, s, xrefOff, hdr)
-        .getOrElse(fail(id, "xref stream has no /Length"))
-      val entryLen = w1 + w2 + w3
-      if (data.length != index.map(_._2).sum * entryLen)
-        fail(id, s"xref stream data ${data.length} != ${index.map(_._2).sum} entries of $entryLen")
-      var p = 0
-      def field(w: Int): Long = {
-        var v = 0L
-        var k = 0
-        while (k < w) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
-        v
-      }
-      index.foreach { case (first, count) =>
-        (0 until count).foreach { k =>
-          val traw = field(w1)
-          val t = if (w1 == 0) 1L else traw // type defaults to 1 (spec)
-          val a = field(w2); val b = field(w3)
-          val objNum = first + k
-          if (objNum != 0 && t != 0L) { // skip the free list
-            if (t != 1L && t != 2L) fail(id, s"unknown xref entry type $t")
-            entries(objNum) = XEntry(t.toInt, a, b.toInt)
+    // Both generations, and any number of INCREMENTAL-UPDATE sections
+    // (PDF 1.4 §3.4.5: each save appends new objects plus a new xref
+    // whose trailer /Prev links the section before it), land in one
+    // entry map. Sections are walked NEWEST-FIRST and the first
+    // definition of an object number wins — including a FREE (deleted)
+    // entry, which must shadow older sections so a deleted object
+    // cannot be resurrected by the original file body. None = free.
+    val entries =
+      scala.collection.mutable.SortedMap.empty[Int, Option[XEntry]]
+    var size = -1 // the NEWEST section's /Size: max object number + 1
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def note(objNum: Int, e: Option[XEntry]): Unit =
+      if (objNum != 0 && !entries.contains(objNum)) entries(objNum) = e
+    // §7.5.8.2: every entry of the xref stream's OWN dict must be
+    // direct — an indirect /Length there is a chicken-and-egg the spec
+    // forbids, so it stays a loud fence
+    def noIndirectLen(n: Int): Long =
+      fail(id, s"indirect /Length ($n 0 R) in an xref stream dict")
+    def parseSection(off: Int, depth: Int): Unit = {
+      if (!visited.add(off)) fail(id, s"xref /Prev chain cycle at byte $off")
+      if (depth > 64) fail(id, "xref /Prev chain implausibly long")
+      if (s.startsWith("xref", off)) {
+        // classic cross-reference TABLE: "first count" subsection
+        // headers each followed by `count` fixed 20-byte rows (flag
+        // 'n' = in use at offset, 'f' = free), then the trailer dict
+        var p = s.indexOf('\n', off)
+        if (p < 0) fail(id, "truncated xref table")
+        p += 1
+        val sub = "(\\d+)\\s+(\\d+)".r
+        var trailerAt = -1
+        while (trailerAt < 0) {
+          val eol = s.indexOf('\n', p)
+          if (eol < 0) fail(id, "xref table has no trailer")
+          val line = s.substring(p, eol).trim
+          if (line.startsWith("trailer")) trailerAt = p
+          else line match {
+            case sub(f0, c0) =>
+              val first = f0.toInt
+              p = eol + 1
+              (0 until c0.toInt).foreach { k =>
+                if (p + 20 > s.length) fail(id, "truncated xref row")
+                val row = s.substring(p, p + 20)
+                row.charAt(17) match {
+                  case 'n' => note(first + k,
+                    Some(XEntry(1, row.substring(0, 10).trim.toLong, 0)))
+                  case 'f' => note(first + k, None)
+                  case c => fail(id, s"bad xref row flag '$c'")
+                }
+                p += 20
+              }
+            case _ => fail(id, s"bad xref subsection header '$line'")
           }
         }
-      }
-    } else fail(id, "startxref does not address xref")
+        val dictAt = s.indexOf("<<", trailerAt)
+        if (dictAt < 0) fail(id, "trailer has no dict")
+        val trailer = s.substring(dictAt, dictEnd(id, s, dictAt))
+        // hybrid-reference files hide objects from legacy readers by
+        // marking them free in the table and real in a side /XRefStm —
+        // reading the table alone would be SILENTLY wrong, so: loud
+        if (trailer.contains("/XRefStm"))
+          fail(id, "hybrid-reference files (/XRefStm) are not supported")
+        if (size < 0)
+          size = dictInt(trailer, "/Size").getOrElse(fail(id, "no /Size"))
+        dictInt(trailer, "/Prev").foreach(parseSection(_, depth + 1))
+      } else if ("^\\d+ 0 obj".r.findFirstIn(
+          s.substring(off, math.min(s.length, off + 24))).isDefined) {
+        // 1.5+ XREF STREAM: startxref (or /Prev) addresses an object
+        // whose stream holds binary entries, /W giving field widths
+        val hdrEnd = dictEnd(id, s, off)
+        val hdr = if (hdrEnd < 0) fail(id, "xref stream object has no dict")
+          else s.substring(off, hdrEnd)
+        if (!hdr.contains("/XRef"))
+          fail(id, "startxref addresses neither an xref table nor an XRef stream")
+        val secSize = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
+        if (size < 0) size = secSize
+        val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+          .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
+        val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
+        val w3 = wM.group(3).toInt
+        if (w1 > 4 || w2 > 8 || w3 > 4)
+          fail(id, s"implausible /W [$w1 $w2 $w3]")
+        val index: Seq[(Int, Int)] =
+          "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(hdr) match {
+            case Some(m) =>
+              val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
+                .map(_.toInt).toSeq
+              if (ns.length % 2 != 0) fail(id, "odd /Index array")
+              ns.grouped(2).map(p => (p.head, p(1))).toSeq
+            case None => Seq((0, secSize))
+          }
+        val data = decodedStream(id, s, off, hdr, noIndirectLen)
+          .getOrElse(fail(id, "xref stream has no /Length"))
+        val entryLen = w1 + w2 + w3
+        if (data.length != index.map(_._2).sum * entryLen)
+          fail(id, s"xref stream data ${data.length} != ${index.map(_._2).sum} entries of $entryLen")
+        var p = 0
+        def field(w: Int): Long = {
+          var v = 0L
+          var k = 0
+          while (k < w) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+          v
+        }
+        index.foreach { case (first, count) =>
+          (0 until count).foreach { k =>
+            val traw = field(w1)
+            val t = if (w1 == 0) 1L else traw // type defaults to 1 (spec)
+            val a = field(w2); val b = field(w3)
+            val objNum = first + k
+            if (objNum != 0) {
+              if (t == 0L) note(objNum, None) // free: shadows older defs
+              else if (t == 1L || t == 2L)
+                note(objNum, Some(XEntry(t.toInt, a, b.toInt)))
+              else fail(id, s"unknown xref entry type $t")
+            }
+          }
+        }
+        dictInt(hdr, "/Prev").foreach(parseSection(_, depth + 1))
+      } else fail(id, "startxref does not address xref")
+    }
+    parseSection(xrefOff, 0)
+    entries.keys.lastOption.foreach { k =>
+      if (k >= size) fail(id, s"xref entry $k beyond /Size $size")
+    }
 
     var xrefValid = true
+    // the bare-integer body of a type-1 object, when it is one — the
+    // shape of a /Length helper object (writers that stream their
+    // output emit the length AFTER the stream bytes as its own object)
+    def bareIntBody(objNum: Int, off: Int): Option[Long] = {
+      val b0 = off + s"$objNum 0 obj".length
+      val e = s.indexOf("endobj", b0)
+      if (e < 0) None
+      else {
+        val tok = s.substring(b0, e).trim
+        if (tok.nonEmpty && tok.forall(_.isDigit) && tok.length < 19)
+          Some(tok.toLong)
+        else None
+      }
+    }
+    // resolve an indirect /Length target through the xref: a direct
+    // integer object (the only form our walk can reach before object
+    // streams are decoded — a length hiding inside an ObjStm is a
+    // circularity we reject loudly rather than half-resolve)
+    def resolveLen(num: Int): Long = entries.get(num).flatten match {
+      case Some(e) if e.tpe == 1 =>
+        val off = e.a.toInt
+        if (!s.startsWith(s"$num 0 obj", off))
+          fail(id, s"xref offset for /Length object $num is wrong")
+        bareIntBody(num, off).getOrElse(
+          fail(id, s"/Length object $num is not a direct integer"))
+      case Some(_) =>
+        fail(id, s"/Length object $num lives inside an object stream")
+      case None =>
+        fail(id, s"/Length object $num is free or absent from the xref")
+    }
     // pre-pass: decode each referenced OBJECT STREAM and index its
     // member bodies (objNum -> body text; streams can't nest in an
     // ObjStm per spec, so members are dict/array/primitive only)
     val objstmBodies = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
-    entries.values.filter(_.tpe == 2).map(_.a.toInt).toSet[Int].foreach { sn =>
-      val e = entries.getOrElse(sn,
+    entries.values.flatten.filter(_.tpe == 2).map(_.a.toInt)
+      .toSet[Int].foreach { sn =>
+      val e = entries.get(sn).flatten.getOrElse(
         fail(id, s"object stream $sn is not in the xref"))
       if (e.tpe != 1) fail(id, s"object stream $sn is itself indirect")
       val off = e.a.toInt
@@ -585,7 +771,7 @@ object PdfLite {
       if (!hdr.contains("/ObjStm")) fail(id, s"object $sn is not an ObjStm")
       val n = dictInt(hdr, "/N").getOrElse(fail(id, "ObjStm has no /N"))
       val first = dictInt(hdr, "/First").getOrElse(fail(id, "ObjStm has no /First"))
-      val body = new String(decodedStream(id, s, off, hdr)
+      val body = new String(decodedStream(id, s, off, hdr, resolveLen)
         .getOrElse(fail(id, "ObjStm has no /Length")), ISO_8859_1)
       if (first > body.length) fail(id, "ObjStm /First beyond stream end")
       val nums = body.substring(0, first).trim.split("\\s+")
@@ -608,28 +794,35 @@ object PdfLite {
     var nPages = 0L
     var nOps = 0L
     val out = new java.io.ByteArrayOutputStream()
-    entries.foreach { case (objNum, e) =>
-      if (e.tpe == 1) {
-        val off = e.a.toInt
-        if (!s.startsWith(s"$objNum 0 obj", off)) xrefValid = false
-        val hdrEnd = dictEnd(id, s, off)
-        val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
-        // xref/objstm containers are format plumbing, not document
-        // objects: excluded from the count and never Tj-tokenized
-        // (their decoded bytes are binary, not content streams)
-        if (!hdr.contains("/ObjStm") && !hdr.contains("/XRef")) {
-          nDocObjs += 1
-          if (hdr.contains("/Type /Page ")) nPages += 1
-          decodedStream(id, s, off, hdr).foreach { raw =>
-            nOps += tokenizeTj(id, new String(raw, ISO_8859_1), out)
+    entries.foreach {
+      case (_, None) => // free (deleted) — not part of the document
+      case (objNum, Some(e)) =>
+        if (e.tpe == 1) {
+          val off = e.a.toInt
+          if (!s.startsWith(s"$objNum 0 obj", off)) xrefValid = false
+          val hdrEnd = dictEnd(id, s, off)
+          val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
+          // format plumbing is excluded from the document-object count
+          // and never Tj-tokenized: xref/objstm containers (binary
+          // decoded bytes, not content) and bare-integer /Length
+          // helper objects (stream framing, not content) — so direct,
+          // indirect-length, and 1.5 generations of the same document
+          // all publish the same deterministic surface
+          val lenHelper = hdrEnd < 0 && bareIntBody(objNum, off).isDefined
+          if (!hdr.contains("/ObjStm") && !hdr.contains("/XRef") &&
+              !lenHelper) {
+            nDocObjs += 1
+            if (hdr.contains("/Type /Page ")) nPages += 1
+            decodedStream(id, s, off, hdr, resolveLen).foreach { raw =>
+              nOps += tokenizeTj(id, new String(raw, ISO_8859_1), out)
+            }
           }
+        } else objstmBodies(e.a.toInt).get(objNum) match {
+          case None => xrefValid = false
+          case Some(body) =>
+            nDocObjs += 1
+            if (body.contains("/Type /Page ")) nPages += 1
         }
-      } else objstmBodies(e.a.toInt).get(objNum) match {
-        case None => xrefValid = false
-        case Some(body) =>
-          nDocObjs += 1
-          if (body.contains("/Type /Page ")) nPages += 1
-      }
     }
     PdfExtract(id, nDocObjs, nPages, nOps, xrefValid,
       md5hex(out.toByteArray))
@@ -667,20 +860,29 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
-  /** The 1.5-GENERATION twin: doc_id parity picks the container
-    * generation — even docs are built as PDF 1.5 (xref stream + object
-    * stream, [[build15]]), odd as classic flate 1.4 — so one query
-    * exercises BOTH cross-reference machineries end to end. The
-    * deterministic surface is generation-independent, so the SAME
-    * oracle hash-checks both paths: an xref-stream decode, /W-field,
-    * or ObjStm-indexing defect flips the driver hash. */
+  /** The GENERATIONS twin: doc_id (mod 4) picks the container
+    * layout — 0 → PDF 1.5 (xref stream + object stream, [[build15]]),
+    * 1 → classic flate 1.4, 2 → INCREMENTALLY UPDATED (a /Prev-chained
+    * second xref section replacing a draft page tree, with the draft's
+    * objects freed — [[buildIncremental]]), 3 → indirect `/Length N 0
+    * R` streams — so one query exercises both cross-reference
+    * machineries, the update-chain walk, free-entry shadowing, AND
+    * indirect-length resolution end to end. The deterministic surface
+    * is layout-independent by construction, so the SAME oracle
+    * hash-checks all four paths: an xref-stream decode, /W-field,
+    * ObjStm-indexing, chain-walk, resurrection, or length-resolution
+    * defect flips the driver hash. */
   def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        extract(id, if (id % 2 == 0) build15(text)
-          else build(text, flate = true))
+        extract(id, (id % 4) match {
+          case 0 => build15(text)
+          case 1 => build(text, flate = true)
+          case 2 => buildIncremental(text, flate = true)
+          case _ => build(text, indirectLen = true)
+        })
       })
       .toDF()
       .orderBy($"doc_id")

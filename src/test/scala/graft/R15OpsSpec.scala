@@ -406,19 +406,45 @@ class R15OpsSpec extends SparkSpec {
   test("pdf 1.5: corruption and fences fail loudly") {
     val good = PdfLite.build15("fence probe text")
     val s = new String(good, ISO_8859_1)
-    // /Prev (incremental update chain) is a documented loud fence —
+    // a /Prev pointing at garbage (byte 9 is mid-header) is loud —
     // same-length patch: /Root becomes /Prev (keeps offsets valid)
     val withPrev = s.replace("/Root 1 0 R", "/Prev 9 0 R ")
-    val e1 = intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] {
       PdfLite.extract(1L, withPrev.getBytes(ISO_8859_1))
     }
-    assert(e1.getMessage.contains("/Prev"))
     // …and on the 1.4 table generation too
     val t14 = new String(PdfLite.build("x"), ISO_8859_1)
       .replace("/Root 1 0 R", "/Prev 9 0 R ")
-    assert(intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] {
       PdfLite.extract(2L, t14.getBytes(ISO_8859_1))
-    }.getMessage.contains("/Prev"))
+    }
+    // a /Prev CYCLE (section pointing at itself) is loud, not a hang:
+    // inserting into the trailer shifts no object offsets (the trailer
+    // is after the xref table) and startxref's value is unchanged
+    val base = new String(PdfLite.build("cycle probe"), ISO_8859_1)
+    val sxAt = base.lastIndexOf("\nstartxref\n")
+    val ownXref = base.substring(sxAt + 11,
+      base.indexOf('\n', sxAt + 11)).trim
+    val cyc = base.replace("trailer << ", s"trailer << /Prev $ownXref ")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(6L, cyc.getBytes(ISO_8859_1))
+    }.getMessage.contains("cycle"))
+    // hybrid-reference files (/XRefStm in the trailer) hide objects
+    // from the table — reading it alone would be silently wrong: loud
+    val hyb = base.replace("trailer << ", "trailer << /XRefStm 99 ")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(7L, hyb.getBytes(ISO_8859_1))
+    }.getMessage.contains("hybrid"))
+    // an indirect /Length in the xref stream's own dict (spec requires
+    // direct entries there) is loud: patch the 1.5 xref stream's
+    // /Length N to /Length N 0 R via same-length-irrelevant tail edit
+    val xsAt = s.lastIndexOf("0 obj << /Type /XRef")
+    val lenM = "/Length (\\d+)".r.findFirstMatchIn(s.substring(xsAt)).get
+    val indirectXref = s.substring(0, xsAt) + s.substring(xsAt)
+      .replaceFirst("/Length \\d+", s"/Length 4 0 R")
+    assert(lenM != null && intercept[IllegalArgumentException] {
+      PdfLite.extract(8L, indirectXref.getBytes(ISO_8859_1))
+    }.getMessage.contains("xref stream"))
     // a flipped byte inside the compressed xref stream is loud (zlib
     // adler32 or entry-shape check), never a silently wrong walk
     val xrefDataAt = s.lastIndexOf("stream\n") + 7
@@ -434,6 +460,51 @@ class R15OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PdfLite.extract(5L, "%PDF-1.3\nxx".getBytes(ISO_8859_1))
     }
+  }
+
+  test("pdf incremental update: /Prev chain surface == direct build surface") {
+    // the update replaces a draft page tree; newest-wins + free-entry
+    // shadowing must leave a surface identical to building the final
+    // text directly — across scripts, page counts, and filters
+    val texts = Seq("", "short ascii", "日本語のテキストです — 混合 scripts",
+      "x" * 5000, "emoji 😀 and accents éàü")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Seq(false, true).foreach { fl =>
+        val inc = PdfLite.extract(i.toLong,
+          PdfLite.buildIncremental(t, flate = fl))
+        val direct = PdfLite.extract(i.toLong, PdfLite.build(t, flate = fl))
+        assert(inc == direct, s"text #$i flate=$fl: $inc != $direct")
+      }
+    }
+    // a draft LONGER than the final text (more freed objects than new
+    // ones) and one that spans pages exercise uneven free subsections
+    val longDraft = "draft " * 2000
+    val r = PdfLite.extract(9L, PdfLite.buildIncremental("tiny", longDraft))
+    assert(r == PdfLite.extract(9L, PdfLite.build("tiny")), r.toString)
+    // the deleted draft text must NOT leak into the extraction — the
+    // md5 pins it, but assert the op count too: a resurrected draft
+    // content stream would inflate n_text_ops
+    assert(r.n_text_ops == 1L && r.n_pages == 1L)
+  }
+
+  test("pdf indirect /Length: resolved through the xref, same surface") {
+    Seq("", "plain", "unicode — テスト", "y" * 4000).zipWithIndex.foreach {
+      case (t, i) =>
+        val ind = PdfLite.extract(i.toLong, PdfLite.build(t, indirectLen = true))
+        val direct = PdfLite.extract(i.toLong, PdfLite.build(t))
+        // /Length helper integers are format plumbing: excluded from
+        // n_objects so both layouts publish the same surface
+        assert(ind == direct, s"text #$i: $ind != $direct")
+    }
+    // a dangling /Length target is loud, not a silent mis-frame —
+    // same-length patch (object 6 → absent object 9) so no offset
+    // shifts: the failure must come from the resolver, nothing else
+    val b = new String(PdfLite.build("dangle", indirectLen = true), ISO_8859_1)
+    val broken = b.replaceFirst("/Length 6 0 R", "/Length 9 0 R")
+    assert(broken != b)
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, broken.getBytes(ISO_8859_1))
+    }.getMessage.contains("/Length"))
   }
 
   test("pdf 1.5: whole-corpus mixed-generation query == plain query (sf0.001)") {
