@@ -317,6 +317,110 @@ object PdfLite {
       .getBytes(ISO_8859_1)
   }
 
+  /** Build a HYBRID-REFERENCE file for the same document (PDF 1.5
+    * §3.4.7 / ISO 32000-1 §7.5.8.4 — the layout Acrobat 6+ emits for
+    * backward compatibility): the non-stream objects live in an
+    * object stream exactly as in [[build15]], but `startxref`
+    * addresses a CLASSIC table whose rows mark those hidden members
+    * FREE, and the trailer's /XRefStm points at the side xref stream
+    * that really defines them. A reader that uses the table alone
+    * sees the catalog and page tree as deleted — the side stream's
+    * entries must win — so the surface-equality oracle (identical to
+    * [[build]]'s) is exactly the hybrid-precedence check. */
+  private[graft] def buildHybrid(text: String): Array[Byte] = {
+    val chunks = chunksOf(text)
+    val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
+      else chunks.grouped(OpsPerPage).toSeq
+    val n = pagesOps.length
+    val fontObj = 3 + 2 * n
+    val objStmNum = fontObj + 1
+    val xrefNum = fontObj + 2
+    val inStm = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    inStm += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    inStm += 2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>"
+    (0 until n).foreach { i =>
+      inStm += (3 + i) -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    }
+    inStm += fontObj ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val bodyBuf = new StringBuilder
+    val pairs = inStm.map { case (num, body) =>
+      val off = bodyBuf.length
+      bodyBuf.append(body).append('\n')
+      (num, off)
+    }
+    val pairHeader = pairs.map { case (num, off) => s"$num $off" }
+      .mkString(" ") + "\n"
+    val stmComp = flateBytes((pairHeader + bodyBuf).getBytes(ISO_8859_1))
+
+    val head = "%PDF-1.5\n"
+    var off = head.length
+    val directs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def add(num: Int, body: String): Unit = {
+      offsets(num) = off; directs += body; off += body.length
+    }
+    (0 until n).foreach { i =>
+      val b = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
+      pagesOps(i).foreach(c =>
+        b.append('(').append(escape(c)).append(") Tj 0 -12 Td\n"))
+      b.append("ET\n")
+      val comp = flateBytes(b.toString.getBytes(ISO_8859_1))
+      add(3 + n + i,
+        s"${3 + n + i} 0 obj << /Length ${comp.length} /Filter /FlateDecode >> stream\n" +
+          new String(comp, ISO_8859_1) + "endstream endobj\n")
+    }
+    add(objStmNum,
+      s"$objStmNum 0 obj << /Type /ObjStm /N ${inStm.length} /First ${pairHeader.length} " +
+        s"/Length ${stmComp.length} /Filter /FlateDecode >> stream\n" +
+        new String(stmComp, ISO_8859_1) + "endstream endobj\n")
+    // the side xref stream defines ONLY what the table hides (plus
+    // itself): type-2 entries for the ObjStm members, via /Index runs
+    val xrefStmOff = off
+    val size = xrefNum + 1
+    val stmIndex = pairs.zipWithIndex.map { case ((num, _), i) => num -> i }.toMap
+    val memberNums = pairs.map(_._1).sorted
+    val runs = memberNums.foldLeft(List.empty[(Int, Int)]) {
+      case ((f, c) :: t, num) if num == f + c => (f, c + 1) :: t
+      case (acc, num) => (num, 1) :: acc
+    }.reverse ++ List((xrefNum, 1))
+    val entryData = new java.io.ByteArrayOutputStream()
+    def ent(t: Int, a: Long, b: Int): Unit = {
+      entryData.write(t)
+      (3 to 0 by -1).foreach(i => entryData.write(((a >> (8 * i)) & 0xffL).toInt))
+      entryData.write((b >> 8) & 0xff); entryData.write(b & 0xff)
+    }
+    runs.foreach { case (first, count) =>
+      (first until first + count).foreach { num =>
+        if (num == xrefNum) ent(1, xrefStmOff.toLong, 0)
+        else ent(2, objStmNum.toLong, stmIndex(num))
+      }
+    }
+    val xdata = flateBytes(entryData.toByteArray)
+    val indexStr = runs.map { case (f, c) => s"$f $c" }.mkString(" ")
+    add(xrefNum,
+      s"$xrefNum 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
+        s"/Index [$indexStr] /Root 1 0 R " +
+        s"/Length ${xdata.length} /Filter /FlateDecode >> stream\n" +
+        new String(xdata, ISO_8859_1) + "endstream endobj\n")
+    // the classic table: object 0 free, hidden members free, direct
+    // objects (content streams, ObjStm, XRef) at their real offsets
+    val tableOff = off
+    val x = new StringBuilder("xref\n")
+    x.append(s"0 $size\n")
+    x.append("0000000000 65535 f \n")
+    (1 until size).foreach { num =>
+      if (stmIndex.contains(num)) x.append("0000000000 00000 f \n")
+      else x.append(f"${offsets(num)}%010d 00000 n \n")
+    }
+    val trailer = (s"trailer << /Size $size /Root 1 0 R " +
+      s"/XRefStm $xrefStmOff >>\nstartxref\n$tableOff\n%%EOF\n")
+    (head + directs.mkString + x.toString + trailer).getBytes(ISO_8859_1)
+  }
+
   final case class PdfExtract(doc_id: Long, n_objects: Long,
       n_pages: Long, n_text_ops: Long, xref_valid: Boolean,
       extract_md5: String)
@@ -616,13 +720,85 @@ object PdfLite {
     // forbids, so it stays a loud fence
     def noIndirectLen(n: Int): Long =
       fail(id, s"indirect /Length ($n 0 R) in an xref stream dict")
+    // 1.5+ XREF STREAM section: the offset addresses an object whose
+    // stream holds binary entries, /W giving the three field widths.
+    // When it is the SIDE stream of a hybrid-reference file
+    // (§7.5.8.4), it supplements one classic section and shall not
+    // carry its own /Prev — the table's trailer drives the chain.
+    def parseXrefStream(off: Int, depth: Int, hybridSide: Boolean): Unit = {
+      if ("^\\d+ 0 obj".r.findFirstIn(
+          s.substring(off, math.min(s.length, off + 24))).isEmpty)
+        fail(id, if (hybridSide) "/XRefStm does not address an object"
+          else "startxref does not address xref")
+      val hdrEnd = dictEnd(id, s, off)
+      val hdr = if (hdrEnd < 0) fail(id, "xref stream object has no dict")
+        else s.substring(off, hdrEnd)
+      if (!hdr.contains("/XRef"))
+        fail(id, "startxref addresses neither an xref table nor an XRef stream")
+      val secSize = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
+      if (size < 0) size = secSize
+      val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
+        .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
+      val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
+      val w3 = wM.group(3).toInt
+      if (w1 > 4 || w2 > 8 || w3 > 4)
+        fail(id, s"implausible /W [$w1 $w2 $w3]")
+      val index: Seq[(Int, Int)] =
+        "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(hdr) match {
+          case Some(m) =>
+            val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
+              .map(_.toInt).toSeq
+            if (ns.length % 2 != 0) fail(id, "odd /Index array")
+            ns.grouped(2).map(p => (p.head, p(1))).toSeq
+          case None => Seq((0, secSize))
+        }
+      val data = decodedStream(id, s, off, hdr, noIndirectLen)
+        .getOrElse(fail(id, "xref stream has no /Length"))
+      val entryLen = w1 + w2 + w3
+      if (data.length != index.map(_._2).sum * entryLen)
+        fail(id, s"xref stream data ${data.length} != ${index.map(_._2).sum} entries of $entryLen")
+      var p = 0
+      def field(w: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < w) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+        v
+      }
+      index.foreach { case (first, count) =>
+        (0 until count).foreach { k =>
+          val traw = field(w1)
+          val t = if (w1 == 0) 1L else traw // type defaults to 1 (spec)
+          val a = field(w2); val b = field(w3)
+          val objNum = first + k
+          if (objNum != 0) {
+            if (t == 0L) note(objNum, None) // free: shadows older defs
+            else if (t == 1L || t == 2L)
+              note(objNum, Some(XEntry(t.toInt, a, b.toInt)))
+            else fail(id, s"unknown xref entry type $t")
+          }
+        }
+      }
+      dictInt(hdr, "/Prev").foreach { prev =>
+        if (hybridSide)
+          fail(id, "a hybrid /XRefStm shall not carry /Prev (§7.5.8.4)")
+        parseSection(prev, depth + 1)
+      }
+    }
     def parseSection(off: Int, depth: Int): Unit = {
       if (!visited.add(off)) fail(id, s"xref /Prev chain cycle at byte $off")
       if (depth > 64) fail(id, "xref /Prev chain implausibly long")
       if (s.startsWith("xref", off)) {
         // classic cross-reference TABLE: "first count" subsection
         // headers each followed by `count` fixed 20-byte rows (flag
-        // 'n' = in use at offset, 'f' = free), then the trailer dict
+        // 'n' = in use at offset, 'f' = free), then the trailer dict.
+        // Rows are BUFFERED, not noted, until the trailer is read:
+        // a hybrid-reference trailer (/XRefStm, §7.5.8.4) hides
+        // objects from legacy readers by marking them free here while
+        // defining them in a side xref stream — the stream's entries
+        // must be noted FIRST so they win under first-definition-wins,
+        // or the hidden catalog/pages would read as deleted.
+        val rows =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Option[XEntry])]
         var p = s.indexOf('\n', off)
         if (p < 0) fail(id, "truncated xref table")
         p += 1
@@ -641,9 +817,9 @@ object PdfLite {
                 if (p + 20 > s.length) fail(id, "truncated xref row")
                 val row = s.substring(p, p + 20)
                 row.charAt(17) match {
-                  case 'n' => note(first + k,
-                    Some(XEntry(1, row.substring(0, 10).trim.toLong, 0)))
-                  case 'f' => note(first + k, None)
+                  case 'n' => rows += (first + k) ->
+                    Some(XEntry(1, row.substring(0, 10).trim.toLong, 0))
+                  case 'f' => rows += (first + k) -> None
                   case c => fail(id, s"bad xref row flag '$c'")
                 }
                 p += 20
@@ -654,68 +830,16 @@ object PdfLite {
         val dictAt = s.indexOf("<<", trailerAt)
         if (dictAt < 0) fail(id, "trailer has no dict")
         val trailer = s.substring(dictAt, dictEnd(id, s, dictAt))
-        // hybrid-reference files hide objects from legacy readers by
-        // marking them free in the table and real in a side /XRefStm —
-        // reading the table alone would be SILENTLY wrong, so: loud
-        if (trailer.contains("/XRefStm"))
-          fail(id, "hybrid-reference files (/XRefStm) are not supported")
         if (size < 0)
           size = dictInt(trailer, "/Size").getOrElse(fail(id, "no /Size"))
+        dictInt(trailer, "/XRefStm").foreach { xs =>
+          if (!visited.add(xs))
+            fail(id, s"xref /Prev chain cycle at byte $xs")
+          parseXrefStream(xs, depth, hybridSide = true)
+        }
+        rows.foreach { case (objNum, e) => note(objNum, e) }
         dictInt(trailer, "/Prev").foreach(parseSection(_, depth + 1))
-      } else if ("^\\d+ 0 obj".r.findFirstIn(
-          s.substring(off, math.min(s.length, off + 24))).isDefined) {
-        // 1.5+ XREF STREAM: startxref (or /Prev) addresses an object
-        // whose stream holds binary entries, /W giving field widths
-        val hdrEnd = dictEnd(id, s, off)
-        val hdr = if (hdrEnd < 0) fail(id, "xref stream object has no dict")
-          else s.substring(off, hdrEnd)
-        if (!hdr.contains("/XRef"))
-          fail(id, "startxref addresses neither an xref table nor an XRef stream")
-        val secSize = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
-        if (size < 0) size = secSize
-        val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
-          .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
-        val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
-        val w3 = wM.group(3).toInt
-        if (w1 > 4 || w2 > 8 || w3 > 4)
-          fail(id, s"implausible /W [$w1 $w2 $w3]")
-        val index: Seq[(Int, Int)] =
-          "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(hdr) match {
-            case Some(m) =>
-              val ns = m.group(1).trim.split("\\s+").filter(_.nonEmpty)
-                .map(_.toInt).toSeq
-              if (ns.length % 2 != 0) fail(id, "odd /Index array")
-              ns.grouped(2).map(p => (p.head, p(1))).toSeq
-            case None => Seq((0, secSize))
-          }
-        val data = decodedStream(id, s, off, hdr, noIndirectLen)
-          .getOrElse(fail(id, "xref stream has no /Length"))
-        val entryLen = w1 + w2 + w3
-        if (data.length != index.map(_._2).sum * entryLen)
-          fail(id, s"xref stream data ${data.length} != ${index.map(_._2).sum} entries of $entryLen")
-        var p = 0
-        def field(w: Int): Long = {
-          var v = 0L
-          var k = 0
-          while (k < w) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
-          v
-        }
-        index.foreach { case (first, count) =>
-          (0 until count).foreach { k =>
-            val traw = field(w1)
-            val t = if (w1 == 0) 1L else traw // type defaults to 1 (spec)
-            val a = field(w2); val b = field(w3)
-            val objNum = first + k
-            if (objNum != 0) {
-              if (t == 0L) note(objNum, None) // free: shadows older defs
-              else if (t == 1L || t == 2L)
-                note(objNum, Some(XEntry(t.toInt, a, b.toInt)))
-              else fail(id, s"unknown xref entry type $t")
-            }
-          }
-        }
-        dictInt(hdr, "/Prev").foreach(parseSection(_, depth + 1))
-      } else fail(id, "startxref does not address xref")
+      } else parseXrefStream(off, depth, hybridSide = false)
     }
     parseSection(xrefOff, 0)
     entries.keys.lastOption.foreach { k =>
@@ -860,28 +984,32 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
-  /** The GENERATIONS twin: doc_id (mod 4) picks the container
+  /** The GENERATIONS twin: doc_id (mod 5) picks the container
     * layout — 0 → PDF 1.5 (xref stream + object stream, [[build15]]),
     * 1 → classic flate 1.4, 2 → INCREMENTALLY UPDATED (a /Prev-chained
     * second xref section replacing a draft page tree, with the draft's
     * objects freed — [[buildIncremental]]), 3 → indirect `/Length N 0
-    * R` streams — so one query exercises both cross-reference
-    * machineries, the update-chain walk, free-entry shadowing, AND
-    * indirect-length resolution end to end. The deterministic surface
-    * is layout-independent by construction, so the SAME oracle
-    * hash-checks all four paths: an xref-stream decode, /W-field,
-    * ObjStm-indexing, chain-walk, resurrection, or length-resolution
-    * defect flips the driver hash. */
+    * R` streams, 4 → HYBRID-REFERENCE (classic table hiding the
+    * object-stream members behind a /XRefStm side stream,
+    * [[buildHybrid]]) — so one query exercises both cross-reference
+    * machineries, the update-chain walk, free-entry shadowing,
+    * indirect-length resolution, AND hybrid side-stream precedence
+    * end to end. The deterministic surface is layout-independent by
+    * construction, so the SAME oracle hash-checks all five paths: an
+    * xref-stream decode, /W-field, ObjStm-indexing, chain-walk,
+    * resurrection, length-resolution, or hybrid-precedence defect
+    * flips the driver hash. */
   def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        extract(id, (id % 4) match {
+        extract(id, (id % 5) match {
           case 0 => build15(text)
           case 1 => build(text, flate = true)
           case 2 => buildIncremental(text, flate = true)
-          case _ => build(text, indirectLen = true)
+          case 3 => build(text, indirectLen = true)
+          case _ => buildHybrid(text)
         })
       })
       .toDF()

@@ -429,12 +429,12 @@ class R15OpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       PdfLite.extract(6L, cyc.getBytes(ISO_8859_1))
     }.getMessage.contains("cycle"))
-    // hybrid-reference files (/XRefStm in the trailer) hide objects
-    // from the table — reading it alone would be silently wrong: loud
+    // a /XRefStm pointing at garbage (byte 99 is mid-file, not an
+    // object) is loud — the side stream is required, never skipped
     val hyb = base.replace("trailer << ", "trailer << /XRefStm 99 ")
     assert(intercept[IllegalArgumentException] {
       PdfLite.extract(7L, hyb.getBytes(ISO_8859_1))
-    }.getMessage.contains("hybrid"))
+    }.getMessage.contains("/XRefStm"))
     // an indirect /Length in the xref stream's own dict (spec requires
     // direct entries there) is loud: patch the 1.5 xref stream's
     // /Length N to /Length N 0 R via same-length-irrelevant tail edit
@@ -505,6 +505,37 @@ class R15OpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       PdfLite.extract(1L, broken.getBytes(ISO_8859_1))
     }.getMessage.contains("/Length"))
+  }
+
+  test("pdf hybrid-reference: /XRefStm side stream wins over the table's free rows") {
+    Seq("", "hybrid probe", "ハイブリッド — mixed", "z" * 5000).zipWithIndex
+      .foreach { case (t, i) =>
+        val hyb = PdfLite.extract(i.toLong, PdfLite.buildHybrid(t))
+        val direct = PdfLite.extract(i.toLong, PdfLite.build(t))
+        // the classic table marks the catalog/pages/font FREE; only
+        // the side stream's type-2 entries make them readable — a
+        // reader that applies the table first (or skips the side
+        // stream) loses the whole page tree, so surface equality IS
+        // the precedence check
+        assert(hyb == direct, s"text #$i: $hyb != $direct")
+      }
+    // structure sanity: the hybrid bytes really do carry a classic
+    // table with free member rows AND a /XRefStm trailer key
+    val b = new String(PdfLite.buildHybrid("x"), ISO_8859_1)
+    assert(b.contains("/XRefStm") && b.contains("0000000000 00000 f"))
+    val sx = b.substring(b.lastIndexOf("\nstartxref\n") + 11).trim
+      .takeWhile(_.isDigit).toInt
+    assert(b.startsWith("xref", sx)) // startxref addresses the TABLE
+    // §7.5.8.4: the hybrid side stream shall not carry /Prev — loud.
+    // Same-length patch inside the side stream's dict (/Root → /Prev
+    // keeps every offset valid; the target value 1 is never read)
+    val xsAt = b.lastIndexOf("0 obj << /Type /XRef")
+    val withPrev = b.substring(0, xsAt) +
+      b.substring(xsAt).replaceFirst("/Root 1 0 R", "/Prev 1 0 R")
+    assert(withPrev != b)
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, withPrev.getBytes(ISO_8859_1))
+    }.getMessage.contains("/Prev"))
   }
 
   test("pdf 1.5: whole-corpus mixed-generation query == plain query (sf0.001)") {
