@@ -26,6 +26,13 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
   * at a time. */
 object Codec {
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // spills through a temp file, so a 32-thread executor encoding small
+  // thumbnails serializes on file create/delete instead of computing.
+  // Memory-cached streams are strictly better for our byte-array I/O
+  // (images are bounded by the batch interface, never huge).
+  ImageIO.setUseCache(false)
+
   private def toBufferedImage(width: Int, height: Int,
       rgb: Array[Byte]): BufferedImage = {
     require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width*$height*3")

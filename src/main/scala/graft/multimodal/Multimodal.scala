@@ -310,7 +310,15 @@ object Multimodal {
     // re-ran the full corpus encode (~5s per query at sf0.1); this is
     // also the realistic shape — media BYTES are stored, not re-made
     graft.SessionCache.checkpointed(spark, s"mm.encoded|$dir") {
+      // the input is byte-cheap (one long per row) but the derived
+      // work is CPU-heavy (a real codec encode per row), so the scan's
+      // bytes-based partitioning collapses a small corpus file onto
+      // one core: repartition the IDS (the only thing that shuffles —
+      // media bytes are born on executors after) so the encode, the
+      // staged file count, and every downstream decode scan fan out
+      // across the cluster instead of serializing on file boundaries
       Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.grouped(BatchSize).flatMap { batch =>
             batch.iterator.flatMap { id =>
@@ -552,7 +560,10 @@ object Multimodal {
   def encodedVideos(spark: SparkSession, dir: String): Dataset[EncodedMedia] = {
     import spark.implicits._
     graft.SessionCache.checkpointed(spark, s"mm.encoded.gif|$dir") {
+      // ids repartitioned before the encode for the same reason as
+      // [[encodedMedia]]: CPU-heavy derivation from a byte-cheap scan
       Tables.load(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.grouped(BatchSize).flatMap { batch =>
             batch.iterator.map { id =>
