@@ -165,66 +165,89 @@ object PdfLite {
     * hash or the counters. */
   private[graft] def buildIncremental(text: String,
       draft: String = "DRAFT — superseded by the incremental update",
+      flate: Boolean = false): Array[Byte] =
+    buildIncrementalChain(Seq(draft, text), flate)
+
+  /** The general form: a CHAIN of incremental saves. `texts.head` is
+    * the base document; every later element is one more save that
+    * replaces the then-current page tree (frees its page/content
+    * objects, appends fresh ones, /Prev-links the previous xref). The
+    * final surface equals `build(texts.last)`'s, however long the
+    * chain — so a reader defect at ANY depth of the newest-first walk
+    * (missed section, wrong precedence, resurrected intermediate
+    * draft) flips the same oracle. */
+  private[graft] def buildIncrementalChain(texts: Seq[String],
       flate: Boolean = false): Array[Byte] = {
-    val baseBytes = build(draft, flate)
-    val baseStr = new String(baseBytes, ISO_8859_1)
-    val prevAt = baseStr.lastIndexOf("\nstartxref\n")
-    val prevXref = baseStr.substring(prevAt + 11,
-      baseStr.indexOf('\n', prevAt + 11)).trim.toInt
+    require(texts.length >= 2, "a chain needs a base and >= 1 update")
+    var bytes = build(texts.head, flate)
     val n1 = {
-      val c = chunksOf(draft)
+      val c = chunksOf(texts.head)
       if (c.isEmpty) 1 else c.grouped(OpsPerPage).length
     }
-    val fontObj = 3 + 2 * n1 // the base's font object is REUSED
-    val chunks = chunksOf(text)
-    val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
-      else chunks.grouped(OpsPerPage).toSeq
-    val n2 = pagesOps.length
-    val firstNew = fontObj + 1
-    // update body: rewritten pages tree + n2 new page + content objects
-    val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    val kids = (0 until n2).map(i => s"${firstNew + i} 0 R").mkString(" ")
-    objs += 2 ->
-      s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n2 >> endobj\n"
-    (0 until n2).foreach { i =>
-      objs += (firstNew + i) -> (s"${firstNew + i} 0 obj << /Type /Page " +
-        s"/Parent 2 0 R /MediaBox [0 0 612 792] " +
-        s"/Contents ${firstNew + n2 + i} 0 R " +
-        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >> endobj\n")
-    }
-    (0 until n2).foreach { i =>
-      val body = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
-      pagesOps(i).foreach { c =>
-        body.append('(').append(escape(c)).append(") Tj 0 -12 Td\n")
+    val fontObj = 3 + 2 * n1 // the base's font object is REUSED forever
+    // the live page/content object range of the current page tree
+    var liveFirst = 3
+    var liveCount = 2 * n1
+    var maxObj = fontObj
+    texts.tail.foreach { text =>
+      val baseStr = new String(bytes, ISO_8859_1)
+      val prevAt = baseStr.lastIndexOf("\nstartxref\n")
+      val prevXref = baseStr.substring(prevAt + 11,
+        baseStr.indexOf('\n', prevAt + 11)).trim.toInt
+      val chunks = chunksOf(text)
+      val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
+        else chunks.grouped(OpsPerPage).toSeq
+      val n2 = pagesOps.length
+      val firstNew = maxObj + 1
+      // update body: rewritten pages tree + n2 new page+content objects
+      val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      val kids = (0 until n2).map(i => s"${firstNew + i} 0 R").mkString(" ")
+      objs += 2 ->
+        s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n2 >> endobj\n"
+      (0 until n2).foreach { i =>
+        objs += (firstNew + i) -> (s"${firstNew + i} 0 obj << /Type /Page " +
+          s"/Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Contents ${firstNew + n2 + i} 0 R " +
+          s"/Resources << /Font << /F1 $fontObj 0 R >> >> >> endobj\n")
       }
-      body.append("ET\n")
-      val raw = body.toString.getBytes(ISO_8859_1)
-      val (streamBytes, filter) =
-        if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
-      objs += (firstNew + n2 + i) -> (s"${firstNew + n2 + i} 0 obj " +
-        s"<< /Length ${streamBytes.length}$filter >> stream\n" +
-        new String(streamBytes, ISO_8859_1) + "endstream endobj\n")
+      (0 until n2).foreach { i =>
+        val body = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
+        pagesOps(i).foreach { c =>
+          body.append('(').append(escape(c)).append(") Tj 0 -12 Td\n")
+        }
+        body.append("ET\n")
+        val raw = body.toString.getBytes(ISO_8859_1)
+        val (streamBytes, filter) =
+          if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
+        objs += (firstNew + n2 + i) -> (s"${firstNew + n2 + i} 0 obj " +
+          s"<< /Length ${streamBytes.length}$filter >> stream\n" +
+          new String(streamBytes, ISO_8859_1) + "endstream endobj\n")
+      }
+      val offsets = scala.collection.mutable.Map.empty[Int, Int]
+      var off = bytes.length
+      objs.foreach { case (num, body) =>
+        offsets(num) = off
+        off += body.getBytes(ISO_8859_1).length
+      }
+      val xrefOff = off
+      // three subsections: the rewritten pages tree, the freed
+      // previous page/content range, and the appended objects
+      val x = new StringBuilder("xref\n")
+      x.append("2 1\n").append(f"${offsets(2)}%010d 00000 n \n")
+      x.append(s"$liveFirst $liveCount\n")
+      (0 until liveCount).foreach(_ => x.append("0000000000 65535 f \n"))
+      x.append(s"$firstNew ${2 * n2}\n")
+      (0 until 2 * n2).foreach(i =>
+        x.append(f"${offsets(firstNew + i)}%010d 00000 n \n"))
+      val trailer = (s"trailer << /Size ${firstNew + 2 * n2} /Root 1 0 R " +
+        s"/Prev $prevXref >>\nstartxref\n$xrefOff\n%%EOF\n")
+      bytes = bytes ++ (objs.map(_._2).mkString + x.toString + trailer)
+        .getBytes(ISO_8859_1)
+      liveFirst = firstNew
+      liveCount = 2 * n2
+      maxObj = firstNew + 2 * n2 - 1
     }
-    val offsets = scala.collection.mutable.Map.empty[Int, Int]
-    var off = baseBytes.length
-    objs.foreach { case (num, body) =>
-      offsets(num) = off
-      off += body.getBytes(ISO_8859_1).length
-    }
-    val xrefOff = off
-    // three subsections: the rewritten pages tree, the draft's freed
-    // page/content range, and the appended objects
-    val x = new StringBuilder("xref\n")
-    x.append("2 1\n").append(f"${offsets(2)}%010d 00000 n \n")
-    x.append(s"3 ${2 * n1}\n")
-    (0 until 2 * n1).foreach(_ => x.append("0000000000 65535 f \n"))
-    x.append(s"$firstNew ${2 * n2}\n")
-    (0 until 2 * n2).foreach(i =>
-      x.append(f"${offsets(firstNew + i)}%010d 00000 n \n"))
-    val trailer = (s"trailer << /Size ${firstNew + 2 * n2} /Root 1 0 R " +
-      s"/Prev $prevXref >>\nstartxref\n$xrefOff\n%%EOF\n")
-    baseBytes ++ (objs.map(_._2).mkString + x.toString + trailer)
-      .getBytes(ISO_8859_1)
+    bytes
   }
 
   /** Build one PDF 1.5 container for the same document: identical page
@@ -421,6 +444,166 @@ object PdfLite {
     (head + directs.mkString + x.toString + trailer).getBytes(ISO_8859_1)
   }
 
+  // ---- Standard security handler, RC4 generations (PDF 1.4 §3.5 /
+  // ISO 32000-1 §7.6.3, public spec) -------------------------------
+  // The overwhelmingly common encrypted wild PDF is "owner-locked":
+  // /Filter /Standard with an EMPTY user password (V1/R2 RC4-40 or
+  // V2/R3 RC4-128) — readers open it without prompting. That class is
+  // supported end to end; a real user password, AES (/V 4+), or a
+  // non-Standard handler fails loudly.
+
+  /** The 32-byte padding string of §7.6.3.3 Algorithm 2 (an empty
+    * password pads to exactly these bytes). */
+  private val PadBytes: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (public design; symmetric, so this is encrypt AND decrypt). */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var a = 0; var b = 0; var k = 0
+    while (k < data.length) {
+      a = (a + 1) & 0xff
+      b = (b + s(a)) & 0xff
+      val t = s(a); s(a) = s(b); s(b) = t
+      out(k) = (data(k) ^ s((s(a) + s(b)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Algorithm 2: the file encryption key for the EMPTY user password
+    * (padded password = [[PadBytes]] verbatim). `p` is signed 32-bit,
+    * serialized little-endian. */
+  private def fileKey(r: Int, keyLen: Int, o: Array[Byte], p: Int,
+      fileId: Array[Byte]): Array[Byte] = {
+    val pBytes = Array[Byte](
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var h = md5(PadBytes, o, pBytes, fileId)
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h.take(keyLen)))
+    h.take(keyLen)
+  }
+
+  /** Algorithm 3: the /O value when owner and user passwords are both
+    * empty (the owner-locked writer's degenerate-but-conformant case
+    * is /P restrictions with empty passwords). */
+  private def ownerBytes(r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5(PadBytes)
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h))
+    val key = h.take(keyLen)
+    var o = rc4(key, PadBytes)
+    if (r >= 3) (1 to 19).foreach { i =>
+      o = rc4(key.map(b => (b ^ i).toByte), o)
+    }
+    o
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3): the /U value for the empty user
+    * password; R3's trailing 16 bytes are arbitrary padding (zeros). */
+  private def userBytes(r: Int, key: Array[Byte],
+      fileId: Array[Byte]): Array[Byte] =
+    if (r == 2) rc4(key, PadBytes)
+    else {
+      var u = rc4(key, md5(PadBytes, fileId))
+      (1 to 19).foreach(i => u = rc4(key.map(b => (b ^ i).toByte), u))
+      u ++ new Array[Byte](16)
+    }
+
+  /** Algorithm 1: the per-object key — MD5(file key ‖ objnum low 3 LE
+    * ‖ gen low 2 LE), truncated to min(keyLen+5, 16). */
+  private def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = key ++ Array[Byte](
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(ext).take(math.min(key.length + 5, 16))
+  }
+
+  private def hexStr(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  /** Build an RC4-ENCRYPTED document (Standard handler, empty user
+    * password — the owner-locked class): same layout as [[build]] plus
+    * the /Encrypt dict after the font, every content stream
+    * RC4-encrypted under its per-object key (encryption is OUTSIDE the
+    * filters: stored = RC4(flate(data))), trailer carrying /Encrypt +
+    * /ID. `r3` picks V2/R3 RC4-128 (the common form) vs V1/R2 RC4-40.
+    * The deterministic surface equals [[build]]'s — the /Encrypt dict
+    * is file plumbing, excluded from the object count like xref
+    * machinery — so the same oracle hash-checks the whole
+    * authenticate→derive→decrypt path. */
+  private[graft] def buildEncrypted(text: String, flate: Boolean = false,
+      r3: Boolean = true): Array[Byte] = {
+    val chunks = chunksOf(text)
+    val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
+      else chunks.grouped(OpsPerPage).toSeq
+    val n = pagesOps.length
+    val fontObj = 3 + 2 * n
+    val encObj = fontObj + 1
+    val r = if (r3) 3 else 2
+    val keyLen = if (r3) 16 else 5
+    val p = -44 // print+modify denied; arbitrary but key-load-bearing
+    val fileId = md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Array[Byte](r.toByte, if (flate) 1 else 0))
+    val o = ownerBytes(r, keyLen)
+    val key = fileKey(r, keyLen, o, p, fileId)
+    val u = userBytes(r, key, fileId)
+    val objs = scala.collection.mutable.ArrayBuffer.empty[String]
+    objs += s"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    objs += s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n"
+    (0 until n).foreach { i =>
+      objs += (s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >> endobj\n")
+    }
+    (0 until n).foreach { i =>
+      val body = new StringBuilder("BT /F1 10 Tf 72 760 Td\n")
+      pagesOps(i).foreach { c =>
+        body.append('(').append(escape(c)).append(") Tj 0 -12 Td\n")
+      }
+      body.append("ET\n")
+      val raw = body.toString.getBytes(ISO_8859_1)
+      val (streamBytes, filter) =
+        if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
+      val enc = rc4(objectKey(key, 3 + n + i, 0), streamBytes)
+      objs += (s"${3 + n + i} 0 obj << /Length ${enc.length}$filter >> " +
+        s"stream\n" + new String(enc, ISO_8859_1) + "endstream endobj\n")
+    }
+    objs += s"$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+    objs += (s"$encObj 0 obj << /Filter /Standard /V ${if (r3) 2 else 1} " +
+      s"/R $r${if (r3) " /Length 128" else ""} /O <${hexStr(o)}> " +
+      s"/U <${hexStr(u)}> /P $p >> endobj\n")
+    val head = "%PDF-1.4\n"
+    val offsets = objs.scanLeft(head.getBytes(ISO_8859_1).length)(
+      (off, ob) => off + ob.getBytes(ISO_8859_1).length)
+    val xrefOff = offsets.last
+    val xref = new StringBuilder(s"xref\n0 ${objs.length + 1}\n")
+    xref.append("0000000000 65535 f \n")
+    offsets.dropRight(1).foreach(off => xref.append(f"$off%010d 00000 n \n"))
+    val trailer = (s"trailer << /Size ${objs.length + 1} /Root 1 0 R " +
+      s"/Encrypt $encObj 0 R /ID [<${hexStr(fileId)}> <${hexStr(fileId)}>] " +
+      s">>\nstartxref\n$xrefOff\n%%EOF\n")
+    (head + objs.mkString + xref.toString + trailer).getBytes(ISO_8859_1)
+  }
+
   final case class PdfExtract(doc_id: Long, n_objects: Long,
       n_pages: Long, n_text_ops: Long, xref_valid: Boolean,
       extract_md5: String)
@@ -586,6 +769,79 @@ object PdfLite {
     (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").r
       .findFirstMatchIn(hdr).map(_.group(1).toInt)
 
+  /** Like [[dictInt]] but signed — /P in an encryption dict is a
+    * NEGATIVE 32-bit permission mask in every real file. */
+  private def dictSignedInt(hdr: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").r
+      .findFirstMatchIn(hdr).map(_.group(1).toInt)
+
+  /** The BINARY value of a string entry (`/O`, `/U`) in a dict — both
+    * PDF string forms (§3.2.3): hex `<…>` (whitespace tolerated, odd
+    * digit zero-padded) and literal `(…)` with the full escape table
+    * (what Acrobat actually writes for O/U). */
+  private def pdfStringValue(id: Long, hdr: String, key: String): Array[Byte] = {
+    val at = hdr.indexOf(key + " ")
+    val at2 = if (at >= 0) at else hdr.indexOf(key + "<") match {
+      case -1 => hdr.indexOf(key + "(")
+      case h => h
+    }
+    if (at2 < 0) fail(id, s"encrypt dict has no $key")
+    var i = at2 + key.length
+    while (i < hdr.length && isPdfWs(hdr.charAt(i))) i += 1
+    if (i >= hdr.length) fail(id, s"$key has no value")
+    hdr.charAt(i) match {
+      case '<' =>
+        val j = hdr.indexOf('>', i + 1)
+        if (j < 0) fail(id, s"unterminated hex string for $key")
+        val hex = hdr.substring(i + 1, j).filterNot(isPdfWs)
+        if (!hex.forall(c => Character.digit(c, 16) >= 0))
+          fail(id, s"non-hex digit in $key")
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        i += 1
+        var depth = 0
+        var done = false
+        while (!done) {
+          if (i >= hdr.length) fail(id, s"unterminated literal string for $key")
+          hdr.charAt(i) match {
+            case '\\' =>
+              if (i + 1 >= hdr.length) fail(id, s"dangling escape in $key")
+              val n = hdr.charAt(i + 1)
+              n match {
+                case 'n' => out.write('\n'); i += 2
+                case 'r' => out.write('\r'); i += 2
+                case 't' => out.write('\t'); i += 2
+                case 'b' => out.write('\b'); i += 2
+                case 'f' => out.write('\f'); i += 2
+                case '(' | ')' | '\\' => out.write(n); i += 2
+                case d if d >= '0' && d <= '7' =>
+                  var k = 0; var v = 0
+                  i += 1
+                  while (k < 3 && i < hdr.length &&
+                      hdr.charAt(i) >= '0' && hdr.charAt(i) <= '7') {
+                    v = v * 8 + (hdr.charAt(i) - '0'); i += 1; k += 1
+                  }
+                  out.write(v & 0xff)
+                case '\n' => i += 2 // line continuation
+                case '\r' =>
+                  i += 2
+                  if (i < hdr.length && hdr.charAt(i) == '\n') i += 1
+                case other => out.write(other); i += 2 // backslash dropped
+              }
+            case '(' => depth += 1; out.write('('); i += 1
+            case ')' =>
+              if (depth == 0) done = true else { depth -= 1; out.write(')') }
+              i += 1
+            case c => out.write(c); i += 1
+          }
+        }
+        out.toByteArray
+      case c => fail(id, s"$key is not a string (starts '$c')")
+    }
+  }
+
   /** Reverse the PNG row predictor (RFC 2083 §6, public) that
     * `/DecodeParms << /Predictor >= 10 /Columns n >>` declares — the
     * form nearly every wild xref stream ships in: each row is one
@@ -641,9 +897,14 @@ object PdfLite {
     * output emit — the length isn't known until the stream is written)
     * is resolved through `resolveLen`; callers where the spec REQUIRES
     * a direct value (the xref stream's own dict, §7.5.8.2) pass a
-    * resolver that fails loudly. */
+    * resolver that fails loudly. `decrypt` is applied to the stored
+    * bytes BEFORE filter decode — encryption is the outermost layer
+    * (§7.6.2: stored = Encrypt(Filter(data))); unencrypted documents
+    * and never-encrypted stream kinds (the xref stream itself) pass
+    * identity. */
   private def decodedStream(id: Long, s: String, off: Int,
-      hdr: String, resolveLen: Int => Long): Option[Array[Byte]] = {
+      hdr: String, resolveLen: Int => Long,
+      decrypt: Array[Byte] => Array[Byte]): Option[Array[Byte]] = {
     "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r.findFirstMatchIn(hdr).map { m =>
       val len =
         if (m.group(2) == null) m.group(1).toInt
@@ -665,7 +926,7 @@ object PdfLite {
       if (e < s.length && s.charAt(e) == '\n') e += 1
       if (!s.startsWith("endstream", e))
         fail(id, s"stream at $dataAt overruns its /Length")
-      val raw = s.substring(dataAt, dataAt + len).getBytes(ISO_8859_1)
+      val raw = decrypt(s.substring(dataAt, dataAt + len).getBytes(ISO_8859_1))
       val inflated =
         if (FlateRe.findFirstIn(hdr).isDefined) inflateBytes(id, raw) else raw
       val pred = dictInt(hdr, "/Predictor").getOrElse(1)
@@ -688,12 +949,15 @@ object PdfLite {
     * 1.5+ XREF STREAM (/W-array binary entries, optional /Index,
     * FlateDecode + PNG predictors) with OBJECT STREAMS (/Type /ObjStm)
     * holding the non-stream objects — the layout the majority of wild
-    * PDFs have shipped since ~2005. Incremental updates (/Prev chains)
-    * and encryption remain loud fences (SCALE.md). n_objects counts
-    * DOCUMENT objects — xref/objstm containers are format plumbing and
-    * are excluded, so 1.4 and 1.5 generations of the same document
-    * publish identical deterministic surfaces. Loud on any structural
-    * corruption. */
+    * PDFs have shipped since ~2005 — plus incremental-update /Prev
+    * chains (newest-first, free-entry shadowing), hybrid-reference
+    * /XRefStm files, indirect /Length, and RC4 Standard-handler
+    * encryption with the empty user password (the owner-locked
+    * class). Remaining loud fences: real user passwords, AES (/V 4+),
+    * CMap-encoded fonts (SCALE.md). n_objects counts DOCUMENT
+    * objects — xref/objstm/encrypt/length-helper plumbing is
+    * excluded, so every layout of one document publishes the same
+    * deterministic surface. Loud on any structural corruption. */
   private[graft] def extract(id: Long, bytes: Array[Byte]): PdfExtract = {
     val s = new String(bytes, ISO_8859_1)
     if (!s.startsWith("%PDF-1.") || s.length < 9 ||
@@ -712,6 +976,24 @@ object PdfLite {
     val entries =
       scala.collection.mutable.SortedMap.empty[Int, Option[XEntry]]
     var size = -1 // the NEWEST section's /Size: max object number + 1
+    // Encryption state lives in the NEWEST trailer (every conformant
+    // save rewrites /Encrypt + /ID there): captured once, first
+    // section seen = newest.
+    var trailerSeen = false
+    var encRef = -1
+    var fileId: Array[Byte] = Array.emptyByteArray
+    val IdRe = "/ID\\s*\\[\\s*<([0-9a-fA-F\\s]*)>".r
+    def captureTrailer(trailer: String): Unit = if (!trailerSeen) {
+      trailerSeen = true
+      size = dictInt(trailer, "/Size").getOrElse(fail(id, "no /Size"))
+      encRef = dictInt(trailer, "/Encrypt").getOrElse(-1)
+      IdRe.findFirstMatchIn(trailer).foreach { m =>
+        val hex = m.group(1).filterNot(isPdfWs)
+        if (hex.length % 2 == 0 && hex.nonEmpty)
+          fileId = hex.grouped(2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray
+      }
+    }
     val visited = scala.collection.mutable.Set.empty[Int]
     def note(objNum: Int, e: Option[XEntry]): Unit =
       if (objNum != 0 && !entries.contains(objNum)) entries(objNum) = e
@@ -736,7 +1018,7 @@ object PdfLite {
       if (!hdr.contains("/XRef"))
         fail(id, "startxref addresses neither an xref table nor an XRef stream")
       val secSize = dictInt(hdr, "/Size").getOrElse(fail(id, "no /Size"))
-      if (size < 0) size = secSize
+      captureTrailer(hdr) // an xref stream's dict doubles as the trailer
       val wM = "/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]".r
         .findFirstMatchIn(hdr).getOrElse(fail(id, "xref stream has no /W"))
       val w1 = wM.group(1).toInt; val w2 = wM.group(2).toInt
@@ -752,7 +1034,9 @@ object PdfLite {
             ns.grouped(2).map(p => (p.head, p(1))).toSeq
           case None => Seq((0, secSize))
         }
-      val data = decodedStream(id, s, off, hdr, noIndirectLen)
+      // §7.5.8.2: the xref stream is NEVER encrypted (it must be
+      // readable before the encryption dict can be located)
+      val data = decodedStream(id, s, off, hdr, noIndirectLen, identity)
         .getOrElse(fail(id, "xref stream has no /Length"))
       val entryLen = w1 + w2 + w3
       if (data.length != index.map(_._2).sum * entryLen)
@@ -830,8 +1114,7 @@ object PdfLite {
         val dictAt = s.indexOf("<<", trailerAt)
         if (dictAt < 0) fail(id, "trailer has no dict")
         val trailer = s.substring(dictAt, dictEnd(id, s, dictAt))
-        if (size < 0)
-          size = dictInt(trailer, "/Size").getOrElse(fail(id, "no /Size"))
+        captureTrailer(trailer)
         dictInt(trailer, "/XRefStm").foreach { xs =>
           if (!visited.add(xs))
             fail(id, s"xref /Prev chain cycle at byte $xs")
@@ -877,6 +1160,51 @@ object PdfLite {
       case None =>
         fail(id, s"/Length object $num is free or absent from the xref")
     }
+    // Decryptor: when the newest trailer names /Encrypt, authenticate
+    // the EMPTY user password (the owner-locked class §7.6.3) and
+    // derive per-object RC4 keys; anything beyond that class — a real
+    // user password, AES (/V 4+), a non-Standard handler — is LOUD.
+    // All our references are generation 0 (`N 0 obj`), so the
+    // per-object key uses gen 0.
+    val decryptFor: Int => Array[Byte] => Array[Byte] =
+      if (encRef < 0) _ => identity
+      else {
+        val e = entries.get(encRef).flatten
+          .getOrElse(fail(id, s"/Encrypt object $encRef absent from xref"))
+        if (e.tpe != 1)
+          fail(id, "/Encrypt dict inside an object stream is not supported")
+        val off = e.a.toInt
+        if (!s.startsWith(s"$encRef 0 obj", off))
+          fail(id, s"xref offset for /Encrypt object $encRef is wrong")
+        val hdrEnd = dictEnd(id, s, off)
+        val hdr = if (hdrEnd < 0) fail(id, "/Encrypt object has no dict")
+          else s.substring(off, hdrEnd)
+        if (!hdr.contains("/Standard"))
+          fail(id, "non-Standard security handler is not supported")
+        val v = dictInt(hdr, "/V").getOrElse(fail(id, "encrypt dict has no /V"))
+        if (v != 1 && v != 2)
+          fail(id, s"encryption /V $v (AES/crypt-filter generations) is not supported")
+        val r = dictInt(hdr, "/R").getOrElse(fail(id, "encrypt dict has no /R"))
+        if (r != 2 && r != 3) fail(id, s"encryption /R $r is not supported")
+        val bits = dictInt(hdr, "/Length").getOrElse(40)
+        if (bits % 8 != 0 || bits < 40 || bits > 128)
+          fail(id, s"implausible encryption /Length $bits")
+        val keyLen = if (v == 1) 5 else bits / 8
+        val o = pdfStringValue(id, hdr, "/O")
+        val u = pdfStringValue(id, hdr, "/U")
+        if (o.length != 32 || u.length != 32)
+          fail(id, s"encrypt /O|/U lengths ${o.length}/${u.length} != 32")
+        val p = dictSignedInt(hdr, "/P").getOrElse(fail(id, "encrypt dict has no /P"))
+        if (fileId.isEmpty)
+          fail(id, "encrypted file without a trailer /ID (key underivable)")
+        val key = fileKey(r, keyLen, o, p, fileId)
+        val uCheck = userBytes(r, key, fileId)
+        val uOk = if (r == 2) java.util.Arrays.equals(uCheck, u)
+          else java.util.Arrays.equals(uCheck.take(16), u.take(16))
+        if (!uOk)
+          fail(id, "password-protected (the empty user password was rejected)")
+        num => data => rc4(objectKey(key, num, 0), data)
+      }
     // pre-pass: decode each referenced OBJECT STREAM and index its
     // member bodies (objNum -> body text; streams can't nest in an
     // ObjStm per spec, so members are dict/array/primitive only)
@@ -895,8 +1223,9 @@ object PdfLite {
       if (!hdr.contains("/ObjStm")) fail(id, s"object $sn is not an ObjStm")
       val n = dictInt(hdr, "/N").getOrElse(fail(id, "ObjStm has no /N"))
       val first = dictInt(hdr, "/First").getOrElse(fail(id, "ObjStm has no /First"))
-      val body = new String(decodedStream(id, s, off, hdr, resolveLen)
-        .getOrElse(fail(id, "ObjStm has no /Length")), ISO_8859_1)
+      val body = new String(
+        decodedStream(id, s, off, hdr, resolveLen, decryptFor(sn))
+          .getOrElse(fail(id, "ObjStm has no /Length")), ISO_8859_1)
       if (first > body.length) fail(id, "ObjStm /First beyond stream end")
       val nums = body.substring(0, first).trim.split("\\s+")
         .filter(_.nonEmpty).map(_.toInt)
@@ -928,18 +1257,20 @@ object PdfLite {
           val hdr = if (hdrEnd < 0) "" else s.substring(off, hdrEnd)
           // format plumbing is excluded from the document-object count
           // and never Tj-tokenized: xref/objstm containers (binary
-          // decoded bytes, not content) and bare-integer /Length
-          // helper objects (stream framing, not content) — so direct,
-          // indirect-length, and 1.5 generations of the same document
-          // all publish the same deterministic surface
+          // decoded bytes, not content), bare-integer /Length helper
+          // objects (stream framing, not content), and the /Encrypt
+          // dict (file security metadata) — so direct,
+          // indirect-length, 1.5, and encrypted layouts of the same
+          // document all publish the same deterministic surface
           val lenHelper = hdrEnd < 0 && bareIntBody(objNum, off).isDefined
           if (!hdr.contains("/ObjStm") && !hdr.contains("/XRef") &&
-              !lenHelper) {
+              !lenHelper && objNum != encRef) {
             nDocObjs += 1
             if (hdr.contains("/Type /Page ")) nPages += 1
-            decodedStream(id, s, off, hdr, resolveLen).foreach { raw =>
-              nOps += tokenizeTj(id, new String(raw, ISO_8859_1), out)
-            }
+            decodedStream(id, s, off, hdr, resolveLen, decryptFor(objNum))
+              .foreach { raw =>
+                nOps += tokenizeTj(id, new String(raw, ISO_8859_1), out)
+              }
           }
         } else objstmBodies(e.a.toInt).get(objNum) match {
           case None => xrefValid = false
@@ -984,32 +1315,37 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
-  /** The GENERATIONS twin: doc_id (mod 5) picks the container
+  /** The GENERATIONS twin: doc_id (mod 6) picks the container
     * layout — 0 → PDF 1.5 (xref stream + object stream, [[build15]]),
-    * 1 → classic flate 1.4, 2 → INCREMENTALLY UPDATED (a /Prev-chained
-    * second xref section replacing a draft page tree, with the draft's
-    * objects freed — [[buildIncremental]]), 3 → indirect `/Length N 0
-    * R` streams, 4 → HYBRID-REFERENCE (classic table hiding the
+    * 1 → classic flate 1.4, 2 → a TWO-SAVE INCREMENTAL-UPDATE CHAIN
+    * (each save /Prev-links the previous xref and frees the replaced
+    * page tree — [[buildIncrementalChain]]), 3 → indirect `/Length N
+    * 0 R` streams, 4 → HYBRID-REFERENCE (classic table hiding the
     * object-stream members behind a /XRefStm side stream,
-    * [[buildHybrid]]) — so one query exercises both cross-reference
-    * machineries, the update-chain walk, free-entry shadowing,
-    * indirect-length resolution, AND hybrid side-stream precedence
+    * [[buildHybrid]]), 5 → RC4-ENCRYPTED (Standard handler V2/R3,
+    * empty user password — [[buildEncrypted]]) — so one query
+    * exercises both cross-reference machineries, the update-chain
+    * walk, free-entry shadowing, indirect-length resolution, hybrid
+    * side-stream precedence, AND the authenticate→derive→decrypt path
     * end to end. The deterministic surface is layout-independent by
-    * construction, so the SAME oracle hash-checks all five paths: an
+    * construction, so the SAME oracle hash-checks all six paths: an
     * xref-stream decode, /W-field, ObjStm-indexing, chain-walk,
-    * resurrection, length-resolution, or hybrid-precedence defect
-    * flips the driver hash. */
+    * resurrection, length-resolution, hybrid-precedence, or
+    * key-derivation defect flips the driver hash. */
   def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        extract(id, (id % 5) match {
+        extract(id, (id % 6) match {
           case 0 => build15(text)
           case 1 => build(text, flate = true)
-          case 2 => buildIncremental(text, flate = true)
+          case 2 => buildIncrementalChain(
+            Seq("draft v1", "draft v2 — still not final", text),
+            flate = true)
           case 3 => build(text, indirectLen = true)
-          case _ => buildHybrid(text)
+          case 4 => buildHybrid(text)
+          case _ => buildEncrypted(text, flate = true)
         })
       })
       .toDF()

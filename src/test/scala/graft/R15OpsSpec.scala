@@ -487,6 +487,29 @@ class R15OpsSpec extends SparkSpec {
     assert(r.n_text_ops == 1L && r.n_pages == 1L)
   }
 
+  test("pdf incremental CHAIN: k saves deep, surface == final build at every k") {
+    // each save replaces the page tree; the newest-first walk must
+    // land on the LAST save's surface at any chain depth — drafts of
+    // varying page counts exercise uneven freed ranges at every level
+    val saves = Seq("v1 first draft", "v2 " + ("longer " * 900),
+      "v3 日本語版", "", "v5 final — released")
+    (2 to saves.length).foreach { k =>
+      Seq(false, true).foreach { fl =>
+        val chain = PdfLite.extract(k.toLong,
+          PdfLite.buildIncrementalChain(saves.take(k), flate = fl))
+        val direct = PdfLite.extract(k.toLong,
+          PdfLite.build(saves(k - 1), flate = fl))
+        assert(chain == direct, s"depth $k flate=$fl: $chain != $direct")
+      }
+    }
+    // a 12-deep chain stays linear and exact (the reader's 64-section
+    // fence is far above any real save count)
+    val deep = (0 until 12).map(i => s"revision $i") :+ "the final text"
+    val r = PdfLite.extract(99L, PdfLite.buildIncrementalChain(deep))
+    assert(r == PdfLite.extract(99L, PdfLite.build("the final text")))
+    assert(r.n_text_ops == 1L && r.xref_valid)
+  }
+
   test("pdf indirect /Length: resolved through the xref, same surface") {
     Seq("", "plain", "unicode — テスト", "y" * 4000).zipWithIndex.foreach {
       case (t, i) =>
@@ -536,6 +559,81 @@ class R15OpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       PdfLite.extract(1L, withPrev.getBytes(ISO_8859_1))
     }.getMessage.contains("/Prev"))
+  }
+
+  test("pdf rc4 encryption: owner-locked files decrypt, surface == direct build") {
+    // both RC4 generations (V1/R2 40-bit, V2/R3 128-bit), flate on/off,
+    // across scripts and page counts: authenticate-derive-decrypt must
+    // reproduce the unencrypted surface exactly
+    Seq("", "secret text", "暗号化テスト — mixed", "s" * 5000).zipWithIndex
+      .foreach { case (t, i) =>
+        Seq(false, true).foreach { fl =>
+          Seq(false, true).foreach { r3 =>
+            val enc = PdfLite.extract(i.toLong,
+              PdfLite.buildEncrypted(t, flate = fl, r3 = r3))
+            val direct = PdfLite.extract(i.toLong, PdfLite.build(t, flate = fl))
+            assert(enc == direct, s"#$i flate=$fl r3=$r3: $enc != $direct")
+          }
+        }
+      }
+  }
+
+  test("pdf rc4 encryption: fences and corruption fail loudly") {
+    val b = new String(PdfLite.buildEncrypted("fence probe"), ISO_8859_1)
+    // a REAL (non-empty) user password: flipping a /U byte makes the
+    // empty-password authentication fail — loud, never a garbage md5
+    val uAt = b.indexOf("/U <") + 4
+    val flipped = b.substring(0, uAt) +
+      (if (b.charAt(uAt) == '0') '1' else '0') + b.substring(uAt + 1)
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, flipped.getBytes(ISO_8859_1))
+    }.getMessage.contains("password"))
+    // the /ID is key material: corrupting it breaks authentication
+    val idAt = b.indexOf("/ID [<") + 6
+    val badId = b.substring(0, idAt) +
+      (if (b.charAt(idAt) == '0') '1' else '0') + b.substring(idAt + 1)
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(2L, badId.getBytes(ISO_8859_1))
+    }.getMessage.contains("password"))
+    // AES generations are a loud fence (same-length patch: V 2 -> V 4)
+    val aes = b.replace("/V 2 ", "/V 4 ")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(3L, aes.getBytes(ISO_8859_1))
+    }.getMessage.contains("/V 4"))
+    // a non-Standard handler is loud (same-length name patch)
+    val foreign = b.replace("/Filter /Standard", "/Filter /Standare")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(4L, foreign.getBytes(ISO_8859_1))
+    }.getMessage.contains("non-Standard"))
+    // a flipped byte inside an encrypted flate stream decrypts to
+    // garbage and the zlib adler32 fails loudly — corruption cannot
+    // silently survive the decrypt layer
+    val bf = PdfLite.buildEncrypted("corrupt me please", flate = true)
+    val sAt = new String(bf, ISO_8859_1).indexOf("stream\n") + 7
+    bf(sAt + 4) = (bf(sAt + 4) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PdfLite.extract(5L, bf) }
+    // wild-writer form: /O and /U as LITERAL strings with escapes must
+    // parse to the same 32 bytes (re-encode our hex O/U as literals)
+    def lit(hex: String): String = "(" + hex.grouped(2).map { h =>
+      val v = Integer.parseInt(h, 16)
+      f"\\${v}%03o" // octal-escape every byte: always legal
+    }.mkString + ")"
+    val oHex = "/O <([0-9a-f]+)>".r.findFirstMatchIn(b).get.group(1)
+    val uHex = "/U <([0-9a-f]+)>".r.findFirstMatchIn(b).get.group(1)
+    val asLit = b.replace(s"/O <$oHex>", s"/O ${lit(oHex)}")
+      .replace(s"/U <$uHex>", s"/U ${lit(uHex)}")
+    assert(asLit != b)
+    // the literal form is longer than hex, which shifts the xref
+    // TABLE (the dict is the last object); every object offset in the
+    // table is still valid — only startxref needs the delta applied
+    val delta = asLit.length - b.length
+    val sxAt = asLit.lastIndexOf("\nstartxref\n")
+    val numEnd = asLit.indexOf('\n', sxAt + 11)
+    val fixed = asLit.substring(0, sxAt + 11) +
+      (asLit.substring(sxAt + 11, numEnd).trim.toInt + delta) +
+      asLit.substring(numEnd)
+    val r = PdfLite.extract(6L, fixed.getBytes(ISO_8859_1))
+    assert(r == PdfLite.extract(6L, PdfLite.build("fence probe")), r.toString)
   }
 
   test("pdf 1.5: whole-corpus mixed-generation query == plain query (sf0.001)") {
