@@ -527,13 +527,42 @@ object PdfLite {
     }
 
   /** Algorithm 1: the per-object key — MD5(file key ‖ objnum low 3 LE
-    * ‖ gen low 2 LE), truncated to min(keyLen+5, 16). */
-  private def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
-    val ext = key ++ Array[Byte](
+    * ‖ gen low 2 LE ‖ [the AES salt "sAlT" when the crypt filter is
+    * AESV2]), truncated to min(keyLen+5, 16). */
+  private def objectKey(key: Array[Byte], num: Int, gen: Int,
+      aes: Boolean = false): Array[Byte] = {
+    val tail = Array[Byte](
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte,
       (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-    md5(ext).take(math.min(key.length + 5, 16))
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+      else Array.emptyByteArray
+    md5(key ++ tail ++ salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** AES-128-CBC with PKCS#5 padding — the AESV2 crypt filter's cipher
+    * (§7.6.2: stored stream = 16-byte IV ‖ ciphertext). */
+  private def aesCbc(id: Long, key: Array[Byte], data: Array[Byte],
+      encrypt: Boolean, iv: Array[Byte] = null): Array[Byte] = {
+    if (!encrypt && data.length < 16)
+      fail(id, s"AES stream shorter than its IV (${data.length} bytes)")
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    val k = new javax.crypto.spec.SecretKeySpec(key, "AES")
+    if (encrypt) {
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE, k,
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    } else {
+      c.init(javax.crypto.Cipher.DECRYPT_MODE, k,
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      try c.doFinal(data, 16, data.length - 16)
+      catch {
+        case e: javax.crypto.BadPaddingException =>
+          fail(id, s"AES padding invalid (wrong key or corrupt stream): $e")
+        case e: javax.crypto.IllegalBlockSizeException =>
+          fail(id, s"AES stream length not a block multiple: $e")
+      }
+    }
   }
 
   private def hexStr(b: Array[Byte]): String =
@@ -544,24 +573,28 @@ object PdfLite {
     * the /Encrypt dict after the font, every content stream
     * RC4-encrypted under its per-object key (encryption is OUTSIDE the
     * filters: stored = RC4(flate(data))), trailer carrying /Encrypt +
-    * /ID. `r3` picks V2/R3 RC4-128 (the common form) vs V1/R2 RC4-40.
-    * The deterministic surface equals [[build]]'s — the /Encrypt dict
-    * is file plumbing, excluded from the object count like xref
-    * machinery — so the same oracle hash-checks the whole
-    * authenticate→derive→decrypt path. */
+    * /ID. `r3` picks V2/R3 RC4-128 (the common form) vs V1/R2 RC4-40;
+    * `cfm` switches to the V4/R4 CRYPT-FILTER generation instead
+    * (Acrobat 7+): `Some("AESV2")` = AES-128-CBC streams (IV ‖
+    * PKCS#5-padded ciphertext), `Some("V2")` = RC4 named through the
+    * filter machinery — both with the /CF /StdCF /StmF /StrF dict
+    * real readers navigate. The deterministic surface equals
+    * [[build]]'s — the /Encrypt dict is file plumbing, excluded from
+    * the object count like xref machinery — so the same oracle
+    * hash-checks the whole authenticate→derive→decrypt path. */
   private[graft] def buildEncrypted(text: String, flate: Boolean = false,
-      r3: Boolean = true): Array[Byte] = {
+      r3: Boolean = true, cfm: Option[String] = None): Array[Byte] = {
     val chunks = chunksOf(text)
     val pagesOps = if (chunks.isEmpty) Seq(Seq.empty[String])
       else chunks.grouped(OpsPerPage).toSeq
     val n = pagesOps.length
     val fontObj = 3 + 2 * n
     val encObj = fontObj + 1
-    val r = if (r3) 3 else 2
-    val keyLen = if (r3) 16 else 5
+    val r = if (cfm.isDefined) 4 else if (r3) 3 else 2
+    val keyLen = if (r >= 3) 16 else 5
     val p = -44 // print+modify denied; arbitrary but key-load-bearing
     val fileId = md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      Array[Byte](r.toByte, if (flate) 1 else 0))
+      Array[Byte](r.toByte, if (flate) 1 else 0, cfm.size.toByte))
     val o = ownerBytes(r, keyLen)
     val key = fileKey(r, keyLen, o, p, fileId)
     val u = userBytes(r, key, fileId)
@@ -583,14 +616,32 @@ object PdfLite {
       val raw = body.toString.getBytes(ISO_8859_1)
       val (streamBytes, filter) =
         if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
-      val enc = rc4(objectKey(key, 3 + n + i, 0), streamBytes)
-      objs += (s"${3 + n + i} 0 obj << /Length ${enc.length}$filter >> " +
+      val objNum = 3 + n + i
+      val enc = cfm match {
+        case Some("AESV2") =>
+          // deterministic IV: any 16 bytes are legal, a derived one
+          // keeps the whole container byte-reproducible
+          val iv = md5(key, Array[Byte](objNum.toByte, 'i', 'v'))
+          aesCbc(0L, objectKey(key, objNum, 0, aes = true), streamBytes,
+            encrypt = true, iv = iv)
+        case _ => rc4(objectKey(key, objNum, 0), streamBytes)
+      }
+      objs += (s"$objNum 0 obj << /Length ${enc.length}$filter >> " +
         s"stream\n" + new String(enc, ISO_8859_1) + "endstream endobj\n")
     }
     objs += s"$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
-    objs += (s"$encObj 0 obj << /Filter /Standard /V ${if (r3) 2 else 1} " +
-      s"/R $r${if (r3) " /Length 128" else ""} /O <${hexStr(o)}> " +
-      s"/U <${hexStr(u)}> /P $p >> endobj\n")
+    val encDict = cfm match {
+      case Some(m) =>
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          s"/CF << /StdCF << /CFM /$m /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /O <${hexStr(o)}> " +
+          s"/U <${hexStr(u)}> /P $p >>"
+      case None =>
+        s"<< /Filter /Standard /V ${if (r3) 2 else 1} " +
+          s"/R $r${if (r3) " /Length 128" else ""} /O <${hexStr(o)}> " +
+          s"/U <${hexStr(u)}> /P $p >>"
+    }
+    objs += s"$encObj 0 obj $encDict endobj\n"
     val head = "%PDF-1.4\n"
     val offsets = objs.scanLeft(head.getBytes(ISO_8859_1).length)(
       (off, ob) => off + ob.getBytes(ISO_8859_1).length)
@@ -1182,10 +1233,31 @@ object PdfLite {
         if (!hdr.contains("/Standard"))
           fail(id, "non-Standard security handler is not supported")
         val v = dictInt(hdr, "/V").getOrElse(fail(id, "encrypt dict has no /V"))
-        if (v != 1 && v != 2)
-          fail(id, s"encryption /V $v (AES/crypt-filter generations) is not supported")
+        if (v != 1 && v != 2 && v != 4)
+          fail(id, s"encryption /V $v is not supported (AES-256 /V 5 and beyond)")
         val r = dictInt(hdr, "/R").getOrElse(fail(id, "encrypt dict has no /R"))
-        if (r != 2 && r != 3) fail(id, s"encryption /R $r is not supported")
+        if (r != 2 && r != 3 && r != 4)
+          fail(id, s"encryption /R $r is not supported")
+        // the V4 crypt-filter generation (Acrobat 7+): the named
+        // stream filter must be /StdCF and its /CFM picks the cipher —
+        // /AESV2 (AES-128-CBC, IV-prefixed PKCS#5) or /V2 (RC4 named
+        // through the filter machinery). An absent /StmF would mean
+        // Identity (UNENCRYPTED streams inside an encrypted file) —
+        // a trap worth refusing loudly rather than half-reading.
+        val aes = if (v == 4) {
+          val stmF = "/StmF\\s*/(\\w+)".r.findFirstMatchIn(hdr)
+            .map(_.group(1)).getOrElse(
+              fail(id, "/V 4 without /StmF (Identity streams) is not supported"))
+          if (stmF != "StdCF") fail(id, s"unknown stream crypt filter /$stmF")
+          val m = "/CFM\\s*/(\\w+)".r.findFirstMatchIn(hdr).map(_.group(1))
+            .getOrElse(fail(id, "/V 4 crypt filter without /CFM"))
+          m match {
+            case "AESV2" => true
+            case "V2" => false
+            case other =>
+              fail(id, s"crypt filter /CFM /$other is not supported (AESV3 is /V 5)")
+          }
+        } else false
         val bits = dictInt(hdr, "/Length").getOrElse(40)
         if (bits % 8 != 0 || bits < 40 || bits > 128)
           fail(id, s"implausible encryption /Length $bits")
@@ -1203,7 +1275,9 @@ object PdfLite {
           else java.util.Arrays.equals(uCheck.take(16), u.take(16))
         if (!uOk)
           fail(id, "password-protected (the empty user password was rejected)")
-        num => data => rc4(objectKey(key, num, 0), data)
+        if (aes) num => data =>
+          aesCbc(id, objectKey(key, num, 0, aes = true), data, encrypt = false)
+        else num => data => rc4(objectKey(key, num, 0), data)
       }
     // pre-pass: decode each referenced OBJECT STREAM and index its
     // member bodies (objNum -> body text; streams can't nest in an
@@ -1315,7 +1389,7 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
-  /** The GENERATIONS twin: doc_id (mod 6) picks the container
+  /** The GENERATIONS twin: doc_id (mod 7) picks the container
     * layout — 0 → PDF 1.5 (xref stream + object stream, [[build15]]),
     * 1 → classic flate 1.4, 2 → a TWO-SAVE INCREMENTAL-UPDATE CHAIN
     * (each save /Prev-links the previous xref and frees the replaced
@@ -1323,21 +1397,23 @@ object PdfLite {
     * 0 R` streams, 4 → HYBRID-REFERENCE (classic table hiding the
     * object-stream members behind a /XRefStm side stream,
     * [[buildHybrid]]), 5 → RC4-ENCRYPTED (Standard handler V2/R3,
-    * empty user password — [[buildEncrypted]]) — so one query
-    * exercises both cross-reference machineries, the update-chain
-    * walk, free-entry shadowing, indirect-length resolution, hybrid
-    * side-stream precedence, AND the authenticate→derive→decrypt path
-    * end to end. The deterministic surface is layout-independent by
-    * construction, so the SAME oracle hash-checks all six paths: an
-    * xref-stream decode, /W-field, ObjStm-indexing, chain-walk,
-    * resurrection, length-resolution, hybrid-precedence, or
-    * key-derivation defect flips the driver hash. */
+    * empty user password — [[buildEncrypted]]), 6 → AES-ENCRYPTED
+    * (V4/R4 /AESV2 crypt filter: IV-prefixed AES-128-CBC streams) —
+    * so one query exercises both cross-reference machineries, the
+    * update-chain walk, free-entry shadowing, indirect-length
+    * resolution, hybrid side-stream precedence, AND both
+    * authenticate→derive→decrypt ciphers end to end. The
+    * deterministic surface is layout-independent by construction, so
+    * the SAME oracle hash-checks all seven paths: an xref-stream
+    * decode, /W-field, ObjStm-indexing, chain-walk, resurrection,
+    * length-resolution, hybrid-precedence, key-derivation, or
+    * CBC-layering defect flips the driver hash. */
   def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        extract(id, (id % 6) match {
+        extract(id, (id % 7) match {
           case 0 => build15(text)
           case 1 => build(text, flate = true)
           case 2 => buildIncrementalChain(
@@ -1345,7 +1421,8 @@ object PdfLite {
             flate = true)
           case 3 => build(text, indirectLen = true)
           case 4 => buildHybrid(text)
-          case _ => buildEncrypted(text, flate = true)
+          case 5 => buildEncrypted(text, flate = true)
+          case _ => buildEncrypted(text, flate = true, cfm = Some("AESV2"))
         })
       })
       .toDF()

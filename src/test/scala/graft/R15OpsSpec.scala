@@ -568,14 +568,57 @@ class R15OpsSpec extends SparkSpec {
     Seq("", "secret text", "暗号化テスト — mixed", "s" * 5000).zipWithIndex
       .foreach { case (t, i) =>
         Seq(false, true).foreach { fl =>
+          val direct = PdfLite.extract(i.toLong, PdfLite.build(t, flate = fl))
           Seq(false, true).foreach { r3 =>
             val enc = PdfLite.extract(i.toLong,
               PdfLite.buildEncrypted(t, flate = fl, r3 = r3))
-            val direct = PdfLite.extract(i.toLong, PdfLite.build(t, flate = fl))
             assert(enc == direct, s"#$i flate=$fl r3=$r3: $enc != $direct")
+          }
+          // the V4/R4 crypt-filter generation: AES-128-CBC streams
+          // (IV ‖ PKCS#5 ciphertext) and RC4-named-through-the-filter
+          Seq("AESV2", "V2").foreach { m =>
+            val enc = PdfLite.extract(i.toLong,
+              PdfLite.buildEncrypted(t, flate = fl, cfm = Some(m)))
+            assert(enc == direct, s"#$i flate=$fl cfm=$m: $enc != $direct")
           }
         }
       }
+  }
+
+  test("pdf aes encryption: fences and corruption fail loudly") {
+    val b = new String(
+      PdfLite.buildEncrypted("aes probe", flate = true, cfm = Some("AESV2")),
+      ISO_8859_1)
+    // flipped /U byte = a real user password: loud authentication fail
+    val uAt = b.indexOf("/U <") + 4
+    val flipped = b.substring(0, uAt) +
+      (if (b.charAt(uAt) == '0') '1' else '0') + b.substring(uAt + 1)
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, flipped.getBytes(ISO_8859_1))
+    }.getMessage.contains("password"))
+    // an unknown crypt-filter method is loud (same-length name patch)
+    val v3 = b.replace("/CFM /AESV2 ", "/CFM /AESV3 ")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(2L, v3.getBytes(ISO_8859_1))
+    }.getMessage.contains("AESV3"))
+    // /StmF Identity (unencrypted streams in an encrypted file) is a
+    // refuse-loudly case, not a half-read (same-length name patch)
+    val ident = b.replace("/StmF /StdCF /StrF", "/StmF /StdCZ /StrF")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(3L, ident.getBytes(ISO_8859_1))
+    }.getMessage.contains("StdCZ"))
+    // a flipped ciphertext byte: CBC decrypts to garbage and either
+    // the PKCS#5 padding or the zlib adler32 fails — always loud
+    val bf = PdfLite.buildEncrypted("corrupt me", flate = true,
+      cfm = Some("AESV2"))
+    val sAt = new String(bf, ISO_8859_1).indexOf("stream\n") + 7
+    bf(sAt + 20) = (bf(sAt + 20) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PdfLite.extract(4L, bf) }
+    // AES-256 (/V 5) stays a loud fence
+    val v5 = b.replace("/V 4 /R 4", "/V 5 /R 6")
+    assert(intercept[IllegalArgumentException] {
+      PdfLite.extract(5L, v5.getBytes(ISO_8859_1))
+    }.getMessage.contains("/V 5"))
   }
 
   test("pdf rc4 encryption: fences and corruption fail loudly") {
