@@ -568,17 +568,68 @@ object PdfLite {
   private def hexStr(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
+  // ---- AES-256 generation (/V 5 /R 6, ISO 32000-2 §7.6.4.3 — the
+  // modern Standard-handler form; "AESV3" crypt filter) ------------
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Raw-block AES — CBC/NoPadding (for the /UE //OE key unwrap, zero
+    * IV) and ECB/NoPadding (for /Perms), per §7.6.4.3.3. */
+  private def aesRaw(key: Array[Byte], data: Array[Byte], encrypt: Boolean,
+      cbcZeroIv: Boolean): Array[Byte] = {
+    val mode = if (cbcZeroIv) "AES/CBC/NoPadding" else "AES/ECB/NoPadding"
+    val c = javax.crypto.Cipher.getInstance(mode)
+    val k = new javax.crypto.spec.SecretKeySpec(key, "AES")
+    val dir = if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE
+    if (cbcZeroIv)
+      c.init(dir, k, new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    else c.init(dir, k)
+    c.doFinal(data)
+  }
+
+  /** The R6 password hash ("Algorithm 2.B"): SHA-256 seeded, then an
+    * iterated AES-128-CBC + SHA-256/384/512 mix — ≥64 rounds, stopping
+    * when the last byte of the round's ciphertext ≤ rounds−32. */
+  private def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, password, salt, udata)
+    var round = 0
+    var lastByte = 0
+    while (round < 64 || lastByte > round - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      (0 until 64).foreach(i =>
+        System.arraycopy(block, 0, k1, i * block.length, block.length))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val mod = (0 until 16).map(i => e(i) & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      lastByte = e(e.length - 1) & 0xff
+      round += 1
+    }
+    k.take(32)
+  }
+
   /** Build an RC4-ENCRYPTED document (Standard handler, empty user
     * password — the owner-locked class): same layout as [[build]] plus
     * the /Encrypt dict after the font, every content stream
     * RC4-encrypted under its per-object key (encryption is OUTSIDE the
     * filters: stored = RC4(flate(data))), trailer carrying /Encrypt +
     * /ID. `r3` picks V2/R3 RC4-128 (the common form) vs V1/R2 RC4-40;
-    * `cfm` switches to the V4/R4 CRYPT-FILTER generation instead
-    * (Acrobat 7+): `Some("AESV2")` = AES-128-CBC streams (IV ‖
-    * PKCS#5-padded ciphertext), `Some("V2")` = RC4 named through the
-    * filter machinery — both with the /CF /StdCF /StmF /StrF dict
-    * real readers navigate. The deterministic surface equals
+    * `cfm` switches to the CRYPT-FILTER generations instead:
+    * `Some("AESV2")` = V4/R4 AES-128-CBC streams (IV ‖ PKCS#5-padded
+    * ciphertext), `Some("V2")` = V4/R4 RC4 named through the filter
+    * machinery, `Some("AESV3")` = V5/R6 AES-256 (the R6 hash family,
+    * /UE-wrapped 256-bit file key, /Perms seal) — each with the
+    * /CF /StdCF /StmF /StrF dict real readers navigate. The deterministic surface equals
     * [[build]]'s — the /Encrypt dict is file plumbing, excluded from
     * the object count like xref machinery — so the same oracle
     * hash-checks the whole authenticate→derive→decrypt path. */
@@ -590,14 +641,47 @@ object PdfLite {
     val n = pagesOps.length
     val fontObj = 3 + 2 * n
     val encObj = fontObj + 1
-    val r = if (cfm.isDefined) 4 else if (r3) 3 else 2
+    val isV5 = cfm.contains("AESV3")
+    val r = if (isV5) 6 else if (cfm.isDefined) 4 else if (r3) 3 else 2
     val keyLen = if (r >= 3) 16 else 5
     val p = -44 // print+modify denied; arbitrary but key-load-bearing
     val fileId = md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       Array[Byte](r.toByte, if (flate) 1 else 0, cfm.size.toByte))
-    val o = ownerBytes(r, keyLen)
-    val key = fileKey(r, keyLen, o, p, fileId)
-    val u = userBytes(r, key, fileId)
+    val none = Array.emptyByteArray
+    // V5/R6 key material (§7.6.4.4: U = hash ‖ validation salt ‖ key
+    // salt; /UE wraps the 256-bit file key under the key-salt hash;
+    // /O hashes over the full 48-byte U; /Perms is the ECB-sealed
+    // permission record). All salts derived deterministically so the
+    // container bytes are reproducible.
+    lazy val v5seed = sha(256,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Array[Byte]('v', '5', if (flate) 1 else 0))
+    lazy val v5FileKey = sha(256, v5seed, Array[Byte]('f', 'k'))
+    lazy val (v5U, v5UE) = {
+      val vs = sha(256, v5seed, Array[Byte]('v', 's')).take(8)
+      val ks = sha(256, v5seed, Array[Byte]('k', 's')).take(8)
+      (hash2B(none, vs, none) ++ vs ++ ks,
+        aesRaw(hash2B(none, ks, none), v5FileKey,
+          encrypt = true, cbcZeroIv = true))
+    }
+    lazy val (v5O, v5OE) = {
+      val vs = sha(256, v5seed, Array[Byte]('v', 'o')).take(8)
+      val ks = sha(256, v5seed, Array[Byte]('k', 'o')).take(8)
+      (hash2B(none, vs, v5U) ++ vs ++ ks,
+        aesRaw(hash2B(none, ks, v5U), v5FileKey,
+          encrypt = true, cbcZeroIv = true))
+    }
+    lazy val v5Perms = {
+      val plain = Array[Byte](
+        (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte,
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        'T', 'a', 'd', 'b') ++ sha(256, v5seed, Array[Byte]('p', 'm')).take(4)
+      aesRaw(v5FileKey, plain, encrypt = true, cbcZeroIv = false)
+    }
+    lazy val o = ownerBytes(r, keyLen)
+    lazy val key = fileKey(r, keyLen, o, p, fileId)
+    lazy val u = userBytes(r, key, fileId)
     val objs = scala.collection.mutable.ArrayBuffer.empty[String]
     objs += s"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
     val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
@@ -618,6 +702,11 @@ object PdfLite {
         if (flate) (flateBytes(raw), " /Filter /FlateDecode") else (raw, "")
       val objNum = 3 + n + i
       val enc = cfm match {
+        case Some("AESV3") =>
+          // V5: the FILE key encrypts directly (no per-object
+          // derivation, §7.6.4.2); deterministic IV for reproducibility
+          val iv = md5(v5FileKey, Array[Byte](objNum.toByte, 'i', 'v'))
+          aesCbc(0L, v5FileKey, streamBytes, encrypt = true, iv = iv)
         case Some("AESV2") =>
           // deterministic IV: any 16 bytes are legal, a derived one
           // keeps the whole container byte-reproducible
@@ -631,6 +720,12 @@ object PdfLite {
     }
     objs += s"$fontObj 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
     val encDict = cfm match {
+      case Some("AESV3") =>
+        s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+          s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /O <${hexStr(v5O)}> " +
+          s"/U <${hexStr(v5U)}> /OE <${hexStr(v5OE)}> " +
+          s"/UE <${hexStr(v5UE)}> /Perms <${hexStr(v5Perms)}> /P $p >>"
       case Some(m) =>
         s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
           s"/CF << /StdCF << /CFM /$m /Length 16 >> >> " +
@@ -1233,51 +1328,84 @@ object PdfLite {
         if (!hdr.contains("/Standard"))
           fail(id, "non-Standard security handler is not supported")
         val v = dictInt(hdr, "/V").getOrElse(fail(id, "encrypt dict has no /V"))
-        if (v != 1 && v != 2 && v != 4)
-          fail(id, s"encryption /V $v is not supported (AES-256 /V 5 and beyond)")
+        if (v != 1 && v != 2 && v != 4 && v != 5)
+          fail(id, s"encryption /V $v is not supported")
         val r = dictInt(hdr, "/R").getOrElse(fail(id, "encrypt dict has no /R"))
-        if (r != 2 && r != 3 && r != 4)
-          fail(id, s"encryption /R $r is not supported")
-        // the V4 crypt-filter generation (Acrobat 7+): the named
-        // stream filter must be /StdCF and its /CFM picks the cipher —
-        // /AESV2 (AES-128-CBC, IV-prefixed PKCS#5) or /V2 (RC4 named
-        // through the filter machinery). An absent /StmF would mean
-        // Identity (UNENCRYPTED streams inside an encrypted file) —
-        // a trap worth refusing loudly rather than half-reading.
-        val aes = if (v == 4) {
+        // the crypt-filter generations (V4/Acrobat 7+, V5/Acrobat 9+):
+        // the named stream filter must be /StdCF and its /CFM picks
+        // the cipher. An absent /StmF would mean Identity
+        // (UNENCRYPTED streams inside an encrypted file) — a trap
+        // worth refusing loudly rather than half-reading.
+        def namedCfm(expect: String*): String = {
           val stmF = "/StmF\\s*/(\\w+)".r.findFirstMatchIn(hdr)
             .map(_.group(1)).getOrElse(
-              fail(id, "/V 4 without /StmF (Identity streams) is not supported"))
+              fail(id, s"/V $v without /StmF (Identity streams) is not supported"))
           if (stmF != "StdCF") fail(id, s"unknown stream crypt filter /$stmF")
           val m = "/CFM\\s*/(\\w+)".r.findFirstMatchIn(hdr).map(_.group(1))
-            .getOrElse(fail(id, "/V 4 crypt filter without /CFM"))
-          m match {
-            case "AESV2" => true
-            case "V2" => false
-            case other =>
-              fail(id, s"crypt filter /CFM /$other is not supported (AESV3 is /V 5)")
+            .getOrElse(fail(id, s"/V $v crypt filter without /CFM"))
+          if (!expect.contains(m))
+            fail(id, s"crypt filter /CFM /$m is not supported at /V $v")
+          m
+        }
+        if (v == 5) {
+          // AES-256 generation: /U = hash(32) ‖ validation salt(8) ‖
+          // key salt(8); the R6 hash (Algorithm 2.B) authenticates the
+          // empty user password and the key-salt hash unwraps the
+          // 256-bit file key from /UE; streams decrypt under the FILE
+          // key directly (no per-object derivation). /Perms re-seals
+          // /P under the file key — a mismatch means a tampered or
+          // mis-derived key: loud.
+          if (r != 6) fail(id, s"/V 5 with /R $r is not supported (expect R6)")
+          namedCfm("AESV3")
+          val u = pdfStringValue(id, hdr, "/U")
+          if (u.length != 48) fail(id, s"/V 5 /U length ${u.length} != 48")
+          val none = Array.emptyByteArray
+          if (!java.util.Arrays.equals(
+              hash2B(none, u.slice(32, 40), none), u.take(32)))
+            fail(id, "password-protected (the empty user password was rejected)")
+          val ue = pdfStringValue(id, hdr, "/UE")
+          if (ue.length != 32) fail(id, s"/V 5 /UE length ${ue.length} != 32")
+          val key32 = aesRaw(hash2B(none, u.slice(40, 48), none), ue,
+            encrypt = false, cbcZeroIv = true)
+          if (hdr.contains("/Perms")) {
+            val perms = pdfStringValue(id, hdr, "/Perms")
+            if (perms.length != 16) fail(id, "/Perms length != 16")
+            val dec = aesRaw(key32, perms, encrypt = false, cbcZeroIv = false)
+            if (dec(9) != 'a' || dec(10) != 'd' || dec(11) != 'b')
+              fail(id, "/Perms does not decrypt to 'adb' (tampered or wrong key)")
+            val pDict = dictSignedInt(hdr, "/P")
+              .getOrElse(fail(id, "encrypt dict has no /P"))
+            val pSealed = (dec(0) & 0xff) | ((dec(1) & 0xff) << 8) |
+              ((dec(2) & 0xff) << 16) | ((dec(3) & 0xff) << 24)
+            if (pSealed != pDict)
+              fail(id, s"/Perms seals /P $pSealed but the dict says $pDict")
           }
-        } else false
-        val bits = dictInt(hdr, "/Length").getOrElse(40)
-        if (bits % 8 != 0 || bits < 40 || bits > 128)
-          fail(id, s"implausible encryption /Length $bits")
-        val keyLen = if (v == 1) 5 else bits / 8
-        val o = pdfStringValue(id, hdr, "/O")
-        val u = pdfStringValue(id, hdr, "/U")
-        if (o.length != 32 || u.length != 32)
-          fail(id, s"encrypt /O|/U lengths ${o.length}/${u.length} != 32")
-        val p = dictSignedInt(hdr, "/P").getOrElse(fail(id, "encrypt dict has no /P"))
-        if (fileId.isEmpty)
-          fail(id, "encrypted file without a trailer /ID (key underivable)")
-        val key = fileKey(r, keyLen, o, p, fileId)
-        val uCheck = userBytes(r, key, fileId)
-        val uOk = if (r == 2) java.util.Arrays.equals(uCheck, u)
-          else java.util.Arrays.equals(uCheck.take(16), u.take(16))
-        if (!uOk)
-          fail(id, "password-protected (the empty user password was rejected)")
-        if (aes) num => data =>
-          aesCbc(id, objectKey(key, num, 0, aes = true), data, encrypt = false)
-        else num => data => rc4(objectKey(key, num, 0), data)
+          num => data => aesCbc(id, key32, data, encrypt = false)
+        } else {
+          if (r != 2 && r != 3 && r != 4)
+            fail(id, s"encryption /R $r is not supported")
+          val aes = if (v == 4) namedCfm("AESV2", "V2") == "AESV2" else false
+          val bits = dictInt(hdr, "/Length").getOrElse(40)
+          if (bits % 8 != 0 || bits < 40 || bits > 128)
+            fail(id, s"implausible encryption /Length $bits")
+          val keyLen = if (v == 1) 5 else bits / 8
+          val o = pdfStringValue(id, hdr, "/O")
+          val u = pdfStringValue(id, hdr, "/U")
+          if (o.length != 32 || u.length != 32)
+            fail(id, s"encrypt /O|/U lengths ${o.length}/${u.length} != 32")
+          val p = dictSignedInt(hdr, "/P").getOrElse(fail(id, "encrypt dict has no /P"))
+          if (fileId.isEmpty)
+            fail(id, "encrypted file without a trailer /ID (key underivable)")
+          val key = fileKey(r, keyLen, o, p, fileId)
+          val uCheck = userBytes(r, key, fileId)
+          val uOk = if (r == 2) java.util.Arrays.equals(uCheck, u)
+            else java.util.Arrays.equals(uCheck.take(16), u.take(16))
+          if (!uOk)
+            fail(id, "password-protected (the empty user password was rejected)")
+          if (aes) num => data =>
+            aesCbc(id, objectKey(key, num, 0, aes = true), data, encrypt = false)
+          else num => data => rc4(objectKey(key, num, 0), data)
+        }
       }
     // pre-pass: decode each referenced OBJECT STREAM and index its
     // member bodies (objNum -> body text; streams can't nest in an
@@ -1389,7 +1517,7 @@ object PdfLite {
       .orderBy($"doc_id")
   }
 
-  /** The GENERATIONS twin: doc_id (mod 7) picks the container
+  /** The GENERATIONS twin: doc_id (mod 8) picks the container
     * layout — 0 → PDF 1.5 (xref stream + object stream, [[build15]]),
     * 1 → classic flate 1.4, 2 → a TWO-SAVE INCREMENTAL-UPDATE CHAIN
     * (each save /Prev-links the previous xref and frees the replaced
@@ -1398,22 +1526,24 @@ object PdfLite {
     * object-stream members behind a /XRefStm side stream,
     * [[buildHybrid]]), 5 → RC4-ENCRYPTED (Standard handler V2/R3,
     * empty user password — [[buildEncrypted]]), 6 → AES-ENCRYPTED
-    * (V4/R4 /AESV2 crypt filter: IV-prefixed AES-128-CBC streams) —
-    * so one query exercises both cross-reference machineries, the
-    * update-chain walk, free-entry shadowing, indirect-length
-    * resolution, hybrid side-stream precedence, AND both
-    * authenticate→derive→decrypt ciphers end to end. The
-    * deterministic surface is layout-independent by construction, so
-    * the SAME oracle hash-checks all seven paths: an xref-stream
-    * decode, /W-field, ObjStm-indexing, chain-walk, resurrection,
-    * length-resolution, hybrid-precedence, key-derivation, or
-    * CBC-layering defect flips the driver hash. */
+    * (V4/R4 /AESV2 crypt filter: IV-prefixed AES-128-CBC streams),
+    * 7 → AES-256-ENCRYPTED (V5/R6 /AESV3: the R6 Algorithm-2.B hash
+    * authenticates, /UE unwraps the 256-bit file key) — so one query
+    * exercises both cross-reference machineries, the update-chain
+    * walk, free-entry shadowing, indirect-length resolution, hybrid
+    * side-stream precedence, AND all three authenticate→derive→
+    * decrypt cipher generations end to end. The deterministic surface
+    * is layout-independent by construction, so the SAME oracle
+    * hash-checks all eight paths: an xref-stream decode, /W-field,
+    * ObjStm-indexing, chain-walk, resurrection, length-resolution,
+    * hybrid-precedence, key-derivation, key-unwrap, or CBC-layering
+    * defect flips the driver hash. */
   def qPdfExtractXref15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        extract(id, (id % 7) match {
+        extract(id, (id % 8) match {
           case 0 => build15(text)
           case 1 => build(text, flate = true)
           case 2 => buildIncrementalChain(
@@ -1422,7 +1552,8 @@ object PdfLite {
           case 3 => build(text, indirectLen = true)
           case 4 => buildHybrid(text)
           case 5 => buildEncrypted(text, flate = true)
-          case _ => buildEncrypted(text, flate = true, cfm = Some("AESV2"))
+          case 6 => buildEncrypted(text, flate = true, cfm = Some("AESV2"))
+          case _ => buildEncrypted(text, flate = true, cfm = Some("AESV3"))
         })
       })
       .toDF()

@@ -574,9 +574,11 @@ class R15OpsSpec extends SparkSpec {
               PdfLite.buildEncrypted(t, flate = fl, r3 = r3))
             assert(enc == direct, s"#$i flate=$fl r3=$r3: $enc != $direct")
           }
-          // the V4/R4 crypt-filter generation: AES-128-CBC streams
-          // (IV ‖ PKCS#5 ciphertext) and RC4-named-through-the-filter
-          Seq("AESV2", "V2").foreach { m =>
+          // the crypt-filter generations: V4/R4 AES-128-CBC streams
+          // (IV ‖ PKCS#5 ciphertext), V4/R4 RC4-named-through-the-
+          // filter, and V5/R6 AES-256 (Algorithm-2.B hash + /UE
+          // key unwrap)
+          Seq("AESV2", "V2", "AESV3").foreach { m =>
             val enc = PdfLite.extract(i.toLong,
               PdfLite.buildEncrypted(t, flate = fl, cfm = Some(m)))
             assert(enc == direct, s"#$i flate=$fl cfm=$m: $enc != $direct")
@@ -614,11 +616,51 @@ class R15OpsSpec extends SparkSpec {
     val sAt = new String(bf, ISO_8859_1).indexOf("stream\n") + 7
     bf(sAt + 20) = (bf(sAt + 20) ^ 0x55).toByte
     intercept[IllegalArgumentException] { PdfLite.extract(4L, bf) }
-    // AES-256 (/V 5) stays a loud fence
+    // a V4 dict mislabeled /V 5 /R 6 fails loudly in the R6 machinery
+    // (its /CFM /AESV2 is not a /V 5 cipher)
     val v5 = b.replace("/V 4 /R 4", "/V 5 /R 6")
     assert(intercept[IllegalArgumentException] {
       PdfLite.extract(5L, v5.getBytes(ISO_8859_1))
     }.getMessage.contains("/V 5"))
+  }
+
+  test("pdf aes-256 (V5/R6): fences and corruption fail loudly") {
+    val b = new String(
+      PdfLite.buildEncrypted("v5 probe", flate = true, cfm = Some("AESV3")),
+      ISO_8859_1)
+    // a flipped byte in /U's validation-salt region changes the
+    // Algorithm-2.B input: empty-password authentication fails loudly
+    val uHex = "/U <([0-9a-f]+)>".r.findFirstMatchIn(b).get.group(1)
+    assert(uHex.length == 96)
+    val saltPos = 64 + 2 // first hex digit of the validation salt
+    val flippedU = uHex.substring(0, saltPos) +
+      (if (uHex.charAt(saltPos) == '0') '1' else '0') +
+      uHex.substring(saltPos + 1)
+    val bU = b.replace(s"/U <$uHex>", s"/U <$flippedU>")
+    assert(bU != b && intercept[IllegalArgumentException] {
+      PdfLite.extract(1L, bU.getBytes(ISO_8859_1))
+    }.getMessage.contains("password"))
+    // a flipped /UE byte unwraps a WRONG file key — the /Perms seal
+    // catches it loudly before any stream is mis-decrypted
+    val ueHex = "/UE <([0-9a-f]+)>".r.findFirstMatchIn(b).get.group(1)
+    val flippedUe = (if (ueHex.charAt(0) == '0') "1" else "0") + ueHex.substring(1)
+    val bUe = b.replace(s"/UE <$ueHex>", s"/UE <$flippedUe>")
+    assert(bUe != b && intercept[IllegalArgumentException] {
+      PdfLite.extract(2L, bUe.getBytes(ISO_8859_1))
+    }.getMessage.contains("Perms"))
+    // a tampered /P (same-length digit patch) disagrees with the
+    // sealed /Perms record: loud
+    val bp = b.replace("/P -44 ", "/P -45 ")
+    assert(bp != b && intercept[IllegalArgumentException] {
+      PdfLite.extract(3L, bp.getBytes(ISO_8859_1))
+    }.getMessage.contains("/P"))
+    // a flipped ciphertext byte: CBC garbage → padding or adler32
+    // failure, never silent
+    val bf = PdfLite.buildEncrypted("corrupt v5", flate = true,
+      cfm = Some("AESV3"))
+    val sAt = new String(bf, ISO_8859_1).indexOf("stream\n") + 7
+    bf(sAt + 20) = (bf(sAt + 20) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PdfLite.extract(4L, bf) }
   }
 
   test("pdf rc4 encryption: fences and corruption fail loudly") {
