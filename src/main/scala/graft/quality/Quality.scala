@@ -935,55 +935,88 @@ object Quality {
     val tot = trans.groupBy($"s").agg(sum($"n").as("tn"))
     val bigT = trans.join(broadcast(tot), Seq("s"))
       .select($"s", $"t", expr("(n * 1000000) div tn").as("tp_ppm"))
-      .localCheckpoint() // ≤ (channels+1)·(channels+2) rows
-    val states = bigT.select($"s".as("state"))
-      .union(bigT.select($"t".as("state"))).distinct().localCheckpoint()
-    def variantT(removed: Option[String]): DataFrame = removed match {
-      case None => bigT
-      case Some(c) => bigT.filter($"s" =!= c)
-        .withColumn("t", when($"t" === c, "null").otherwise($"t"))
-        .groupBy($"s", $"t").agg(sum($"tp_ppm").as("tp_ppm"))
-    }
-    def kStep(tv: DataFrame): DataFrame = {
-      var p = states.withColumn("p_ppm",
-        when($"state" === "conv", 1000000L).otherwise(0L))
-      for (_ <- 1 to MarkovSteps) {
-        val stepped = tv
-          .join(broadcast(p.select($"state".as("t"), $"p_ppm".as("pv"))),
-            Seq("t"))
-          .groupBy($"s")
-          .agg(expr("sum(tp_ppm * pv) div 1000000").as("p_new"))
-        p = states
-          .join(broadcast(stepped.select($"s".as("state"), $"p_new")),
-            Seq("state"), "left_outer")
-          .select($"state",
-            when($"state" === "conv", 1000000L)
-              .when($"state" === "null", 0L)
-              .otherwise(coalesce($"p_new", lit(0L))).as("p_ppm"))
-      }
-      p
-    }
-    val pFull = kStep(variantT(None)).filter($"state" === "start")
-      .select($"p_ppm".as("p_full_ppm"))
-    val removed = MarkovChannels.map { c =>
-      kStep(variantT(Some(c))).filter($"state" === "start")
-        .select(lit(c).as("channel"), $"p_ppm".as("p_removed_ppm"))
-    }.reduce(_.unionByName(_))
+    // The 5 variants × MarkovSteps rounds used to run as ~40 in-plan
+    // broadcast joins over the ≤36-row transition frame — a 7,800-line
+    // physical plan (618 Exchanges) whose cost was pure Catalyst
+    // planning + per-round job scheduling, not data (guide §1.2: fix
+    // the distributed algorithm; the tail after the one transition
+    // shuffle is constant-sized). The rounds now run as higher-order-
+    // function folds over the COLLECTED transition array inside one
+    // projection on a 1-row frame: `aggregate(sequence(1, K), p0,
+    // step)` iterates the probability map at runtime, so the plan
+    // holds the step expression once instead of K·variants join trees.
+    //
+    // Exact-arithmetic equivalence with the join formulation (the
+    // DuckDB oracle replays that one):
+    //  - step: p'(s) = Σ_{r: r.s = s} tp_ppm·p(r.t) div 10⁶ — the fold
+    //    sums the SAME integer products before the one division;
+    //    integer addition is order-independent, so collect_list's
+    //    nondeterministic order cannot move the result.
+    //  - removed-channel variant c: the old code filtered s = c rows
+    //    out, remapped t = c to the 'null' absorber, and re-grouped.
+    //    Here: p'(c) is pinned to 0 (the filtered rows fed ONLY p'(c),
+    //    which the old left-join coalesced to 0), a t = c read scores
+    //    0 (= p('null')), and skipping the re-group is distributivity:
+    //    (tp₁+tp₂)·p = tp₁·p + tp₂·p exactly in integers, the div
+    //    runs after the total sum in both forms.
+    //  - 'start' ∈ states whenever trans is non-empty (every user's
+    //    first step or end row has s = 'start'), so element_at(p,
+    //    'start') is never null on a non-empty corpus; the
+    //    size(trans) > 0 filter reproduces the empty-corpus empty
+    //    result of the old frame pipeline.
+    val bigLong = "CAST(1000000 AS BIGINT)"
+    // kstep(rem): p after MarkovSteps rounds with channel `rem`
+    // removed (SQL fragment; "CAST(NULL AS STRING)" = full chain —
+    // the null-safe <=> comparisons then never match).
+    def kstep(rem: String): String =
+      s"""element_at(
+         |  aggregate(sequence(1, $MarkovSteps),
+         |    map_from_entries(transform(states, st0 -> struct(st0,
+         |      IF(st0 = 'conv', $bigLong, CAST(0 AS BIGINT))))),
+         |    (p, it) -> map_from_entries(transform(states, st -> struct(st,
+         |      CASE WHEN st = 'conv' THEN $bigLong
+         |           WHEN st = 'null' THEN CAST(0 AS BIGINT)
+         |           WHEN st <=> $rem THEN CAST(0 AS BIGINT)
+         |           ELSE aggregate(trans, CAST(0 AS BIGINT), (acc, r) ->
+         |             acc + IF(r.s = st,
+         |               r.tp_ppm * (CASE WHEN r.t <=> $rem
+         |                 THEN CAST(0 AS BIGINT)
+         |                 ELSE coalesce(element_at(p, r.t), CAST(0 AS BIGINT)) END),
+         |               CAST(0 AS BIGINT))) div 1000000
+         |      END)))),
+         |  'start')""".stripMargin
+    val channelsArr =
+      MarkovChannels.map(c => s"'$c'").mkString("array(", ", ", ")")
+    val one = bigT
+      .agg(collect_list(struct($"s", $"t", $"tp_ppm")).as("trans"))
+      .where(size($"trans") > 0)
+      .withColumn("states", expr(
+        "array_distinct(concat(transform(trans, r -> r.s), transform(trans, r -> r.t)))"))
+      .select(
+        expr(kstep("CAST(NULL AS STRING)")).as("p_full_ppm"),
+        expr(s"""transform($channelsArr, ch ->
+           |  struct(ch AS channel, ${kstep("ch")} AS p_removed_ppm))"""
+          .stripMargin).as("removed"))
     // clamp BEFORE the division: removal can only lower conversion in
     // exact math, but ppm rounding can leave a tiny negative whose
     // truncate-vs-floor division would split the engines. The zero
     // guard keeps a purchase-free corpus (p_full = 0) a valid
     // all-zeros readout instead of an ANSI divide-by-zero.
-    val re = removed.crossJoin(broadcast(pFull))
-      .withColumn("removal_effect_ppm",
-        expr("CASE WHEN p_full_ppm > 0 THEN " +
-          "(greatest(0L, p_full_ppm - p_removed_ppm) * 1000000) div p_full_ppm " +
-          "ELSE 0L END"))
-    val reTot = re.agg(sum($"removal_effect_ppm").as("re_total"))
-    re.crossJoin(broadcast(reTot))
-      .select($"channel", $"p_full_ppm", $"p_removed_ppm",
-        $"removal_effect_ppm",
-        expr("CASE WHEN re_total > 0 THEN (removal_effect_ppm * 1000) div re_total ELSE 0L END")
+    one
+      .withColumn("re", expr(
+        """transform(removed, x -> struct(x.channel AS channel,
+          |  x.p_removed_ppm AS p_removed_ppm,
+          |  CASE WHEN p_full_ppm > 0 THEN
+          |    (greatest(CAST(0 AS BIGINT), p_full_ppm - x.p_removed_ppm) * 1000000)
+          |      div p_full_ppm
+          |  ELSE CAST(0 AS BIGINT) END AS removal_effect_ppm))""".stripMargin))
+      .withColumn("re_total", expr(
+        "aggregate(re, CAST(0 AS BIGINT), (a, x) -> a + x.removal_effect_ppm)"))
+      .select(explode($"re").as("r"), $"p_full_ppm", $"re_total")
+      .select($"r.channel".as("channel"), $"p_full_ppm",
+        $"r.p_removed_ppm".as("p_removed_ppm"),
+        $"r.removal_effect_ppm".as("removal_effect_ppm"),
+        expr("CASE WHEN re_total > 0 THEN (removal_effect_ppm * 1000) div re_total ELSE CAST(0 AS BIGINT) END")
           .as("credit_permille"))
       .orderBy($"channel")
   }
