@@ -892,13 +892,28 @@ object Similarity {
     * corpus scale. */
   def qEmbPcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val comp = vectors(spark, dir)
-      .select($"vec_id", posexplode($"nv").as(Seq("pos", "x")))
-      .select($"vec_id", $"pos".cast("long").as("pos"),
-        expr("cast(round(x * 1e6) as bigint)").as("q"))
-    val m = comp.as("a").join(comp.as("b"), $"a.vec_id" === $"b.vec_id")
-      .groupBy($"a.pos".as("p"), $"b.pos".as("qq"))
-      .agg(sum($"a.q" * $"b.q").as("mpq"))
+    // Gram computation: the previous shape exploded (vec_id, pos, q)
+    // and SELF-JOINED on vec_id to fan out the d² cells — one exchange
+    // of the n·d component frame plus join machinery before the cell
+    // aggregate, and the join subtree re-derived per round reference.
+    // The per-vector outer product needs no join at all: quantize the
+    // vector once, explode positions, and explode the SAME row's array
+    // again (two chained generators) — zero shuffles until the d²-cell
+    // map-side-combined aggregate (guide §2.4: remove shuffles
+    // outright). Same integer products, order-independent sum.
+    val quant = vectors(spark, dir)
+      .select(expr("transform(nv, x -> cast(round(x * 1e6) as bigint))").as("qa"))
+    val m = quant
+      .select(posexplode($"qa").as(Seq("pp", "qp")), $"qa")
+      .select($"pp", $"qp", posexplode($"qa").as(Seq("pq", "qv")))
+      .groupBy($"pp".cast("long").as("p"), $"pq".cast("long").as("qq"))
+      .agg(sum($"qp" * $"qv").as("mpq"))
+      // d² = 4096 rows regardless of corpus size, referenced by both
+      // power rounds (each twice: the M·v join and the max-abs scale) —
+      // bounded ephemeral per SCALE.md's iterative-materialization
+      // policy; unmaterialized, every reference re-ran the full
+      // corpus-sized Gram fan-out (the before-plan carried it 5×).
+      .localCheckpoint()
     var v = m.select($"p".as("pos")).distinct()
       .select($"pos", lit(1000000L).as("v"))
     for (_ <- 1 to 2) {
