@@ -15,7 +15,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Fact tables served through a once-per-(session, dir) multi-file
+    * relayout. The driver corpora ship as ONE parquet file with ONE
+    * row group per table, so every scan is a single task and all
+    * pre-shuffle per-row work (synthesis, tokenization, explodes,
+    * quantization) runs single-threaded — measured 12-14% CPU across
+    * the bench's query leg on 32 cores. Parquet can only split at row-
+    * group boundaries, so no split-size config can parallelize these
+    * scans; re-laying each fact table out once per session as
+    * defaultParallelism files is the honest fix (at 100 TB the same
+    * tables arrive as thousands of files and every scan is wide — the
+    * single-file shape is a small-scale artifact, guide §6). Dimension
+    * tables stay single-file: 32-way tiny-file scans would ADD per-file
+    * open cost to every join for no map-side work worth spreading. */
+  private val SpreadTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (SpreadTables(name))
+      SessionCache.checkpointed(spark, s"tables.spread|$dir|$name")(
+        loadRaw(spark, dir, name)
+          .repartition(spark.sparkContext.defaultParallelism))
+    else loadRaw(spark, dir, name)
+
+  /** The pre-relayout single-file scan, for the one order-sensitive
+    * consumer: q_unpivot's ORDER BY (l_orderkey, l_linenumber, metric)
+    * has duplicate keys in the synthetic lineitem, so its tie order —
+    * part of the hash-pinned result — comes from the historical
+    * single-file scan order. Every order-insensitive query reads the
+    * spread layout via [[load]]. */
+  private[graft] def loadUnspread(spark: SparkSession, dir: String,
+      name: String): DataFrame = loadRaw(spark, dir, name)
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped in two driver generations: parquet
       // TIMESTAMP(NANOS) — which Spark refuses to read natively

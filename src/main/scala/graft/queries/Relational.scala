@@ -2356,7 +2356,10 @@ object Relational {
     * fans out to 4 metric rows map-side. */
   def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "lineitem")
+    // single-file scan: the ORDER BY below has duplicate (orderkey,
+    // linenumber) keys, so tie order — part of the hash-pinned result —
+    // must stay the historical input order (see Tables.loadUnspread)
+    Tables.loadUnspread(spark, dir, "lineitem")
       .unpivot(
         Array($"l_orderkey", $"l_linenumber"),
         Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),

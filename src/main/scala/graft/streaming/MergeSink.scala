@@ -34,6 +34,14 @@ object MergeSink {
 
   private val PartCol = "uuid_p"
 
+  private val probe = sys.env.get("GRAFT_MERGE_PROBE").contains("true")
+  private def ptime[A](label: String)(f: => A): A =
+    if (!probe) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[merge-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Fold one changelog delta into the latest-segments table. */
   def mergeBatch(spark: SparkSession, tablePath: String, batch: DataFrame): Unit = {
     val dataCols = batch.columns // segment columns + emit_seq
@@ -42,17 +50,20 @@ object MergeSink {
     // re-executes the upstream micro-batch plan (the whole parse +
     // state-machine pipeline), so a separate batch.isEmpty probe
     // doubled the per-batch cost; on the checkpointed delta it's free.
-    val delta = batch
+    val delta = ptime("delta checkpoint")(batch
       .groupBy(col("uuid"))
       .agg(max_by(struct(dataCols.filter(_ != "uuid").map(col): _*),
         col("emit_seq")).as("r"))
       .select(Seq(col("uuid")) ++ dataCols.filter(_ != "uuid").map(n => col(s"r.$n").as(n)): _*)
       .withColumn(PartCol, substring(col("uuid"), 1, 2))
-      .localCheckpoint() // small; also frees the self-overwrite path check below
-    if (delta.isEmpty) return
+      .localCheckpoint()) // small; also frees the self-overwrite path check below
 
-    val touched = delta.select(PartCol).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // one job answers both "is the delta empty?" and "which partitions
+    // does it touch?" — the separate isEmpty probe was a per-batch job
+    // for information the touched-set collect already carries
+    val touched = ptime("touched collect")(delta.select(PartCol).distinct()
+      .collect().map(_.getString(0)).toSeq)
+    if (touched.isEmpty) return
 
     val existing =
       if (new java.io.File(tablePath).exists())
@@ -61,7 +72,7 @@ object MergeSink {
           .select(delta.columns.map(col): _*)
       else delta.limit(0)
 
-    val merged = existing.unionByName(delta)
+    val merged = ptime("merged checkpoint")(existing.unionByName(delta)
       .groupBy(col("uuid"))
       .agg(max_by(struct(delta.columns.filter(_ != "uuid").map(col): _*),
         col("emit_seq")).as("r"))
@@ -74,13 +85,13 @@ object MergeSink {
       .repartition(col(PartCol))
       // truncate lineage so the write below isn't "overwriting a path
       // being read from" (merged is bounded by the touched partitions)
-      .localCheckpoint()
+      .localCheckpoint())
 
-    merged.write
+    ptime("overwrite write")(merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(PartCol)
-      .parquet(tablePath)
+      .parquet(tablePath))
   }
 
   /** Start the changelog stream into an incrementally-merged
@@ -116,10 +127,11 @@ object MergeSink {
     val delta = delta0
       .withColumn(PartCol, substring(md5(col("agent_uuid").cast("binary")), 1, 2))
       .localCheckpoint()
-    if (delta.isEmpty) return // no worker events in this batch
 
+    // same single-job emptiness + touched-set read as mergeBatch
     val touched = delta.select(PartCol).distinct()
       .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return // no worker events in this batch
     val existing =
       if (new java.io.File(tablePath).exists())
         spark.read.parquet(tablePath)
