@@ -208,9 +208,12 @@ object Bench {
     {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      Tables.load(spark, sfDir, "lineitem")
+      // unspread scans: warmup warms the reader/codegen paths without
+      // absorbing the fact-table relayout, which gets its own labeled
+      // line below (q_tables_relayout)
+      Tables.loadUnspread(spark, sfDir, "lineitem")
         .groupBy("l_returnflag").count().collect()
-      Tables.load(spark, sfDir, "events").limit(100).collect()
+      Tables.loadUnspread(spark, sfDir, "events").limit(100).collect()
       val warm = spark.range(10000).toDF("id")
         .withColumn("g", col("id") % 7)
         .withColumn("d", col("id").cast("decimal(18,2)"))
@@ -230,6 +233,20 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+
+    // One-time fact-table relayout (Tables.load serves the single-file
+    // driver corpora through a per-session multi-file stage — see
+    // Tables.SpreadTables), timed as its OWN labeled line exactly like
+    // q_tr_staging: production reads many-file tables, the relayout is
+    // session prep, and charging it to whichever query touches each
+    // table first misattributes a per-session cost as a query cost.
+    // The line stays inside the reported totals.
+    val relayout: Seq[(String, Double)] = {
+      val t0 = System.nanoTime()
+      Seq("lineitem", "orders", "events", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t))
+      Seq("q_tables_relayout" -> (System.nanoTime() - t0) / 1e9)
+    }
 
     // One-time TaskRouter staging (synth → parse → as-of windows → base
     // projection → parquet stage table), timed as its OWN labeled line:
@@ -397,7 +414,7 @@ object Bench {
       winBegin = end; winWall = System.nanoTime(); winFirst = null; winCount = 0
     }
     var lastName: String = null
-    val results = staging ++ streaming ++ graphStaging ++ incBuilds ++
+    val results = relayout ++ staging ++ streaming ++ graphStaging ++ incBuilds ++
       selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (winFirst == null) winFirst = name
       lastName = name
