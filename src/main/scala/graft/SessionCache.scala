@@ -195,6 +195,19 @@ object SessionCache {
     Try(spark.read.parquet(dir)).getOrElse(df)
   }
 
+  /** Materialize `df` as a bounded EPHEMERAL frame (localCheckpoint,
+    * SCALE.md iterative-materialization policy) while still recording
+    * its construct-time plan in the audit ledger — the same visibility
+    * [[stage]] gives PlanSpec's exclusion audit, without the parquet
+    * write+read round-trip. For per-round frames that are (a) bounded
+    * well below corpus size and (b) consumed only inside the one query
+    * building them; anything corpus-sized or cross-query stays on
+    * [[stage]]/[[checkpointed]]. */
+  def stageEphemeral(spark: SparkSession, key: String)(df: DataFrame): DataFrame = {
+    stagedPlans.put(appPrefix(spark) + ledgerKey(key), df)
+    df.localCheckpoint()
+  }
+
   /** Build-once: stages `build` to parquet on first use per
     * (session, key) and returns the cached scan afterwards. */
   def checkpointed(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {

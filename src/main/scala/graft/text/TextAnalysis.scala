@@ -1948,11 +1948,19 @@ object TextAnalysis {
     import spark.implicits._
     require(rounds >= 1, s"bpeTrain needs >= 1 round, got $rounds")
     val key = s"bpe_call_${bpeCallIds.incrementAndGet()}"
-    var cur = graft.SessionCache.stage(spark, s"$key|s0")(
+    // Per-round vocab/pair frames are vocab-sized (distinct tokens,
+    // shrinking as merges apply) and consumed only inside this call —
+    // bounded-ephemeral materialization per SCALE.md policy. The
+    // previous parquet stage per round cost 8 rounds × 3 write+read
+    // cycles (~60% of q_bpe_encode's wall); stageEphemeral keeps the
+    // construct-time plans in the audit ledger (the r11 blind-spot
+    // guard) without the round-trips. The LEARNED rounds table still
+    // goes to parquet (bpeRoundsFor) — it outlives the query.
+    var cur = graft.SessionCache.stageEphemeral(spark, s"$key|s0")(
       bpeVocab(docs).select($"tf", $"syms"))
     val tops = Vector.newBuilder[DataFrame]
     for (r <- 0 until rounds) {
-      val counts = graft.SessionCache.stage(spark, s"$key|c$r")(
+      val counts = graft.SessionCache.stageEphemeral(spark, s"$key|c$r")(
         bpePairCounts(cur))
       // Per-round top-5 report: TakeOrdered the <=5 rows FIRST (same
       // shape as bpeBestMerge), THEN rank the bounded frame. Ranking
@@ -1965,7 +1973,7 @@ object TextAnalysis {
         .select(lit(r.toLong).as("round"), $"rank".cast("long").as("rank"),
           $"sym_a", $"sym_b", $"pair_count")
       if (r < rounds - 1)
-        cur = graft.SessionCache.stage(spark, s"$key|s${r + 1}")(
+        cur = graft.SessionCache.stageEphemeral(spark, s"$key|s${r + 1}")(
           bpeApplyMerges(cur, bpeBestMerge(counts)))
     }
     tops.result().reduce(_.unionByName(_)).orderBy($"round", $"rank")
