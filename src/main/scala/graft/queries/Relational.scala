@@ -899,8 +899,18 @@ object Relational {
     * itself. */
   def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.load(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
+    // The distinct basket frame feeds FOUR consumers (supp, the order
+    // count, and both sides of the pair self-join); unmaterialized,
+    // column pruning makes each subtree unique so ReuseExchange never
+    // fires and the scan+distinct ran four times (plans/r15/
+    // q_basket_rules_before.txt: 4 lineitem scans, 4 distinct
+    // exchanges). One bounded-ephemeral materialization (consumed only
+    // inside this query; a retry re-derives one distinct) serves all
+    // four — and the self-join's two sides become the SAME scan, so
+    // its cust exchange is planned once.
+    val li = graft.SessionCache.stageEphemeral(spark, "basket_li")(
+      Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct())
     val supp = li.groupBy($"l_partkey").agg(count(lit(1)).as("supp"))
     val nOrders = li.agg(countDistinct($"l_orderkey").as("n_orders"))
     val pairs = li.as("a").join(li.as("b"),
@@ -946,25 +956,39 @@ object Relational {
     * surviving pair frame. */
   def qRecItemcf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cp = Tables.load(spark, dir, "orders")
-      .select($"o_orderkey", $"o_custkey")
-      .join(Tables.load(spark, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("cust"), $"l_partkey".as("item")).distinct()
+    // The customer-item incidence frame feeds the basket census, the
+    // item counts AND both sides of the pair self-join; unmaterialized,
+    // each reference re-ran the orders-lineitem join + distinct (4
+    // copies in plans/r15/q_rec_itemcf_before.txt, 108 Exchanges).
+    // Bounded-ephemeral materialization (single-query frame; a retry
+    // re-derives one join) collapses them to one derivation, and the
+    // self-join's sides become one scan sharing one cust exchange.
+    val cp = graft.SessionCache.stageEphemeral(spark, "itemcf_cp")(
+      Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+        .join(Tables.load(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("cust"), $"l_partkey".as("item")).distinct())
     val sizes = cp.groupBy($"cust").agg(count(lit(1)).as("bn"))
-    val guarded = cp.join(broadcast(sizes.filter($"bn" > ItemcfMaxBasket)
-        .limit(1).select($"cust", $"bn")), Seq("cust"), "left_outer")
-      .filter(assert_true($"bn".isNull,
-        format_string("qRecItemcf basket over cap %d: cust=%d n=%d",
-          lit(ItemcfMaxBasket), $"cust", $"bn")).isNull)
-      .drop("bn")
+    val guarded = graft.SessionCache.stageEphemeral(spark, "itemcf_guarded")(
+      cp.join(broadcast(sizes.filter($"bn" > ItemcfMaxBasket)
+          .limit(1).select($"cust", $"bn")), Seq("cust"), "left_outer")
+        .filter(assert_true($"bn".isNull,
+          format_string("qRecItemcf basket over cap %d: cust=%d n=%d",
+            lit(ItemcfMaxBasket), $"cust", $"bn")).isNull)
+        .drop("bn"))
     val cnt = guarded.groupBy($"item").agg(count(lit(1)).as("c"))
-    val pairs = guarded.as("a").join(guarded.as("b"),
-        $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
-      .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
-      .agg(count(lit(1)).as("cij"))
-      .filter($"cij" >= ItemcfMinSupport)
+    // The min-support survivors feed BOTH branches of the symmetrizing
+    // union; unmaterialized, the C(basket,2) pair fan-out (13.1M rows
+    // at sf0.1) shuffled and aggregated TWICE. Post-filter the frame is
+    // support-bounded (9k rows at sf0.1) — bounded ephemeral.
+    val pairs = graft.SessionCache.stageEphemeral(spark, "itemcf_pairs")(
+      guarded.as("a").join(guarded.as("b"),
+          $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
+        .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
+        .agg(count(lit(1)).as("cij"))
+        .filter($"cij" >= ItemcfMinSupport))
     val sym = pairs.union(pairs.select($"ib".as("ia"), $"ia".as("ib"), $"cij"))
     val scored = sym
       .join(cnt.select($"item".as("ia"), $"c".as("ca")), Seq("ia"))

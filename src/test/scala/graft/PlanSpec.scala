@@ -305,6 +305,9 @@ class PlanSpec extends SparkSpec {
       // ccnet bucketing materializes its (lang, score) distribution
       // frame on construct — cuts, totals and rollup all read it
       "q_ccnet_buckets",
+      // basket rules / itemCF materialize their distinct incidence
+      // frame on construct (r15: 4 consumers each re-derived it)
+      "q_basket_rules", "q_rec_itemcf",
       // RM3 materializes the query vocabulary, the 10-row round-1
       // result and the feedback term counts on construct; the search
       // rounds reuse the stored-index broadcasts (stats + qid)
