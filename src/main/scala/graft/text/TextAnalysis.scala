@@ -1324,9 +1324,16 @@ object TextAnalysis {
           |         (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))""".stripMargin))
         .as("t"))
       .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
-    val d123 = tri.groupBy($"doc_id", $"w1", $"w2", $"w3")
-      .agg(count(lit(1)).as("d123"))
-    val c123 = d123.groupBy($"w1", $"w2", $"w3").agg(sum($"d123").as("c123"))
+    // d123 is the base of EVERY rollup below (c123, d12, d23) plus the
+    // scored join spine — unmaterialized, the corpus tokenize+explode
+    // re-ran once per reference (9 document scans in plans/r15/
+    // q_text_trigram_loo_before.txt). One bounded-ephemeral
+    // materialization feeds all of them; c123 likewise (3 consumers).
+    val d123 = graft.SessionCache.stageEphemeral(spark, "trigram_d123")(
+      tri.groupBy($"doc_id", $"w1", $"w2", $"w3")
+        .agg(count(lit(1)).as("d123")))
+    val c123 = graft.SessionCache.stageEphemeral(spark, "trigram_c123")(
+      d123.groupBy($"w1", $"w2", $"w3").agg(sum($"d123").as("c123")))
     val d12 = d123.groupBy($"doc_id", $"w1", $"w2").agg(sum($"d123").as("d12"))
     val c12 = c123.groupBy($"w1", $"w2").agg(sum($"c123").as("c12"))
     val d23 = d123.groupBy($"doc_id", $"w2", $"w3").agg(sum($"d123").as("d23"))

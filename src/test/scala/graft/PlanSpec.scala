@@ -308,6 +308,9 @@ class PlanSpec extends SparkSpec {
       // basket rules / itemCF materialize their distinct incidence
       // frame on construct (r15: 4 consumers each re-derived it)
       "q_basket_rules", "q_rec_itemcf",
+      // trigram LOO materializes its per-doc trigram counts + the
+      // global rollup on construct (r15: 9 corpus scans collapsed)
+      "q_text_trigram_loo",
       // RM3 materializes the query vocabulary, the 10-row round-1
       // result and the feedback term counts on construct; the search
       // rounds reuse the stored-index broadcasts (stats + qid)
