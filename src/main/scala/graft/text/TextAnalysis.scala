@@ -495,7 +495,13 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
     val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
       .filter(length($"token") > 0)
-    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    // tf spines the doc-length rollup, the df rollup, the query-term
+    // broadcast AND the main postings join — dl/dfr sit on the serial
+    // join spine, so the corpus tokenize+count re-ran per reference
+    // (plans/r15/q_hybrid_rrf_before.txt: 4 tokenize subtrees).
+    // Bounded-ephemeral materialization (single-query frame).
+    val tf = graft.SessionCache.stageEphemeral(spark, "rrf_tf")(
+      tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val dfr = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),

@@ -311,6 +311,9 @@ class PlanSpec extends SparkSpec {
       // trigram LOO materializes its per-doc trigram counts + the
       // global rollup on construct (r15: 9 corpus scans collapsed)
       "q_text_trigram_loo",
+      // hybrid RRF materializes its tf frame on construct (r15: the
+      // dl/df rollups + postings join each re-tokenized the corpus)
+      "q_hybrid_rrf",
       // RM3 materializes the query vocabulary, the 10-row round-1
       // result and the feedback term counts on construct; the search
       // rounds reuse the stored-index broadcasts (stats + qid)
