@@ -443,10 +443,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Compact trailing summary: the per-query line above can exceed the
-    // driver's tail-capture window (BENCH_r05/r06 both parsed null), so
-    // totals are re-emitted LAST on their own short line.
     val stagingSec = staging.map(_._2).sum
     val streamingSec = streaming.map(_._2).sum
     // Per-batch breakdown of the streaming leg: trigger seconds are the
@@ -502,6 +498,14 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target", "bench_summary.json"),
       artifact.getBytes("UTF-8"))
+    // The driver-contract line — the ONE JSON line with the per-query
+    // map — is emitted LAST (VERDICT r15 item 2): the driver tail-
+    // parses stdout for it, and printing it before the summary lines
+    // scrolled it out of the capture window every round r11–r15
+    // (BENCH_r*.json "parsed": null). Same line, same fields, same
+    // timing methodology — only the print position changed.
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

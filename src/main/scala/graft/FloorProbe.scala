@@ -13,9 +13,12 @@ object FloorProbe {
     val names = args.drop(2).toSeq
     val spark = GraftSession.build()
     // env-driven config sweeps, StageProbe-style (dev-only)
+    // split("=", 2): conf VALUES may themselves contain '=' (ADVICE r15)
     sys.env.get("PROBE_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split('=')
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => System.err.println(s"[floor] ignoring malformed PROBE_CONF entry: $kv")
+      }
     })
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
@@ -26,8 +29,11 @@ object FloorProbe {
         jobs.incrementAndGet(); jobT0.put(e.jobId, System.nanoTime()); ()
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = jobT0.remove(e.jobId)
-        println(f"[floor-job] job ${e.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        // Option-guard: a missed start event would NPE on unboxing and
+        // the listener bus would swallow it, corrupting the probe output
+        Option(jobT0.remove(e.jobId)).foreach { t0 =>
+          println(f"[floor-job] job ${e.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        }
       }
       override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
         stages.incrementAndGet(); ()

@@ -195,13 +195,19 @@ object SessionCache {
     Try(spark.read.parquet(dir)).getOrElse(df)
   }
 
-  /** Materialize `df` as a bounded EPHEMERAL frame (localCheckpoint,
-    * SCALE.md iterative-materialization policy) while still recording
-    * its construct-time plan in the audit ledger — the same visibility
+  /** Materialize `df` as an EPHEMERAL frame (localCheckpoint, SCALE.md
+    * iterative-materialization policy) while still recording its
+    * construct-time plan in the audit ledger — the same visibility
     * [[stage]] gives PlanSpec's exclusion audit, without the parquet
-    * write+read round-trip. For per-round frames that are (a) bounded
-    * well below corpus size and (b) consumed only inside the one query
-    * building them; anything corpus-sized or cross-query stays on
+    * write+read round-trip. Two admitted categories (SCALE.md):
+    * (1) per-round frames bounded well below corpus size and consumed
+    * only inside the one query building them; (2) corpus-proportional
+    * single-query dedup frames whose consumers are pruned differently
+    * per consumer (exchange reuse can't fire) — measured faster than
+    * the parquet round-trip at bench scale (r15 A/Bs), but routed
+    * through [[stage]] in a cluster deployment, where heap-resident
+    * checkpoint blocks of corpus-sized frames are the documented
+    * BENCH_r01 failure mode. Anything cross-query stays on
     * [[stage]]/[[checkpointed]]. */
   def stageEphemeral(spark: SparkSession, key: String)(df: DataFrame): DataFrame = {
     stagedPlans.put(appPrefix(spark) + ledgerKey(key), df)

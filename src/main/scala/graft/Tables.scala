@@ -22,21 +22,55 @@ object Tables {
     * quantization) runs single-threaded — measured 12-14% CPU across
     * the bench's query leg on 32 cores. Parquet can only split at row-
     * group boundaries, so no split-size config can parallelize these
-    * scans; re-laying each fact table out once per session as
+    * scans; re-laying a fact table out once per session as
     * defaultParallelism files is the honest fix (at 100 TB the same
     * tables arrive as thousands of files and every scan is wide — the
-    * single-file shape is a small-scale artifact, guide §6). Dimension
-    * tables stay single-file: 32-way tiny-file scans would ADD per-file
-    * open cost to every join for no map-side work worth spreading. */
-  private val SpreadTables =
+    * single-file shape is a small-scale artifact, guide §6).
+    *
+    * DOSAGE (r16, measured): only lineitem and documents carry enough
+    * per-row scan-side work (600k-row decimal decode / long-text
+    * tokenization) to pay for the wide scan — the r15 all-five spread
+    * taxed every consumer of the other three ~0.1-0.5 s of per-task
+    * and per-file overhead per query with NO heavy consumer winning.
+    * Back-to-back subset A/B (same 23 cells, 32 cores, sf0.1):
+    * spread-all-5 55.4 s vs spread-these-2 44.3 s, with every
+    * orders/events/embeddings consumer faster unspread (pca_power
+    * 5.14→3.45, ab_bootstrap 3.49→2.48, rfm 3.23→2.00, active_users
+    * 1.92→1.27) and the two real wins retained (rollhash 0.9 vs 3.3
+    * unspread, dup_chars 3.8 vs 7.3, q1_agg 1.17 vs 2.14). Dimension
+    * tables likewise stay single-file: 32-way tiny-file scans would
+    * ADD per-file open cost to every join for no map-side work worth
+    * spreading. */
+  private val FactTables =
     Set("lineitem", "orders", "events", "documents", "embeddings")
+  private val SpreadTables =
+    Set("lineitem", "documents")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (SpreadTables(name))
-      SessionCache.checkpointed(spark, s"tables.spread|$dir|$name")(
-        loadRaw(spark, dir, name)
-          .repartition(spark.sparkContext.defaultParallelism))
-    else loadRaw(spark, dir, name)
+  /** Dev-only dosage override for the relayout file count, consulted
+    * for every fact table: SPARK_GRAFT_SPREAD="lineitem=8,events=32"
+    * (unset in the driver contract — the measured default is
+    * [[SpreadTables]] at defaultParallelism, everything else
+    * unspread). */
+  private lazy val spreadOverride: Map[String, Int] =
+    sys.env.get("SPARK_GRAFT_SPREAD").map(_.split(',').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => scala.util.Try(k.trim -> v.trim.toInt).toOption
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private[graft] def spreadFiles(spark: SparkSession, name: String): Int =
+    spreadOverride.getOrElse(name,
+      if (SpreadTables(name)) spark.sparkContext.defaultParallelism else 1)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (FactTables(name)) {
+      val files = spreadFiles(spark, name)
+      if (files <= 1) loadRaw(spark, dir, name)
+      else SessionCache.checkpointed(spark, s"tables.spread|$dir|$name|$files")(
+        loadRaw(spark, dir, name).repartition(files))
+    } else loadRaw(spark, dir, name)
+  }
 
   /** The pre-relayout single-file scan, for the one order-sensitive
     * consumer: q_unpivot's ORDER BY (l_orderkey, l_linenumber, metric)

@@ -904,10 +904,12 @@ object Relational {
     // column pruning makes each subtree unique so ReuseExchange never
     // fires and the scan+distinct ran four times (plans/r15/
     // q_basket_rules_before.txt: 4 lineitem scans, 4 distinct
-    // exchanges). One bounded-ephemeral materialization (consumed only
-    // inside this query; a retry re-derives one distinct) serves all
-    // four — and the self-join's two sides become the SAME scan, so
-    // its cust exchange is planned once.
+    // exchanges). One ephemeral materialization serves all four — and
+    // the self-join's two sides become the SAME scan, so its cust
+    // exchange is planned once. The frame is CORPUS-PROPORTIONAL (one
+    // row per distinct (order,part)) — SCALE.md category 3: single-
+    // query lifetime, measured faster ephemeral at bench scale; a
+    // cluster deployment routes it through the parquet stage.
     val li = graft.SessionCache.stageEphemeral(spark, "basket_li")(
       Tables.load(spark, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct())
@@ -960,9 +962,11 @@ object Relational {
     // item counts AND both sides of the pair self-join; unmaterialized,
     // each reference re-ran the orders-lineitem join + distinct (4
     // copies in plans/r15/q_rec_itemcf_before.txt, 108 Exchanges).
-    // Bounded-ephemeral materialization (single-query frame; a retry
-    // re-derives one join) collapses them to one derivation, and the
-    // self-join's sides become one scan sharing one cust exchange.
+    // Ephemeral materialization (corpus-proportional — one row per
+    // distinct (cust,item) — but single-query; SCALE.md category 3,
+    // parquet-staged in a cluster deployment) collapses them to one
+    // derivation, and the self-join's sides become one scan sharing
+    // one cust exchange.
     val cp = graft.SessionCache.stageEphemeral(spark, "itemcf_cp")(
       Tables.load(spark, dir, "orders")
         .select($"o_orderkey", $"o_custkey")

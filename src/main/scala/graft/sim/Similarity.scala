@@ -960,18 +960,22 @@ object Similarity {
         .filter($"rel_e6".isNotNull)
         .select($"query_id", $"cand_id", $"rel_e6", $"cv")
     }
-    // The argmax carries the winner's VECTOR through (scored already
-    // holds cv), so the next round's penalty pass reads the selected
-    // vectors straight off the materialized pick frame — the previous
-    // shape re-joined the corpus vector table every round just to
-    // recover them (one join + exchange per round, r15).
+    // The argmax payload is deliberately SCALAR-ONLY (r16 revert of the
+    // r15 cv-carry): carrying the 64-element vector through the max_by
+    // made every partial-aggregation row of the Q×C `remaining` frame
+    // allocate the array into its struct payload each round — the cell
+    // regressed 3.03→4.91 s in the r15 close runs. The selected picks'
+    // vectors are recovered instead by one broadcast join of the ≤Q·r
+    // pick frame against the corpus vector table per round (below) —
+    // Q·r rows through a broadcast build vs Q·C array copies through a
+    // shuffle is the right trade at any scale.
     def argmax(frame: DataFrame, rank: Int): DataFrame =
       frame.groupBy($"query_id")
         .agg(max_by(struct($"score", (-$"cand_id").as("nc"), $"cand_id",
-          $"rel_e6", $"cv"), struct($"score", (-$"cand_id").as("nc"))).as("p"))
+          $"rel_e6"), struct($"score", (-$"cand_id").as("nc"))).as("p"))
         .select($"query_id", lit(rank.toLong).as("pick"),
           $"p.cand_id".as("cand_id"), $"p.rel_e6".as("rel_e6"),
-          $"p.score".as("mmr_x1e7"), $"p.cv".as("cv"))
+          $"p.score".as("mmr_x1e7"))
     // pick 1: pure relevance (empty selected set, penalty 0). Each
     // round's selected frame is localCheckpoint-materialized (bounded
     // ephemeral: ≤ queries·K rows, single-query lifetime — SCALE.md
@@ -979,8 +983,9 @@ object Similarity {
     var selected = argmax(
       scored.withColumn("score", $"rel_e6" * 7), 1).localCheckpoint()
     for (r <- 2 to MmrK) {
-      val selVecs = selected
-        .select($"query_id", $"cand_id".as("sel_id"), $"cv".as("sv"))
+      val selVecs = selected.select($"query_id", $"cand_id".as("sel_id"))
+        .join(c.withColumnRenamed("cand_id", "sel_id")
+          .withColumnRenamed("cv", "sv"), Seq("sel_id"))
       val pen = scored
         .join(broadcast(selVecs), Seq("query_id"))
         .filter($"cand_id" =!= $"sel_id")

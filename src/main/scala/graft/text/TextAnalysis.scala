@@ -499,7 +499,9 @@ object TextAnalysis {
     // broadcast AND the main postings join — dl/dfr sit on the serial
     // join spine, so the corpus tokenize+count re-ran per reference
     // (plans/r15/q_hybrid_rrf_before.txt: 4 tokenize subtrees).
-    // Bounded-ephemeral materialization (single-query frame).
+    // Ephemeral materialization: corpus-proportional (one row per
+    // distinct (doc,token)) but single-query — SCALE.md category 3;
+    // a cluster deployment routes it through the parquet stage.
     val tf = graft.SessionCache.stageEphemeral(spark, "rrf_tf")(
       tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
@@ -1333,8 +1335,11 @@ object TextAnalysis {
     // d123 is the base of EVERY rollup below (c123, d12, d23) plus the
     // scored join spine — unmaterialized, the corpus tokenize+explode
     // re-ran once per reference (9 document scans in plans/r15/
-    // q_text_trigram_loo_before.txt). One bounded-ephemeral
-    // materialization feeds all of them; c123 likewise (3 consumers).
+    // q_text_trigram_loo_before.txt). One ephemeral materialization
+    // feeds all of them; c123 likewise (3 consumers). Both frames are
+    // corpus-proportional (one row per distinct (doc,trigram) /
+    // trigram) but single-query — SCALE.md category 3; a cluster
+    // deployment routes them through the parquet stage.
     val d123 = graft.SessionCache.stageEphemeral(spark, "trigram_d123")(
       tri.groupBy($"doc_id", $"w1", $"w2", $"w3")
         .agg(count(lit(1)).as("d123")))

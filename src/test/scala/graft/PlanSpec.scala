@@ -503,6 +503,44 @@ class PlanSpec extends SparkSpec {
     assert(finalOffenders.isEmpty,
       s"excluded query's FINAL plan has an unpartitioned Window over a potentially " +
         s"unbounded frame: $finalOffenders")
+    // ADVICE r15: the exclusion set removes these queries from the
+    // whole-surface CROSS-JOIN sweep too, so their post-checkpoint
+    // (downstream) plans need the same audit. A cross join is fine
+    // when one side is provably bounded (Catalyst maxRows <= 64: the
+    // 1-row corpus-count/total aggregates and limited top-k frames
+    // behind every intended broadcast fan-out); only a cross with
+    // BOTH sides unbounded is a scale hazard, and those need a named
+    // justification like the main sweep's.
+    import org.apache.spark.sql.catalyst.plans.{Cross => CrossType}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def unboundedCross(p: LogicalPlan): Boolean = p.collect {
+      case j: LJoin if j.joinType == CrossType &&
+        !j.left.maxRows.exists(_ <= 64) &&
+        !j.right.maxRows.exists(_ <= 64) => j
+    }.nonEmpty
+    val finalIntendedCross: Set[String] = Set(
+      // stored ANN searches: the broadcast probe x centroid/codebook
+      // fan-outs — bounded by the trained codebook size (<=256 rows)
+      // but grouped aggregates carry no maxRows; pinned <=2 by the
+      // stored-ANN plan test
+      "q_sim_ann_ivfadc", "q_sim_ivfadc_recall",
+      // trained/incremental IVF: the broadcast 5-query probe x k-means
+      // centroid fan-out (grouped agg, no maxRows; pinned <=2 crosses
+      // by the stored-ANN plan test)
+      "q_sim_ann_ivf_trained", "q_sim_ivf_incremental",
+      // KS: the distinct-values x per-source-count grid — the
+      // broadcast side is <=|sources| rows (grouped agg, no maxRows)
+      "q_ks_sources",
+      // RM3: round-2 rescoring crosses the broadcast <=|q|+8-row
+      // feedback-term frame (grouped agg, no maxRows) onto postings
+      "q_text_rm3")
+    val finalCrossOffenders = executesOnConstruct.toSeq.sorted.flatMap { name =>
+      val p = frames(name).queryExecution.optimizedPlan
+      if (unboundedCross(p) && !finalIntendedCross.contains(name)) Some(name)
+      else None
+    }
+    assert(finalCrossOffenders.isEmpty,
+      s"excluded query's FINAL plan has a cross join with both sides unbounded: $finalCrossOffenders")
   }
 
   test("tpch5: dims broadcast; the fact side shuffles only on orderkey + final agg") {
